@@ -1,0 +1,60 @@
+"""dali_tpu — a TPU-native data loading & preprocessing framework.
+
+A from-scratch rebuild of the capabilities of NVIDIA DALI (reference:
+``/root/reference``) designed for TPU: the ``@pipeline_def`` graph of ``fn.*``
+operators compiles to a host program (readers, decoders, cpu ops — C++/numpy on a
+thread pool) plus ONE jitted JAX/XLA device program with Pallas kernels for the hot
+image/signal ops, fed through padded-canvas staging; outputs surface as ``jax.Array``s
+(optionally globally sharded via ``NamedSharding``).
+"""
+
+__version__ = "0.1.0"
+
+from . import types  # noqa: F401
+from ._schema import (  # noqa: F401
+    DALI_SCHEMA,
+    GetSchema,
+    OpSpec,
+    RegisteredSchemas,
+    register_operator,
+)
+from .data_node import DataNode  # noqa: F401
+
+
+def _op_call(schema_name, device="cpu", inputs=(), name=None, **kwargs):
+    """Create a graph node inside the current pipeline scope; the machinery behind
+    every ``fn.*`` call (reference ``ops/__init__.py:553`` python_op_factory)."""
+    from .pipeline import Pipeline
+
+    pipe = Pipeline.current()
+    if pipe is None:
+        raise RuntimeError(
+            f"Operator '{schema_name}' invoked outside a pipeline scope. Use "
+            "@pipeline_def or `with pipe:`."
+        )
+    spec = OpSpec(schema_name, device=device, name=name, **kwargs)
+    for i in inputs:
+        if not isinstance(i, DataNode):
+            raise TypeError(f"Inputs to '{schema_name}' must be DataNodes, got {type(i)}")
+        spec.AddInput(i)
+    schema = spec.schema
+    n = len(spec.inputs)
+    if n < schema.min_inputs or (schema.max_inputs is not None and n > schema.max_inputs):
+        raise ValueError(
+            f"Operator '{schema_name}' expects between {schema.min_inputs} and "
+            f"{schema.max_inputs} inputs, got {n}"
+        )
+    node = pipe.add_op(spec)
+    outs = node.outputs
+    return outs[0] if len(outs) == 1 else tuple(outs)
+
+
+from . import backend  # noqa: E402,F401  (registers all built-in operators)
+from . import fn  # noqa: E402,F401
+from . import ops  # noqa: E402,F401
+from . import math  # noqa: E402,F401
+from .external_source import external_source  # noqa: E402,F401
+from .pipeline import Pipeline, do_not_convert, pipeline_def  # noqa: E402,F401
+
+# fn.external_source is special-cased (reference external_source.py:1002)
+fn.external_source = external_source

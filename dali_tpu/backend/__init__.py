@@ -1,0 +1,20 @@
+"""Operator implementations (host numpy/C++ + device JAX/Pallas lowerings).
+
+Importing this package registers all built-in operators, mirroring how the
+reference links every ``DALI_REGISTER_OPERATOR`` into ``backend_impl``
+(reference ``dali/operators/``, ``dali/pipeline/operator/operator.h:327``).
+"""
+
+from . import base  # noqa: F401
+from . import builtin  # noqa: F401
+from . import readers  # noqa: F401
+from . import decoders  # noqa: F401
+from . import image  # noqa: F401
+from . import generic  # noqa: F401
+from . import random  # noqa: F401
+from . import arithm  # noqa: F401
+from . import audio  # noqa: F401
+from . import bbox  # noqa: F401
+from . import sequence  # noqa: F401
+from . import segmentation  # noqa: F401
+from . import interop  # noqa: F401

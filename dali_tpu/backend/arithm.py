@@ -1,0 +1,155 @@
+"""Arithmetic expression operator.
+
+Reference: ``dali/operators/math/expressions/`` (~9k LoC of CUDA expression-tree
+evaluation) + the Python operator overloads in ``data_node.py``/``math.py``. On TPU
+the heavy machinery disappears: each expression node is evaluated with numpy (host)
+or jnp (device) and XLA fuses chains of them inside the single device program — the
+fusion DALI implements by hand falls out of the compiler.
+
+Expression descriptors use a DALI-like mini-DSL: ``add(&0 $2:9)`` where ``&i`` is
+input i and ``$v:t`` a literal with DALIDataType t (reference
+``expression_tree.h``; we keep single-op expressions since XLA re-fuses).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from .._schema import DALI_SCHEMA, ArgType, register_operator
+from ..batch import DeviceBatch, HostBatch
+from ..types import DALIDataType, to_numpy_type
+from .base import Operator
+
+DALI_SCHEMA("_ArithmeticGenericOp").DocStr(
+    "Elementwise arithmetic over batches (reference _ArithmeticGenericOp schema)."
+).NumInput(0, 16).NumOutput(1).Devices("cpu", "gpu").MakeInternal().AddArg(
+    "expression_desc", ArgType.STRING, "Expression descriptor, e.g. 'add(&0 $1:9)'."
+)
+
+_TOKEN_RE = re.compile(r"&(\d+)|\$(.+?):(\d+)")
+
+
+def _parse(desc: str):
+    op, _, rest = desc.partition("(")
+    rest = rest.rstrip(")")
+    tokens = []
+    for tok in rest.split():
+        m = _TOKEN_RE.fullmatch(tok)
+        if not m:
+            raise ValueError(f"Bad expression token {tok!r} in {desc!r}")
+        if m.group(1) is not None:
+            tokens.append(("input", int(m.group(1))))
+        else:
+            dtype = DALIDataType(int(m.group(3)))
+            val = eval(m.group(2), {"__builtins__": {}})  # literal repr only
+            tokens.append(("const", np.asarray(val, dtype=to_numpy_type(dtype))))
+    return op, tokens
+
+
+def _ops_table(xp):
+    return {
+        "add": lambda a, b: a + b,
+        "sub": lambda a, b: a - b,
+        "mul": lambda a, b: a * b,
+        "fdiv": lambda a, b: _true_div(xp, a, b),
+        "div": lambda a, b: a // b if _is_int(a) and _is_int(b) else a / b,
+        "mod": lambda a, b: a % b,
+        "pow": lambda a, b: a**b,
+        "fpow": lambda a, b: _as_float(xp, a) ** _as_float(xp, b),
+        "minus": lambda a: -a,
+        "plus": lambda a: +a,
+        "abs": lambda a: abs(a),
+        "sqrt": lambda a: xp.sqrt(_as_float(xp, a)),
+        "rsqrt": lambda a: 1.0 / xp.sqrt(_as_float(xp, a)),
+        "cbrt": lambda a: xp.cbrt(_as_float(xp, a)),
+        "exp": lambda a: xp.exp(_as_float(xp, a)),
+        "log": lambda a: xp.log(_as_float(xp, a)),
+        "log2": lambda a: xp.log2(_as_float(xp, a)),
+        "log10": lambda a: xp.log10(_as_float(xp, a)),
+        "sin": lambda a: xp.sin(_as_float(xp, a)),
+        "cos": lambda a: xp.cos(_as_float(xp, a)),
+        "tan": lambda a: xp.tan(_as_float(xp, a)),
+        "asin": lambda a: xp.arcsin(_as_float(xp, a)),
+        "acos": lambda a: xp.arccos(_as_float(xp, a)),
+        "atan": lambda a: xp.arctan(_as_float(xp, a)),
+        "sinh": lambda a: xp.sinh(_as_float(xp, a)),
+        "cosh": lambda a: xp.cosh(_as_float(xp, a)),
+        "tanh": lambda a: xp.tanh(_as_float(xp, a)),
+        "asinh": lambda a: xp.arcsinh(_as_float(xp, a)),
+        "acosh": lambda a: xp.arccosh(_as_float(xp, a)),
+        "atanh": lambda a: xp.arctanh(_as_float(xp, a)),
+        "ceil": lambda a: xp.ceil(_as_float(xp, a)),
+        "floor": lambda a: xp.floor(_as_float(xp, a)),
+        "atan2": lambda a, b: xp.arctan2(a, b),
+        "min": lambda a, b: xp.minimum(a, b),
+        "max": lambda a, b: xp.maximum(a, b),
+        "clamp": lambda a, lo, hi: xp.clip(a, lo, hi),
+        "eq": lambda a, b: a == b,
+        "neq": lambda a, b: a != b,
+        "lt": lambda a, b: a < b,
+        "leq": lambda a, b: a <= b,
+        "gt": lambda a, b: a > b,
+        "geq": lambda a, b: a >= b,
+        "bitand": lambda a, b: a & b,
+        "bitor": lambda a, b: a | b,
+        "bitxor": lambda a, b: a ^ b,
+    }
+
+
+def _is_int(a):
+    return np.issubdtype(np.asarray(a).dtype if isinstance(a, np.ndarray) else a.dtype, np.integer)
+
+
+def _as_float(xp, a):
+    dt = a.dtype if hasattr(a, "dtype") else np.asarray(a).dtype
+    if np.issubdtype(dt, np.floating):
+        return a
+    return a.astype(xp.float32)
+
+
+def _true_div(xp, a, b):
+    return _as_float(xp, a) / _as_float(xp, b)
+
+
+@register_operator("_ArithmeticGenericOp", "cpu")
+class ArithmCPU(Operator):
+    def __init__(self, spec, op_id):
+        super().__init__(spec, op_id)
+        self._op, self._tokens = _parse(spec.GetArgument("expression_desc"))
+
+    def run_sample(self, ctx, idx, *inputs):
+        args = [inputs[t[1]] if t[0] == "input" else t[1] for t in self._tokens]
+        return np.asarray(_ops_table(np)[self._op](*args))
+
+    def output_layout(self, output_idx, inputs):
+        for b in inputs:
+            if b.layout:
+                return b.layout
+        return ""
+
+
+@register_operator("_ArithmeticGenericOp", "gpu")
+class ArithmGPU(Operator):
+    def __init__(self, spec, op_id):
+        super().__init__(spec, op_id)
+        self._op, self._tokens = _parse(spec.GetArgument("expression_desc"))
+
+    def lower(self, dctx, *inputs: DeviceBatch):
+        import jax.numpy as jnp
+
+        args = []
+        shapes = None
+        layout = ""
+        for t in self._tokens:
+            if t[0] == "input":
+                db = inputs[t[1]]
+                args.append(db.data)
+                if shapes is None and db.shapes is not None:
+                    shapes = db.shapes
+                layout = layout or db.layout
+            else:
+                args.append(jnp.asarray(t[1]))
+        out = _ops_table(jnp)[self._op](*args)
+        return [DeviceBatch(out, shapes, layout)]

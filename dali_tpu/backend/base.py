@@ -1,0 +1,205 @@
+"""Operator base classes and execution contexts.
+
+TPU-native re-design of DALI's ``OperatorBase`` (reference
+``dali/pipeline/operator/operator.h:76-123``). The reference has one virtual
+``Setup/Run`` pair specialized per backend; we split by where the work runs:
+
+* **Host ops** (``device='cpu'`` and ``'mixed'``): ``run_batch`` over ragged
+  ``HostBatch``es; the default implementation fans out ``run_sample`` per sample to
+  the executor's thread pool — the analogue of the reference's CPU batch→sample
+  loop (``operator.h:276-317``).
+* **Device ops** (``device='gpu'``): ``lower`` is *traced* into the single jitted
+  device program — the analogue of a CUDA kernel launch, except XLA fuses the whole
+  device subgraph into one program.
+* Device ops may additionally implement ``host_params`` — per-iteration host-side
+  computation (e.g. random crop windows) whose numpy results feed the device program
+  as extra inputs. This mirrors DALI attr classes like ``RandomCropAttr`` that run
+  on CPU even for GPU ops.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from .._schema import OpSpec
+from ..batch import DeviceBatch, HostBatch
+
+
+class HostCtx:
+    """Per-iteration host execution context (analogue of the reference
+    ``Workspace``, ``dali/pipeline/workspace/workspace.h:138``)."""
+
+    def __init__(self, pipeline, iteration: int, epoch: int, pool=None):
+        self.pipeline = pipeline
+        self.batch_size = pipeline.max_batch_size
+        self.iteration = iteration
+        self.epoch = epoch
+        self._pool = pool
+        self._arg_batches: Dict[int, Dict[str, HostBatch]] = {}
+
+    # -- RNG: counter-based, checkpoint == (seed, iteration) -------------------
+    def rng(self, op: "Operator", sample_idx: Optional[int] = None) -> np.random.Generator:
+        """Philox stream keyed by (pipeline seed ^ op seed, op id, iteration[, sample]).
+
+        Counter-based like the reference per-sample Philox streams
+        (``dali/operators/random/rng_base.h:108``) — state never needs saving;
+        checkpoint/restore replays from the iteration index.
+        """
+        seed = op.spec.GetArgument("seed", -1) if op.spec.schema.has_random_seed else -1
+        if seed is None or seed < 0:
+            seed = self.pipeline.seed
+        # Philox takes a 2x64-bit key: word0 = seed ⊕ op, word1 = iteration/sample.
+        k0 = np.uint64(seed) ^ (np.uint64(op.op_id) << np.uint64(32))
+        k1 = np.uint64(self.iteration)
+        if sample_idx is not None:
+            k1 = k1 | (np.uint64(sample_idx) << np.uint64(40))
+        return np.random.Generator(np.random.Philox(key=np.array([k0, k1], dtype=np.uint64)))
+
+    # -- per-sample argument resolution ----------------------------------------
+    def set_arg_batches(self, op_id: int, batches: Dict[str, HostBatch]):
+        self._arg_batches[op_id] = batches
+
+    def arg(self, op: "Operator", name: str, sample_idx: Optional[int] = None, default=None):
+        """Resolve an argument that may be a constant or a tensor argument input
+        (reference: ``OpSpec`` argument inputs, ``op_spec.h``)."""
+        batches = self._arg_batches.get(op.op_id, {})
+        if name in batches:
+            b = batches[name]
+            if sample_idx is None:
+                return b
+            v = b.samples[sample_idx]
+            if v.ndim == 0:
+                return v[()]
+            return v
+        if op.spec.HasArgument(name):
+            return op.spec.GetArgument(name)
+        v = op.spec.GetArgument(name, default)
+        return default if v is None else v
+
+    # -- sample-parallel map ------------------------------------------------------
+    def map_samples(self, fn, n: int) -> list:
+        """Run ``fn(i)`` for i in [0, n) on the executor thread pool."""
+        if self._pool is None or n <= 1:
+            return [fn(i) for i in range(n)]
+        return self._pool.map_indices(fn, n)
+
+
+class DeviceCtx:
+    """Tracing context for the device program."""
+
+    def __init__(
+        self,
+        batch_size: int,
+        base_key,
+        params: Dict[int, Dict[str, object]],
+        arg_arrays,
+        statics: Optional[Dict[int, object]] = None,
+    ):
+        import jax
+
+        self.batch_size = batch_size
+        self._base_key = base_key
+        self._params = params
+        self._arg_arrays = arg_arrays  # {op_id: {name: jnp array [N,...]}}
+        self._statics = statics or {}
+        self._jax = jax
+
+    def static(self, op: "Operator"):
+        return self._statics.get(op.op_id)
+
+    def key(self, op: "Operator"):
+        """Per-op PRNG key derived from the iteration key."""
+        return self._jax.random.fold_in(self._base_key, op.op_id)
+
+    def param(self, op: "Operator", name: str):
+        return self._params[op.op_id][name]
+
+    def arg(self, op: "Operator", name: str, default=None):
+        """Argument value: a jnp array [N, ...] if given as a tensor argument,
+        otherwise the python constant from the spec."""
+        arrs = self._arg_arrays.get(op.op_id, {})
+        if name in arrs:
+            return arrs[name]
+        if op.spec.HasArgument(name):
+            return op.spec.GetArgument(name)
+        v = op.spec.GetArgument(name, default)
+        return default if v is None else v
+
+    def has_tensor_arg(self, op: "Operator", name: str) -> bool:
+        return name in self._arg_arrays.get(op.op_id, {})
+
+    def has_param(self, op: "Operator", name: str) -> bool:
+        return name in self._params.get(op.op_id, {})
+
+
+class Operator:
+    """Base class for all operator implementations."""
+
+    schema_name: str = None
+    device: str = None
+
+    def __init__(self, spec: OpSpec, op_id: int):
+        self.spec = spec
+        self.op_id = op_id
+
+    # -- host path ---------------------------------------------------------------
+    def run_batch(self, ctx: HostCtx, *inputs: HostBatch) -> Sequence[HostBatch]:
+        """Default: per-sample fan-out, like the reference CPU operator
+        specialization (``operator.h:276-317``)."""
+        n = len(inputs[0]) if inputs else ctx.batch_size
+        results = ctx.map_samples(lambda i: self.run_sample(ctx, i, *(b.samples[i] for b in inputs)), n)
+        first = results[0]
+        n_out = len(first) if isinstance(first, tuple) else 1
+        outs = []
+        for j in range(n_out):
+            samples = [(r[j] if isinstance(r, tuple) else r) for r in results]
+            outs.append(HostBatch(samples, layout=self.output_layout(j, inputs)))
+        return outs
+
+    def run_sample(self, ctx: HostCtx, idx: int, *inputs: np.ndarray):
+        raise NotImplementedError(f"{type(self).__name__} has no host implementation")
+
+    def output_layout(self, output_idx: int, inputs) -> str:
+        return inputs[0].layout if inputs else ""
+
+    # -- device path ---------------------------------------------------------------
+    def lower(self, dctx: DeviceCtx, *inputs: DeviceBatch) -> Sequence[DeviceBatch]:
+        raise NotImplementedError(f"{type(self).__name__} has no device lowering")
+
+    def host_params(self, ctx: HostCtx, input_shapes: List[np.ndarray]) -> Dict[str, np.ndarray]:
+        """Host-side per-iteration parameter computation for device ops."""
+        return {}
+
+    def device_statics(self, ctx: HostCtx, input_shapes: List[np.ndarray]):
+        """Hashable trace-time constants for the device lowering (e.g. a grown max
+        output canvas). Participates in the device-program cache key — return
+        values that stabilize (grow policy) to bound recompiles."""
+        return None
+
+    # -- padding hints ---------------------------------------------------------------
+    def boundary_fill(self, output_idx: int = 0):
+        """Pad fill value when this op's host output crosses to the device."""
+        return 0
+
+    # -- checkpointing (reference op_checkpoint.h:34) --------------------------------
+    def save_state(self) -> Optional[dict]:
+        return None
+
+    def restore_state(self, state: dict):
+        pass
+
+    def __repr__(self):
+        return f"<{type(self).__name__} op_id={self.op_id} name={self.spec.name!r}>"
+
+
+class ReaderOperator(Operator):
+    """Base for readers: owns a Loader, exposes reader metadata
+    (reference ``dali/operators/reader/reader_op.h:57``)."""
+
+    def reader_meta(self) -> dict:
+        raise NotImplementedError
+
+    def epoch_size(self) -> int:
+        return self.reader_meta()["epoch_size"]

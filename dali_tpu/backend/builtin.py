@@ -1,0 +1,262 @@
+"""Built-in structural operators: device transfer, external source, constants.
+
+Reference: ``dali/operators/builtin/`` (``external_source.h:33``,
+``input_operator.h:134``, ``make_contiguous.cc``).
+"""
+
+from __future__ import annotations
+
+import collections
+import inspect
+from typing import Optional
+
+import numpy as np
+
+from .._schema import DALI_SCHEMA, ArgType, register_operator
+from ..batch import HostBatch
+from ..types import BatchInfo, SampleInfo
+from .base import Operator
+
+
+# -- _CopyToDevice (DataNode.gpu()) --------------------------------------------------
+DALI_SCHEMA("_CopyToDevice").DocStr(
+    "Host→device transfer marker; the executor stages its output across the "
+    "padded-canvas boundary (analogue of MakeContiguous inserted by DataNode.gpu(), "
+    "reference make_contiguous.cc)."
+).NumInput(1).NumOutput(1).Devices("mixed").MakeInternal()
+
+
+@register_operator("_CopyToDevice", "mixed")
+class CopyToDevice(Operator):
+    def run_batch(self, ctx, inp: HostBatch):
+        return [inp]
+
+
+# -- Copy ------------------------------------------------------------------------------
+DALI_SCHEMA("Copy").DocStr("Copies the input (reference builtin Copy op).").NumInput(1).NumOutput(
+    1
+).Devices("cpu", "gpu")
+
+
+@register_operator("Copy", "cpu")
+class CopyCPU(Operator):
+    def run_sample(self, ctx, idx, x):
+        return np.copy(x)
+
+
+@register_operator("Copy", "gpu")
+class CopyGPU(Operator):
+    def lower(self, dctx, x):
+        return [x]
+
+
+# -- ExternalSource -----------------------------------------------------------------------
+DALI_SCHEMA("ExternalSource").DocStr(
+    """User data injection point (reference ``external_source.py:1002``,
+    ``builtin/external_source.h:33``). Data arrives either from ``source``
+    (callable / iterable / generator, per-sample or per-batch) or via
+    ``Pipeline.feed_input``."""
+).NumInput(0).OutputFn(lambda spec: spec.GetArgument("num_outputs", 1) or 1).Devices(
+    "cpu"
+).MakeStateful().AddOptionalArg(
+    "num_outputs", ArgType.INT, "Number of outputs (source returns a tuple per call).", None
+).AddOptionalArg(
+    "source", ArgType.PYTHON_OBJECT, "Callable/iterable/generator producing data.", None
+).AddOptionalArg(
+    "batch", ArgType.BOOL, "source produces whole batches (True) or single samples (False).", True
+).AddOptionalArg(
+    "cycle", ArgType.STRING, "'no'|'quiet'|'raise' — iterable cycling policy.", None
+).AddOptionalArg(
+    "layout", ArgType.TENSOR_LAYOUT, "Layout of the produced data.", ""
+).AddOptionalArg(
+    "repeat_last", ArgType.BOOL, "Re-serve the last fed batch when queue is empty.", False
+).AddOptionalArg(
+    "blocking", ArgType.BOOL, "Block waiting for feed_input (True) or raise (False).", True
+).AddOptionalArg(
+    "no_copy", ArgType.BOOL, "Zero-copy hint (host batches are always borrowed).", False
+).AddOptionalArg(
+    "parallel", ArgType.BOOL, "Run source in worker processes.", False
+).AddOptionalArg(
+    "prefetch_queue_depth", ArgType.INT, "Parallel-mode prefetch depth.", 1
+)
+
+
+@register_operator("ExternalSource", "cpu")
+class ExternalSource(Operator):
+    def __init__(self, spec, op_id):
+        super().__init__(spec, op_id)
+        self._queue = collections.deque()
+        self._last = None
+        self._iter = None
+        self._iteration = 0
+        self._epoch = 0
+        src = spec._extra.get("_source", spec.GetArgument("source", None))
+        self._source = src
+        self._batch_mode = bool(spec.GetArgument("batch", True))
+        self._cycle = spec.GetArgument("cycle", None)
+        self._layout = spec.GetArgument("layout", "") or ""
+        self._num_outputs = spec.GetArgument("num_outputs", None)
+        self._callable = callable(src)
+        self._source_kind = self._classify(src)
+        self._accepts_arg = False
+        if self._callable:
+            try:
+                sig = inspect.signature(src)
+                self._accepts_arg = len(sig.parameters) >= 1
+            except (TypeError, ValueError):
+                self._accepts_arg = False
+
+    @staticmethod
+    def _classify(src):
+        if src is None:
+            return "fed"
+        if callable(src):
+            return "callable"
+        return "iterable"
+
+    # feed_input path (reference input_operator.h caching_list queue)
+    def feed(self, data, layout=None):
+        self._queue.append((data, layout or self._layout))
+
+    def run_batch(self, ctx, *unused):
+        n_out = self._num_outputs or 1
+        data, layout = self._next_data(ctx)
+        groups = self._split_outputs(data, n_out)
+        outs = []
+        for g in groups:
+            samples = self._to_samples(g, ctx.batch_size)
+            outs.append(HostBatch(samples, layout=layout))
+        self._iteration += 1
+        return outs
+
+    def _next_data(self, ctx):
+        if self._source_kind == "fed":
+            if not self._queue:
+                if self.spec.GetArgument("repeat_last", False) and self._last is not None:
+                    return self._last
+                raise RuntimeError(
+                    f"ExternalSource '{self.spec.name}' has no data; call Pipeline.feed_input first"
+                )
+            self._last = self._queue.popleft()
+            return self._last
+        if self._source_kind == "callable":
+            if self._batch_mode:
+                arg = BatchInfo(self._iteration, self._epoch) if self._accepts_arg else None
+                data = self._source(arg) if self._accepts_arg else self._source()
+            else:
+                samples = []
+                bs = ctx.batch_size
+                for i in range(bs):
+                    info = SampleInfo(self._iteration * bs + i, i, self._iteration, self._epoch)
+                    samples.append(self._source(info) if self._accepts_arg else self._source())
+                data = _transpose_samples(samples)
+            return data, self._layout
+        # iterable / generator
+        if self._iter is None:
+            self._iter = iter(self._source)
+        try:
+            data = next(self._iter)
+        except StopIteration:
+            if self._cycle in ("quiet", "raise") or self._cycle is True:
+                self._iter = iter(self._source)
+                self._epoch += 1
+                if self._cycle == "raise":
+                    raise StopIteration
+                data = next(self._iter)
+            else:
+                raise
+        return data, self._layout
+
+    def _split_outputs(self, data, n_out):
+        if n_out == 1:
+            if isinstance(data, tuple) and self._num_outputs is None:
+                data = data[0] if len(data) == 1 else data
+            return [data]
+        if not isinstance(data, (tuple, list)) or len(data) != n_out:
+            raise ValueError(
+                f"ExternalSource '{self.spec.name}' expected {n_out} outputs, got {type(data)}"
+            )
+        return list(data)
+
+    @staticmethod
+    def _to_samples(data, batch_size):
+        import numpy as np
+
+        if isinstance(data, np.ndarray):
+            return [np.asarray(data[i]) for i in range(data.shape[0])]
+        if isinstance(data, (list, tuple)):
+            return [np.asarray(s) for s in data]
+        if hasattr(data, "__array__"):
+            arr = np.asarray(data)
+            return [arr[i] for i in range(arr.shape[0])]
+        raise TypeError(f"Unsupported external source data type {type(data)}")
+
+    def save_state(self):
+        return {"iteration": self._iteration, "epoch": self._epoch}
+
+    def restore_state(self, state):
+        self._iteration = int(state["iteration"])
+        self._epoch = int(state.get("epoch", 0))
+
+
+def _transpose_samples(samples):
+    """samples: list of per-sample results (possibly tuples) → tuple-of-lists or list."""
+    if samples and isinstance(samples[0], tuple):
+        return tuple(list(x) for x in zip(*samples))
+    return samples
+
+
+# -- Constant ----------------------------------------------------------------------------------
+DALI_SCHEMA("Constant").DocStr(
+    "Produces a constant batch (reference generic/constant.cc; created by types.Constant)."
+).NumInput(0).NumOutput(1).Devices("cpu", "gpu").AddOptionalArg(
+    "fdata", ArgType.FLOAT_VEC, "Float payload.", None
+).AddOptionalArg(
+    "idata", ArgType.INT_VEC, "Int payload.", None
+).AddOptionalArg(
+    "shape", ArgType.INT_VEC, "Output sample shape.", None
+).AddOptionalArg(
+    "dtype", ArgType.DATA_TYPE, "Output dtype.", None
+).AddOptionalArg(
+    "layout", ArgType.TENSOR_LAYOUT, "Output layout.", ""
+)
+
+
+class _ConstantBase(Operator):
+    def _value(self) -> np.ndarray:
+        from .. import types as _t
+
+        raw = self.spec._extra.get("_raw_value")
+        if raw is not None:
+            arr = np.asarray(raw)
+        else:
+            fdata = self.spec.GetArgument("fdata", None)
+            idata = self.spec.GetArgument("idata", None)
+            payload = fdata if fdata is not None else (idata if idata is not None else [0])
+            arr = np.asarray(payload, dtype=np.float32 if fdata is not None else np.int32)
+            shape = self.spec.GetArgument("shape", None)
+            if shape:
+                arr = arr.reshape(shape) if arr.size > 1 else np.full(shape, arr.item(), arr.dtype)
+        dtype = self.spec.GetArgument("dtype", None)
+        if dtype is not None:
+            arr = arr.astype(_t.to_numpy_type(dtype))
+        return arr
+
+
+@register_operator("Constant", "cpu")
+class ConstantCPU(_ConstantBase):
+    def run_batch(self, ctx, *unused):
+        v = self._value()
+        return [HostBatch([v] * ctx.batch_size, layout=self.spec.GetArgument("layout", ""))]
+
+
+@register_operator("Constant", "gpu")
+class ConstantGPU(_ConstantBase):
+    def lower(self, dctx, *unused):
+        import jax.numpy as jnp
+
+        from ..batch import DeviceBatch
+
+        v = jnp.asarray(self._value())
+        data = jnp.broadcast_to(v[None], (dctx.batch_size, *v.shape))
+        return [DeviceBatch(data, None, self.spec.GetArgument("layout", ""))]

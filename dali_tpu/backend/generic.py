@@ -1,0 +1,355 @@
+"""Generic tensor operators (reference ``dali/operators/generic/``)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .._schema import DALI_SCHEMA, ArgType, register_operator
+from ..batch import DeviceBatch, HostBatch
+from ..types import DALIDataType, to_jnp_type, to_numpy_type
+from .base import Operator
+
+# ===================================== Cast ====================================================
+
+DALI_SCHEMA("Cast").DocStr("Casts to another dtype (reference generic/cast.cc).").NumInput(1).NumOutput(
+    1
+).Devices("cpu", "gpu").AllowSequences().AddArg("dtype", ArgType.DATA_TYPE, "Target dtype.")
+
+DALI_SCHEMA("CastLike").DocStr("Casts input 0 to the dtype of input 1.").NumInput(2).NumOutput(1).Devices(
+    "cpu", "gpu"
+).AllowSequences()
+
+
+@register_operator("Cast", "cpu")
+class CastCPU(Operator):
+    def run_sample(self, ctx, idx, x):
+        return x.astype(to_numpy_type(self.spec.GetArgument("dtype")))
+
+
+@register_operator("Cast", "gpu")
+class CastGPU(Operator):
+    def lower(self, dctx, inp: DeviceBatch):
+        return [inp.with_data(inp.data.astype(to_jnp_type(self.spec.GetArgument("dtype"))))]
+
+
+@register_operator("CastLike", "cpu")
+class CastLikeCPU(Operator):
+    def run_sample(self, ctx, idx, x, like):
+        return x.astype(like.dtype)
+
+
+@register_operator("CastLike", "gpu")
+class CastLikeGPU(Operator):
+    def lower(self, dctx, a: DeviceBatch, b: DeviceBatch):
+        return [a.with_data(a.data.astype(b.data.dtype))]
+
+
+# ==================================== Shapes =====================================================
+
+DALI_SCHEMA("Shapes").DocStr(
+    "Per-sample shapes (reference generic/shapes.cc)."
+).NumInput(1).NumOutput(1).Devices("cpu", "gpu").AllowSequences().AddOptionalArg(
+    "dtype", ArgType.DATA_TYPE, "Output dtype.", DALIDataType.INT64
+)
+
+
+@register_operator("Shapes", "cpu")
+class ShapesCPU(Operator):
+    def run_sample(self, ctx, idx, x):
+        return np.array(x.shape, dtype=to_numpy_type(self.spec.GetArgument("dtype", DALIDataType.INT64)))
+
+    def output_layout(self, output_idx, inputs):
+        return ""
+
+
+@register_operator("Shapes", "gpu")
+class ShapesGPU(Operator):
+    def lower(self, dctx, inp: DeviceBatch):
+        import jax.numpy as jnp
+
+        dt = to_jnp_type(self.spec.GetArgument("dtype", DALIDataType.INT64))
+        if inp.shapes is not None:
+            return [DeviceBatch(inp.shapes.astype(dt), None, "")]
+        n = inp.data.shape[0]
+        shp = jnp.tile(jnp.asarray(inp.data.shape[1:], dt)[None], (n, 1))
+        return [DeviceBatch(shp, None, "")]
+
+
+# ==================================== Reshape & friends ===========================================
+
+DALI_SCHEMA("Reshape").DocStr(
+    "Reinterprets shape without touching data (reference generic/reshape.cc)."
+).NumInput(1, 2).NumOutput(1).Devices("cpu", "gpu").AddOptionalArg(
+    "shape", ArgType.FLOAT_VEC, "New sample shape (-1 infers one dim).", None, tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "layout", ArgType.TENSOR_LAYOUT, "New layout.", None
+).AddOptionalArg(
+    "rel_shape", ArgType.FLOAT_VEC, "Shape relative to input.", None
+).AddOptionalArg(
+    "src_dims", ArgType.INT_VEC, "Dimension permutation/selection.", None
+)
+
+
+def _resolve_shape(cur_shape, req):
+    req = [int(round(v)) for v in req]
+    total = int(np.prod(cur_shape))
+    if -1 in req:
+        known = int(np.prod([v for v in req if v != -1]))
+        req[req.index(-1)] = total // max(known, 1)
+    return req
+
+
+@register_operator("Reshape", "cpu")
+class ReshapeCPU(Operator):
+    def run_sample(self, ctx, idx, x, *shape_in):
+        if shape_in:
+            shape = [int(v) for v in np.asarray(shape_in[0]).reshape(-1)]
+        else:
+            shape = self.spec.GetArgument("shape", None)
+            if shape is None:
+                rel = self.spec.GetArgument("rel_shape", None)
+                if rel is None:
+                    return x  # layout-only change
+                shape = [x.shape[i] * rel[i] for i in range(len(rel))]
+        return x.reshape(_resolve_shape(x.shape, shape))
+
+    def output_layout(self, output_idx, inputs):
+        layout = self.spec.GetArgument("layout", None)
+        return layout if layout is not None else ""
+
+
+@register_operator("Reshape", "gpu")
+class ReshapeGPU(Operator):
+    def lower(self, dctx, inp: DeviceBatch, *shape_in):
+        if inp.shapes is not None:
+            raise NotImplementedError("Reshape on ragged device batches is not supported")
+        shape = self.spec.GetArgument("shape", None)
+        layout = self.spec.GetArgument("layout", None)
+        if shape is None:
+            return [DeviceBatch(inp.data, None, layout if layout is not None else inp.layout)]
+        n = inp.data.shape[0]
+        new_shape = _resolve_shape(inp.data.shape[1:], shape)
+        return [DeviceBatch(inp.data.reshape(n, *new_shape), None, layout or "")]
+
+
+DALI_SCHEMA("ExpandDims").DocStr("Insert size-1 dims.").NumInput(1).NumOutput(1).Devices(
+    "cpu", "gpu"
+).AddArg("axes", ArgType.INT_VEC, "Positions of new dims.").AddOptionalArg(
+    "new_axis_names", ArgType.TENSOR_LAYOUT, "Layout names for new dims.", None
+)
+
+
+@register_operator("ExpandDims", "cpu")
+class ExpandDimsCPU(Operator):
+    def run_sample(self, ctx, idx, x):
+        for ax in sorted(self.spec.GetArgument("axes")):
+            x = np.expand_dims(x, ax)
+        return x
+
+
+@register_operator("ExpandDims", "gpu")
+class ExpandDimsGPU(Operator):
+    def lower(self, dctx, inp: DeviceBatch):
+        import jax.numpy as jnp
+
+        x = inp.data
+        for ax in sorted(self.spec.GetArgument("axes")):
+            x = jnp.expand_dims(x, ax + 1)  # +1 for batch dim
+        return [DeviceBatch(x, None, "")]
+
+
+DALI_SCHEMA("Squeeze").DocStr("Remove size-1 dims.").NumInput(1).NumOutput(1).Devices("cpu", "gpu").AddOptionalArg(
+    "axes", ArgType.INT_VEC, "Dims to remove.", None
+).AddOptionalArg("axis_names", ArgType.TENSOR_LAYOUT, "Layout names of dims to remove.", None)
+
+
+@register_operator("Squeeze", "cpu")
+class SqueezeCPU(Operator):
+    def run_sample(self, ctx, idx, x):
+        axes = self.spec.GetArgument("axes", None)
+        return np.squeeze(x, axis=tuple(axes) if axes else None)
+
+
+@register_operator("Squeeze", "gpu")
+class SqueezeGPU(Operator):
+    def lower(self, dctx, inp: DeviceBatch):
+        import jax.numpy as jnp
+
+        axes = self.spec.GetArgument("axes", None)
+        if axes:
+            x = jnp.squeeze(inp.data, axis=tuple(a + 1 for a in axes))
+        else:
+            x = jnp.squeeze(inp.data, axis=tuple(i + 1 for i, s in enumerate(inp.data.shape[1:]) if s == 1))
+        return [DeviceBatch(x, None, "")]
+
+
+# ==================================== Transpose ======================================================
+
+DALI_SCHEMA("Transpose").DocStr(
+    "Permutes sample dims (reference generic/transpose/)."
+).NumInput(1).NumOutput(1).Devices("cpu", "gpu").AddArg(
+    "perm", ArgType.INT_VEC, "Dimension permutation."
+).AddOptionalArg("transpose_layout", ArgType.BOOL, "Also permute the layout string.", True)
+
+
+@register_operator("Transpose", "cpu")
+class TransposeCPU(Operator):
+    def run_sample(self, ctx, idx, x):
+        return np.ascontiguousarray(np.transpose(x, self.spec.GetArgument("perm")))
+
+    def output_layout(self, output_idx, inputs):
+        layout = inputs[0].layout if inputs else ""
+        if layout and self.spec.GetArgument("transpose_layout", True):
+            perm = self.spec.GetArgument("perm")
+            return "".join(layout[p] for p in perm)
+        return layout
+
+
+@register_operator("Transpose", "gpu")
+class TransposeGPU(Operator):
+    def lower(self, dctx, inp: DeviceBatch):
+        import jax.numpy as jnp
+
+        perm = self.spec.GetArgument("perm")
+        x = jnp.transpose(inp.data, (0, *(p + 1 for p in perm)))
+        layout = inp.layout
+        if layout and self.spec.GetArgument("transpose_layout", True):
+            layout = "".join(layout[p] for p in perm)
+        shapes = inp.shapes[:, list(perm)] if inp.shapes is not None else None
+        return [DeviceBatch(x, shapes, layout)]
+
+
+# ==================================== OneHot =========================================================
+
+DALI_SCHEMA("OneHot").DocStr("One-hot encoding (reference generic/one_hot.cc).").NumInput(1).NumOutput(
+    1
+).Devices("cpu", "gpu").AddOptionalArg(
+    "num_classes", ArgType.INT, "Number of classes.", 0
+).AddOptionalArg(
+    "dtype", ArgType.DATA_TYPE, "Output dtype.", DALIDataType.FLOAT
+).AddOptionalArg(
+    "on_value", ArgType.FLOAT, "Value for the hot position.", 1.0
+).AddOptionalArg(
+    "off_value", ArgType.FLOAT, "Value elsewhere.", 0.0
+).AddOptionalArg("axis", ArgType.INT, "Axis for the new dim.", -1)
+
+
+@register_operator("OneHot", "cpu")
+class OneHotCPU(Operator):
+    def run_sample(self, ctx, idx, x):
+        nc = self.spec.GetArgument("num_classes")
+        on = self.spec.GetArgument("on_value", 1.0)
+        off = self.spec.GetArgument("off_value", 0.0)
+        dt = to_numpy_type(self.spec.GetArgument("dtype", DALIDataType.FLOAT))
+        flat = int(np.asarray(x).reshape(-1)[0]) if x.size == 1 else None
+        if flat is not None:
+            out = np.full((nc,), off, dtype=dt)
+            out[flat] = on
+            return out
+        out = np.full((*x.shape, nc), off, dtype=dt)
+        np.put_along_axis(out, x[..., None].astype(np.int64), on, axis=-1)
+        return out
+
+
+@register_operator("OneHot", "gpu")
+class OneHotGPU(Operator):
+    def lower(self, dctx, inp: DeviceBatch):
+        import jax
+        import jax.numpy as jnp
+
+        nc = self.spec.GetArgument("num_classes")
+        on = self.spec.GetArgument("on_value", 1.0)
+        off = self.spec.GetArgument("off_value", 0.0)
+        dt = to_jnp_type(self.spec.GetArgument("dtype", DALIDataType.FLOAT))
+        x = inp.data
+        if x.ndim == 2 and x.shape[1] == 1:
+            x = x[:, 0]
+        oh = jax.nn.one_hot(x.astype(jnp.int32), nc)
+        out = (oh * (on - off) + off).astype(dt)
+        return [DeviceBatch(out, None, "")]
+
+
+# ==================================== Pad ==============================================================
+
+DALI_SCHEMA("Pad").DocStr(
+    "Pads samples to equal (or aligned) extents (reference generic/pad.cc). On the "
+    "device side batches are already padded to the canvas; this op makes the batch "
+    "officially uniform."
+).NumInput(1).NumOutput(1).Devices("cpu", "gpu").AddOptionalArg(
+    "fill_value", ArgType.FLOAT, "Padding value.", 0.0
+).AddOptionalArg(
+    "axes", ArgType.INT_VEC, "Axes to pad (default: all).", None
+).AddOptionalArg(
+    "align", ArgType.INT_VEC, "Alignment per axis.", None
+).AddOptionalArg("shape", ArgType.INT_VEC, "Minimum output shape.", None)
+
+
+@register_operator("Pad", "cpu")
+class PadCPU(Operator):
+    def run_batch(self, ctx, inp: HostBatch):
+        shapes = inp.shapes()
+        ndim = shapes.shape[1]
+        axes = self.spec.GetArgument("axes", None)
+        axes = list(range(ndim)) if not axes else list(axes)
+        align = self.spec.GetArgument("align", None)
+        req_shape = self.spec.GetArgument("shape", None)
+        target = shapes.max(axis=0)
+        if req_shape:
+            for d, v in enumerate(req_shape):
+                if v > 0:
+                    target[d] = max(target[d], v)
+        if align:
+            for i, d in enumerate(axes):
+                a = align[i] if i < len(align) else align[-1]
+                target[d] = ((target[d] + a - 1) // a) * a
+        fill = self.spec.GetArgument("fill_value", 0.0)
+        out = []
+        for s in inp.samples:
+            pads = []
+            for d in range(ndim):
+                pads.append((0, (int(target[d]) - s.shape[d]) if d in axes else 0))
+            out.append(np.pad(s, pads, constant_values=fill).astype(s.dtype))
+        return [HostBatch(out, layout=inp.layout)]
+
+
+@register_operator("Pad", "gpu")
+class PadGPU(Operator):
+    def lower(self, dctx, inp: DeviceBatch):
+        # device batches are physically padded already — drop raggedness
+        return [DeviceBatch(inp.data, None, inp.layout)]
+
+
+# ==================================== _TensorSubscript ===================================================
+
+
+def _subscript_schema():
+    s = DALI_SCHEMA("_TensorSubscript").DocStr(
+        "Per-sample indexing/slicing (reference generic/subscript.cc)."
+    ).NumInput(1, 8).NumOutput(1).Devices("cpu", "gpu").MakeInternal().AddOptionalArg(
+        "num_subscripts", ArgType.INT, "Number of subscripted dims.", 1
+    )
+    for d in range(8):
+        s.AddOptionalArg(f"at_{d}", ArgType.INT, "", None, tensor_ok=True, per_sample=True)
+        s.AddOptionalArg(f"lo_{d}", ArgType.INT, "", None, tensor_ok=True, per_sample=True)
+        s.AddOptionalArg(f"hi_{d}", ArgType.INT, "", None, tensor_ok=True, per_sample=True)
+    return s
+
+
+_subscript_schema()
+
+
+@register_operator("_TensorSubscript", "cpu")
+class TensorSubscriptCPU(Operator):
+    def run_sample(self, ctx, idx, x, *extra):
+        nd = self.spec.GetArgument("num_subscripts", 1)
+        slices = []
+        for d in range(nd):
+            at = ctx.arg(self, f"at_{d}", idx, None)
+            if at is not None:
+                slices.append(int(np.asarray(at)))
+                continue
+            lo = ctx.arg(self, f"lo_{d}", idx, None)
+            hi = ctx.arg(self, f"hi_{d}", idx, None)
+            slices.append(slice(None if lo is None else int(np.asarray(lo)),
+                                None if hi is None else int(np.asarray(hi))))
+        return np.ascontiguousarray(x[tuple(slices)])

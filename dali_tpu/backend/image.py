@@ -1,0 +1,521 @@
+"""Image geometry & normalization operators.
+
+Reference: ``dali/operators/image/resize/`` (ResizeAttr size logic), ``image/crop/``
+(CropMirrorNormalize), ``generic/flip.cc``. Device lowerings ride the kernels in
+:mod:`dali_tpu.kernels` — the per-sample-ROI separable resampler and the fused CMN.
+CPU implementations use OpenCV/numpy so cpu-only pipelines work everywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .._schema import DALI_SCHEMA, ArgType, register_operator
+from ..batch import DeviceBatch, HostBatch
+from ..kernels import cmn as cmn_kernel
+from ..kernels import resample as resample_kernel
+from ..types import DALIDataType, DALIInterpType, to_jnp_type, to_numpy_type
+from .base import Operator
+from .decoders import sample_rrc_window
+
+
+# =================================== Resize =====================================================
+
+DALI_SCHEMA("Resize").DocStr(
+    """Resizes images with per-sample sizes/ROI (reference ``image/resize/resize.cc``,
+    ``resize_attr.cc``). Device path: gather-based separable resampler traced into
+    the jitted program."""
+).NumInput(1).NumOutput(1).Devices("cpu", "gpu").AllowSequences().AddOptionalArg(
+    "resize_x", ArgType.FLOAT, "Output width (0 = keep aspect).", 0.0, tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "resize_y", ArgType.FLOAT, "Output height (0 = keep aspect).", 0.0, tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "resize_shorter", ArgType.FLOAT, "Resize shorter edge, keep aspect.", 0.0, tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "resize_longer", ArgType.FLOAT, "Resize longer edge, keep aspect.", 0.0, tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "size", ArgType.FLOAT_VEC, "Output size (H, W).", None, tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "mode", ArgType.STRING, '"default", "stretch", "not_larger", "not_smaller".', "default"
+).AddOptionalArg(
+    "interp_type", ArgType.INTERP_TYPE, "Interpolation filter.", DALIInterpType.INTERP_LINEAR
+).AddOptionalArg(
+    "mag_filter", ArgType.INTERP_TYPE, "Filter for upscaling.", None
+).AddOptionalArg(
+    "min_filter", ArgType.INTERP_TYPE, "Filter for downscaling.", None
+).AddOptionalArg(
+    "antialias", ArgType.BOOL, "Antialiasing for downscaling.", True
+).AddOptionalArg(
+    "dtype", ArgType.DATA_TYPE, "Output dtype (default: input dtype).", None
+).AddOptionalArg(
+    "max_size", ArgType.FLOAT_VEC, "Upper bound on output size.", None
+).AddOptionalArg(
+    "roi_start", ArgType.FLOAT_VEC, "Input ROI origin.", None, tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "roi_end", ArgType.FLOAT_VEC, "Input ROI end.", None, tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "roi_relative", ArgType.BOOL, "ROI given in relative [0,1] coords.", False
+).AddOptionalArg(
+    "subpixel_scale", ArgType.BOOL, "Adjust scale for fractional sizes.", True
+)
+
+
+def compute_resize_size(in_h, in_w, spec, sample_arg, mode=None):
+    """Output (h, w) from the Resize argument set — mirrors the reference
+    ``ResizeAttr`` logic (``resize_attr.cc``)."""
+    rx = float(sample_arg("resize_x", 0.0) or 0.0)
+    ry = float(sample_arg("resize_y", 0.0) or 0.0)
+    rs = float(sample_arg("resize_shorter", 0.0) or 0.0)
+    rl = float(sample_arg("resize_longer", 0.0) or 0.0)
+    size = sample_arg("size", None)
+    mode = mode or spec.GetArgument("mode", "default")
+    if size is not None:
+        sz = np.asarray(size, dtype=np.float64).reshape(-1)
+        if sz.size == 1:
+            ry = rx = float(sz[0])
+        else:
+            ry, rx = float(sz[0]), float(sz[1])
+    if rs > 0:
+        scale = rs / min(in_h, in_w)
+        return max(1, round(in_h * scale)), max(1, round(in_w * scale))
+    if rl > 0:
+        scale = rl / max(in_h, in_w)
+        return max(1, round(in_h * scale)), max(1, round(in_w * scale))
+    if rx > 0 and ry > 0:
+        if mode == "not_larger":
+            scale = min(rx / in_w, ry / in_h)
+            return max(1, round(in_h * scale)), max(1, round(in_w * scale))
+        if mode == "not_smaller":
+            scale = max(rx / in_w, ry / in_h)
+            return max(1, round(in_h * scale)), max(1, round(in_w * scale))
+        return max(1, round(ry)), max(1, round(rx))
+    if rx > 0:
+        scale = rx / in_w
+        return max(1, round(in_h * scale)), max(1, round(rx))
+    if ry > 0:
+        scale = ry / in_h
+        return max(1, round(ry)), max(1, round(in_w * scale))
+    raise ValueError("Resize requires one of: size, resize_x/y, resize_shorter/longer")
+
+
+_CV2_INTERP = None
+
+
+def _cv2_interp(interp, scale_down):
+    import cv2
+
+    table = {
+        DALIInterpType.INTERP_NN: cv2.INTER_NEAREST,
+        DALIInterpType.INTERP_LINEAR: cv2.INTER_LINEAR,
+        DALIInterpType.INTERP_TRIANGULAR: cv2.INTER_AREA if scale_down else cv2.INTER_LINEAR,
+        DALIInterpType.INTERP_CUBIC: cv2.INTER_CUBIC,
+        DALIInterpType.INTERP_GAUSSIAN: cv2.INTER_LINEAR,
+        DALIInterpType.INTERP_LANCZOS3: cv2.INTER_LANCZOS4,
+    }
+    return table[interp]
+
+
+@register_operator("Resize", "cpu")
+class ResizeCPU(Operator):
+    def run_sample(self, ctx, idx, img):
+        import cv2
+
+        spec = self.spec
+        h, w = img.shape[:2]
+        out_h, out_w = compute_resize_size(h, w, spec, lambda n, d=None: ctx.arg(self, n, idx, d))
+        interp = spec.GetArgument("interp_type", DALIInterpType.INTERP_LINEAR)
+        antialias = spec.GetArgument("antialias", True)
+        scale_down = out_h < h or out_w < w
+        if antialias and scale_down and interp in (
+            DALIInterpType.INTERP_LINEAR,
+            DALIInterpType.INTERP_TRIANGULAR,
+        ):
+            flag = cv2.INTER_AREA
+        else:
+            flag = _cv2_interp(interp, scale_down)
+        out = cv2.resize(img, (out_w, out_h), interpolation=flag)
+        if out.ndim == 2:
+            out = out[:, :, None]
+        return out
+
+
+@register_operator("Resize", "gpu")
+class ResizeGPU(Operator):
+    """Device resize.
+
+    * Static sizes (``resize_x`` & ``resize_y``, or ``size``, as constants) →
+      uniform output, no host work.
+    * Per-sample sizes (``resize_shorter``/``resize_longer`` or tensor size args)
+      → sizes computed on host per iteration; the output canvas is a grow-policy
+      static (``device_statics``) so XLA recompiles only while the canvas grows.
+    """
+
+    def __init__(self, spec, op_id):
+        super().__init__(spec, op_id)
+        self._grow_canvas = [0, 0]
+
+    def _static_size(self):
+        """(h, w) if the output size is a batch-invariant constant, else None."""
+        spec = self.spec
+        for nm in ("resize_x", "resize_y", "resize_shorter", "resize_longer", "size"):
+            if nm in spec.arg_inputs:
+                return None
+        if spec.GetArgument("resize_shorter", 0.0) or spec.GetArgument("resize_longer", 0.0):
+            return None  # depends on per-sample input shape
+        mode = spec.GetArgument("mode", "default")
+        if mode in ("not_larger", "not_smaller"):
+            return None
+        rx = float(spec.GetArgument("resize_x", 0.0) or 0.0)
+        ry = float(spec.GetArgument("resize_y", 0.0) or 0.0)
+        size = spec.GetArgument("size", None)
+        if size is not None:
+            sz = np.asarray(size, np.float64).reshape(-1)
+            ry, rx = (float(sz[0]), float(sz[-1])) if sz.size > 1 else (float(sz[0]), float(sz[0]))
+        if rx > 0 and ry > 0:
+            return int(round(ry)), int(round(rx))
+        return None  # one-sided scale depends on input aspect
+
+    # -- host side -----------------------------------------------------------------
+    def host_params(self, ctx, input_shapes):
+        if self._static_size() is not None:
+            return {}
+        shapes = input_shapes[0]
+        if shapes is None:
+            raise RuntimeError(
+                "Resize(gpu) with per-sample sizes requires its input to come "
+                "directly from the host boundary"
+            )
+        n = shapes.shape[0]
+        out = np.zeros((n, 2), dtype=np.int32)
+        for i in range(n):
+            h, w = int(shapes[i][0]), int(shapes[i][1])
+            out[i] = compute_resize_size(h, w, self.spec, lambda nm, d=None: ctx.arg(self, nm, i, d))
+        self._last_out_sizes = out
+        align = 32
+        self._grow_canvas[0] = max(self._grow_canvas[0], int(-(-out[:, 0].max() // align) * align))
+        self._grow_canvas[1] = max(self._grow_canvas[1], int(-(-out[:, 1].max() // align) * align))
+        return {"out_sizes": out}
+
+    def device_statics(self, ctx, input_shapes):
+        if self._static_size() is not None:
+            return None
+        return (self._grow_canvas[0], self._grow_canvas[1])
+
+    # -- device side -----------------------------------------------------------------
+    def lower(self, dctx, inp: DeviceBatch):
+        import jax.numpy as jnp
+
+        spec = self.spec
+        interp = spec.GetArgument("interp_type", DALIInterpType.INTERP_LINEAR)
+        antialias = bool(spec.GetArgument("antialias", True))
+        dtype_arg = spec.GetArgument("dtype", None)
+        out_dtype = to_jnp_type(dtype_arg) if dtype_arg is not None else inp.data.dtype
+
+        static = self._static_size()
+        if static is not None:
+            out_h, out_w = static
+            data = resample_kernel.resample_batch(
+                inp.data, inp.shapes, None, None, out_h, out_w, interp, antialias, out_dtype
+            )
+            return [DeviceBatch(data, None, inp.layout or "HWC")]
+        # per-sample sizes on a grow-policy canvas
+        max_h, max_w = dctx.static(self)
+        sizes = dctx.param(self, "out_sizes")
+        ext = inp.shapes if inp.shapes is not None else jnp.tile(
+            jnp.array([[inp.data.shape[1], inp.data.shape[2]]], jnp.int32), (inp.data.shape[0], 1)
+        )
+        # Sample k's own output grid occupies the first (h_k, w_k) of the canvas:
+        # stretch the ROI by canvas/out so dst pixel i maps to i * ext/out_k.
+        roi_size = ext.astype(jnp.float32) * jnp.stack(
+            [max_h / sizes[:, 0].astype(jnp.float32), max_w / sizes[:, 1].astype(jnp.float32)], axis=1
+        )
+        data = resample_kernel.resample_batch(
+            inp.data, ext, None, roi_size, max_h, max_w, interp, antialias, out_dtype
+        )
+        out_shapes = jnp.concatenate(
+            [sizes, jnp.full((sizes.shape[0], 1), inp.data.shape[3], jnp.int32)], axis=1
+        )
+        return [DeviceBatch(data, out_shapes, inp.layout or "HWC")]
+
+
+# ============================== RandomResizedCrop ===============================================
+
+DALI_SCHEMA("RandomResizedCrop").DocStr(
+    """Random area/aspect crop + resize to fixed size (reference
+    ``image/resize/random_resized_crop.cc``). Window sampling happens on the host
+    (checkpointable Philox); the crop+resize is one fused device resample with
+    per-sample ROI."""
+).NumInput(1).NumOutput(1).Devices("cpu", "gpu").AddRandomSeedArg().AddArg(
+    "size", ArgType.INT_VEC, "Output size (H, W)."
+).AddOptionalArg(
+    "random_area", ArgType.FLOAT_VEC, "Crop area range (fraction of input).", [0.08, 1.0]
+).AddOptionalArg(
+    "random_aspect_ratio", ArgType.FLOAT_VEC, "Aspect ratio range.", [3 / 4, 4 / 3]
+).AddOptionalArg(
+    "num_attempts", ArgType.INT, "Sampling attempts.", 10
+).AddOptionalArg(
+    "interp_type", ArgType.INTERP_TYPE, "Interpolation filter.", DALIInterpType.INTERP_LINEAR
+).AddOptionalArg(
+    "antialias", ArgType.BOOL, "Antialiasing when downscaling.", True
+).AddOptionalArg(
+    "dtype", ArgType.DATA_TYPE, "Output dtype.", None
+)
+
+
+class _RRCWindows:
+    def _windows(self, ctx, shapes):
+        n = shapes.shape[0]
+        wins = np.zeros((n, 4), dtype=np.float32)  # y, x, h, w
+        area = self.spec.GetArgument("random_area")
+        ar = self.spec.GetArgument("random_aspect_ratio")
+        attempts = self.spec.GetArgument("num_attempts")
+        rng = ctx.rng(self)
+        for i in range(n):
+            h, w = int(shapes[i][0]), int(shapes[i][1])
+            wins[i] = sample_rrc_window(rng, h, w, area, ar, attempts)
+        return wins
+
+
+@register_operator("RandomResizedCrop", "gpu")
+class RandomResizedCropGPU(Operator, _RRCWindows):
+    def host_params(self, ctx, input_shapes):
+        shapes = input_shapes[0]
+        if shapes is None:
+            raise RuntimeError("RandomResizedCrop(gpu) requires direct boundary input shapes")
+        return {"windows": self._windows(ctx, shapes)}
+
+    def lower(self, dctx, inp: DeviceBatch):
+        spec = self.spec
+        size = spec.GetArgument("size")
+        out_h, out_w = (int(size[0]), int(size[-1])) if len(size) > 1 else (int(size[0]), int(size[0]))
+        interp = spec.GetArgument("interp_type", DALIInterpType.INTERP_LINEAR)
+        antialias = bool(spec.GetArgument("antialias", True))
+        dtype_arg = spec.GetArgument("dtype", None)
+        out_dtype = to_jnp_type(dtype_arg) if dtype_arg is not None else inp.data.dtype
+        wins = dctx.param(self, "windows")
+        roi_start = wins[:, 0:2]
+        roi_size = wins[:, 2:4]
+        data = resample_kernel.resample_batch(
+            inp.data, inp.shapes, roi_start, roi_size, out_h, out_w, interp, antialias, out_dtype
+        )
+        return [DeviceBatch(data, None, inp.layout or "HWC")]
+
+
+@register_operator("RandomResizedCrop", "cpu")
+class RandomResizedCropCPU(Operator, _RRCWindows):
+    def run_batch(self, ctx, inp: HostBatch):
+        import cv2
+
+        spec = self.spec
+        size = spec.GetArgument("size")
+        out_h, out_w = (int(size[0]), int(size[-1])) if len(size) > 1 else (int(size[0]), int(size[0]))
+        wins = self._windows(ctx, inp.shapes())
+        interp = spec.GetArgument("interp_type", DALIInterpType.INTERP_LINEAR)
+
+        def one(i):
+            img = inp.samples[i]
+            y, x, h, w = (int(v) for v in wins[i])
+            crop = img[y : y + h, x : x + w]
+            scale_down = out_h < h or out_w < w
+            flag = (
+                cv2.INTER_AREA
+                if scale_down and spec.GetArgument("antialias", True)
+                else _cv2_interp(interp, scale_down)
+            )
+            out = cv2.resize(crop, (out_w, out_h), interpolation=flag)
+            return out[:, :, None] if out.ndim == 2 else out
+
+        samples = ctx.map_samples(one, len(inp))
+        return [HostBatch(samples, layout=inp.layout or "HWC")]
+
+
+# ============================== CropMirrorNormalize ==============================================
+
+DALI_SCHEMA("CropMirrorNormalize").DocStr(
+    """Fused crop + horizontal mirror + normalize + cast + layout transform
+    (reference ``image/crop/crop_mirror_normalize.h``; the fusion DALI implements
+    as a dedicated kernel falls out of XLA here, with a Pallas kernel for the hot
+    path). out = scale * (in - mean) / std + shift."""
+).NumInput(1).NumOutput(1).Devices("cpu", "gpu").AllowSequences().AddOptionalArg(
+    "crop", ArgType.FLOAT_VEC, "Crop size (H, W).", None
+).AddOptionalArg(
+    "crop_h", ArgType.FLOAT, "Crop height.", 0.0, tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "crop_w", ArgType.FLOAT, "Crop width.", 0.0, tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "crop_pos_x", ArgType.FLOAT, "Window x position in [0,1].", 0.5, tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "crop_pos_y", ArgType.FLOAT, "Window y position in [0,1].", 0.5, tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "mirror", ArgType.INT, "Horizontal flip flag.", 0, tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "mean", ArgType.FLOAT_VEC, "Per-channel mean.", [0.0]
+).AddOptionalArg(
+    "std", ArgType.FLOAT_VEC, "Per-channel std.", [1.0]
+).AddOptionalArg(
+    "scale", ArgType.FLOAT, "Output scaling factor.", 1.0
+).AddOptionalArg(
+    "shift", ArgType.FLOAT, "Output shift.", 0.0
+).AddOptionalArg(
+    "dtype", ArgType.DATA_TYPE, "Output dtype.", DALIDataType.FLOAT
+).AddOptionalArg(
+    "output_layout", ArgType.TENSOR_LAYOUT, "Output layout (CHW/HWC).", "CHW"
+).AddOptionalArg(
+    "pad_output", ArgType.BOOL, "Pad channels to 4.", False
+)
+
+
+class _CMNCommon:
+    def _crop_size(self, inp_hw):
+        crop = self.spec.GetArgument("crop", None)
+        ch = self.spec.GetArgument("crop_h", 0.0)
+        cw = self.spec.GetArgument("crop_w", 0.0)
+        if crop:
+            return int(crop[0]), int(crop[1])
+        if ch and cw:
+            return int(ch), int(cw)
+        return None  # no crop
+
+
+@register_operator("CropMirrorNormalize", "gpu")
+class CropMirrorNormalizeGPU(Operator, _CMNCommon):
+    def lower(self, dctx, inp: DeviceBatch):
+        import jax.numpy as jnp
+
+        spec = self.spec
+        n, H, W, C = inp.data.shape
+        cs = self._crop_size((H, W))
+        crop_h, crop_w = cs if cs else (H, W)
+        ext_h = inp.extent(0) if inp.shapes is not None else jnp.full((n,), H, jnp.int32)
+        ext_w = inp.extent(1) if inp.shapes is not None else jnp.full((n,), W, jnp.int32)
+        py = dctx.arg(self, "crop_pos_y", 0.5)
+        px = dctx.arg(self, "crop_pos_x", 0.5)
+        py = jnp.asarray(py, jnp.float32).reshape(-1)
+        px = jnp.asarray(px, jnp.float32).reshape(-1)
+        if py.shape[0] == 1:
+            py = jnp.broadcast_to(py, (n,))
+        if px.shape[0] == 1:
+            px = jnp.broadcast_to(px, (n,))
+        crop_y = jnp.round(py * (ext_h - crop_h).astype(jnp.float32)).astype(jnp.int32)
+        crop_x = jnp.round(px * (ext_w - crop_w).astype(jnp.float32)).astype(jnp.int32)
+        crop_y = jnp.maximum(crop_y, 0)
+        crop_x = jnp.maximum(crop_x, 0)
+        mirror = dctx.arg(self, "mirror", 0)
+        if dctx.has_tensor_arg(self, "mirror"):
+            mirror = jnp.asarray(mirror).reshape(-1)
+        elif mirror:
+            mirror = jnp.full((n,), int(mirror), jnp.int32)
+        else:
+            mirror = None
+        dtype = to_jnp_type(spec.GetArgument("dtype", DALIDataType.FLOAT))
+        layout = spec.GetArgument("output_layout", "CHW")
+        out = cmn_kernel.crop_mirror_normalize(
+            inp.data,
+            crop_y,
+            crop_x,
+            mirror,
+            crop_h,
+            crop_w,
+            np.asarray(spec.GetArgument("mean", [0.0]), np.float32),
+            np.asarray(spec.GetArgument("std", [1.0]), np.float32),
+            float(spec.GetArgument("scale", 1.0)),
+            float(spec.GetArgument("shift", 0.0)),
+            layout,
+            dtype,
+            bool(spec.GetArgument("pad_output", False)),
+        )
+        return [DeviceBatch(out, None, layout)]
+
+
+@register_operator("CropMirrorNormalize", "cpu")
+class CropMirrorNormalizeCPU(Operator, _CMNCommon):
+    def run_sample(self, ctx, idx, img):
+        spec = self.spec
+        h, w, c = img.shape
+        cs = self._crop_size((h, w))
+        crop_h, crop_w = cs if cs else (h, w)
+        py = float(ctx.arg(self, "crop_pos_y", idx, 0.5))
+        px = float(ctx.arg(self, "crop_pos_x", idx, 0.5))
+        y = int(round(py * (h - crop_h)))
+        x = int(round(px * (w - crop_w)))
+        win = img[y : y + crop_h, x : x + crop_w].astype(np.float32)
+        m = ctx.arg(self, "mirror", idx, 0)
+        if int(np.asarray(m)) != 0:
+            win = win[:, ::-1]
+        mean = np.asarray(spec.GetArgument("mean", [0.0]), np.float32)
+        std = np.asarray(spec.GetArgument("std", [1.0]), np.float32)
+        scale = float(spec.GetArgument("scale", 1.0))
+        shift = float(spec.GetArgument("shift", 0.0))
+        out = scale * (win - mean) / std + shift
+        if spec.GetArgument("pad_output", False) and c < 4:
+            out = np.pad(out, ((0, 0), (0, 0), (0, 4 - c)))
+        layout = spec.GetArgument("output_layout", "CHW")
+        if layout == "CHW":
+            out = np.transpose(out, (2, 0, 1))
+        dtype = to_numpy_type(spec.GetArgument("dtype", DALIDataType.FLOAT))
+        return np.ascontiguousarray(out.astype(dtype))
+
+    def output_layout(self, output_idx, inputs):
+        return self.spec.GetArgument("output_layout", "CHW")
+
+
+# ===================================== Flip ========================================================
+
+DALI_SCHEMA("Flip").DocStr(
+    "Flips images horizontally/vertically (reference ``generic/flip.cc``)."
+).NumInput(1).NumOutput(1).Devices("cpu", "gpu").AllowSequences().AddOptionalArg(
+    "horizontal", ArgType.INT, "Flip horizontally.", 1, tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "vertical", ArgType.INT, "Flip vertically.", 0, tensor_ok=True, per_sample=True
+)
+
+
+@register_operator("Flip", "cpu")
+class FlipCPU(Operator):
+    def run_sample(self, ctx, idx, img):
+        h = int(np.asarray(ctx.arg(self, "horizontal", idx, 1)))
+        v = int(np.asarray(ctx.arg(self, "vertical", idx, 0)))
+        out = img
+        if h:
+            out = out[:, ::-1]
+        if v:
+            out = out[::-1]
+        return np.ascontiguousarray(out)
+
+
+@register_operator("Flip", "gpu")
+class FlipGPU(Operator):
+    def lower(self, dctx, inp: DeviceBatch):
+        import jax.numpy as jnp
+
+        n = inp.data.shape[0]
+        h = dctx.arg(self, "horizontal", 1)
+        v = dctx.arg(self, "vertical", 0)
+        h = jnp.asarray(h).reshape(-1)
+        v = jnp.asarray(v).reshape(-1)
+        if h.shape[0] == 1:
+            h = jnp.broadcast_to(h, (n,))
+        if v.shape[0] == 1:
+            v = jnp.broadcast_to(v, (n,))
+        data = inp.data
+        if inp.shapes is None:
+            out = jnp.where(h[:, None, None, None] != 0, data[:, :, ::-1], data)
+            out = jnp.where(v[:, None, None, None] != 0, out[:, ::-1], out)
+            return [inp.with_data(out)]
+        # ragged: flip within the valid extent via index arithmetic
+        H, W = data.shape[1], data.shape[2]
+        ext_h = inp.extent(0)
+        ext_w = inp.extent(1)
+        rows = jnp.arange(H)[None, :]  # [1, H]
+        cols = jnp.arange(W)[None, :]
+        row_idx = jnp.where(
+            (v[:, None] != 0) & (rows < ext_h[:, None]), ext_h[:, None] - 1 - rows, rows
+        )
+        col_idx = jnp.where(
+            (h[:, None] != 0) & (cols < ext_w[:, None]), ext_w[:, None] - 1 - cols, cols
+        )
+        out = jax.vmap(lambda img, ri, ci: img[ri][:, ci])(data, row_idx, col_idx)
+        return [inp.with_data(out)]
+
+
+import jax  # noqa: E402  (used inside FlipGPU.lower)

@@ -1,0 +1,407 @@
+"""The pipeline executor.
+
+TPU-native re-imagination of DALI's Executor2 (reference
+``dali/pipeline/executor/executor2/exec2.h:43-99``, ``exec_graph.h``). DALI lowers
+the op graph onto a C++ task scheduler with per-op queues, CPU/Mixed/GPU stage
+overlap and per-op CUDA streams. On TPU the natural split is different:
+
+* **host program** — cpu + mixed ops run on a dedicated host-stage thread, with
+  per-sample work fanned out to a thread pool (GIL-releasing C/C++ work: decode,
+  resize, numpy). One thread owns iteration order, so readers/RNG are deterministic.
+* **boundary** — every host→device edge is padded & stacked to a static canvas
+  ("grow" policy: canvas only ever grows, so XLA recompiles a bounded number of
+  times; SURVEY §7 "ragged shapes vs static shapes").
+* **device program** — the entire gpu subgraph is traced into ONE jitted JAX
+  function; XLA fuses what DALI hand-schedules across streams. Dispatch is async,
+  so device compute overlaps the next host iteration — that's DALI's CPU/GPU stage
+  overlap (``prefetch_queue_depth``) with the queue realized as in-flight XLA
+  executions in a bounded output queue.
+"""
+
+from __future__ import annotations
+
+import collections
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ._schema import get_operator_impl
+from .backend.base import DeviceCtx, HostCtx, Operator, ReaderOperator
+from .batch import DeviceBatch, HostBatch, pad_and_stack, round_up
+from .graph import Graph
+from .tensors import TensorListCPU, TensorListGPU
+
+
+def _edge_key(edge) -> Tuple[int, int]:
+    return (edge.source.id, edge.source_idx)
+
+
+class SamplePool:
+    """Per-sample worker pool (analogue of the reference thread pool,
+    ``dali/pipeline/util/thread_pool.h:40``)."""
+
+    def __init__(self, num_threads: int):
+        self._pool = ThreadPoolExecutor(max_workers=max(1, num_threads), thread_name_prefix="dali-tpu-sample")
+
+    def map_indices(self, fn, n: int) -> list:
+        return list(self._pool.map(fn, range(n)))
+
+    def shutdown(self):
+        self._pool.shutdown(wait=False, cancel_futures=True)
+
+
+class Executor:
+    def __init__(self, pipeline, graph: Graph):
+        self.pipeline = pipeline
+        self.graph = graph
+        self._lock = threading.Lock()
+
+        # -- instantiate operator implementations ------------------------------
+        self.impls: Dict[int, Operator] = {}
+        self.host_ops: List = []
+        self.device_ops: List = []
+        for node in graph.ops:
+            impl_cls = get_operator_impl(node.spec.schema_name, node.device)
+            impl = impl_cls(node.spec, node.id)
+            impl.pipeline = pipeline
+            self.impls[node.id] = impl
+            if node.device in ("cpu", "mixed"):
+                self.host_ops.append(node)
+            else:
+                self.device_ops.append(node)
+        self._validate_placement()
+
+        # -- boundary edges ------------------------------------------------------
+        # host-produced edges that the device program (or gpu pipeline outputs) need.
+        self.boundary_edges: List = []
+        seen = set()
+
+        def add_boundary(edge):
+            k = _edge_key(edge)
+            if k not in seen:
+                seen.add(k)
+                self.boundary_edges.append(edge)
+
+        host_ids = {n.id for n in self.host_ops}
+        for node in self.device_ops:
+            for inp in node.spec.inputs:
+                if inp.source.id in host_ids:
+                    add_boundary(inp)
+        for out in graph.outputs:
+            if out.device == "gpu" and out.source.id in host_ids:
+                add_boundary(out)
+
+        # cpu arg-inputs of device ops → stacked uniform arrays
+        self.device_arg_edges: List[Tuple[int, str, object]] = []
+        for node in self.device_ops:
+            for name, edge in node.spec.arg_inputs.items():
+                if edge.source.id not in host_ids:
+                    raise ValueError(
+                        f"Argument input '{name}' of {node.instance_name} must be a CPU edge "
+                        "(reference: argument inputs are always CPU, op_spec.h)"
+                    )
+                self.device_arg_edges.append((node.id, name, edge))
+
+        # device ops with host-side parameter / static computation
+        self.param_ops = [
+            n
+            for n in self.device_ops
+            if type(self.impls[n.id]).host_params is not Operator.host_params
+            or type(self.impls[n.id]).device_statics is not Operator.device_statics
+        ]
+
+        # -- canvas state ("grow" padding policy) --------------------------------
+        self._canvas: Dict[Tuple[int, int], List[int]] = {}
+        self._align = int(pipeline.pad_align)
+
+        # -- threading -------------------------------------------------------------
+        self.sample_pool = SamplePool(pipeline.num_threads)
+        self._host_thread: Optional[threading.Thread] = None
+        self._work_q: "queue.Queue" = queue.Queue()
+        self._out_q: "queue.Queue" = queue.Queue(maxsize=max(1, pipeline.prefetch_queue_depth))
+        self._iteration = 0
+        self._epoch = 0
+        self._shutdown = False
+        self._error: Optional[BaseException] = None
+
+        self._jit_device_program = None
+        self._device = None
+
+    # ----------------------------------------------------------------------------
+    def _validate_placement(self):
+        for node in self.graph.ops:
+            for inp in node.spec.inputs:
+                in_dev = inp.device
+                if node.device == "cpu" and in_dev == "gpu":
+                    raise ValueError(
+                        f"CPU operator '{node.instance_name}' cannot consume GPU input "
+                        f"'{inp.name}' (reference rule: no gpu->cpu edges)"
+                    )
+            for name, inp in node.spec.arg_inputs.items():
+                if inp.device != "cpu":
+                    raise ValueError(
+                        f"Argument input '{name}' of '{node.instance_name}' must be on CPU"
+                    )
+        host_ids = {n.id for n in self.graph.ops if n.device in ("cpu", "mixed")}
+        for node in self.graph.ops:
+            if node.device == "gpu":
+                for inp in node.spec.inputs:
+                    if inp.source.id in host_ids and inp.device == "cpu":
+                        # Implicit cpu->gpu copies are DALI-illegal; require .gpu().
+                        raise ValueError(
+                            f"GPU operator '{node.instance_name}' consumes CPU edge "
+                            f"'{inp.name}'; call .gpu() on it first"
+                        )
+
+    # -- lifecycle -------------------------------------------------------------------
+    def start(self):
+        if self._host_thread is None:
+            self._host_thread = threading.Thread(
+                target=self._host_loop, name="dali-tpu-host-stage", daemon=True
+            )
+            self._host_thread.start()
+
+    def shutdown(self):
+        self._shutdown = True
+        self._work_q.put(None)
+        # drain output queue so the host loop can exit a blocking put
+        try:
+            while True:
+                self._out_q.get_nowait()
+        except queue.Empty:
+            pass
+        if self._host_thread is not None:
+            self._host_thread.join(timeout=5)
+            self._host_thread = None
+        self.sample_pool.shutdown()
+
+    # -- scheduling --------------------------------------------------------------------
+    def schedule_run(self):
+        if self._error is not None:
+            raise self._error
+        self.start()
+        self._work_q.put(self._iteration)
+        self._iteration += 1
+
+    def outputs(self):
+        item = self._out_q.get()
+        if isinstance(item, BaseException):
+            self._error = item
+            raise item
+        return item
+
+    def _host_loop(self):
+        while not self._shutdown:
+            it = self._work_q.get()
+            if it is None:
+                break
+            try:
+                result = self._run_iteration(it)
+                self._out_q.put(result)
+            except BaseException as e:  # propagate to outputs()
+                self._out_q.put(e)
+                return
+
+    # -- one iteration --------------------------------------------------------------------
+    def _run_iteration(self, iteration: int):
+        ctx = HostCtx(self.pipeline, iteration, self._epoch, pool=self.sample_pool)
+        env: Dict[Tuple[int, int], HostBatch] = {}
+
+        # 1. host program
+        for node in self.host_ops:
+            impl = self.impls[node.id]
+            arg_batches = {k: env[_edge_key(v)] for k, v in node.spec.arg_inputs.items()}
+            ctx.set_arg_batches(node.id, arg_batches)
+            ins = [env[_edge_key(e)] for e in node.spec.inputs]
+            outs = impl.run_batch(ctx, *ins)
+            if not isinstance(outs, (list, tuple)):
+                outs = [outs]
+            for j, out in enumerate(outs):
+                env[(node.id, j)] = out
+
+        # 2. boundary staging: ragged host batches → padded canvases
+        padded_arrays, shape_arrays, ragged_flags, boundary_layouts = [], [], [], []
+        for edge in self.boundary_edges:
+            hb = env[_edge_key(edge)]
+            k = _edge_key(edge)
+            fill = self.impls[edge.source.id].boundary_fill(edge.source_idx)
+            arr, shapes = pad_and_stack(hb, canvas=self._canvas.get(k), align=self._pad_align_for(hb), fill=fill)
+            self._canvas[k] = list(arr.shape[1:])
+            ragged = not hb.is_uniform()
+            padded_arrays.append(arr)
+            shape_arrays.append(shapes)
+            ragged_flags.append(ragged)
+            boundary_layouts.append(hb.layout)
+
+        # 3. stacked argument arrays for device ops
+        arg_arrays = []
+        for op_id, name, edge in self.device_arg_edges:
+            hb = env[_edge_key(edge)]
+            arg_arrays.append(np.stack([np.asarray(s) for s in hb.samples], axis=0))
+
+        # 4. host-side params + trace-time statics for device ops
+        params_list = []
+        params_struct = []
+        statics = {}
+        boundary_by_key = {(_edge_key(e)): i for i, e in enumerate(self.boundary_edges)}
+        for node in self.param_ops:
+            impl = self.impls[node.id]
+            in_shapes = []
+            for inp in node.spec.inputs:
+                bi = boundary_by_key.get(_edge_key(inp))
+                in_shapes.append(shape_arrays[bi] if bi is not None else None)
+            arg_b = {k: env.get(_edge_key(v)) for k, v in node.spec.arg_inputs.items()}
+            ctx.set_arg_batches(node.id, arg_b)
+            p = impl.host_params(ctx, in_shapes)
+            for pname in sorted(p):
+                params_list.append(np.asarray(p[pname]))
+                params_struct.append((node.id, pname))
+            st = impl.device_statics(ctx, in_shapes)
+            if st is not None:
+                statics[node.id] = st
+        self._params_struct = params_struct
+
+        # 5. device program
+        gpu_outputs = {}
+        if self.device_ops or any(o.device == "gpu" for o in self.graph.outputs):
+            import jax
+
+            fn = self._get_device_program(
+                tuple(ragged_flags), tuple(boundary_layouts), tuple(sorted(statics.items()))
+            )
+            seed_arr = np.array([self.pipeline.seed & 0x7FFFFFFF, iteration], dtype=np.uint32)
+            dev_outs = fn(
+                tuple(padded_arrays),
+                tuple(np.asarray(s) for s in shape_arrays),
+                tuple(arg_arrays),
+                tuple(params_list),
+                seed_arr,
+            )
+            gpu_outputs = dict(zip(self._device_out_keys, dev_outs))
+
+        # 6. assemble pipeline outputs
+        results = []
+        for out in self.graph.outputs:
+            k = _edge_key(out)
+            if out.device == "gpu":
+                data, shapes, layout = gpu_outputs[k]
+                shapes_np = np.asarray(shapes) if shapes is not None else None
+                results.append(TensorListGPU(data, shapes_np, layout))
+            else:
+                hb = env[k]
+                results.append(TensorListCPU(hb.samples, hb.layout))
+        return tuple(results)
+
+    def _pad_align_for(self, hb: HostBatch):
+        """Spatial dims align to pad_align; trailing channel-like dims stay exact."""
+        align = [self._align] * hb.ndim
+        layout = hb.layout
+        for d in range(hb.ndim):
+            if layout and d < len(layout) and layout[d] in ("C", "N"):
+                align[d] = 1
+        if not layout and hb.ndim >= 1:
+            align[-1] = 1 if hb.samples and hb.samples[0].ndim and hb.samples[0].shape[-1] <= 4 else align[-1]
+        return align
+
+    # -- device program construction ----------------------------------------------------
+    def _get_device_program(self, ragged_flags: tuple, boundary_layouts: tuple, statics_key: tuple = ()):
+        """Build (or fetch) the jitted device program for this boundary structure.
+
+        The program structure depends on which boundary edges are ragged, their
+        layouts, and per-op trace-time statics (grow-policy canvases); jax.jit then
+        additionally caches per padded-shape signature.
+        """
+        cache_key = (ragged_flags, boundary_layouts, statics_key)
+        statics = dict(statics_key)
+        if self._jit_device_program is None:
+            self._jit_device_program = {}
+        if cache_key not in self._jit_device_program:
+            import jax
+
+            boundary_keys = [_edge_key(e) for e in self.boundary_edges]
+            arg_struct = [(op_id, name) for op_id, name, _ in self.device_arg_edges]
+            out_edges = [o for o in self.graph.outputs if o.device == "gpu"]
+            self._device_out_keys = [_edge_key(o) for o in out_edges]
+            device_nodes = list(self.device_ops)
+            impls = self.impls
+            pipeline = self.pipeline
+            params_struct_ref = self  # _params_struct is stable after first iteration
+            device_out_keys = self._device_out_keys
+            # The per-op device outputs: layouts and shapes-structure are trace-time
+            # constants; collect them as side outputs of the traced function.
+            meta_box = {}
+
+            def program(padded, shapes, args, params, seed):
+                key = jax.random.PRNGKey(0)
+                key = jax.random.fold_in(key, seed[0])
+                key = jax.random.fold_in(key, seed[1])
+                env: Dict[Tuple[int, int], DeviceBatch] = {}
+                for i in range(len(boundary_keys)):
+                    env[boundary_keys[i]] = DeviceBatch(
+                        padded[i],
+                        shapes[i] if ragged_flags[i] else None,
+                        boundary_layouts[i],
+                    )
+                arg_arrays_by_op: Dict[int, Dict[str, object]] = collections.defaultdict(dict)
+                for (op_id, name), arr in zip(arg_struct, args):
+                    arg_arrays_by_op[op_id][name] = arr
+                params_by_op: Dict[int, Dict[str, object]] = collections.defaultdict(dict)
+                for (op_id, name), arr in zip(params_struct_ref._params_struct, params):
+                    params_by_op[op_id][name] = arr
+                dctx = DeviceCtx(pipeline.max_batch_size, key, params_by_op, arg_arrays_by_op, statics)
+                for node in device_nodes:
+                    impl = impls[node.id]
+                    ins = [env[_edge_key(e)] for e in node.spec.inputs]
+                    outs = impl.lower(dctx, *ins)
+                    if not isinstance(outs, (list, tuple)):
+                        outs = [outs]
+                    for j, out in enumerate(outs):
+                        env[(node.id, j)] = out
+                data_out, shapes_out, layouts = [], [], []
+                for k in device_out_keys:
+                    db = env[k]
+                    data_out.append(db.data)
+                    shapes_out.append(db.shapes)
+                    layouts.append(db.layout)
+                meta_box["layouts"] = layouts
+                return tuple(data_out), tuple(shapes_out)
+
+            jitted = jax.jit(program)
+
+            def call(padded, shapes, args, params, seed):
+                data_out, shapes_out = jitted(padded, shapes, args, params, seed)
+                layouts = meta_box["layouts"]
+                return [
+                    (d, s, l) for d, s, l in zip(data_out, shapes_out, layouts)
+                ]
+
+            self._jit_device_program[cache_key] = call
+        return self._jit_device_program[cache_key]
+
+    # -- metadata --------------------------------------------------------------------------
+    def reader_meta(self) -> Dict[str, dict]:
+        out = {}
+        for node in self.graph.ops:
+            impl = self.impls[node.id]
+            if isinstance(impl, ReaderOperator):
+                out[node.instance_name] = impl.reader_meta()
+        return out
+
+    def checkpoint_state(self) -> dict:
+        states = {}
+        for node in self.graph.ops:
+            st = self.impls[node.id].save_state()
+            if st is not None:
+                states[node.instance_name] = st
+        return {"iteration": self._iteration, "epoch": self._epoch, "ops": states}
+
+    def restore_checkpoint(self, state: dict):
+        self._iteration = int(state.get("iteration", 0))
+        self._epoch = int(state.get("epoch", 0))
+        for node in self.graph.ops:
+            st = state.get("ops", {}).get(node.instance_name)
+            if st is not None:
+                self.impls[node.id].restore_state(st)

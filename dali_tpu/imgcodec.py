@@ -1,0 +1,163 @@
+"""Image codec layer: header peeking + decode.
+
+Analogue of the reference's imgcodec subsystem (``dali/operators/imgcodec``,
+nvImageCodec backends). Decode preference order:
+
+1. native C++ decoder (``dali_tpu.native``) — libjpeg(-turbo)-based, releases the
+   GIL, per-sample parallel on the executor thread pool;
+2. OpenCV (``cv2.imdecode``) — releases the GIL;
+3. PIL — last resort.
+
+Header parsing (``peek_shape``) is pure Python over the first bytes: JPEG SOF scan,
+PNG IHDR, BMP/GIF/WEBP headers (reference ``imgcodec/peek_image_shape.cc``).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .types import DALIImageType
+
+_cv2 = None
+_native = None
+_checked = False
+
+
+def _backends():
+    global _cv2, _native, _checked
+    if not _checked:
+        try:
+            from . import native as _n
+
+            if _n.available() and _n.has_jpeg():
+                _native = _n
+        except Exception:
+            _native = None
+        try:
+            import cv2
+
+            _cv2 = cv2
+        except Exception:
+            _cv2 = None
+        globals()["_checked"] = True
+    return _native, _cv2
+
+
+def decode(data: bytes, output_type=DALIImageType.RGB) -> np.ndarray:
+    """Decode an encoded image to HWC uint8 in the requested color space."""
+    native, cv2 = _backends()
+    if native is not None and is_jpeg(data):
+        img = native.decode_jpeg(data)  # RGB HWC uint8
+        if img is not None:
+            return _convert_from_rgb(img, output_type)
+    if cv2 is not None:
+        flags = cv2.IMREAD_COLOR if output_type != DALIImageType.GRAY else cv2.IMREAD_GRAYSCALE
+        buf = np.frombuffer(data, dtype=np.uint8)
+        img = cv2.imdecode(buf, flags)
+        if img is None:
+            raise ValueError("Failed to decode image")
+        if output_type == DALIImageType.GRAY:
+            return img[:, :, None]
+        if output_type == DALIImageType.BGR:
+            return img
+        rgb = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        if output_type == DALIImageType.RGB:
+            return rgb
+        if output_type == DALIImageType.YCbCr:
+            return _rgb_to_ycbcr(rgb)
+        return rgb
+    from io import BytesIO
+
+    from PIL import Image
+
+    img = np.asarray(Image.open(BytesIO(data)).convert("RGB"))
+    return _convert_from_rgb(img, output_type)
+
+
+def _convert_from_rgb(rgb: np.ndarray, output_type) -> np.ndarray:
+    if output_type in (DALIImageType.RGB, DALIImageType.ANY_DATA):
+        return rgb
+    if output_type == DALIImageType.BGR:
+        return rgb[:, :, ::-1].copy()
+    if output_type == DALIImageType.GRAY:
+        # ITU-R BT.601 luma, matching reference color_space_conversion_impl.h
+        g = np.round(rgb[..., 0] * 0.299 + rgb[..., 1] * 0.587 + rgb[..., 2] * 0.114)
+        return g.astype(np.uint8)[:, :, None]
+    if output_type == DALIImageType.YCbCr:
+        return _rgb_to_ycbcr(rgb)
+    raise ValueError(f"Unsupported output_type {output_type}")
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    """ITU-R BT.601 full-range (JPEG) YCbCr, as in the reference
+    ``color_space_conversion_impl.h``."""
+    r = rgb[..., 0].astype(np.float32)
+    g = rgb[..., 1].astype(np.float32)
+    b = rgb[..., 2].astype(np.float32)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return np.clip(np.stack([y, cb, cr], axis=-1).round(), 0, 255).astype(np.uint8)
+
+
+# -- container sniffing --------------------------------------------------------------------
+
+
+def is_jpeg(data: bytes) -> bool:
+    return len(data) > 3 and data[0] == 0xFF and data[1] == 0xD8
+
+
+def peek_shape(data: bytes):
+    """(h, w, c) from the header without full decode
+    (reference ``imgcodec/peek_image_shape.cc``)."""
+    if is_jpeg(data):
+        return _peek_jpeg(data)
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = struct.unpack(">II", data[16:24])
+        color_type = data[25]
+        c = {0: 1, 2: 3, 3: 3, 4: 2, 6: 4}.get(color_type, 3)
+        return h, w, c
+    if data[:2] == b"BM":
+        w, h = struct.unpack("<ii", data[18:26])
+        return abs(h), w, 3
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", data[6:10])
+        return h, w, 3
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        if data[12:16] == b"VP8 ":
+            w, h = struct.unpack("<HH", data[26:30])
+            return h & 0x3FFF, w & 0x3FFF, 3
+        if data[12:16] == b"VP8L":
+            bits = struct.unpack("<I", data[21:25])[0]
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+            return h, w, 3
+        if data[12:16] == b"VP8X":
+            w = int.from_bytes(data[24:27], "little") + 1
+            h = int.from_bytes(data[27:30], "little") + 1
+            return h, w, 3
+    # fallback: full decode
+    img = decode(data)
+    return img.shape
+
+
+def _peek_jpeg(data: bytes):
+    i = 2
+    n = len(data)
+    while i + 9 < n:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        marker = data[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        length = struct.unpack(">H", data[i + 2 : i + 4])[0]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):  # SOFn
+            h, w = struct.unpack(">HH", data[i + 5 : i + 9])
+            c = data[i + 9]
+            return h, w, int(c)
+        i += 2 + length
+    raise ValueError("No SOF marker found in JPEG")

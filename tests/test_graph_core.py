@@ -1,0 +1,103 @@
+"""Schema registry / graph / serialization unit tests (reference analogues:
+``dali/test/python/test_pipeline.py`` basics)."""
+
+import numpy as np
+import pytest
+
+import dali_tpu
+from dali_tpu import fn, pipeline_def, types
+
+
+def test_schema_registry():
+    s = dali_tpu.GetSchema("CropMirrorNormalize")
+    assert "mean" in s.args
+    assert s.devices == ("cpu", "gpu")
+    assert "readers.File" in dali_tpu.RegisteredSchemas()
+
+
+def test_fn_api_generated():
+    assert callable(fn.crop_mirror_normalize)
+    assert callable(fn.readers.file)
+    assert callable(fn.decoders.image)
+    assert callable(fn.random.coin_flip)
+
+
+def test_unknown_arg_rejected():
+    with pytest.raises(TypeError):
+        dali_tpu.OpSpec("Cast", device="cpu", bogus_arg=3)
+
+
+def test_missing_required_arg():
+    with pytest.raises(TypeError):
+        dali_tpu.OpSpec("Cast", device="cpu")
+
+
+def test_graph_build_and_prune():
+    @pipeline_def(batch_size=4, num_threads=1, seed=1)
+    def pipe():
+        a = fn.external_source(source=lambda: np.zeros((4, 2), np.float32), batch=True)
+        b = a + 1.0
+        _unused = a * 3.0  # should be pruned
+        return b
+
+    p = pipe()
+    p.build()
+    schemas = [op.spec.schema_name for op in p._graph.ops]
+    assert schemas.count("_ArithmeticGenericOp") == 1
+    assert schemas.count("ExternalSource") == 1
+
+
+def test_cse_dedup():
+    @pipeline_def(batch_size=2, num_threads=1, seed=1)
+    def pipe():
+        a = fn.external_source(source=lambda: np.ones((2, 3), np.float32), batch=True)
+        b = a + 2.0
+        c = a + 2.0  # structurally identical → CSE
+        return b, c
+
+    p = pipe()
+    p.build()
+    schemas = [op.spec.schema_name for op in p._graph.ops]
+    assert schemas.count("_ArithmeticGenericOp") == 1
+
+
+def test_serialize_roundtrip():
+    @pipeline_def(batch_size=2, num_threads=1, seed=7)
+    def pipe():
+        a = fn.random.uniform(range=[0.0, 1.0], shape=[3])
+        return a * 2.0
+
+    p = pipe()
+    p.build()
+    payload = p.serialize()
+    p2 = dali_tpu.Pipeline.deserialize(payload)
+    p2.build()
+    assert [op.spec.schema_name for op in p2._graph.ops] == [
+        op.spec.schema_name for op in p._graph.ops
+    ]
+    out1 = p.run()[0]
+    out2 = p2.run()[0]
+    np.testing.assert_allclose(out1.as_array(), out2.as_array())
+
+
+def test_gpu_requires_explicit_transfer():
+    @pipeline_def(batch_size=2, num_threads=1, seed=1)
+    def pipe():
+        a = fn.external_source(source=lambda: np.ones((2, 4, 4, 3), np.uint8), batch=True, layout="HWC")
+        return fn.crop_mirror_normalize(a, device="gpu", crop=[2, 2])
+
+    p = pipe()
+    with pytest.raises(ValueError, match=r"\.gpu\(\)"):
+        p.build()
+
+
+def test_datanode_bool_raises():
+    @pipeline_def(batch_size=1, num_threads=1, seed=1)
+    def pipe():
+        a = fn.random.coin_flip()
+        if a:  # must raise
+            pass
+        return a
+
+    with pytest.raises(TypeError):
+        pipe().build()
