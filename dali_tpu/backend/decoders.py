@@ -37,6 +37,15 @@ def _decoder_schema(name, extra_doc=""):
         .AddOptionalArg("use_fast_idct", ArgType.BOOL, "Use fast IDCT path.", False)
         .AddOptionalArg("memory_stats", ArgType.BOOL, "Compatibility no-op.", False)
         .AddOptionalArg("adjust_orientation", ArgType.BOOL, "Apply EXIF orientation.", True)
+        .AddOptionalArg(
+            "downscale_shorter_hint",
+            ArgType.INT,
+            "dali_tpu extension: decode JPEGs at the largest DCT scale (1/2, 1/4, "
+            "1/8) that keeps the shorter edge >= this hint. Shrinks host decode "
+            "time and host->device transfer when the pipeline resizes downward "
+            "anyway (e.g. hint 256 for a 224 training crop). 0 = full resolution.",
+            0,
+        )
     )
 
 
@@ -48,11 +57,30 @@ _decoder_schema("decoders.Image").DocStr(
 )
 
 
+def choose_denom(h: int, w: int, hint: int) -> int:
+    """Largest DCT scale denominator in {1,2,4,8} keeping min(h,w)/denom >= hint."""
+    if hint <= 0:
+        return 1
+    denom = 1
+    for d in (2, 4, 8):
+        if min(h, w) // d >= hint:
+            denom = d
+    return denom
+
+
 class _ImageDecoderBase(Operator):
     def _decode(self, ctx, idx, encoded: np.ndarray) -> np.ndarray:
         out_type = self.spec.GetArgument("output_type", DALIImageType.RGB)
-        img = imgcodec.decode(np.ascontiguousarray(encoded).tobytes(), output_type=out_type)
-        return img
+        data = np.ascontiguousarray(encoded).tobytes()
+        hint = self.spec.GetArgument("downscale_shorter_hint", 0)
+        denom = 1
+        if hint and imgcodec.is_jpeg(data):
+            try:
+                h, w, _ = imgcodec.peek_shape(data)
+                denom = choose_denom(h, w, hint)
+            except Exception:
+                denom = 1
+        return imgcodec.decode(data, output_type=out_type, denom=denom)
 
     def output_layout(self, output_idx, inputs):
         return "HWC"
@@ -68,12 +96,65 @@ class ImageDecoderCPU(_ImageDecoderBase):
 class ImageDecoderMixed(_ImageDecoderBase):
     """Mixed decode: host entropy decode, output lives on the device side.
 
-    The executor stages the ragged decoded batch to a padded device canvas; any
-    downstream 'gpu' op (resize, CMN, ...) consumes it inside the jitted program.
+    Fast path (``stage_batch``): each JPEG is decoded by the native libjpeg
+    decoder *directly into its slot of the padded staging canvas* (strided
+    scanline writes), fusing decode + pad_stack into one pass — the TPU analogue
+    of DALI's decode-into-pinned-buffer. Non-JPEG samples and exotic output types
+    fall back to the generic per-sample path.
     """
 
     def run_sample(self, ctx, idx, encoded):
         return self._decode(ctx, idx, encoded)
+
+    def stage_batch(self, ctx, inputs, canvas):
+        """Decode the whole batch straight into a padded canvas.
+
+        Returns (arr [N, ch, cw, 3] uint8, shapes [N, 3] int32, layout). Padding
+        bytes are left uninitialized: downstream kernels only address within each
+        sample's valid extent.
+        """
+        from .. import native
+
+        out_type = self.spec.GetArgument("output_type", DALIImageType.RGB)
+        if out_type != DALIImageType.RGB or not native.available():
+            return None  # generic path
+        enc = inputs[0].samples
+        n = len(enc)
+        hint = self.spec.GetArgument("downscale_shorter_hint", 0)
+        datas = [np.ascontiguousarray(e).tobytes() for e in enc]
+        dims = []
+        denoms = []
+        for d in datas:
+            if imgcodec.is_jpeg(d):
+                try:
+                    h, w, _ = imgcodec.peek_shape(d)
+                except Exception:
+                    return None
+                dn = choose_denom(h, w, hint)
+                sd = native.jpeg_scaled_dims(d, dn)
+                if sd is None:
+                    return None
+                dims.append((sd[0], sd[1]))
+                denoms.append(dn)
+            else:
+                return None  # mixed-format batch: generic path
+        shapes = np.array([[h, w, 3] for h, w in dims], dtype=np.int32)
+        align = self.pipeline.pad_align
+        ch = max(int(-(-shapes[:, 0].max() // align) * align), canvas[0] if canvas else 0)
+        cw = max(int(-(-shapes[:, 1].max() // align) * align), canvas[1] if canvas else 0)
+        arr = np.empty((n, ch, cw, 3), dtype=np.uint8)
+
+        def one(i):
+            ok = native.decode_jpeg_into(datas[i], arr[i], denom=denoms[i])
+            if not ok:  # corrupt sample: decode via fallback into the slot
+                img = imgcodec.decode(datas[i], output_type=out_type)
+                h, w = img.shape[:2]
+                shapes[i] = (h, w, 3)
+                arr[i, :h, :w] = img
+            return True
+
+        ctx.map_samples(one, n)
+        return arr, shapes, "HWC"
 
 
 # -- decoders.ImageRandomCrop --------------------------------------------------------------
@@ -118,17 +199,40 @@ def sample_rrc_window(rng, h, w, random_area, random_aspect_ratio, num_attempts)
 
 
 class _ImageRandomCropBase(_ImageDecoderBase):
+    """Decode + random crop. The crop window is sampled from the *header* dims
+    first, which lets the JPEG fast path decode at a reduced DCT scale when the
+    window is large relative to ``downscale_shorter_hint`` — the reference
+    ``decoders__ImageRandomCrop`` fused-ROI idea adapted to libjpeg scaled decode."""
+
     def run_sample(self, ctx, idx, encoded):
-        img = self._decode(ctx, idx, encoded)
+        from .. import native
+
+        data = np.ascontiguousarray(encoded).tobytes()
         rng = ctx.rng(self, idx)
-        y, x, ch, cw = sample_rrc_window(
-            rng,
-            img.shape[0],
-            img.shape[1],
-            self.spec.GetArgument("random_area"),
-            self.spec.GetArgument("random_aspect_ratio"),
-            self.spec.GetArgument("num_attempts"),
-        )
+        area = self.spec.GetArgument("random_area")
+        ar = self.spec.GetArgument("random_aspect_ratio")
+        attempts = self.spec.GetArgument("num_attempts")
+        hint = self.spec.GetArgument("downscale_shorter_hint", 0)
+        out_type = self.spec.GetArgument("output_type", DALIImageType.RGB)
+
+        if imgcodec.is_jpeg(data) and native.available() and out_type == DALIImageType.RGB:
+            try:
+                h, w, _ = imgcodec.peek_shape(data)
+            except Exception:
+                h = w = None
+            if h is not None:
+                y, x, ch, cw = sample_rrc_window(rng, h, w, area, ar, attempts)
+                denom = choose_denom(ch, cw, hint) if hint else 1
+                img = native.decode_jpeg(data, denom=denom)
+                if img is not None:
+                    if denom > 1:
+                        # crop coordinates in scaled space (libjpeg rounds up)
+                        y, x = y // denom, x // denom
+                        ch = max(1, min(ch // denom, img.shape[0] - y))
+                        cw = max(1, min(cw // denom, img.shape[1] - x))
+                    return np.ascontiguousarray(img[y : y + ch, x : x + cw])
+        img = self._decode(ctx, idx, encoded)
+        y, x, ch, cw = sample_rrc_window(rng, img.shape[0], img.shape[1], area, ar, attempts)
         return np.ascontiguousarray(img[y : y + ch, x : x + cw])
 
 

@@ -32,7 +32,7 @@ class DataNode:
             return self
         from . import _op_call
 
-        return _op_call("_CopyToDevice", device="gpu", inputs=[self])
+        return _op_call("_CopyToDevice", device="mixed", inputs=[self])
 
     def cpu(self) -> "DataNode":
         if self.device == "cpu":

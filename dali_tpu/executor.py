@@ -39,6 +39,17 @@ def _edge_key(edge) -> Tuple[int, int]:
     return (edge.source.id, edge.source_idx)
 
 
+class _Staged:
+    """A boundary batch already staged into its padded canvas (fused decode)."""
+
+    __slots__ = ("array", "shapes", "layout")
+
+    def __init__(self, array, shapes, layout):
+        self.array = array
+        self.shapes = shapes
+        self.layout = layout
+
+
 class SamplePool:
     """Per-sample worker pool (analogue of the reference thread pool,
     ``dali/pipeline/util/thread_pool.h:40``)."""
@@ -120,6 +131,8 @@ class Executor:
         # -- threading -------------------------------------------------------------
         self.sample_pool = SamplePool(pipeline.num_threads)
         self._host_thread: Optional[threading.Thread] = None
+        self._device_thread: Optional[threading.Thread] = None
+        self._device_q: Optional["queue.Queue"] = None
         self._work_q: "queue.Queue" = queue.Queue()
         self._out_q: "queue.Queue" = queue.Queue(maxsize=max(1, pipeline.prefetch_queue_depth))
         self._iteration = 0
@@ -159,23 +172,35 @@ class Executor:
     # -- lifecycle -------------------------------------------------------------------
     def start(self):
         if self._host_thread is None:
+            self._device_q = queue.Queue(maxsize=max(1, self.pipeline.prefetch_queue_depth))
             self._host_thread = threading.Thread(
                 target=self._host_loop, name="dali-tpu-host-stage", daemon=True
             )
             self._host_thread.start()
+            self._device_thread = threading.Thread(
+                target=self._device_loop, name="dali-tpu-device-stage", daemon=True
+            )
+            self._device_thread.start()
 
     def shutdown(self):
         self._shutdown = True
         self._work_q.put(None)
-        # drain output queue so the host loop can exit a blocking put
-        try:
-            while True:
-                self._out_q.get_nowait()
-        except queue.Empty:
-            pass
+        # drain queues so the stage threads can exit blocking puts
+        for q in (getattr(self, "_device_q", None), self._out_q):
+            if q is None:
+                continue
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
         if self._host_thread is not None:
             self._host_thread.join(timeout=5)
             self._host_thread = None
+        if getattr(self, "_device_thread", None) is not None:
+            self._device_q.put(None)
+            self._device_thread.join(timeout=5)
+            self._device_thread = None
         self.sample_pool.shutdown()
 
     # -- scheduling --------------------------------------------------------------------
@@ -194,19 +219,40 @@ class Executor:
         return item
 
     def _host_loop(self):
+        """Stage 1 thread: readers, decode, cpu ops, host params (analogue of the
+        reference CPU stage; exec2 stage overlap via the bounded _device_q)."""
         while not self._shutdown:
             it = self._work_q.get()
             if it is None:
+                self._device_q.put(None)
                 break
             try:
-                result = self._run_iteration(it)
-                self._out_q.put(result)
+                staged = self._host_phase(it)
+                self._device_q.put(staged)
             except BaseException as e:  # propagate to outputs()
+                self._device_q.put(e)
+                return
+
+    def _device_loop(self):
+        """Stage 2 thread: host→device chunk transfers + jitted program dispatch.
+
+        Runs concurrently with stage 1, so decode of iteration k+1 overlaps the
+        transfer/compute of iteration k — DALI's CPU/GPU stage overlap."""
+        while not self._shutdown:
+            staged = self._device_q.get()
+            if staged is None:
+                break
+            if isinstance(staged, BaseException):
+                self._out_q.put(staged)
+                return
+            try:
+                self._out_q.put(self._device_phase(staged))
+            except BaseException as e:
                 self._out_q.put(e)
                 return
 
     # -- one iteration --------------------------------------------------------------------
-    def _run_iteration(self, iteration: int):
+    def _host_phase(self, iteration: int):
         ctx = HostCtx(self.pipeline, iteration, self._epoch, pool=self.sample_pool)
         env: Dict[Tuple[int, int], HostBatch] = {}
 
@@ -216,25 +262,48 @@ class Executor:
             arg_batches = {k: env[_edge_key(v)] for k, v in node.spec.arg_inputs.items()}
             ctx.set_arg_batches(node.id, arg_batches)
             ins = [env[_edge_key(e)] for e in node.spec.inputs]
+            # Fused staging fast path: mixed ops may decode straight into the
+            # padded boundary canvas (one pass, no intermediate per-sample copy).
+            if node.device == "mixed" and hasattr(impl, "stage_batch") and len(node.outputs) == 1:
+                k = (node.id, 0)
+                staged = impl.stage_batch(ctx, ins, self._canvas.get(k))
+                if staged is not None:
+                    arr, shapes, layout = staged
+                    self._canvas[k] = list(arr.shape[1:])
+                    env[k] = _Staged(arr, shapes, layout)
+                    continue
             outs = impl.run_batch(ctx, *ins)
             if not isinstance(outs, (list, tuple)):
                 outs = [outs]
             for j, out in enumerate(outs):
                 env[(node.id, j)] = out
 
-        # 2. boundary staging: ragged host batches → padded canvases
+        # 2. boundary staging: ragged host batches → padded canvases, transferred
+        # in chunks. The chunking matters: host→device bandwidth degrades badly on
+        # large single transfers (and chunked device_puts are async, overlapping
+        # the next iteration's host work) — the TPU analogue of DALI's pinned
+        # staging + async H2D copies.
         padded_arrays, shape_arrays, ragged_flags, boundary_layouts = [], [], [], []
         for edge in self.boundary_edges:
             hb = env[_edge_key(edge)]
             k = _edge_key(edge)
-            fill = self.impls[edge.source.id].boundary_fill(edge.source_idx)
-            arr, shapes = pad_and_stack(hb, canvas=self._canvas.get(k), align=self._pad_align_for(hb), fill=fill)
-            self._canvas[k] = list(arr.shape[1:])
-            ragged = not hb.is_uniform()
-            padded_arrays.append(arr)
+            if isinstance(hb, _Staged):
+                arr, shapes, layout = hb.array, hb.shapes, hb.layout
+                ragged = bool((shapes != shapes[0]).any())
+            else:
+                fill = self.impls[edge.source.id].boundary_fill(edge.source_idx)
+                # uniform batches need no alignment padding — stage exact
+                align = 1 if hb.is_uniform() else self._pad_align_for(hb)
+                arr, shapes = pad_and_stack(
+                    hb, canvas=self._canvas.get(k), align=align, fill=fill
+                )
+                self._canvas[k] = list(arr.shape[1:])
+                ragged = not hb.is_uniform()
+                layout = hb.layout
+            padded_arrays.append(arr)  # raw numpy; stage-2 thread issues the puts
             shape_arrays.append(shapes)
             ragged_flags.append(ragged)
-            boundary_layouts.append(hb.layout)
+            boundary_layouts.append(layout)
 
         # 3. stacked argument arrays for device ops
         arg_arrays = []
@@ -264,25 +333,38 @@ class Executor:
                 statics[node.id] = st
         self._params_struct = params_struct
 
-        # 5. device program
+        cpu_outputs = {}
+        for out in self.graph.outputs:
+            if out.device != "gpu":
+                cpu_outputs[_edge_key(out)] = env[_edge_key(out)]
+        return {
+            "iteration": iteration,
+            "padded": padded_arrays,
+            "shapes": shape_arrays,
+            "ragged": tuple(ragged_flags),
+            "layouts": tuple(boundary_layouts),
+            "args": arg_arrays,
+            "params": params_list,
+            "statics": tuple(sorted(statics.items())),
+            "cpu_outputs": cpu_outputs,
+        }
+
+    def _device_phase(self, staged: dict):
         gpu_outputs = {}
         if self.device_ops or any(o.device == "gpu" for o in self.graph.outputs):
-            import jax
-
-            fn = self._get_device_program(
-                tuple(ragged_flags), tuple(boundary_layouts), tuple(sorted(statics.items()))
+            fn = self._get_device_program(staged["ragged"], staged["layouts"], staged["statics"])
+            seed_arr = np.array(
+                [self.pipeline.seed & 0x7FFFFFFF, staged["iteration"]], dtype=np.uint32
             )
-            seed_arr = np.array([self.pipeline.seed & 0x7FFFFFFF, iteration], dtype=np.uint32)
             dev_outs = fn(
-                tuple(padded_arrays),
-                tuple(np.asarray(s) for s in shape_arrays),
-                tuple(arg_arrays),
-                tuple(params_list),
+                tuple(self._chunked_put(arr) for arr in staged["padded"]),
+                tuple(np.asarray(s) for s in staged["shapes"]),
+                tuple(staged["args"]),
+                tuple(staged["params"]),
                 seed_arr,
             )
             gpu_outputs = dict(zip(self._device_out_keys, dev_outs))
 
-        # 6. assemble pipeline outputs
         results = []
         for out in self.graph.outputs:
             k = _edge_key(out)
@@ -291,9 +373,28 @@ class Executor:
                 shapes_np = np.asarray(shapes) if shapes is not None else None
                 results.append(TensorListGPU(data, shapes_np, layout))
             else:
-                hb = env[k]
+                hb = staged["cpu_outputs"][k]
                 results.append(TensorListCPU(hb.samples, hb.layout))
         return tuple(results)
+
+    def _chunked_put(self, arr: np.ndarray):
+        """Split a staged batch along N and device_put each chunk (async).
+
+        Returns a tuple of device arrays; the device program re-concatenates.
+        """
+        import jax
+
+        chunk_bytes = self.pipeline.transfer_chunk_bytes
+        n = arr.shape[0]
+        per_sample = max(arr.nbytes // max(n, 1), 1)
+        samples_per_chunk = max(int(chunk_bytes // per_sample), 1)
+        n_chunks = -(-n // samples_per_chunk)
+        # equal-size chunks (last may be short) keep retrace count low
+        out = []
+        for i in range(n_chunks):
+            sl = arr[i * samples_per_chunk : (i + 1) * samples_per_chunk]
+            out.append(jax.device_put(sl))
+        return tuple(out)
 
     def _pad_align_for(self, hb: HostBatch):
         """Spatial dims align to pad_align; trailing channel-like dims stay exact."""
@@ -338,10 +439,14 @@ class Executor:
                 key = jax.random.PRNGKey(0)
                 key = jax.random.fold_in(key, seed[0])
                 key = jax.random.fold_in(key, seed[1])
+                import jax.numpy as jnp
+
                 env: Dict[Tuple[int, int], DeviceBatch] = {}
                 for i in range(len(boundary_keys)):
+                    chunks = padded[i]
+                    data = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
                     env[boundary_keys[i]] = DeviceBatch(
-                        padded[i],
+                        data,
                         shapes[i] if ragged_flags[i] else None,
                         boundary_layouts[i],
                     )

@@ -45,15 +45,33 @@ def _backends():
     return _native, _cv2
 
 
-def decode(data: bytes, output_type=DALIImageType.RGB) -> np.ndarray:
-    """Decode an encoded image to HWC uint8 in the requested color space."""
+def decode(data: bytes, output_type=DALIImageType.RGB, denom: int = 1) -> np.ndarray:
+    """Decode an encoded image to HWC uint8 in the requested color space.
+
+    ``denom`` (JPEG only): decode at 1/denom DCT scale (libjpeg scaled decode).
+    """
     native, cv2 = _backends()
     if native is not None and is_jpeg(data):
-        img = native.decode_jpeg(data)  # RGB HWC uint8
+        if output_type == DALIImageType.GRAY:
+            img = native.decode_jpeg(data, denom=denom, gray=True)
+            if img is not None:
+                return img
+        img = native.decode_jpeg(data, denom=denom)  # RGB HWC uint8
         if img is not None:
             return _convert_from_rgb(img, output_type)
     if cv2 is not None:
-        flags = cv2.IMREAD_COLOR if output_type != DALIImageType.GRAY else cv2.IMREAD_GRAYSCALE
+        gray = output_type == DALIImageType.GRAY
+        flags = cv2.IMREAD_GRAYSCALE if gray else cv2.IMREAD_COLOR
+        if denom in (2, 4, 8) and is_jpeg(data):
+            reduced = {
+                (2, False): cv2.IMREAD_REDUCED_COLOR_2,
+                (4, False): cv2.IMREAD_REDUCED_COLOR_4,
+                (8, False): cv2.IMREAD_REDUCED_COLOR_8,
+                (2, True): cv2.IMREAD_REDUCED_GRAYSCALE_2,
+                (4, True): cv2.IMREAD_REDUCED_GRAYSCALE_4,
+                (8, True): cv2.IMREAD_REDUCED_GRAYSCALE_8,
+            }
+            flags = reduced[(denom, gray)]
         buf = np.frombuffer(data, dtype=np.uint8)
         img = cv2.imdecode(buf, flags)
         if img is None:

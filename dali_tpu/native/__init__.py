@@ -1,10 +1,11 @@
 """Native (C++) host runtime bindings.
 
-The native library (``libdali_tpu.so``, built from ``dali_tpu/native/src`` via
-``build.py``) provides the GIL-releasing host hot paths, mirroring the reference's
-C++ core (``dali/core``, ``dali/pipeline/util/thread_pool.h``): JPEG decode
-(libjpeg/-turbo), Philox4x32-10, and batched memcpy/pad. Python falls back to
-numpy/OpenCV when the library hasn't been built.
+``libdali_tpu.so`` (built from ``dali_tpu/native/src`` via ``build.py``) provides
+the GIL-releasing host hot paths, mirroring the reference's C++ core: libjpeg
+decode with DCT-domain scaling (1/2, 1/4, 1/8 — the host half of the
+decode-shrink-transfer strategy), strided decode-into-canvas, and batched
+pad/stack memcpy. Python falls back to numpy/OpenCV when the library hasn't been
+built; ``build()`` compiles it on demand.
 """
 
 from __future__ import annotations
@@ -22,6 +23,16 @@ def _lib_path():
     return os.path.join(os.path.dirname(__file__), "libdali_tpu.so")
 
 
+def build():
+    from .build import build as _b
+
+    _b(verbose=False)
+    global _TRIED, _LIB
+    _TRIED = False
+    _LIB = None
+    return _load() is not None
+
+
 def _load():
     global _LIB, _TRIED
     if _TRIED:
@@ -29,38 +40,37 @@ def _load():
     _TRIED = True
     path = _lib_path()
     if not os.path.exists(path):
+        try:
+            from .build import build as _b
+
+            _b(verbose=False)
+        except Exception:
+            return None
+    if not os.path.exists(path):
         return None
     try:
         lib = ctypes.CDLL(path)
         lib.dali_tpu_has_jpeg.restype = ctypes.c_int
-        lib.dali_tpu_decode_jpeg_shape.restype = ctypes.c_int
-        lib.dali_tpu_decode_jpeg_shape.argtypes = [
-            ctypes.c_char_p,
-            ctypes.c_size_t,
-            ctypes.POINTER(ctypes.c_int),
-            ctypes.POINTER(ctypes.c_int),
-            ctypes.POINTER(ctypes.c_int),
+        lib.dali_tpu_jpeg_scaled_dims.restype = ctypes.c_int
+        lib.dali_tpu_jpeg_scaled_dims.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
         ]
-        lib.dali_tpu_decode_jpeg.restype = ctypes.c_int
-        lib.dali_tpu_decode_jpeg.argtypes = [
-            ctypes.c_char_p,
-            ctypes.c_size_t,
-            ctypes.c_void_p,
-            ctypes.c_int,
-            ctypes.c_int,
-            ctypes.c_int,  # fancy_upsampling
+        lib.dali_tpu_decode_jpeg_into.restype = ctypes.c_int
+        lib.dali_tpu_decode_jpeg_into.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.dali_tpu_decode_jpeg_gray_into.restype = ctypes.c_int
+        lib.dali_tpu_decode_jpeg_gray_into.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
         ]
         lib.dali_tpu_pad_stack_u8.restype = ctypes.c_int
         lib.dali_tpu_pad_stack_u8.argtypes = [
-            ctypes.POINTER(ctypes.c_void_p),  # sample ptrs
-            ctypes.POINTER(ctypes.c_long),  # sample shapes [n*3]
-            ctypes.c_int,  # n
-            ctypes.c_void_p,  # out
-            ctypes.c_long,
-            ctypes.c_long,
-            ctypes.c_long,  # canvas h, w, c
-            ctypes.c_int,  # fill
-            ctypes.c_int,  # num threads
+            ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_long), ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+            ctypes.c_int, ctypes.c_int,
         ]
         _LIB = lib
     except OSError:
@@ -77,31 +87,68 @@ def has_jpeg() -> bool:
     return bool(lib and lib.dali_tpu_has_jpeg())
 
 
-def decode_jpeg(data: bytes, fancy_upsampling: bool = True):
-    """Decode baseline/progressive JPEG to RGB HWC uint8 via the native lib.
+def jpeg_scaled_dims(data: bytes, denom: int = 1):
+    """(h, w, c) of the JPEG when decoded at 1/denom DCT scale; None on error."""
+    lib = _load()
+    if lib is None:
+        return None
+    h, w, c = ctypes.c_int(), ctypes.c_int(), ctypes.c_int()
+    rc = lib.dali_tpu_jpeg_scaled_dims(data, len(data), denom, h, w, c)
+    if rc != 0:
+        return None
+    return h.value, w.value, c.value
+
+
+def decode_jpeg(data: bytes, denom: int = 1, fancy_upsampling: bool = True, gray: bool = False):
+    """Decode a JPEG to HWC uint8 (RGB or grayscale) at 1/denom scale.
 
     Returns None on failure (caller falls back to OpenCV).
     """
     lib = _load()
     if lib is None:
         return None
-    h = ctypes.c_int()
-    w = ctypes.c_int()
-    c = ctypes.c_int()
-    if lib.dali_tpu_decode_jpeg_shape(data, len(data), ctypes.byref(h), ctypes.byref(w), ctypes.byref(c)) != 0:
+    dims = jpeg_scaled_dims(data, denom)
+    if dims is None:
         return None
-    out = np.empty((h.value, w.value, 3), dtype=np.uint8)
-    rc = lib.dali_tpu_decode_jpeg(
-        data, len(data), out.ctypes.data_as(ctypes.c_void_p), h.value, w.value, 1 if fancy_upsampling else 0
+    h, w, _ = dims
+    c = 1 if gray else 3
+    out = np.empty((h, w, c), dtype=np.uint8)
+    if gray:
+        rc = lib.dali_tpu_decode_jpeg_gray_into(
+            data, len(data), denom, out.ctypes.data_as(ctypes.c_void_p), w * c, h, w
+        )
+    else:
+        rc = lib.dali_tpu_decode_jpeg_into(
+            data, len(data), denom, out.ctypes.data_as(ctypes.c_void_p), w * c, h, w,
+            1 if fancy_upsampling else 0,
+        )
+    return out if rc == 0 else None
+
+
+def decode_jpeg_into(data: bytes, dst: np.ndarray, denom: int = 1, fancy_upsampling: bool = True) -> bool:
+    """Decode directly into the top-left of a strided HWC uint8 canvas view.
+
+    ``dst`` must be a C-contiguous-rows view (row stride = dst.strides[0]) at
+    least as large as the scaled output. Fuses decode + pad_stack.
+    """
+    lib = _load()
+    if lib is None:
+        return False
+    dims = jpeg_scaled_dims(data, denom)
+    if dims is None:
+        return False
+    h, w, _ = dims
+    if h > dst.shape[0] or w > dst.shape[1] or dst.shape[2] != 3:
+        return False
+    rc = lib.dali_tpu_decode_jpeg_into(
+        data, len(data), denom, dst.ctypes.data_as(ctypes.c_void_p), dst.strides[0], h, w,
+        1 if fancy_upsampling else 0,
     )
-    if rc != 0:
-        return None
-    return out
+    return rc == 0
 
 
 def pad_stack_u8(samples, canvas, fill: int = 0, num_threads: int = 0):
-    """Pad+stack HWC uint8 samples into [N, *canvas] using the native parallel
-    memcpy. Returns None if unavailable (caller uses numpy)."""
+    """Pad+stack HWC uint8 samples into [N, *canvas] via native parallel memcpy."""
     lib = _load()
     if lib is None:
         return None
@@ -112,14 +159,7 @@ def pad_stack_u8(samples, canvas, fill: int = 0, num_threads: int = 0):
         shp[3 * i : 3 * i + 3] = (s.shape[0], s.shape[1], s.shape[2])
     out = np.full((n, *canvas), fill, dtype=np.uint8)
     rc = lib.dali_tpu_pad_stack_u8(
-        ptrs,
-        shp,
-        n,
-        out.ctypes.data_as(ctypes.c_void_p),
-        canvas[0],
-        canvas[1],
-        canvas[2],
-        fill,
-        num_threads,
+        ptrs, shp, n, out.ctypes.data_as(ctypes.c_void_p),
+        canvas[0], canvas[1], canvas[2], fill, num_threads,
     )
     return out if rc == 0 else None

@@ -67,6 +67,7 @@ class Pipeline:
         pad_align: int = 64,
         max_batch_size: Optional[int] = None,
         exec_dynamic: bool = False,
+        transfer_chunk_bytes: int = 4 * 1024 * 1024,
     ):
         self.max_batch_size = max_batch_size if max_batch_size is not None else batch_size
         if self.max_batch_size is None or self.max_batch_size < 1:
@@ -82,6 +83,7 @@ class Pipeline:
         self.py_num_workers = py_num_workers
         self.py_start_method = py_start_method
         self.pad_align = pad_align
+        self.transfer_chunk_bytes = int(transfer_chunk_bytes)
 
         self._graph_fn = None
         self._graph: Optional[Graph] = None
@@ -333,6 +335,7 @@ def pipeline_def(fn=None, *, enable_conditionals=False, **pipeline_kwargs):
                 "pad_align",
                 "max_batch_size",
                 "exec_dynamic",
+                "transfer_chunk_bytes",
             )
             ctor_kwargs = dict(pipeline_kwargs)
             fn_kwargs = {}

@@ -12,6 +12,15 @@ if "xla_force_host_platform_device_count" not in flags:
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# The axon TPU plugin registers itself regardless of JAX_PLATFORMS; pin the
+# default device to CPU so tests never ride the (slow, shared) TPU tunnel.
+import jax  # noqa: E402
+
+try:
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+except Exception:
+    pass
+
 
 @pytest.fixture(scope="session")
 def jpeg_dataset(tmp_path_factory):
