@@ -1,0 +1,587 @@
+"""More generic operators: Slice, Crop, Erase, Normalize, Join (cat/stack),
+PermuteBatch, LookupTable, full/zeros/ones family, GetProperty.
+
+Reference: ``dali/operators/generic/`` (slice.cc, erase.cc, join.cc,
+permute_batch.cc, lookup_table.cc, constant_value.cc), ``dali/operators/image/crop/crop.cc``,
+``dali/operators/math/normalize/normalize.cc``, ``util/get_property.cc``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .._schema import DALI_SCHEMA, ArgType, register_operator
+from ..batch import DeviceBatch, HostBatch
+from ..types import DALIDataType, to_jnp_type, to_numpy_type
+from .base import Operator
+
+# ======================================== Slice ==================================================
+
+DALI_SCHEMA("Slice").DocStr(
+    """Extracts a subtensor per sample (reference generic/slice.cc): anchor/shape
+    given as kwargs (absolute or relative) or as two positional inputs."""
+).NumInput(1, 3).NumOutput(1).Devices("cpu", "gpu").AllowSequences().AddOptionalArg(
+    "start", ArgType.FLOAT_VEC, "Absolute anchor.", None, tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "rel_start", ArgType.FLOAT_VEC, "Relative anchor.", None, tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "end", ArgType.FLOAT_VEC, "Absolute end.", None, tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "rel_end", ArgType.FLOAT_VEC, "Relative end.", None, tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "shape", ArgType.FLOAT_VEC, "Absolute shape.", None, tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "rel_shape", ArgType.FLOAT_VEC, "Relative shape.", None, tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "axes", ArgType.INT_VEC, "Axes the anchor/shape refer to.", None
+).AddOptionalArg(
+    "axis_names", ArgType.TENSOR_LAYOUT, "Axes by layout name.", None
+).AddOptionalArg(
+    "normalized_anchor", ArgType.BOOL, "Positional anchor input is relative.", True
+).AddOptionalArg(
+    "normalized_shape", ArgType.BOOL, "Positional shape input is relative.", True
+).AddOptionalArg(
+    "out_of_bounds_policy", ArgType.STRING, '"error", "pad", "trim_to_shape".', "error"
+).AddOptionalArg("fill_values", ArgType.FLOAT_VEC, "Padding values for policy 'pad'.", [0.0]).AddOptionalArg(
+    "dtype", ArgType.DATA_TYPE, "Output dtype.", None
+)
+
+
+def _slice_axes(spec, layout, ndim):
+    names = spec.GetArgument("axis_names", None)
+    if names:
+        return [layout.index(c) for c in names]
+    axes = spec.GetArgument("axes", None)
+    if axes is not None and len(axes):
+        return [a % ndim for a in axes]
+    return list(range(ndim))
+
+
+@register_operator("Slice", "cpu")
+class SliceCPU(Operator):
+    def run_sample(self, ctx, idx, data, *pos):
+        spec = self.spec
+        layout = ""  # layout known at batch level; axis_names resolved there if needed
+        ndim = data.ndim
+        axes = _slice_axes(spec, layout, ndim)
+
+        def geta(name):
+            v = ctx.arg(self, name, idx, None)
+            return None if v is None else np.asarray(v, np.float64).reshape(-1)
+
+        if pos:
+            anchor = np.asarray(pos[0], np.float64).reshape(-1)
+            shape = np.asarray(pos[1], np.float64).reshape(-1) if len(pos) > 1 else None
+            if spec.GetArgument("normalized_anchor", True):
+                anchor = anchor * np.array([data.shape[a] for a in axes])
+            if shape is not None and spec.GetArgument("normalized_shape", True):
+                shape = shape * np.array([data.shape[a] for a in axes])
+        else:
+            anchor = geta("start")
+            if anchor is None:
+                ra = geta("rel_start")
+                anchor = ra * np.array([data.shape[a] for a in axes]) if ra is not None else np.zeros(len(axes))
+            shape = geta("shape")
+            if shape is None:
+                rs = geta("rel_shape")
+                if rs is not None:
+                    shape = rs * np.array([data.shape[a] for a in axes])
+            if shape is None:
+                end = geta("end")
+                if end is None:
+                    re = geta("rel_end")
+                    end = re * np.array([data.shape[a] for a in axes]) if re is not None else None
+                if end is not None:
+                    shape = end - anchor
+            if shape is None:
+                shape = np.array([data.shape[a] for a in axes]) - anchor
+
+        anchor = np.round(anchor).astype(np.int64)
+        shape = np.round(shape).astype(np.int64)
+        policy = spec.GetArgument("out_of_bounds_policy", "error")
+        slices = [slice(None)] * ndim
+        pads = [(0, 0)] * ndim
+        for k, a in enumerate(axes):
+            lo, ln = int(anchor[k]), int(shape[k])
+            hi = lo + ln
+            if lo < 0 or hi > data.shape[a]:
+                if policy == "error":
+                    raise ValueError(
+                        f"Slice [{lo}, {hi}) out of bounds for dim {a} (size {data.shape[a]})"
+                    )
+                if policy == "trim_to_shape":
+                    lo2, hi2 = max(lo, 0), min(hi, data.shape[a])
+                    slices[a] = slice(lo2, hi2)
+                    continue
+                # pad
+                pads[a] = (max(-lo, 0), max(hi - data.shape[a], 0))
+                slices[a] = slice(max(lo, 0), min(hi, data.shape[a]))
+            else:
+                slices[a] = slice(lo, hi)
+        out = data[tuple(slices)]
+        if any(p != (0, 0) for p in pads):
+            fill = spec.GetArgument("fill_values", [0.0])[0]
+            out = np.pad(out, pads, constant_values=fill)
+        dt = spec.GetArgument("dtype", None)
+        if dt is not None:
+            out = out.astype(to_numpy_type(dt))
+        return np.ascontiguousarray(out)
+
+
+# ======================================== Crop ====================================================
+
+DALI_SCHEMA("Crop").DocStr(
+    "Fixed-size window crop (reference image/crop/crop.cc)."
+).NumInput(1).NumOutput(1).Devices("cpu", "gpu").AllowSequences().AddOptionalArg(
+    "crop", ArgType.FLOAT_VEC, "Crop size (H, W).", None
+).AddOptionalArg(
+    "crop_h", ArgType.FLOAT, "Crop height.", 0.0, tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "crop_w", ArgType.FLOAT, "Crop width.", 0.0, tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "crop_pos_x", ArgType.FLOAT, "Window x in [0,1].", 0.5, tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "crop_pos_y", ArgType.FLOAT, "Window y in [0,1].", 0.5, tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "out_of_bounds_policy", ArgType.STRING, '"error"|"pad"|"trim_to_shape".', "error"
+).AddOptionalArg("fill_values", ArgType.FLOAT_VEC, "Pad fill.", [0.0]).AddOptionalArg(
+    "dtype", ArgType.DATA_TYPE, "Output dtype.", None
+)
+
+
+class _CropCommon(Operator):
+    def _size(self):
+        crop = self.spec.GetArgument("crop", None)
+        if crop:
+            return int(crop[0]), int(crop[1])
+        ch = int(self.spec.GetArgument("crop_h", 0.0) or 0)
+        cw = int(self.spec.GetArgument("crop_w", 0.0) or 0)
+        if ch and cw:
+            return ch, cw
+        raise ValueError("Crop requires `crop` or crop_h/crop_w")
+
+
+@register_operator("Crop", "cpu")
+class CropCPU(_CropCommon):
+    def run_sample(self, ctx, idx, img):
+        ch, cw = self._size()
+        h, w = img.shape[:2]
+        py = float(np.asarray(ctx.arg(self, "crop_pos_y", idx, 0.5)))
+        px = float(np.asarray(ctx.arg(self, "crop_pos_x", idx, 0.5)))
+        y = int(round(py * (h - ch)))
+        x = int(round(px * (w - cw)))
+        if y < 0 or x < 0 or y + ch > h or x + cw > w:
+            policy = self.spec.GetArgument("out_of_bounds_policy", "error")
+            if policy == "error":
+                raise ValueError(f"Crop window {ch}x{cw} out of bounds for {h}x{w}")
+        out = img[max(y, 0) : y + ch, max(x, 0) : x + cw]
+        if out.shape[0] != ch or out.shape[1] != cw:
+            fill = self.spec.GetArgument("fill_values", [0.0])[0]
+            pad = [(0, ch - out.shape[0]), (0, cw - out.shape[1])] + [(0, 0)] * (img.ndim - 2)
+            out = np.pad(out, pad, constant_values=fill)
+        dt = self.spec.GetArgument("dtype", None)
+        return np.ascontiguousarray(out.astype(to_numpy_type(dt)) if dt is not None else out)
+
+
+@register_operator("Crop", "gpu")
+class CropGPU(_CropCommon):
+    def lower(self, dctx, inp: DeviceBatch):
+        import jax
+        import jax.numpy as jnp
+
+        ch, cw = self._size()
+        n, H, W, C = inp.data.shape
+        ext_h = inp.extent(0)
+        ext_w = inp.extent(1)
+
+        def arg(name, default):
+            v = dctx.arg(self, name, default)
+            if dctx.has_tensor_arg(self, name):
+                return jnp.asarray(v, jnp.float32).reshape(-1)
+            return jnp.full((n,), float(v), jnp.float32)
+
+        py = arg("crop_pos_y", 0.5)
+        px = arg("crop_pos_x", 0.5)
+        y = jnp.clip(jnp.round(py * (ext_h - ch)), 0, None).astype(jnp.int32)
+        x = jnp.clip(jnp.round(px * (ext_w - cw)), 0, None).astype(jnp.int32)
+        out = jax.vmap(lambda im, yy, xx: jax.lax.dynamic_slice(im, (yy, xx, 0), (ch, cw, C)))(
+            inp.data, y, x
+        )
+        dt = self.spec.GetArgument("dtype", None)
+        if dt is not None:
+            out = out.astype(to_jnp_type(dt))
+        return [DeviceBatch(out, None, inp.layout)]
+
+
+# ======================================== Erase ====================================================
+
+DALI_SCHEMA("Erase").DocStr(
+    "Erases (fills) regions (reference generic/erase/erase.cc)."
+).NumInput(1).NumOutput(1).Devices("cpu", "gpu").AllowSequences().AddOptionalArg(
+    "anchor", ArgType.FLOAT_VEC, "Region anchors (flattened).", None, tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "shape", ArgType.FLOAT_VEC, "Region shapes (flattened).", None, tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "axes", ArgType.INT_VEC, "Axes the regions refer to.", None
+).AddOptionalArg(
+    "axis_names", ArgType.TENSOR_LAYOUT, "Axes by layout name.", None
+).AddOptionalArg(
+    "fill_value", ArgType.FLOAT_VEC, "Fill values.", [0.0]
+).AddOptionalArg(
+    "normalized_anchor", ArgType.BOOL, "Anchors are relative.", False
+).AddOptionalArg(
+    "normalized_shape", ArgType.BOOL, "Shapes are relative.", False
+).AddOptionalArg("normalized", ArgType.BOOL, "Both relative.", False).AddOptionalArg(
+    "centered_anchor", ArgType.BOOL, "Anchors denote region centers.", False
+)
+
+
+@register_operator("Erase", "cpu")
+class EraseCPU(Operator):
+    def run_sample(self, ctx, idx, img):
+        spec = self.spec
+        layout = ""
+        axes = spec.GetArgument("axes", None)
+        names = spec.GetArgument("axis_names", None)
+        if names and not axes:
+            axes = None  # resolved against layout at batch level; default spatial
+        if not axes:
+            axes = list(range(min(2, img.ndim)))
+        nd = len(axes)
+        anchor = ctx.arg(self, "anchor", idx, None)
+        shape = ctx.arg(self, "shape", idx, None)
+        if anchor is None or shape is None:
+            return img.copy()
+        anchor = np.asarray(anchor, np.float64).reshape(-1, nd)
+        shape = np.asarray(shape, np.float64).reshape(-1, nd)
+        normalized = spec.GetArgument("normalized", False)
+        na = normalized or spec.GetArgument("normalized_anchor", False)
+        ns = normalized or spec.GetArgument("normalized_shape", False)
+        dims = np.array([img.shape[a] for a in axes], np.float64)
+        if na:
+            anchor = anchor * dims
+        if ns:
+            shape = shape * dims
+        if spec.GetArgument("centered_anchor", False):
+            anchor = anchor - shape / 2
+        fill = spec.GetArgument("fill_value", [0.0])
+        out = img.copy()
+        for r in range(anchor.shape[0]):
+            sl = [slice(None)] * img.ndim
+            for k, a in enumerate(axes):
+                lo = int(round(anchor[r, k]))
+                hi = lo + int(round(shape[r, k]))
+                sl[a] = slice(max(lo, 0), max(min(hi, img.shape[a]), 0))
+            region = out[tuple(sl)]
+            fv = np.asarray(fill, out.dtype)
+            if fv.size == 1:
+                region[...] = fv.reshape(-1)[0]
+            else:
+                region[...] = fv.reshape((1,) * (region.ndim - 1) + (-1,))
+        return out
+
+
+# ======================================== Normalize ================================================
+
+DALI_SCHEMA("Normalize").DocStr(
+    """Mean/stddev normalization (reference math/normalize/normalize.cc):
+    out = scale * (in - mean) / stddev + shift; mean/stddev computed over ``axes``
+    unless given; ``batch=True`` normalizes across the whole batch."""
+).NumInput(1).NumOutput(1).Devices("cpu", "gpu").AllowSequences().AddOptionalArg(
+    "axes", ArgType.INT_VEC, "Reduction axes.", None
+).AddOptionalArg(
+    "axis_names", ArgType.TENSOR_LAYOUT, "Reduction axes by name.", None
+).AddOptionalArg(
+    "mean", ArgType.FLOAT, "Fixed mean.", None, tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "stddev", ArgType.FLOAT, "Fixed stddev.", None, tensor_ok=True, per_sample=True
+).AddOptionalArg("batch", ArgType.BOOL, "Normalize across the whole batch.", False).AddOptionalArg(
+    "scale", ArgType.FLOAT, "Output scale.", 1.0
+).AddOptionalArg("shift", ArgType.FLOAT, "Output shift.", 0.0).AddOptionalArg(
+    "epsilon", ArgType.FLOAT, "Added to variance.", 0.0
+).AddOptionalArg("ddof", ArgType.INT, "Delta degrees of freedom.", 0).AddOptionalArg(
+    "dtype", ArgType.DATA_TYPE, "Output dtype.", DALIDataType.FLOAT
+)
+
+
+def _norm_axes(spec, ndim, layout=""):
+    names = spec.GetArgument("axis_names", None)
+    if names and layout:
+        return tuple(layout.index(c) for c in names)
+    axes = spec.GetArgument("axes", None)
+    if axes:
+        return tuple(a % ndim for a in axes)
+    return tuple(range(ndim))
+
+
+@register_operator("Normalize", "cpu")
+class NormalizeCPU(Operator):
+    def run_batch(self, ctx, inp: HostBatch):
+        spec = self.spec
+        dt = to_numpy_type(spec.GetArgument("dtype", DALIDataType.FLOAT))
+        scale = spec.GetArgument("scale", 1.0)
+        shift = spec.GetArgument("shift", 0.0)
+        eps = spec.GetArgument("epsilon", 0.0)
+        ddof = spec.GetArgument("ddof", 0)
+        batch_mode = spec.GetArgument("batch", False)
+        outs = []
+        if batch_mode:
+            flat = np.concatenate([s.astype(np.float64).reshape(-1) for s in inp.samples])
+            mean = flat.mean()
+            var = flat.var(ddof=ddof)
+            std = np.sqrt(var + eps)
+            for s in inp.samples:
+                outs.append((scale * (s.astype(np.float64) - mean) / max(std, 1e-12) + shift).astype(dt))
+            return [HostBatch(outs, layout=inp.layout)]
+        for i, s in enumerate(inp.samples):
+            axes = _norm_axes(spec, s.ndim, inp.layout)
+            mean = ctx.arg(self, "mean", i, None)
+            std = ctx.arg(self, "stddev", i, None)
+            x = s.astype(np.float64)
+            m = x.mean(axis=axes, keepdims=True) if mean is None else np.asarray(mean, np.float64)
+            if std is None:
+                var = ((x - m) ** 2).mean(axis=axes, keepdims=True)
+                if ddof:
+                    nred = np.prod([s.shape[a] for a in axes])
+                    var = var * nred / max(nred - ddof, 1)
+                sd = np.sqrt(var + eps)
+            else:
+                sd = np.asarray(std, np.float64)
+            sd = np.where(sd == 0, 1.0, sd)
+            outs.append((scale * (x - m) / sd + shift).astype(dt))
+        return [HostBatch(outs, layout=inp.layout)]
+
+
+@register_operator("Normalize", "gpu")
+class NormalizeGPU(Operator):
+    def lower(self, dctx, inp: DeviceBatch):
+        import jax.numpy as jnp
+
+        spec = self.spec
+        if inp.shapes is not None:
+            raise NotImplementedError("Normalize(gpu) on ragged batches not yet supported")
+        dt = to_jnp_type(spec.GetArgument("dtype", DALIDataType.FLOAT))
+        scale = spec.GetArgument("scale", 1.0)
+        shift = spec.GetArgument("shift", 0.0)
+        eps = spec.GetArgument("epsilon", 0.0)
+        x = inp.data.astype(jnp.float32)
+        sample_axes = _norm_axes(spec, x.ndim - 1, inp.layout)
+        axes = tuple(a + 1 for a in sample_axes)
+        if spec.GetArgument("batch", False):
+            axes = (0,) + axes
+        mean_arg = dctx.arg(self, "mean", None)
+        std_arg = dctx.arg(self, "stddev", None)
+        m = x.mean(axis=axes, keepdims=True) if mean_arg is None else jnp.asarray(mean_arg, jnp.float32)
+        if std_arg is None:
+            sd = jnp.sqrt(((x - m) ** 2).mean(axis=axes, keepdims=True) + eps)
+        else:
+            sd = jnp.asarray(std_arg, jnp.float32)
+        sd = jnp.where(sd == 0, 1.0, sd)
+        out = (scale * (x - m) / sd + shift).astype(dt)
+        return [inp.with_data(out)]
+
+
+# ======================================== Join (cat / stack) ========================================
+
+DALI_SCHEMA("Cat").DocStr("Concatenate samples along an axis (reference generic/join.cc).").NumInput(
+    1, 16
+).NumOutput(1).Devices("cpu", "gpu").AddOptionalArg("axis", ArgType.INT, "Join axis.", 0).AddOptionalArg(
+    "axis_name", ArgType.TENSOR_LAYOUT, "Join axis by name.", None
+)
+
+DALI_SCHEMA("Stack").DocStr("Stack samples along a new axis (reference generic/join.cc).").NumInput(
+    1, 16
+).NumOutput(1).Devices("cpu", "gpu").AddOptionalArg("axis", ArgType.INT, "New axis position.", 0).AddOptionalArg(
+    "axis_name", ArgType.TENSOR_LAYOUT, "New axis name.", None
+)
+
+
+@register_operator("Cat", "cpu")
+class CatCPU(Operator):
+    def run_sample(self, ctx, idx, *inputs):
+        axis = self.spec.GetArgument("axis", 0)
+        return np.concatenate(inputs, axis=axis)
+
+
+@register_operator("Stack", "cpu")
+class StackCPU(Operator):
+    def run_sample(self, ctx, idx, *inputs):
+        axis = self.spec.GetArgument("axis", 0)
+        return np.stack(inputs, axis=axis)
+
+
+@register_operator("Cat", "gpu")
+class CatGPU(Operator):
+    def lower(self, dctx, *inputs: DeviceBatch):
+        import jax.numpy as jnp
+
+        axis = self.spec.GetArgument("axis", 0) + 1
+        return [DeviceBatch(jnp.concatenate([i.data for i in inputs], axis=axis), None, inputs[0].layout)]
+
+
+@register_operator("Stack", "gpu")
+class StackGPU(Operator):
+    def lower(self, dctx, *inputs: DeviceBatch):
+        import jax.numpy as jnp
+
+        axis = self.spec.GetArgument("axis", 0) + 1
+        return [DeviceBatch(jnp.stack([i.data for i in inputs], axis=axis), None, "")]
+
+
+# ======================================== PermuteBatch ==============================================
+
+DALI_SCHEMA("PermuteBatch").DocStr(
+    "Reorders samples in the batch by indices (reference generic/permute_batch.cc)."
+).NumInput(1).NumOutput(1).Devices("cpu", "gpu").AddArg(
+    "indices", ArgType.INT_VEC, "Source index for each output sample.", tensor_ok=True, per_sample=True
+)
+
+
+@register_operator("PermuteBatch", "cpu")
+class PermuteBatchCPU(Operator):
+    def run_batch(self, ctx, inp: HostBatch):
+        idx_arg = ctx.arg(self, "indices", None)
+        if isinstance(idx_arg, HostBatch):
+            indices = [int(np.asarray(s).reshape(-1)[0]) for s in idx_arg.samples]
+        else:
+            indices = [int(v) for v in idx_arg]
+        return [HostBatch([inp.samples[i] for i in indices], layout=inp.layout)]
+
+
+@register_operator("PermuteBatch", "gpu")
+class PermuteBatchGPU(Operator):
+    def lower(self, dctx, inp: DeviceBatch):
+        import jax.numpy as jnp
+
+        idx = dctx.arg(self, "indices")
+        idx = jnp.asarray(idx).reshape(-1)
+        shapes = inp.shapes[idx] if inp.shapes is not None else None
+        return [DeviceBatch(inp.data[idx], shapes, inp.layout)]
+
+
+# ======================================== LookupTable ================================================
+
+DALI_SCHEMA("LookupTable").DocStr(
+    "Value mapping through a lookup table (reference generic/lookup_table.cc)."
+).NumInput(1).NumOutput(1).Devices("cpu", "gpu").AllowSequences().AddOptionalArg(
+    "keys", ArgType.INT_VEC, "Keys.", None
+).AddOptionalArg(
+    "values", ArgType.FLOAT_VEC, "Values for the keys.", None
+).AddOptionalArg(
+    "default_value", ArgType.FLOAT, "Value for unmapped keys.", 0.0
+).AddOptionalArg("dtype", ArgType.DATA_TYPE, "Output dtype.", DALIDataType.FLOAT)
+
+
+class _LUTCommon(Operator):
+    def _table(self):
+        keys = self.spec.GetArgument("keys", None) or []
+        values = self.spec.GetArgument("values", None) or []
+        default = self.spec.GetArgument("default_value", 0.0)
+        lut = np.full(0x10000, default, np.float32)
+        for k, v in zip(keys, values):
+            lut[int(k)] = v
+        return lut
+
+
+@register_operator("LookupTable", "cpu")
+class LookupTableCPU(_LUTCommon):
+    def run_sample(self, ctx, idx, x):
+        lut = self._table()
+        dt = to_numpy_type(self.spec.GetArgument("dtype", DALIDataType.FLOAT))
+        return lut[x.astype(np.int64)].astype(dt)
+
+
+@register_operator("LookupTable", "gpu")
+class LookupTableGPU(_LUTCommon):
+    def lower(self, dctx, inp: DeviceBatch):
+        import jax.numpy as jnp
+
+        lut = jnp.asarray(self._table())
+        dt = to_jnp_type(self.spec.GetArgument("dtype", DALIDataType.FLOAT))
+        out = lut[inp.data.astype(jnp.int32)].astype(dt)
+        return [inp.with_data(out)]
+
+
+# ================================== Full / Zeros / Ones family ======================================
+
+
+def _value_schema(name, doc):
+    return (
+        DALI_SCHEMA(name)
+        .DocStr(doc + " (reference generic/constant_value.cc)")
+        .NumInput(0, 1)
+        .NumOutput(1)
+        .Devices("cpu", "gpu")
+        .AddOptionalArg("shape", ArgType.INT_VEC, "Output shape.", None, tensor_ok=True, per_sample=True)
+        .AddOptionalArg("dtype", ArgType.DATA_TYPE, "Output dtype.", None)
+    )
+
+
+_value_schema("Zeros", "Batch of zero tensors.")
+_value_schema("Ones", "Batch of one tensors.")
+_value_schema("Full", "Batch filled with `fill_value`.").AddArg(
+    "fill_value", ArgType.FLOAT_VEC, "Fill value(s).", tensor_ok=True, per_sample=True
+)
+_value_schema("ZerosLike", "Zeros with input's shape.")
+_value_schema("OnesLike", "Ones with input's shape.")
+_value_schema("FullLike", "`fill_value` with input's shape.").AddArg(
+    "fill_value", ArgType.FLOAT_VEC, "Fill value(s).", tensor_ok=True, per_sample=True
+)
+
+
+class _ValueOpCPU(Operator):
+    fill = 0.0
+    like = False
+
+    def run_sample(self, ctx, idx, *inputs):
+        if self.like:
+            shape = inputs[0].shape
+            base_dt = inputs[0].dtype
+        else:
+            shp = ctx.arg(self, "shape", idx, None)
+            shape = tuple(int(v) for v in np.asarray(shp).reshape(-1)) if shp is not None else ()
+            base_dt = np.dtype(np.int32)
+        dt_arg = self.spec.GetArgument("dtype", None)
+        dt = to_numpy_type(dt_arg) if dt_arg is not None else base_dt
+        fv = self.fill
+        if fv is None:  # Full/FullLike
+            fv = np.asarray(ctx.arg(self, "fill_value", idx, 0.0))
+            if fv.size > 1:
+                return np.broadcast_to(fv.astype(dt), shape if shape else fv.shape).copy()
+            fv = fv.reshape(-1)[0]
+            if dt_arg is None and not self.like:
+                dt = np.asarray(ctx.arg(self, "fill_value", idx, 0.0)).dtype
+        return np.full(shape, fv, dtype=dt)
+
+
+for _nm, _fill, _like in (
+    ("Zeros", 0.0, False),
+    ("Ones", 1.0, False),
+    ("Full", None, False),
+    ("ZerosLike", 0.0, True),
+    ("OnesLike", 1.0, True),
+    ("FullLike", None, True),
+):
+    register_operator(_nm, "cpu")(type(_nm + "CPU", (_ValueOpCPU,), {"fill": _fill, "like": _like}))
+
+
+# ======================================== GetProperty ================================================
+
+DALI_SCHEMA("GetProperty").DocStr(
+    "Extracts a metadata property of the input (reference util/get_property.cc)."
+).NumInput(1).NumOutput(1).Devices("cpu").AddArg("key", ArgType.STRING, "'source_info' or 'layout'.")
+
+
+@register_operator("GetProperty", "cpu")
+class GetProperty(Operator):
+    def run_batch(self, ctx, inp: HostBatch):
+        key = self.spec.GetArgument("key")
+        if key == "layout":
+            payload = np.frombuffer(inp.layout.encode(), dtype=np.uint8)
+            return [HostBatch([payload.copy() for _ in inp.samples])]
+        if key == "source_info":
+            infos = inp.source_info or [""] * len(inp.samples)
+            return [
+                HostBatch([np.frombuffer(str(s).encode(), dtype=np.uint8).copy() for s in infos])
+            ]
+        raise ValueError(f"Unknown property '{key}'")

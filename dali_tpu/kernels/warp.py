@@ -1,0 +1,104 @@
+"""Affine warping on padded batches.
+
+Reference: ``dali/kernels/imgproc/warp/`` (affine.h, warp_gpu.h) — DALI maps each
+output pixel through the (inverse) affine matrix and samples the input with NN or
+bilinear filtering, filling out-of-bounds pixels with a border value. Here the
+mapping is computed inside the jitted program and the sampling lowers to XLA
+gathers; per-sample matrices come in as a [N, 2, 3] array.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..types import DALIInterpType
+
+
+def warp_affine_sample(img, matrix, out_h, out_w, interp, fill_value, extent_hw):
+    """Warp one sample [H, W, C] by the inverse matrix [2, 3] → [out_h, out_w, C].
+
+    dst (x, y) samples src at (sx, sy) = M @ (x, y, 1) — matching the reference
+    convention (inverse_map=True: matrix is destination→source).
+    """
+    H, W, C = img.shape
+    ys = jnp.arange(out_h, dtype=jnp.float32)
+    xs = jnp.arange(out_w, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(xs, ys)  # [out_h, out_w]
+    sx = matrix[0, 0] * gx + matrix[0, 1] * gy + matrix[0, 2]
+    sy = matrix[1, 0] * gx + matrix[1, 1] * gy + matrix[1, 2]
+    eh = extent_hw[0].astype(jnp.float32)
+    ew = extent_hw[1].astype(jnp.float32)
+    imgf = img.astype(jnp.float32)
+
+    if interp == DALIInterpType.INTERP_NN:
+        ix = jnp.round(sx).astype(jnp.int32)
+        iy = jnp.round(sy).astype(jnp.int32)
+        valid = (ix >= 0) & (ix < ew) & (iy >= 0) & (iy < eh)
+        ix = jnp.clip(ix, 0, W - 1)
+        iy = jnp.clip(iy, 0, H - 1)
+        out = imgf[iy, ix]
+        return jnp.where(valid[..., None], out, fill_value)
+
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    wx = sx - x0
+    wy = sy - y0
+    ix0 = x0.astype(jnp.int32)
+    iy0 = y0.astype(jnp.int32)
+
+    def tap(iy, ix):
+        valid = (ix >= 0) & (ix < ew.astype(jnp.int32)) & (iy >= 0) & (iy < eh.astype(jnp.int32))
+        v = imgf[jnp.clip(iy, 0, H - 1), jnp.clip(ix, 0, W - 1)]
+        return jnp.where(valid[..., None], v, fill_value)
+
+    v00 = tap(iy0, ix0)
+    v01 = tap(iy0, ix0 + 1)
+    v10 = tap(iy0 + 1, ix0)
+    v11 = tap(iy0 + 1, ix0 + 1)
+    wxe = wx[..., None]
+    wye = wy[..., None]
+    return (v00 * (1 - wxe) + v01 * wxe) * (1 - wye) + (v10 * (1 - wxe) + v11 * wxe) * wye
+
+
+def warp_affine_batch(
+    data,  # [N, H, W, C]
+    matrices,  # [N, 2, 3] destination→source
+    out_h: int,
+    out_w: int,
+    extents=None,  # [N, 2] valid (h, w)
+    interp: DALIInterpType = DALIInterpType.INTERP_LINEAR,
+    fill_value: float = 0.0,
+    out_dtype=None,
+):
+    n, H, W, C = data.shape
+    if extents is None:
+        extents = jnp.tile(jnp.array([[H, W]], jnp.int32), (n, 1))
+    fn = partial(warp_affine_sample, out_h=out_h, out_w=out_w, interp=interp, fill_value=fill_value)
+    out = jax.vmap(lambda i, m, e: fn(i, m, extent_hw=e))(data, matrices, extents)
+    dt = out_dtype if out_dtype is not None else data.dtype
+    if jnp.issubdtype(dt, jnp.integer):
+        info = jnp.iinfo(dt)
+        out = jnp.clip(jnp.round(out), info.min, info.max)
+    return out.astype(dt)
+
+
+def rotation_matrix(angle_deg, center_xy, out_center_xy):
+    """Destination→source rotation matrix about a center (host-side numpy;
+    reference ``dali/operators/image/remap/rotate_params.h``)."""
+    a = np.deg2rad(angle_deg)
+    c, s = np.cos(a), np.sin(a)
+    # dst→src for a visually counter-clockwise rotation in y-down image coords
+    # (positive angle = CCW, matching the reference rotate.cc)
+    m = np.array([[c, -s], [s, c]], np.float32)
+    t = np.asarray(center_xy, np.float32) - m @ np.asarray(out_center_xy, np.float32)
+    return np.concatenate([m, t[:, None]], axis=1).astype(np.float32)  # [2,3], (x,y) order
+
+
+def rotated_canvas_size(h, w, angle_deg):
+    a = np.deg2rad(angle_deg)
+    c, s = abs(np.cos(a)), abs(np.sin(a))
+    return int(np.ceil(h * c + w * s - 0.5)), int(np.ceil(w * c + h * s - 0.5))

@@ -1,0 +1,115 @@
+"""Base framework iterator: epoch accounting, LastBatchPolicy, auto_reset.
+
+Reference: ``dali/python/nvidia/dali/plugin/base_iterator.py`` (611 LoC) — the
+semantics are kept: ``reader_name`` autosizing from reader metadata, FILL / DROP /
+PARTIAL last-batch policies, multi-pipeline aggregation (one pipeline per shard).
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import List, Optional
+
+
+class LastBatchPolicy(enum.Enum):
+    FILL = 0  # pad the last batch with wrapped-around samples (default)
+    DROP = 1  # drop the incomplete last batch
+    PARTIAL = 2  # return the incomplete last batch with a validity count
+
+
+class DALIGenericIterator:
+    """Iterates one or more pipelines, yielding per-pipeline output dicts.
+
+    Subclasses implement ``_to_framework(category_outputs) -> framework batch``.
+    """
+
+    def __init__(
+        self,
+        pipelines,
+        output_map: List[str],
+        size: int = -1,
+        reader_name: Optional[str] = None,
+        auto_reset: bool = False,
+        fill_last_batch: Optional[bool] = None,
+        last_batch_padded: bool = False,
+        last_batch_policy: LastBatchPolicy = LastBatchPolicy.FILL,
+        prepare_first_batch: bool = True,
+    ):
+        if not isinstance(pipelines, (list, tuple)):
+            pipelines = [pipelines]
+        if len(set(output_map)) != len(output_map):
+            raise ValueError("output_map names must be unique")
+        self._pipes = list(pipelines)
+        self.output_map = list(output_map)
+        self._auto_reset = auto_reset in (True, "yes")
+        self._last_batch_policy = last_batch_policy
+        self._last_batch_padded = last_batch_padded
+        self.batch_size = self._pipes[0].max_batch_size
+        self._reader_name = reader_name
+
+        if reader_name is not None:
+            metas = [p.reader_meta(reader_name) for p in self._pipes]
+            # aggregate shard sizes across the pipelines we drive
+            total = 0
+            for m in metas:
+                if m["pad_last_batch"]:
+                    shard = m["epoch_size_padded"] // m["number_of_shards"]
+                else:
+                    es, ns, sid = m["epoch_size"], m["number_of_shards"], m["shard_id"]
+                    shard = (sid + 1) * es // ns - sid * es // ns
+                total += shard
+            self._size = total
+            self._last_batch_padded = bool(metas[0]["pad_last_batch"])
+        else:
+            self._size = size * len(self._pipes) if size > 0 else size
+
+        self._counter = 0
+        self._ever_consumed = False
+        for p in self._pipes:
+            p._require_built()
+            p._prefetch()
+
+    @property
+    def size(self):
+        return self._size
+
+    def __len__(self):
+        if self._size <= 0:
+            raise TypeError("Iterator size unknown (infinite external source)")
+        n = self._size
+        bs = self.batch_size * len(self._pipes)
+        if self._last_batch_policy == LastBatchPolicy.DROP:
+            return n // bs
+        return -(-n // bs)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._size > 0 and self._counter >= self._size:
+            if self._auto_reset:
+                self.reset()
+            raise StopIteration
+        if self._size > 0 and self._last_batch_policy == LastBatchPolicy.DROP:
+            remaining = self._size - self._counter
+            if remaining < self.batch_size * len(self._pipes):
+                if self._auto_reset:
+                    self.reset()
+                raise StopIteration
+        self._ever_consumed = True
+        batches = []
+        for p in self._pipes:
+            outs = p.outputs()
+            p.schedule_run()
+            batches.append(dict(zip(self.output_map, outs)))
+        self._counter += self.batch_size * len(self._pipes)
+        return self._to_framework(batches)
+
+    next = __next__
+
+    def reset(self):
+        """Start a new epoch (reference base_iterator.reset)."""
+        self._counter = 0
+
+    def _to_framework(self, batches):
+        return batches
