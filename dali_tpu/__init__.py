@@ -58,3 +58,28 @@ from .pipeline import Pipeline, do_not_convert, pipeline_def  # noqa: E402,F401
 
 # fn.external_source is special-cased (reference external_source.py:1002)
 fn.external_source = external_source
+
+from . import tfrecord  # noqa: E402,F401
+
+
+def _tfrecord_fn(path=None, index_path=None, features=None, name=None, **kwargs):
+    """fn.readers.tfrecord returns a dict of DataNodes keyed by feature name
+    (reference ops/__init__.py TFRecord special-casing)."""
+    if not features:
+        raise ValueError("readers.tfrecord requires `features`")
+    outs = _op_call(
+        "readers.TFRecord",
+        device="cpu",
+        inputs=(),
+        name=name,
+        path=path,
+        index_path=index_path,
+        _features=dict(features),
+        **kwargs,
+    )
+    if not isinstance(outs, tuple):
+        outs = (outs,)
+    return dict(zip(features.keys(), outs))
+
+
+fn.readers.tfrecord = _tfrecord_fn

@@ -142,11 +142,19 @@ class ArithmGPU(Operator):
         args = []
         shapes = None
         layout = ""
+        max_ndim = max((inputs[t[1]].data.ndim for t in self._tokens if t[0] == "input"), default=1)
         for t in self._tokens:
             if t[0] == "input":
                 db = inputs[t[1]]
-                args.append(db.data)
-                if shapes is None and db.shapes is not None:
+                data = db.data
+                if data.ndim < max_ndim:
+                    # per-sample broadcasting: batch dim first, sample dims
+                    # right-aligned (reference expression broadcasting semantics)
+                    n = data.shape[0]
+                    pad = max_ndim - data.ndim
+                    data = data.reshape(n, *([1] * pad), *data.shape[1:])
+                args.append(data)
+                if shapes is None and db.shapes is not None and db.data.ndim == max_ndim:
                     shapes = db.shapes
                 layout = layout or db.layout
             else:

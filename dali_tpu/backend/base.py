@@ -109,6 +109,12 @@ class DeviceCtx:
     def static(self, op: "Operator"):
         return self._statics.get(op.op_id)
 
+    def bind_device_args(self, device_arg_edges, env):
+        """Register gpu-edge argument inputs (resolved from the device-program env
+        at trace time)."""
+        self._device_arg_edges = device_arg_edges
+        self._env = env
+
     def key(self, op: "Operator"):
         """Per-op PRNG key derived from the iteration key."""
         return self._jax.random.fold_in(self._base_key, op.op_id)
@@ -122,13 +128,19 @@ class DeviceCtx:
         arrs = self._arg_arrays.get(op.op_id, {})
         if name in arrs:
             return arrs[name]
+        dev_edges = getattr(self, "_device_arg_edges", None)
+        if dev_edges and (op.op_id, name) in dev_edges:
+            return self._env[dev_edges[(op.op_id, name)]].data
         if op.spec.HasArgument(name):
             return op.spec.GetArgument(name)
         v = op.spec.GetArgument(name, default)
         return default if v is None else v
 
     def has_tensor_arg(self, op: "Operator", name: str) -> bool:
-        return name in self._arg_arrays.get(op.op_id, {})
+        if name in self._arg_arrays.get(op.op_id, {}):
+            return True
+        dev_edges = getattr(self, "_device_arg_edges", None)
+        return bool(dev_edges and (op.op_id, name) in dev_edges)
 
     def has_param(self, op: "Operator", name: str) -> bool:
         return name in self._params.get(op.op_id, {})

@@ -358,8 +358,6 @@ class NormalizeGPU(Operator):
         import jax.numpy as jnp
 
         spec = self.spec
-        if inp.shapes is not None:
-            raise NotImplementedError("Normalize(gpu) on ragged batches not yet supported")
         dt = to_jnp_type(spec.GetArgument("dtype", DALIDataType.FLOAT))
         scale = spec.GetArgument("scale", 1.0)
         shift = spec.GetArgument("shift", 0.0)
@@ -371,11 +369,32 @@ class NormalizeGPU(Operator):
             axes = (0,) + axes
         mean_arg = dctx.arg(self, "mean", None)
         std_arg = dctx.arg(self, "stddev", None)
-        m = x.mean(axis=axes, keepdims=True) if mean_arg is None else jnp.asarray(mean_arg, jnp.float32)
-        if std_arg is None:
-            sd = jnp.sqrt(((x - m) ** 2).mean(axis=axes, keepdims=True) + eps)
+        if inp.shapes is None:
+            m = x.mean(axis=axes, keepdims=True) if mean_arg is None else jnp.asarray(mean_arg, jnp.float32)
+            if std_arg is None:
+                sd = jnp.sqrt(((x - m) ** 2).mean(axis=axes, keepdims=True) + eps)
+            else:
+                sd = jnp.asarray(std_arg, jnp.float32)
         else:
-            sd = jnp.asarray(std_arg, jnp.float32)
+            # ragged: masked moments over each sample's valid region only
+            mask = jnp.ones(x.shape, bool)
+            for d in range(x.ndim - 1):
+                ext = inp.extent(d)
+                idx = jnp.arange(x.shape[d + 1]).reshape(
+                    *([1] * (d + 1)), -1, *([1] * (x.ndim - d - 2))
+                )
+                mask = mask & (idx < ext.reshape(-1, *([1] * (x.ndim - 1))))
+            w = mask.astype(jnp.float32)
+            count = jnp.maximum(w.sum(axis=axes, keepdims=True), 1.0)
+            if mean_arg is None:
+                m = (x * w).sum(axis=axes, keepdims=True) / count
+            else:
+                m = jnp.asarray(mean_arg, jnp.float32)
+            if std_arg is None:
+                var = (((x - m) * w) ** 2).sum(axis=axes, keepdims=True) / count
+                sd = jnp.sqrt(var + eps)
+            else:
+                sd = jnp.asarray(std_arg, jnp.float32)
         sd = jnp.where(sd == 0, 1.0, sd)
         out = (scale * (x - m) / sd + shift).astype(dt)
         return [inp.with_data(out)]

@@ -1,0 +1,374 @@
+"""Reader long tail: TFRecord, Webdataset, Numpy, COCO, Sequence.
+
+Reference: ``dali/operators/reader/`` — ``tfrecord_reader_op.cc`` (+
+``parser/tfrecord_parser.h``), ``webdataset_loader.cc``, ``numpy_loader.cc``,
+``coco_loader.cc`` (+ ``coco_reader_op.cc``), ``sequence_loader.cc``. All share
+the :class:`~dali_tpu.backend.readers.BaseReader` shard/shuffle machinery.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tarfile
+from typing import Dict, List
+
+import numpy as np
+
+from .. import tfrecord as tfrec
+from .._schema import DALI_SCHEMA, ArgType, register_operator
+from ..batch import HostBatch
+from .base import HostCtx
+from .readers import BaseReader
+
+# ====================================== readers.TFRecord ==========================================
+
+DALI_SCHEMA("readers.TFRecord").DocStr(
+    """Reads tf.Example records (reference ``readers__TFRecord``). ``features``
+    maps names to ``dali_tpu.tfrecord.FixedLenFeature/VarLenFeature``; one output
+    per feature, ordered by the dict."""
+).NumInput(0).OutputFn(lambda spec: len(spec._extra.get("_features", {}))).Devices(
+    "cpu"
+).MakeReader().AddOptionalArg(
+    "path", ArgType.STRING_VEC, "TFRecord file path(s).", None
+).AddOptionalArg(
+    "index_path", ArgType.STRING_VEC, "Index file path(s) (tfrecord2idx).", None
+).AddOptionalArg("features", ArgType.PYTHON_OBJECT, "Feature schema dict.", None)
+
+
+@register_operator("readers.TFRecord", "cpu")
+class TFRecordReader(BaseReader):
+    def __init__(self, spec, op_id):
+        super().__init__(spec, op_id)
+        self._features: Dict[str, tfrec.Feature] = spec._extra.get("_features") or spec.GetArgument(
+            "features", None
+        )
+        if not self._features:
+            raise ValueError("readers.tfrecord requires `features`")
+        self._entries = None  # [(file_idx, offset, size)]
+        self._paths = None
+
+    def _build_index(self):
+        if self._entries is not None:
+            return
+        paths = self.spec.GetArgument("path")
+        if isinstance(paths, str):
+            paths = [paths]
+        index_paths = self.spec.GetArgument("index_path", None)
+        if isinstance(index_paths, str):
+            index_paths = [index_paths]
+        self._paths = list(paths)
+        self._entries = []
+        for fi, p in enumerate(paths):
+            if index_paths and fi < len(index_paths) and os.path.exists(index_paths[fi]):
+                with open(index_paths[fi]) as f:
+                    for line in f:
+                        off, size = line.split()
+                        self._entries.append((fi, int(off), int(size)))
+            else:
+                for off, size in tfrec.build_index(p):
+                    self._entries.append((fi, off, size))
+
+    def _num_samples(self):
+        return len(self._entries)
+
+    def _read_payload(self, index: int):
+        fi, off, size = self._entries[index]
+        with open(self._paths[fi], "rb") as f:
+            f.seek(off)
+            payload = tfrec.read_record(f)
+        parsed = tfrec.parse_example(payload)
+        outs = []
+        for name, feat in self._features.items():
+            v = parsed.get(name)
+            if v is None:
+                v = feat.default_value if feat.default_value is not None else b""
+            if feat.dtype == tfrec.string:
+                raw = v[0] if isinstance(v, list) else v
+                if isinstance(raw, (bytes, bytearray)):
+                    outs.append(np.frombuffer(raw, np.uint8).copy())
+                else:
+                    outs.append(np.asarray(raw))
+            else:
+                arr = np.asarray(v, np.int64 if feat.dtype == tfrec.int64 else np.float32)
+                if feat.shape is not None and len(feat.shape) and -1 not in feat.shape:
+                    arr = arr.reshape(feat.shape)
+                elif feat.shape == ():
+                    arr = arr.reshape(()) if arr.size == 1 else arr
+                outs.append(arr)
+        return tuple(outs)
+
+
+# ====================================== readers.Webdataset ========================================
+
+DALI_SCHEMA("readers.Webdataset").DocStr(
+    """Reads webdataset tar archives (reference ``readers__Webdataset``,
+    ``webdataset_loader.cc``): components grouped by basename, one output per
+    extension in ``ext``."""
+).NumInput(0).OutputFn(
+    lambda spec: len(spec.GetArgument("ext")) if isinstance(spec.GetArgument("ext"), list) else 1
+).Devices("cpu").MakeReader().AddArg(
+    "paths", ArgType.STRING_VEC, "Tar archive path(s)."
+).AddOptionalArg(
+    "index_paths", ArgType.STRING_VEC, "Index files (wds2idx).", None
+).AddOptionalArg(
+    "ext", ArgType.STRING_VEC, "Component extensions, one output each.", ["jpg"]
+).AddOptionalArg(
+    "missing_component_behavior", ArgType.STRING, "'error'|'skip'|'empty'.", "empty"
+).AddOptionalArg("dtypes", ArgType.PYTHON_OBJECT, "Output dtypes.", None)
+
+
+@register_operator("readers.Webdataset", "cpu")
+class WebdatasetReader(BaseReader):
+    def __init__(self, spec, op_id):
+        super().__init__(spec, op_id)
+        self._samples = None  # list of (file_idx, {ext: (offset, size)})
+        self._paths = None
+
+    def _build_index(self):
+        if self._samples is not None:
+            return
+        paths = self.spec.GetArgument("paths")
+        if isinstance(paths, str):
+            paths = [paths]
+        self._paths = list(paths)
+        exts = self.spec.GetArgument("ext")
+        behavior = self.spec.GetArgument("missing_component_behavior", "empty")
+        self._samples = []
+        for fi, p in enumerate(paths):
+            groups: Dict[str, Dict[str, tuple]] = {}
+            order: List[str] = []
+            with tarfile.open(p, "r") as tar:
+                for m in tar:
+                    if not m.isfile():
+                        continue
+                    base, _, ext = m.name.partition(".")
+                    if base not in groups:
+                        groups[base] = {}
+                        order.append(base)
+                    groups[base][ext] = (m.offset_data, m.size)
+            for base in order:
+                comp = groups[base]
+                if behavior == "skip" and any(e not in comp for e in exts):
+                    continue
+                if behavior == "error" and any(e not in comp for e in exts):
+                    raise ValueError(f"Sample '{base}' missing components in {p}")
+                self._samples.append((fi, comp))
+
+    def _num_samples(self):
+        return len(self._samples)
+
+    def _read_payload(self, index: int):
+        fi, comp = self._samples[index]
+        exts = self.spec.GetArgument("ext")
+        outs = []
+        with open(self._paths[fi], "rb") as f:
+            for e in exts:
+                if e in comp:
+                    off, size = comp[e]
+                    f.seek(off)
+                    outs.append(np.frombuffer(f.read(size), np.uint8).copy())
+                else:
+                    outs.append(np.zeros((0,), np.uint8))
+        return tuple(outs)
+
+
+# ====================================== readers.Numpy ==============================================
+
+DALI_SCHEMA("readers.Numpy").DocStr(
+    "Reads .npy files (reference ``readers__Numpy``, ``numpy_loader.cc``)."
+).NumInput(0).NumOutput(1).Devices("cpu").MakeReader().AddOptionalArg(
+    "file_root", ArgType.STRING, "Directory with .npy files.", None
+).AddOptionalArg(
+    "files", ArgType.STRING_VEC, "Explicit file list.", None
+).AddOptionalArg(
+    "file_list", ArgType.STRING, "Path to a list file.", None
+).AddOptionalArg(
+    "file_filter", ArgType.STRING, "Glob filter.", "*.npy"
+).AddOptionalArg(
+    "register_buffers", ArgType.BOOL, "Compatibility no-op (GDS).", True
+).AddOptionalArg("cache_header_information", ArgType.BOOL, "Cache npy headers.", False)
+
+
+@register_operator("readers.Numpy", "cpu")
+class NumpyReader(BaseReader):
+    def __init__(self, spec, op_id):
+        super().__init__(spec, op_id)
+        self._files = None
+
+    def _build_index(self):
+        if self._files is not None:
+            return
+        spec = self.spec
+        files = spec.GetArgument("files", None)
+        root = spec.GetArgument("file_root", None)
+        if files:
+            self._files = [os.path.join(root, f) if root and not os.path.isabs(f) else f for f in files]
+        elif spec.GetArgument("file_list", None):
+            with open(spec.GetArgument("file_list")) as f:
+                base = root or ""
+                self._files = [os.path.join(base, line.strip()) for line in f if line.strip()]
+        elif root:
+            import fnmatch
+
+            pat = spec.GetArgument("file_filter", "*.npy")
+            self._files = [
+                os.path.join(root, f) for f in sorted(os.listdir(root)) if fnmatch.fnmatch(f, pat)
+            ]
+        else:
+            raise ValueError("readers.numpy requires file_root, files, or file_list")
+        if not self._files:
+            raise ValueError("readers.numpy found no files")
+
+    def _num_samples(self):
+        return len(self._files)
+
+    def _read_payload(self, index: int):
+        return np.load(self._files[index], allow_pickle=False)
+
+
+# ====================================== readers.COCO ===============================================
+
+DALI_SCHEMA("readers.COCO").DocStr(
+    """Reads images + bboxes + labels from a COCO-format annotation file
+    (reference ``readers__COCO``, ``coco_loader.cc``). Outputs
+    (images, bboxes [n,4], labels [n]) + optionally image_ids."""
+).NumInput(0).OutputFn(lambda spec: 4 if spec.GetArgument("image_ids", False) else 3).Devices(
+    "cpu"
+).MakeReader().AddOptionalArg(
+    "file_root", ArgType.STRING, "Directory with the images.", None
+).AddOptionalArg(
+    "annotations_file", ArgType.STRING, "COCO JSON annotations.", None
+).AddOptionalArg(
+    "ltrb", ArgType.BOOL, "Boxes as [l,t,r,b] instead of [x,y,w,h].", False
+).AddOptionalArg(
+    "ratio", ArgType.BOOL, "Boxes relative to image size.", False
+).AddOptionalArg(
+    "size_threshold", ArgType.FLOAT, "Drop boxes smaller than this.", 0.1
+).AddOptionalArg(
+    "skip_empty", ArgType.BOOL, "Skip images with no boxes.", False
+).AddOptionalArg(
+    "image_ids", ArgType.BOOL, "Also output image ids.", False
+).AddOptionalArg("avoid_class_remapping", ArgType.BOOL, "Keep original category ids.", False)
+
+
+@register_operator("readers.COCO", "cpu")
+class CocoReader(BaseReader):
+    def __init__(self, spec, op_id):
+        super().__init__(spec, op_id)
+        self._index = None
+
+    def _build_index(self):
+        if self._index is not None:
+            return
+        spec = self.spec
+        ann_file = spec.GetArgument("annotations_file")
+        root = spec.GetArgument("file_root", "")
+        with open(ann_file) as f:
+            doc = json.load(f)
+        images = {im["id"]: im for im in doc.get("images", [])}
+        cats = sorted(c["id"] for c in doc.get("categories", []))
+        if spec.GetArgument("avoid_class_remapping", False):
+            cat_map = {c: c for c in cats}
+        else:
+            cat_map = {c: i + 1 for i, c in enumerate(cats)}  # contiguous, 1-based
+        anns_by_img: Dict[int, list] = {}
+        thresh = spec.GetArgument("size_threshold", 0.1)
+        for a in doc.get("annotations", []):
+            if a.get("iscrowd", 0):
+                continue
+            x, y, w, h = a["bbox"]
+            if w < thresh or h < thresh:
+                continue
+            anns_by_img.setdefault(a["image_id"], []).append((x, y, w, h, cat_map[a["category_id"]]))
+        self._index = []
+        skip_empty = spec.GetArgument("skip_empty", False)
+        for img_id in sorted(images):
+            boxes = anns_by_img.get(img_id, [])
+            if skip_empty and not boxes:
+                continue
+            im = images[img_id]
+            self._index.append(
+                (os.path.join(root, im["file_name"]), boxes, im["width"], im["height"], img_id)
+            )
+
+    def _num_samples(self):
+        return len(self._index)
+
+    def _read_payload(self, index: int):
+        path, boxes, w, h, img_id = self._index[index]
+        with open(path, "rb") as f:
+            data = np.frombuffer(f.read(), np.uint8)
+        if boxes:
+            bb = np.array([b[:4] for b in boxes], np.float32)
+            labels = np.array([b[4] for b in boxes], np.int32)
+        else:
+            bb = np.zeros((0, 4), np.float32)
+            labels = np.zeros((0,), np.int32)
+        if self.spec.GetArgument("ltrb", False):
+            bb = np.stack([bb[:, 0], bb[:, 1], bb[:, 0] + bb[:, 2], bb[:, 1] + bb[:, 3]], axis=1)
+        if self.spec.GetArgument("ratio", False):
+            scale = np.array(
+                [w, h, w, h] if self.spec.GetArgument("ltrb", False) else [w, h, w, h], np.float32
+            )
+            bb = bb / scale
+        if self.spec.GetArgument("image_ids", False):
+            return data, bb, labels, np.array([img_id], np.int32)
+        return data, bb, labels
+
+
+# ====================================== readers.Sequence ===========================================
+
+DALI_SCHEMA("readers.Sequence").DocStr(
+    "Reads frame sequences from per-sequence directories of images (reference "
+    "``readers__Sequence``, ``sequence_loader.cc``)."
+).NumInput(0).NumOutput(1).Devices("cpu").MakeReader().AddArg(
+    "file_root", ArgType.STRING, "Directory with one subdirectory per sequence."
+).AddArg("sequence_length", ArgType.INT, "Frames per returned sequence.").AddOptionalArg(
+    "step", ArgType.INT, "Distance between first frames of sequences.", 1
+).AddOptionalArg("stride", ArgType.INT, "Distance between consecutive frames.", 1).AddOptionalArg(
+    "image_type", ArgType.IMAGE_TYPE, "Decoded color space.", None
+)
+
+
+@register_operator("readers.Sequence", "cpu")
+class SequenceReader(BaseReader):
+    def __init__(self, spec, op_id):
+        super().__init__(spec, op_id)
+        self._seqs = None
+
+    def _build_index(self):
+        if self._seqs is not None:
+            return
+        root = self.spec.GetArgument("file_root")
+        L = self.spec.GetArgument("sequence_length")
+        step = self.spec.GetArgument("step", 1)
+        stride = self.spec.GetArgument("stride", 1)
+        self._seqs = []
+        for d in sorted(os.listdir(root)):
+            dpath = os.path.join(root, d)
+            if not os.path.isdir(dpath):
+                continue
+            frames = [os.path.join(dpath, f) for f in sorted(os.listdir(dpath))]
+            span = (L - 1) * stride + 1
+            start = 0
+            while start + span <= len(frames):
+                self._seqs.append([frames[start + i * stride] for i in range(L)])
+                start += step
+        if not self._seqs:
+            raise ValueError("readers.sequence found no sequences")
+
+    def _num_samples(self):
+        return len(self._seqs)
+
+    def _read_payload(self, index: int):
+        from .. import imgcodec
+
+        frames = []
+        for p in self._seqs[index]:
+            with open(p, "rb") as f:
+                frames.append(imgcodec.decode(f.read()))
+        return np.stack(frames, axis=0)
+
+    def _payload_layouts(self):
+        return ["FHWC"]

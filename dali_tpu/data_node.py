@@ -76,6 +76,10 @@ class DataNode:
             else:
                 return NotImplemented
         device = "gpu" if any(i.device == "gpu" for i in inputs) else "cpu"
+        if device == "gpu":
+            # DALI permits CPU per-sample scalar operands in GPU expressions
+            # (reference math/expressions): transfer them implicitly.
+            inputs = [i if i.device == "gpu" else i.gpu() for i in inputs]
         expr = f"{op}({' '.join(descs)})"
         return _op_call("_ArithmeticGenericOp", device=device, inputs=inputs, expression_desc=expr)
 

@@ -105,16 +105,17 @@ class Executor:
             if out.device == "gpu" and out.source.id in host_ids:
                 add_boundary(out)
 
-        # cpu arg-inputs of device ops → stacked uniform arrays
+        # arg-inputs of device ops: cpu edges → stacked host arrays; gpu edges
+        # (e.g. a per-sample reduction feeding contrast_center) resolve inside the
+        # device program.
         self.device_arg_edges: List[Tuple[int, str, object]] = []
+        self.device_arg_device_edges: Dict[Tuple[int, str], Tuple[int, int]] = {}
         for node in self.device_ops:
             for name, edge in node.spec.arg_inputs.items():
-                if edge.source.id not in host_ids:
-                    raise ValueError(
-                        f"Argument input '{name}' of {node.instance_name} must be a CPU edge "
-                        "(reference: argument inputs are always CPU, op_spec.h)"
-                    )
-                self.device_arg_edges.append((node.id, name, edge))
+                if edge.source.id in host_ids and edge.device == "cpu":
+                    self.device_arg_edges.append((node.id, name, edge))
+                else:
+                    self.device_arg_device_edges[(node.id, name)] = _edge_key(edge)
 
         # device ops with host-side parameter / static computation
         self.param_ops = [
@@ -154,7 +155,7 @@ class Executor:
                         f"'{inp.name}' (reference rule: no gpu->cpu edges)"
                     )
             for name, inp in node.spec.arg_inputs.items():
-                if inp.device != "cpu":
+                if inp.device != "cpu" and node.device != "gpu":
                     raise ValueError(
                         f"Argument input '{name}' of '{node.instance_name}' must be on CPU"
                     )
@@ -457,6 +458,7 @@ class Executor:
                 for (op_id, name), arr in zip(params_struct_ref._params_struct, params):
                     params_by_op[op_id][name] = arr
                 dctx = DeviceCtx(pipeline.max_batch_size, key, params_by_op, arg_arrays_by_op, statics)
+                dctx.bind_device_args(self.device_arg_device_edges, env)
                 for node in device_nodes:
                     impl = impls[node.id]
                     ins = [env[_edge_key(e)] for e in node.spec.inputs]

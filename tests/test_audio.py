@@ -1,0 +1,157 @@
+"""Audio chain tests — the LibriSpeech-style mel frontend (BASELINE.json config 3),
+cpu↔gpu parity and formula checks against librosa-equivalent math."""
+
+import io
+import struct
+
+import numpy as np
+import pytest
+
+from dali_tpu import fn, pipeline_def, types
+
+
+def make_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    pcm = np.clip(np.round(samples * 32767), -32768, 32767).astype("<i2").tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+    data = b"data" + struct.pack("<I", len(pcm)) + pcm
+    return hdr + fmt + data
+
+
+@pytest.fixture(scope="module")
+def wav_files(tmp_path_factory):
+    root = tmp_path_factory.mktemp("wavs")
+    rng = np.random.default_rng(7)
+    lengths = [16000, 12000, 20000, 8000]
+    for i, n in enumerate(lengths):
+        t = np.arange(n) / 16000
+        sig = 0.5 * np.sin(2 * np.pi * (200 + 100 * i) * t) + 0.05 * rng.standard_normal(n)
+        (root / f"a{i}.wav").write_bytes(make_wav(sig.astype(np.float32)))
+    return str(root)
+
+
+def test_audio_decode(wav_files):
+    import os
+
+    files = sorted(os.path.join(wav_files, f) for f in os.listdir(wav_files))
+
+    @pipeline_def(batch_size=4, num_threads=1, seed=1)
+    def pipe():
+        enc, _ = fn.readers.file(files=files, name="R")
+        audio, rate = fn.decoders.audio(enc, dtype=types.FLOAT)
+        return audio, rate
+
+    audio, rate = pipe().run()
+    assert audio.at(0).shape == (16000,)
+    assert audio.at(3).shape == (8000,)
+    assert float(rate.at(0)) == 16000.0
+    assert np.abs(audio.at(0)).max() <= 1.0
+
+
+def test_asr_frontend_cpu_gpu_parity(wav_files):
+    """decode → preemphasis → spectrogram → mel → to_db: host vs device."""
+    import os
+
+    files = sorted(os.path.join(wav_files, f) for f in os.listdir(wav_files))
+
+    def make(device):
+        @pipeline_def(batch_size=4, num_threads=1, seed=1)
+        def pipe():
+            enc, _ = fn.readers.file(files=files, name="R")
+            audio, rate = fn.decoders.audio(enc, dtype=types.FLOAT)
+            if device == "gpu":
+                audio = audio.gpu()
+            audio = fn.preemphasis_filter(audio, preemph_coeff=0.97)
+            spec = fn.spectrogram(audio, nfft=512, window_length=400, window_step=160)
+            mel = fn.mel_filter_bank(spec, sample_rate=16000.0, nfilter=64)
+            db = fn.to_decibels(mel, multiplier=10.0, cutoff_db=-80.0)
+            return db
+
+        return pipe()
+
+    cpu = make("cpu").run()[0]
+    gpu_tl = make("gpu").run()[0]
+    gpu = gpu_tl.as_cpu()
+    for i in range(4):
+        c, g = cpu.at(i), gpu.at(i)
+        assert c.shape == g.shape, (c.shape, g.shape)
+        np.testing.assert_allclose(c, g, atol=1e-2, rtol=1e-3)
+
+
+def test_spectrogram_shape_and_energy(wav_files):
+    import os
+
+    files = sorted(os.path.join(wav_files, f) for f in os.listdir(wav_files))
+
+    @pipeline_def(batch_size=4, num_threads=1, seed=1)
+    def pipe():
+        enc, _ = fn.readers.file(files=files, name="R")
+        audio, _ = fn.decoders.audio(enc, dtype=types.FLOAT)
+        return fn.spectrogram(audio, nfft=512, window_length=400, window_step=160)
+
+    out = pipe().run()[0]
+    s0 = out.at(0)
+    assert s0.shape == (257, 16000 // 160 + 1)
+    # 200 Hz tone → bin 200/ (16000/512) = 6.4: peak near bin 6
+    peak_bin = int(np.argmax(s0.mean(axis=1)))
+    assert 5 <= peak_bin <= 8
+
+
+def test_mel_matrix_matches_librosa_formula():
+    from dali_tpu.kernels.signal import mel_filter_bank_matrix
+
+    w = mel_filter_bank_matrix(nfilter=40, nfft=512, sample_rate=16000.0)
+    assert w.shape == (40, 257)
+    assert (w >= 0).all()
+    # every filter nonzero, unimodal
+    assert (w.sum(axis=1) > 0).all()
+
+
+def test_mfcc(wav_files):
+    import os
+
+    files = sorted(os.path.join(wav_files, f) for f in os.listdir(wav_files))
+
+    @pipeline_def(batch_size=4, num_threads=1, seed=1)
+    def pipe():
+        enc, _ = fn.readers.file(files=files, name="R")
+        audio, _ = fn.decoders.audio(enc, dtype=types.FLOAT)
+        spec = fn.spectrogram(audio, nfft=512, window_length=400, window_step=160)
+        mel = fn.mel_filter_bank(spec, sample_rate=16000.0, nfilter=64)
+        db = fn.to_decibels(mel, multiplier=10.0, cutoff_db=-80.0)
+        return fn.mfcc(db, n_mfcc=13, normalize=True)
+
+    out = pipe().run()[0]
+    assert out.at(0).shape[0] == 13
+
+
+def test_nonsilent_region():
+    sig = np.zeros(16000, np.float32)
+    sig[4000:8000] = 0.5
+
+    @pipeline_def(batch_size=1, num_threads=1, seed=1)
+    def pipe():
+        audio = fn.external_source(source=lambda: [sig], batch=True)
+        begin, length = fn.nonsilent_region(audio, cutoff_db=-10, window_length=512)
+        return begin, length
+
+    begin, length = pipe().run()
+    b, ln = int(begin.at(0)), int(length.at(0))
+    # resolution limited by the moving window (reference behavior)
+    assert 3400 <= b <= 4100, b
+    assert 3900 <= ln <= 5200, ln
+
+
+def test_audio_resample(wav_files):
+    import os
+
+    files = sorted(os.path.join(wav_files, f) for f in os.listdir(wav_files))
+
+    @pipeline_def(batch_size=4, num_threads=1, seed=1)
+    def pipe():
+        enc, _ = fn.readers.file(files=files, name="R")
+        audio, _ = fn.decoders.audio(enc, dtype=types.FLOAT)
+        return fn.experimental.audio_resample(audio, in_rate=16000.0, out_rate=8000.0)
+
+    out = pipe().run()[0]
+    assert out.at(0).shape == (8000,)
