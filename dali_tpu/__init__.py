@@ -83,3 +83,31 @@ def _tfrecord_fn(path=None, index_path=None, features=None, name=None, **kwargs)
 
 
 fn.readers.tfrecord = _tfrecord_fn
+
+_default_decoders_image = fn.decoders.image
+
+
+def _decoders_image_fn(*inputs, device=None, hybrid_device_decode=False, hybrid_scale=1,
+                       hybrid_chroma_full=False, **kwargs):
+    """fn.decoders.image with the TPU extension ``hybrid_device_decode``: host
+    entropy decode → device IDCT/chroma-upsample/color-convert (the hybrid split
+    nvJPEG does on GPU; see native/src/jpeg_coeffs.cc + kernels/jpeg.py).
+    ``hybrid_scale`` ∈ {1,2,4} decodes at 1/scale resolution (DCT-domain)."""
+    if not hybrid_device_decode:
+        return _default_decoders_image(*inputs, device=device, **kwargs)
+    if device != "mixed":
+        raise ValueError("hybrid_device_decode requires device='mixed'")
+    if hybrid_scale not in (1, 2, 4):
+        raise ValueError(f"hybrid_scale must be 1, 2, or 4 (got {hybrid_scale})")
+    name = kwargs.pop("name", None)
+    y, c, q, dims = _op_call(
+        "_JpegCoeffs", device="mixed", inputs=inputs, name=name, hybrid_scale=hybrid_scale,
+        chroma_full=hybrid_chroma_full,
+    )
+    return _op_call(
+        "_JpegIdct", device="gpu", inputs=[y, c, q, dims], hybrid_scale=hybrid_scale,
+        chroma_full=hybrid_chroma_full,
+    )
+
+
+fn.decoders.image = _decoders_image_fn

@@ -190,6 +190,13 @@ class Operator:
         values that stabilize (grow policy) to bound recompiles."""
         return None
 
+    def host_output_shapes(self, ctx: HostCtx, input_shapes, input_batches):
+        """Host-side shape inference for a device op: per-output [N, ndim] arrays
+        (or None if unknown). Lets downstream device ops' ``host_params`` see
+        shapes through chains of device ops (the analogue of the reference's
+        Setup() shape-inference pass, operator.h:88)."""
+        return None
+
     # -- padding hints ---------------------------------------------------------------
     def boundary_fill(self, output_idx: int = 0):
         """Pad fill value when this op's host output crosses to the device."""

@@ -15,7 +15,7 @@ import numpy as np
 
 from .._schema import DALI_SCHEMA, ArgType, register_operator
 from .. import imgcodec
-from ..batch import HostBatch
+from ..batch import DeviceBatch, HostBatch
 from ..types import DALIImageType
 from .base import HostCtx, Operator
 
@@ -169,7 +169,6 @@ _decoder_schema("decoders.ImageRandomCrop").DocStr(
 ).AddOptionalArg(
     "num_attempts", ArgType.INT, "Sampling attempts before fallback.", 10
 )
-GetSchemaFix = None  # placeholder to keep module flat
 
 
 def sample_rrc_window(rng, h, w, random_area, random_aspect_ratio, num_attempts):
@@ -283,6 +282,110 @@ class ImageCropCPU(_ImageCropBase):
 @register_operator("decoders.ImageCrop", "mixed")
 class ImageCropMixed(_ImageCropBase):
     pass
+
+
+# -- hybrid TPU decode: host entropy → device IDCT ------------------------------------------------
+
+DALI_SCHEMA("_JpegCoeffs").DocStr(
+    """Host half of the hybrid JPEG decoder (native/src/jpeg_coeffs.cc): entropy
+    decode only, exporting low-frequency DCT coefficient planes + quant tables.
+    Outputs: (y_coeffs, chroma_coeffs, quant_tables, dims)."""
+).NumInput(1).NumOutput(4).Devices("mixed").MakeInternal().AddOptionalArg(
+    "hybrid_scale", ArgType.INT, "Decode scale denominator (1, 2, or 4).", 1
+).AddOptionalArg("chroma_full", ArgType.BOOL, "Full-spectrum chroma (2x traffic).", False)
+
+DALI_SCHEMA("_JpegIdct").DocStr(
+    """Device half of the hybrid JPEG decoder (kernels/jpeg.py): dequantize +
+    scaled IDCT (MXU matmuls) + chroma upsample + BT.601 YCbCr→RGB — the
+    BASELINE.json north-star decode split."""
+).NumInput(4).NumOutput(1).Devices("gpu").MakeInternal().AddOptionalArg(
+    "hybrid_scale", ArgType.INT, "Decode scale denominator (1, 2, or 4).", 1
+).AddOptionalArg("chroma_full", ArgType.BOOL, "Full-spectrum chroma (2x traffic).", False)
+
+
+@register_operator("_JpegCoeffs", "mixed")
+class JpegCoeffs(Operator):
+    def _ks(self):
+        denom = int(self.spec.GetArgument("hybrid_scale", 1))
+        ky = {1: 8, 2: 4, 4: 2}[denom]
+        from ..kernels.jpeg import chroma_k
+
+        return ky, chroma_k(ky, True, bool(self.spec.GetArgument("chroma_full", False)))
+
+    def run_batch(self, ctx, inp: HostBatch):
+        from .. import native
+
+        ky, kc = self._ks()
+        datas = [np.ascontiguousarray(e).tobytes() for e in inp.samples]
+        infos = []
+        for d in datas:
+            info = native.jpeg_coef_info(d)
+            if info is None:
+                raise ValueError(
+                    "hybrid_device_decode supports 3-component YCbCr 4:2:0/4:4:4 "
+                    "JPEGs only; use hybrid_device_decode=False for this dataset"
+                )
+            if info[6] != 0:
+                raise ValueError("hybrid_device_decode currently requires 4:2:0 sampling")
+            infos.append(info)
+
+        def one(i):
+            h, w, ybh, ybw, cbh, cbw, mode = infos[i]
+            r = native.jpeg_read_coeffs(datas[i], ky, kc, ybh, ybw, cbh, cbw)
+            if r is None:
+                raise ValueError("JPEG coefficient read failed")
+            y, c, q = r
+            dims = np.array([h, w], np.int32)
+            return y, c, q.astype(np.int32), dims
+
+        results = ctx.map_samples(one, len(datas))
+        return [
+            HostBatch([r[0] for r in results], layout=""),
+            HostBatch([r[1] for r in results], layout=""),
+            HostBatch([r[2] for r in results], layout=""),
+            HostBatch([r[3] for r in results], layout=""),
+        ]
+
+    def boundary_align(self, output_idx, ndim):
+        if output_idx == 0:
+            return [8, 8, 1]  # luma block grid
+        if output_idx == 1:
+            return [1, 4, 4, 1]  # chroma planes [2, cbh, cbw, kc²]
+        return [1] * ndim
+
+
+@register_operator("_JpegIdct", "gpu")
+class JpegIdct(Operator):
+    def host_output_shapes(self, ctx, input_shapes, input_batches):
+        dims_hb = input_batches[3]
+        if dims_hb is None:
+            return None
+        denom = int(self.spec.GetArgument("hybrid_scale", 1))
+        n = len(dims_hb)
+        out = np.zeros((n, 3), np.int32)
+        for i, d in enumerate(dims_hb.samples):
+            h, w = int(d[0]), int(d[1])
+            out[i] = (-(-h // denom), -(-w // denom), 3)
+        return [out]
+
+    def lower(self, dctx, y_b, c_b, q_b, dims_b):
+        import jax
+        import jax.numpy as jnp
+
+        from ..kernels import jpeg as jk
+
+        denom = int(self.spec.GetArgument("hybrid_scale", 1))
+        ky = {1: 8, 2: 4, 4: 2}[denom]
+
+        chroma_full = bool(self.spec.GetArgument("chroma_full", False))
+        fn = lambda y, c, q: jk.jpeg_device_tail(jnp, y, c, q, ky, True, chroma_full)
+        rgb = jax.vmap(fn)(y_b.data, c_b.data, q_b.data)
+        dims = dims_b.data  # [N, 2] full-res (h, w)
+        out_h = (dims[:, 0] + denom - 1) // denom
+        out_w = (dims[:, 1] + denom - 1) // denom
+        n = rgb.shape[0]
+        shapes = jnp.stack([out_h, out_w, jnp.full((n,), 3, out_h.dtype)], axis=1).astype(jnp.int32)
+        return [DeviceBatch(rgb, shapes, "HWC")]
 
 
 # -- PeekImageShape -----------------------------------------------------------------------------

@@ -292,9 +292,17 @@ class Executor:
                 arr, shapes, layout = hb.array, hb.shapes, hb.layout
                 ragged = bool((shapes != shapes[0]).any())
             else:
-                fill = self.impls[edge.source.id].boundary_fill(edge.source_idx)
+                impl = self.impls[edge.source.id]
+                fill = impl.boundary_fill(edge.source_idx)
                 # uniform batches need no alignment padding — stage exact
-                align = 1 if hb.is_uniform() else self._pad_align_for(hb)
+                if hb.is_uniform():
+                    align = 1
+                else:
+                    align = None
+                    if hasattr(impl, "boundary_align"):
+                        align = impl.boundary_align(edge.source_idx, hb.ndim)
+                    if align is None:
+                        align = self._pad_align_for(hb)
                 arr, shapes = pad_and_stack(
                     hb, canvas=self._canvas.get(k), align=align, fill=fill
                 )
@@ -312,26 +320,38 @@ class Executor:
             hb = env[_edge_key(edge)]
             arg_arrays.append(np.stack([np.asarray(s) for s in hb.samples], axis=0))
 
-        # 4. host-side params + trace-time statics for device ops
+        # 4. host-side params + trace-time statics for device ops, with host-side
+        # shape propagation through device-op chains (reference Setup() pass)
         params_list = []
         params_struct = []
         statics = {}
+        shape_env: Dict[Tuple[int, int], np.ndarray] = {}
         boundary_by_key = {(_edge_key(e)): i for i, e in enumerate(self.boundary_edges)}
-        for node in self.param_ops:
+        for k, bi in boundary_by_key.items():
+            shape_env[k] = shape_arrays[bi]
+
+        param_op_ids = {n.id for n in self.param_ops}
+        for node in self.device_ops:
             impl = self.impls[node.id]
-            in_shapes = []
-            for inp in node.spec.inputs:
-                bi = boundary_by_key.get(_edge_key(inp))
-                in_shapes.append(shape_arrays[bi] if bi is not None else None)
-            arg_b = {k: env.get(_edge_key(v)) for k, v in node.spec.arg_inputs.items()}
-            ctx.set_arg_batches(node.id, arg_b)
-            p = impl.host_params(ctx, in_shapes)
-            for pname in sorted(p):
-                params_list.append(np.asarray(p[pname]))
-                params_struct.append((node.id, pname))
-            st = impl.device_statics(ctx, in_shapes)
-            if st is not None:
-                statics[node.id] = st
+            in_shapes = [shape_env.get(_edge_key(e)) for e in node.spec.inputs]
+            in_batches = [env.get(_edge_key(e)) for e in node.spec.inputs]
+            in_batches = [b if isinstance(b, HostBatch) else None for b in in_batches]
+            if node.id in param_op_ids:
+                arg_b = {k: env.get(_edge_key(v)) for k, v in node.spec.arg_inputs.items()}
+                arg_b = {k: v for k, v in arg_b.items() if isinstance(v, HostBatch)}
+                ctx.set_arg_batches(node.id, arg_b)
+                p = impl.host_params(ctx, in_shapes)
+                for pname in sorted(p):
+                    params_list.append(np.asarray(p[pname]))
+                    params_struct.append((node.id, pname))
+                st = impl.device_statics(ctx, in_shapes)
+                if st is not None:
+                    statics[node.id] = st
+            out_shapes = impl.host_output_shapes(ctx, in_shapes, in_batches)
+            if out_shapes is not None:
+                for j, sh in enumerate(out_shapes):
+                    if sh is not None:
+                        shape_env[(node.id, j)] = np.asarray(sh)
         self._params_struct = params_struct
 
         cpu_outputs = {}

@@ -66,6 +66,16 @@ def _load():
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
         ]
+        lib.dali_tpu_jpeg_coef_info.restype = ctypes.c_int
+        lib.dali_tpu_jpeg_coef_info.argtypes = [ctypes.c_char_p, ctypes.c_size_t] + [
+            ctypes.POINTER(ctypes.c_int)
+        ] * 7
+        lib.dali_tpu_jpeg_read_coeffs.restype = ctypes.c_int
+        lib.dali_tpu_jpeg_read_coeffs.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
         lib.dali_tpu_pad_stack_u8.restype = ctypes.c_int
         lib.dali_tpu_pad_stack_u8.argtypes = [
             ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_long), ctypes.c_int,
@@ -145,6 +155,44 @@ def decode_jpeg_into(data: bytes, dst: np.ndarray, denom: int = 1, fancy_upsampl
         1 if fancy_upsampling else 0,
     )
     return rc == 0
+
+
+def jpeg_coef_info(data: bytes):
+    """(h, w, y_bh, y_bw, c_bh, c_bw, mode) for hybrid decode; None if the JPEG
+    is not a supported 3-component YCbCr 4:2:0/4:4:4 stream."""
+    lib = _load()
+    if lib is None:
+        return None
+    vals = [ctypes.c_int() for _ in range(7)]
+    rc = lib.dali_tpu_jpeg_coef_info(data, len(data), *[ctypes.byref(v) for v in vals])
+    if rc != 0:
+        return None
+    return tuple(v.value for v in vals)
+
+
+def jpeg_read_coeffs(data: bytes, ky: int, kc: int, y_bh: int, y_bw: int, c_bh: int, c_bw: int):
+    """Entropy-decode only: low-freq coefficient planes (ky×ky luma, kc×kc
+    chroma) + quant tables.
+
+    Returns (y [y_bh, y_bw, ky*ky] int16, c [2, c_bh, c_bw, kc*kc] int16,
+    q [ky*ky + kc*kc] uint16) or None on failure.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    y = np.empty((y_bh, y_bw, ky * ky), np.int16)
+    cb = np.empty((c_bh, c_bw, kc * kc), np.int16)
+    cr = np.empty((c_bh, c_bw, kc * kc), np.int16)
+    q = np.empty((ky * ky + kc * kc,), np.uint16)
+    rc = lib.dali_tpu_jpeg_read_coeffs(
+        data, len(data), ky, kc,
+        y.ctypes.data_as(ctypes.c_void_p), cb.ctypes.data_as(ctypes.c_void_p),
+        cr.ctypes.data_as(ctypes.c_void_p), q.ctypes.data_as(ctypes.c_void_p),
+        y_bh, y_bw, c_bh, c_bw,
+    )
+    if rc != 0:
+        return None
+    return y, np.stack([cb, cr]), q
 
 
 def pad_stack_u8(samples, canvas, fill: int = 0, num_threads: int = 0):

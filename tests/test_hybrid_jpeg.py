@@ -1,0 +1,96 @@
+"""Hybrid JPEG decode tests: host entropy decode → device IDCT/chroma/color
+(the BASELINE.json north-star split)."""
+
+import numpy as np
+import pytest
+
+from dali_tpu import fn, native, pipeline_def
+from dali_tpu.kernels import jpeg as jk
+
+pytestmark = pytest.mark.skipif(not native.available(), reason="native lib not built")
+
+
+@pytest.fixture(scope="module")
+def jpeg_bytes():
+    import cv2
+
+    rng = np.random.default_rng(3)
+    small = rng.integers(0, 256, (30, 40, 3), np.uint8)
+    img = cv2.resize(small, (400, 320), interpolation=cv2.INTER_CUBIC)
+    ok, buf = cv2.imencode(".jpg", img[:, :, ::-1], [cv2.IMWRITE_JPEG_QUALITY, 90])
+    return buf.tobytes()
+
+
+def test_idct_matrix_full_is_exact_idct():
+    # k=8: T must be the exact 8-point IDCT basis
+    T = jk.idct_matrix(8)
+    # IDCT of a pure DC coefficient: constant 1/ (2*sqrt(2)) * c
+    c = np.zeros((8, 8), np.float32)
+    c[0, 0] = 8.0
+    px = T @ c @ T.T
+    np.testing.assert_allclose(px, np.ones((8, 8)), atol=1e-5)
+
+
+@pytest.mark.parametrize("ky,tol_luma", [(8, 1.0), (4, 1.0)])
+def test_device_tail_matches_libjpeg_luma(jpeg_bytes, ky, tol_luma):
+    info = native.jpeg_coef_info(jpeg_bytes)
+    assert info is not None
+    h, w, ybh, ybw, cbh, cbw, mode = info
+    kc = jk.chroma_k(ky, mode == 0)
+    y, c, q = native.jpeg_read_coeffs(jpeg_bytes, ky, kc, ybh, ybw, cbh, cbw)
+    rgb = jk.jpeg_device_tail(np, y, c, q, ky, mode_420=(mode == 0))
+    ref = native.decode_jpeg(jpeg_bytes, denom=8 // ky)
+    valid = rgb[: ref.shape[0], : ref.shape[1]].astype(np.float64)
+    reff = ref.astype(np.float64)
+
+    def luma(x):
+        return 0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2]
+
+    assert np.abs(luma(valid) - luma(reff)).mean() < tol_luma
+
+
+def test_full_chroma_matches_libjpeg_exactly(jpeg_bytes):
+    info = native.jpeg_coef_info(jpeg_bytes)
+    h, w, ybh, ybw, cbh, cbw, mode = info
+    ky = 4
+    kc = jk.chroma_k(ky, True, chroma_full=True)
+    y, c, q = native.jpeg_read_coeffs(jpeg_bytes, ky, kc, ybh, ybw, cbh, cbw)
+    rgb = jk.jpeg_device_tail(np, y, c, q, ky, True, chroma_full=True)
+    ref = native.decode_jpeg(jpeg_bytes, denom=2)
+    diff = np.abs(rgb[: ref.shape[0], : ref.shape[1]].astype(int) - ref.astype(int))
+    assert diff.mean() < 1.0 and diff.max() <= 4
+
+
+def test_hybrid_pipeline_end_to_end(jpeg_bytes):
+    @pipeline_def(batch_size=2, num_threads=1, seed=1)
+    def pipe():
+        e = fn.external_source(
+            source=lambda: [np.frombuffer(jpeg_bytes, np.uint8)] * 2, batch=True
+        )
+        img = fn.decoders.image(e, device="mixed", hybrid_device_decode=True, hybrid_scale=2)
+        return fn.resize(img, resize_x=64, resize_y=64)
+
+    out = pipe().run()[0]
+    arr = np.asarray(out.as_tensor())
+    assert arr.shape == (2, 64, 64, 3)
+    ref = native.decode_jpeg(jpeg_bytes, denom=2)
+    import cv2
+
+    ref_small = cv2.resize(ref, (64, 64), interpolation=cv2.INTER_AREA)
+    diff = np.abs(arr[0].astype(int) - ref_small.astype(int))
+    assert diff.mean() < 12  # chroma reduction + filter differences
+
+
+def test_hybrid_unsupported_format_raises(tmp_path):
+    import cv2
+
+    gray = np.zeros((64, 64), np.uint8)
+    ok, buf = cv2.imencode(".png", gray)
+
+    @pipeline_def(batch_size=1, num_threads=1, seed=1)
+    def pipe():
+        e = fn.external_source(source=lambda: [np.frombuffer(buf.tobytes(), np.uint8)], batch=True)
+        return fn.decoders.image(e, device="mixed", hybrid_device_decode=True)
+
+    with pytest.raises(ValueError, match="hybrid_device_decode"):
+        pipe().run()
