@@ -496,7 +496,8 @@ class Executor:
                 meta_box["layouts"] = layouts
                 return tuple(data_out), tuple(shapes_out)
 
-            jitted = jax.jit(program)
+            # debug mode: eager per-op device execution (reference PipelineDebug)
+            jitted = program if pipeline.debug else jax.jit(program)
 
             def call(padded, shapes, args, params, seed):
                 data_out, shapes_out = jitted(padded, shapes, args, params, seed)

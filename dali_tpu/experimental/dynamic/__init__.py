@@ -1,0 +1,260 @@
+"""Dynamic (eager / imperative) mode — ``ndd``.
+
+Reference: ``dali/python/nvidia/dali/experimental/dynamic/`` (~10.2k LoC:
+eval contexts, invocations, capture machinery). On TPU this collapses to a thin
+layer: every registered operator becomes an eagerly-executing function over
+:class:`Batch` objects — host ops run numpy immediately, device ops run jnp
+eagerly (JAX op-by-op dispatch). Graph capture for replay is ``@pipeline_def``
+itself (the declarative API compiles; the imperative API executes).
+
+    import dali_tpu.experimental.dynamic as ndd
+    batch = ndd.as_batch([img1, img2])
+    out = ndd.resize(batch.gpu(), resize_x=224, resize_y=224)
+    ndd.crop_mirror_normalize(out, mean=[...], std=[...])
+"""
+
+from __future__ import annotations
+
+import sys
+import types as _pytypes
+from typing import List, Optional
+
+import numpy as np
+
+from ..._schema import GetSchema, OpSpec, RegisteredSchemas, get_operator_impl
+from ...backend.base import DeviceCtx, HostCtx
+from ...batch import DeviceBatch, HostBatch, pad_and_stack
+from ...fn import _camel_to_snake
+
+
+class EvalContext:
+    """Seeds + iteration counter for eager random ops (reference
+    ``dynamic/_eval_context.py:35``)."""
+
+    _current: Optional["EvalContext"] = None
+
+    def __init__(self, seed: int = 12345, num_threads: int = 4):
+        self.seed = seed
+        self.num_threads = num_threads
+        self.counter = 0
+
+    def __enter__(self):
+        self._prev = EvalContext._current
+        EvalContext._current = self
+        return self
+
+    def __exit__(self, *exc):
+        EvalContext._current = self._prev
+        return False
+
+    @classmethod
+    def current(cls):
+        if cls._current is None:
+            cls._current = EvalContext()
+        return cls._current
+
+
+class Batch:
+    """An eager batch: host samples (ragged numpy) or a device array + extents."""
+
+    def __init__(self, samples=None, device_data=None, shapes=None, layout=""):
+        self._samples = samples
+        self._device_data = device_data
+        self._shapes = shapes
+        self.layout = layout or ""
+
+    # -- construction ---------------------------------------------------------
+    @staticmethod
+    def from_samples(samples, layout=""):
+        return Batch(samples=[np.asarray(s) for s in samples], layout=layout)
+
+    @property
+    def is_gpu(self):
+        return self._device_data is not None
+
+    def __len__(self):
+        if self._samples is not None:
+            return len(self._samples)
+        return int(self._device_data.shape[0])
+
+    # -- movement ----------------------------------------------------------------
+    def gpu(self) -> "Batch":
+        if self.is_gpu:
+            return self
+        import jax
+
+        hb = HostBatch(self._samples, self.layout)
+        if hb.is_uniform():
+            arr, shapes = pad_and_stack(hb, align=1)
+            return Batch(device_data=jax.device_put(arr), shapes=None, layout=self.layout)
+        align = [64] * hb.ndim
+        for d in range(hb.ndim):
+            if (self.layout and d < len(self.layout) and self.layout[d] in ("C", "N")) or (
+                not self.layout and d == hb.ndim - 1 and hb.samples[0].shape[-1] <= 4
+            ):
+                align[d] = 1
+        arr, shapes = pad_and_stack(hb, align=align)
+        return Batch(
+            device_data=jax.device_put(arr), shapes=jax.device_put(shapes), layout=self.layout
+        )
+
+    def cpu(self) -> "Batch":
+        if not self.is_gpu:
+            return self
+        # NB: use builtins.slice — this module exposes the eager Slice op as
+        # a module-level `slice` attribute (matching fn.slice).
+        import builtins
+
+        host = np.asarray(self._device_data)
+        if self._shapes is None:
+            samples = [host[i] for i in range(host.shape[0])]
+        else:
+            sh = np.asarray(self._shapes)
+            samples = [
+                host[(i, *(builtins.slice(0, int(e)) for e in sh[i]))]
+                for i in range(host.shape[0])
+            ]
+        return Batch(samples=samples, layout=self.layout)
+
+    # -- access ---------------------------------------------------------------------
+    def at(self, i):
+        if self.is_gpu:
+            return self.cpu().at(i)
+        return self._samples[i]
+
+    def as_array(self):
+        if self.is_gpu:
+            return self._device_data
+        return np.stack(self._samples, 0)
+
+    def __repr__(self):
+        kind = "gpu" if self.is_gpu else "cpu"
+        return f"Batch({kind}, n={len(self)}, layout={self.layout!r})"
+
+
+def as_batch(data, layout="") -> Batch:
+    if isinstance(data, Batch):
+        return data
+    if isinstance(data, np.ndarray):
+        return Batch.from_samples(list(data), layout)
+    if isinstance(data, (list, tuple)):
+        return Batch.from_samples(data, layout)
+    # jax array
+    if hasattr(data, "device"):
+        return Batch(device_data=data, layout=layout)
+    raise TypeError(f"Cannot make a Batch from {type(data)}")
+
+
+class _EagerPipelineShim:
+    """Just enough Pipeline surface for HostCtx."""
+
+    def __init__(self, ectx: EvalContext, batch_size: int):
+        self.seed = ectx.seed
+        self.max_batch_size = batch_size
+        self.num_threads = ectx.num_threads
+        self.pad_align = 64
+
+
+def _eager_call(schema_name: str, *inputs, device=None, batch_size=None, **kwargs):
+    schema = GetSchema(schema_name)
+    batches = [as_batch(i) if not isinstance(i, Batch) else i for i in inputs]
+    if device is None:
+        device = "gpu" if any(b.is_gpu for b in batches) else "cpu"
+        if device not in schema.devices:
+            device = schema.devices[0]
+    n = len(batches[0]) if batches else (batch_size or 1)
+    ectx = EvalContext.current()
+    ectx.counter += 1
+
+    # split tensor-valued kwargs into per-sample argument batches
+    arg_batches = {}
+    plain_kwargs = {}
+    for k, v in kwargs.items():
+        if isinstance(v, Batch):
+            arg_batches[k] = HostBatch(v.cpu()._samples)
+        else:
+            plain_kwargs[k] = v
+    spec = OpSpec(schema_name, device=device if device != "gpu" else "gpu", **plain_kwargs)
+    impl_cls = get_operator_impl(schema_name, device)
+    impl = impl_cls(spec, op_id=ectx.counter)
+    shim = _EagerPipelineShim(ectx, n)
+    impl.pipeline = shim
+    ctx = HostCtx.__new__(HostCtx)
+    ctx.pipeline = shim
+    ctx.batch_size = n
+    ctx.iteration = ectx.counter
+    ctx.epoch = 0
+    ctx._pool = None
+    ctx._arg_batches = {impl.op_id: arg_batches}
+
+    if device in ("cpu", "mixed"):
+        ins = [HostBatch(b.cpu()._samples, b.layout) for b in batches]
+        outs = impl.run_batch(ctx, *ins)
+        if not isinstance(outs, (list, tuple)):
+            outs = [outs]
+        result = [Batch(samples=o.samples, layout=o.layout) for o in outs]
+        if device == "mixed":
+            result = [r.gpu() for r in result]
+    else:
+        import jax
+
+        dev_inputs = []
+        for b in batches:
+            g = b.gpu()
+            dev_inputs.append(DeviceBatch(g._device_data, g._shapes, g.layout))
+        # host params (e.g. RRC windows) from input shapes
+        in_shapes = [
+            np.asarray(d.shapes) if d.shapes is not None else
+            np.tile(np.asarray(d.data.shape[1:], np.int32)[None], (n, 1))
+            for d in dev_inputs
+        ]
+        params = impl.host_params(ctx, in_shapes) if type(impl).host_params.__qualname__ != "Operator.host_params" else {}
+        statics = impl.device_statics(ctx, in_shapes)
+        key = jax.random.fold_in(jax.random.PRNGKey(ectx.seed), ectx.counter)
+        arg_arrays = {
+            impl.op_id: {k: np.stack([np.asarray(s) for s in v.samples]) for k, v in arg_batches.items()}
+        }
+        dctx = DeviceCtx(n, key, {impl.op_id: params}, arg_arrays, {impl.op_id: statics} if statics else {})
+        outs = impl.lower(dctx, *dev_inputs)
+        if not isinstance(outs, (list, tuple)):
+            outs = [outs]
+        result = [Batch(device_data=o.data, shapes=o.shapes, layout=o.layout) for o in outs]
+    return result[0] if len(result) == 1 else tuple(result)
+
+
+def _make_eager_fn(schema_name):
+    def eager_fn(*inputs, **kwargs):
+        return _eager_call(schema_name, *inputs, **kwargs)
+
+    eager_fn.__name__ = _camel_to_snake(schema_name.rsplit(".", 1)[-1])
+    eager_fn.__doc__ = f"Eager {schema_name} (see fn.{eager_fn.__name__})."
+    return eager_fn
+
+
+def _submodule(parent, name):
+    full = parent.__name__ + "." + name
+    mod = sys.modules.get(full)
+    if mod is None:
+        mod = _pytypes.ModuleType(full)
+        sys.modules[full] = mod
+    if not hasattr(parent, name):
+        setattr(parent, name, mod)
+    return mod
+
+
+def _populate():
+    this = sys.modules[__name__]
+    for schema_name in RegisteredSchemas():
+        schema = GetSchema(schema_name)
+        if schema.is_internal or schema.is_reader:
+            continue  # readers are stateful — use the pipeline API
+        parts = schema_name.split(".")
+        mod = this
+        for p in parts[:-1]:
+            mod = _submodule(mod, p)
+        fn_name = _camel_to_snake(parts[-1])
+        if not hasattr(mod, fn_name):
+            setattr(mod, fn_name, _make_eager_fn(schema_name))
+
+
+_populate()

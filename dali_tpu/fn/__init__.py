@@ -15,11 +15,18 @@ import types as _pytypes
 from .._schema import GetSchema, RegisteredSchemas
 
 
+# reference fn/__init__.py:22 — special tokens kept whole
+_special_case_mapping = {"b_box": "bbox", "mx_net": "mxnet", "tf_record": "tfrecord"}
+
+
 def _camel_to_snake(name: str) -> str:
-    # reference: fn/__init__.py _to_snake_case
+    # reference: fn/__init__.py _to_snake_case + _handle_special_case
     s = re.sub(r"(.)([A-Z][a-z]+)", r"\1_\2", name)
     s = re.sub(r"([a-z0-9])([A-Z])", r"\1_\2", s)
-    return s.lower()
+    s = s.lower()
+    for k, v in _special_case_mapping.items():
+        s = s.replace(k, v)
+    return s
 
 
 def _make_fn(schema_name: str):

@@ -68,6 +68,7 @@ class Pipeline:
         max_batch_size: Optional[int] = None,
         exec_dynamic: bool = False,
         transfer_chunk_bytes: int = 4 * 1024 * 1024,
+        debug: bool = False,
     ):
         self.max_batch_size = max_batch_size if max_batch_size is not None else batch_size
         if self.max_batch_size is None or self.max_batch_size < 1:
@@ -84,6 +85,9 @@ class Pipeline:
         self.py_start_method = py_start_method
         self.pad_align = pad_align
         self.transfer_chunk_bytes = int(transfer_chunk_bytes)
+        # debug=True: run the device stage eagerly (no jit) so user prints /
+        # breakpoints work per-op (reference _debug_mode.py:37)
+        self.debug = bool(debug)
 
         self._graph_fn = None
         self._graph: Optional[Graph] = None
@@ -336,6 +340,7 @@ def pipeline_def(fn=None, *, enable_conditionals=False, **pipeline_kwargs):
                 "max_batch_size",
                 "exec_dynamic",
                 "transfer_chunk_bytes",
+                "debug",
             )
             ctor_kwargs = dict(pipeline_kwargs)
             fn_kwargs = {}

@@ -1,0 +1,60 @@
+"""Dynamic (eager) mode tests — `ndd` vs the pipeline (`fn`) path (reference
+suite ``dali/test/python/ndd_vs_fn/``)."""
+
+import numpy as np
+import pytest
+
+import dali_tpu.experimental.dynamic as ndd
+from dali_tpu import fn, pipeline_def
+
+
+def _imgs(n=4, seed=0):
+    rng = np.random.default_rng(seed)
+    return [rng.integers(0, 256, (40 + 8 * i, 60, 3), np.uint8) for i in range(n)]
+
+
+def test_eager_resize_cmn_matches_pipeline():
+    imgs = _imgs()
+    # eager
+    b = ndd.as_batch(imgs, layout="HWC").gpu()
+    r = ndd.resize(b, resize_x=32, resize_y=32, antialias=False)
+    out_e = ndd.crop_mirror_normalize(r, mean=[128.0], std=[64.0], output_layout="CHW")
+    eager = np.asarray(out_e.as_array())
+
+    # pipeline
+    @pipeline_def(batch_size=4, num_threads=1, seed=1)
+    def pipe():
+        x = fn.external_source(source=lambda: imgs, batch=True, layout="HWC").gpu()
+        x = fn.resize(x, resize_x=32, resize_y=32, antialias=False)
+        return fn.crop_mirror_normalize(x, mean=[128.0], std=[64.0], output_layout="CHW")
+
+    declared = np.asarray(pipe().run()[0].as_tensor())
+    np.testing.assert_allclose(eager, declared, atol=1e-4)
+
+
+def test_eager_cpu_ops():
+    imgs = _imgs()
+    b = ndd.as_batch(imgs, layout="HWC")
+    out = ndd.brightness(b, brightness=1.2)
+    expect = np.clip(np.round(imgs[0].astype(np.float32) * 1.2), 0, 255).astype(np.uint8)
+    np.testing.assert_allclose(out.at(0), expect, atol=1)
+
+
+def test_eager_random_deterministic_with_context():
+    with ndd.EvalContext(seed=7):
+        a = ndd.random.uniform(batch_size=4, range=[0.0, 1.0], shape=[3])
+    with ndd.EvalContext(seed=7):
+        b = ndd.random.uniform(batch_size=4, range=[0.0, 1.0], shape=[3])
+    np.testing.assert_array_equal(a.as_array(), b.as_array())
+
+
+def test_batch_roundtrip():
+    imgs = _imgs()
+    b = ndd.as_batch(imgs, layout="HWC")
+    back = b.gpu().cpu()
+    for i in range(4):
+        np.testing.assert_array_equal(back.at(i), imgs[i])
+
+
+def test_readers_not_in_ndd():
+    assert not hasattr(ndd, "readers") or not hasattr(ndd.readers, "file")
