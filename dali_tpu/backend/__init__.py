@@ -9,6 +9,7 @@ from . import base  # noqa: F401
 from . import builtin  # noqa: F401
 from . import readers  # noqa: F401
 from . import readers2  # noqa: F401
+from . import video  # noqa: F401
 from . import decoders  # noqa: F401
 from . import image  # noqa: F401
 from . import color  # noqa: F401
@@ -18,6 +19,7 @@ from . import generic2  # noqa: F401
 from . import reductions  # noqa: F401
 from . import convolution  # noqa: F401
 from . import enhance  # noqa: F401
+from . import distortion  # noqa: F401
 from . import random  # noqa: F401
 from . import arithm  # noqa: F401
 from . import audio  # noqa: F401

@@ -1,0 +1,151 @@
+"""Video readers/decoders.
+
+Reference: ``dali/operators/video/`` (~9.9k LoC: FFmpeg demux +
+libavcodec/NVDEC decode) and the legacy ``readers__Video``. TPU plan (SURVEY
+§2.4): FFmpeg demux + CPU decode on host (native/src/video_decode.cc); frame
+color conversion / resize happen on the device like any image batch.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List
+
+import numpy as np
+
+from .._schema import DALI_SCHEMA, ArgType, register_operator
+from ..batch import HostBatch
+from .base import Operator
+from .readers import BaseReader
+
+DALI_SCHEMA("readers.Video").DocStr(
+    """Reads fixed-length frame sequences from video files (reference
+    ``readers__Video``). Outputs [F, H, W, C] uint8 (+ label when
+    ``file_list``/``labels`` given). Host FFmpeg decode; there is no NVDEC
+    analogue on TPU hosts."""
+).NumInput(0).OutputFn(
+    lambda spec: 2
+    if (
+        spec.GetArgument("labels", None)
+        or spec.GetArgument("file_list", None)
+        or spec.GetArgument("file_root", None)
+    )
+    else 1
+).Devices(
+    "cpu", "mixed"
+).MakeReader().AddOptionalArg(
+    "filenames", ArgType.STRING_VEC, "Video file paths.", None
+).AddOptionalArg(
+    "file_root", ArgType.STRING, "Directory with class subdirs of videos.", None
+).AddOptionalArg(
+    "file_list", ArgType.STRING, "File with 'path label' lines.", None
+).AddOptionalArg(
+    "labels", ArgType.INT_VEC, "Labels for `filenames`.", None
+).AddArg("sequence_length", ArgType.INT, "Frames per sample.").AddOptionalArg(
+    "step", ArgType.INT, "Frame distance between first frames of sequences (-1 = sequence_length).", -1
+).AddOptionalArg(
+    "stride", ArgType.INT, "Distance between consecutive frames.", 1
+).AddOptionalArg("image_type", ArgType.IMAGE_TYPE, "Output color space (RGB).", None)
+
+
+class _VideoReaderImpl(BaseReader):
+    def __init__(self, spec, op_id):
+        super().__init__(spec, op_id)
+        self._sequences = None  # [(file_idx, start_frame, label)]
+        self._files: List[str] = None
+        self._handles: Dict[int, object] = {}
+
+    def _build_index(self):
+        if self._sequences is not None:
+            return
+        from .. import native
+
+        spec = self.spec
+        files, labels = [], []
+        if spec.GetArgument("filenames", None):
+            files = list(spec.GetArgument("filenames"))
+            arg_labels = spec.GetArgument("labels", None)
+            labels = list(arg_labels) if arg_labels else [-1] * len(files)
+        elif spec.GetArgument("file_list", None):
+            with open(spec.GetArgument("file_list")) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    path, _, lab = line.strip().rpartition(" ")
+                    files.append(path)
+                    labels.append(int(lab))
+        elif spec.GetArgument("file_root", None):
+            root = spec.GetArgument("file_root")
+            for li, sub in enumerate(sorted(os.listdir(root))):
+                subp = os.path.join(root, sub)
+                if os.path.isdir(subp):
+                    for fname in sorted(os.listdir(subp)):
+                        files.append(os.path.join(subp, fname))
+                        labels.append(li)
+        else:
+            raise ValueError("readers.video requires filenames, file_list, or file_root")
+        self._files = files
+        L = spec.GetArgument("sequence_length")
+        stride = spec.GetArgument("stride", 1)
+        step = spec.GetArgument("step", -1)
+        if step is None or step < 0:
+            step = L
+        self._sequences = []
+        span = (L - 1) * stride + 1
+        for fi, path in enumerate(files):
+            v = native.VideoFile(path)
+            n = v.num_frames
+            v.close()
+            start = 0
+            while start + span <= n:
+                self._sequences.append((fi, start, labels[fi]))
+                start += step
+        if not self._sequences:
+            raise ValueError("readers.video found no sequences")
+
+    def _num_samples(self):
+        return len(self._sequences)
+
+    def _handle(self, fi):
+        from .. import native
+        import threading
+
+        h = self._handles.get(fi)
+        if h is None:
+            h = native.VideoFile(self._files[fi])
+            h._lock = threading.Lock()
+            self._handles[fi] = h
+        return h
+
+    def _has_labels(self):
+        s = self.spec
+        return bool(
+            s.GetArgument("labels", None)
+            or s.GetArgument("file_list", None)
+            or s.GetArgument("file_root", None)
+        )
+
+    def _read_payload(self, index: int):
+        fi, start, label = self._sequences[index]
+        L = self.spec.GetArgument("sequence_length")
+        stride = self.spec.GetArgument("stride", 1)
+        h = self._handle(fi)
+        # the decoder handle is stateful: serialize reads per file
+        with h._lock:
+            frames = h.read(start, L, stride)
+        if self._has_labels():
+            return frames, np.array([label], np.int32)
+        return frames
+
+    def _payload_layouts(self):
+        return ["FHWC", ""]
+
+
+@register_operator("readers.Video", "cpu")
+class VideoReaderCPU(_VideoReaderImpl):
+    pass
+
+
+@register_operator("readers.Video", "mixed")
+class VideoReaderMixed(_VideoReaderImpl):
+    """device='mixed': sequences land on the device side (padded [F,H,W,C])."""

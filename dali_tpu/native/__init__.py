@@ -76,6 +76,23 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
+        try:
+            lib.dali_tpu_video_open.restype = ctypes.c_void_p
+            lib.dali_tpu_video_open.argtypes = [ctypes.c_char_p]
+            lib.dali_tpu_video_info.restype = ctypes.c_int
+            lib.dali_tpu_video_info.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_double),
+            ]
+            lib.dali_tpu_video_read_frames.restype = ctypes.c_int
+            lib.dali_tpu_video_read_frames.argtypes = [
+                ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+            ]
+            lib.dali_tpu_video_close.restype = None
+            lib.dali_tpu_video_close.argtypes = [ctypes.c_void_p]
+            lib._has_video = True
+        except AttributeError:
+            lib._has_video = False
         lib.dali_tpu_pad_stack_u8.restype = ctypes.c_int
         lib.dali_tpu_pad_stack_u8.argtypes = [
             ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_long), ctypes.c_int,
@@ -193,6 +210,55 @@ def jpeg_read_coeffs(data: bytes, ky: int, kc: int, y_bh: int, y_bw: int, c_bh: 
     if rc != 0:
         return None
     return y, np.stack([cb, cr]), q
+
+
+def has_video() -> bool:
+    lib = _load()
+    return bool(lib and getattr(lib, "_has_video", False))
+
+
+class VideoFile:
+    """FFmpeg-backed video handle: frame-accurate sequence reads to RGB24.
+
+    Host half of the video stack (reference frames_decoder_base.cc)."""
+
+    def __init__(self, path: str):
+        lib = _load()
+        if lib is None or not getattr(lib, "_has_video", False):
+            raise RuntimeError("native video decoding unavailable (libavformat missing)")
+        self._lib = lib
+        self._h = lib.dali_tpu_video_open(path.encode())
+        if not self._h:
+            raise ValueError(f"Failed to open video {path!r}")
+        w, hh = ctypes.c_int(), ctypes.c_int()
+        nf, fps = ctypes.c_long(), ctypes.c_double()
+        lib.dali_tpu_video_info(self._h, ctypes.byref(w), ctypes.byref(hh), ctypes.byref(nf), ctypes.byref(fps))
+        self.width = w.value
+        self.height = hh.value
+        self.num_frames = nf.value
+        self.fps = fps.value
+
+    def read(self, start: int, count: int, stride: int = 1) -> np.ndarray:
+        out = np.empty((count, self.height, self.width, 3), np.uint8)
+        got = self._lib.dali_tpu_video_read_frames(
+            self._h, start, count, stride, out.ctypes.data_as(ctypes.c_void_p)
+        )
+        if got < count:
+            if got <= 0:
+                raise ValueError(f"Failed to read frames [{start}, +{count})")
+            out[got:] = out[got - 1]  # pad with last frame at EOF
+        return out
+
+    def close(self):
+        if self._h:
+            self._lib.dali_tpu_video_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 def pad_stack_u8(samples, canvas, fill: int = 0, num_threads: int = 0):

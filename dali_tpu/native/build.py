@@ -14,8 +14,22 @@ SRC = os.path.join(HERE, "src")
 OUT = os.path.join(HERE, "libdali_tpu.so")
 
 
+def _has_ffmpeg() -> bool:
+    import ctypes.util
+
+    return all(
+        ctypes.util.find_library(n) for n in ("avformat", "avcodec", "avutil", "swscale")
+    )
+
+
 def build(verbose: bool = True) -> str:
     sources = [os.path.join(SRC, f) for f in sorted(os.listdir(SRC)) if f.endswith(".cc")]
+    libs = ["-ljpeg", "-lpthread"]
+    defines = []
+    if _has_ffmpeg():
+        libs += ["-lavformat", "-lavcodec", "-lavutil", "-lswscale"]
+    else:
+        sources = [s for s in sources if "video_decode" not in s]
     cmd = [
         "g++",
         "-O3",
@@ -24,11 +38,11 @@ def build(verbose: bool = True) -> str:
         "-fPIC",
         "-std=c++17",
         "-Wall",
+        *defines,
         *sources,
         "-o",
         OUT,
-        "-ljpeg",
-        "-lpthread",
+        *libs,
     ]
     if verbose:
         print(" ".join(cmd))
