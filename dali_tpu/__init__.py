@@ -111,3 +111,22 @@ def _decoders_image_fn(*inputs, device=None, hybrid_device_decode=False, hybrid_
 
 
 fn.decoders.image = _decoders_image_fn
+
+
+def _make_function_op(schema_name, device):
+    def wrapper(*inputs, function=None, name=None, **kwargs):
+        if function is None:
+            raise ValueError(f"{schema_name} requires `function`")
+        return _op_call(
+            schema_name, device=device, inputs=inputs, name=name, _function=function, **kwargs
+        )
+
+    return wrapper
+
+
+# callables ride the _extra channel (not serialized; reference: PythonFunction
+# pipelines are not serializable either)
+fn.python_function = _make_function_op("PythonFunction", "cpu")
+fn.dl_tensor_python_function = _make_function_op("DLTensorPythonFunction", "cpu")
+fn.torch_python_function = _make_function_op("TorchPythonFunction", "cpu")
+fn.jax_function = _make_function_op("_JaxFunction", "gpu")

@@ -120,6 +120,10 @@ class ExternalSource(Operator):
 
     def run_batch(self, ctx, *unused):
         n_out = self._num_outputs or 1
+        if self.spec.GetArgument("parallel", False) and self._source_kind == "callable":
+            outs = self._run_parallel(ctx, n_out)
+            self._iteration += 1
+            return outs
         data, layout = self._next_data(ctx)
         groups = self._split_outputs(data, n_out)
         outs = []
@@ -127,6 +131,31 @@ class ExternalSource(Operator):
             samples = self._to_samples(g, ctx.batch_size)
             outs.append(HostBatch(samples, layout=layout))
         self._iteration += 1
+        return outs
+
+    def _run_parallel(self, ctx, n_out):
+        """Multiprocess path (reference _multiproc pool; parallel=True)."""
+        if self._batch_mode:
+            raise ValueError("parallel=True requires a per-sample (batch=False) callable source")
+        if not self._accepts_arg:
+            raise ValueError(
+                "parallel=True requires an indexed callable accepting SampleInfo "
+                "(reference restriction: stateless sources only)"
+            )
+        if getattr(self, "_pool", None) is None:
+            from .._multiproc import WorkerPool
+
+            self._pool = WorkerPool(
+                self._source,
+                num_workers=ctx.pipeline.py_num_workers,
+                batch_size=ctx.batch_size,
+                queue_depth=ctx.pipeline.prefetch_queue_depth,
+                start_method=ctx.pipeline.py_start_method,
+            )
+        per_sample = self._pool.run_batch(self._iteration, self._epoch)
+        outs = []
+        for j in range(n_out):
+            outs.append(HostBatch([s[j] for s in per_sample], layout=self._layout))
         return outs
 
     def _next_data(self, ctx):
@@ -190,6 +219,12 @@ class ExternalSource(Operator):
             arr = np.asarray(data)
             return [arr[i] for i in range(arr.shape[0])]
         raise TypeError(f"Unsupported external source data type {type(data)}")
+
+    def close(self):
+        pool = getattr(self, "_pool", None)
+        if pool is not None:
+            pool.close()
+            self._pool = None
 
     def save_state(self):
         return {"iteration": self._iteration, "epoch": self._epoch}

@@ -203,6 +203,13 @@ class Executor:
             self._device_thread.join(timeout=5)
             self._device_thread = None
         self.sample_pool.shutdown()
+        for impl in self.impls.values():
+            close = getattr(impl, "close", None)
+            if close is not None:
+                try:
+                    close()
+                except Exception:
+                    pass
 
     # -- scheduling --------------------------------------------------------------------
     def schedule_run(self):
