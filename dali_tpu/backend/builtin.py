@@ -102,7 +102,15 @@ class ExternalSource(Operator):
         if self._callable:
             try:
                 sig = inspect.signature(src)
-                self._accepts_arg = len(sig.parameters) >= 1
+                # the callback takes SampleInfo/BatchInfo only if it has a
+                # *required* positional parameter (defaulted closure params like
+                # `lambda i=i: ...` are not info arguments)
+                self._accepts_arg = any(
+                    p.default is inspect.Parameter.empty
+                    and p.kind
+                    in (inspect.Parameter.POSITIONAL_ONLY, inspect.Parameter.POSITIONAL_OR_KEYWORD)
+                    for p in sig.parameters.values()
+                )
             except (TypeError, ValueError):
                 self._accepts_arg = False
 
