@@ -130,3 +130,7 @@ fn.python_function = _make_function_op("PythonFunction", "cpu")
 fn.dl_tensor_python_function = _make_function_op("DLTensorPythonFunction", "cpu")
 fn.torch_python_function = _make_function_op("TorchPythonFunction", "cpu")
 fn.jax_function = _make_function_op("_JaxFunction", "gpu")
+
+from .external_source import ExternalSource as _ExternalSourceClass  # noqa: E402
+
+ops.ExternalSource = _ExternalSourceClass

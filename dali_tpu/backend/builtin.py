@@ -278,8 +278,12 @@ class _ConstantBase(Operator):
             payload = fdata if fdata is not None else (idata if idata is not None else [0])
             arr = np.asarray(payload, dtype=np.float32 if fdata is not None else np.int32)
             shape = self.spec.GetArgument("shape", None)
-            if shape:
-                arr = arr.reshape(shape) if arr.size > 1 else np.full(shape, arr.item(), arr.dtype)
+            if shape is not None:
+                shape = list(shape)
+                if arr.size == int(np.prod(shape)) if shape else arr.size == 1:
+                    arr = arr.reshape(shape)
+                else:
+                    arr = np.full(shape, arr.reshape(-1)[0], arr.dtype)
         dtype = self.spec.GetArgument("dtype", None)
         if dtype is not None:
             arr = arr.astype(_t.to_numpy_type(dtype))

@@ -1,0 +1,105 @@
+"""CLAHE, Debayer, OpticalFlow (host implementations).
+
+Reference: ``dali/operators/image/clahe/`` (GPU hist/LUT), debayer
+(``imgproc/color_manipulation/debayer``), ``dali/operators/sequence/optical_flow/``
+(NVIDIA OF SDK hardware engine — no TPU analogue, so Farneback on host per
+SURVEY §2.4 "optical flow = no HW engine")."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .._schema import DALI_SCHEMA, ArgType, register_operator
+from .base import Operator
+
+DALI_SCHEMA("experimental.Clahe").DocStr(
+    "Contrast-limited adaptive histogram equalization on the luma channel "
+    "(reference image/clahe/)."
+).NumInput(1).NumOutput(1).Devices("cpu").AddOptionalArg(
+    "clip_limit", ArgType.FLOAT, "Contrast clip limit.", 4.0
+).AddOptionalArg("tiles_x", ArgType.INT, "Grid tiles (x).", 8).AddOptionalArg(
+    "tiles_y", ArgType.INT, "Grid tiles (y).", 8
+)
+
+
+@register_operator("experimental.Clahe", "cpu")
+class Clahe(Operator):
+    def run_sample(self, ctx, idx, img):
+        import cv2
+
+        clahe = cv2.createCLAHE(
+            clipLimit=self.spec.GetArgument("clip_limit", 4.0),
+            tileGridSize=(self.spec.GetArgument("tiles_x", 8), self.spec.GetArgument("tiles_y", 8)),
+        )
+        if img.ndim == 3 and img.shape[-1] == 3:
+            lab = cv2.cvtColor(img, cv2.COLOR_RGB2LAB)
+            lab[..., 0] = clahe.apply(lab[..., 0])
+            return cv2.cvtColor(lab, cv2.COLOR_LAB2RGB)
+        out = clahe.apply(img[..., 0] if img.ndim == 3 else img)
+        return out[..., None] if img.ndim == 3 else out
+
+
+DALI_SCHEMA("experimental.Debayer").DocStr(
+    "Bayer→RGB demosaicing (reference debayer op; bilinear algorithm)."
+).NumInput(1).NumOutput(1).Devices("cpu").AddOptionalArg(
+    "blue_position", ArgType.INT_VEC, "Position of the blue sample in the 2x2 tile (y, x).", [0, 0]
+).AddOptionalArg("algorithm", ArgType.STRING, "'bilinear_npp' (compat) / 'edge_aware'.", "bilinear_npp")
+
+
+@register_operator("experimental.Debayer", "cpu")
+class Debayer(Operator):
+    def run_sample(self, ctx, idx, raw):
+        import cv2
+
+        bp = tuple(int(v) for v in self.spec.GetArgument("blue_position", [0, 0]))
+        # map blue position to OpenCV Bayer code (cv2 names the 2x2 tile by the
+        # colors at (0,0),(0,1)): blue at (0,0) → BG pattern, etc.
+        code = {
+            (0, 0): cv2.COLOR_BayerBG2RGB,
+            (0, 1): cv2.COLOR_BayerGB2RGB,
+            (1, 0): cv2.COLOR_BayerGR2RGB,
+            (1, 1): cv2.COLOR_BayerRG2RGB,
+        }[bp]
+        x = raw[..., 0] if raw.ndim == 3 else raw
+        if self.spec.GetArgument("algorithm", "bilinear_npp") == "edge_aware":
+            code = code - cv2.COLOR_BayerBG2RGB + cv2.COLOR_BayerBG2RGB_EA
+        return cv2.cvtColor(x, code)
+
+    def output_layout(self, j, inputs):
+        return "HWC"
+
+
+DALI_SCHEMA("OpticalFlow").DocStr(
+    "Dense optical flow between consecutive frames (reference "
+    "sequence/optical_flow/ — hardware engine there; Farneback here). Input "
+    "[F, H, W, C]; output [F-1, H/grid, W/grid, 2] float32 (x, y) flow."
+).NumInput(1).NumOutput(1).Devices("cpu").AddOptionalArg(
+    "output_grid", ArgType.INT, "Output downsampling grid.", 4
+).AddOptionalArg(
+    "preset", ArgType.FLOAT, "Quality preset (0=slow/best, 1=fast; compat).", 0.0
+).AddOptionalArg(
+    "enable_temporal_hints", ArgType.BOOL, "Compatibility no-op.", False
+).AddOptionalArg("image_type", ArgType.IMAGE_TYPE, "Input color space.", None)
+
+
+@register_operator("OpticalFlow", "cpu")
+class OpticalFlow(Operator):
+    def run_sample(self, ctx, idx, seq):
+        import cv2
+
+        grid = max(1, self.spec.GetArgument("output_grid", 4))
+        frames = [
+            cv2.cvtColor(f, cv2.COLOR_RGB2GRAY) if f.ndim == 3 and f.shape[-1] == 3 else f.squeeze(-1)
+            for f in seq
+        ]
+        flows = []
+        for a, b in zip(frames[:-1], frames[1:]):
+            flow = cv2.calcOpticalFlowFarneback(
+                a, b, None, pyr_scale=0.5, levels=3, winsize=15, iterations=3,
+                poly_n=5, poly_sigma=1.2, flags=0,
+            )
+            flows.append(flow[::grid, ::grid].astype(np.float32))
+        return np.stack(flows, axis=0)
+
+    def output_layout(self, j, inputs):
+        return "FHWC"

@@ -143,6 +143,7 @@ class Executor:
 
         self._jit_device_program = None
         self._device = None
+        self._stats = {"iterations_completed": 0, "device_dispatches": 0}
 
     # ----------------------------------------------------------------------------
     def _validate_placement(self):
@@ -235,7 +236,10 @@ class Executor:
                 self._device_q.put(None)
                 break
             try:
-                staged = self._host_phase(it)
+                import jax.profiler
+
+                with jax.profiler.TraceAnnotation("dali_tpu.host_phase"):
+                    staged = self._host_phase(it)
                 self._device_q.put(staged)
             except BaseException as e:  # propagate to outputs()
                 self._device_q.put(e)
@@ -254,10 +258,24 @@ class Executor:
                 self._out_q.put(staged)
                 return
             try:
-                self._out_q.put(self._device_phase(staged))
+                import jax.profiler
+
+                with jax.profiler.TraceAnnotation("dali_tpu.device_phase"):
+                    result = self._device_phase(staged)
+                self._stats["iterations_completed"] += 1
+                self._out_q.put(result)
             except BaseException as e:
                 self._out_q.put(e)
                 return
+
+    def statistics(self) -> dict:
+        """Executor observability (reference Pipeline.executor_statistics,
+        pipeline.py:621 / ExecutorMetaMap)."""
+        out = dict(self._stats)
+        out["canvases"] = {str(k): list(v) for k, v in self._canvas.items()}
+        cache = self._jit_device_program or {}
+        out["device_program_variants"] = len(cache)
+        return out
 
     # -- one iteration --------------------------------------------------------------------
     def _host_phase(self, iteration: int):
@@ -392,6 +410,7 @@ class Executor:
                 seed_arr,
             )
             gpu_outputs = dict(zip(self._device_out_keys, dev_outs))
+            self._stats["device_dispatches"] += 1
 
         results = []
         for out in self.graph.outputs:

@@ -239,7 +239,8 @@ class Pipeline:
         return self.max_batch_size
 
     def executor_statistics(self):
-        return {}
+        self._require_built()
+        return self._executor.statistics()
 
     # -- serialization ----------------------------------------------------------------------
     def serialize(self, filename: Optional[str] = None) -> str:

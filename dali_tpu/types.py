@@ -206,7 +206,8 @@ def Constant(value, dtype=None, shape=None, layout=None, device=None, **kwargs):
             return ScalarConstant(value, dtype if isinstance(dtype, DALIDataType) else from_numpy_type(dtype))
         if device is None:
             return ScalarConstant(value)
-    # Array constant: lower to the Constant operator.
+    # Array constant: lower to the Constant operator (payload kept as
+    # fdata/idata so the graph stays serializable, reference generic/constant.cc).
     from . import fn
 
     arr = _np.asarray(value)
@@ -214,10 +215,13 @@ def Constant(value, dtype=None, shape=None, layout=None, device=None, **kwargs):
         arr = arr.astype(to_numpy_type(dtype))
     if shape is not None:
         arr = _np.broadcast_to(arr, shape).copy()
+    flat = arr.reshape(-1)
+    is_float = _np.issubdtype(arr.dtype, _np.floating)
     return fn.constant(
-        idata=None,
-        fdata=None,
-        _raw_value=arr,
+        fdata=[float(v) for v in flat] if is_float else None,
+        idata=None if is_float else [int(v) for v in flat],
+        shape=list(arr.shape),
+        dtype=from_numpy_type(arr.dtype) if arr.dtype in _FROM_NUMPY else None,
         layout=layout or "",
         device=device or "cpu",
         **kwargs,
