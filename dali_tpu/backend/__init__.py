@@ -22,6 +22,7 @@ from . import enhance  # noqa: F401
 from . import distortion  # noqa: F401
 from . import enhance2  # noqa: F401
 from . import readers3  # noqa: F401
+from . import misc  # noqa: F401
 from . import random  # noqa: F401
 from . import arithm  # noqa: F401
 from . import audio  # noqa: F401
