@@ -65,7 +65,7 @@ def build_pipeline():
         # (per-sample-ROI separable resample) + fused crop-mirror-normalize.
         jpegs, labels = fn.readers.file(file_root=DATA_DIR, random_shuffle=True, name="Reader")
         images = fn.decoders.image(
-            jpegs, device="mixed", hybrid_device_decode=True, hybrid_scale=2
+            jpegs, device="mixed", hybrid_device_decode=True, hybrid_scale=2, hybrid_wire="int8",
         )
         images = fn.random_resized_crop(images, size=[224, 224])
         mirror = fn.random.coin_flip(probability=0.5)

@@ -88,18 +88,31 @@ _default_decoders_image = fn.decoders.image
 
 
 def _decoders_image_fn(*inputs, device=None, hybrid_device_decode=False, hybrid_scale=1,
-                       hybrid_chroma_full=False, **kwargs):
+                       hybrid_chroma_full=False, hybrid_wire="int16", **kwargs):
     """fn.decoders.image with the TPU extension ``hybrid_device_decode``: host
     entropy decode → device IDCT/chroma-upsample/color-convert (the hybrid split
     nvJPEG does on GPU; see native/src/jpeg_coeffs.cc + kernels/jpeg.py).
-    ``hybrid_scale`` ∈ {1,2,4} decodes at 1/scale resolution (DCT-domain)."""
+    ``hybrid_scale`` ∈ {1,2,4} decodes at 1/scale resolution (DCT-domain).
+    ``hybrid_wire='int8'`` ships DC as int16 + AC saturated to int8 — half the
+    host→device traffic; saturation is a no-op for typical photographic JPEGs."""
     if not hybrid_device_decode:
         return _default_decoders_image(*inputs, device=device, **kwargs)
     if device != "mixed":
         raise ValueError("hybrid_device_decode requires device='mixed'")
     if hybrid_scale not in (1, 2, 4):
         raise ValueError(f"hybrid_scale must be 1, 2, or 4 (got {hybrid_scale})")
+    if hybrid_wire not in ("int16", "int8"):
+        raise ValueError(f"hybrid_wire must be 'int16' or 'int8' (got {hybrid_wire!r})")
     name = kwargs.pop("name", None)
+    if hybrid_wire == "int8":
+        ydc, yac, cdc, cac, q, dims = _op_call(
+            "_JpegCoeffsSplit", device="mixed", inputs=inputs, name=name,
+            hybrid_scale=hybrid_scale, chroma_full=hybrid_chroma_full,
+        )
+        return _op_call(
+            "_JpegIdctSplit", device="gpu", inputs=[ydc, yac, cdc, cac, q, dims],
+            hybrid_scale=hybrid_scale, chroma_full=hybrid_chroma_full,
+        )
     y, c, q, dims = _op_call(
         "_JpegCoeffs", device="mixed", inputs=inputs, name=name, hybrid_scale=hybrid_scale,
         chroma_full=hybrid_chroma_full,

@@ -388,6 +388,97 @@ class JpegIdct(Operator):
         return [DeviceBatch(rgb, shapes, "HWC")]
 
 
+DALI_SCHEMA("_JpegCoeffsSplit").DocStr(
+    """_JpegCoeffs with the split-precision wire format: DC int16 + AC int8
+    (saturated) planes — half the host→device traffic
+    (native/src/jpeg_coeffs_split.cc). Outputs: (y_dc, y_ac, c_dc, c_ac, q, dims)."""
+).NumInput(1).NumOutput(6).Devices("mixed").MakeInternal().AddOptionalArg(
+    "hybrid_scale", ArgType.INT, "Decode scale denominator (1, 2, or 4).", 1
+).AddOptionalArg("chroma_full", ArgType.BOOL, "Full-spectrum chroma.", False)
+
+DALI_SCHEMA("_JpegIdctSplit").DocStr(
+    "_JpegIdct for the split-precision wire format."
+).NumInput(6).NumOutput(1).Devices("gpu").MakeInternal().AddOptionalArg(
+    "hybrid_scale", ArgType.INT, "Decode scale denominator (1, 2, or 4).", 1
+).AddOptionalArg("chroma_full", ArgType.BOOL, "Full-spectrum chroma.", False)
+
+
+@register_operator("_JpegCoeffsSplit", "mixed")
+class JpegCoeffsSplit(JpegCoeffs):
+    def run_batch(self, ctx, inp: HostBatch):
+        from .. import native
+
+        ky, kc = self._ks()
+        datas = [np.ascontiguousarray(e).tobytes() for e in inp.samples]
+        infos = []
+        for d in datas:
+            info = native.jpeg_coef_info(d)
+            if info is None or info[6] != 0:
+                raise ValueError(
+                    "hybrid_device_decode requires 3-component YCbCr 4:2:0 JPEGs"
+                )
+            infos.append(info)
+
+        def one(i):
+            h, w, ybh, ybw, cbh, cbw, mode = infos[i]
+            r = native.jpeg_read_coeffs_split(datas[i], ky, kc, ybh, ybw, cbh, cbw)
+            if r is None:
+                raise ValueError("JPEG coefficient read failed")
+            y_dc, y_ac, c_dc, c_ac, q = r
+            return y_dc, y_ac, c_dc, c_ac, q.astype(np.int32), np.array([h, w], np.int32)
+
+        results = ctx.map_samples(one, len(datas))
+        return [HostBatch([r[j] for r in results], layout="") for j in range(6)]
+
+    def boundary_align(self, output_idx, ndim):
+        if output_idx in (0, 1):
+            return [8, 8, 1][:ndim]
+        if output_idx in (2, 3):
+            return [1, 4, 4, 1][:ndim]
+        return [1] * ndim
+
+
+@register_operator("_JpegIdctSplit", "gpu")
+class JpegIdctSplit(Operator):
+    def host_output_shapes(self, ctx, input_shapes, input_batches):
+        dims_hb = input_batches[5]
+        if dims_hb is None:
+            return None
+        denom = int(self.spec.GetArgument("hybrid_scale", 1))
+        n = len(dims_hb)
+        out = np.zeros((n, 3), np.int32)
+        for i, d in enumerate(dims_hb.samples):
+            h, w = int(d[0]), int(d[1])
+            out[i] = (-(-h // denom), -(-w // denom), 3)
+        return [out]
+
+    def lower(self, dctx, ydc_b, yac_b, cdc_b, cac_b, q_b, dims_b):
+        import jax
+        import jax.numpy as jnp
+
+        from ..kernels import jpeg as jk
+
+        denom = int(self.spec.GetArgument("hybrid_scale", 1))
+        ky = {1: 8, 2: 4, 4: 2}[denom]
+        chroma_full = bool(self.spec.GetArgument("chroma_full", False))
+
+        def combine(dc, ac):
+            return jnp.concatenate(
+                [dc[..., None].astype(jnp.int32), ac.astype(jnp.int32)], axis=-1
+            )
+
+        y = combine(ydc_b.data, yac_b.data)
+        c = combine(cdc_b.data, cac_b.data)
+        fn = lambda yy, cc, q: jk.jpeg_device_tail(jnp, yy, cc, q, ky, True, chroma_full)
+        rgb = jax.vmap(fn)(y, c, q_b.data)
+        dims = dims_b.data
+        out_h = (dims[:, 0] + denom - 1) // denom
+        out_w = (dims[:, 1] + denom - 1) // denom
+        n = rgb.shape[0]
+        shapes = jnp.stack([out_h, out_w, jnp.full((n,), 3, out_h.dtype)], axis=1).astype(jnp.int32)
+        return [DeviceBatch(rgb, shapes, "HWC")]
+
+
 # -- PeekImageShape -----------------------------------------------------------------------------
 DALI_SCHEMA("PeekImageShape").DocStr(
     "Image shape from the encoded header without decoding (reference "

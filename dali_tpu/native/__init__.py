@@ -93,6 +93,13 @@ def _load():
             lib._has_video = True
         except AttributeError:
             lib._has_video = False
+        lib.dali_tpu_jpeg_read_coeffs_split.restype = ctypes.c_int
+        lib.dali_tpu_jpeg_read_coeffs_split.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
         lib.dali_tpu_pad_stack_u8.restype = ctypes.c_int
         lib.dali_tpu_pad_stack_u8.argtypes = [
             ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_long), ctypes.c_int,
@@ -259,6 +266,32 @@ class VideoFile:
             self.close()
         except Exception:
             pass
+
+
+def jpeg_read_coeffs_split(data: bytes, ky: int, kc: int, y_bh: int, y_bw: int, c_bh: int, c_bw: int):
+    """Split-precision wire format: DC int16 planes + AC int8 planes (saturated)
+    + quant tables. Returns (y_dc [ybh,ybw], y_ac [ybh,ybw,ky²-1],
+    c_dc [2,cbh,cbw], c_ac [2,cbh,cbw,kc²-1], q) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    y_dc = np.empty((y_bh, y_bw), np.int16)
+    y_ac = np.empty((y_bh, y_bw, ky * ky - 1), np.int8)
+    cb_dc = np.empty((c_bh, c_bw), np.int16)
+    cb_ac = np.empty((c_bh, c_bw, kc * kc - 1), np.int8)
+    cr_dc = np.empty((c_bh, c_bw), np.int16)
+    cr_ac = np.empty((c_bh, c_bw, kc * kc - 1), np.int8)
+    q = np.empty((ky * ky + kc * kc,), np.uint16)
+    rc = lib.dali_tpu_jpeg_read_coeffs_split(
+        data, len(data), ky, kc,
+        y_dc.ctypes.data_as(ctypes.c_void_p), y_ac.ctypes.data_as(ctypes.c_void_p),
+        cb_dc.ctypes.data_as(ctypes.c_void_p), cb_ac.ctypes.data_as(ctypes.c_void_p),
+        cr_dc.ctypes.data_as(ctypes.c_void_p), cr_ac.ctypes.data_as(ctypes.c_void_p),
+        q.ctypes.data_as(ctypes.c_void_p), y_bh, y_bw, c_bh, c_bw,
+    )
+    if rc != 0:
+        return None
+    return y_dc, y_ac, np.stack([cb_dc, cr_dc]), np.stack([cb_ac, cr_ac]), q
 
 
 def pad_stack_u8(samples, canvas, fill: int = 0, num_threads: int = 0):
