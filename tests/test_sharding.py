@@ -76,3 +76,17 @@ def test_dryrun_multichip_entrypoint():
     spec.loader.exec_module(mod)
     _cpu_devices(8)
     mod.dryrun_multichip(8)
+
+
+@pytest.mark.slow
+def test_multiprocess_distributed():
+    """2-process jax.distributed cluster (Gloo) assembling global batches —
+    the reference TL3_JAX_multiprocess analogue."""
+    import os
+    import subprocess
+    import sys
+
+    script = os.path.join(os.path.dirname(__file__), "..", "tools", "multiprocess_test.py")
+    r = subprocess.run([sys.executable, script, "--port", "12421"], timeout=280,
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-2000:]
