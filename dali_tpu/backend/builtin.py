@@ -228,6 +228,12 @@ class ExternalSource(Operator):
             return [arr[i] for i in range(arr.shape[0])]
         raise TypeError(f"Unsupported external source data type {type(data)}")
 
+    def reset_epoch(self):
+        """Restart an exhausted iterable source (reference ExternalSource reset)."""
+        if self._source_kind == "iterable":
+            self._iter = None
+            self._epoch += 1
+
     def close(self):
         pool = getattr(self, "_pool", None)
         if pool is not None:

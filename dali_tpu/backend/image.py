@@ -19,6 +19,31 @@ from .base import Operator
 from .decoders import sample_rrc_window
 
 
+
+
+def _fold_frames(inp):
+    """Fold the frame dim of a uniform FHWC DeviceBatch into the batch dim so 2D
+    image kernels apply per frame (AllowSequences support). Returns
+    (folded_batch, unfold) where unfold(data) restores [N, F, ...]."""
+    import jax.numpy as jnp
+
+    if not (inp.layout or "").startswith("F"):
+        return inp, None
+    if inp.shapes is not None:
+        raise NotImplementedError("sequence ops on ragged device batches are not supported yet")
+    n, f = inp.data.shape[0], inp.data.shape[1]
+    folded = DeviceBatch(inp.data.reshape(n * f, *inp.data.shape[2:]), None, inp.layout[1:])
+
+    def unfold(db):
+        return DeviceBatch(
+            db.data.reshape(n, f, *db.data.shape[1:]),
+            None,
+            "F" + db.layout if db.layout and not db.layout.startswith("F") else ("F" + (inp.layout[1:] or "HWC") if not db.layout else db.layout),
+        )
+
+    return folded, unfold
+
+
 # =================================== Resize =====================================================
 
 DALI_SCHEMA("Resize").DocStr(
@@ -205,6 +230,11 @@ class ResizeGPU(Operator):
     def lower(self, dctx, inp: DeviceBatch):
         import jax.numpy as jnp
 
+        folded, unfold = _fold_frames(inp)
+        if unfold is not None:
+            outs = self.lower(dctx, folded)
+            return [unfold(outs[0])]
+
         spec = self.spec
         interp = spec.GetArgument("interp_type", DALIInterpType.INTERP_LINEAR)
         antialias = bool(spec.GetArgument("antialias", True))
@@ -382,6 +412,16 @@ class CropMirrorNormalizeGPU(Operator, _CMNCommon):
     def lower(self, dctx, inp: DeviceBatch):
         import jax.numpy as jnp
 
+        folded, unfold = _fold_frames(inp)
+        if unfold is not None:
+            n, f = inp.data.shape[0], inp.data.shape[1]
+            # per-sample args repeat per frame
+            sub = _SequenceDctx(dctx, f)
+            outs = self.lower(sub, folded)
+            out = outs[0]
+            layout = "F" + out.layout if not out.layout.startswith("F") else out.layout
+            return [DeviceBatch(out.data.reshape(n, f, *out.data.shape[1:]), None, layout)]
+
         spec = self.spec
         n, H, W, C = inp.data.shape
         cs = self._crop_size((H, W))
@@ -519,3 +559,38 @@ class FlipGPU(Operator):
 
 
 import jax  # noqa: E402  (used inside FlipGPU.lower)
+
+
+class _SequenceDctx:
+    """DeviceCtx proxy that repeats per-sample args per frame (PerFrame-less
+    default: one value per sequence, reference sequence broadcasting)."""
+
+    def __init__(self, dctx, frames):
+        self._d = dctx
+        self._f = frames
+        self.batch_size = dctx.batch_size * frames
+
+    def key(self, op):
+        return self._d.key(op)
+
+    def param(self, op, name):
+        import jax.numpy as jnp
+
+        return jnp.repeat(self._d.param(op, name), self._f, axis=0)
+
+    def has_param(self, op, name):
+        return self._d.has_param(op, name)
+
+    def has_tensor_arg(self, op, name):
+        return self._d.has_tensor_arg(op, name)
+
+    def static(self, op):
+        return self._d.static(op)
+
+    def arg(self, op, name, default=None):
+        import jax.numpy as jnp
+
+        v = self._d.arg(op, name, default)
+        if self._d.has_tensor_arg(op, name):
+            return jnp.repeat(jnp.asarray(v), self._f, axis=0)
+        return v

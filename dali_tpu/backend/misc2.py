@@ -1,0 +1,226 @@
+"""decoders.Inflate, readers.Fits, experimental.Remap, decoders.ImageSlice.
+
+Reference: ``dali/operators/decoder/inflate/`` (GPU LZ4 via nvCOMP — host
+zlib/zstd here per SURVEY §2.4), ``reader/fits_loader.cc`` (FITS images),
+``image/remap/`` (cvcuda remap), ``decoders__ImageSlice``.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .._schema import DALI_SCHEMA, ArgType, register_operator
+from .. import imgcodec
+from ..batch import HostBatch
+from ..types import DALIDataType, to_numpy_type
+from .base import Operator
+from .readers import BaseReader
+
+# ====================================== decoders.Inflate ===========================================
+
+DALI_SCHEMA("decoders.Inflate").DocStr(
+    "Decompresses chunks (reference ``decoders__Inflate``; GPU LZ4/nvCOMP there, "
+    "host zlib/zstd/gzip here)."
+).NumInput(1).NumOutput(1).Devices("cpu").AddOptionalArg(
+    "algorithm", ArgType.STRING, "'zlib' (DALI: 'LZ4' unsupported), 'zstd', 'gzip', 'raw_deflate'.", "zlib"
+).AddOptionalArg(
+    "dtype", ArgType.DATA_TYPE, "Output dtype.", DALIDataType.UINT8
+).AddOptionalArg(
+    "shape", ArgType.INT_VEC, "Output shape.", None, tensor_ok=True, per_sample=True
+)
+
+
+@register_operator("decoders.Inflate", "cpu")
+class Inflate(Operator):
+    def run_sample(self, ctx, idx, data):
+        algo = self.spec.GetArgument("algorithm", "zlib").lower()
+        raw = np.ascontiguousarray(data).tobytes()
+        if algo == "zstd":
+            import zstandard
+
+            out = zstandard.ZstdDecompressor().decompress(raw)
+        elif algo in ("zlib", "gzip", "raw_deflate"):
+            import zlib
+
+            wbits = {"zlib": 15, "gzip": 31, "raw_deflate": -15}[algo]
+            out = zlib.decompress(raw, wbits)
+        else:
+            raise ValueError(f"Unsupported inflate algorithm {algo!r}")
+        dt = to_numpy_type(self.spec.GetArgument("dtype", DALIDataType.UINT8))
+        arr = np.frombuffer(out, dt).copy()
+        shape = ctx.arg(self, "shape", idx, None)
+        if shape is not None:
+            arr = arr.reshape([int(v) for v in np.asarray(shape).reshape(-1)])
+        return arr
+
+
+# ====================================== readers.Fits ===============================================
+
+_FITS_DTYPES = {8: np.uint8, 16: ">i2", 32: ">i4", 64: ">i8", -32: ">f4", -64: ">f8"}
+
+
+def read_fits_image(path: str) -> np.ndarray:
+    """Minimal FITS primary-HDU image reader (reference fits_loader.cc uses
+    cfitsio; 2880-byte header blocks of 80-char cards, big-endian data)."""
+    with open(path, "rb") as f:
+        cards = {}
+        end = False
+        while not end:
+            block = f.read(2880)
+            if len(block) < 2880:
+                raise ValueError("Truncated FITS header")
+            for i in range(0, 2880, 80):
+                card = block[i : i + 80].decode("ascii", "replace")
+                key = card[:8].strip()
+                if key == "END":
+                    end = True
+                    break
+                if "=" in card:
+                    val = card[card.index("=") + 1 :].split("/")[0].strip()
+                    cards[key] = val
+        bitpix = int(cards["BITPIX"])
+        naxis = int(cards["NAXIS"])
+        shape = [int(cards[f"NAXIS{i}"]) for i in range(naxis, 0, -1)]
+        count = int(np.prod(shape)) if shape else 0
+        dt = np.dtype(_FITS_DTYPES[bitpix])
+        data = np.frombuffer(f.read(count * dt.itemsize), dt, count=count)
+        arr = data.reshape(shape)
+        bscale = float(cards.get("BSCALE", "1.0"))
+        bzero = float(cards.get("BZERO", "0.0"))
+        if bscale != 1.0 or bzero != 0.0:
+            arr = arr * bscale + bzero
+        return np.ascontiguousarray(arr.astype(arr.dtype.newbyteorder("=")))
+
+
+DALI_SCHEMA("readers.Fits").DocStr(
+    "Reads FITS image files (reference ``readers__Fits``, ``fits_loader.cc``)."
+).NumInput(0).NumOutput(1).Devices("cpu").MakeReader().AddOptionalArg(
+    "file_root", ArgType.STRING, "Directory with FITS files.", None
+).AddOptionalArg(
+    "files", ArgType.STRING_VEC, "Explicit file list.", None
+).AddOptionalArg("file_filter", ArgType.STRING, "Glob filter.", "*.fits").AddOptionalArg(
+    "hdu_indices", ArgType.INT_VEC, "HDUs to read (primary only supported).", [1]
+)
+
+
+@register_operator("readers.Fits", "cpu")
+class FitsReader(BaseReader):
+    def __init__(self, spec, op_id):
+        super().__init__(spec, op_id)
+        self._files = None
+
+    def _build_index(self):
+        if self._files is not None:
+            return
+        import fnmatch
+        import os
+
+        spec = self.spec
+        files = spec.GetArgument("files", None)
+        root = spec.GetArgument("file_root", None)
+        if files:
+            self._files = [os.path.join(root, f) if root and not os.path.isabs(f) else f for f in files]
+        elif root:
+            pat = spec.GetArgument("file_filter", "*.fits")
+            self._files = [
+                os.path.join(root, f) for f in sorted(os.listdir(root)) if fnmatch.fnmatch(f, pat)
+            ]
+        else:
+            raise ValueError("readers.fits requires file_root or files")
+        if not self._files:
+            raise ValueError("readers.fits found no files")
+
+    def _num_samples(self):
+        return len(self._files)
+
+    def _read_payload(self, index: int):
+        return read_fits_image(self._files[index])
+
+
+# ====================================== experimental.Remap =========================================
+
+DALI_SCHEMA("experimental.Remap").DocStr(
+    "Generic coordinate remap: out(x, y) = in(mapx(x, y), mapy(x, y)) "
+    "(reference experimental remap via CV-CUDA)."
+).NumInput(3).NumOutput(1).Devices("cpu", "gpu").AddOptionalArg(
+    "interp", ArgType.INTERP_TYPE, "Interpolation.", None
+).AddOptionalArg("pixel_origin", ArgType.STRING, "'corner' or 'center'.", "corner")
+
+
+@register_operator("experimental.Remap", "cpu")
+class RemapCPU(Operator):
+    def run_sample(self, ctx, idx, img, mapx, mapy):
+        import cv2
+
+        return cv2.remap(
+            img, mapx.astype(np.float32), mapy.astype(np.float32), cv2.INTER_LINEAR
+        )
+
+
+@register_operator("experimental.Remap", "gpu")
+class RemapGPU(Operator):
+    def lower(self, dctx, img_b, mapx_b, mapy_b):
+        import jax
+
+        from .distortion import _bilinear_gather, _to_dtype
+        import jax.numpy as jnp
+
+        out = jax.vmap(lambda im, mx, my: _bilinear_gather(jnp, im, mx, my, 0.0))(
+            img_b.data, mapx_b.data.astype(jnp.float32), mapy_b.data.astype(jnp.float32)
+        )
+        return [img_b.with_data(_to_dtype(jnp, out, img_b.data.dtype), shapes=None)]
+
+
+# ====================================== decoders.ImageSlice ========================================
+
+DALI_SCHEMA("decoders.ImageSlice").DocStr(
+    "Decode + slice (reference ``decoders__ImageSlice``): anchor/shape given as "
+    "positional inputs (relative by default) or kwargs."
+).NumInput(1, 3).NumOutput(1).Devices("cpu", "mixed").AddOptionalArg(
+    "output_type", ArgType.IMAGE_TYPE, "Color space.", None
+).AddOptionalArg(
+    "normalized_anchor", ArgType.BOOL, "Anchor input is relative.", True
+).AddOptionalArg(
+    "normalized_shape", ArgType.BOOL, "Shape input is relative.", True
+).AddOptionalArg(
+    "axes", ArgType.INT_VEC, "Sliced axes.", [1, 0]
+)
+
+
+class _ImageSliceBase(Operator):
+    def run_sample(self, ctx, idx, encoded, *pos):
+        from ..types import DALIImageType
+
+        out_type = self.spec.GetArgument("output_type", None) or DALIImageType.RGB
+        img = imgcodec.decode(np.ascontiguousarray(encoded).tobytes(), output_type=out_type)
+        if not pos:
+            return img
+        anchor = np.asarray(pos[0], np.float64).reshape(-1)
+        shape = np.asarray(pos[1], np.float64).reshape(-1) if len(pos) > 1 else None
+        axes = self.spec.GetArgument("axes", [1, 0])
+        dims = np.array([img.shape[a] for a in axes], np.float64)
+        if self.spec.GetArgument("normalized_anchor", True):
+            anchor = anchor * dims
+        if shape is not None and self.spec.GetArgument("normalized_shape", True):
+            shape = shape * dims
+        sl = [slice(None)] * img.ndim
+        for k, a in enumerate(axes):
+            lo = int(round(anchor[k]))
+            ln = int(round(shape[k])) if shape is not None else img.shape[a] - lo
+            sl[a] = slice(max(lo, 0), max(lo, 0) + ln)
+        return np.ascontiguousarray(img[tuple(sl)])
+
+    def output_layout(self, j, inputs):
+        return "HWC"
+
+
+@register_operator("decoders.ImageSlice", "cpu")
+class ImageSliceCPU(_ImageSliceBase):
+    pass
+
+
+@register_operator("decoders.ImageSlice", "mixed")
+class ImageSliceMixed(_ImageSliceBase):
+    pass

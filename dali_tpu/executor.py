@@ -212,6 +212,34 @@ class Executor:
                 except Exception:
                     pass
 
+    def reset(self):
+        """Clear a raised-StopIteration state and restart the stage threads."""
+        self._shutdown = True
+        self._work_q.put(None)
+        for q in (self._device_q, self._out_q):
+            if q is None:
+                continue
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+        if self._host_thread is not None:
+            self._host_thread.join(timeout=5)
+            self._host_thread = None
+        if self._device_thread is not None:
+            self._device_q.put(None)
+            self._device_thread.join(timeout=5)
+            self._device_thread = None
+        self._shutdown = False
+        self._error = None
+        self._work_q = queue.Queue()
+        self._out_q = queue.Queue(maxsize=max(1, self.pipeline.prefetch_queue_depth))
+        for impl in self.impls.values():
+            r = getattr(impl, "reset_epoch", None)
+            if r is not None:
+                r()
+
     # -- scheduling --------------------------------------------------------------------
     def schedule_run(self):
         if self._error is not None:

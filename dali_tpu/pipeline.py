@@ -201,6 +201,14 @@ class Pipeline:
     def share_outputs(self):
         return self.outputs()
 
+    def reset(self):
+        """Restart iteration after a StopIteration from an external source
+        (reference ``pipeline.py`` reset)."""
+        if self._executor is not None:
+            self._executor.reset()
+        self._batches_scheduled = 0
+        self._batches_consumed = 0
+
     def release_outputs(self):
         pass  # outputs are immutable jax/numpy arrays; nothing to recycle
 
