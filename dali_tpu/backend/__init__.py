@@ -24,6 +24,7 @@ from . import enhance2  # noqa: F401
 from . import readers3  # noqa: F401
 from . import misc  # noqa: F401
 from . import misc2  # noqa: F401
+from . import tail  # noqa: F401
 from . import random  # noqa: F401
 from . import random_gpu  # noqa: F401
 from . import arithm  # noqa: F401

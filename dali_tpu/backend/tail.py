@@ -1,0 +1,382 @@
+"""Remaining operator tail: noise ops, SSDRandomCrop, Reinterpret,
+ResizeCropMirror, NemoAsr reader, generic Filter (gpu), TensorResize.
+
+Reference: ``random/noise/{salt_and_pepper,shot}_noise.cc``, ``ssd/random_crop.cc``,
+``generic/reshape.cc`` (Reinterpret), ``image/resize/resize_crop_mirror.cc``,
+``reader/nemo_asr_loader.cc``, ``image/filter/filter.cc``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from .._schema import DALI_SCHEMA, ArgType, register_operator
+from ..batch import DeviceBatch, HostBatch
+from ..types import DALIDataType, DALIInterpType, to_jnp_type, to_numpy_type
+from .base import Operator
+from .readers import BaseReader
+
+# ====================================== noise ops ===================================================
+
+DALI_SCHEMA("noise.SaltAndPepper").DocStr(
+    "Salt-and-pepper noise (reference noise/salt_and_pepper_noise.cc)."
+).NumInput(1).NumOutput(1).Devices("cpu", "gpu").AddRandomSeedArg().AddOptionalArg(
+    "prob", ArgType.FLOAT, "Probability a pixel is corrupted.", 0.05, tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "salt_vs_pepper", ArgType.FLOAT, "Fraction of corrupted pixels that are salt.", 0.5, tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "salt_val", ArgType.FLOAT, "Salt value (default dtype max).", None
+).AddOptionalArg(
+    "pepper_val", ArgType.FLOAT, "Pepper value (default dtype min).", None
+).AddOptionalArg("per_channel", ArgType.BOOL, "Corrupt channels independently.", False)
+
+
+def _sp_vals(spec, dtype):
+    salt = spec.GetArgument("salt_val", None)
+    pepper = spec.GetArgument("pepper_val", None)
+    if np.issubdtype(dtype, np.integer):
+        info = np.iinfo(dtype)
+        return (info.max if salt is None else salt), (info.min if pepper is None else pepper)
+    return (1.0 if salt is None else salt), (0.0 if pepper is None else pepper)
+
+
+@register_operator("noise.SaltAndPepper", "cpu")
+class SaltAndPepperCPU(Operator):
+    def run_sample(self, ctx, idx, x):
+        rng = ctx.rng(self, idx)
+        prob = float(np.asarray(ctx.arg(self, "prob", idx, 0.05)))
+        svp = float(np.asarray(ctx.arg(self, "salt_vs_pepper", idx, 0.5)))
+        salt, pepper = _sp_vals(self.spec, x.dtype)
+        shape = x.shape if self.spec.GetArgument("per_channel", False) else x.shape[:-1] + (1,)
+        u = rng.random(shape)
+        out = x.copy()
+        out = np.where(np.broadcast_to(u < prob * svp, x.shape), np.asarray(salt, x.dtype), out)
+        out = np.where(
+            np.broadcast_to((u >= prob * svp) & (u < prob), x.shape), np.asarray(pepper, x.dtype), out
+        )
+        return out
+
+
+@register_operator("noise.SaltAndPepper", "gpu")
+class SaltAndPepperGPU(Operator):
+    def lower(self, dctx, inp: DeviceBatch):
+        import jax
+        import jax.numpy as jnp
+
+        prob = dctx.arg(self, "prob", 0.05)
+        svp = dctx.arg(self, "salt_vs_pepper", 0.5)
+        salt, pepper = _sp_vals(self.spec, np.dtype(str(inp.data.dtype)))
+        shape = inp.data.shape if self.spec.GetArgument("per_channel", False) else inp.data.shape[:-1] + (1,)
+        u = jax.random.uniform(dctx.key(self), shape)
+        n = inp.data.shape[0]
+        if hasattr(prob, "ndim") and getattr(prob, "ndim", 0) >= 1:
+            prob = prob.reshape(n, *([1] * (len(shape) - 1)))
+        if hasattr(svp, "ndim") and getattr(svp, "ndim", 0) >= 1:
+            svp = svp.reshape(n, *([1] * (len(shape) - 1)))
+        out = jnp.where(u < prob * svp, jnp.asarray(salt, inp.data.dtype), inp.data)
+        out = jnp.where((u >= prob * svp) & (u < prob), jnp.asarray(pepper, inp.data.dtype), out)
+        return [inp.with_data(out)]
+
+
+DALI_SCHEMA("noise.Shot").DocStr(
+    "Shot (Poisson) noise (reference noise/shot_noise.cc): out ~ Poisson(x / factor) * factor."
+).NumInput(1).NumOutput(1).Devices("cpu").AddRandomSeedArg().AddOptionalArg(
+    "factor", ArgType.FLOAT, "Noise factor.", 20.0, tensor_ok=True, per_sample=True
+)
+
+
+@register_operator("noise.Shot", "cpu")
+class ShotNoiseCPU(Operator):
+    def run_sample(self, ctx, idx, x):
+        rng = ctx.rng(self, idx)
+        factor = float(np.asarray(ctx.arg(self, "factor", idx, 20.0)))
+        if factor <= 0:
+            return x.copy()
+        lam = x.astype(np.float64) / factor
+        out = rng.poisson(lam).astype(np.float64) * factor
+        if np.issubdtype(x.dtype, np.integer):
+            info = np.iinfo(x.dtype)
+            out = np.clip(out, info.min, info.max)
+        return out.astype(x.dtype)
+
+
+# ====================================== SSDRandomCrop ================================================
+
+DALI_SCHEMA("SSDRandomCrop").DocStr(
+    "Legacy fused SSD crop (reference ssd/random_crop.cc): IoU-constrained window "
+    "applied to the image, boxes, and labels together."
+).NumInput(3).NumOutput(3).Devices("cpu").AddRandomSeedArg().AddOptionalArg(
+    "num_attempts", ArgType.INT, "Sampling attempts.", 1
+)
+
+
+@register_operator("SSDRandomCrop", "cpu")
+class SSDRandomCrop(Operator):
+    def run_batch(self, ctx, imgs: HostBatch, boxes: HostBatch, labels: HostBatch):
+        from .bbox import RandomBBoxCrop, _iou
+
+        rng = ctx.rng(self)
+        out_imgs, out_boxes, out_labels = [], [], []
+        thresholds = [None, 0.1, 0.3, 0.5, 0.7, 0.9]
+        attempts = self.spec.GetArgument("num_attempts", 1)
+        for i in range(len(imgs)):
+            img = imgs.samples[i]
+            bxs = boxes.samples[i].reshape(-1, 4).astype(np.float32)
+            lbl = labels.samples[i].reshape(-1)
+            h, w = img.shape[:2]
+            done = False
+            while not done:
+                thr = thresholds[int(rng.integers(0, len(thresholds)))]
+                if thr is None:
+                    out_imgs.append(img)
+                    out_boxes.append(bxs)
+                    out_labels.append(lbl.astype(np.int32))
+                    done = True
+                    break
+                for _ in range(max(attempts, 1)):
+                    cw = rng.uniform(0.3, 1.0)
+                    chh = rng.uniform(0.3, 1.0)
+                    if not (0.5 <= cw / chh <= 2.0):
+                        continue
+                    x0 = rng.uniform(0, 1 - cw)
+                    y0 = rng.uniform(0, 1 - chh)
+                    win = np.array([x0, y0, x0 + cw, y0 + chh], np.float32)
+                    if bxs.shape[0]:
+                        centers = (bxs[:, :2] + bxs[:, 2:]) / 2
+                        inside = (
+                            (centers[:, 0] >= win[0]) & (centers[:, 0] <= win[2])
+                            & (centers[:, 1] >= win[1]) & (centers[:, 1] <= win[3])
+                        )
+                        if not inside.any() or (_iou(bxs, win)[inside] < thr).any():
+                            continue
+                        kept = bxs[inside].copy()
+                        kept[:, [0, 2]] = (np.clip(kept[:, [0, 2]], win[0], win[2]) - win[0]) / cw
+                        kept[:, [1, 3]] = (np.clip(kept[:, [1, 3]], win[1], win[3]) - win[1]) / chh
+                        new_lbl = lbl[inside].astype(np.int32)
+                    else:
+                        kept = bxs
+                        new_lbl = lbl.astype(np.int32)
+                    ix0, iy0 = int(x0 * w), int(y0 * h)
+                    iw, ih = max(int(cw * w), 1), max(int(chh * h), 1)
+                    out_imgs.append(np.ascontiguousarray(img[iy0 : iy0 + ih, ix0 : ix0 + iw]))
+                    out_boxes.append(kept)
+                    out_labels.append(new_lbl)
+                    done = True
+                    break
+        return [
+            HostBatch(out_imgs, layout=imgs.layout),
+            HostBatch(out_boxes),
+            HostBatch(out_labels),
+        ]
+
+
+# ====================================== Reinterpret ==================================================
+
+DALI_SCHEMA("Reinterpret").DocStr(
+    "Reinterprets the underlying bytes with a new dtype and/or shape "
+    "(reference generic/reshape.cc Reinterpret)."
+).NumInput(1, 2).NumOutput(1).Devices("cpu").AddOptionalArg(
+    "dtype", ArgType.DATA_TYPE, "New dtype (bit reinterpret).", None
+).AddOptionalArg(
+    "shape", ArgType.FLOAT_VEC, "New shape (-1 infers).", None, tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "rel_shape", ArgType.FLOAT_VEC, "Shape relative to input.", None
+).AddOptionalArg("layout", ArgType.TENSOR_LAYOUT, "New layout.", None)
+
+
+@register_operator("Reinterpret", "cpu")
+class Reinterpret(Operator):
+    def run_sample(self, ctx, idx, x, *shape_in):
+        dt = self.spec.GetArgument("dtype", None)
+        out = x.view(to_numpy_type(dt)) if dt is not None else x
+        shape = None
+        if shape_in:
+            shape = [int(v) for v in np.asarray(shape_in[0]).reshape(-1)]
+        elif self.spec.GetArgument("shape", None) is not None:
+            shape = [int(round(v)) for v in self.spec.GetArgument("shape")]
+        if shape is not None:
+            total = out.size
+            if -1 in shape:
+                known = int(np.prod([v for v in shape if v != -1]))
+                shape[shape.index(-1)] = total // max(known, 1)
+            out = out.reshape(shape)
+        return out
+
+    def output_layout(self, j, inputs):
+        return self.spec.GetArgument("layout", None) or ""
+
+
+# ====================================== ResizeCropMirror ==============================================
+
+
+def _resize_crop_mirror_schema(name):
+    from .image import DALI_SCHEMA as _  # noqa: F401  (schema fn shared)
+
+    s = DALI_SCHEMA(name).DocStr(
+        "Fused resize + crop + mirror (reference image/resize/resize_crop_mirror.h)."
+    ).NumInput(1).NumOutput(1).Devices("cpu").AddOptionalArg(
+        "resize_x", ArgType.FLOAT, "Output width.", 0.0, tensor_ok=True, per_sample=True
+    ).AddOptionalArg(
+        "resize_y", ArgType.FLOAT, "Output height.", 0.0, tensor_ok=True, per_sample=True
+    ).AddOptionalArg(
+        "resize_shorter", ArgType.FLOAT, "Resize shorter edge.", 0.0, tensor_ok=True, per_sample=True
+    ).AddOptionalArg(
+        "crop", ArgType.FLOAT_VEC, "Crop size (H, W).", None
+    ).AddOptionalArg(
+        "crop_pos_x", ArgType.FLOAT, "Crop x position.", 0.5, tensor_ok=True, per_sample=True
+    ).AddOptionalArg(
+        "crop_pos_y", ArgType.FLOAT, "Crop y position.", 0.5, tensor_ok=True, per_sample=True
+    ).AddOptionalArg(
+        "mirror", ArgType.INT, "Horizontal mirror flag.", 0, tensor_ok=True, per_sample=True
+    ).AddOptionalArg("interp_type", ArgType.INTERP_TYPE, "Interpolation.", DALIInterpType.INTERP_LINEAR)
+    return s
+
+
+_resize_crop_mirror_schema("ResizeCropMirror")
+_resize_crop_mirror_schema("FastResizeCropMirror")
+
+
+class _RCMBase(Operator):
+    def run_sample(self, ctx, idx, img):
+        import cv2
+
+        from .image import compute_resize_size
+
+        h, w = img.shape[:2]
+        out_h, out_w = compute_resize_size(h, w, self.spec, lambda n, d=None: ctx.arg(self, n, idx, d))
+        resized = cv2.resize(img, (out_w, out_h), interpolation=cv2.INTER_LINEAR)
+        if resized.ndim == 2:
+            resized = resized[:, :, None]
+        crop = self.spec.GetArgument("crop", None)
+        if crop:
+            ch, cw = int(crop[0]), int(crop[1])
+            py = float(np.asarray(ctx.arg(self, "crop_pos_y", idx, 0.5)))
+            px = float(np.asarray(ctx.arg(self, "crop_pos_x", idx, 0.5)))
+            y = int(round(py * (out_h - ch)))
+            x = int(round(px * (out_w - cw)))
+            resized = resized[y : y + ch, x : x + cw]
+        if int(np.asarray(ctx.arg(self, "mirror", idx, 0))):
+            resized = resized[:, ::-1]
+        return np.ascontiguousarray(resized)
+
+    def output_layout(self, j, inputs):
+        return "HWC"
+
+
+register_operator("ResizeCropMirror", "cpu")(type("ResizeCropMirror", (_RCMBase,), {}))
+register_operator("FastResizeCropMirror", "cpu")(type("FastResizeCropMirror", (_RCMBase,), {}))
+
+
+# ====================================== readers.NemoAsr ==============================================
+
+DALI_SCHEMA("readers.NemoAsr").DocStr(
+    "Reads NeMo ASR manifests (reference ``readers__NemoAsr``, nemo_asr_loader.cc): "
+    "JSON-lines with audio_filepath/duration/text. Outputs (audio, sample_rate, "
+    "transcript bytes)."
+).NumInput(0).OutputFn(lambda spec: 3 if spec.GetArgument("read_text", True) else 2).Devices(
+    "cpu"
+).MakeReader().AddArg(
+    "manifest_filepaths", ArgType.STRING_VEC, "Manifest JSON-lines files."
+).AddOptionalArg(
+    "sample_rate", ArgType.FLOAT, "Resample target (0 = keep).", 0.0
+).AddOptionalArg(
+    "read_text", ArgType.BOOL, "Also output transcripts.", True
+).AddOptionalArg(
+    "downmix", ArgType.BOOL, "Downmix to mono.", True
+).AddOptionalArg(
+    "min_duration", ArgType.FLOAT, "Skip shorter clips.", 0.0
+).AddOptionalArg("max_duration", ArgType.FLOAT, "Skip longer clips (0 = inf).", 0.0)
+
+
+@register_operator("readers.NemoAsr", "cpu")
+class NemoAsrReader(BaseReader):
+    def __init__(self, spec, op_id):
+        super().__init__(spec, op_id)
+        self._entries = None
+
+    def _build_index(self):
+        if self._entries is not None:
+            return
+        spec = self.spec
+        lo = spec.GetArgument("min_duration", 0.0)
+        hi = spec.GetArgument("max_duration", 0.0)
+        paths = spec.GetArgument("manifest_filepaths")
+        if isinstance(paths, str):
+            paths = [paths]
+        self._entries = []
+        for mp in paths:
+            base = os.path.dirname(os.path.abspath(mp))
+            with open(mp) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    e = json.loads(line)
+                    dur = float(e.get("duration", 0.0))
+                    if dur < lo or (hi > 0 and dur > hi):
+                        continue
+                    ap = e["audio_filepath"]
+                    if not os.path.isabs(ap):
+                        ap = os.path.join(base, ap)
+                    self._entries.append((ap, e.get("text", "")))
+        if not self._entries:
+            raise ValueError("readers.nemo_asr found no usable manifest entries")
+
+    def _num_samples(self):
+        return len(self._entries)
+
+    def _read_payload(self, index: int):
+        from .audio import _resample_audio, decode_wav
+
+        path, text = self._entries[index]
+        with open(path, "rb") as f:
+            audio, rate = decode_wav(f.read())
+        if self.spec.GetArgument("downmix", True) and audio.ndim == 2:
+            audio = audio.mean(axis=1)
+        target = self.spec.GetArgument("sample_rate", 0.0)
+        if target and target > 0:
+            audio = _resample_audio(audio, rate, target)
+            rate = target
+        outs = (audio.astype(np.float32), np.float32(rate))
+        if self.spec.GetArgument("read_text", True):
+            outs += (np.frombuffer(text.encode(), np.uint8).copy(),)
+        return outs
+
+
+# ====================================== Filter (gpu) ==================================================
+
+
+@register_operator("experimental.Filter", "gpu")
+class FilterGPU(Operator):
+    """General 2D correlation with per-sample kernels via vmapped XLA conv."""
+
+    def lower(self, dctx, img_b: DeviceBatch, kern_b: DeviceBatch, *fill):
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        kh, kw = int(kern_b.data.shape[1]), int(kern_b.data.shape[2])
+        ph, pw = kh // 2, kw // 2
+
+        def one(img, k):
+            x = img.astype(jnp.float32)
+            C = x.shape[-1]
+            xp = jnp.pad(x, ((ph, kh - 1 - ph), (pw, kw - 1 - pw), (0, 0)), mode="reflect")
+            rhs = jnp.broadcast_to(k[::-1, ::-1, None, None].astype(jnp.float32), (kh, kw, 1, C))
+            # correlation = convolution with flipped kernel; flip back for corr
+            rhs = rhs[::-1, ::-1]
+            out = lax.conv_general_dilated(
+                xp[None], rhs, (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C,
+            )
+            return out[0]
+
+        out = jax.vmap(one)(img_b.data, kern_b.data)
+        dt = img_b.data.dtype
+        if jnp.issubdtype(dt, jnp.integer):
+            info = jnp.iinfo(dt)
+            out = jnp.clip(jnp.round(out), info.min, info.max)
+        return [img_b.with_data(out.astype(dt))]
