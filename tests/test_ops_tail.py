@@ -1,0 +1,183 @@
+"""Regression coverage for the operator tail (previously smoke-driven only):
+inflate, FITS, NemoAsr, noise, ResizeCropMirror, Reinterpret, Remap, video,
+SSDRandomCrop, compare_pipelines utility, variable batch size, mid-epoch
+checkpoint resume of a shuffled reader."""
+
+import json
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from dali_tpu import fn, pipeline_def, types
+from .test_utils import check_batch, compare_pipelines
+
+
+def test_inflate_zlib_and_zstd():
+    payload = np.arange(24, dtype=np.uint8).tobytes()
+    import zstandard
+
+    blobs = {
+        "zlib": zlib.compress(payload),
+        "zstd": zstandard.ZstdCompressor().compress(payload),
+    }
+    for algo, blob in blobs.items():
+        @pipeline_def(batch_size=1, num_threads=1, seed=1)
+        def pipe(blob=blob, algo=algo):
+            b = fn.external_source(source=lambda: [np.frombuffer(blob, np.uint8)], batch=True)
+            return fn.decoders.inflate(b, algorithm=algo, shape=[4, 6])
+
+        out = pipe().run()[0]
+        np.testing.assert_array_equal(out.at(0).reshape(-1), np.arange(24, dtype=np.uint8))
+
+
+def test_fits_reader(tmp_path):
+    arr = np.arange(12, dtype=">i2").reshape(3, 4)
+    cards = [b"SIMPLE  =                    T", b"BITPIX  =                   16",
+             b"NAXIS   =                    2", b"NAXIS1  =                    4",
+             b"NAXIS2  =                    3", b"END"]
+    hdr = b"".join(c.ljust(80) for c in cards).ljust(2880)
+    (tmp_path / "t.fits").write_bytes(hdr + arr.tobytes())
+
+    @pipeline_def(batch_size=1, num_threads=1, seed=1)
+    def pipe():
+        return fn.readers.fits(files=[str(tmp_path / "t.fits")], name="F")
+
+    out = pipe().run()[0]
+    np.testing.assert_array_equal(out.at(0), np.arange(12, dtype=np.int16).reshape(3, 4))
+
+
+def test_nemo_asr_reader(tmp_path):
+    from .test_audio import make_wav
+
+    wav = make_wav(np.sin(np.arange(8000) / 10).astype(np.float32))
+    (tmp_path / "u.wav").write_bytes(wav)
+    manifest = tmp_path / "m.json"
+    manifest.write_text(json.dumps({"audio_filepath": "u.wav", "duration": 0.5, "text": "hi"}) + "\n")
+
+    @pipeline_def(batch_size=1, num_threads=1, seed=1)
+    def pipe():
+        return fn.readers.nemo_asr(manifest_filepaths=[str(manifest)], name="N")
+
+    audio, rate, text = pipe().run()
+    assert audio.at(0).shape == (8000,)
+    assert float(rate.at(0)) == 16000.0
+    assert bytes(text.at(0).tobytes()) == b"hi"
+
+
+def test_noise_ops():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (2, 32, 32, 3), np.uint8)
+
+    @pipeline_def(batch_size=2, num_threads=1, seed=3)
+    def pipe():
+        x = fn.external_source(source=lambda: img, batch=True, layout="HWC")
+        return (fn.noise.salt_and_pepper(x, prob=0.2),
+                fn.noise.salt_and_pepper(x.gpu(), prob=0.2),
+                fn.noise.shot(x, factor=10.0),
+                fn.noise.gaussian(x, stddev=5.0))
+
+    sp_c, sp_g, shot, gauss = pipe().run()
+    frac = (sp_c.at(0) != img[0]).any(axis=-1).mean()
+    assert 0.1 < frac < 0.3
+    frac_g = (sp_g.as_cpu().at(0) != img[0]).any(axis=-1).mean()
+    assert 0.1 < frac_g < 0.3
+    assert shot.at(0).dtype == np.uint8
+    assert gauss.at(0).shape == img[0].shape
+
+
+def test_resize_crop_mirror_and_reinterpret():
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (40, 60, 3), np.uint8)
+
+    @pipeline_def(batch_size=1, num_threads=1, seed=1)
+    def pipe():
+        x = fn.external_source(source=lambda: [img], batch=True, layout="HWC")
+        rcm = fn.resize_crop_mirror(x, resize_x=32, resize_y=32, crop=[24, 24], mirror=1)
+        i16 = fn.external_source(source=lambda: [np.arange(8, dtype=np.int16)], batch=True)
+        reint = fn.reinterpret(i16, dtype=types.UINT8)
+        return rcm, reint
+
+    rcm, reint = pipe().run()
+    assert rcm.at(0).shape == (24, 24, 3)
+    np.testing.assert_array_equal(
+        reint.at(0), np.arange(8, dtype=np.int16).view(np.uint8)
+    )
+
+
+def test_ssd_random_crop():
+    rng = np.random.default_rng(5)
+    imgs = [rng.integers(0, 256, (60, 80, 3), np.uint8) for _ in range(4)]
+    boxes = [np.array([[0.2, 0.2, 0.7, 0.7]], np.float32) for _ in range(4)]
+    labels = [np.array([1], np.int32) for _ in range(4)]
+
+    @pipeline_def(batch_size=4, num_threads=1, seed=9)
+    def pipe():
+        i = fn.external_source(source=lambda: imgs, batch=True, layout="HWC")
+        b = fn.external_source(source=lambda: boxes, batch=True)
+        l = fn.external_source(source=lambda: labels, batch=True)
+        return fn.ssd_random_crop(i, b, l)
+
+    oi, ob, ol = pipe().run()
+    for k in range(4):
+        assert oi.at(k).ndim == 3
+        assert ob.at(k).shape[0] == ol.at(k).shape[0]
+        if ob.at(k).size:
+            assert (ob.at(k) >= -1e-6).all() and (ob.at(k) <= 1 + 1e-6).all()
+
+
+def test_compare_pipelines_utility():
+    def make():
+        @pipeline_def(batch_size=4, num_threads=1, seed=7)
+        def pipe():
+            return fn.random.uniform(range=[0.0, 1.0], shape=[5])
+
+        return pipe()
+
+    compare_pipelines(make(), make())
+
+
+def test_variable_batch_size_via_feed_input():
+    """Smaller-than-max batches flow through host + device stages (reference
+    test_dali_variable_batch_size.py)."""
+
+    @pipeline_def(batch_size=8, num_threads=1, seed=1)
+    def pipe():
+        x = fn.external_source(name="src", layout="HWC")
+        return fn.crop_mirror_normalize(x.gpu(), mean=[0.0], std=[1.0], output_layout="CHW")
+
+    p = pipe()
+    p.build()
+    rng = np.random.default_rng(0)
+    for n in (8, 3, 5):
+        data = [rng.integers(0, 255, (16, 16, 3), np.uint8) for _ in range(n)]
+        p.feed_input("src", data)
+        p.schedule_run()
+        out = p.outputs()[0]
+        assert len(out) == n
+        assert np.asarray(out.as_tensor()).shape == (n, 3, 16, 16)
+
+
+def test_shuffled_reader_checkpoint_midepoch(jpeg_dataset):
+    """Exact mid-epoch resume of a shuffling reader (reference checkpointing
+    epoch-resume determinism suite)."""
+
+    def make(ckpt=None):
+        @pipeline_def(batch_size=4, num_threads=1, seed=21, checkpoint=ckpt)
+        def pipe():
+            _, labels = fn.readers.file(
+                file_root=jpeg_dataset, random_shuffle=True, initial_fill=8, name="R"
+            )
+            return labels
+
+        return pipe()
+
+    a = make()
+    for _ in range(3):
+        a.run()
+    state = a.checkpoint()
+    next_a = [[int(v[0]) for v in map(a.run()[0].at, range(4))] for _ in range(3)]
+    b = make(ckpt=state)
+    next_b = [[int(v[0]) for v in map(b.run()[0].at, range(4))] for _ in range(3)]
+    assert next_a == next_b
