@@ -1,0 +1,40 @@
+"""C API smoke test (reference qa/TL0_abi analogue): builds the embedded-Python
+C library + a pure-C client, runs a serialized pipeline through it."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+
+
+@pytest.mark.slow
+def test_c_api_end_to_end(tmp_path):
+    capi = os.path.join(REPO, "dali_tpu", "capi")
+    lib = os.path.join(capi, "libdali_tpu_c.so")
+    if not os.path.exists(lib):
+        subprocess.check_call([sys.executable, os.path.join(capi, "build.py")])
+    exe = str(tmp_path / "test_capi")
+    subprocess.check_call(
+        ["gcc", "-O2", "-I", capi, os.path.join(capi, "test_capi.c"), "-o", exe,
+         "-L", capi, "-ldali_tpu_c", f"-Wl,-rpath,{os.path.abspath(capi)}"]
+    )
+    # serialize a pipeline
+    code = (
+        "import jax; jax.config.update('jax_default_device', jax.devices('cpu')[0])\n"
+        "from dali_tpu import pipeline_def, fn\n"
+        "@pipeline_def(batch_size=4, num_threads=1, seed=3)\n"
+        "def p():\n"
+        "    return fn.random.uniform(range=[5.0, 6.0], shape=[3, 2]) * 2.0\n"
+        "pp = p(); pp.build()\n"
+        f"open({str(tmp_path / 'pipe.json')!r}, 'w').write(pp.serialize())\n"
+    )
+    subprocess.check_call([sys.executable, "-c", code], cwd=REPO)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.abspath(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.check_output([exe, str(tmp_path / "pipe.json")], env=env, text=True,
+                                  stderr=subprocess.DEVNULL, timeout=240)
+    assert "C API OK" in out
+    assert "outputs=1 batch=4" in out
