@@ -106,10 +106,78 @@ def apply_auto_augment(policy: Policy, data, seed=None, **kwargs):
     return data
 
 
+def get_reduced_cifar10_policy() -> Policy:
+    """Reduced CIFAR-10 policy (reference auto_augment.py get_reduced_cifar10_policy)."""
+    sub_policies = [
+        [(a.invert, 0.1, 7), (a.contrast, 0.2, 6)],
+        [(a.rotate, 0.7, 2), (a.translate_x_no_shape, 0.3, 9)],
+        [(a.sharpness, 0.8, 1), (a.sharpness, 0.9, 3)],
+        [(a.shear_y, 0.5, 8), (a.translate_y_no_shape, 0.7, 9)],
+        [(a.auto_contrast, 0.5, 8), (a.equalize, 0.9, 2)],
+        [(a.shear_y, 0.2, 7), (a.posterize, 0.3, 3)],
+        [(a.color, 0.4, 3), (a.brightness, 0.6, 7)],
+        [(a.sharpness, 0.3, 9), (a.brightness, 0.7, 9)],
+        [(a.equalize, 0.6, 5), (a.equalize, 0.5, 1)],
+        [(a.contrast, 0.6, 7), (a.sharpness, 0.6, 5)],
+        [(a.color, 0.7, 7), (a.translate_x_no_shape, 0.5, 8)],
+        [(a.equalize, 0.3, 7), (a.auto_contrast, 0.4, 8)],
+        [(a.translate_y_no_shape, 0.4, 3), (a.sharpness, 0.2, 6)],
+        [(a.brightness, 0.9, 6), (a.color, 0.2, 8)],
+        [(a.solarize, 0.5, 2), (a.invert, 0.0, 3)],
+        [(a.equalize, 0.2, 0), (a.auto_contrast, 0.6, 0)],
+        [(a.equalize, 0.2, 8), (a.equalize, 0.6, 4)],
+        [(a.color, 0.9, 9), (a.equalize, 0.6, 6)],
+        [(a.auto_contrast, 0.8, 4), (a.solarize, 0.2, 8)],
+        [(a.brightness, 0.1, 3), (a.color, 0.7, 0)],
+        [(a.solarize, 0.4, 5), (a.auto_contrast, 0.9, 3)],
+        [(a.translate_y_no_shape, 0.9, 9), (a.translate_y_no_shape, 0.7, 9)],
+        [(a.auto_contrast, 0.9, 2), (a.solarize, 0.8, 3)],
+        [(a.equalize, 0.8, 8), (a.invert, 0.1, 3)],
+        [(a.translate_y_no_shape, 0.7, 9), (a.auto_contrast, 0.9, 1)],
+    ]
+    return Policy("ReducedCifar10Policy", 11, sub_policies)
+
+
+def get_svhn_policy() -> Policy:
+    """SVHN policy (reference auto_augment.py get_svhn_policy)."""
+    sub_policies = [
+        [(a.shear_x, 0.9, 4), (a.invert, 0.2, 3)],
+        [(a.shear_y, 0.9, 8), (a.invert, 0.7, 5)],
+        [(a.equalize, 0.6, 5), (a.solarize, 0.6, 6)],
+        [(a.invert, 0.9, 3), (a.equalize, 0.6, 3)],
+        [(a.equalize, 0.6, 1), (a.rotate, 0.9, 3)],
+        [(a.shear_x, 0.9, 4), (a.auto_contrast, 0.8, 3)],
+        [(a.shear_y, 0.9, 8), (a.invert, 0.4, 5)],
+        [(a.shear_y, 0.9, 5), (a.solarize, 0.2, 6)],
+        [(a.invert, 0.9, 6), (a.auto_contrast, 0.8, 1)],
+        [(a.equalize, 0.6, 3), (a.rotate, 0.9, 3)],
+        [(a.shear_x, 0.9, 4), (a.solarize, 0.3, 3)],
+        [(a.shear_y, 0.8, 8), (a.invert, 0.7, 4)],
+        [(a.equalize, 0.9, 5), (a.translate_y_no_shape, 0.6, 6)],
+        [(a.invert, 0.9, 4), (a.equalize, 0.6, 7)],
+        [(a.contrast, 0.3, 3), (a.rotate, 0.8, 4)],
+        [(a.invert, 0.8, 5), (a.translate_y_no_shape, 0.0, 2)],
+        [(a.shear_y, 0.7, 6), (a.solarize, 0.4, 8)],
+        [(a.invert, 0.6, 4), (a.rotate, 0.8, 4)],
+        [(a.shear_y, 0.3, 7), (a.translate_x_no_shape, 0.9, 3)],
+        [(a.shear_x, 0.1, 6), (a.invert, 0.6, 5)],
+        [(a.solarize, 0.7, 2), (a.translate_y_no_shape, 0.6, 7)],
+        [(a.shear_y, 0.8, 4), (a.invert, 0.8, 8)],
+        [(a.shear_x, 0.7, 9), (a.translate_y_no_shape, 0.8, 3)],
+        [(a.shear_y, 0.8, 5), (a.auto_contrast, 0.7, 3)],
+        [(a.shear_x, 0.7, 2), (a.invert, 0.1, 5)],
+    ]
+    return Policy("SVHNPolicy", 11, sub_policies)
+
+
 def auto_augment(data, policy_name: str = "image_net", shape=None, fill_value=128, seed=None, **kwargs):
     """One-call AutoAugment (reference auto_augment.py:37)."""
     if policy_name in ("image_net", "image_net_policy"):
         policy = get_image_net_policy(use_shape=shape is not None)
+    elif policy_name in ("reduced_cifar10", "cifar10"):
+        policy = get_reduced_cifar10_policy()
+    elif policy_name == "svhn":
+        policy = get_svhn_policy()
     else:
         raise ValueError(f"Unknown policy '{policy_name}'")
     return apply_auto_augment(policy, data, seed=seed, **kwargs)

@@ -551,7 +551,10 @@ class Executor:
                 return tuple(data_out), tuple(shapes_out)
 
             # debug mode: eager per-op device execution (reference PipelineDebug)
-            jitted = program if pipeline.debug else jax.jit(program)
+            # donate the staged input buffers: XLA reuses their HBM pages
+            # (donation is a no-op warning on the CPU backend — skip there)
+            donate = (0,) if jax.default_backend() == "tpu" else ()
+            jitted = program if pipeline.debug else jax.jit(program, donate_argnums=donate)
 
             def call(padded, shapes, args, params, seed):
                 data_out, shapes_out = jitted(padded, shapes, args, params, seed)

@@ -111,5 +111,18 @@ class DALIGenericIterator:
         """Start a new epoch (reference base_iterator.reset)."""
         self._counter = 0
 
+    def checkpoints(self):
+        """Per-pipeline checkpoints + iterator position (reference: iterator
+        externals saved via ExternalContextCheckpoint, backend_impl.cc:3305).
+        Restore by rebuilding the pipelines with ``checkpoint=`` and passing the
+        counter back via ``restore_counter``."""
+        return {
+            "counter": self._counter,
+            "pipelines": [p.checkpoint() for p in self._pipes],
+        }
+
+    def restore_counter(self, counter: int):
+        self._counter = int(counter)
+
     def _to_framework(self, batches):
         return batches
