@@ -551,10 +551,9 @@ class Executor:
                 return tuple(data_out), tuple(shapes_out)
 
             # debug mode: eager per-op device execution (reference PipelineDebug)
-            # donate the staged input buffers: XLA reuses their HBM pages
-            # (donation is a no-op warning on the CPU backend — skip there)
-            donate = (0,) if jax.default_backend() == "tpu" else ()
-            jitted = program if pipeline.debug else jax.jit(program, donate_argnums=donate)
+            # NB: donating staged buffers was measured a no-op here — the chunk
+            # concatenate prevents aliasing, XLA just warns. Keep inputs plain.
+            jitted = program if pipeline.debug else jax.jit(program)
 
             def call(padded, shapes, args, params, seed):
                 data_out, shapes_out = jitted(padded, shapes, args, params, seed)

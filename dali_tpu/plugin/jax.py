@@ -70,6 +70,32 @@ class DALIGenericIterator(_Base):
         return out
 
 
+class DALIPeekableIterator(DALIGenericIterator):
+    """Iterator with ``peek()`` — the CLU PeekableDatasetIterator surface
+    (reference ``plugin/jax/clu.py``)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._peeked = None
+
+    def peek(self):
+        if self._peeked is None:
+            self._peeked = super().__next__()
+        return self._peeked
+
+    def peek_async(self):
+        """Prefetch the next element without consuming it (returns a 0-arg
+        callable resolving to the element; reference clu.py peek_async)."""
+        el = self.peek()
+        return lambda: el
+
+    def __next__(self):
+        if self._peeked is not None:
+            out, self._peeked = self._peeked, None
+            return out
+        return super().__next__()
+
+
 def data_iterator(
     pipeline_fn=None,
     output_map=None,
