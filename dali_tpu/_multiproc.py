@@ -153,9 +153,20 @@ class WorkerPool:
             self._slot_cursor[w] = (self._slot_cursor[w] + 1) % len(self._slot_ring[w])
             self._task_qs[w].put((slot, True, iteration, epoch, infos))
             pending += 1
+        import queue as _queue
+
         results = {}
         while pending:
-            worker_id, it, indices, shm_name, total, n_out, err = self._result_q.get()
+            try:
+                worker_id, it, indices, shm_name, total, n_out, err = self._result_q.get(timeout=5.0)
+            except _queue.Empty:
+                dead = [i for i, p in enumerate(self._procs) if not p.is_alive()]
+                if dead:
+                    raise RuntimeError(
+                        f"parallel external_source worker(s) {dead} died "
+                        "(segfault/OOM in the source callback?)"
+                    )
+                continue
             if err is not None:
                 raise RuntimeError(f"parallel external_source worker failed: {err}")
             if shm_name in self._slots:

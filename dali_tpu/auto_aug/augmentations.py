@@ -109,13 +109,15 @@ def sharpness(data, factor):
     return fn.cast(dmath.clamp(out, 0.0, 255.0), dtype=types.UINT8)
 
 
-def _poster_mask(m):
-    bits = int(np.round(m))
-    bits = max(0, min(8, bits))
+def _poster_mask(bits):
+    """Reference poster_mask_uint8: bits in [0..8], remapping 0 -> 1 to avoid
+    blank images (augmentations.py poster_mask_uint8)."""
+    bits = int(np.round(bits))
+    bits = max(1, min(8, bits))
     return 255 & ~((1 << (8 - bits)) - 1) if bits < 8 else 255
 
 
-@augmentation(mag_range=(0, 4), mag_to_param=lambda m: float(_poster_mask(4 + m)), name="posterize")
+@augmentation(mag_range=(0, 4), mag_to_param=lambda m: float(_poster_mask(m)), name="posterize")
 def posterize(data, mask):
     from ..data_node import DataNode
 

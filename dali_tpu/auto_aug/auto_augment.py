@@ -81,7 +81,9 @@ def apply_auto_augment(policy: Policy, data, seed=None, **kwargs):
     """Applies a random sub-policy per sample (reference auto_augment.py:222)."""
     n_sub = len(policy.sub_policies)
     idx = fn.cast(
-        fn.random.uniform(values=[float(i) for i in range(n_sub)], seed=seed if seed else -1),
+        fn.random.uniform(
+            values=[float(i) for i in range(n_sub)], seed=-1 if seed is None else seed
+        ),
         dtype=types.INT32,
     )
     for k, sub in enumerate(policy.sub_policies):
@@ -180,7 +182,7 @@ def auto_augment(data, policy_name: str = "image_net", shape=None, fill_value=12
         policy = get_svhn_policy()
     else:
         raise ValueError(f"Unknown policy '{policy_name}'")
-    return apply_auto_augment(policy, data, seed=seed, **kwargs)
+    return apply_auto_augment(policy, data, seed=seed, fill_value=fill_value, **kwargs)
 
 
 def auto_augment_image_net(data, **kwargs):

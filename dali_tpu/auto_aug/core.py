@@ -82,6 +82,13 @@ class Augmentation:
         return v
 
     def __call__(self, data, *, magnitude_bin=None, num_magnitude_bins=31, **kwargs):
+        # drop kwargs the wrapped op doesn't accept (e.g. fill_value for
+        # pointwise augmentations) — mirrors the reference's kwargs filtering
+        import inspect
+
+        sig = inspect.signature(self.op)
+        if not any(p.kind == inspect.Parameter.VAR_KEYWORD for p in sig.parameters.values()):
+            kwargs = {k: v for k, v in kwargs.items() if k in sig.parameters}
         if self.mag_range is None:
             return self.op(data, None, **kwargs)
         if magnitude_bin is None:

@@ -8,9 +8,11 @@ from . import augmentations as a
 from .core import select
 
 
-def get_rand_augment_suite(use_shape: bool = False, max_translate_abs=None, max_translate_rel=None):
+def get_rand_augment_suite(use_shape: bool = False, max_translate_abs=None, max_translate_rel=None,
+                           monotonic_mag: bool = True):
     """The standard 15-augmentation RandAugment suite (reference
-    rand_augment.py get_rand_augment_suite)."""
+    rand_augment.py get_rand_augment_suite). ``monotonic_mag=False`` selects the
+    paper's original non-monotonic ranges (posterize (8,4), solarize (256,0))."""
     translate_x = (
         a.translate_x.augmentation(mag_range=(0, max_translate_rel or 0.45))
         if use_shape
@@ -26,8 +28,9 @@ def get_rand_augment_suite(use_shape: bool = False, max_translate_abs=None, max_
         a.equalize,
         a.invert,
         a.rotate,
-        a.posterize.augmentation(mag_range=(0, 4), mag_to_param=a.posterize.mag_to_param),
-        a.solarize,
+        a.posterize.augmentation(mag_range=(0, 4) if monotonic_mag else (8, 4),
+                                 mag_to_param=a.posterize.mag_to_param),
+        a.solarize if monotonic_mag else a.solarize.augmentation(mag_range=(256, 0)),
         a.solarize_add,
         a.color,
         a.contrast,
@@ -43,7 +46,10 @@ def get_rand_augment_suite(use_shape: bool = False, max_translate_abs=None, max_
 def apply_rand_augment(augmentations, data, n: int, m: int, num_magnitude_bins: int = 31, seed=None, **kwargs):
     for _ in range(n):
         idx = fn.cast(
-            fn.random.uniform(values=[float(i) for i in range(len(augmentations))]),
+            fn.random.uniform(
+                values=[float(i) for i in range(len(augmentations))],
+                seed=-1 if seed is None else seed,
+            ),
             dtype=types.INT32,
         )
         for k, aug in enumerate(augmentations):
@@ -58,7 +64,8 @@ def apply_rand_augment(augmentations, data, n: int, m: int, num_magnitude_bins: 
 def rand_augment(data, n: int, m: int, num_magnitude_bins: int = 31, shape=None, fill_value=128,
                  monotonic_mag: bool = True, excluded=None, seed=None, **kwargs):
     """Reference rand_augment.py:rand_augment."""
-    augs = get_rand_augment_suite(use_shape=shape is not None)
+    augs = get_rand_augment_suite(use_shape=shape is not None, monotonic_mag=monotonic_mag)
     if excluded:
         augs = [x for x in augs if x.name not in excluded]
-    return apply_rand_augment(augs, data, n, m, num_magnitude_bins=num_magnitude_bins, seed=seed, **kwargs)
+    return apply_rand_augment(augs, data, n, m, num_magnitude_bins=num_magnitude_bins,
+                              seed=seed, fill_value=fill_value, **kwargs)

@@ -24,7 +24,7 @@ def get_trivial_augment_suite(use_shape: bool = False):
         a.auto_contrast,
         a.equalize,
         a.rotate.augmentation(mag_range=(0, 135)),
-        a.posterize.augmentation(mag_range=(2, 8), mag_to_param=a.posterize.mag_to_param),
+        a.posterize.augmentation(mag_range=(8, 2), mag_to_param=a.posterize.mag_to_param),
         a.solarize,
         a.color.augmentation(mag_range=(0, 0.99)),
         a.contrast.augmentation(mag_range=(0, 0.99)),
@@ -42,8 +42,11 @@ def trivial_augment_wide(data, num_magnitude_bins: int = 31, shape=None, fill_va
     augs = get_trivial_augment_suite(use_shape=shape is not None)
     if excluded:
         augs = [x for x in augs if x.name not in excluded]
+    kwargs.setdefault("fill_value", fill_value)
     idx = fn.cast(
-        fn.random.uniform(values=[float(i) for i in range(len(augs))]), dtype=types.INT32
+        fn.random.uniform(values=[float(i) for i in range(len(augs))],
+                          seed=-1 if seed is None else seed),
+        dtype=types.INT32,
     )
     mag_bin = fn.cast(
         fn.random.uniform(values=[float(i) for i in range(num_magnitude_bins)]), dtype=types.INT32

@@ -229,9 +229,13 @@ class ExternalSource(Operator):
         raise TypeError(f"Unsupported external source data type {type(data)}")
 
     def reset_epoch(self):
-        """Restart an exhausted iterable source (reference ExternalSource reset)."""
+        """Restart an exhausted source (reference ExternalSource reset): iterables
+        re-iterate; callables restart idx_in_epoch at 0 with epoch_idx + 1."""
         if self._source_kind == "iterable":
             self._iter = None
+            self._epoch += 1
+        elif self._source_kind == "callable":
+            self._iteration = 0
             self._epoch += 1
 
     def close(self):

@@ -127,7 +127,9 @@ _random_schema(
     "random.Choice",
     "Samples from the input's values or from range(n) with optional weights "
     "(reference random/choice.cc).",
-).AddOptionalArg("p", ArgType.FLOAT_VEC, "Probabilities.", None, tensor_ok=True, per_sample=True)
+).AddOptionalArg(
+    "p", ArgType.FLOAT_VEC, "Probabilities.", None, tensor_ok=True, per_sample=True
+).Devices("cpu")  # cpu-only, like the reference random/choice.cc
 
 
 @register_operator("random.Choice", "cpu")

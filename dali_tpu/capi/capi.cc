@@ -54,16 +54,25 @@ extern "C" {
 
 daliTpuResult daliTpuInit(void) {
   if (g_initialized) return DALI_TPU_OK;
+  bool we_initialized = false;
   if (!Py_IsInitialized()) {
     Py_InitializeEx(0);
+    we_initialized = true;
   }
-  Gil gil;
-  PyObject* mod = PyImport_ImportModule("dali_tpu");
-  if (!mod) {
-    set_error_from_python();
-    return DALI_TPU_ERROR;
+  {
+    Gil gil;
+    PyObject* mod = PyImport_ImportModule("dali_tpu");
+    if (!mod) {
+      set_error_from_python();
+      return DALI_TPU_ERROR;
+    }
+    Py_DECREF(mod);
   }
-  Py_DECREF(mod);
+  if (we_initialized) {
+    // Py_InitializeEx leaves the GIL held by this thread; release it so other
+    // threads' PyGILState_Ensure calls don't deadlock.
+    PyEval_SaveThread();
+  }
   g_initialized = true;
   return DALI_TPU_OK;
 }

@@ -249,6 +249,9 @@ class Executor:
         self._iteration += 1
 
     def outputs(self):
+        if self._error is not None:
+            # a stage thread already died; don't block on a queue nobody fills
+            raise self._error
         item = self._out_q.get()
         if isinstance(item, BaseException):
             self._error = item

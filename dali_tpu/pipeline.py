@@ -164,7 +164,8 @@ class Pipeline:
             self._outputs_raw = outputs
         if self._outputs_raw is None:
             raise RuntimeError("Pipeline has no outputs; define via pipeline_def or set_outputs()")
-        outputs = self._flatten_outputs(self._outputs_raw)
+        with self:  # constant-wrapping of non-DataNode outputs adds graph nodes
+            outputs = self._flatten_outputs(self._outputs_raw)
         graph = Graph.build(outputs, self._traced_ops).deduplicate()
         self._graph = graph
         from .executor import Executor

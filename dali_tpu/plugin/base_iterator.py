@@ -97,13 +97,21 @@ class DALIGenericIterator:
                     self.reset()
                 raise StopIteration
         self._ever_consumed = True
+        left = self._size - self._counter if self._size > 0 else None
         batches = []
         for p in self._pipes:
             outs = p.outputs()
             p.schedule_run()
             batches.append(dict(zip(self.output_map, outs)))
         self._counter += self.batch_size * len(self._pipes)
-        return self._to_framework(batches)
+        out = self._to_framework(batches)
+        if (
+            self._last_batch_policy == LastBatchPolicy.PARTIAL
+            and left is not None
+            and left < self.batch_size * len(self._pipes)
+        ):
+            out = self._trim_output(out, left)
+        return out
 
     next = __next__
 
@@ -126,3 +134,33 @@ class DALIGenericIterator:
 
     def _to_framework(self, batches):
         return batches
+
+    def _trim_output(self, out, n_valid: int):
+        """Trim the last (incomplete) batch to ``n_valid`` samples —
+        LastBatchPolicy.PARTIAL (reference base_iterator.py trimming of the
+        filled tail). Works on dicts of batch-major arrays or lists thereof;
+        with several pipelines the valid samples are the leading ones of each
+        pipeline's batch in order."""
+
+        from ..tensors import TensorListCPU, TensorListGPU
+
+        def trim(v, n):
+            if isinstance(v, TensorListCPU):
+                return TensorListCPU([v.at(i) for i in range(n)], v.layout())
+            if isinstance(v, TensorListGPU):
+                shapes = None if v.is_dense_tensor() else v._shapes[:n]
+                return TensorListGPU(v.as_tensor()[:n], shapes, v.layout())
+            return v[:n]
+
+        def trim_dict(d, n):
+            return {k: trim(v, max(n, 0)) for k, v in d.items()}
+
+        if isinstance(out, dict):
+            return trim_dict(out, n_valid)
+        if isinstance(out, list):
+            trimmed = []
+            for i, d in enumerate(out):
+                n = min(max(n_valid - i * self.batch_size, 0), self.batch_size)
+                trimmed.append(trim_dict(d, n))
+            return trimmed
+        return out

@@ -31,6 +31,12 @@ class DALIGenericIterator(_Base):
 
     def __init__(self, pipelines, output_map, *, sharding=None, **kwargs):
         self._sharding = sharding
+        if sharding is not None and kwargs.get("last_batch_policy") == LastBatchPolicy.PARTIAL:
+            raise ValueError(
+                "LastBatchPolicy.PARTIAL is not supported with sharding — trimming "
+                "a globally-sharded array is not well-defined (use FILL or DROP, "
+                "like the reference JAX plugin)"
+            )
         super().__init__(pipelines, output_map, **kwargs)
 
     def _to_jax(self, tl):
@@ -62,7 +68,7 @@ class DALIGenericIterator(_Base):
                 arr = shards[0]
                 per = arr.shape[0] // len(local_devices)
                 shards = [arr[i * per : (i + 1) * per] for i in range(len(local_devices))]
-            placed = [jax.device_put(np.asarray(s), d) for s, d in zip(shards, local_devices)]
+            placed = [jax.device_put(s, d) for s, d in zip(shards, local_devices)]
             # global batch = per-device shard batch × total devices on the batch axis
             shard_shape = placed[0].shape
             global_shape = (shard_shape[0] * len(devices),) + tuple(shard_shape[1:])
