@@ -23,6 +23,7 @@ from . import enhance  # noqa: F401
 from . import distortion  # noqa: F401
 from . import enhance2  # noqa: F401
 from . import readers3  # noqa: F401
+from . import readers4  # noqa: F401
 from . import misc  # noqa: F401
 from . import misc2  # noqa: F401
 from . import tail  # noqa: F401

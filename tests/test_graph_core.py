@@ -101,3 +101,17 @@ def test_datanode_bool_raises():
 
     with pytest.raises(TypeError):
         pipe().build()
+
+
+def test_every_declared_device_has_impl():
+    """Every schema device must have a registered implementation — gpu variants
+    that crash at build time are worse than absent ones."""
+    from dali_tpu import _schema
+
+    missing = [
+        (name, dev)
+        for name, schema in _schema._registry.items()
+        for dev in schema.devices
+        if not _schema.has_operator_impl(name, dev)
+    ]
+    assert not missing, f"schemas declaring devices without impls: {missing}"
