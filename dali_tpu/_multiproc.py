@@ -107,7 +107,7 @@ class WorkerPool:
     """Reference ``_multiproc/pool.py:621`` WorkerPool, compact form."""
 
     def __init__(self, source, num_workers: int, batch_size: int, queue_depth: int = 2,
-                 start_method: str = "fork", slot_bytes: int = 8 << 20):
+                 start_method: str = "fork", slot_bytes: int = 8 << 20, pickler=None):
         self._ctx = mp.get_context(start_method)
         self._num_workers = max(1, num_workers)
         self._task_qs = [self._ctx.Queue() for _ in range(self._num_workers)]
@@ -125,7 +125,17 @@ class WorkerPool:
                 ring.append(shm.name)
             self._slot_ring.append(ring)
         self._slot_cursor = [0] * self._num_workers
-        blob = pickle.dumps(source, protocol=pickle.HIGHEST_PROTOCOL)
+        if pickler is not None:
+            blob = pickler.dumps(source)
+        else:
+            try:
+                blob = pickle.dumps(source, protocol=pickle.HIGHEST_PROTOCOL)
+            except Exception:
+                # lambdas / closures / __main__ functions: serialize by value
+                # (reference pickling.py behavior under spawn)
+                from .pickling import dumps as _dumps
+
+                blob = _dumps(source)
         self._procs = []
         for w in range(self._num_workers):
             p = self._ctx.Process(

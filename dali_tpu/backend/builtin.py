@@ -159,6 +159,7 @@ class ExternalSource(Operator):
                 batch_size=ctx.batch_size,
                 queue_depth=ctx.pipeline.prefetch_queue_depth,
                 start_method=ctx.pipeline.py_start_method,
+                pickler=getattr(ctx.pipeline, "py_callback_pickler", None),
             )
         per_sample = self._pool.run_batch(self._iteration, self._epoch)
         outs = []
@@ -220,13 +221,22 @@ class ExternalSource(Operator):
         import numpy as np
 
         if isinstance(data, np.ndarray):
-            return [np.asarray(data[i]) for i in range(data.shape[0])]
-        if isinstance(data, (list, tuple)):
-            return [np.asarray(s) for s in data]
-        if hasattr(data, "__array__"):
+            samples = [np.asarray(data[i]) for i in range(data.shape[0])]
+        elif isinstance(data, (list, tuple)):
+            samples = [np.asarray(s) for s in data]
+        elif hasattr(data, "__array__"):
             arr = np.asarray(data)
-            return [arr[i] for i in range(arr.shape[0])]
-        raise TypeError(f"Unsupported external source data type {type(data)}")
+            samples = [arr[i] for i in range(arr.shape[0])]
+        else:
+            raise TypeError(f"Unsupported external source data type {type(data)}")
+        if len(samples) > batch_size:
+            # variable batch sizes up to max_batch_size are fine (reference
+            # external_source semantics); exceeding it is an error there too
+            raise ValueError(
+                f"external_source produced {len(samples)} samples, more than "
+                f"the pipeline's max_batch_size={batch_size}"
+            )
+        return samples
 
     def reset_epoch(self):
         """Restart an exhausted source (reference ExternalSource reset): iterables

@@ -149,3 +149,110 @@ class VideoReaderCPU(_VideoReaderImpl):
 @register_operator("readers.Video", "mixed")
 class VideoReaderMixed(_VideoReaderImpl):
     """device='mixed': sequences land on the device side (padded [F,H,W,C])."""
+
+
+# ================================ experimental.inputs.Video =======================================
+
+DALI_SCHEMA("experimental.inputs.Video").DocStr(
+    """Feed-driven video input (reference ``video/input/video_input.h``): the
+    user feeds ONE encoded video file via ``Pipeline.feed_input``; successive
+    ``run()`` calls return batches of ``sequence_length``-frame [F,H,W,C]
+    sequences until the file is consumed (the batch outline follows
+    ``DetermineBatchOutline`` in video_input.h:52 — full batches, then one
+    final batch holding the leftover full sequences plus a partial/padded
+    one). The next fed file starts after the previous one is depleted."""
+).NumInput(0).NumOutput(1).Devices("cpu", "mixed").MakeStateful().AddArg(
+    "sequence_length", ArgType.INT, "Frames per returned sequence."
+).AddOptionalArg(
+    "last_sequence_policy", ArgType.STRING, "'partial' or 'pad'.", "partial"
+).AddOptionalArg(
+    "blocking", ArgType.BOOL, "Compatibility knob (feeding is synchronous here).", False
+).AddOptionalArg("no_copy", ArgType.BOOL, "Zero-copy hint.", False)
+
+
+class _VideoInputImpl(Operator):
+    def __init__(self, spec, op_id):
+        super().__init__(spec, op_id)
+        policy = spec.GetArgument("last_sequence_policy", "partial")
+        if policy not in ("partial", "pad"):
+            raise ValueError(f"last_sequence_policy must be 'partial' or 'pad', got {policy!r}")
+        self._policy = policy
+        self._queue = []
+        self._vf = None
+        self._pos = 0
+        self._tmp = None
+
+    def feed(self, data, layout=None):
+        """One feed = one encoded video file (bytes / uint8 array / 1-elem list)."""
+        if isinstance(data, (list, tuple)):
+            self._queue.extend(np.asarray(d, np.uint8).tobytes() for d in data)
+        elif isinstance(data, (bytes, bytearray)):
+            self._queue.append(bytes(data))
+        else:
+            self._queue.append(np.asarray(data, np.uint8).tobytes())
+
+    def _open_next(self):
+        import tempfile
+
+        from ..native import VideoFile
+
+        if not self._queue:
+            raise RuntimeError(
+                "inputs.video has no data; feed an encoded video via Pipeline.feed_input"
+            )
+        blob = self._queue.pop(0)
+        self._tmp = tempfile.NamedTemporaryFile(suffix=".mp4", delete=False)
+        self._tmp.write(blob)
+        self._tmp.flush()
+        self._vf = VideoFile(self._tmp.name)
+        self._pos = 0
+
+    def _close_current(self):
+        if self._vf is not None:
+            self._vf.close()
+            self._vf = None
+        if self._tmp is not None:
+            try:
+                os.unlink(self._tmp.name)
+            except OSError:
+                pass
+            self._tmp = None
+
+    def run_batch(self, ctx, *unused):
+        if self._vf is None:
+            self._open_next()
+        L = self.spec.GetArgument("sequence_length")
+        samples = []
+        for _ in range(ctx.batch_size):
+            remaining = self._vf.num_frames - self._pos
+            if remaining <= 0:
+                break
+            take = min(L, remaining)
+            frames = self._vf.read(self._pos, take)
+            self._pos += take
+            if take < L and self._policy == "pad":
+                pad = np.zeros((L - take,) + frames.shape[1:], np.uint8)
+                frames = np.concatenate([frames, pad], axis=0)
+            samples.append(frames)
+        if self._pos >= self._vf.num_frames:
+            self._close_current()
+        if not samples:  # fed an empty video
+            raise RuntimeError("inputs.video: fed video has no frames")
+        return [HostBatch(samples, layout="FHWC")]
+
+    def output_layout(self, j, inputs):
+        return "FHWC"
+
+    def close(self):
+        self._close_current()
+
+
+@register_operator("experimental.inputs.Video", "cpu")
+class VideoInputCPU(_VideoInputImpl):
+    pass
+
+
+@register_operator("experimental.inputs.Video", "mixed")
+class VideoInputMixed(_VideoInputImpl):
+    """device='mixed' (reference video_input_mixed.cc): sequences cross the
+    boundary as padded device batches."""

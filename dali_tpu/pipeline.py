@@ -62,6 +62,7 @@ class Pipeline:
         checkpoint: Optional[str] = None,
         py_num_workers: int = 1,
         py_start_method: str = "fork",
+        py_callback_pickler=None,
         output_dtype=None,
         output_ndim=None,
         pad_align: int = 64,
@@ -83,6 +84,7 @@ class Pipeline:
         self.enable_checkpointing = enable_checkpointing
         self.py_num_workers = py_num_workers
         self.py_start_method = py_start_method
+        self.py_callback_pickler = py_callback_pickler
         self.pad_align = pad_align
         self.transfer_chunk_bytes = int(transfer_chunk_bytes)
         # debug=True: run the device stage eagerly (no jit) so user prints /
@@ -344,6 +346,7 @@ def pipeline_def(fn=None, *, enable_conditionals=False, **pipeline_kwargs):
                 "checkpoint",
                 "py_num_workers",
                 "py_start_method",
+                "py_callback_pickler",
                 "output_dtype",
                 "output_ndim",
                 "pad_align",

@@ -1,0 +1,63 @@
+"""Numba-jitted operators (reference ``dali/python/nvidia/dali/plugin/numba/``:
+``experimental.numba_function`` — a host operator whose kernel is a
+numba-compiled function writing into preallocated outputs).
+
+Gated on numba being importable; the op itself runs on the host stage like any
+cpu operator, so a numba kernel slots into the pipeline exactly like a
+python_function — just without the interpreter in the per-sample loop."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import fn as _fn
+from ..types import to_numpy_type
+
+
+def numba_function(
+    *inputs,
+    run_fn,
+    out_types,
+    in_types,
+    outs_ndim=None,
+    ins_ndim=None,
+    setup_fn=None,
+    batch_processing: bool = False,
+    device: str = "cpu",
+    **kwargs,
+):
+    """fn.experimental.numba_function (reference numba/experimental/__init__.py).
+
+    ``run_fn(out0, .., in0, ..)`` fills preallocated outputs;
+    ``setup_fn(out_shapes, in_shapes)`` (optional) computes output shapes —
+    without it outputs copy the first input's shape."""
+    try:
+        import numba  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "dali_tpu.plugin.numba requires numba (pip install numba)"
+        ) from e
+    if not isinstance(out_types, (list, tuple)):
+        out_types = [out_types]
+
+    def _apply(*arrays):
+        outs = []
+        in_shapes = [list(a.shape) for a in arrays]
+        if setup_fn is not None:
+            out_shapes = [[0] * (outs_ndim[i] if outs_ndim else arrays[0].ndim)
+                          for i in range(len(out_types))]
+            setup_fn(out_shapes, in_shapes)
+        else:
+            out_shapes = [in_shapes[0] for _ in out_types]
+        for shape, dt in zip(out_shapes, out_types):
+            outs.append(np.zeros(shape, to_numpy_type(dt)))
+        run_fn(*outs, *arrays)
+        return tuple(outs) if len(outs) > 1 else outs[0]
+
+    return _fn.python_function(
+        *inputs,
+        function=_apply,
+        num_outputs=len(out_types),
+        batch_processing=batch_processing,
+        **kwargs,
+    )

@@ -1,0 +1,121 @@
+"""TensorFlow integration.
+
+Reference: ``dali/python/nvidia/dali/plugin/tf.py`` (``DALIDataset`` — a
+tf.data.Dataset fed by the pipeline — and the legacy ``DALIIterator`` op).
+The reference wires the pipeline into TF through a custom C++ TF op on shared
+CUDA buffers; here the pipeline's outputs are host/JAX arrays, so the dataset
+wraps the pipeline with ``tf.data.Dataset.from_generator`` — the idiomatic
+zero-custom-op route, and on TPU systems TF and the pipeline share host RAM
+anyway."""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..tensors import TensorListCPU, TensorListGPU
+from .base_iterator import LastBatchPolicy  # noqa: F401 (re-export)
+
+
+def _to_numpy(tl):
+    if isinstance(tl, TensorListGPU):
+        return np.asarray(tl.as_tensor())
+    if isinstance(tl, TensorListCPU):
+        return tl.as_array()
+    return np.asarray(tl)
+
+
+def DALIDataset(
+    pipeline=None,
+    *,
+    output_dtypes=None,
+    output_shapes=None,
+    batch_size: int = -1,
+    num_threads: int = -1,
+    device_id: int = 0,
+    exec_separated: bool = False,
+    prefetch_queue_depth: int = 2,
+    fail_on_device_mismatch: bool = True,
+):
+    """A ``tf.data.Dataset`` yielding the pipeline's outputs as a tuple of
+    tensors (reference plugin/tf.py:DALIDataset). ``output_dtypes`` is
+    required (a tuple of ``tf.DType``); ``output_shapes`` is optional."""
+    import tensorflow as tf
+
+    if pipeline is None:
+        raise ValueError("DALIDataset requires a pipeline")
+    if output_dtypes is None:
+        raise ValueError("output_dtypes is required (tuple of tf.DType)")
+    if not isinstance(output_dtypes, (tuple, list)):
+        output_dtypes = (output_dtypes,)
+    output_dtypes = tuple(output_dtypes)
+    if output_shapes is None:
+        output_shapes = tuple(tf.TensorShape(None) for _ in output_dtypes)
+    elif not isinstance(output_shapes, (tuple, list)):
+        output_shapes = (output_shapes,)
+    output_shapes = tuple(tf.TensorShape(s) for s in output_shapes)
+
+    pipeline._require_built() if hasattr(pipeline, "_require_built") else pipeline.build()
+
+    def generator():
+        pipeline.reset()
+        while True:
+            outs = pipeline.run()
+            yield tuple(
+                np.ascontiguousarray(_to_numpy(o)).astype(dt.as_numpy_dtype, copy=False)
+                for o, dt in zip(outs, output_dtypes)
+            )
+
+    spec = tuple(
+        tf.TensorSpec(shape=s, dtype=d) for s, d in zip(output_shapes, output_dtypes)
+    )
+    ds = tf.data.Dataset.from_generator(generator, output_signature=spec)
+    if prefetch_queue_depth:
+        ds = ds.prefetch(prefetch_queue_depth)
+    return ds
+
+
+def DALIIterator():
+    """Legacy session-style iterator factory (reference plugin/tf.py
+    ``DALIIterator`` / ``DALIRawIterator``): returns a callable with the
+    reference's signature that builds a DALIDataset-backed one-shot iterator."""
+
+    def dali_iterator(pipeline, output_dtypes, output_shapes=None, **kwargs):
+        ds = DALIDataset(
+            pipeline, output_dtypes=output_dtypes, output_shapes=output_shapes, **kwargs
+        )
+        return iter(ds)
+
+    return dali_iterator
+
+
+class DALIGenericIterator:
+    """Dict-style iterator over a DALIDataset (mirrors the other frameworks'
+    plugin surface for users who don't want tf.data)."""
+
+    def __init__(self, pipelines, output_map: Sequence[str], output_dtypes,
+                 size: int = -1, auto_reset: bool = False, **kwargs):
+        if not isinstance(pipelines, (list, tuple)):
+            pipelines = [pipelines]
+        self._pipes = pipelines
+        self.output_map = list(output_map)
+        self._ds_iters = [
+            iter(DALIDataset(p, output_dtypes=output_dtypes, **kwargs)) for p in pipelines
+        ]
+        self._size = size
+        self._counter = 0
+        self._auto_reset = auto_reset
+        self.batch_size = pipelines[0].max_batch_size
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._size > 0 and self._counter >= self._size:
+            self._counter = 0
+            raise StopIteration
+        outs = [next(it) for it in self._ds_iters]
+        self._counter += self.batch_size * len(self._pipes)
+        dicts = [dict(zip(self.output_map, o)) for o in outs]
+        return dicts[0] if len(dicts) == 1 else dicts

@@ -1,0 +1,46 @@
+"""Callback pickling (reference dali/python/nvidia/dali/pickling.py)."""
+
+import numpy as np
+
+from dali_tpu import pickling
+from dali_tpu.types import SampleInfo
+
+
+def test_lambda_by_value_roundtrip():
+    scale = 3
+    fn = lambda info: np.full((2,), info.idx_in_epoch * scale, np.int64)  # noqa: E731
+    blob = pickling.dumps(fn)
+    fn2 = pickling.loads(blob)
+    out = fn2(SampleInfo(4, 0, 2, 0))
+    np.testing.assert_array_equal(out, [12, 12])
+
+
+def test_pickle_by_value_marker_and_globals():
+    @pickling.pickle_by_value
+    def cb(info):
+        return np.arange(info.idx_in_batch + 1)
+
+    fn2 = pickling.loads(pickling.dumps(cb))
+    np.testing.assert_array_equal(fn2(SampleInfo(0, 2, 0, 0)), [0, 1, 2])
+
+
+def test_parallel_spawn_with_lambda():
+    """spawn + lambda source: plain pickle would fail; by-value fallback works."""
+    import dali_tpu.fn as fn
+    from dali_tpu.pipeline import pipeline_def
+
+    from .test_utils import to_samples
+
+    @pipeline_def(batch_size=4, num_threads=1, seed=1, py_num_workers=2,
+                  py_start_method="spawn")
+    def pipe():
+        return fn.external_source(
+            source=lambda info: np.array([info.idx_in_epoch * 10], np.int64),
+            parallel=True,
+        )
+
+    p = pipe()
+    p.build()
+    (out,) = p.run()
+    got = sorted(int(x) for x in to_samples(out))
+    assert got == [0, 10, 20, 30]
