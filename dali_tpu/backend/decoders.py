@@ -144,16 +144,29 @@ class ImageDecoderMixed(_ImageDecoderBase):
         cw = max(int(-(-shapes[:, 1].max() // align) * align), canvas[1] if canvas else 0)
         arr = np.empty((n, ch, cw, 3), dtype=np.uint8)
 
-        def one(i):
-            ok = native.decode_jpeg_into(datas[i], arr[i], denom=denoms[i])
+        # whole-batch native decode: one C call, per-sample fan-out on the
+        # native tasking pool (no per-sample GIL crossings)
+        oks = native.decode_jpeg_batch(
+            datas, [arr[i] for i in range(n)], denoms,
+            [int(s[0]) for s in shapes], [int(s[1]) for s in shapes],
+            num_threads=self.pipeline.num_threads,
+        )
+        if oks is None:
+            def one(i):
+                ok = native.decode_jpeg_into(datas[i], arr[i], denom=denoms[i])
+                if not ok:
+                    oks_fallback[i] = False
+                return True
+
+            oks_fallback = [True] * n
+            ctx.map_samples(one, n)
+            oks = oks_fallback
+        for i, ok in enumerate(oks):
             if not ok:  # corrupt sample: decode via fallback into the slot
                 img = imgcodec.decode(datas[i], output_type=out_type)
                 h, w = img.shape[:2]
                 shapes[i] = (h, w, 3)
                 arr[i, :h, :w] = img
-            return True
-
-        ctx.map_samples(one, n)
         return arr, shapes, "HWC"
 
 

@@ -61,6 +61,25 @@ def _load():
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
+        lib.dali_tpu_pool_create.restype = ctypes.c_void_p
+        lib.dali_tpu_pool_create.argtypes = [ctypes.c_int]
+        lib.dali_tpu_pool_destroy.argtypes = [ctypes.c_void_p]
+        lib.dali_tpu_task_submit.restype = ctypes.c_int64
+        lib.dali_tpu_task_submit.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+        ]
+        lib.dali_tpu_task_wait.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.dali_tpu_pool_wait_all.argtypes = [ctypes.c_void_p]
+        lib.dali_tpu_decode_jpeg_batch.restype = ctypes.c_int
+        lib.dali_tpu_decode_jpeg_batch.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_size_t),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int),
+        ]
         lib.dali_tpu_decode_jpeg_gray_into.restype = ctypes.c_int
         lib.dali_tpu_decode_jpeg_gray_into.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
@@ -310,3 +329,68 @@ def pad_stack_u8(samples, canvas, fill: int = 0, num_threads: int = 0):
         canvas[0], canvas[1], canvas[2], fill, num_threads,
     )
     return out if rc == 0 else None
+
+
+# ------------------------------- tasking pool --------------------------------------------
+
+
+class TaskPool:
+    """Native task scheduler handle (src/tasking.cc — the analogue of the
+    reference's tasking runtime, include/dali/core/exec/tasking/). Batch work
+    is submitted through dedicated C entry points (e.g. ``decode_jpeg_batch``)
+    so the per-sample fan-out runs entirely outside the GIL."""
+
+    def __init__(self, num_threads: int):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native runtime unavailable")
+        self._lib = lib
+        self._h = lib.dali_tpu_pool_create(int(num_threads))
+        self.num_threads = int(num_threads)
+
+    def close(self):
+        if getattr(self, "_h", None):
+            self._lib.dali_tpu_pool_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+_POOL = None
+
+
+def shared_pool(num_threads: int = 0):
+    """Process-wide TaskPool (grown to the largest request)."""
+    global _POOL
+    if num_threads <= 0:
+        num_threads = os.cpu_count() or 1
+    if _POOL is None or _POOL.num_threads < num_threads:
+        _POOL = TaskPool(num_threads)
+    return _POOL
+
+
+def decode_jpeg_batch(datas, dsts, denoms, heights, widths, fancy=True, num_threads: int = 0):
+    """Decode a whole batch of JPEGs into canvas views with ONE native call
+    (per-sample fan-out on the tasking pool). Returns a list of bools."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(datas)
+    pool = shared_pool(num_threads)
+    c_datas = (ctypes.c_char_p * n)(*datas)
+    c_lens = (ctypes.c_size_t * n)(*[len(d) for d in datas])
+    c_denoms = (ctypes.c_int * n)(*denoms)
+    c_dsts = (ctypes.c_void_p * n)(*[d.ctypes.data for d in dsts])
+    c_strides = (ctypes.c_long * n)(*[d.strides[0] for d in dsts])
+    c_hs = (ctypes.c_int * n)(*heights)
+    c_ws = (ctypes.c_int * n)(*widths)
+    oks = (ctypes.c_int * n)()
+    lib.dali_tpu_decode_jpeg_batch(
+        pool._h, c_datas, c_lens, c_denoms, c_dsts, c_strides, c_hs, c_ws,
+        1 if fancy else 0, n, oks,
+    )
+    return [bool(v) for v in oks]

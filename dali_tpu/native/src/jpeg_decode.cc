@@ -14,6 +14,8 @@
 #include <csetjmp>
 #include <cstdio>
 #include <cstring>
+#include <cstdint>
+#include <vector>
 
 #include <jpeglib.h>
 
@@ -152,3 +154,49 @@ int dali_tpu_decode_jpeg_gray_into(const char* data, size_t len, int denom,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Batch decode through the tasking pool (tasking.cc): ONE call from Python per
+// batch; per-sample decodes fan out on the native scheduler with no
+// interpreter round trips (the reference's thread_pool.h fan-out inside
+// nvJPEG/host decoders).
+
+extern "C" int64_t dali_tpu_task_submit(void*, void (*)(void*), void*,
+                                        const int64_t*, int);
+extern "C" void dali_tpu_pool_wait_all(void*);
+
+namespace {
+struct DecodeJob {
+  const char* data;
+  size_t len;
+  int denom;
+  unsigned char* dst;
+  long stride;
+  int h, w, fancy;
+  int* ok;
+};
+
+void run_decode_job(void* p) {
+  DecodeJob* j = static_cast<DecodeJob*>(p);
+  *j->ok = dali_tpu_decode_jpeg_into(j->data, j->len, j->denom, j->dst,
+                                     j->stride, j->h, j->w, j->fancy) == 0
+               ? 1
+               : 0;
+}
+}  // namespace
+
+extern "C" int dali_tpu_decode_jpeg_batch(void* pool, const char** datas,
+                                          const size_t* lens, const int* denoms,
+                                          unsigned char** dsts,
+                                          const long* strides, const int* hs,
+                                          const int* ws, int fancy, int n,
+                                          int* oks) {
+  std::vector<DecodeJob> jobs(n);
+  for (int i = 0; i < n; i++) {
+    jobs[i] = {datas[i], lens[i], denoms[i], dsts[i],
+               strides[i], hs[i],  ws[i],    fancy,  &oks[i]};
+    dali_tpu_task_submit(pool, run_decode_job, &jobs[i], nullptr, 0);
+  }
+  dali_tpu_pool_wait_all(pool);
+  return 0;
+}
