@@ -458,7 +458,7 @@ class NonsilentRegionCPU(Operator):
 
 DALI_SCHEMA("experimental.AudioResample").DocStr(
     "Resamples audio (reference operators/audio/resample.cc; windowed sinc)."
-).NumInput(1).NumOutput(1).Devices("cpu").AddOptionalArg(
+).NumInput(1).NumOutput(1).Devices("cpu", "gpu").AddOptionalArg(
     "in_rate", ArgType.FLOAT, "Input rate.", None, tensor_ok=True, per_sample=True
 ).AddOptionalArg(
     "out_rate", ArgType.FLOAT, "Output rate.", None, tensor_ok=True, per_sample=True
@@ -483,3 +483,77 @@ class AudioResampleCPU(Operator):
         out = _resample_audio(x.astype(np.float32), in_rate, out_rate)
         dt = self.spec.GetArgument("dtype", None)
         return out.astype(to_numpy_type(dt)) if dt is not None else out
+
+
+@register_operator("experimental.AudioResample", "gpu")
+class AudioResampleGPU(Operator):
+    """Device resampling (reference ``operators/audio/resample.cc`` GPU backend
+    via kernels/signal/resampling.h): Kaiser-windowed sinc, one gather+reduce
+    per output sample — [out_len, taps] einsum work the VPU eats. Per-sample
+    rates produce ragged outputs on a grow-policy canvas."""
+
+    def __init__(self, spec, op_id):
+        super().__init__(spec, op_id)
+        self._grow = [0]
+
+    def _rates(self, ctx, i):
+        scale = ctx.arg(self, "scale", i, None)
+        if scale is not None:
+            return 1.0, float(np.asarray(scale))
+        return (
+            float(np.asarray(ctx.arg(self, "in_rate", i, 1.0))),
+            float(np.asarray(ctx.arg(self, "out_rate", i, 1.0))),
+        )
+
+    def host_params(self, ctx, input_shapes):
+        shapes = input_shapes[0]
+        if shapes is None:
+            raise RuntimeError("AudioResample(gpu) requires host-known input shapes")
+        n = shapes.shape[0]
+        rates = np.zeros((n, 2), np.float32)
+        out_len = np.zeros((n,), np.int32)
+        for i in range(n):
+            ir, orate = self._rates(ctx, i)
+            rates[i] = (ir, orate)
+            ol = ctx.arg(self, "out_length", i, None)
+            out_len[i] = int(np.asarray(ol)) if ol is not None else int(
+                round(int(shapes[i, 0]) * orate / ir)
+            )
+        self._grow[0] = max(self._grow[0], int(-(-int(out_len.max()) // 128) * 128))
+        self._out_shapes = np.concatenate(
+            [out_len[:, None], shapes[:, 1:].astype(np.int32)], axis=1
+        )
+        return {"ar_rates": rates, "ar_out_len": out_len}
+
+    def device_statics(self, ctx, input_shapes):
+        return (self._grow[0],)
+
+    def host_output_shapes(self, ctx, input_shapes, input_batches):
+        return [getattr(self, "_out_shapes", None)]
+
+    def lower(self, dctx, inp):
+        import jax
+        import jax.numpy as jnp
+
+        from ..kernels.signal import sinc_resample
+
+        (max_out,) = dctx.static(self)
+        rates = dctx.param(self, "ar_rates")
+        out_len = dctx.param(self, "ar_out_len")
+        quality = float(self.spec.GetArgument("quality", 50.0))
+        taps = 16 if quality <= 30 else (64 if quality > 80 else 32)
+
+        def one(x, r):
+            return sinc_resample(jnp, x.astype(jnp.float32), r[0], r[1], max_out, taps)
+
+        out = jax.vmap(one)(inp.data, rates)
+        dt = self.spec.GetArgument("dtype", None)
+        if dt is not None:
+            out = out.astype(to_jnp_type(dt))
+        ndim = out.ndim - 1
+        if inp.shapes is not None and ndim > 1:
+            shapes = jnp.concatenate([out_len[:, None], inp.shapes[:, 1:]], axis=1)
+        else:
+            extra = [jnp.full((out.shape[0],), d, jnp.int32) for d in out.shape[2:]]
+            shapes = jnp.stack([out_len.astype(jnp.int32)] + extra, axis=1)
+        return [DeviceBatch(out, shapes, inp.layout)]

@@ -208,3 +208,50 @@ def moving_mean_square(xp, x, window: int):
     m = max(n - window + 1, 1)
     lo = xp.arange(m)
     return (cs[lo + min(window, n)] - cs[lo]) / window
+
+
+def sinc_resample(jnp, x, in_rate, out_rate, out_len: int, taps: int = 32):
+    """Kaiser-windowed sinc resampling on the device (reference
+    ``kernels/signal/resampling.h`` — same structure: per-output-sample gather
+    of ``taps`` neighbors, weights evaluated at the fractional position, cutoff
+    scaled for downsampling).
+
+    x: [L] or [L, C]; in_rate/out_rate: scalars (may be traced);
+    out_len: static output canvas length. Returns [out_len, ...].
+    """
+    L = x.shape[0]
+    step = in_rate / out_rate
+    cutoff = jnp.minimum(1.0, out_rate / in_rate)
+    pos = jnp.arange(out_len, dtype=jnp.float32) * step  # [O]
+    base = jnp.floor(pos).astype(jnp.int32)
+    frac = pos - base.astype(jnp.float32)
+    k = jnp.arange(-(taps // 2) + 1, taps // 2 + 1, dtype=jnp.float32)  # [T]
+    arg = (k[None, :] - frac[:, None]) * cutoff  # [O, T]
+    # kaiser(beta=16) * sinc, evaluated via i0 approximation
+    beta = 16.0
+    t_norm = arg / (taps / 2.0 * cutoff)
+    inside = jnp.abs(t_norm) < 1.0
+    w_kaiser = _i0(jnp, beta * jnp.sqrt(jnp.maximum(1.0 - t_norm * t_norm, 0.0))) / _i0(
+        jnp, jnp.asarray(beta)
+    )
+    w = jnp.where(inside, w_kaiser * jnp.sinc(arg) * cutoff, 0.0)  # [O, T]
+    idx = jnp.clip(base[:, None] + k.astype(jnp.int32)[None, :], 0, L - 1)  # [O, T]
+    g = x[idx]  # [O, T] or [O, T, C]
+    if g.ndim == 3:
+        return jnp.einsum("otc,ot->oc", g, w)
+    return jnp.einsum("ot,ot->o", g, w)
+
+
+def _i0(jnp, x):
+    """Modified Bessel I0 (Abramowitz & Stegun 9.8.1/9.8.2 polynomial fit)."""
+    ax = jnp.abs(x)
+    t = ax / 3.75
+    small = 1.0 + 3.5156229 * t**2 + 3.0899424 * t**4 + 1.2067492 * t**6 + \
+        0.2659732 * t**8 + 0.0360768 * t**10 + 0.0045813 * t**12
+    ti = 3.75 / jnp.maximum(ax, 1e-9)
+    big = (jnp.exp(ax) / jnp.sqrt(jnp.maximum(ax, 1e-9))) * (
+        0.39894228 + 0.01328592 * ti + 0.00225319 * ti**2 - 0.00157565 * ti**3
+        + 0.00916281 * ti**4 - 0.02057706 * ti**5 + 0.02635537 * ti**6
+        - 0.01647633 * ti**7 + 0.00392377 * ti**8
+    )
+    return jnp.where(ax < 3.75, small, big)

@@ -155,3 +155,34 @@ def test_audio_resample(wav_files):
 
     out = pipe().run()[0]
     assert out.at(0).shape == (8000,)
+
+
+def test_audio_resample_gpu_vs_cpu():
+    """GPU sinc resampler tracks the CPU polyphase resampler on a band-limited
+    signal (reference resample GPU/CPU parity tests)."""
+    from .test_utils import to_samples
+
+    t = np.arange(4000, dtype=np.float32) / 16000.0
+    sig = (0.5 * np.sin(2 * np.pi * 440 * t) + 0.3 * np.sin(2 * np.pi * 1220 * t)).astype(
+        np.float32
+    )
+    outs = {}
+    for dev in ("cpu", "gpu"):
+        @pipeline_def(batch_size=2, num_threads=1, seed=1)
+        def pipe():
+            x = fn.external_source(source=lambda: [sig, sig[:3000]], batch=True, cycle=True)
+            if dev == "gpu":
+                x = x.gpu()
+            return fn.experimental.audio_resample(x, in_rate=16000.0, out_rate=8000.0,
+                                                  quality=80.0)
+
+        p = pipe()
+        p.build()
+        (o,) = p.run()
+        outs[dev] = to_samples(o)
+    for c, g in zip(outs["cpu"], outs["gpu"]):
+        assert abs(len(c) - len(g)) <= 1
+        n = min(len(c), len(g))
+        # ignore the filter-edge transients at both ends
+        err = np.abs(c[32:n-32] - g[32:n-32])
+        assert err.mean() < 5e-3, err.mean()
