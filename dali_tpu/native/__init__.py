@@ -71,6 +71,30 @@ def _load():
         ]
         lib.dali_tpu_task_wait.argtypes = [ctypes.c_void_p, ctypes.c_int64]
         lib.dali_tpu_pool_wait_all.argtypes = [ctypes.c_void_p]
+        lib.dali_tpu_jpeg_coef_info_batch.restype = ctypes.c_int
+        lib.dali_tpu_jpeg_coef_info_batch.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_size_t), ctypes.c_int, ctypes.c_void_p,
+        ]
+        lib.dali_tpu_jpeg_coeffs_split_flat_batch.restype = ctypes.c_int
+        lib.dali_tpu_jpeg_coeffs_split_flat_batch.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_size_t), ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
+            ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.dali_tpu_jpeg_coeffs_split_batch.restype = ctypes.c_int
+        lib.dali_tpu_jpeg_coeffs_split_batch.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_size_t), ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
+        ]
         lib.dali_tpu_decode_jpeg_batch.restype = ctypes.c_int
         lib.dali_tpu_decode_jpeg_batch.argtypes = [
             ctypes.c_void_p,
@@ -394,3 +418,113 @@ def decode_jpeg_batch(datas, dsts, denoms, heights, widths, fancy=True, num_thre
         1 if fancy else 0, n, oks,
     )
     return [bool(v) for v in oks]
+
+
+def jpeg_coeffs_split_batch(datas, ky, kc, BH, BW, CBH, CBW, num_threads: int = 0):
+    """Read every JPEG's coefficient planes straight into padded batch
+    canvases (one native call; src/jpeg_coeffs_split.cc batch entry). Returns
+    (y_dc [N,BH,BW] i16, y_ac [N,BH,BW,ky²-1] i8, c_dc [N,2,CBH,CBW] i16,
+    c_ac [N,2,CBH,CBW,kc²-1] i8, q [N,ky²+kc²] i32, oks) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(datas)
+    arrs = [np.ascontiguousarray(np.frombuffer(d, np.uint8)) if isinstance(d, (bytes, bytearray))
+            else np.ascontiguousarray(d).view(np.uint8).reshape(-1) for d in datas]
+    y_dc = np.empty((n, BH, BW), np.int16)
+    y_ac = np.empty((n, BH, BW, ky * ky - 1), np.int8)
+    c_dc = np.empty((n, 2, CBH, CBW), np.int16)
+    c_ac = np.empty((n, 2, CBH, CBW, kc * kc - 1), np.int8)
+    q = np.empty((n, ky * ky + kc * kc), np.uint16)
+    oks = (ctypes.c_int * n)()
+    pool = shared_pool(num_threads)
+    lib.dali_tpu_jpeg_coeffs_split_batch(
+        pool._h,
+        ctypes.cast((ctypes.c_void_p * n)(*[a.ctypes.data for a in arrs]),
+                    ctypes.POINTER(ctypes.c_char_p)),
+        (ctypes.c_size_t * n)(*[a.nbytes for a in arrs]),
+        n, ky, kc, BH, BW, CBH, CBW,
+        y_dc.ctypes.data_as(ctypes.c_void_p), y_ac.ctypes.data_as(ctypes.c_void_p),
+        c_dc.ctypes.data_as(ctypes.c_void_p), c_ac.ctypes.data_as(ctypes.c_void_p),
+        q.ctypes.data_as(ctypes.c_void_p), oks,
+    )
+    return y_dc, y_ac, c_dc, c_ac, q.astype(np.int32), [bool(v) for v in oks]
+
+
+def jpeg_coeffs_split_flat_batch(datas, ky, kc, blocks, flat_lens, num_threads: int = 0):
+    """Flat-packed coefficient read: every sample's planes written densely at
+    computed offsets of four flat buffers (no padding bytes). ``blocks`` is
+    [N,4] int32 (ybh, ybw, cbh, cbw); ``flat_lens`` the grow-policy element
+    counts for (y_dc, y_ac, c_dc, c_ac). Returns (y_dc, y_ac, c_dc, c_ac, q,
+    offsets dict, oks)."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(datas)
+    arrs = [np.ascontiguousarray(np.frombuffer(d, np.uint8)) if isinstance(d, (bytes, bytearray))
+            else np.ascontiguousarray(d).view(np.uint8).reshape(-1) for d in datas]
+    ybh, ybw, cbh, cbw = (blocks[:, j].astype(np.int32) for j in range(4))
+    y_n = (ybh.astype(np.int64) * ybw)
+    c_n = (cbh.astype(np.int64) * cbw)
+    offs = {
+        "y_dc": np.concatenate([[0], np.cumsum(y_n)[:-1]]),
+        "y_ac": np.concatenate([[0], np.cumsum(y_n * (ky * ky - 1))[:-1]]),
+        "c_dc": np.concatenate([[0], np.cumsum(2 * c_n)[:-1]]),
+        "c_ac": np.concatenate([[0], np.cumsum(2 * c_n * (kc * kc - 1))[:-1]]),
+    }
+    y_dc = np.zeros((flat_lens[0],), np.int16)
+    y_ac = np.zeros((flat_lens[1],), np.int8)
+    c_dc = np.zeros((flat_lens[2],), np.int16)
+    c_ac = np.zeros((flat_lens[3],), np.int8)
+    q = np.empty((n, ky * ky + kc * kc), np.uint16)
+    oks = (ctypes.c_int * n)()
+
+    def ip(a):
+        return np.ascontiguousarray(a, np.int32).ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+
+    def lp(a):
+        return np.ascontiguousarray(a, np.int64).ctypes.data_as(ctypes.POINTER(ctypes.c_long))
+
+    pool = shared_pool(num_threads)
+    # keep the int32/int64 views alive through the call
+    holds = [np.ascontiguousarray(x, np.int32) for x in (ybh, ybw, cbh, cbw)]
+    holds2 = [np.ascontiguousarray(offs[k], np.int64) for k in ("y_dc", "y_ac", "c_dc", "c_ac")]
+    lib.dali_tpu_jpeg_coeffs_split_flat_batch(
+        pool._h,
+        ctypes.cast((ctypes.c_void_p * n)(*[a.ctypes.data for a in arrs]),
+                    ctypes.POINTER(ctypes.c_char_p)),
+        (ctypes.c_size_t * n)(*[a.nbytes for a in arrs]),
+        n, ky, kc,
+        holds[0].ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        holds[1].ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        holds[2].ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        holds[3].ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        holds2[0].ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        holds2[1].ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        holds2[2].ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        holds2[3].ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        y_dc.ctypes.data_as(ctypes.c_void_p), y_ac.ctypes.data_as(ctypes.c_void_p),
+        c_dc.ctypes.data_as(ctypes.c_void_p), c_ac.ctypes.data_as(ctypes.c_void_p),
+        q.ctypes.data_as(ctypes.c_void_p), oks,
+    )
+    return y_dc, y_ac, c_dc, c_ac, q.astype(np.int32), offs, [bool(v) for v in oks]
+
+
+def jpeg_coef_info_batch(datas, num_threads: int = 0):
+    """Header scan for a whole batch: [n, 7] int32 (h, w, y_bh, y_bw, c_bh,
+    c_bw, mode); mode -1 = unsupported stream."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(datas)
+    arrs = [np.ascontiguousarray(np.frombuffer(d, np.uint8)) if isinstance(d, (bytes, bytearray))
+            else np.ascontiguousarray(d).view(np.uint8).reshape(-1) for d in datas]
+    out = np.zeros((n, 7), np.int32)
+    lib.dali_tpu_jpeg_coef_info_batch(
+        shared_pool(num_threads)._h,
+        ctypes.cast((ctypes.c_void_p * n)(*[a.ctypes.data for a in arrs]),
+                    ctypes.POINTER(ctypes.c_char_p)),
+        (ctypes.c_size_t * n)(*[a.nbytes for a in arrs]), n,
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out

@@ -149,3 +149,40 @@ int dali_tpu_jpeg_read_coeffs(const char* data, size_t len, int ky, int kc,
 }
 
 }  // extern "C"
+
+// Batch header scan on the tasking pool: one Python call fills [n, 7] int32
+// (h, w, y_bh, y_bw, c_bh, c_bw, mode); mode = -1 marks unsupported streams.
+#include <cstdint>
+#include <vector>
+
+extern "C" int64_t dali_tpu_task_submit(void*, void (*)(void*), void*,
+                                        const int64_t*, int);
+extern "C" void dali_tpu_pool_wait_all(void*);
+
+namespace {
+struct InfoJob {
+  const char* data;
+  size_t len;
+  int* out;  // 7 ints
+};
+
+void run_info_job(void* p) {
+  InfoJob* j = static_cast<InfoJob*>(p);
+  int rc = dali_tpu_jpeg_coef_info(j->data, j->len, &j->out[0], &j->out[1],
+                                   &j->out[2], &j->out[3], &j->out[4],
+                                   &j->out[5], &j->out[6]);
+  if (rc != 0) j->out[6] = -1;
+}
+}  // namespace
+
+extern "C" int dali_tpu_jpeg_coef_info_batch(void* pool, const char** datas,
+                                             const size_t* lens, int n,
+                                             int* out) {
+  std::vector<InfoJob> jobs(n);
+  for (int i = 0; i < n; i++) {
+    jobs[i] = {datas[i], lens[i], out + 7 * i};
+    dali_tpu_task_submit(pool, run_info_job, &jobs[i], nullptr, 0);
+  }
+  dali_tpu_pool_wait_all(pool);
+  return 0;
+}

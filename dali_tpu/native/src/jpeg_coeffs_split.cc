@@ -103,3 +103,113 @@ int dali_tpu_jpeg_read_coeffs_split(const char* data, size_t len, int ky, int kc
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Batch entry: read every sample's coefficient planes DIRECTLY into padded
+// batch canvases (one Python call per batch; per-sample fan-out on the
+// tasking pool, tasking.cc). Passing the canvas block dims as bh/bw makes the
+// zero-fill above double as boundary-staging padding — decode and pad_stack
+// fuse into one pass.
+
+#include <cstdint>
+#include <vector>
+
+extern "C" int64_t dali_tpu_task_submit(void*, void (*)(void*), void*,
+                                        const int64_t*, int);
+extern "C" void dali_tpu_pool_wait_all(void*);
+
+namespace {
+struct CoefSplitJob {
+  const char* data;
+  size_t len;
+  int ky, kc, bh, bw, cbh, cbw;
+  short* y_dc;
+  signed char* y_ac;
+  short* cb_dc;
+  signed char* cb_ac;
+  short* cr_dc;
+  signed char* cr_ac;
+  unsigned short* q;
+  int* ok;
+};
+
+void run_coef_split_job(void* p) {
+  CoefSplitJob* j = static_cast<CoefSplitJob*>(p);
+  *j->ok = dali_tpu_jpeg_read_coeffs_split(j->data, j->len, j->ky, j->kc, j->y_dc,
+                                           j->y_ac, j->cb_dc, j->cb_ac, j->cr_dc,
+                                           j->cr_ac, j->q, j->bh, j->bw, j->cbh,
+                                           j->cbw) == 0
+               ? 1
+               : 0;
+}
+}  // namespace
+
+extern "C" int dali_tpu_jpeg_coeffs_split_batch(
+    void* pool, const char** datas, const size_t* lens, int n, int ky, int kc,
+    int BH, int BW, int CBH, int CBW, short* y_dc, signed char* y_ac,
+    short* c_dc, signed char* c_ac, unsigned short* q, int* oks) {
+  const long y_n = (long)BH * BW;
+  const long c_n = (long)CBH * CBW;
+  const int y_ac_k = ky * ky - 1;
+  const int c_ac_k = kc * kc - 1;
+  const int qn = ky * ky + kc * kc;
+  std::vector<CoefSplitJob> jobs(n);
+  for (int i = 0; i < n; i++) {
+    jobs[i] = {datas[i],
+               lens[i],
+               ky,
+               kc,
+               BH,
+               BW,
+               CBH,
+               CBW,
+               y_dc + i * y_n,
+               y_ac + i * y_n * y_ac_k,
+               c_dc + i * 2 * c_n,
+               c_ac + i * 2 * c_n * c_ac_k,
+               c_dc + i * 2 * c_n + c_n,
+               c_ac + i * 2 * c_n * c_ac_k + c_n * c_ac_k,
+               q + i * qn,
+               &oks[i]};
+    dali_tpu_task_submit(pool, run_coef_split_job, &jobs[i], nullptr, 0);
+  }
+  dali_tpu_pool_wait_all(pool);
+  return 0;
+}
+
+// Flat variant: per-sample planes are written densely (each sample with its
+// OWN block dims) at given element offsets of shared flat buffers — no padding
+// bytes on the wire at all. The device program scatters flat → canvas with one
+// gather per plane (executor.py flat-boundary reconstruction).
+extern "C" int dali_tpu_jpeg_coeffs_split_flat_batch(
+    void* pool, const char** datas, const size_t* lens, int n, int ky, int kc,
+    const int* ybh, const int* ybw, const int* cbh, const int* cbw,
+    const long* y_dc_off, const long* y_ac_off, const long* c_dc_off,
+    const long* c_ac_off, short* y_dc, signed char* y_ac, short* c_dc,
+    signed char* c_ac, unsigned short* q, int* oks) {
+  const int c_ac_k = kc * kc - 1;
+  const int qn = ky * ky + kc * kc;
+  std::vector<CoefSplitJob> jobs(n);
+  for (int i = 0; i < n; i++) {
+    const long c_n = (long)cbh[i] * cbw[i];
+    jobs[i] = {datas[i],
+               lens[i],
+               ky,
+               kc,
+               ybh[i],
+               ybw[i],
+               cbh[i],
+               cbw[i],
+               y_dc + y_dc_off[i],
+               y_ac + y_ac_off[i],
+               c_dc + c_dc_off[i],
+               c_ac + c_ac_off[i],
+               c_dc + c_dc_off[i] + c_n,
+               c_ac + c_ac_off[i] + c_n * c_ac_k,
+               q + (long)i * qn,
+               &oks[i]};
+    dali_tpu_task_submit(pool, run_coef_split_job, &jobs[i], nullptr, 0);
+  }
+  dali_tpu_pool_wait_all(pool);
+  return 0;
+}
