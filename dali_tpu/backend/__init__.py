@@ -35,3 +35,4 @@ from . import bbox  # noqa: F401
 from . import sequence  # noqa: F401
 from . import segmentation  # noqa: F401
 from . import interop  # noqa: F401
+from . import parity  # noqa: F401

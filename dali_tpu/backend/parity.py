@@ -1,0 +1,354 @@
+"""API-parity operators and legacy aliases.
+
+The reference keeps two generations of operator names alive: the modern
+namespaced ones (``readers__File``, ``decoders__Image``) and the deprecated
+flat aliases (``FileReader``, ``ImageDecoder``, ``Uniform``, …) registered by
+``deprecated.cc`` stubs. This module registers the same aliases onto the same
+implementations, plus a few remaining public ops: ``decoders.Numpy``,
+``decoders.Video``, ``RandomCropGenerator``, ``ROIRandomCrop``,
+``experimental.WarpPerspective``, ``readers.VideoResize`` and experimental
+name variants.
+"""
+
+from __future__ import annotations
+
+import io
+
+import numpy as np
+
+from .._schema import DALI_SCHEMA, ArgType, _impl_registry, _registry, register_operator
+from ..batch import DeviceBatch, HostBatch
+from ..types import DALIInterpType
+from .base import Operator
+from .decoders import sample_rrc_window
+
+
+def alias_schema(alias: str, target: str):
+    """Register ``alias`` as a second name for ``target``'s schema and impls
+    (the reference's deprecation stubs, e.g. operators/reader/file_reader_op.cc
+    registering FileReader alongside readers__File)."""
+    if alias in _registry:
+        return
+    _registry[alias] = _registry[target]
+    for (name, dev), impl in list(_impl_registry.items()):
+        if name == target:
+            _impl_registry[(alias, dev)] = impl
+
+
+_LEGACY = {
+    "FileReader": "readers.File",
+    "COCOReader": "readers.COCO",
+    "CaffeReader": "readers.Caffe",
+    "Caffe2Reader": "readers.Caffe2",
+    "MXNetReader": "readers.MXNet",
+    "TFRecordReader": "readers.TFRecord",
+    "NumpyReader": "readers.Numpy",
+    "SequenceReader": "readers.Sequence",
+    "NemoAsrReader": "readers.NemoAsr",
+    "VideoReader": "readers.Video",
+    "ImageDecoder": "decoders.Image",
+    "ImageDecoderCrop": "decoders.ImageCrop",
+    "ImageDecoderRandomCrop": "decoders.ImageRandomCrop",
+    "ImageDecoderSlice": "decoders.ImageSlice",
+    "AudioDecoder": "decoders.Audio",
+    "Uniform": "random.Uniform",
+    "CoinFlip": "random.CoinFlip",
+    "NormalDistribution": "random.Normal",
+    "AudioResample": "experimental.AudioResample",
+    # experimental variants sharing the stable implementation
+    "experimental.decoders.Image": "decoders.Image",
+    "experimental.decoders.ImageCrop": "decoders.ImageCrop",
+    "experimental.decoders.ImageRandomCrop": "decoders.ImageRandomCrop",
+    "experimental.decoders.ImageSlice": "decoders.ImageSlice",
+    "experimental.Inflate": "decoders.Inflate",
+    "experimental.readers.Fits": "readers.Fits",
+    "experimental.readers.Video": "readers.Video",
+    "experimental.PeekImageShape": "PeekImageShape",
+    "reductions.RMS": "reductions.RootMeanSquare",
+}
+
+
+def register_aliases():
+    missing = []
+    for alias, target in _LEGACY.items():
+        if target in _registry:
+            alias_schema(alias, target)
+        else:
+            missing.append(target)
+    return missing
+
+
+# ====================================== decoders.Numpy ============================================
+
+DALI_SCHEMA("decoders.Numpy").DocStr(
+    "Parses serialized .npy buffers (reference decoders__Numpy, "
+    "operators/decoder/numpy/)."
+).NumInput(1).NumOutput(1).Devices("cpu", "mixed")
+
+
+@register_operator("decoders.Numpy", "cpu")
+@register_operator("decoders.Numpy", "mixed")
+class NumpyDecoder(Operator):
+    def run_sample(self, ctx, idx, buf):
+        arr = np.lib.format.read_array(io.BytesIO(np.ascontiguousarray(buf).tobytes()),
+                                       allow_pickle=False)
+        return np.ascontiguousarray(arr)
+
+
+# ====================================== decoders.Video ============================================
+
+DALI_SCHEMA("decoders.Video").DocStr(
+    """Decodes a whole encoded video buffer to [F, H, W, C] uint8 (reference
+    decoders__Video / experimental__decoders__Video; FFmpeg on the host —
+    there is no NVDEC analogue on TPU hosts)."""
+).NumInput(1).NumOutput(1).Devices("cpu", "mixed").AddOptionalArg(
+    "start_frame", ArgType.INT, "First frame.", 0, tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "sequence_length", ArgType.INT, "Frames to decode (0 = all).", 0, tensor_ok=True, per_sample=True
+).AddOptionalArg("stride", ArgType.INT, "Frame stride.", 1)
+
+
+@register_operator("decoders.Video", "cpu")
+@register_operator("decoders.Video", "mixed")
+class VideoDecoder(Operator):
+    def run_sample(self, ctx, idx, buf):
+        import os
+        import tempfile
+
+        from ..native import VideoFile
+
+        with tempfile.NamedTemporaryFile(suffix=".mp4", delete=False) as f:
+            f.write(np.ascontiguousarray(buf).tobytes())
+            path = f.name
+        try:
+            vf = VideoFile(path)
+            start = int(np.asarray(ctx.arg(self, "start_frame", idx, 0)))
+            length = int(np.asarray(ctx.arg(self, "sequence_length", idx, 0)))
+            stride = self.spec.GetArgument("stride", 1)
+            if length <= 0:
+                length = max((vf.num_frames - start + stride - 1) // stride, 1)
+            frames = vf.read(start, length, stride)
+            vf.close()
+            return frames
+        finally:
+            os.unlink(path)
+
+    def output_layout(self, j, inputs):
+        return "FHWC"
+
+
+alias_schema("experimental.decoders.Video", "decoders.Video")
+
+
+# ====================================== RandomCropGenerator =======================================
+
+DALI_SCHEMA("RandomCropGenerator").DocStr(
+    "Samples area/aspect crop windows without cropping (reference "
+    "image/crop/random_crop_generator.cc): outputs (anchor, shape)."
+).NumInput(1).NumOutput(2).Devices("cpu").AddRandomSeedArg().AddOptionalArg(
+    "random_area", ArgType.FLOAT_VEC, "Crop area range.", [0.08, 1.0]
+).AddOptionalArg(
+    "random_aspect_ratio", ArgType.FLOAT_VEC, "Aspect-ratio range.", [3 / 4, 4 / 3]
+).AddOptionalArg("num_attempts", ArgType.INT, "Sampling attempts.", 10)
+
+
+@register_operator("RandomCropGenerator", "cpu")
+class RandomCropGenerator(Operator):
+    def run_batch(self, ctx, inp: HostBatch):
+        area = self.spec.GetArgument("random_area")
+        ar = self.spec.GetArgument("random_aspect_ratio")
+        attempts = self.spec.GetArgument("num_attempts", 10)
+        anchors, shapes = [], []
+        for i, shp in enumerate(inp.samples):
+            s = np.asarray(shp).reshape(-1)
+            h, w = int(s[0]), int(s[1])
+            rng = ctx.rng(self, i)
+            y, x, ch, cw = sample_rrc_window(rng, h, w, area, ar, attempts)
+            anchors.append(np.array([y, x], np.int64))
+            shapes.append(np.array([ch, cw], np.int64))
+        return [HostBatch(anchors), HostBatch(shapes)]
+
+
+# ====================================== ROIRandomCrop =============================================
+
+DALI_SCHEMA("ROIRandomCrop").DocStr(
+    """Fixed-shape crop window placed randomly so it covers as much of the
+    given ROI as possible (reference generic/roi_random_crop.cc). Outputs the
+    window anchor."""
+).NumInput(0, 1).NumOutput(1).Devices("cpu").AddRandomSeedArg().AddArg(
+    "crop_shape", ArgType.INT_VEC, "Window shape.", tensor_ok=True, per_sample=True
+).AddArg(
+    "roi_start", ArgType.INT_VEC, "ROI start.", tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "roi_end", ArgType.INT_VEC, "ROI end.", None, tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "roi_shape", ArgType.INT_VEC, "ROI shape.", None, tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "in_shape", ArgType.INT_VEC, "Input shape bounds.", None, tensor_ok=True, per_sample=True
+)
+
+
+@register_operator("ROIRandomCrop", "cpu")
+class ROIRandomCrop(Operator):
+    def run_batch(self, ctx, *inputs):
+        n = len(inputs[0]) if inputs else ctx.batch_size
+        out = []
+        for i in range(n):
+            crop = np.asarray(ctx.arg(self, "crop_shape", i), np.int64).reshape(-1)
+            rs = np.asarray(ctx.arg(self, "roi_start", i), np.int64).reshape(-1)
+            re_ = ctx.arg(self, "roi_end", i, None)
+            if re_ is None:
+                rshape = np.asarray(ctx.arg(self, "roi_shape", i), np.int64).reshape(-1)
+                re_ = rs + rshape
+            else:
+                re_ = np.asarray(re_, np.int64).reshape(-1)
+            ishape = ctx.arg(self, "in_shape", i, None)
+            if ishape is None and inputs:
+                ishape = np.asarray(inputs[0].samples[i]).reshape(-1)
+            ishape = None if ishape is None else np.asarray(ishape, np.int64).reshape(-1)
+            rng = ctx.rng(self, i)
+            anchor = np.zeros_like(crop)
+            for d in range(len(crop)):
+                # window must contain the ROI when it fits, else overlap maximally
+                lo = max(int(re_[d]) - int(crop[d]), 0)
+                hi = min(int(rs[d]), (int(ishape[d]) - int(crop[d])) if ishape is not None else int(rs[d]))
+                if ishape is not None:
+                    hi = max(min(hi, int(ishape[d]) - int(crop[d])), 0)
+                if hi < lo:
+                    lo, hi = hi, lo
+                anchor[d] = int(rng.integers(lo, hi + 1))
+            out.append(anchor)
+        return [HostBatch(out)]
+
+
+# ====================================== WarpPerspective ===========================================
+
+DALI_SCHEMA("experimental.WarpPerspective").DocStr(
+    """Perspective (homography) warp (reference
+    image/remap/cvcuda/warp_perspective.cu — CV-CUDA there; an XLA per-pixel
+    homography divide + bilinear gather here). ``matrix`` is the 3x3
+    destination→source mapping (``inverse_map=False`` inverts it)."""
+).NumInput(1, 2).NumOutput(1).Devices("cpu", "gpu").AddOptionalArg(
+    "matrix", ArgType.FLOAT_VEC, "3x3 homography (row-major).", None, tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "size", ArgType.FLOAT_VEC, "Output size (H, W).", None
+).AddOptionalArg(
+    "fill_value", ArgType.FLOAT, "Out-of-bounds fill.", 0.0
+).AddOptionalArg(
+    "interp_type", ArgType.INTERP_TYPE, "NN or linear.", DALIInterpType.INTERP_LINEAR
+).AddOptionalArg("inverse_map", ArgType.BOOL, "Matrix maps dst→src (True).", True)
+
+
+class _WarpPerspectiveCommon(Operator):
+    def _matrix(self, raw):
+        m = np.asarray(raw, np.float32).reshape(3, 3)
+        if not self.spec.GetArgument("inverse_map", True):
+            m = np.linalg.inv(m).astype(np.float32)
+        return m
+
+
+@register_operator("experimental.WarpPerspective", "cpu")
+class WarpPerspectiveCPU(_WarpPerspectiveCommon):
+    def run_sample(self, ctx, idx, img, *mtx_in):
+        import cv2
+
+        raw = mtx_in[0] if mtx_in else ctx.arg(self, "matrix", idx)
+        m = self._matrix(raw)
+        size = self.spec.GetArgument("size", None)
+        out_h, out_w = (int(size[0]), int(size[1])) if size else img.shape[:2]
+        interp = self.spec.GetArgument("interp_type", DALIInterpType.INTERP_LINEAR)
+        flags = (cv2.INTER_NEAREST if interp == DALIInterpType.INTERP_NN else cv2.INTER_LINEAR)
+        fill = self.spec.GetArgument("fill_value", 0.0)
+        # our matrix is dst→src; cv2.warpPerspective wants src→dst unless WARP_INVERSE_MAP
+        out = cv2.warpPerspective(
+            img, m, (out_w, out_h), flags=flags | cv2.WARP_INVERSE_MAP,
+            borderMode=cv2.BORDER_CONSTANT, borderValue=[fill] * 4,
+        )
+        return np.ascontiguousarray(out if out.ndim == img.ndim else out[..., None])
+
+
+@register_operator("experimental.WarpPerspective", "gpu")
+class WarpPerspectiveGPU(_WarpPerspectiveCommon):
+    def lower(self, dctx, inp: DeviceBatch, *mtx_in):
+        import jax.numpy as jnp
+
+        from ..kernels import warp as wk
+
+        n = inp.batch_size
+        if mtx_in:
+            m = mtx_in[0].data.reshape(n, 3, 3).astype(jnp.float32)
+        else:
+            raw = dctx.arg(self, "matrix")
+            m = jnp.asarray(raw, jnp.float32).reshape(-1, 3, 3)
+            if m.shape[0] == 1:
+                m = jnp.broadcast_to(m, (n, 3, 3))
+        if not self.spec.GetArgument("inverse_map", True):
+            m = jnp.linalg.inv(m)
+        size = self.spec.GetArgument("size", None)
+        H, W = inp.data.shape[1:3]
+        out_h, out_w = (int(size[0]), int(size[1])) if size else (H, W)
+        interp = self.spec.GetArgument("interp_type", DALIInterpType.INTERP_LINEAR)
+        fill = self.spec.GetArgument("fill_value", 0.0)
+        ext = inp.shapes[:, :2] if inp.shapes is not None else None
+        out = wk.warp_perspective_batch(
+            inp.data, m, out_h, out_w, ext, interp, fill, inp.data.dtype
+        )
+        shapes = None
+        if inp.shapes is not None and size is None:
+            shapes = inp.shapes  # same canvas semantics as input
+        return [DeviceBatch(out, shapes, inp.layout or "HWC")]
+
+
+# ====================================== readers.VideoResize =======================================
+
+from .video import _VideoReaderImpl  # noqa: E402
+
+
+def _video_resize_schema():
+    s = DALI_SCHEMA("readers.VideoResize")
+    base = _registry["readers.Video"]
+    # share the reader arg set, add resize extents
+    s.DocStr(
+        "readers.Video fused with per-frame resize (reference readers__VideoResize)."
+    )
+    s.args = dict(base.args)
+    s.min_inputs, s.max_inputs = base.min_inputs, base.max_inputs
+    s.output_fn = base.output_fn
+    s.num_outputs = base.num_outputs
+    s.devices = ("cpu", "mixed")
+    s.is_reader = True
+    s.is_stateless = False
+    s.AddOptionalArg("resize_x", ArgType.FLOAT, "Output width.", 0.0)
+    s.AddOptionalArg("resize_y", ArgType.FLOAT, "Output height.", 0.0)
+    s.AddOptionalArg("resize_shorter", ArgType.FLOAT, "Resize shorter edge.", 0.0)
+    return s
+
+
+_video_resize_schema()
+
+
+@register_operator("readers.VideoResize", "cpu")
+@register_operator("readers.VideoResize", "mixed")
+class VideoResizeReader(_VideoReaderImpl):
+    def _read_payload(self, index: int):
+        import cv2
+
+        out = super()._read_payload(index)
+        frames = out[0] if isinstance(out, tuple) else out
+        rx = self.spec.GetArgument("resize_x", 0.0)
+        ry = self.spec.GetArgument("resize_y", 0.0)
+        rs = self.spec.GetArgument("resize_shorter", 0.0)
+        f, h, w, c = frames.shape
+        if rs:
+            scale = rs / min(h, w)
+            ow, oh = int(round(w * scale)), int(round(h * scale))
+        else:
+            ow = int(rx) or w
+            oh = int(ry) or h
+        if (oh, ow) != (h, w):
+            frames = np.stack([cv2.resize(fr, (ow, oh), interpolation=cv2.INTER_LINEAR)
+                               for fr in frames])
+        return (frames,) + tuple(out[1:]) if isinstance(out, tuple) else frames
+
+
+_ALIAS_MISS = register_aliases()

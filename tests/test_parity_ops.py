@@ -1,0 +1,145 @@
+"""Legacy aliases + remaining public ops (parity.py)."""
+
+import numpy as np
+import pytest
+
+import dali_tpu.fn as fn
+from dali_tpu.pipeline import pipeline_def
+
+from .test_utils import to_samples
+
+cv2 = pytest.importorskip("cv2")
+
+
+def test_legacy_fn_aliases(tmp_path):
+    # the old flat names resolve and run: fn.uniform / fn.coin_flip
+    @pipeline_def(batch_size=2, num_threads=1, seed=1)
+    def pipe():
+        return fn.uniform(range=[0.0, 1.0], shape=[3]), fn.coin_flip(probability=0.5)
+
+    p = pipe()
+    p.build()
+    u, c = p.run()
+    assert to_samples(u)[0].shape == (3,)
+
+
+def test_numpy_decoder():
+    import io
+
+    arrays = [np.arange(12, dtype=np.float32).reshape(3, 4), np.ones((2, 2), np.int64)]
+    blobs = []
+    for a in arrays:
+        b = io.BytesIO()
+        np.lib.format.write_array(b, a)
+        blobs.append(np.frombuffer(b.getvalue(), np.uint8))
+
+    @pipeline_def(batch_size=2, num_threads=1, seed=1)
+    def pipe():
+        enc = fn.external_source(source=lambda: blobs, batch=True, cycle=True)
+        return fn.decoders.numpy(enc)
+
+    p = pipe()
+    p.build()
+    (out,) = p.run()
+    for got, want in zip(to_samples(out), arrays):
+        np.testing.assert_array_equal(got, want)
+
+
+def test_random_crop_generator():
+    shapes = [np.array([100, 200], np.int64), np.array([50, 60], np.int64)]
+
+    @pipeline_def(batch_size=2, num_threads=1, seed=3)
+    def pipe():
+        s = fn.external_source(source=lambda: shapes, batch=True, cycle=True)
+        return fn.random_crop_generator(s)
+
+    p = pipe()
+    p.build()
+    anchors, crops = p.run()
+    for i in range(2):
+        a, c = to_samples(anchors)[i], to_samples(crops)[i]
+        h, w = shapes[i]
+        assert 0 <= a[0] and a[0] + c[0] <= h
+        assert 0 <= a[1] and a[1] + c[1] <= w
+
+
+def test_roi_random_crop():
+    @pipeline_def(batch_size=4, num_threads=1, seed=5)
+    def pipe():
+        return fn.roi_random_crop(
+            crop_shape=[40, 40], roi_start=[10, 20], roi_end=[30, 50], in_shape=[100, 100]
+        )
+
+    p = pipe()
+    p.build()
+    (anchors,) = p.run()
+    for a in to_samples(anchors):
+        # window [a, a+40) must contain the ROI [10..30)x[20..50)
+        assert a[0] <= 10 and a[0] + 40 >= 30
+        assert a[1] <= 20 and a[1] + 40 >= 50
+        assert a[0] >= 0 and a[0] + 40 <= 100
+
+
+def test_warp_perspective_cpu_gpu():
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:40, 0:50]
+    img = np.stack([(yy * 4) % 256, (xx * 3) % 256, ((xx + yy)) % 256], -1).astype(np.uint8)
+    # pure translation homography (dst→src): src = dst + (5, 3)
+    m = [1.0, 0.0, 5.0, 0.0, 1.0, 3.0, 0.0, 0.0, 1.0]
+
+    outs = {}
+    for dev in ("cpu", "gpu"):
+        @pipeline_def(batch_size=1, num_threads=1, seed=1)
+        def pipe():
+            d = fn.external_source(source=lambda: [img], batch=True, cycle=True)
+            if dev == "gpu":
+                d = d.gpu()
+            return fn.experimental.warp_perspective(d, matrix=m)
+
+        p = pipe()
+        p.build()
+        outs[dev] = to_samples(p.run()[0])[0]
+    c, g = outs["cpu"], outs["gpu"]
+    # interior pixels identical (border handling may differ by a pixel)
+    np.testing.assert_allclose(
+        c[2:-8, 2:-8].astype(int), g[2:-8, 2:-8].astype(int), atol=1
+    )
+    # translation actually happened
+    np.testing.assert_array_equal(g[0:30, 0:40], img[3:33, 5:45])
+
+
+def test_video_decoder(tmp_path):
+    path = str(tmp_path / "v.mp4")
+    wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 25, (32, 24))
+    for i in range(10):
+        wr.write(np.full((24, 32, 3), i * 20, np.uint8))
+    wr.release()
+    blob = np.frombuffer(open(path, "rb").read(), np.uint8)
+
+    @pipeline_def(batch_size=1, num_threads=1, seed=1)
+    def pipe():
+        enc = fn.external_source(source=lambda: [blob], batch=True, cycle=True)
+        return fn.decoders.video(enc, start_frame=2, sequence_length=5)
+
+    p = pipe()
+    p.build()
+    (out,) = p.run()
+    assert to_samples(out)[0].shape == (5, 24, 32, 3)
+
+
+def test_video_resize_reader(tmp_path):
+    path = str(tmp_path / "v.mp4")
+    wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 25, (64, 48))
+    for i in range(12):
+        wr.write(np.full((48, 64, 3), i * 10, np.uint8))
+    wr.release()
+
+    @pipeline_def(batch_size=2, num_threads=1, seed=1)
+    def pipe():
+        return fn.readers.video_resize(filenames=[path], sequence_length=3,
+                                       resize_x=32, resize_y=24, name="v")
+
+    p = pipe()
+    p.build()
+    (out,) = p.run()
+    assert to_samples(out)[0].shape == (3, 24, 32, 3)
