@@ -37,6 +37,14 @@ def _decoder_schema(name, extra_doc=""):
         .AddOptionalArg("use_fast_idct", ArgType.BOOL, "Use fast IDCT path.", False)
         .AddOptionalArg("memory_stats", ArgType.BOOL, "Compatibility no-op.", False)
         .AddOptionalArg("adjust_orientation", ArgType.BOOL, "Apply EXIF orientation.", True)
+        .AddOptionalArg("cache_size", ArgType.INT,
+                        "Decoded-image cache size in MB (0 = off; reference "
+                        "decoder/cache/cached_decoder_impl.cc). Keyed by the "
+                        "reader's source_info.", 0)
+        .AddOptionalArg("cache_type", ArgType.STRING, "'threshold' or 'largest'.", "threshold")
+        .AddOptionalArg("cache_threshold", ArgType.INT, "Only cache images <= this many bytes.", 0)
+        .AddOptionalArg("cache_debug", ArgType.BOOL, "Log cache hits/misses.", False)
+        .AddOptionalArg("cache_batch_copy", ArgType.BOOL, "Compatibility no-op.", True)
         .AddOptionalArg(
             "downscale_shorter_hint",
             ArgType.INT,
@@ -66,6 +74,50 @@ def choose_denom(h: int, w: int, hint: int) -> int:
         if min(h, w) // d >= hint:
             denom = d
     return denom
+
+
+class _DecoderCache:
+    """Decoded-image cache (reference ImageCacheBlob/ImageCacheLargest,
+    dali/operators/decoder/cache/): bounded byte budget, keyed by source_info.
+    'threshold' caches anything <= cache_threshold while space remains;
+    'largest' evicts the smallest entries to admit larger images."""
+
+    def __init__(self, size_mb: int, policy: str, threshold: int):
+        self.capacity = size_mb << 20
+        self.policy = policy
+        self.threshold = threshold
+        self.used = 0
+        self.map = {}
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, key):
+        v = self.map.get(key)
+        if v is None:
+            self.misses += 1
+        else:
+            self.hits += 1
+        return v
+
+    def insert(self, key, img):
+        if key in self.map:
+            return
+        nbytes = img.nbytes
+        if self.threshold and nbytes > self.threshold:
+            return
+        if self.used + nbytes > self.capacity:
+            if self.policy != "largest":
+                return
+            # evict strictly smaller entries until it fits (largest-wins)
+            for k in sorted(self.map, key=lambda k: self.map[k].nbytes):
+                if self.used + nbytes <= self.capacity or self.map[k].nbytes >= nbytes:
+                    break
+                self.used -= self.map[k].nbytes
+                del self.map[k]
+            if self.used + nbytes > self.capacity:
+                return
+        self.map[key] = np.ascontiguousarray(img)
+        self.used += nbytes
 
 
 class _ImageDecoderBase(Operator):
@@ -106,6 +158,18 @@ class ImageDecoderMixed(_ImageDecoderBase):
     def run_sample(self, ctx, idx, encoded):
         return self._decode(ctx, idx, encoded)
 
+    def _cache(self):
+        size = self.spec.GetArgument("cache_size", 0)
+        if not size:
+            return None
+        if not hasattr(self, "_img_cache"):
+            self._img_cache = _DecoderCache(
+                size,
+                self.spec.GetArgument("cache_type", "threshold"),
+                self.spec.GetArgument("cache_threshold", 0) or (size << 20),
+            )
+        return self._img_cache
+
     def stage_batch(self, ctx, inputs, canvas):
         """Decode the whole batch straight into a padded canvas.
 
@@ -120,6 +184,8 @@ class ImageDecoderMixed(_ImageDecoderBase):
             return None  # generic path
         enc = inputs[0].samples
         n = len(enc)
+        cache = self._cache()
+        keys = inputs[0].source_info if cache is not None else None
         hint = self.spec.GetArgument("downscale_shorter_hint", 0)
         datas = [np.ascontiguousarray(e).tobytes() for e in enc]
         dims = []
@@ -144,13 +210,32 @@ class ImageDecoderMixed(_ImageDecoderBase):
         cw = max(int(-(-shapes[:, 1].max() // align) * align), canvas[1] if canvas else 0)
         arr = np.empty((n, ch, cw, 3), dtype=np.uint8)
 
+        # serve cache hits by memcpy; decode only the misses (reference
+        # cached decoder: CacheLoad before the decode, CacheStore after)
+        hit = [False] * n
+        if cache is not None and keys:
+            for i in range(n):
+                img = cache.get(keys[i]) if keys[i] else None
+                if img is not None and img.shape[0] <= arr.shape[1] and img.shape[1] <= arr.shape[2]:
+                    h, w = img.shape[:2]
+                    arr[i, :h, :w] = img
+                    shapes[i] = (h, w, 3)
+                    hit[i] = True
+        todo = [i for i in range(n) if not hit[i]]
+        if not todo:
+            return arr, shapes, "HWC"
         # whole-batch native decode: one C call, per-sample fan-out on the
         # native tasking pool (no per-sample GIL crossings)
-        oks = native.decode_jpeg_batch(
-            datas, [arr[i] for i in range(n)], denoms,
-            [int(s[0]) for s in shapes], [int(s[1]) for s in shapes],
+        oks_partial = native.decode_jpeg_batch(
+            [datas[i] for i in todo], [arr[i] for i in todo], [denoms[i] for i in todo],
+            [int(shapes[i][0]) for i in todo], [int(shapes[i][1]) for i in todo],
             num_threads=self.pipeline.num_threads,
         )
+        oks = None
+        if oks_partial is not None:
+            oks = [True] * n
+            for j, i in enumerate(todo):
+                oks[i] = oks_partial[j]
         if oks is None:
             def one(i):
                 ok = native.decode_jpeg_into(datas[i], arr[i], denom=denoms[i])
@@ -167,6 +252,11 @@ class ImageDecoderMixed(_ImageDecoderBase):
                 h, w = img.shape[:2]
                 shapes[i] = (h, w, 3)
                 arr[i, :h, :w] = img
+        if cache is not None and keys:
+            for i in todo:
+                if keys[i]:
+                    h, w = int(shapes[i][0]), int(shapes[i][1])
+                    cache.insert(keys[i], arr[i, :h, :w])
         return arr, shapes, "HWC"
 
 

@@ -226,16 +226,25 @@ class BaseReader(ReaderOperator):
     def _num_samples(self):
         raise NotImplementedError
 
+    def _source_info(self, index: int):
+        """Per-sample origin string (reference source-info propagation,
+        operator.h GetSourceInfo); None when the reader has no natural one."""
+        return None
+
     def run_batch(self, ctx: HostCtx, *unused):
         self._ensure_loader()
         indices = [self._loader.read_index() for _ in range(ctx.batch_size)]
         payloads = ctx.map_samples(lambda i: self._read_payload(indices[i]), ctx.batch_size)
         n_out = len(payloads[0]) if isinstance(payloads[0], tuple) else 1
         layouts = self._payload_layouts()
+        infos = [self._source_info(i) for i in indices]
+        if all(x is None for x in infos):
+            infos = None
         outs = []
         for j in range(n_out):
             samples = [(p[j] if isinstance(p, tuple) else p) for p in payloads]
-            outs.append(HostBatch(samples, layout=layouts[j] if j < len(layouts) else ""))
+            outs.append(HostBatch(samples, layout=layouts[j] if j < len(layouts) else "",
+                                  source_info=infos if j == 0 else None))
         return outs
 
     def reader_meta(self):
@@ -353,3 +362,6 @@ class FileReader(BaseReader):
             data = np.frombuffer(f.read(), dtype=np.uint8)
         label = np.array([self._labels[index]], dtype=np.int32)
         return data, label
+
+    def _source_info(self, index: int):
+        return self._files[index]

@@ -172,3 +172,34 @@ def test_reader_meta(jpeg_dataset):
     meta = p.reader_meta("Reader")
     assert meta["epoch_size"] == 32
     assert p.epoch_size("Reader") == 32
+
+
+def test_decoder_cache(tmp_path):
+    """cache_size keeps decoded images keyed by source_info (reference
+    decoder/cache/): second epoch served from the cache, pixels identical."""
+    import cv2
+
+    root = tmp_path / "imgs" / "c"
+    root.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        small = rng.integers(0, 256, (6, 8, 3), np.uint8)
+        cv2.imwrite(str(root / f"{i}.jpg"), cv2.resize(small, (64, 48)))
+
+    def build(cache):
+        @pipeline_def(batch_size=4, num_threads=1, seed=1)
+        def pipe():
+            jp, _ = fn.readers.file(file_root=str(tmp_path / "imgs"), name="r")
+            return fn.decoders.image(jp, device="mixed", cache_size=64 if cache else 0)
+
+        p = pipe()
+        p.build()
+        return p
+
+    pc, pn = build(True), build(False)
+    for it in range(3):
+        a = np.asarray(pc.run()[0].as_tensor())
+        b = np.asarray(pn.run()[0].as_tensor())
+        np.testing.assert_array_equal(a[:, :48, :64], b[:, :48, :64])
+    impl = next(i for i in pc._executor.impls.values() if hasattr(i, "_img_cache"))
+    assert impl._img_cache.hits >= 8  # iterations 2 and 3 fully cached
