@@ -425,8 +425,8 @@ class JpegCoeffs(Operator):
             info = native.jpeg_coef_info(d)
             if info is None:
                 raise ValueError(
-                    "hybrid_device_decode supports 3-component YCbCr 4:2:0/4:4:4 "
-                    "JPEGs only; use hybrid_device_decode=False for this dataset"
+                    "hybrid_device_decode requires 3-component YCbCr 4:2:0 JPEGs; "
+                    "use hybrid_device_decode=False for this dataset"
                 )
             if info[6] != 0:
                 raise ValueError("hybrid_device_decode currently requires 4:2:0 sampling")
