@@ -59,15 +59,16 @@ def build_pipeline():
         prefetch_queue_depth=2,
     )
     def rn50_train():
-        # RN50 training recipe with the hybrid TPU decoder: host entropy decode
-        # (Huffman → DCT coefficients, 2423 img/s/core) + device IDCT/chroma/
-        # color (MXU matmuls) at 1/2 DCT scale, then device random_resized_crop
-        # (per-sample-ROI separable resample) + fused crop-mirror-normalize.
+        # RN50 training recipe with the hybrid TPU decoder fused with the RRC
+        # window: the host samples the crop, entropy-copies ONLY its DCT
+        # blocks (flat-packed int8 wire), the device runs IDCT/chroma/color at
+        # 1/2 DCT scale and resizes the crop to 224 — wire and device work
+        # scale with the crop, not the image.
         jpegs, labels = fn.readers.file(file_root=DATA_DIR, random_shuffle=True, name="Reader")
-        images = fn.decoders.image(
-            jpegs, device="mixed", hybrid_device_decode=True, hybrid_scale=2, hybrid_wire="int8",
+        images = fn.decoders.image_random_crop(
+            jpegs, device="mixed", hybrid_device_decode=True, hybrid_scale=2,
         )
-        images = fn.random_resized_crop(images, size=[224, 224])
+        images = fn.resize(images, resize_x=224, resize_y=224)
         mirror = fn.random.coin_flip(probability=0.5)
         images = fn.crop_mirror_normalize(
             images,

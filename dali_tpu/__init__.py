@@ -125,6 +125,41 @@ def _decoders_image_fn(*inputs, device=None, hybrid_device_decode=False, hybrid_
 
 fn.decoders.image = _decoders_image_fn
 
+_default_decoders_image_random_crop = fn.decoders.image_random_crop
+
+
+def _decoders_image_random_crop_fn(*inputs, device=None, hybrid_device_decode=False,
+                                   hybrid_scale=1, hybrid_chroma_full=False,
+                                   random_area=(0.08, 1.0), random_aspect_ratio=(3 / 4, 4 / 3),
+                                   num_attempts=10, seed=-1, **kwargs):
+    """fn.decoders.image_random_crop with ``hybrid_device_decode``: the RRC
+    window is sampled on the host and ONLY its DCT blocks are entropy-copied
+    and transferred — decode output is already the crop (pair with fn.resize
+    for full RandomResizedCrop semantics). Window quantization: the decoded
+    region snaps to the 16px MCU grid; at hybrid_scale>1 the residual offset
+    is quantized to the scale."""
+    if not hybrid_device_decode:
+        return _default_decoders_image_random_crop(
+            *inputs, device=device, random_area=list(random_area),
+            random_aspect_ratio=list(random_aspect_ratio), num_attempts=num_attempts,
+            seed=seed, **kwargs)
+    if device != "mixed":
+        raise ValueError("hybrid_device_decode requires device='mixed'")
+    name = kwargs.pop("name", None)
+    outs = _op_call(
+        "_JpegCoeffsSplitRRC", device="mixed", inputs=inputs, name=name,
+        hybrid_scale=hybrid_scale, chroma_full=hybrid_chroma_full,
+        random_area=list(random_area), random_aspect_ratio=list(random_aspect_ratio),
+        num_attempts=num_attempts, seed=seed,
+    )
+    return _op_call(
+        "_JpegIdctSplitRRC", device="gpu", inputs=list(outs),
+        hybrid_scale=hybrid_scale, chroma_full=hybrid_chroma_full,
+    )
+
+
+fn.decoders.image_random_crop = _decoders_image_random_crop_fn
+
 
 def _make_function_op(schema_name, device):
     def wrapper(*inputs, function=None, name=None, **kwargs):

@@ -682,3 +682,164 @@ class PeekImageShape(Operator):
         dtype = self.spec.GetArgument("dtype", None)
         np_dt = to_numpy_type(dtype) if dtype is not None else np.int64
         return np.array([h, w, c], dtype=np_dt)
+
+
+# ============================ hybrid decode fused with RandomResizedCrop ==========================
+
+DALI_SCHEMA("_JpegCoeffsSplitRRC").DocStr(
+    """Hybrid decoder fused with RandomResizedCrop's window sampling
+    (dali_tpu extension of reference decoders__ImageRandomCrop): the host
+    samples the area/aspect window (RandomCropAttr semantics), snaps it to the
+    16-pixel MCU grid, and reads ONLY the window's DCT blocks — wire and device
+    work scale with the crop, not the image. Outputs the split-precision planes
+    + dims (decoded-region size) + roi (residual window within the region)."""
+).NumInput(1).NumOutput(7).Devices("mixed").MakeInternal().AddRandomSeedArg().AddOptionalArg(
+    "hybrid_scale", ArgType.INT, "Decode scale denominator (1, 2, or 4).", 1
+).AddOptionalArg(
+    "chroma_full", ArgType.BOOL, "Full-spectrum chroma.", False
+).AddOptionalArg(
+    "random_area", ArgType.FLOAT_VEC, "Crop area range.", [0.08, 1.0]
+).AddOptionalArg(
+    "random_aspect_ratio", ArgType.FLOAT_VEC, "Aspect-ratio range.", [3 / 4, 4 / 3]
+).AddOptionalArg("num_attempts", ArgType.INT, "Window sampling attempts.", 10)
+
+DALI_SCHEMA("_JpegIdctSplitRRC").DocStr(
+    "_JpegIdctSplit + residual window shift: output extents are exactly the "
+    "sampled crop (quantized to the decode scale)."
+).NumInput(7).NumOutput(1).Devices("gpu").MakeInternal().AddOptionalArg(
+    "hybrid_scale", ArgType.INT, "Decode scale denominator.", 1
+).AddOptionalArg("chroma_full", ArgType.BOOL, "Full-spectrum chroma.", False)
+
+
+@register_operator("_JpegCoeffsSplitRRC", "mixed")
+class JpegCoeffsSplitRRC(JpegCoeffsSplit):
+    def stage_batch_multi(self, ctx, inputs, canvases):
+        from .. import native
+
+        if not native.available():
+            return None
+        ky, kc = self._ks()
+        inp = inputs[0]
+        datas = [np.ascontiguousarray(e) for e in inp.samples]
+        n = len(datas)
+        infos = native.jpeg_coef_info_batch(datas, num_threads=self.pipeline.num_threads)
+        if infos is None:
+            return None
+        if (infos[:, 6] != 0).any():
+            raise ValueError("hybrid_device_decode requires 3-component YCbCr 4:2:0 JPEGs")
+
+        area = self.spec.GetArgument("random_area")
+        ar = self.spec.GetArgument("random_aspect_ratio")
+        attempts = self.spec.GetArgument("num_attempts", 10)
+        blocks = np.zeros((n, 4), np.int32)  # cropped ybh, ybw, cbh, cbw
+        brc0 = np.zeros((n, 2), np.int32)  # luma block offsets (even)
+        dims = np.zeros((n, 2), np.int32)  # decoded-region pixel size
+        roi = np.zeros((n, 4), np.int32)  # residual y, x, ch, cw within region
+        for i in range(n):
+            h, w = int(infos[i, 0]), int(infos[i, 1])
+            rng = ctx.rng(self, i)
+            y, x, ch, cw = sample_rrc_window(rng, h, w, area, ar, attempts)
+            # snap to the 16px MCU grid with a 16px halo (keeps the chroma
+            # upsample's neighborhood exact at the crop borders)
+            y0 = max((y // 16) * 16 - 16, 0)
+            x0 = max((x // 16) * 16 - 16, 0)
+            y1 = -(-(y + ch) // 16) * 16 + 16
+            x1 = -(-(x + cw) // 16) * 16 + 16
+            y1 = min(y1, int(infos[i, 2]) * 8)  # full luma block extent
+            x1 = min(x1, int(infos[i, 3]) * 8)
+            # region must stay 16-aligned for chroma (full extent may be odd-block)
+            if (y1 - y0) % 16:
+                y1 += 16 - (y1 - y0) % 16
+            if (x1 - x0) % 16:
+                x1 += 16 - (x1 - x0) % 16
+            blocks[i] = ((y1 - y0) // 8, (x1 - x0) // 8, (y1 - y0) // 16, (x1 - x0) // 16)
+            brc0[i] = (y0 // 8, x0 // 8)
+            dims[i] = (y1 - y0, x1 - x0)
+            roi[i] = (y - y0, x - x0, ch, cw)
+
+        def grow(cur, want, align):
+            want = int(-(-int(want) // align) * align)
+            return max(want, cur)
+
+        prev = canvases[1] or [0, 0, 0]
+        BH = grow(prev[0], blocks[:, 0].max(), 8)
+        BW = grow(prev[1], blocks[:, 1].max(), 8)
+        prevc = canvases[3] or [0, 0, 0, 0]
+        CBH = grow(prevc[1], blocks[:, 2].max(), 4)
+        CBW = grow(prevc[2], blocks[:, 3].max(), 4)
+
+        from ..executor import _FlatStaged
+
+        y_n = blocks[:, 0].astype(np.int64) * blocks[:, 1]
+        c_n = blocks[:, 2].astype(np.int64) * blocks[:, 3]
+        need = (int(y_n.sum()), int((y_n * (ky * ky - 1)).sum()),
+                int(2 * c_n.sum()), int((2 * c_n * (kc * kc - 1)).sum()))
+        if not hasattr(self, "_flat_lens"):
+            self._flat_lens = [0, 0, 0, 0]
+        chunk = 1 << 20
+        for j in range(4):
+            self._flat_lens[j] = max(self._flat_lens[j], -(-need[j] // chunk) * chunk)
+
+        r = native.jpeg_coeffs_split_flat_crop_batch(
+            datas, ky, kc, blocks, brc0, self._flat_lens,
+            num_threads=self.pipeline.num_threads,
+        )
+        if r is None:
+            return None
+        y_dc, y_ac, c_dc, c_ac, q, offs, oks = r
+        if not all(oks):
+            raise ValueError("JPEG coefficient read failed (corrupt sample in hybrid path)")
+        yb = blocks[:, :2]
+        cb = blocks[:, 2:]
+        two = np.full((n, 1), 2, np.int32)
+        return [
+            _FlatStaged(y_dc, offs["y_dc"], yb.copy(), (BH, BW)),
+            _FlatStaged(y_ac, offs["y_ac"],
+                        np.concatenate([yb, np.full((n, 1), ky * ky - 1, np.int32)], 1),
+                        (BH, BW, ky * ky - 1)),
+            _FlatStaged(c_dc, offs["c_dc"], np.concatenate([two, cb], 1), (2, CBH, CBW)),
+            _FlatStaged(c_ac, offs["c_ac"],
+                        np.concatenate([two, cb, np.full((n, 1), kc * kc - 1, np.int32)], 1),
+                        (2, CBH, CBW, kc * kc - 1)),
+            (q, np.full((n, 1), q.shape[1], np.int32), ""),
+            HostBatch([dims[i].copy() for i in range(n)], layout=""),
+            HostBatch([roi[i].copy() for i in range(n)], layout=""),
+        ]
+
+    def run_batch(self, ctx, inp):
+        raise RuntimeError("_JpegCoeffsSplitRRC requires the native runtime")
+
+
+@register_operator("_JpegIdctSplitRRC", "gpu")
+class JpegIdctSplitRRC(JpegIdctSplit):
+    def host_output_shapes(self, ctx, input_shapes, input_batches):
+        roi_hb = input_batches[6]
+        if roi_hb is None:
+            return None
+        denom = int(self.spec.GetArgument("hybrid_scale", 1))
+        n = len(roi_hb)
+        out = np.zeros((n, 3), np.int32)
+        for i, r in enumerate(roi_hb.samples):
+            out[i] = (-(-int(r[2]) // denom), -(-int(r[3]) // denom), 3)
+        return [out]
+
+    def lower(self, dctx, ydc_b, yac_b, cdc_b, cac_b, q_b, dims_b, roi_b):
+        import jax
+        import jax.numpy as jnp
+
+        (rgb_b,) = super().lower(dctx, ydc_b, yac_b, cdc_b, cac_b, q_b, dims_b)
+        denom = int(self.spec.GetArgument("hybrid_scale", 1))
+        roi = roi_b.data  # [N, 4] full-res residual window
+        n, Hc, Wc, _ = rgb_b.data.shape
+        dy = roi[:, 0] // denom
+        dx = roi[:, 1] // denom
+        ch = -(-roi[:, 2] // denom)
+        cw = -(-roi[:, 3] // denom)
+
+        def shift(img, oy, ox):
+            img = jnp.take(img, jnp.clip(jnp.arange(Hc) + oy, 0, Hc - 1), axis=0)
+            return jnp.take(img, jnp.clip(jnp.arange(Wc) + ox, 0, Wc - 1), axis=1)
+
+        out = jax.vmap(shift)(rgb_b.data, dy.astype(jnp.int32), dx.astype(jnp.int32))
+        shapes = jnp.stack([ch, cw, jnp.full((n,), 3, ch.dtype)], axis=1).astype(jnp.int32)
+        return [DeviceBatch(out, shapes, "HWC")]

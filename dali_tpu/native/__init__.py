@@ -76,6 +76,18 @@ def _load():
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p),
             ctypes.POINTER(ctypes.c_size_t), ctypes.c_int, ctypes.c_void_p,
         ]
+        lib.dali_tpu_jpeg_coeffs_split_flat_crop_batch.restype = ctypes.c_int
+        lib.dali_tpu_jpeg_coeffs_split_flat_crop_batch.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_size_t), ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
+            ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
+        ]
         lib.dali_tpu_jpeg_coeffs_split_flat_batch.restype = ctypes.c_int
         lib.dali_tpu_jpeg_coeffs_split_flat_batch.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p),
@@ -528,3 +540,55 @@ def jpeg_coef_info_batch(datas, num_threads: int = 0):
         out.ctypes.data_as(ctypes.c_void_p),
     )
     return out
+
+
+def jpeg_coeffs_split_flat_crop_batch(datas, ky, kc, blocks, brc0, flat_lens,
+                                      num_threads: int = 0):
+    """Flat-packed CROPPED coefficient read (DCT-domain random crop): only the
+    block window [brc0, brc0+blocks) of each sample is read and packed.
+    ``blocks`` [N,4] = cropped (ybh, ybw, cbh, cbw); ``brc0`` [N,2] = luma
+    block offsets (must be even — 16px alignment keeps chroma exact)."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(datas)
+    arrs = [np.ascontiguousarray(np.frombuffer(d, np.uint8)) if isinstance(d, (bytes, bytearray))
+            else np.ascontiguousarray(d).view(np.uint8).reshape(-1) for d in datas]
+    ybh, ybw, cbh, cbw = (np.ascontiguousarray(blocks[:, j], np.int32) for j in range(4))
+    br0 = np.ascontiguousarray(brc0[:, 0], np.int32)
+    bc0 = np.ascontiguousarray(brc0[:, 1], np.int32)
+    y_n = ybh.astype(np.int64) * ybw
+    c_n = cbh.astype(np.int64) * cbw
+    offs = {
+        "y_dc": np.concatenate([[0], np.cumsum(y_n)[:-1]]),
+        "y_ac": np.concatenate([[0], np.cumsum(y_n * (ky * ky - 1))[:-1]]),
+        "c_dc": np.concatenate([[0], np.cumsum(2 * c_n)[:-1]]),
+        "c_ac": np.concatenate([[0], np.cumsum(2 * c_n * (kc * kc - 1))[:-1]]),
+    }
+    y_dc = np.zeros((flat_lens[0],), np.int16)
+    y_ac = np.zeros((flat_lens[1],), np.int8)
+    c_dc = np.zeros((flat_lens[2],), np.int16)
+    c_ac = np.zeros((flat_lens[3],), np.int8)
+    q = np.empty((n, ky * ky + kc * kc), np.uint16)
+    oks = (ctypes.c_int * n)()
+    holds = [np.ascontiguousarray(offs[k], np.int64) for k in ("y_dc", "y_ac", "c_dc", "c_ac")]
+    lib.dali_tpu_jpeg_coeffs_split_flat_crop_batch(
+        shared_pool(num_threads)._h,
+        ctypes.cast((ctypes.c_void_p * n)(*[a.ctypes.data for a in arrs]),
+                    ctypes.POINTER(ctypes.c_char_p)),
+        (ctypes.c_size_t * n)(*[a.nbytes for a in arrs]), n, ky, kc,
+        ybh.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        ybw.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        cbh.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        cbw.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        br0.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        bc0.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        holds[0].ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        holds[1].ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        holds[2].ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        holds[3].ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        y_dc.ctypes.data_as(ctypes.c_void_p), y_ac.ctypes.data_as(ctypes.c_void_p),
+        c_dc.ctypes.data_as(ctypes.c_void_p), c_ac.ctypes.data_as(ctypes.c_void_p),
+        q.ctypes.data_as(ctypes.c_void_p), oks,
+    )
+    return y_dc, y_ac, c_dc, c_ac, q.astype(np.int32), offs, [bool(v) for v in oks]

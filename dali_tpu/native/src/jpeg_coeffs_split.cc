@@ -28,12 +28,13 @@ static inline signed char sat8(int v) {
 
 // dc_out: per-plane [bh*bw] int16; ac_out: [bh*bw*(k*k-1)] int8.
 // q_out layout matches jpeg_coeffs.cc: luma ky*ky then chroma kc*kc entries.
-int dali_tpu_jpeg_read_coeffs_split(const char* data, size_t len, int ky, int kc,
-                                    short* y_dc, signed char* y_ac,
-                                    short* cb_dc, signed char* cb_ac,
-                                    short* cr_dc, signed char* cr_ac,
-                                    unsigned short* q_out, int y_bh, int y_bw,
-                                    int c_bh, int c_bw) {
+int dali_tpu_jpeg_read_coeffs_split_crop(const char* data, size_t len, int ky,
+                                         int kc, short* y_dc, signed char* y_ac,
+                                         short* cb_dc, signed char* cb_ac,
+                                         short* cr_dc, signed char* cr_ac,
+                                         unsigned short* q_out, int y_bh,
+                                         int y_bw, int c_bh, int c_bw, int y_br0,
+                                         int y_bc0, int c_br0, int c_bc0) {
   jpeg_decompress_struct cinfo;
   SplitErr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -56,10 +57,10 @@ int dali_tpu_jpeg_read_coeffs_split(const char* data, size_t len, int ky, int kc
   struct Plane {
     short* dc;
     signed char* ac;
-    int bh, bw, k;
-  } planes[3] = {{y_dc, y_ac, y_bh, y_bw, ky},
-                 {cb_dc, cb_ac, c_bh, c_bw, kc},
-                 {cr_dc, cr_ac, c_bh, c_bw, kc}};
+    int bh, bw, k, br0, bc0;
+  } planes[3] = {{y_dc, y_ac, y_bh, y_bw, ky, y_br0, y_bc0},
+                 {cb_dc, cb_ac, c_bh, c_bw, kc, c_br0, c_bc0},
+                 {cr_dc, cr_ac, c_bh, c_bw, kc, c_br0, c_bc0}};
 
   for (int comp = 0; comp < 3; comp++) {
     jpeg_component_info* ci = &cinfo.comp_info[comp];
@@ -73,15 +74,15 @@ int dali_tpu_jpeg_read_coeffs_split(const char* data, size_t len, int ky, int kc
     int real_bw = ci->width_in_blocks;
     for (int br = 0; br < p.bh; br++) {
       JBLOCKARRAY rows = nullptr;
-      if (br < real_bh) {
+      if (br + p.br0 < real_bh) {
         rows = (cinfo.mem->access_virt_barray)(reinterpret_cast<j_common_ptr>(&cinfo),
-                                               coefs[comp], br, 1, FALSE);
+                                               coefs[comp], br + p.br0, 1, FALSE);
       }
       for (int bc = 0; bc < p.bw; bc++) {
         long bidx = (long)br * p.bw + bc;
         signed char* ac_dst = p.ac + bidx * n_ac;
-        if (rows != nullptr && bc < real_bw) {
-          JCOEF* blk = rows[0][bc];
+        if (rows != nullptr && bc + p.bc0 < real_bw) {
+          JCOEF* blk = rows[0][bc + p.bc0];
           p.dc[bidx] = blk[0];
           for (int i = 1; i < k * k; i++) ac_dst[i - 1] = sat8(blk[sel[i]]);
         } else {
@@ -100,6 +101,17 @@ int dali_tpu_jpeg_read_coeffs_split(const char* data, size_t len, int ky, int kc
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
   return 0;
+}
+
+int dali_tpu_jpeg_read_coeffs_split(const char* data, size_t len, int ky, int kc,
+                                    short* y_dc, signed char* y_ac,
+                                    short* cb_dc, signed char* cb_ac,
+                                    short* cr_dc, signed char* cr_ac,
+                                    unsigned short* q_out, int y_bh, int y_bw,
+                                    int c_bh, int c_bw) {
+  return dali_tpu_jpeg_read_coeffs_split_crop(data, len, ky, kc, y_dc, y_ac,
+                                              cb_dc, cb_ac, cr_dc, cr_ac, q_out,
+                                              y_bh, y_bw, c_bh, c_bw, 0, 0, 0, 0);
 }
 
 }  // extern "C"
@@ -131,14 +143,15 @@ struct CoefSplitJob {
   signed char* cr_ac;
   unsigned short* q;
   int* ok;
+  int y_br0 = 0, y_bc0 = 0, c_br0 = 0, c_bc0 = 0;
 };
 
 void run_coef_split_job(void* p) {
   CoefSplitJob* j = static_cast<CoefSplitJob*>(p);
-  *j->ok = dali_tpu_jpeg_read_coeffs_split(j->data, j->len, j->ky, j->kc, j->y_dc,
-                                           j->y_ac, j->cb_dc, j->cb_ac, j->cr_dc,
-                                           j->cr_ac, j->q, j->bh, j->bw, j->cbh,
-                                           j->cbw) == 0
+  *j->ok = dali_tpu_jpeg_read_coeffs_split_crop(
+               j->data, j->len, j->ky, j->kc, j->y_dc, j->y_ac, j->cb_dc,
+               j->cb_ac, j->cr_dc, j->cr_ac, j->q, j->bh, j->bw, j->cbh, j->cbw,
+               j->y_br0, j->y_bc0, j->c_br0, j->c_bc0) == 0
                ? 1
                : 0;
 }
@@ -208,6 +221,48 @@ extern "C" int dali_tpu_jpeg_coeffs_split_flat_batch(
                c_ac + c_ac_off[i] + c_n * c_ac_k,
                q + (long)i * qn,
                &oks[i]};
+    dali_tpu_task_submit(pool, run_coef_split_job, &jobs[i], nullptr, 0);
+  }
+  dali_tpu_pool_wait_all(pool);
+  return 0;
+}
+
+
+// Flat variant with per-sample BLOCK WINDOWS: only the crop's blocks are read
+// and shipped (DCT-domain random crop — the luma window is 16px-aligned so the
+// chroma window is exactly half of it).
+extern "C" int dali_tpu_jpeg_coeffs_split_flat_crop_batch(
+    void* pool, const char** datas, const size_t* lens, int n, int ky, int kc,
+    const int* ybh, const int* ybw, const int* cbh, const int* cbw,
+    const int* y_br0, const int* y_bc0,
+    const long* y_dc_off, const long* y_ac_off, const long* c_dc_off,
+    const long* c_ac_off, short* y_dc, signed char* y_ac, short* c_dc,
+    signed char* c_ac, unsigned short* q, int* oks) {
+  const int c_ac_k = kc * kc - 1;
+  const int qn = ky * ky + kc * kc;
+  std::vector<CoefSplitJob> jobs(n);
+  for (int i = 0; i < n; i++) {
+    const long c_n = (long)cbh[i] * cbw[i];
+    jobs[i] = {datas[i],
+               lens[i],
+               ky,
+               kc,
+               ybh[i],
+               ybw[i],
+               cbh[i],
+               cbw[i],
+               y_dc + y_dc_off[i],
+               y_ac + y_ac_off[i],
+               c_dc + c_dc_off[i],
+               c_ac + c_ac_off[i],
+               c_dc + c_dc_off[i] + c_n,
+               c_ac + c_ac_off[i] + c_n * c_ac_k,
+               q + (long)i * qn,
+               &oks[i],
+               y_br0[i],
+               y_bc0[i],
+               y_br0[i] / 2,
+               y_bc0[i] / 2};
     dali_tpu_task_submit(pool, run_coef_split_job, &jobs[i], nullptr, 0);
   }
   dali_tpu_pool_wait_all(pool);

@@ -94,3 +94,48 @@ def test_hybrid_unsupported_format_raises(tmp_path):
 
     with pytest.raises(ValueError, match="hybrid_device_decode"):
         pipe().run()
+
+
+def test_hybrid_rrc_matches_full_decode_crop(tmp_path):
+    """DCT-domain random crop == full hybrid decode then crop, bit-exact at
+    scale 1 (same Philox stream draws the same window)."""
+    import cv2
+
+    from dali_tpu.backend.base import HostCtx
+    from dali_tpu.backend.decoders import sample_rrc_window
+
+    root = tmp_path / "imgs" / "c"
+    root.mkdir(parents=True)
+    rng = np.random.default_rng(11)
+    for i, (h, w) in enumerate([(120, 200), (257, 311)]):
+        small = rng.integers(0, 256, (h // 8, w // 8, 3), np.uint8)
+        cv2.imwrite(str(root / f"{i}.jpg"),
+                    cv2.resize(small, (w, h), interpolation=cv2.INTER_CUBIC))
+
+    @pipeline_def(batch_size=2, num_threads=1, seed=9)
+    def fused():
+        jp, _ = fn.readers.file(file_root=str(tmp_path / "imgs"), name="r")
+        return fn.decoders.image_random_crop(
+            jp, device="mixed", hybrid_device_decode=True, seed=123)
+
+    @pipeline_def(batch_size=2, num_threads=1, seed=9)
+    def full():
+        jp, _ = fn.readers.file(file_root=str(tmp_path / "imgs"), name="r")
+        return fn.decoders.image(jp, device="mixed", hybrid_device_decode=True,
+                                 hybrid_wire="int8")
+
+    pf, pg = fused(), full()
+    pf.build(), pg.build()
+    (crop,) = pf.run()
+    (whole,) = pg.run()
+    rrc_op = next(i for i in pf._executor.impls.values()
+                  if type(i).__name__ == "JpegCoeffsSplitRRC")
+    ctx = HostCtx(pf, 0, 0)
+    for i in range(2):
+        h, w, _ = whole.shape()[i]
+        r = ctx.rng(rrc_op, i)
+        y, x, ch, cw = sample_rrc_window(r, h, w, [0.08, 1.0], [3 / 4, 4 / 3], 10)
+        want = np.asarray(whole.as_tensor())[i][y:y + ch, x:x + cw]
+        gh, gw, _ = crop.shape()[i]
+        got = np.asarray(crop.as_tensor())[i][:gh, :gw]
+        np.testing.assert_array_equal(got, want)
