@@ -145,6 +145,9 @@ def _decoders_image_random_crop_fn(*inputs, device=None, hybrid_device_decode=Fa
             seed=seed, **kwargs)
     if device != "mixed":
         raise ValueError("hybrid_device_decode requires device='mixed'")
+    from .types import DALIImageType
+    if kwargs.get("output_type", DALIImageType.RGB) != DALIImageType.RGB:
+        raise ValueError("hybrid_device_decode produces RGB only")
     name = kwargs.pop("name", None)
     outs = _op_call(
         "_JpegCoeffsSplitRRC", device="mixed", inputs=inputs, name=name,

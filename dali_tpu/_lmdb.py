@@ -277,6 +277,12 @@ def write_lmdb(path: str, items: Iterable[Tuple[bytes, bytes]], psize: int = 409
         n = len(leaves)
         lower = _PAGEHDR + 2 * n
         upper = psize
+        need = lower + sum(8 + (0 if i == 0 else len(k)) for i, (_, k) in enumerate(leaves))
+        if need > psize:
+            raise ValueError(
+                f"write_lmdb: {n} leaf pages exceed one branch page "
+                "(single-level tree writer); split the dataset or raise psize"
+            )
         for i, (pg, first_key) in enumerate(leaves):
             k = b"" if i == 0 else first_key  # node 0: leftmost child, empty key
             nsz = 8 + len(k)

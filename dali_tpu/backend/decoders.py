@@ -237,15 +237,15 @@ class ImageDecoderMixed(_ImageDecoderBase):
             for j, i in enumerate(todo):
                 oks[i] = oks_partial[j]
         if oks is None:
-            def one(i):
-                ok = native.decode_jpeg_into(datas[i], arr[i], denom=denoms[i])
-                if not ok:
-                    oks_fallback[i] = False
+            oks = [True] * n
+
+            def one(j):
+                i = todo[j]
+                if not native.decode_jpeg_into(datas[i], arr[i], denom=denoms[i]):
+                    oks[i] = False
                 return True
 
-            oks_fallback = [True] * n
-            ctx.map_samples(one, n)
-            oks = oks_fallback
+            ctx.map_samples(one, len(todo))
         for i, ok in enumerate(oks):
             if not ok:  # corrupt sample: decode via fallback into the slot
                 img = imgcodec.decode(datas[i], output_type=out_type)

@@ -149,7 +149,9 @@ class SliceGPU(_GrowCanvasOp):
         statics = dctx.static(self)
         sizes = list(canvas)
         for k, a in enumerate(axes):
-            sizes[a] = min(statics[k], canvas[a])
+            # the output canvas may EXCEED the input canvas ("pad" windows
+            # larger than the image): the gather below clips + masks
+            sizes[a] = statics[k]
         n = inp.batch_size
         policy = self.spec.GetArgument("out_of_bounds_policy", "error")
         fill = float(self.spec.GetArgument("fill_values", [0.0])[0])
@@ -433,9 +435,11 @@ class _ValueOpGPU(Operator):
             inp = inputs[0]
             dt = to_jnp_type(dt_arg) if dt_arg is not None else inp.data.dtype
             fv = self._fill_value(dctx, n, jnp)
-            out = jnp.broadcast_to(
-                fv.reshape((n,) + (1,) * (inp.data.ndim - 1)).astype(dt), inp.data.shape
-            )
+            if fv.ndim == 2 and fv.shape[1] > 1:  # vector fill → last dim
+                fv = fv.reshape((n,) + (1,) * (inp.data.ndim - 2) + (fv.shape[1],))
+            else:
+                fv = fv.reshape((n,) + (1,) * (inp.data.ndim - 1))
+            out = jnp.broadcast_to(fv.astype(dt), inp.data.shape)
             return [DeviceBatch(out, inp.shapes, inp.layout)]
         if dctx.has_tensor_arg(self, "shape"):
             raise NotImplementedError(
@@ -451,16 +455,27 @@ class _ValueOpGPU(Operator):
             dt = fv.dtype
         else:
             dt = jnp.int32
-        out = jnp.broadcast_to(fv.reshape((n,) + (1,) * len(shape)).astype(dt), (n,) + shape)
+        if fv.ndim == 2 and fv.shape[1] > 1:
+            if not shape:
+                shape = (fv.shape[1],)
+            fv = fv.reshape((n,) + (1,) * (len(shape) - 1) + (fv.shape[1],))
+        else:
+            fv = fv.reshape((n,) + (1,) * len(shape))
+        out = jnp.broadcast_to(fv.astype(dt), (n,) + shape)
         return [DeviceBatch(out, None, "")]
 
     def _fill_value(self, dctx, n, jnp):
+        """[n] scalar fills, or [n, k] when fill_value is a k-vector (matching
+        the cpu backend's last-dim broadcast)."""
         if self.fill is not None:
             return jnp.full((n,), self.fill)
         v = dctx.arg(self, "fill_value", 0.0)
         if dctx.has_tensor_arg(self, "fill_value"):
-            return jnp.asarray(v).reshape(n, -1)[:, 0]
-        return jnp.full((n,), float(np.asarray(v).reshape(-1)[0]))
+            return jnp.asarray(v).reshape(n, -1)
+        arr = np.asarray(v, np.float32).reshape(-1)
+        if arr.size > 1:
+            return jnp.asarray(np.broadcast_to(arr[None, :], (n, arr.size)))
+        return jnp.full((n,), float(arr[0]))
 
 
 for _nm, _fill, _like in (

@@ -342,6 +342,12 @@ class VideoResizeReader(_VideoReaderImpl):
         if rs:
             scale = rs / min(h, w)
             ow, oh = int(round(w * scale)), int(round(h * scale))
+        elif rx and not ry:  # one extent: preserve aspect (reference Resize)
+            ow = int(rx)
+            oh = int(round(h * rx / w))
+        elif ry and not rx:
+            oh = int(ry)
+            ow = int(round(w * ry / h))
         else:
             ow = int(rx) or w
             oh = int(ry) or h

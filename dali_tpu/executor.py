@@ -23,6 +23,7 @@ from __future__ import annotations
 import collections
 import queue
 import threading
+import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Optional, Tuple
 
@@ -237,20 +238,32 @@ class Executor:
         """Clear a raised-StopIteration state and restart the stage threads."""
         self._shutdown = True
         self._work_q.put(None)
-        for q in (self._device_q, self._out_q):
-            if q is None:
-                continue
-            try:
-                while True:
-                    q.get_nowait()
-            except queue.Empty:
-                pass
+
+        def drain():
+            for q in (self._device_q, self._out_q):
+                if q is None:
+                    continue
+                try:
+                    while True:
+                        q.get_nowait()
+                except queue.Empty:
+                    pass
+
+        def join_draining(thread):
+            # keep freeing queue slots while joining: the thread may be blocked
+            # in put() on a bounded queue with more pending items than one
+            # drain pass can clear
+            deadline = time.monotonic() + 10
+            while thread.is_alive() and time.monotonic() < deadline:
+                drain()
+                thread.join(timeout=0.05)
+
         if self._host_thread is not None:
-            self._host_thread.join(timeout=5)
+            join_draining(self._host_thread)
             self._host_thread = None
         if self._device_thread is not None:
             self._device_q.put(None)
-            self._device_thread.join(timeout=5)
+            join_draining(self._device_thread)
             self._device_thread = None
         self._shutdown = False
         self._error = None
@@ -396,7 +409,9 @@ class Executor:
             flat_offsets.append(None)
             if isinstance(hb, _Staged):
                 arr, shapes, layout = hb.array, hb.shapes, hb.layout
-                ragged = bool((shapes != shapes[0]).any())
+                ragged = bool((shapes != shapes[0]).any()) or bool(
+                    (np.asarray(arr.shape[1 : 1 + shapes.shape[1]]) != shapes[0]).any()
+                )
             else:
                 impl = self.impls[edge.source.id]
                 fill = impl.boundary_fill(edge.source_idx)
@@ -413,7 +428,11 @@ class Executor:
                     hb, canvas=self._canvas.get(k), align=align, fill=fill
                 )
                 self._canvas[k] = list(arr.shape[1:])
-                ragged = not hb.is_uniform()
+                # ragged vs the STAGED canvas: a uniform batch padded onto a
+                # previously-grown canvas still needs per-sample extents
+                ragged = not hb.is_uniform() or bool(
+                    (np.asarray(arr.shape[1 : 1 + shapes.shape[1]]) != shapes[0]).any()
+                )
                 layout = hb.layout
             padded_arrays.append(arr)  # raw numpy; stage-2 thread issues the puts
             shape_arrays.append(shapes)

@@ -17,6 +17,7 @@ import numpy as np
 
 _LIB = None
 _TRIED = False
+_REBUILT = False
 
 
 def _lib_path():
@@ -164,6 +165,22 @@ def _load():
         _LIB = lib
     except OSError:
         _LIB = None
+    except AttributeError:
+        # a stale libdali_tpu.so missing newer symbols: rebuild once and
+        # retry; if that fails too, disable the native path (callers fall
+        # back to the generic decoders)
+        global _REBUILT
+        _LIB = None
+        if not _REBUILT:
+            _REBUILT = True
+            try:
+                from .build import build as _b
+
+                _b(verbose=False)
+                _TRIED = False
+                return _load()
+            except Exception:
+                _LIB = None
     return _LIB
 
 

@@ -62,10 +62,11 @@ def _reduce_function(fn):
         closure,
         gl,
         modules,
+        fn.__kwdefaults__,
     )
 
 
-def _rebuild_function(code_blob, name, defaults, closure, gl, modules):
+def _rebuild_function(code_blob, name, defaults, closure, gl, modules, kwdefaults=None):
     import builtins
     import importlib
 
@@ -75,7 +76,10 @@ def _rebuild_function(code_blob, name, defaults, closure, gl, modules):
         g[alias] = importlib.import_module(modname)
     cells = tuple(types.CellType(v) for v in closure)
     code = marshal.loads(code_blob)
-    return types.FunctionType(code, g, name, defaults, cells or None)
+    f = types.FunctionType(code, g, name, defaults, cells or None)
+    if kwdefaults:
+        f.__kwdefaults__ = dict(kwdefaults)
+    return f
 
 
 class _Pickler(pickle.Pickler):

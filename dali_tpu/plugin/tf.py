@@ -100,6 +100,8 @@ class DALIGenericIterator:
             pipelines = [pipelines]
         self._pipes = pipelines
         self.output_map = list(output_map)
+        self._output_dtypes = output_dtypes
+        self._ds_kwargs = kwargs
         self._ds_iters = [
             iter(DALIDataset(p, output_dtypes=output_dtypes, **kwargs)) for p in pipelines
         ]
@@ -111,9 +113,23 @@ class DALIGenericIterator:
     def __iter__(self):
         return self
 
+    def reset(self):
+        """Start a new epoch: reset the pipelines and their dataset iterators
+        (reference base iterator surface)."""
+        self._counter = 0
+        for p in self._pipes:
+            p.reset()
+        self._ds_iters = [
+            iter(DALIDataset(p, output_dtypes=self._output_dtypes, **self._ds_kwargs))
+            for p in self._pipes
+        ]
+
     def __next__(self):
         if self._size > 0 and self._counter >= self._size:
-            self._counter = 0
+            if self._auto_reset:
+                self.reset()
+            else:
+                self._counter = 0
             raise StopIteration
         outs = [next(it) for it in self._ds_iters]
         self._counter += self.batch_size * len(self._pipes)

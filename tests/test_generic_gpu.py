@@ -226,3 +226,42 @@ def test_callable_source_second_epoch():
     for a, b in zip(first, again):
         for x, y in zip(a, b):
             np.testing.assert_array_equal(x, y)
+
+
+def test_full_gpu_vector_fill():
+    """Vector fill_value broadcasts over the last dim like the cpu backend."""
+    @pipeline_def(batch_size=2, num_threads=1, seed=1)
+    def pipe():
+        c = fn.full(fill_value=[1.0, 2.0, 3.0], device="cpu")
+        g = fn.full(fill_value=[1.0, 2.0, 3.0], device="gpu")
+        return c, g
+
+    p = pipe()
+    p.build()
+    c, g = p.run()
+    from .test_utils import to_samples as ts
+    for cc, gg in zip(ts(c), ts(g)):
+        assert cc.shape == gg.shape
+        np.testing.assert_allclose(cc, gg)
+
+
+def test_uniform_batch_on_grown_canvas_keeps_extents():
+    """A uniform batch staged after the canvas grew must keep per-sample
+    extents (regression: ragged flag was computed from sample uniformity)."""
+    batches = [
+        [np.full((40, 40, 3), 9, np.uint8)] * 2,   # grows the canvas
+        [np.full((16, 16, 3), 7, np.uint8)] * 2,   # uniform, smaller than canvas
+    ]
+    it = iter(batches + batches)
+
+    @pipeline_def(batch_size=2, num_threads=1, seed=1)
+    def pipe():
+        d = fn.external_source(source=lambda: next(it), batch=True).gpu()
+        return fn.resize(d, resize_x=8, resize_y=8)
+
+    p = pipe()
+    p.build()
+    p.run()
+    (out,) = p.run()  # the 16x16 batch on the 40x40-grown canvas
+    a = np.asarray(out.as_tensor())[0]
+    assert (a == 7).all(), a[:2, :2, 0]  # padding would bleed zeros if extents were lost
