@@ -358,3 +358,145 @@ class VideoResizeReader(_VideoReaderImpl):
 
 
 _ALIAS_MISS = register_aliases()
+
+
+# ====================================== TensorResize ==============================================
+
+DALI_SCHEMA("TensorResize").DocStr(
+    "Resizes arbitrary-dimensional tensors (reference "
+    "generic/resize/tensor_resize_cpu.cc + image/resize/tensor_resize_attr.cc)."
+).NumInput(1).NumOutput(1).Devices("cpu").AddOptionalArg(
+    "sizes", ArgType.FLOAT_VEC, "Output sizes per resized axis.", None,
+    tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "scales", ArgType.FLOAT_VEC, "Scale factors per resized axis.", None,
+    tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "axes", ArgType.INT_VEC, "Axes the sizes/scales refer to.", None
+).AddOptionalArg(
+    "alignment", ArgType.FLOAT, "ROI alignment for rounded extents (0..1).", 0.5
+).AddOptionalArg(
+    "interp_type", ArgType.INTERP_TYPE, "Interpolation.", DALIInterpType.INTERP_LINEAR
+).AddOptionalArg(
+    "antialias", ArgType.BOOL, "Antialias on downscale.", True
+).AddOptionalArg("dtype", ArgType.DATA_TYPE, "Output dtype.", None)
+
+
+@register_operator("TensorResize", "cpu")
+class TensorResize(Operator):
+    def run_sample(self, ctx, idx, x):
+        from scipy import ndimage
+
+        from ..types import to_numpy_type
+
+        spec = self.spec
+        axes = spec.GetArgument("axes", None)
+        nd = x.ndim
+        if not axes:
+            axes = list(range(nd))
+        sizes = ctx.arg(self, "sizes", idx, None)
+        scales = ctx.arg(self, "scales", idx, None)
+        zoom = [1.0] * nd
+        if sizes is not None:
+            sizes = np.asarray(sizes, np.float64).reshape(-1)
+            for k, a in enumerate(axes):
+                zoom[a] = float(sizes[k]) / x.shape[a]
+        elif scales is not None:
+            scales = np.asarray(scales, np.float64).reshape(-1)
+            for k, a in enumerate(axes):
+                zoom[a] = float(scales[k])
+        else:
+            raise ValueError("TensorResize requires `sizes` or `scales`")
+        interp = spec.GetArgument("interp_type", DALIInterpType.INTERP_LINEAR)
+        order = 0 if interp == DALIInterpType.INTERP_NN else 1
+        out = ndimage.zoom(x.astype(np.float32), zoom, order=order, grid_mode=True,
+                           mode="nearest")
+        dt = spec.GetArgument("dtype", None)
+        if dt is not None:
+            out = out.astype(to_numpy_type(dt))
+        elif np.issubdtype(x.dtype, np.integer):
+            out = np.clip(np.round(out), np.iinfo(x.dtype).min, np.iinfo(x.dtype).max).astype(x.dtype)
+        return np.ascontiguousarray(out)
+
+
+alias_schema("experimental.TensorResize", "TensorResize")
+
+
+# ====================================== BBoxRotate ================================================
+
+DALI_SCHEMA("BBoxRotate").DocStr(
+    """Rotates bounding boxes so they track an fn.rotate of the image
+    (reference bbox/bbox_rotate.cc): each box's corners rotate about the image
+    center; the output is their axis-aligned hull, clipped to the canvas.
+    With ``keep_size=False`` the canvas grows like fn.rotate's; boxes fully
+    outside are removed (labels, when given, are filtered identically)."""
+).NumInput(1, 2).OutputFn(lambda spec: len(spec.inputs)).Devices("cpu").AddArg(
+    "angle", ArgType.FLOAT, "Rotation angle in degrees.", tensor_ok=True, per_sample=True
+).AddArg(
+    "input_shape", ArgType.INT_VEC, "Original image shape.", tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "shape_layout", ArgType.TENSOR_LAYOUT, "Meaning of input_shape dims.", "HW"
+).AddOptionalArg(
+    "bbox_layout", ArgType.TENSOR_LAYOUT, "'xyXY' or 'xyWH'.", "xyXY"
+).AddOptionalArg(
+    "bbox_normalized", ArgType.BOOL, "Boxes are in [0,1] coords.", True
+).AddOptionalArg("keep_size", ArgType.BOOL, "Canvas keeps the input size.", False)
+
+
+@register_operator("BBoxRotate", "cpu")
+class BBoxRotate(Operator):
+    def run_batch(self, ctx, boxes_b, *labels_b):
+        out_boxes, out_labels = [], []
+        for i, b in enumerate(boxes_b.samples):
+            angle = float(np.asarray(ctx.arg(self, "angle", i)))
+            shape = np.asarray(ctx.arg(self, "input_shape", i), np.float64).reshape(-1)
+            layout = self.spec.GetArgument("shape_layout", "HW")
+            h = shape[layout.index("H")] if "H" in layout else shape[0]
+            w = shape[layout.index("W")] if "W" in layout else shape[1]
+            norm = self.spec.GetArgument("bbox_normalized", True)
+            ltrb = self.spec.GetArgument("bbox_layout", "xyXY") == "xyXY"
+            keep = self.spec.GetArgument("keep_size", False)
+            bb = np.asarray(b, np.float64).reshape(-1, 4).copy()
+            if bb.size == 0:
+                out_boxes.append(bb.astype(np.float32))
+                out_labels.append(np.zeros((0,), np.int32))
+                continue
+            if not ltrb:
+                bb[:, 2:] += bb[:, :2]
+            scale = np.array([w, h, w, h]) if norm else np.ones(4)
+            bb *= scale
+            a = np.deg2rad(angle)
+            c, s = np.cos(a), np.sin(a)
+            # fn.rotate convention: output canvas of the rotated image
+            if keep:
+                ow, oh = w, h
+            else:
+                ow = abs(w * c) + abs(h * s)
+                oh = abs(w * s) + abs(h * c)
+            cx, cy = w / 2, h / 2
+            ocx, ocy = ow / 2, oh / 2
+            corners = np.stack([
+                bb[:, [0, 1]], bb[:, [2, 1]], bb[:, [0, 3]], bb[:, [2, 3]]
+            ], axis=1)  # [M, 4, 2]
+            rel = corners - [cx, cy]
+            # forward (content) map — the inverse of fn.rotate's dst→src
+            # rotation_matrix [[c,-s],[s,c]]
+            rx = rel[..., 0] * c + rel[..., 1] * s + ocx
+            ry = -rel[..., 0] * s + rel[..., 1] * c + ocy
+            nb = np.stack([rx.min(1), ry.min(1), rx.max(1), ry.max(1)], axis=1)
+            nb[:, [0, 2]] = np.clip(nb[:, [0, 2]], 0, ow)
+            nb[:, [1, 3]] = np.clip(nb[:, [1, 3]], 0, oh)
+            valid = (nb[:, 2] > nb[:, 0]) & (nb[:, 3] > nb[:, 1])
+            nb = nb[valid]
+            if norm:
+                nb /= [ow, oh, ow, oh]
+            if not ltrb:
+                nb[:, 2:] -= nb[:, :2]
+            out_boxes.append(nb.astype(np.float32))
+            if labels_b:
+                lab = np.asarray(labels_b[0].samples[i]).reshape(-1)
+                out_labels.append(np.ascontiguousarray(lab[valid]))
+        outs = [HostBatch(out_boxes)]
+        if labels_b:
+            outs.append(HostBatch(out_labels))
+        return outs

@@ -143,3 +143,41 @@ def test_video_resize_reader(tmp_path):
     p.build()
     (out,) = p.run()
     assert to_samples(out)[0].shape == (3, 24, 32, 3)
+
+
+def test_tensor_resize():
+    x = np.arange(2 * 8 * 6, dtype=np.float32).reshape(2, 8, 6)
+
+    @pipeline_def(batch_size=1, num_threads=1, seed=1)
+    def pipe():
+        d = fn.external_source(source=lambda: [x], batch=True, cycle=True)
+        return fn.tensor_resize(d, sizes=[4.0, 3.0], axes=[1, 2])
+
+    p = pipe()
+    p.build()
+    (out,) = p.run()
+    assert to_samples(out)[0].shape == (2, 4, 3)
+
+
+def test_bbox_rotate_90():
+    boxes = np.array([[0.1, 0.2, 0.3, 0.4]], np.float32)  # xyXY normalized
+    labels = np.array([7], np.int32)
+
+    @pipeline_def(batch_size=1, num_threads=1, seed=1)
+    def pipe():
+        b = fn.external_source(source=lambda: [boxes], batch=True, cycle=True)
+        l = fn.external_source(source=lambda: [labels], batch=True, cycle=True)
+        return fn.bbox_rotate(b, l, angle=90.0, input_shape=[100, 200], keep_size=False)
+
+    p = pipe()
+    p.build()
+    rb, rl = p.run()
+    nb = to_samples(rb)[0][0]
+    # 90° CCW of normalized box on a 100x200 image → canvas 200x100... check
+    # invariants instead of hand-deriving: box stays in [0,1] and labels ride
+    assert (nb >= 0).all() and (nb <= 1).all() and nb[2] > nb[0] and nb[3] > nb[1]
+    assert int(to_samples(rl)[0][0]) == 7
+    # area is preserved under 90° rotation (normalized coords swap aspect)
+    a0 = (0.3 - 0.1) * 200 * (0.4 - 0.2) * 100
+    a1 = (nb[2] - nb[0]) * 100 * (nb[3] - nb[1]) * 200
+    np.testing.assert_allclose(a0, a1, rtol=1e-5)
