@@ -357,6 +357,8 @@ class VideoResizeReader(_VideoReaderImpl):
         return (frames,) + tuple(out[1:]) if isinstance(out, tuple) else frames
 
 
+alias_schema("VideoReaderResize", "readers.VideoResize")
+
 _ALIAS_MISS = register_aliases()
 
 
