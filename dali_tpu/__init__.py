@@ -33,6 +33,14 @@ def _op_call(schema_name, device="cpu", inputs=(), name=None, **kwargs):
             "@pipeline_def or `with pipe:`."
         )
     spec = OpSpec(schema_name, device=device, name=name, **kwargs)
+    # attach the user's call site for error messages (reference
+    # _utils/dali_trace.py source-location propagation)
+    import traceback
+
+    for fr in reversed(traceback.extract_stack(limit=12)[:-1]):
+        if "dali_tpu" not in (fr.filename or ""):
+            spec._extra["_origin"] = f"{fr.filename}:{fr.lineno}"
+            break
     for i in inputs:
         if not isinstance(i, DataNode):
             raise TypeError(f"Inputs to '{schema_name}' must be DataNodes, got {type(i)}")

@@ -381,7 +381,17 @@ class Executor:
                             self._canvas[k] = list(arr.shape[1:])
                             env[k] = _Staged(arr, shapes, layout)
                     continue
-            outs = impl.run_batch(ctx, *ins)
+            try:
+                outs = impl.run_batch(ctx, *ins)
+            except Exception as e:
+                origin = node.spec._extra.get("_origin")
+                where = f" (defined at {origin})" if origin else ""
+                msg = f"Error in operator '{node.instance_name}'{where}: {e}"
+                try:
+                    wrapped = type(e)(msg)  # not every exception takes one str arg
+                except Exception:
+                    wrapped = RuntimeError(msg)
+                raise wrapped.with_traceback(e.__traceback__) from None
             if not isinstance(outs, (list, tuple)):
                 outs = [outs]
             for j, out in enumerate(outs):

@@ -102,7 +102,8 @@ class Graph:
             for k, inp in list(op.spec.arg_inputs.items()):
                 if inp.source is not None and inp.source.id in replace:
                     op.spec.arg_inputs[k] = replace[inp.source.id].outputs[inp.source_idx]
-            if not op.spec.schema.is_stateless or op.spec._extra:
+            payload = {k: v for k, v in op.spec._extra.items() if k != "_origin"}
+            if not op.spec.schema.is_stateless or payload:
                 kept.append(op)
                 continue
             key = _cse_key(op)
