@@ -156,6 +156,24 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
+        lib.dali_tpu_jpeg_huff_read_coeffs_split_crop.restype = ctypes.c_int
+        lib.dali_tpu_jpeg_huff_read_coeffs_split_crop.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.dali_tpu_jpeg_read_coeffs_split_crop.restype = ctypes.c_int
+        lib.dali_tpu_jpeg_read_coeffs_split_crop.argtypes = (
+            lib.dali_tpu_jpeg_huff_read_coeffs_split_crop.argtypes
+        )
+        lib.dali_tpu_jpeg_encode_rgb.restype = ctypes.c_long
+        lib.dali_tpu_jpeg_encode_rgb.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_long,
+        ]
         lib.dali_tpu_pad_stack_u8.restype = ctypes.c_int
         lib.dali_tpu_pad_stack_u8.argtypes = [
             ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_long), ctypes.c_int,
@@ -364,6 +382,62 @@ def jpeg_read_coeffs_split(data: bytes, ky: int, kc: int, y_bh: int, y_bw: int, 
     if rc != 0:
         return None
     return y_dc, y_ac, np.stack([cb_dc, cr_dc]), np.stack([cb_ac, cr_ac]), q
+
+
+def jpeg_read_coeffs_split_crop(data: bytes, ky: int, kc: int, y_bh: int,
+                                y_bw: int, c_bh: int, c_bw: int,
+                                y_br0: int = 0, y_bc0: int = 0,
+                                c_br0: int = 0, c_bc0: int = 0,
+                                impl: str = "huff"):
+    """Single-sample windowed split read. ``impl`` selects the from-scratch
+    Huffman decoder (``huff``, jpeg_huff.cc) or the libjpeg path
+    (``libjpeg``) — used by the parity tests to cross-check the two.
+    Returns (y_dc, y_ac, c_dc [2,...], c_ac [2,...], q) or None (for the
+    huff impl, None also means "unsupported stream — fall back")."""
+    lib = _load()
+    if lib is None:
+        return None
+    y_dc = np.empty((y_bh, y_bw), np.int16)
+    y_ac = np.empty((y_bh, y_bw, ky * ky - 1), np.int8)
+    cb_dc = np.empty((c_bh, c_bw), np.int16)
+    cb_ac = np.empty((c_bh, c_bw, kc * kc - 1), np.int8)
+    cr_dc = np.empty((c_bh, c_bw), np.int16)
+    cr_ac = np.empty((c_bh, c_bw, kc * kc - 1), np.int8)
+    q = np.empty((ky * ky + kc * kc,), np.uint16)
+    fn = (lib.dali_tpu_jpeg_huff_read_coeffs_split_crop if impl == "huff"
+          else lib.dali_tpu_jpeg_read_coeffs_split_crop)
+    rc = fn(
+        data, len(data), ky, kc,
+        y_dc.ctypes.data_as(ctypes.c_void_p), y_ac.ctypes.data_as(ctypes.c_void_p),
+        cb_dc.ctypes.data_as(ctypes.c_void_p), cb_ac.ctypes.data_as(ctypes.c_void_p),
+        cr_dc.ctypes.data_as(ctypes.c_void_p), cr_ac.ctypes.data_as(ctypes.c_void_p),
+        q.ctypes.data_as(ctypes.c_void_p), y_bh, y_bw, c_bh, c_bw,
+        y_br0, y_bc0, c_br0, c_bc0,
+    )
+    if rc != 0:
+        return None
+    return y_dc, y_ac, np.stack([cb_dc, cr_dc]), np.stack([cb_ac, cr_ac]), q
+
+
+def jpeg_encode_rgb(img: np.ndarray, quality: int = 85, subsamp: int = 0,
+                    restart_interval: int = 0, progressive: bool = False):
+    """Encode an HWC uint8 RGB array to JPEG bytes via libjpeg (src/jpeg_encode.cc).
+    subsamp: 0 = 4:2:0, 1 = 4:4:4. Returns bytes or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w = img.shape[:2]
+    cap = h * w * 3 + (1 << 16)
+    out = np.empty((cap,), np.uint8)
+    n = lib.dali_tpu_jpeg_encode_rgb(
+        img.ctypes.data_as(ctypes.c_void_p), h, w, quality, subsamp,
+        restart_interval, 1 if progressive else 0,
+        out.ctypes.data_as(ctypes.c_void_p), cap,
+    )
+    if n < 0:
+        return None
+    return out[:n].tobytes()
 
 
 def pad_stack_u8(samples, canvas, fill: int = 0, num_threads: int = 0):

@@ -7,6 +7,7 @@
 
 #include <csetjmp>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 
 #include <jpeglib.h>
@@ -129,8 +130,22 @@ int dali_tpu_jpeg_read_coeffs_split(const char* data, size_t len, int ky, int kc
 extern "C" int64_t dali_tpu_task_submit(void*, void (*)(void*), void*,
                                         const int64_t*, int);
 extern "C" void dali_tpu_pool_wait_all(void*);
+// Fast from-scratch baseline Huffman decoder (jpeg_huff.cc); nonzero return
+// means unsupported-or-corrupt-header and we fall back to libjpeg here.
+extern "C" int dali_tpu_jpeg_huff_read_coeffs_split_crop(
+    const char*, size_t, int, int, short*, signed char*, short*, signed char*,
+    short*, signed char*, unsigned short*, int, int, int, int, int, int, int,
+    int);
 
 namespace {
+
+bool fast_huff_enabled() {
+  static const bool on = [] {
+    const char* e = getenv("DALI_TPU_DISABLE_FAST_HUFF");
+    return !(e && e[0] && e[0] != '0');
+  }();
+  return on;
+}
 struct CoefSplitJob {
   const char* data;
   size_t len;
@@ -148,12 +163,20 @@ struct CoefSplitJob {
 
 void run_coef_split_job(void* p) {
   CoefSplitJob* j = static_cast<CoefSplitJob*>(p);
-  *j->ok = dali_tpu_jpeg_read_coeffs_split_crop(
-               j->data, j->len, j->ky, j->kc, j->y_dc, j->y_ac, j->cb_dc,
-               j->cb_ac, j->cr_dc, j->cr_ac, j->q, j->bh, j->bw, j->cbh, j->cbw,
-               j->y_br0, j->y_bc0, j->c_br0, j->c_bc0) == 0
-               ? 1
-               : 0;
+  int rc = 1;
+  if (fast_huff_enabled()) {
+    rc = dali_tpu_jpeg_huff_read_coeffs_split_crop(
+        j->data, j->len, j->ky, j->kc, j->y_dc, j->y_ac, j->cb_dc, j->cb_ac,
+        j->cr_dc, j->cr_ac, j->q, j->bh, j->bw, j->cbh, j->cbw, j->y_br0,
+        j->y_bc0, j->c_br0, j->c_bc0);
+  }
+  if (rc != 0) {
+    rc = dali_tpu_jpeg_read_coeffs_split_crop(
+        j->data, j->len, j->ky, j->kc, j->y_dc, j->y_ac, j->cb_dc, j->cb_ac,
+        j->cr_dc, j->cr_ac, j->q, j->bh, j->bw, j->cbh, j->cbw, j->y_br0,
+        j->y_bc0, j->c_br0, j->c_bc0);
+  }
+  *j->ok = rc == 0 ? 1 : 0;
 }
 }  // namespace
 

@@ -1,0 +1,712 @@
+// From-scratch baseline-JPEG Huffman coefficient decoder for the hybrid
+// decode path. Decodes entropy data DIRECTLY into the split wire format
+// (DC int16 planes, AC saturated-int8 planes restricted to the k*k
+// low-frequency selection), and stops after the crop window's last MCU row.
+//
+// Rationale (vs routing through libjpeg's jpeg_read_coefficients):
+//  * no whole-image virtual coefficient arrays (alloc + pre-zero memset),
+//  * no second copy/saturate pass over all 64 coefficients per block,
+//  * entropy decode cost scales with the fused RRC crop's row extent
+//    (rows below the window are never decoded; rows above it are decoded
+//    but not stored — sequential Huffman state demands it),
+//  * libjpeg-turbo's Huffman stage is scalar anyway; its SIMD only covers
+//    IDCT/color which the hybrid path runs on the TPU instead.
+//
+// Reference analogue: the host half of nvJPEG hybrid decoding
+// (reference dali/imgcodec/decoders/nvjpeg: host Huffman -> device IDCT);
+// entropy decode per ITU-T.81 sections F.2.2.1-F.2.2.4.
+//
+// Supported: baseline/extended-sequential (SOF0/SOF1), 8-bit, single
+// interleaved scan, 3 components with 4:2:0 or 4:4:4 sampling, restart
+// markers. Anything else returns nonzero and the caller falls back to the
+// libjpeg path (jpeg_coeffs_split.cc).
+//
+// Hot-loop structure note: the whole scan decode runs in ONE function with
+// the bit-reader state in plain locals (decode_scan); cold paths (refill
+// around stuffed bytes/markers, >kLookahead-bit codes) take and return the
+// reader BY VALUE. Output stores go through char/short pointers, which in
+// C++ may alias anything — keeping the reader in never-addressed locals is
+// what lets the compiler hold it in registers across those stores.
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+
+namespace {
+
+constexpr int kLookahead = 10;
+constexpr int kFastAc = 10;  // fast-AC table window (see build_fac)
+
+inline signed char sat8(int v) {
+  return (signed char)(v < -128 ? -128 : v > 127 ? 127 : v);
+}
+
+// zigzag index -> natural (row-major 8x8) index
+struct ZigzagTable {
+  int nat[64];
+  ZigzagTable() {
+    int r = 0, c = 0;
+    for (int i = 0; i < 64; i++) {
+      nat[i] = r * 8 + c;
+      if (((r + c) & 1) == 0) {  // moving up-right
+        if (c == 7) r++;
+        else if (r == 0) c++;
+        else { r--; c++; }
+      } else {  // moving down-left
+        if (r == 7) c++;
+        else if (c == 0) r++;
+        else { r++; c--; }
+      }
+    }
+  }
+};
+const ZigzagTable kZZ;
+
+struct HuffTbl {
+  int16_t lut[1 << kLookahead];  // (len<<8)|symbol for codes <= kLookahead bits
+  int32_t maxcode[17];           // per length; -1 when empty
+  int32_t valoff[17];
+  uint8_t vals[256];
+  bool valid = false;
+};
+
+// Fast-AC table (the stb_image / nvJPEG trick): for every kFastAc-bit
+// window whose leading code is an AC (run, size) symbol with size>0 and
+// code+magnitude fitting the window, pre-compute run, the EXTENDed value
+// (pre-saturated to int8 — exactly what the wire format stores), and the
+// total bits to consume. One lookup replaces symbol decode + receive+extend
+// for the common small coefficients. Entry 0 = not covered (regular path).
+struct FastAc {
+  int32_t e[1 << kFastAc];  // (sat8(value)&0xFF)<<16 | run<<8 | nbits
+};
+
+void build_fac(const uint8_t* counts, const uint8_t* vals, FastAc* f) {
+  std::memset(f->e, 0, sizeof(f->e));
+  int code = 0, k = 0;
+  for (int l = 1; l <= 16; l++) {
+    for (int c = 0; c < counts[l]; c++, k++) {
+      int cd = code + c;
+      int rs = vals[k];
+      int run = rs >> 4, sz = rs & 15;
+      if (sz == 0 || l + sz > kFastAc) continue;
+      int tail = kFastAc - l - sz;  // free bits after code+magnitude
+      for (int m = 0; m < (1 << sz); m++) {
+        int v = m < (1 << (sz - 1)) ? m - (1 << sz) + 1 : m;
+        int sv = v < -128 ? -128 : v > 127 ? 127 : v;
+        int32_t entry =
+            ((int32_t)(uint8_t)(signed char)sv << 16) | (run << 8) | (l + sz);
+        int base = ((cd << sz) | m) << tail;
+        for (int tfill = 0; tfill < (1 << tail); tfill++)
+          f->e[base + tfill] = entry;
+      }
+    }
+    code = (code + counts[l]) << 1;
+  }
+}
+
+// Same trick for DC: (size symbol + magnitude) -> signed diff + bits
+// consumed, one lookup. Entry 0 = not covered.
+struct FastDc {
+  int32_t e[1 << kFastAc];  // (diff as int16) << 16 | nbits
+};
+
+void build_fdc(const uint8_t* counts, const uint8_t* vals, FastDc* f) {
+  std::memset(f->e, 0, sizeof(f->e));
+  int code = 0, k = 0;
+  for (int l = 1; l <= 16; l++) {
+    for (int c = 0; c < counts[l]; c++, k++) {
+      int cd = code + c;
+      int sz = vals[k];
+      if (sz > 11 || l + sz > kFastAc) continue;
+      int tail = kFastAc - l - sz;
+      int nmag = 1 << sz;  // sz==0: single entry, diff 0
+      for (int m = 0; m < nmag; m++) {
+        int diff = sz == 0 ? 0 : (m < (1 << (sz - 1)) ? m - (1 << sz) + 1 : m);
+        int32_t entry = ((int32_t)(uint16_t)(int16_t)diff << 16) | (l + sz);
+        int base = ((cd << sz) | m) << tail;
+        for (int tfill = 0; tfill < (1 << tail); tfill++)
+          f->e[base + tfill] = entry;
+      }
+    }
+    code = (code + counts[l]) << 1;
+  }
+}
+
+bool build_huff(const uint8_t* counts /*[1..16]*/, const uint8_t* vals,
+                int nvals, HuffTbl* t) {
+  int code = 0, k = 0;
+  int mincode[17];
+  for (int l = 1; l <= 16; l++) {
+    mincode[l] = code;
+    t->valoff[l] = k - code;
+    int c = counts[l];
+    if (c) {
+      if (k + c > nvals || k + c > 256) return false;
+      if (code + c - 1 >= (1 << l)) return false;  // over-subscribed
+      t->maxcode[l] = code + c - 1;
+    } else {
+      t->maxcode[l] = -1;
+    }
+    code = (code + c) << 1;
+    k += c;
+  }
+  if (k != nvals) return false;
+  std::memcpy(t->vals, vals, nvals);
+  for (int i = 0; i < (1 << kLookahead); i++) t->lut[i] = -1;
+  k = 0;
+  for (int l = 1; l <= kLookahead; l++) {
+    for (int c = 0; c < counts[l]; c++, k++) {
+      int cd = mincode[l] + c;
+      int lo = cd << (kLookahead - l), n = 1 << (kLookahead - l);
+      int16_t e = (int16_t)((l << 8) | vals[k]);
+      for (int j = 0; j < n; j++) t->lut[lo + j] = e;
+    }
+  }
+  t->valid = true;
+  return true;
+}
+
+// Bit-reader state, passed BY VALUE to cold helpers (no address escapes, so
+// the hot loop keeps it in registers). acc is left-aligned; top cnt bits
+// valid. Byte-stuffing (FF 00) removed on refill; refill never advances past
+// a marker. Past end-of-data / at a marker it feeds zero bits so decode
+// terminates deterministically on truncated streams.
+struct BR {
+  const uint8_t* p;
+  uint64_t acc;
+  int cnt;
+  uint8_t at_marker;
+  uint8_t exhausted;
+};
+
+__attribute__((noinline)) BR refill_slow(BR s, const uint8_t* pend) {
+  while (s.cnt <= 56) {
+    if (s.at_marker) { s.cnt += 8; continue; }
+    if (s.p >= pend) { s.exhausted = 1; s.cnt += 8; continue; }
+    uint8_t b = *s.p;
+    if (b != 0xFF) {
+      s.acc |= (uint64_t)b << (56 - s.cnt);
+      s.cnt += 8;
+      s.p++;
+      continue;
+    }
+    if (s.p + 1 >= pend) { s.exhausted = 1; s.cnt += 8; continue; }
+    uint8_t m = s.p[1];
+    if (m == 0x00) {  // stuffed FF
+      s.acc |= 0xFFull << (56 - s.cnt);
+      s.cnt += 8;
+      s.p += 2;
+    } else if (m == 0xFF) {  // fill byte
+      s.p++;
+    } else {
+      s.at_marker = 1;
+      s.cnt += 8;
+    }
+  }
+  return s;
+}
+
+struct SlowDec {
+  BR br;
+  int sym;  // -1 on invalid code
+};
+
+// Codes longer than kLookahead bits: canonical decode, shortest-first.
+__attribute__((noinline)) SlowDec huff_decode_slow(BR s, const HuffTbl* t) {
+  unsigned code16 = (unsigned)(s.acc >> 48);
+  for (int l = kLookahead + 1; l <= 16; l++) {
+    unsigned cd = code16 >> (16 - l);
+    if ((int32_t)cd <= t->maxcode[l]) {
+      s.acc <<= l;
+      s.cnt -= l;
+      return {s, t->vals[t->valoff[l] + cd]};
+    }
+  }
+  return {s, -1};
+}
+
+// Re-sync at a restart boundary: drop pad bits, step over RSTn. Returns
+// exhausted=1 state if the expected marker is absent (caller stops cleanly).
+__attribute__((noinline)) BR restart_resync(BR s, const uint8_t* pend) {
+  s.acc = 0;
+  s.cnt = 0;
+  s.at_marker = 0;
+  while (s.p + 1 < pend) {
+    if (s.p[0] == 0xFF && s.p[1] != 0x00 && s.p[1] != 0xFF) break;
+    s.p++;
+  }
+  if (s.p + 1 < pend && s.p[0] == 0xFF && s.p[1] >= 0xD0 && s.p[1] <= 0xD7) {
+    s.p += 2;
+  } else {
+    s.exhausted = 1;
+  }
+  return s;
+}
+
+struct Parser {
+  const uint8_t* d;
+  size_t n;
+  size_t pos = 2;
+
+  int W = 0, H = 0, prec = 0, ncomp = 0;
+  struct SofComp { int id = 0, h = 0, v = 0, tq = 0; } comp[4];
+  int ns = 0;
+  int scan_comp[4] = {0, 0, 0, 0};  // scan slot -> SOF component index
+  int scan_td[4] = {0, 0, 0, 0}, scan_ta[4] = {0, 0, 0, 0};
+  int ss = 0, se = 63, ah = 0, al = 0;
+  uint16_t qt[4][64];
+  bool qok[4] = {false, false, false, false};
+  HuffTbl htdc[4], htac[4];
+  FastAc fac[4];
+  FastDc fdc[4];
+  int ri = 0;
+  const uint8_t* scan_start = nullptr;
+  bool sof_seen = false;
+
+  Parser(const uint8_t* data, size_t len) : d(data), n(len) {}
+
+  bool u8(int* v) {
+    if (pos >= n) return false;
+    *v = d[pos++];
+    return true;
+  }
+  bool u16(int* v) {
+    if (pos + 2 > n) return false;
+    *v = (d[pos] << 8) | d[pos + 1];
+    pos += 2;
+    return true;
+  }
+
+  // 0 = fast path ok; 1 = valid-but-unsupported (fall back); -1 = corrupt.
+  int parse() {
+    if (n < 4 || d[0] != 0xFF || d[1] != 0xD8) return -1;
+    for (;;) {
+      int b;
+      if (!u8(&b)) return -1;
+      if (b != 0xFF) continue;  // lenient: skip garbage between segments
+      int m;
+      do {
+        if (!u8(&m)) return -1;
+      } while (m == 0xFF);
+      if (m == 0x00 || m == 0x01 || (m >= 0xD0 && m <= 0xD7)) continue;
+      if (m == 0xD9) return -1;  // EOI before any scan
+      int L;
+      if (!u16(&L) || L < 2) return -1;
+      size_t seg_end = pos + (size_t)L - 2;
+      if (seg_end > n) return -1;
+      int rc = 0;
+      switch (m) {
+        case 0xC0:
+        case 0xC1:
+          rc = parse_sof(seg_end);
+          break;
+        case 0xC4:
+          rc = parse_dht(seg_end);
+          break;
+        case 0xDB:
+          rc = parse_dqt(seg_end);
+          break;
+        case 0xDD: {
+          int v;
+          if (L != 4 || !u16(&v)) return -1;
+          ri = v;
+          break;
+        }
+        case 0xDA: {
+          rc = parse_sos(seg_end);
+          if (rc) return rc;
+          scan_start = d + pos;
+          return check_fast();
+        }
+        case 0xC2:  // progressive
+        case 0xC3:  // lossless
+        case 0xC5:
+        case 0xC6:
+        case 0xC7:
+        case 0xC9:  // arithmetic family
+        case 0xCA:
+        case 0xCB:
+        case 0xCC:  // DAC
+        case 0xCD:
+        case 0xCE:
+        case 0xCF:
+          return 1;
+        default:
+          break;  // APPn / COM / others: skip payload
+      }
+      if (rc) return rc;
+      pos = seg_end;
+    }
+  }
+
+  int parse_sof(size_t seg_end) {
+    if (sof_seen) return 1;
+    int y, x, nf;
+    if (!u8(&prec) || !u16(&y) || !u16(&x) || !u8(&nf)) return -1;
+    H = y;
+    W = x;
+    ncomp = nf;
+    if (nf < 1 || nf > 4) return -1;
+    for (int i = 0; i < nf; i++) {
+      int id, hv, tq;
+      if (!u8(&id) || !u8(&hv) || !u8(&tq)) return -1;
+      comp[i] = {id, hv >> 4, hv & 15, tq};
+      if (comp[i].h < 1 || comp[i].h > 4 || comp[i].v < 1 || comp[i].v > 4 ||
+          tq > 3)
+        return -1;
+    }
+    if (pos > seg_end) return -1;
+    sof_seen = true;
+    return 0;
+  }
+
+  int parse_dht(size_t seg_end) {
+    while (pos < seg_end) {
+      int tcth;
+      if (!u8(&tcth)) return -1;
+      int tc = tcth >> 4, th = tcth & 15;
+      if (tc > 1 || th > 3) return -1;
+      if (pos + 16 > seg_end) return -1;
+      uint8_t counts[17] = {0};
+      int total = 0;
+      for (int l = 1; l <= 16; l++) {
+        counts[l] = d[pos++];
+        total += counts[l];
+      }
+      if (total > 256 || pos + (size_t)total > seg_end) return -1;
+      HuffTbl* t = tc ? &htac[th] : &htdc[th];
+      if (!build_huff(counts, d + pos, total, t)) return -1;
+      if (tc) build_fac(counts, d + pos, &fac[th]);
+      else build_fdc(counts, d + pos, &fdc[th]);
+      pos += total;
+    }
+    return 0;
+  }
+
+  int parse_dqt(size_t seg_end) {
+    while (pos < seg_end) {
+      int pqtq;
+      if (!u8(&pqtq)) return -1;
+      int pq = pqtq >> 4, tq = pqtq & 15;
+      if (pq > 1 || tq > 3) return -1;
+      size_t need = pq ? 128 : 64;
+      if (pos + need > seg_end) return -1;
+      for (int i = 0; i < 64; i++) {
+        int v = pq ? ((d[pos] << 8) | d[pos + 1]) : d[pos];
+        pos += pq ? 2 : 1;
+        qt[tq][kZZ.nat[i]] = (uint16_t)v;
+      }
+      qok[tq] = true;
+    }
+    return 0;
+  }
+
+  int parse_sos(size_t seg_end) {
+    if (!sof_seen) return -1;
+    if (!u8(&ns) || ns < 1 || ns > 4) return -1;
+    for (int i = 0; i < ns; i++) {
+      int cs, tdta;
+      if (!u8(&cs) || !u8(&tdta)) return -1;
+      int idx = -1;
+      for (int j = 0; j < ncomp; j++)
+        if (comp[j].id == cs) idx = j;
+      if (idx < 0) return -1;
+      scan_comp[i] = idx;
+      scan_td[i] = tdta >> 4;
+      scan_ta[i] = tdta & 15;
+      if (scan_td[i] > 3 || scan_ta[i] > 3) return -1;
+    }
+    int ahal;
+    if (!u8(&ss) || !u8(&se) || !u8(&ahal)) return -1;
+    ah = ahal >> 4;
+    al = ahal & 15;
+    if (pos > seg_end) return -1;
+    pos = seg_end;
+    return 0;
+  }
+
+  int check_fast() const {
+    if (prec != 8 || ncomp != 3 || ns != 3) return 1;
+    if (H <= 0 || W <= 0) return 1;  // DNL-deferred height etc.
+    if (ss != 0 || se != 63 || ah != 0 || al != 0) return 1;
+    bool c420 = comp[0].h == 2 && comp[0].v == 2 && comp[1].h == 1 &&
+                comp[1].v == 1 && comp[2].h == 1 && comp[2].v == 1;
+    bool c444 = comp[0].h == 1 && comp[0].v == 1 && comp[1].h == 1 &&
+                comp[1].v == 1 && comp[2].h == 1 && comp[2].v == 1;
+    if (!c420 && !c444) return 1;
+    for (int i = 0; i < 3; i++) {
+      int slot = -1;
+      for (int s = 0; s < ns; s++)
+        if (scan_comp[s] == i) slot = s;
+      if (slot < 0) return 1;
+      if (!htdc[scan_td[slot]].valid || !htac[scan_ta[slot]].valid) return 1;
+      if (!qok[comp[i].tq]) return 1;
+    }
+    return 0;
+  }
+};
+
+struct CompState {
+  short* dc;
+  signed char* ac;
+  const signed char* zmap;
+  const HuffTbl* dct;
+  const HuffTbl* act;
+  const FastAc* fac;
+  const FastDc* fdc;
+  int h, v, bh, bw, br0, bc0, nac, real_bh, real_bw;
+};
+
+// --- hot-loop macros (see structure note at the top of the file) ---------
+
+// Keep >= `need` bits buffered. Fast path: 8 clean bytes at once (no 0xFF),
+// detected with the SWAR has-0xFF test; anything else takes the cold refill.
+#define ENSURE(need)                                                          \
+  if (cnt < (need)) {                                                         \
+    bool fast_ = false;                                                       \
+    if (!at_marker && p + 8 <= pend) {                                        \
+      uint64_t x_;                                                            \
+      std::memcpy(&x_, p, 8);                                                 \
+      uint64_t y_ = ~x_;                                                      \
+      if ((((y_ - 0x0101010101010101ull) & ~y_) & 0x8080808080808080ull) ==   \
+          0) {                                                                \
+        uint64_t bits_ = __builtin_bswap64(x_);                               \
+        int nb_ = (63 - cnt) >> 3;                                            \
+        acc |= (bits_ & (~0ull << (64 - nb_ * 8))) >> cnt;                    \
+        cnt += nb_ * 8;                                                       \
+        p += nb_;                                                             \
+        fast_ = true;                                                         \
+      }                                                                       \
+    }                                                                         \
+    if (!fast_) {                                                             \
+      BR s_{p, acc, cnt, at_marker, exhausted};                               \
+      s_ = refill_slow(s_, pend);                                             \
+      p = s_.p;                                                               \
+      acc = s_.acc;                                                           \
+      cnt = s_.cnt;                                                           \
+      at_marker = s_.at_marker;                                               \
+      exhausted = s_.exhausted;                                               \
+    }                                                                         \
+  }
+
+// Decode one Huffman symbol from tbl into `sym` (-1 = invalid code).
+// Caller must have >= 16 bits buffered.
+#define HDEC(out_, tbl)                                             \
+  {                                                                 \
+    int e_ = (tbl).lut[(unsigned)(acc >> (64 - kLookahead))];       \
+    if (e_ >= 0) {                                                  \
+      acc <<= (e_ >> 8);                                            \
+      cnt -= (e_ >> 8);                                             \
+      out_ = e_ & 0xFF;                                             \
+    } else {                                                        \
+      BR s_{p, acc, cnt, at_marker, exhausted};                     \
+      SlowDec r_ = huff_decode_slow(s_, &(tbl));                    \
+      acc = r_.br.acc;                                              \
+      cnt = r_.br.cnt;                                              \
+      out_ = r_.sym;                                                \
+    }                                                               \
+  }
+
+// ITU-T.81 F2.2.1 RECEIVE+EXTEND, s in [1,16]; needs s bits buffered.
+#define RECV_EXT(out, s)                           \
+  {                                                \
+    int v_ = (int)(acc >> (64 - (s)));             \
+    acc <<= (s);                                   \
+    cnt -= (s);                                    \
+    out = v_ < (1 << ((s)-1)) ? v_ - (1 << (s)) + 1 : v_; \
+  }
+
+// Decode the (single, interleaved) scan into the component windows.
+// Returns 0; corrupt tails stop early, leaving pre-zeroed cells (the same
+// warn-and-zero-fill contract libjpeg applies to broken streams).
+int decode_scan(const Parser& ps, const CompState* cs, const uint8_t* pend,
+                int mcus_x, int stop_my) {
+  const uint8_t* p = ps.scan_start;
+  uint64_t acc = 0;
+  int cnt = 0;
+  uint8_t at_marker = 0, exhausted = 0;
+  int pred0 = 0, pred1 = 0, pred2 = 0;
+  // dummy sinks for out-of-window blocks: zmap of all -1 skips AC stores,
+  // dc writes land in a scratch slot (branch-free vs a store/no-store split)
+  signed char zmap_skip[64];
+  std::memset(zmap_skip, -1, sizeof(zmap_skip));
+  short dc_sink;
+  const int ri = ps.ri;
+  int togo = ri;
+
+  for (int my = 0; my < stop_my; my++) {
+    for (int mx = 0; mx < mcus_x; mx++) {
+      if (ri && togo == 0) {
+        BR s{p, acc, cnt, at_marker, exhausted};
+        s = restart_resync(s, pend);
+        if (s.exhausted) return 0;  // corrupt: keep zeros
+        p = s.p;
+        acc = s.acc;
+        cnt = s.cnt;
+        at_marker = s.at_marker;
+        pred0 = pred1 = pred2 = 0;
+        togo = ri;
+      }
+      for (int ci = 0; ci < 3; ci++) {
+        const CompState& C = cs[ci];
+        int& pred = ci == 0 ? pred0 : ci == 1 ? pred1 : pred2;
+        for (int v = 0; v < C.v; v++) {
+          for (int h = 0; h < C.h; h++) {
+            const int brow = my * C.v + v, bcol = mx * C.h + h;
+            const int wr = brow - C.br0, wc = bcol - C.bc0;
+            short* dcp = &dc_sink;
+            signed char* acp = nullptr;
+            const signed char* zmap = zmap_skip;
+            if ((unsigned)wr < (unsigned)C.bh &&
+                (unsigned)wc < (unsigned)C.bw && brow < C.real_bh &&
+                bcol < C.real_bw) {
+              const long bi = (long)wr * C.bw + wc;
+              dcp = C.dc + bi;
+              acp = C.ac + bi * C.nac;
+              zmap = C.zmap;
+            }
+            // --- one 8x8 block ---
+            ENSURE(32);
+            int de = C.fdc->e[(unsigned)(acc >> (64 - kFastAc))];
+            if (de) {  // size symbol + magnitude in one lookup
+              pred += (int)(int16_t)(de >> 16);
+              acc <<= (de & 63);
+              cnt -= (de & 63);
+            } else {
+              int s;
+              HDEC(s, *C.dct);
+              if (s < 0 || s > 15) return 0;  // corrupt: stop, zeros remain
+              if (s) {
+                int diff;
+                RECV_EXT(diff, s);
+                pred += diff;
+              }
+            }
+            *dcp = (short)pred;
+            int k = 1;
+            while (k <= 63) {
+              ENSURE(32);
+              int fe = C.fac->e[(unsigned)(acc >> (64 - kFastAc))];
+              if (fe) {  // symbol+magnitude in one pre-saturated lookup
+                k += (fe >> 8) & 15;
+                if (k > 63) return 0;
+                acc <<= (fe & 63);
+                cnt -= (fe & 63);
+                int slot = zmap[k];
+                if (slot >= 0) acp[slot] = (signed char)(fe >> 16);
+                k++;
+                continue;
+              }
+              int rs;
+              HDEC(rs, *C.act);
+              if (rs < 0) return 0;
+              int r = rs >> 4, sz = rs & 15;
+              if (sz == 0) {
+                if (r != 15) break;  // EOB
+                k += 16;             // ZRL
+                continue;
+              }
+              k += r;
+              if (k > 63) return 0;
+              int val;
+              RECV_EXT(val, sz);
+              int slot = zmap[k];
+              if (slot >= 0) acp[slot] = sat8(val);
+              k++;
+            }
+          }
+        }
+      }
+      if (ri) togo--;
+      if (exhausted) return 0;  // truncated: stop, zeros remain
+    }
+  }
+  return 0;
+}
+
+#undef ENSURE
+#undef HDEC
+#undef RECV_EXT
+
+}  // namespace
+
+extern "C" {
+
+// Same contract as dali_tpu_jpeg_read_coeffs_split_crop
+// (jpeg_coeffs_split.cc): window dims are CANVAS dims (may exceed the real
+// block extent; uncovered cells are zero). Returns 0 on success; nonzero
+// means unsupported-or-corrupt and the caller should fall back to libjpeg.
+int dali_tpu_jpeg_huff_read_coeffs_split_crop(
+    const char* data_, size_t len, int ky, int kc, short* y_dc,
+    signed char* y_ac, short* cb_dc, signed char* cb_ac, short* cr_dc,
+    signed char* cr_ac, unsigned short* q_out, int y_bh, int y_bw, int c_bh,
+    int c_bw, int y_br0, int y_bc0, int c_br0, int c_bc0) {
+  const uint8_t* data = reinterpret_cast<const uint8_t*>(data_);
+  Parser ps(data, len);
+  int rc = ps.parse();
+  if (rc != 0) return rc;
+  if (ky < 1 || ky > 8 || kc < 1 || kc > 8) return 1;
+
+  // zigzag index -> ac slot (selection r<k, c<k; slot r*k+c-1), or -1
+  signed char zmap_y[64], zmap_c[64];
+  for (int z = 1; z < 64; z++) {
+    int r = kZZ.nat[z] >> 3, c = kZZ.nat[z] & 7;
+    zmap_y[z] = (r < ky && c < ky) ? (signed char)(r * ky + c - 1) : -1;
+    zmap_c[z] = (r < kc && c < kc) ? (signed char)(r * kc + c - 1) : -1;
+  }
+
+  // quant tables (natural order, k*k selection) — written regardless of how
+  // far the scan decodes, like the libjpeg path.
+  for (int comp = 0; comp < 2; comp++) {
+    int k = comp == 0 ? ky : kc;
+    const uint16_t* src = ps.qt[ps.comp[comp].tq];
+    unsigned short* qdst = comp == 0 ? q_out : q_out + ky * ky;
+    for (int r = 0; r < k; r++)
+      for (int c = 0; c < k; c++) qdst[r * k + c] = src[r * 8 + c];
+  }
+
+  const int hmax = ps.comp[0].h, vmax = ps.comp[0].v;  // chroma is 1x1
+  const int mcus_x = (ps.W + 8 * hmax - 1) / (8 * hmax);
+  const int mcus_y = (ps.H + 8 * vmax - 1) / (8 * vmax);
+
+  CompState cs[3];
+  short* dcs[3] = {y_dc, cb_dc, cr_dc};
+  signed char* acs[3] = {y_ac, cb_ac, cr_ac};
+  for (int i = 0; i < 3; i++) {
+    int slot = 0;
+    for (int s = 0; s < ps.ns; s++)
+      if (ps.scan_comp[s] == i) slot = s;
+    const int k = i == 0 ? ky : kc;
+    cs[i] = {dcs[i],
+             acs[i],
+             i == 0 ? zmap_y : zmap_c,
+             &ps.htdc[ps.scan_td[slot]],
+             &ps.htac[ps.scan_ta[slot]],
+             &ps.fac[ps.scan_ta[slot]],
+             &ps.fdc[ps.scan_td[slot]],
+             ps.comp[i].h,
+             ps.comp[i].v,
+             i == 0 ? y_bh : c_bh,
+             i == 0 ? y_bw : c_bw,
+             i == 0 ? y_br0 : c_br0,
+             i == 0 ? y_bc0 : c_bc0,
+             k * k - 1,
+             (ps.H * ps.comp[i].v + 8 * vmax - 1) / (8 * vmax),
+             (ps.W * ps.comp[i].h + 8 * hmax - 1) / (8 * hmax)};
+    std::memset(cs[i].dc, 0, sizeof(short) * (size_t)cs[i].bh * cs[i].bw);
+    std::memset(cs[i].ac, 0, (size_t)cs[i].bh * cs[i].bw * cs[i].nac);
+  }
+
+  // Early stop: last MCU row any window needs (decode everything above it —
+  // sequential Huffman is stateful — but nothing below it).
+  int stop_my = 0;
+  for (int i = 0; i < 3; i++) {
+    int need = (cs[i].br0 + cs[i].bh + cs[i].v - 1) / cs[i].v;
+    if (need > stop_my) stop_my = need;
+  }
+  if (stop_my > mcus_y) stop_my = mcus_y;
+
+  return decode_scan(ps, cs, data + len, mcus_x, stop_my);
+}
+
+}  // extern "C"
