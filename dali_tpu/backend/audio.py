@@ -73,9 +73,28 @@ def decode_wav(data: bytes):
     return x, float(sample_rate)
 
 
+def decode_audio(data: bytes):
+    """WAV via the built-in RIFF parser; FLAC/OGG/MP3/anything-else via the
+    native FFmpeg decoder (native/src/audio_decode.cc — the analogue of the
+    reference's libsndfile generic decoder)."""
+    if data[:4] == b"RIFF":
+        return decode_wav(data)
+    from .. import native
+
+    out = native.audio_decode(data)
+    if out is None:
+        raise ValueError(
+            "Undecodable audio (native FFmpeg decoder unavailable or stream "
+            "unsupported); built-in parser handles WAV only"
+        )
+    return out
+
+
 DALI_SCHEMA("decoders.Audio").DocStr(
-    """Decodes audio (WAV; reference ``decoders__Audio`` uses libsndfile for
-    WAV/FLAC/OGG). Outputs (audio, sample_rate)."""
+    """Decodes audio: WAV (built-in parser), FLAC/OGG/MP3 (native FFmpeg
+    decoder). Reference ``decoders__Audio`` uses libsndfile for WAV/FLAC/OGG
+    (dali/operators/decoder/audio/generic_decoder.cc:16).
+    Outputs (audio, sample_rate)."""
 ).NumInput(1).NumOutput(2).Devices("cpu").AddOptionalArg(
     "sample_rate", ArgType.FLOAT, "Resample to this rate (0 = keep).", 0.0, tensor_ok=True, per_sample=True
 ).AddOptionalArg(
@@ -101,7 +120,7 @@ def _resample_audio(x: np.ndarray, in_rate: float, out_rate: float) -> np.ndarra
 class AudioDecoderCPU(Operator):
     def run_sample(self, ctx, idx, encoded):
         data = np.ascontiguousarray(encoded).tobytes()
-        x, rate = decode_wav(data)
+        x, rate = decode_audio(data)
         if self.spec.GetArgument("downmix", False) and x.ndim == 2:
             x = x.mean(axis=1)
         target = float(np.asarray(ctx.arg(self, "sample_rate", idx, 0.0)))

@@ -314,9 +314,75 @@ class PadCPU(Operator):
 
 @register_operator("Pad", "gpu")
 class PadGPU(Operator):
+    """Device pad: the staging canvas is already physically padded, but with
+    staging zeros and canvas-sized extents — so (a) regions between each
+    sample's extent and the pad target are rewritten with ``fill_value`` via
+    iota masks, (b) the canvas grows if ``shape``/``align`` exceed it, and
+    (c) output extents are the pad target in padded axes, ragged elsewhere
+    (reference generic/pad.cc semantics)."""
+
+    def _targets(self, shapes):
+        ndim = shapes.shape[1]
+        axes = self.spec.GetArgument("axes", None)
+        axes = list(range(ndim)) if not axes else [a % ndim for a in axes]
+        align = self.spec.GetArgument("align", None)
+        req_shape = self.spec.GetArgument("shape", None)
+        target = shapes.max(axis=0).astype(np.int64)
+        if req_shape:
+            for d, v in enumerate(req_shape):
+                if v > 0 and d < ndim:
+                    target[d] = max(target[d], int(v))
+        if align:
+            for i, d in enumerate(axes):
+                a = align[i] if i < len(align) else align[-1]
+                target[d] = ((target[d] + a - 1) // a) * a
+        return axes, target
+
+    def host_output_shapes(self, ctx, input_shapes, input_batches):
+        shapes = input_shapes[0]
+        if shapes is None:
+            return None
+        shapes = np.asarray(shapes)
+        axes, target = self._targets(shapes)
+        out = shapes.copy()
+        for d in axes:
+            out[:, d] = target[d]
+        return [out]
+
+    def device_statics(self, ctx, input_shapes):
+        shapes = np.asarray(input_shapes[0])
+        axes, target = self._targets(shapes)
+        return (tuple(axes), tuple(int(t) for t in target))
+
     def lower(self, dctx, inp: DeviceBatch):
-        # device batches are physically padded already — drop raggedness
-        return [DeviceBatch(inp.data, None, inp.layout)]
+        import jax.numpy as jnp
+
+        axes, target = dctx.static(self)
+        ndim = len(inp.canvas)
+        fill = self.spec.GetArgument("fill_value", 0.0)
+        data = inp.data
+        fillv = jnp.asarray(fill).astype(data.dtype)
+        grow = [(0, 0)] + [
+            (0, max(0, target[d] - inp.canvas[d]) if d in axes else 0)
+            for d in range(ndim)
+        ]
+        if any(g[1] for g in grow):
+            data = jnp.pad(data, grow, constant_values=fill)
+        if inp.shapes is not None:
+            mask = None
+            n = data.shape[0]
+            for d in axes:
+                size = data.shape[1 + d]
+                m = jnp.arange(size)[None] >= inp.shapes[:, d, None]  # [N, size]
+                m = m.reshape((n,) + (1,) * d + (size,) + (1,) * (ndim - d - 1))
+                mask = m if mask is None else (mask | m)
+            data = jnp.where(mask, fillv, data)
+            tgt = jnp.asarray(target, inp.shapes.dtype)
+            cols = jnp.asarray([d in axes for d in range(ndim)])
+            out_shapes = jnp.where(cols[None], tgt[None], inp.shapes)
+        else:
+            out_shapes = None
+        return [DeviceBatch(data, out_shapes, inp.layout)]
 
 
 # ==================================== _TensorSubscript ===================================================

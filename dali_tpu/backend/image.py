@@ -143,22 +143,16 @@ def _cv2_interp(interp, scale_down):
 @register_operator("Resize", "cpu")
 class ResizeCPU(Operator):
     def run_sample(self, ctx, idx, img):
-        import cv2
+        from ..kernels.resample import host_resample
 
         spec = self.spec
         h, w = img.shape[:2]
         out_h, out_w = compute_resize_size(h, w, spec, lambda n, d=None: ctx.arg(self, n, idx, d))
         interp = spec.GetArgument("interp_type", DALIInterpType.INTERP_LINEAR)
         antialias = spec.GetArgument("antialias", True)
-        scale_down = out_h < h or out_w < w
-        if antialias and scale_down and interp in (
-            DALIInterpType.INTERP_LINEAR,
-            DALIInterpType.INTERP_TRIANGULAR,
-        ):
-            flag = cv2.INTER_AREA
-        else:
-            flag = _cv2_interp(interp, scale_down)
-        out = cv2.resize(img, (out_w, out_h), interpolation=flag)
+        # the framework's own resampler (bit-controlled against the device
+        # lowering — same window math), not a cv2 delegate
+        out = host_resample(img, out_h, out_w, interp, antialias)
         if out.ndim == 2:
             out = out[:, :, None]
         return out
@@ -334,25 +328,20 @@ class RandomResizedCropGPU(Operator, _RRCWindows):
 @register_operator("RandomResizedCrop", "cpu")
 class RandomResizedCropCPU(Operator, _RRCWindows):
     def run_batch(self, ctx, inp: HostBatch):
-        import cv2
+        from ..kernels.resample import host_resample
 
         spec = self.spec
         size = spec.GetArgument("size")
         out_h, out_w = (int(size[0]), int(size[-1])) if len(size) > 1 else (int(size[0]), int(size[0]))
         wins = self._windows(ctx, inp.shapes())
         interp = spec.GetArgument("interp_type", DALIInterpType.INTERP_LINEAR)
+        antialias = spec.GetArgument("antialias", True)
 
         def one(i):
             img = inp.samples[i]
             y, x, h, w = (int(v) for v in wins[i])
             crop = img[y : y + h, x : x + w]
-            scale_down = out_h < h or out_w < w
-            flag = (
-                cv2.INTER_AREA
-                if scale_down and spec.GetArgument("antialias", True)
-                else _cv2_interp(interp, scale_down)
-            )
-            out = cv2.resize(crop, (out_w, out_h), interpolation=flag)
+            out = host_resample(crop, out_h, out_w, interp, antialias)
             return out[:, :, None] if out.ndim == 2 else out
 
         samples = ctx.map_samples(one, len(inp))

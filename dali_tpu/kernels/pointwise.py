@@ -151,17 +151,33 @@ def color_space_matrix(src: str, dst: str):
     if key in _CSC_MATS:
         return _CSC_MATS[key]
     I = (np.eye(3, dtype=np.float32), np.zeros(3, np.float32))
+    # ITU-R BT.601 STUDIO swing (16..235 luma) — the ColorSpaceConversion op's
+    # convention in the reference (itu_r_bt_601 in color_space_conversion_impl.h;
+    # the full-range `jpeg` struct there is only used by JPEG decode).
     rgb2ycbcr = (
         np.array(
-            [[0.299, 0.587, 0.114], [-0.168736, -0.331264, 0.5], [0.5, -0.418688, -0.081312]],
+            [
+                [0.25678823529, 0.50412941176, 0.09790588235],
+                [-0.14822289945, -0.29099278682, 0.43921568627],
+                [0.43921568627, -0.36778831435, -0.07142737192],
+            ],
             np.float32,
         ),
-        np.array([0, 128, 128], np.float32),
+        np.array([16, 128, 128], np.float32),
     )
+    _y = 255.0 / 219
     ycbcr2rgb = (
-        np.array([[1, 0, 1.402], [1, -0.344136, -0.714136], [1, 1.772, 0]], np.float32),
         np.array(
-            [-1.402 * 128, (0.344136 + 0.714136) * 128, -1.772 * 128], np.float32
+            [[_y, 0, 1.5960267848], [_y, -0.39176228842, -0.81296764538], [_y, 2.0172321417, 0]],
+            np.float32,
+        ),
+        np.array(
+            [
+                -16 * _y - 1.5960267848 * 128,
+                -16 * _y + (0.39176228842 + 0.81296764538) * 128,
+                -16 * _y - 2.0172321417 * 128,
+            ],
+            np.float32,
         ),
     )
     swap = (np.array([[0, 0, 1], [0, 1, 0], [1, 0, 0]], np.float32), np.zeros(3, np.float32))
@@ -190,7 +206,9 @@ def convert_color_space(xp, img, src: str, dst: str, out_dtype):
         if src == "BGR":
             img = img[..., ::-1]
         elif src == "YCbCr":
-            return saturate_cast(xp, img[..., 0:1].astype(xp.float32), out_dtype)
+            # studio-swing Y -> full-range gray (reference y_to_gray)
+            y = (img[..., 0:1].astype(xp.float32) - 16.0) * (255.0 / 219.0)
+            return saturate_cast(xp, y, out_dtype)
         return rgb_to_gray(xp, img, out_dtype)
     if src == "GRAY":
         rep = xp.concatenate([img.astype(xp.float32)] * 3, axis=-1)

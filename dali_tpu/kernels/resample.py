@@ -43,33 +43,36 @@ def _filter_radius(interp: DALIInterpType, scale, antialias: bool):
     return jnp.full_like(scale, base) if hasattr(scale, "shape") else base
 
 
-def _window(interp: DALIInterpType, t):
+def _window(interp: DALIInterpType, t, xp=jnp):
     """Filter window evaluated at normalized distance t (|t| <= 1 is support),
-    matching reference ``resampling_windows.h``."""
-    a = jnp.abs(t)
+    matching reference ``resampling_windows.h``. ``xp`` selects the array
+    module so the numpy host path runs the SAME formulas (bit-controlled
+    cpu<->gpu parity instead of a cv2 delegate)."""
+    a = xp.abs(t)
     if interp in (DALIInterpType.INTERP_LINEAR, DALIInterpType.INTERP_TRIANGULAR):
-        return jnp.maximum(0.0, 1.0 - a)
+        return xp.maximum(0.0, 1.0 - a)
     if interp == DALIInterpType.INTERP_NN:
-        return jnp.where(a <= 0.5, 1.0, 0.0)
+        return xp.where(a <= 0.5, 1.0, 0.0)
     if interp == DALIInterpType.INTERP_CUBIC:
         # Catmull-Rom-like cubic with A=-0.5 over normalized support 2 → rescale
         x = a * 2.0
         A = -0.5
         w1 = ((A + 2) * x - (A + 3)) * x * x + 1
         w2 = ((A * x - 5 * A) * x + 8 * A) * x - 4 * A
-        return jnp.where(x < 1.0, w1, jnp.where(x < 2.0, w2, 0.0))
+        return xp.where(x < 1.0, w1, xp.where(x < 2.0, w2, 0.0))
     if interp == DALIInterpType.INTERP_GAUSSIAN:
-        # sigma chosen so support≈2 radius covers ±2σ (reference GaussianFilter)
+        # reference GaussianFilter(radius): w(d) = exp(-(2 d / radius)^2)
+        # (resampling_windows.h ExpMinusX2 with scale = 2/radius); a = d/radius
         x = a * 2.0
-        return jnp.exp(-0.5 * x * x * (2.0**2) / 4.0)
+        return xp.exp(-(x * x))
     if interp == DALIInterpType.INTERP_LANCZOS3:
         x = a * 3.0
 
         def sinc(v):
-            v = jnp.where(jnp.abs(v) < 1e-8, 1e-8, v)
-            return jnp.sin(jnp.pi * v) / (jnp.pi * v)
+            v = xp.where(xp.abs(v) < 1e-8, 1e-8, v)
+            return xp.sin(xp.pi * v) / (xp.pi * v)
 
-        return jnp.where(x < 3.0, sinc(x) * sinc(x / 3.0), 0.0)
+        return xp.where(x < 3.0, sinc(x) * sinc(x / 3.0), 0.0)
     raise ValueError(f"Unsupported interp {interp}")
 
 
@@ -173,3 +176,54 @@ def resample_batch(
             out = jnp.clip(jnp.round(out), info.min, info.max)
         out = out.astype(out_dtype)
     return out
+
+
+# ------------------------------ host (numpy) path ------------------------------
+
+
+def _host_tap_plan(out_size, roi_start, roi_size, extent, interp, antialias):
+    """NumPy mirror of _tap_plan: identical coordinates, windows and
+    normalization, so the cpu operator is bit-controlled against the device
+    lowering rather than delegating to cv2."""
+    scale = roi_size / out_size
+    x = (np.arange(out_size, dtype=np.float32) + 0.5) * np.float32(scale) + np.float32(roi_start)
+    center = x - 0.5
+    if interp == DALIInterpType.INTERP_NN:
+        idx = np.clip(np.floor(x).astype(np.int32), 0, extent - 1)
+        return idx[None, :], np.ones((1, out_size), np.float32)
+    base = {
+        DALIInterpType.INTERP_LINEAR: 1.0,
+        DALIInterpType.INTERP_TRIANGULAR: 1.0,
+        DALIInterpType.INTERP_CUBIC: 2.0,
+        DALIInterpType.INTERP_GAUSSIAN: 2.0,
+        DALIInterpType.INTERP_LANCZOS3: 3.0,
+    }[interp]
+    radius = base * max(scale, 1.0) if antialias else base
+    taps = max_taps(interp, scale if antialias else 1.0, antialias)
+    first = np.ceil(center - radius).astype(np.int32)
+    offs = np.arange(taps, dtype=np.int32)[:, None]
+    idx = first[None, :] + offs
+    t = (idx.astype(np.float32) - center[None, :]) / np.float32(radius)
+    w = np.asarray(_window(interp, t, xp=np), np.float32)
+    norm = w.sum(axis=0, keepdims=True)
+    w = w / np.where(norm == 0, 1.0, norm)
+    return np.clip(idx, 0, extent - 1), w
+
+
+def host_resample(img, out_h, out_w, interp=DALIInterpType.INTERP_LINEAR,
+                  antialias=True, roi_start=(0.0, 0.0), roi_size=None):
+    """Separable resample of one HWC sample on the host — the same math as
+    resample_sample, in numpy. Returns the input dtype (round+clip for ints)."""
+    h, w = img.shape[:2]
+    if roi_size is None:
+        roi_size = (float(h), float(w))
+    f = img.astype(np.float32)
+    idx_y, w_y = _host_tap_plan(out_h, roi_start[0], roi_size[0], h, interp, antialias)
+    tmp = np.einsum("to,towc->owc", w_y, f[idx_y])
+    idx_x, w_x = _host_tap_plan(out_w, roi_start[1], roi_size[1], w, interp, antialias)
+    cols = tmp[:, idx_x]  # [out_h, taps, out_w, C]
+    out = np.einsum("to,htoc->hoc", w_x, cols)
+    if np.issubdtype(img.dtype, np.integer):
+        info = np.iinfo(img.dtype)
+        out = np.clip(np.round(out), info.min, info.max)
+    return out.astype(img.dtype)

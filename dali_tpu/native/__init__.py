@@ -149,6 +149,23 @@ def _load():
             lib._has_video = True
         except AttributeError:
             lib._has_video = False
+        try:
+            lib.dali_tpu_audio_decode.restype = ctypes.c_int
+            lib.dali_tpu_audio_decode.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+                ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_double),
+            ]
+            lib.dali_tpu_audio_buffer_free.argtypes = [ctypes.c_void_p]
+            lib.dali_tpu_audio_encode.restype = ctypes.c_long
+            lib.dali_tpu_audio_encode.argtypes = [
+                ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+                ctypes.c_char_p, ctypes.c_void_p, ctypes.c_long,
+            ]
+            lib._has_audio = True
+        except AttributeError:
+            lib._has_audio = False
         lib.dali_tpu_jpeg_read_coeffs_split.restype = ctypes.c_int
         lib.dali_tpu_jpeg_read_coeffs_split.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
@@ -434,6 +451,58 @@ def jpeg_encode_rgb(img: np.ndarray, quality: int = 85, subsamp: int = 0,
         img.ctypes.data_as(ctypes.c_void_p), h, w, quality, subsamp,
         restart_interval, 1 if progressive else 0,
         out.ctypes.data_as(ctypes.c_void_p), cap,
+    )
+    if n < 0:
+        return None
+    return out[:n].tobytes()
+
+
+def has_audio() -> bool:
+    lib = _load()
+    return bool(lib and getattr(lib, "_has_audio", False))
+
+
+def audio_decode(data: bytes):
+    """Decode FLAC/OGG/MP3/WAV/... from memory via FFmpeg
+    (src/audio_decode.cc). Returns (float32 array [n] or [n, ch], rate) or
+    None if the native path is unavailable or the stream is undecodable."""
+    lib = _load()
+    if lib is None or not getattr(lib, "_has_audio", False):
+        return None
+    outp = ctypes.POINTER(ctypes.c_float)()
+    frames = ctypes.c_long()
+    ch = ctypes.c_int()
+    rate = ctypes.c_double()
+    rc = lib.dali_tpu_audio_decode(
+        data, len(data), ctypes.byref(outp), ctypes.byref(frames),
+        ctypes.byref(ch), ctypes.byref(rate),
+    )
+    if rc != 0:
+        return None
+    try:
+        n, c = frames.value, ch.value
+        arr = np.ctypeslib.as_array(outp, shape=(n * c,)).copy()
+    finally:
+        lib.dali_tpu_audio_buffer_free(outp)
+    if c > 1:
+        arr = arr.reshape(n, c)
+    return arr, float(rate.value)
+
+
+def audio_encode(pcm: np.ndarray, rate: int, fmt: str = "flac"):
+    """Encode float32 PCM ([n] or [n, ch]) to flac/ogg/mp3/wav bytes
+    (fixture generation; src/audio_decode.cc). Returns bytes or None."""
+    lib = _load()
+    if lib is None or not getattr(lib, "_has_audio", False):
+        return None
+    pcm = np.ascontiguousarray(pcm, np.float32)
+    ch = 1 if pcm.ndim == 1 else pcm.shape[1]
+    frames = pcm.shape[0]
+    cap = frames * ch * 4 + (1 << 16)
+    out = np.empty((cap,), np.uint8)
+    n = lib.dali_tpu_audio_encode(
+        pcm.ctypes.data_as(ctypes.c_void_p), frames, ch, int(rate),
+        fmt.encode(), out.ctypes.data_as(ctypes.c_void_p), cap,
     )
     if n < 0:
         return None

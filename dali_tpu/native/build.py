@@ -18,7 +18,8 @@ def _has_ffmpeg() -> bool:
     import ctypes.util
 
     return all(
-        ctypes.util.find_library(n) for n in ("avformat", "avcodec", "avutil", "swscale")
+        ctypes.util.find_library(n)
+        for n in ("avformat", "avcodec", "avutil", "swscale", "swresample")
     )
 
 
@@ -27,9 +28,9 @@ def build(verbose: bool = True) -> str:
     libs = ["-ljpeg", "-lpthread"]
     defines = []
     if _has_ffmpeg():
-        libs += ["-lavformat", "-lavcodec", "-lavutil", "-lswscale"]
+        libs += ["-lavformat", "-lavcodec", "-lavutil", "-lswscale", "-lswresample"]
     else:
-        sources = [s for s in sources if "video_decode" not in s]
+        sources = [s for s in sources if "video_decode" not in s and "audio_decode" not in s]
     cmd = [
         "g++",
         "-O3",

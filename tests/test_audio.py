@@ -186,3 +186,62 @@ def test_audio_resample_gpu_vs_cpu():
         # ignore the filter-edge transients at both ends
         err = np.abs(c[32:n-32] - g[32:n-32])
         assert err.mean() < 5e-3, err.mean()
+
+
+@pytest.mark.parametrize("fmt", ["flac", "mp3", "ogg"])
+def test_audio_decode_compressed_formats(fmt, tmp_path):
+    """FLAC (LibriSpeech's format), MP3 and OGG/Vorbis decode through
+    fn.decoders.audio via the native FFmpeg path (reference uses libsndfile:
+    dali/operators/decoder/audio/generic_decoder.cc:16)."""
+    from dali_tpu import native
+
+    if not (native.available() and native.has_audio()):
+        pytest.skip("native audio decoder not built")
+    rate = 16000
+    t = np.arange(rate, dtype=np.float32) / rate
+    mono = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    pcm = np.stack([mono, mono], 1) if fmt == "ogg" else mono  # vorbis enc needs 2ch
+    enc = native.audio_encode(pcm, rate, fmt)
+    if enc is None:
+        pytest.skip(f"no native {fmt} encoder in this ffmpeg build")
+    path = tmp_path / f"clip.{fmt}"
+    path.write_bytes(enc)
+
+    @pipeline_def(batch_size=1, num_threads=1, seed=1)
+    def pipe():
+        data, _ = fn.readers.file(files=[str(path)], name="R")
+        audio, srate = fn.decoders.audio(data, dtype=types.FLOAT, downmix=True)
+        return audio, srate
+
+    audio, srate = pipe().run()
+    x = audio.at(0)
+    assert float(srate.at(0)) == rate
+    assert x.ndim == 1 and len(x) >= rate - 2048
+    # dominant frequency must survive the codec
+    spec = np.abs(np.fft.rfft(x[: rate // 2]))
+    peak = np.argmax(spec) * rate / (rate // 2)
+    assert abs(peak - 440) < 15, peak
+
+
+def test_audio_decode_flac_bit_depth_and_downmix(tmp_path):
+    from dali_tpu import native
+
+    if not (native.available() and native.has_audio()):
+        pytest.skip("native audio decoder not built")
+    rate = 8000
+    rng = np.random.default_rng(3)
+    st = (rng.standard_normal((rate, 2)) * 0.2).astype(np.float32)
+    enc = native.audio_encode(st, rate, "flac")
+    path = tmp_path / "c.flac"
+    path.write_bytes(enc)
+
+    @pipeline_def(batch_size=1, num_threads=1, seed=1)
+    def pipe():
+        data, _ = fn.readers.file(files=[str(path)], name="R")
+        a2, _r = fn.decoders.audio(data, dtype=types.FLOAT)
+        a1, _r1 = fn.decoders.audio(data, dtype=types.FLOAT, downmix=True)
+        return a2, a1
+
+    a2, a1 = pipe().run()
+    assert a2.at(0).shape == (rate, 2)
+    np.testing.assert_allclose(a1.at(0), a2.at(0).mean(1), atol=1e-4)
