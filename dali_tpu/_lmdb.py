@@ -96,6 +96,8 @@ class LmdbFile:
 
     def _numkeys(self, pgno: int) -> int:
         lower = struct.unpack_from("<H", self._map, self._page(pgno) + 12)[0]
+        if lower < _PAGEHDR or lower > self.psize:
+            raise ValueError(f"{self.path}: corrupt LMDB page {pgno} (bad bounds)")
         return (lower - _PAGEHDR) // 2
 
     def _node_off(self, pgno: int, i: int) -> int:
@@ -129,9 +131,18 @@ class LmdbFile:
         out: List[bytes] = []
         if self.root == P_INVALID:
             return out
+        # visited-page guard: a corrupted tree with a page cycle (or a branch
+        # pointing back up) must raise, not walk forever
+        max_pages = len(self._map) // self.psize + 1
+        seen = set()
         stack = [self.root]
         while stack:
             pg = stack.pop()
+            if pg in seen:
+                raise ValueError(f"{self.path}: corrupt LMDB B+tree (page cycle at {pg})")
+            seen.add(pg)
+            if len(seen) > max_pages:
+                raise ValueError(f"{self.path}: corrupt LMDB B+tree (page count overflow)")
             fl = self._page_flags(pg)
             n = self._numkeys(pg)
             if fl & P_BRANCH:
@@ -145,7 +156,11 @@ class LmdbFile:
         if self.root == P_INVALID:
             raise KeyError(key)
         pg = self.root
+        depth = 0
         while self._page_flags(pg) & P_BRANCH:
+            depth += 1
+            if depth > 64:  # LMDB trees are <=32 deep; a cycle would loop forever
+                raise ValueError(f"{self.path}: corrupt LMDB B+tree (descent cycle)")
             n = self._numkeys(pg)
             lo_i, hi_i = 1, n  # node 0 is the leftmost child (empty key)
             while lo_i < hi_i:

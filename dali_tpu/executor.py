@@ -493,7 +493,16 @@ class Executor:
         for out in self.graph.outputs:
             if out.device != "gpu":
                 cpu_outputs[_edge_key(out)] = env[_edge_key(out)]
+        # host-known logical shapes of gpu outputs: avoids fetching the device
+        # shapes array back to the host per iteration (on the axon tunnel, ANY
+        # device->host readback permanently degrades the client to a slow
+        # synchronous mode — and it's a needless round-trip everywhere else)
+        out_shapes_host = {}
+        for out in self.graph.outputs:
+            if out.device == "gpu":
+                out_shapes_host[_edge_key(out)] = shape_env.get(_edge_key(out))
         return {
+            "out_shapes_host": out_shapes_host,
             "iteration": iteration,
             "padded": padded_arrays,
             "shapes": shape_arrays,
@@ -532,7 +541,16 @@ class Executor:
             k = _edge_key(out)
             if out.device == "gpu":
                 data, shapes, layout = gpu_outputs[k]
-                shapes_np = np.asarray(shapes) if shapes is not None else None
+                if shapes is None:
+                    shapes_np = None
+                else:
+                    # prefer host-propagated shapes — reading the device shapes
+                    # array back is a D2H round-trip (and on the axon tunnel it
+                    # permanently degrades the client). With no host shapes,
+                    # hand the DEVICE array to the TensorList, which fetches
+                    # lazily only if the user inspects per-sample shapes.
+                    host = staged["out_shapes_host"].get(k)
+                    shapes_np = np.asarray(host) if host is not None else shapes
                 results.append(TensorListGPU(data, shapes_np, layout))
             else:
                 hb = staged["cpu_outputs"][k]

@@ -148,7 +148,7 @@ class DALIGenericIterator:
             if isinstance(v, TensorListCPU):
                 return TensorListCPU([v.at(i) for i in range(n)], v.layout())
             if isinstance(v, TensorListGPU):
-                shapes = None if v.is_dense_tensor() else v._shapes[:n]
+                shapes = None if v.is_dense_tensor() else v._shapes_np()[:n]
                 return TensorListGPU(v.as_tensor()[:n], shapes, v.layout())
             return v[:n]
 

@@ -36,8 +36,17 @@ class DALIGenericIterator(_Base):
 
         def conv(tl):
             if isinstance(tl, TensorListGPU):
-                return torch.from_numpy(np.array(tl.as_tensor()))
-            return torch.from_numpy(np.ascontiguousarray(tl.as_array()))
+                try:
+                    # zero-copy DLPack handoff (works when the device memory is
+                    # host-visible, e.g. the CPU backend; TPU-resident arrays
+                    # fall back to a host copy — torch has no TPU device here)
+                    return torch.from_dlpack(tl)
+                except Exception:
+                    return torch.from_numpy(np.array(tl.as_tensor()))
+            try:
+                return torch.from_dlpack(tl)  # zero-copy over the cached dense view
+            except Exception:
+                return torch.from_numpy(np.ascontiguousarray(tl.as_array()))
 
         result = [{k: conv(v) for k, v in b.items()} for b in batches]
         return result if len(result) > 1 else result

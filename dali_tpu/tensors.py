@@ -17,6 +17,7 @@ class TensorListCPU:
     def __init__(self, samples: List[np.ndarray], layout: str = ""):
         self._samples = list(samples)
         self._layout = layout or ""
+        self._dense_cache: Optional[np.ndarray] = None
 
     def __len__(self):
         return len(self._samples)
@@ -46,10 +47,28 @@ class TensorListCPU:
     def as_array(self) -> np.ndarray:
         if not self.is_dense_tensor():
             raise ValueError("TensorList is not dense (non-uniform sample shapes)")
-        return np.stack(self._samples, 0)
+        if self._dense_cache is None:
+            self._dense_cache = np.stack(self._samples, 0)
+        return self._dense_cache
 
     def as_tensor(self) -> np.ndarray:
         return self.as_array()
+
+    # -- zero-copy interop (reference dali/pipeline/data/dltensor.cc and the
+    # __array_interface__ surface on TensorCPU, backend_impl.cc:708) ---------
+    def __dlpack__(self, stream=None):
+        return self.as_array().__dlpack__()
+
+    def __dlpack_device__(self):
+        return self.as_array().__dlpack_device__()
+
+    @property
+    def __array_interface__(self):
+        return self.as_array().__array_interface__
+
+    def __array__(self, dtype=None):
+        a = self.as_array()
+        return a.astype(dtype) if dtype is not None else a
 
     def __repr__(self):
         return f"TensorListCPU(n={len(self)}, layout={self._layout!r}, dtype={self.dtype})"
@@ -60,8 +79,17 @@ class TensorListGPU:
 
     def __init__(self, data, shapes: Optional[np.ndarray] = None, layout: str = ""):
         self._data = data
-        self._shapes = shapes  # numpy [N, ndim] or None (uniform)
+        # numpy [N, ndim], a device array (fetched LAZILY — a device->host
+        # readback is expensive, and on the axon tunnel it permanently
+        # degrades the client; hot loops that never inspect per-sample
+        # shapes must never pay for it), or None (uniform).
+        self._shapes = shapes
         self._layout = layout or ""
+
+    def _shapes_np(self) -> Optional[np.ndarray]:
+        if self._shapes is not None and not isinstance(self._shapes, np.ndarray):
+            self._shapes = np.asarray(self._shapes)
+        return self._shapes
 
     def __len__(self):
         return int(self._data.shape[0])
@@ -80,7 +108,7 @@ class TensorListGPU:
         if self._shapes is None:
             n = int(self._data.shape[0])
             return [tuple(self._data.shape[1:])] * n
-        return [tuple(int(x) for x in row) for row in self._shapes]
+        return [tuple(int(x) for x in row) for row in self._shapes_np()]
 
     def as_tensor(self):
         """The underlying padded jax.Array (zero-copy)."""
@@ -93,11 +121,25 @@ class TensorListGPU:
     def jax_array(self):
         return self._data
 
+    # -- zero-copy interop: delegate DLPack to the underlying jax.Array
+    # (reference exposes TensorListGPU via __cuda_array_interface__/DLPack,
+    # dltensor.cc; here the capsule views device memory with no host copy) ----
+    def __dlpack__(self, stream=None):
+        if not self.is_dense_tensor():
+            raise ValueError(
+                "DLPack export requires a dense TensorList (uniform shapes); "
+                "ragged batches expose per-sample arrays via at(i)"
+            )
+        return self._data.__dlpack__()
+
+    def __dlpack_device__(self):
+        return self._data.__dlpack_device__()
+
     def at(self, i):
         """Sample ``i`` as numpy, cropped to its valid extent (host transfer)."""
         arr = np.asarray(self._data[i])
         if self._shapes is not None:
-            sl = tuple(slice(0, int(e)) for e in self._shapes[i])
+            sl = tuple(slice(0, int(e)) for e in self._shapes_np()[i])
             arr = arr[sl]
         return arr
 
@@ -106,8 +148,9 @@ class TensorListGPU:
         if self._shapes is None:
             samples = [host[i] for i in range(host.shape[0])]
         else:
+            shp = self._shapes_np()
             samples = [
-                host[(i, *(slice(0, int(e)) for e in self._shapes[i]))] for i in range(host.shape[0])
+                host[(i, *(slice(0, int(e)) for e in shp[i]))] for i in range(host.shape[0])
             ]
         return TensorListCPU(samples, self._layout)
 
