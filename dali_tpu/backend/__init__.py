@@ -36,3 +36,4 @@ from . import sequence  # noqa: F401
 from . import segmentation  # noqa: F401
 from . import interop  # noqa: F401
 from . import parity  # noqa: F401
+from . import straggler_gpu  # noqa: F401

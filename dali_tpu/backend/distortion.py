@@ -286,7 +286,7 @@ class PasteCPU(Operator):
 DALI_SCHEMA("JpegCompressionDistortion").DocStr(
     "Simulates JPEG compression artifacts (reference "
     "image/distortion/jpeg_compression_distortion_op.cc): encode at `quality`, decode back."
-).NumInput(1).NumOutput(1).Devices("cpu").AddOptionalArg(
+).NumInput(1).NumOutput(1).Devices("cpu", "gpu").AddOptionalArg(
     "quality", ArgType.FLOAT, "JPEG quality (1..100).", 50.0, tensor_ok=True, per_sample=True
 )
 
@@ -306,7 +306,7 @@ class JpegDistortion(Operator):
 
 DALI_SCHEMA("experimental.MedianBlur").DocStr(
     "Median filter (reference image/morphology MedianBlur via CV-CUDA)."
-).NumInput(1).NumOutput(1).Devices("cpu").AddOptionalArg(
+).NumInput(1).NumOutput(1).Devices("cpu", "gpu").AddOptionalArg(
     "window_size", ArgType.INT_VEC, "Kernel size (odd).", [3]
 )
 
@@ -326,7 +326,7 @@ class MedianBlur(Operator):
 for _nm, _doc in (("experimental.Dilate", "Dilation"), ("experimental.Erode", "Erosion")):
     DALI_SCHEMA(_nm).DocStr(
         f"{_doc} (reference image/morphology/morphology.cc via CV-CUDA)."
-    ).NumInput(1).NumOutput(1).Devices("cpu").AddOptionalArg(
+    ).NumInput(1).NumOutput(1).Devices("cpu", "gpu").AddOptionalArg(
         "mask_size", ArgType.INT_VEC, "Structuring element size.", [3, 3]
     ).AddOptionalArg("anchor", ArgType.INT_VEC, "Anchor (-1 = center).", [-1, -1])
 

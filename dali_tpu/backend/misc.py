@@ -74,7 +74,7 @@ DALI_SCHEMA("MultiPaste").DocStr(
     (reference image/paste/multipaste.cc — the Mosaic-augmentation primitive).
     Regions are selected by ``in_ids`` + ``in_anchors``/``shapes`` and placed at
     ``out_anchors``."""
-).NumInput(1).NumOutput(1).Devices("cpu").AddArg(
+).NumInput(1).NumOutput(1).Devices("cpu", "gpu").AddArg(
     "in_ids", ArgType.INT_VEC, "Source sample index per pasted region.", tensor_ok=True, per_sample=True
 ).AddOptionalArg(
     "in_anchors", ArgType.INT_VEC, "Flattened [k, 2] source anchors.", None, tensor_ok=True, per_sample=True

@@ -367,7 +367,7 @@ _ALIAS_MISS = register_aliases()
 DALI_SCHEMA("TensorResize").DocStr(
     "Resizes arbitrary-dimensional tensors (reference "
     "generic/resize/tensor_resize_cpu.cc + image/resize/tensor_resize_attr.cc)."
-).NumInput(1).NumOutput(1).Devices("cpu").AddOptionalArg(
+).NumInput(1).NumOutput(1).Devices("cpu", "gpu").AddOptionalArg(
     "sizes", ArgType.FLOAT_VEC, "Output sizes per resized axis.", None,
     tensor_ok=True, per_sample=True
 ).AddOptionalArg(

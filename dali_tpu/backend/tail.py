@@ -83,7 +83,7 @@ class SaltAndPepperGPU(Operator):
 
 DALI_SCHEMA("noise.Shot").DocStr(
     "Shot (Poisson) noise (reference noise/shot_noise.cc): out ~ Poisson(x / factor) * factor."
-).NumInput(1).NumOutput(1).Devices("cpu").AddRandomSeedArg().AddOptionalArg(
+).NumInput(1).NumOutput(1).Devices("cpu", "gpu").AddRandomSeedArg().AddOptionalArg(
     "factor", ArgType.FLOAT, "Noise factor.", 20.0, tensor_ok=True, per_sample=True
 )
 

@@ -352,7 +352,7 @@ class TCombine(_TransformBase):
 
 DALI_SCHEMA("CoordFlip").DocStr(
     "Flips coordinates in [0,1] (reference geometry/coord_flip.cc)."
-).NumInput(1).NumOutput(1).Devices("cpu").AddOptionalArg(
+).NumInput(1).NumOutput(1).Devices("cpu", "gpu").AddOptionalArg(
     "flip_x", ArgType.INT, "Flip x.", 1, tensor_ok=True, per_sample=True
 ).AddOptionalArg(
     "flip_y", ArgType.INT, "Flip y.", 0, tensor_ok=True, per_sample=True

@@ -1,0 +1,179 @@
+"""cpu<->gpu parity for the round-2 device lowerings (straggler_gpu.py)."""
+
+import numpy as np
+import pytest
+
+from dali_tpu import fn, pipeline_def, types
+
+from .test_utils import to_samples
+
+
+def run_both(make_body, sources, atol=0, extra=lambda s: s):
+    outs = {}
+    for device in ("cpu", "gpu"):
+        @pipeline_def(batch_size=len(sources), num_threads=1, seed=4)
+        def p():
+            x = fn.external_source(source=lambda: sources, batch=True, cycle=True)
+            if device == "gpu":
+                x = x.gpu()
+            return make_body(x)
+
+        pipe = p()
+        pipe.build()
+        res = pipe.run()
+        outs[device] = [to_samples(tl) for tl in res]
+    for tc, tg in zip(outs["cpu"], outs["gpu"]):
+        for c, g in zip(tc, tg):
+            assert np.asarray(c).shape == np.asarray(g).shape, (c.shape, g.shape)
+            np.testing.assert_allclose(np.asarray(g, np.float64),
+                                       np.asarray(c, np.float64), atol=atol)
+    return outs
+
+
+def imgs(n=3, hw=((24, 30), (32, 20), (28, 28)), seed=0):
+    rng = np.random.default_rng(seed)
+    return [rng.integers(0, 256, (h, w, 3), np.uint8) for h, w in hw]
+
+
+def test_coord_flip_parity():
+    rng = np.random.default_rng(1)
+    pts = [rng.random((7, 2)).astype(np.float32), rng.random((4, 2)).astype(np.float32),
+           rng.random((5, 2)).astype(np.float32)]
+    run_both(lambda x: fn.coord_flip(x, flip_x=1, flip_y=1, center_x=0.4), pts, atol=1e-6)
+
+
+def test_erode_dilate_parity():
+    run_both(lambda x: fn.experimental.erode(x, mask_size=[3, 3]), imgs())
+    run_both(lambda x: fn.experimental.dilate(x, mask_size=[5, 3]), imgs(seed=2))
+
+
+def test_median_blur_parity():
+    run_both(lambda x: fn.experimental.median_blur(x, window_size=[3]), imgs(seed=3))
+
+
+def test_shot_noise_moments():
+    # different RNG backends: compare distribution moments, not samples
+    rng = np.random.default_rng(5)
+    flat = [np.full((64, 64, 3), 120, np.uint8) for _ in range(2)]
+    outs = {}
+    for device in ("cpu", "gpu"):
+        @pipeline_def(batch_size=2, num_threads=1, seed=9)
+        def p():
+            x = fn.external_source(source=lambda: flat, batch=True, cycle=True)
+            if device == "gpu":
+                x = x.gpu()
+            return fn.noise.shot(x, factor=15.0)
+
+        pipe = p()
+        pipe.build()
+        outs[device] = to_samples(pipe.run()[0])
+    for dev, res in outs.items():
+        m = np.mean([s.mean() for s in res])
+        v = np.mean([s.astype(np.float64).var() for s in res])
+        assert abs(m - 120) < 2.0, (dev, m)
+        # Poisson(x/f)*f: var = x*f = 120*15 = 1800
+        assert abs(v - 1800) < 300, (dev, v)
+
+
+def test_nonsilent_region_parity():
+    rng = np.random.default_rng(6)
+    clips = []
+    for n, lo, hi in ((9000, 2000, 6000), (7000, 500, 6500), (5000, 0, 5000)):
+        x = np.zeros(n, np.float32)
+        x[lo:hi] = rng.standard_normal(hi - lo).astype(np.float32) * 0.5
+        clips.append(x)
+    outs = {}
+    for device in ("cpu", "gpu"):
+        @pipeline_def(batch_size=3, num_threads=1, seed=4)
+        def p():
+            x = fn.external_source(source=lambda: clips, batch=True, cycle=True)
+            if device == "gpu":
+                x = x.gpu()
+            begin, length = fn.nonsilent_region(x, cutoff_db=-20, window_length=512)
+            return begin, length
+
+        pipe = p()
+        pipe.build()
+        outs[device] = [to_samples(tl) for tl in pipe.run()]
+    for c, g in zip(outs["cpu"], outs["gpu"]):
+        for a, b in zip(c, g):
+            assert abs(int(np.asarray(a)) - int(np.asarray(b))) <= 1, (c, g)
+
+
+def test_tensor_resize_parity():
+    rng = np.random.default_rng(7)
+    vols = [rng.random((10, 12, 2)).astype(np.float32),
+            rng.random((8, 9, 2)).astype(np.float32)]
+    run_both(
+        lambda x: fn.experimental.tensor_resize(
+            x, sizes=[16.0, 20.0], axes=[0, 1],
+            interp_type=types.INTERP_LINEAR),
+        vols, atol=2e-2)
+
+
+def test_multi_paste_parity():
+    srcs = [np.full((20, 20, 3), v, np.uint8) for v in (10, 90, 200)]
+    in_ids = [[1, 2], [0, 2], [0, 1]]
+
+    def body(x):
+        ids = fn.external_source(
+            source=lambda: [np.array(i, np.int32) for i in in_ids],
+            batch=True, cycle=True)
+        return fn.multi_paste(
+            x,
+            in_ids=ids,
+            in_anchors=[0, 0, 0, 0],
+            shapes=[8, 8, 8, 8],
+            out_anchors=[0, 0, 10, 10],
+            output_size=[20, 20],
+        )
+
+    run_both(body, srcs)
+
+
+def test_jpeg_distortion_gpu_vs_cpu_tolerance():
+    import cv2
+
+    rng = np.random.default_rng(8)
+    small = rng.integers(0, 256, (8, 8, 3), np.uint8)
+    smooth = cv2.resize(small, (64, 64), interpolation=cv2.INTER_CUBIC)
+    srcs = [smooth, smooth[::-1].copy()]
+    outs = {}
+    for device in ("cpu", "gpu"):
+        @pipeline_def(batch_size=2, num_threads=1, seed=4)
+        def p():
+            x = fn.external_source(source=lambda: srcs, batch=True, cycle=True)
+            if device == "gpu":
+                x = x.gpu()
+            return fn.jpeg_compression_distortion(x, quality=30.0)
+
+        pipe = p()
+        pipe.build()
+        outs[device] = to_samples(pipe.run()[0])
+    for src, c, g in zip(srcs, outs["cpu"], outs["gpu"]):
+        # both implementations must produce comparable artifacts (libjpeg vs
+        # our DCT-domain simulation differ in rounding, not structure)
+        dc = np.abs(c.astype(np.float64) - g.astype(np.float64)).mean()
+        assert dc < 6.0, dc
+        # distortion must actually change the image at q=30
+        assert np.abs(g.astype(np.float64) - src.astype(np.float64)).mean() > 0.5
+
+
+def test_jpeg_distortion_quality_monotonic_gpu():
+    import cv2
+
+    rng = np.random.default_rng(9)
+    small = rng.integers(0, 256, (8, 8, 3), np.uint8)
+    img = cv2.resize(small, (64, 64), interpolation=cv2.INTER_CUBIC)
+    errs = {}
+    for q in (10.0, 50.0, 95.0):
+        @pipeline_def(batch_size=1, num_threads=1, seed=4)
+        def p():
+            x = fn.external_source(source=lambda: [img], batch=True, cycle=True)
+            return fn.jpeg_compression_distortion(x.gpu(), quality=q)
+
+        pipe = p()
+        pipe.build()
+        out = to_samples(pipe.run()[0])[0]
+        errs[q] = np.abs(out.astype(np.float64) - img.astype(np.float64)).mean()
+    assert errs[10.0] > errs[50.0] > errs[95.0], errs
