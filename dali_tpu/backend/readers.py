@@ -332,12 +332,35 @@ class FileReader(BaseReader):
                     self._files.append(path if os.path.isabs(path) else os.path.join(base, path))
                     self._labels.append(int(label))
         elif file_root:
-            # discovery: sorted subdirs = labels (reference discover_files.cc)
+            # discovery: sorted subdirs = labels (reference discover_files.cc;
+            # s3:// roots via the minimal SigV4 client, discover_files_s3.cc)
             import fnmatch
 
             filters = spec.GetArgument("file_filters")
             case_sensitive = spec.GetArgument("case_sensitive_filter", False)
             self._files, self._labels = [], []
+            if file_root.startswith("s3://"):
+                from ..import _s3
+
+                uris = sorted(_s3.list_uris(file_root))
+                root_prefix = file_root.rstrip("/") + "/"
+                match = fnmatch.fnmatchcase if case_sensitive else fnmatch.fnmatch
+                by_dir = {}
+                for uri in uris:
+                    rel = uri[len(root_prefix):]
+                    sub, _, fname = rel.partition("/")
+                    if not fname or "/" in fname:
+                        continue  # only one level of label dirs, like local
+                    name = fname if case_sensitive else fname.lower()
+                    if any(match(name, pat) for pat in filters):
+                        by_dir.setdefault(sub, []).append(uri)
+                for label, sub in enumerate(sorted(by_dir)):
+                    for uri in sorted(by_dir[sub]):
+                        self._files.append(uri)
+                        self._labels.append(label)
+                if not self._files:
+                    raise ValueError("readers.file found no files")
+                return
             subdirs = sorted(
                 d for d in os.listdir(file_root) if os.path.isdir(os.path.join(file_root, d))
             )
@@ -358,8 +381,14 @@ class FileReader(BaseReader):
         return len(self._files)
 
     def _read_payload(self, index: int):
-        with open(self._files[index], "rb") as f:
-            data = np.frombuffer(f.read(), dtype=np.uint8)
+        path = self._files[index]
+        if path.startswith("s3://"):
+            from .. import _s3
+
+            data = np.frombuffer(_s3.read_bytes(path), dtype=np.uint8)
+        else:
+            with open(path, "rb") as f:
+                data = np.frombuffer(f.read(), dtype=np.uint8)
         label = np.array([self._labels[index]], dtype=np.int32)
         return data, label
 

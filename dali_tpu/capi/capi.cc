@@ -199,9 +199,25 @@ daliTpuResult daliTpuOutputInfo(daliTpuPipeline handle, int output, int sample,
     info->shape[i] = PyLong_AsLongLong(PyTuple_GetItem(shape, i));
   }
   info->nbytes = PyLong_AsLongLong(nbytes);
-  info->dtype = -1;  // numpy dtype mapping left to the caller via nbytes/shape
   Py_DECREF(shape);
   Py_DECREF(nbytes);
+  // DALIDataType of the sample (types.from_numpy_type)
+  info->dtype = -1;
+  PyObject* types_mod = PyImport_ImportModule("dali_tpu.types");
+  PyObject* dt = PyObject_GetAttrString(arr, "dtype");
+  if (types_mod && dt) {
+    PyObject* v = PyObject_CallMethod(types_mod, "from_numpy_type", "O", dt);
+    if (v) {
+      PyObject* iv = PyObject_GetAttrString(v, "value");
+      info->dtype = (int32_t)PyLong_AsLong(iv ? iv : v);
+      Py_XDECREF(iv);
+      Py_DECREF(v);
+    } else {
+      PyErr_Clear();
+    }
+  }
+  Py_XDECREF(dt);
+  Py_XDECREF(types_mod);
   return DALI_TPU_OK;
 }
 
@@ -231,6 +247,158 @@ daliTpuResult daliTpuCopyOutputSample(daliTpuPipeline handle, int output,
   }
   std::memcpy(dst, buf, n);
   Py_DECREF(tobytes);
+  return DALI_TPU_OK;
+}
+
+daliTpuResult daliTpuOutputSampleData(daliTpuPipeline handle, int output,
+                                      int sample, const void** data,
+                                      daliTpuTensorInfo* info) {
+  auto* h = static_cast<PipelineHandle*>(handle);
+  if (!h) return DALI_TPU_INVALID_HANDLE;
+  Gil gil;
+  PyObject* arr = get_sample(h, output, sample);
+  if (!arr) {
+    g_last_error = "invalid output/sample index (or run not called)";
+    PyErr_Clear();
+    return DALI_TPU_ERROR;
+  }
+  // borrow: pointer into the numpy array backing the last outputs; valid
+  // until the next daliTpuRun / daliTpuDestroyPipeline (reference c_api_2
+  // zero-copy output access contract)
+  PyObject* iface = PyObject_GetAttrString(arr, "__array_interface__");
+  if (!iface) {
+    set_error_from_python();
+    return DALI_TPU_ERROR;
+  }
+  PyObject* dataf = PyDict_GetItemString(iface, "data");  // borrowed
+  PyObject* ptr = dataf ? PyTuple_GetItem(dataf, 0) : nullptr;
+  if (!ptr) {
+    Py_DECREF(iface);
+    g_last_error = "array interface missing data pointer";
+    return DALI_TPU_ERROR;
+  }
+  *data = (const void*)PyLong_AsUnsignedLongLong(ptr);
+  Py_DECREF(iface);
+  if (info) return daliTpuOutputInfo(handle, output, sample, info);
+  return DALI_TPU_OK;
+}
+
+daliTpuResult daliTpuFeedInput(daliTpuPipeline handle, const char* name,
+                               const void* data, const daliTpuTensorInfo* infos,
+                               int n_samples, const char* layout) {
+  auto* h = static_cast<PipelineHandle*>(handle);
+  if (!h || !h->pipeline) return DALI_TPU_INVALID_HANDLE;
+  Gil gil;
+  // build list of per-sample numpy arrays copied out of the caller buffer
+  PyObject* main_mod = PyImport_AddModule("__main__");
+  PyObject* globals = PyModule_GetDict(main_mod);
+  PyObject* code = PyRun_String(
+      "import numpy as _np\n"
+      "import dali_tpu.types as _dt\n"
+      "def _dali_tpu_capi_feed(pipe, name, blob, shapes, dtypes, layout):\n"
+      "    pos = 0\n"
+      "    samples = []\n"
+      "    for shape, dt in zip(shapes, dtypes):\n"
+      "        npdt = _np.dtype(_dt.to_numpy_type(_dt.DALIDataType(dt))) \\\n"
+      "            if dt >= 0 else _np.dtype(_np.uint8)\n"
+      "        n = int(_np.prod(shape)) * npdt.itemsize if shape else npdt.itemsize\n"
+      "        a = _np.frombuffer(blob[pos:pos+n], dtype=npdt).reshape(shape).copy()\n"
+      "        pos += n\n"
+      "        samples.append(a)\n"
+      "    pipe.feed_input(name, samples, layout=layout or None)\n",
+      Py_file_input, globals, globals);
+  if (!code) {
+    set_error_from_python();
+    return DALI_TPU_ERROR;
+  }
+  Py_DECREF(code);
+  size_t total = 0;
+  PyObject* shapes = PyList_New(n_samples);
+  PyObject* dtypes = PyList_New(n_samples);
+  for (int i = 0; i < n_samples; i++) {
+    const daliTpuTensorInfo& ti = infos[i];
+    PyObject* shp = PyTuple_New(ti.ndim);
+    for (int d = 0; d < ti.ndim; d++)
+      PyTuple_SetItem(shp, d, PyLong_FromLongLong(ti.shape[d]));
+    PyList_SetItem(shapes, i, shp);
+    PyList_SetItem(dtypes, i, PyLong_FromLong(ti.dtype));
+    total += (size_t)ti.nbytes;
+  }
+  PyObject* blob = PyBytes_FromStringAndSize((const char*)data, total);
+  PyObject* fn = PyDict_GetItemString(globals, "_dali_tpu_capi_feed");
+  PyObject* pyname = PyUnicode_FromString(name);
+  PyObject* pylayout = PyUnicode_FromString(layout ? layout : "");
+  PyObject* result =
+      fn ? PyObject_CallFunctionObjArgs(fn, h->pipeline, pyname, blob, shapes,
+                                        dtypes, pylayout, nullptr)
+         : nullptr;
+  Py_XDECREF(pyname);
+  Py_XDECREF(pylayout);
+  Py_XDECREF(blob);
+  Py_XDECREF(shapes);
+  Py_XDECREF(dtypes);
+  if (!result) {
+    set_error_from_python();
+    return DALI_TPU_ERROR;
+  }
+  Py_DECREF(result);
+  return DALI_TPU_OK;
+}
+
+daliTpuResult daliTpuCheckpoint(daliTpuPipeline handle, char* dst,
+                                size_t dst_bytes, size_t* required) {
+  auto* h = static_cast<PipelineHandle*>(handle);
+  if (!h || !h->pipeline) return DALI_TPU_INVALID_HANDLE;
+  Gil gil;
+  PyObject* payload = PyObject_CallMethod(h->pipeline, "checkpoint", nullptr);
+  if (!payload) {
+    set_error_from_python();
+    return DALI_TPU_ERROR;
+  }
+  Py_ssize_t n;
+  const char* s = PyUnicode_AsUTF8AndSize(payload, &n);
+  if (required) *required = (size_t)n + 1;
+  if (!dst || dst_bytes < (size_t)n + 1) {
+    Py_DECREF(payload);
+    return dst ? DALI_TPU_BUFFER_TOO_SMALL : DALI_TPU_OK;
+  }
+  std::memcpy(dst, s, n + 1);
+  Py_DECREF(payload);
+  return DALI_TPU_OK;
+}
+
+daliTpuResult daliTpuRestoreCheckpoint(daliTpuPipeline handle,
+                                       const char* payload, size_t len) {
+  auto* h = static_cast<PipelineHandle*>(handle);
+  if (!h || !h->pipeline) return DALI_TPU_INVALID_HANDLE;
+  Gil gil;
+  PyObject* py = PyUnicode_FromStringAndSize(payload, len);
+  PyObject* r =
+      py ? PyObject_CallMethod(h->pipeline, "restore_checkpoint", "O", py)
+         : nullptr;
+  Py_XDECREF(py);
+  if (!r) {
+    set_error_from_python();
+    return DALI_TPU_ERROR;
+  }
+  Py_DECREF(r);
+  return DALI_TPU_OK;
+}
+
+daliTpuResult daliTpuReaderSize(daliTpuPipeline handle, const char* reader_name,
+                                int64_t* size) {
+  auto* h = static_cast<PipelineHandle*>(handle);
+  if (!h || !h->pipeline) return DALI_TPU_INVALID_HANDLE;
+  Gil gil;
+  PyObject* meta =
+      PyObject_CallMethod(h->pipeline, "reader_meta", "s", reader_name);
+  if (!meta) {
+    set_error_from_python();
+    return DALI_TPU_ERROR;
+  }
+  PyObject* sz = PyDict_GetItemString(meta, "epoch_size");  // borrowed
+  *size = sz ? PyLong_AsLongLong(sz) : -1;
+  Py_DECREF(meta);
   return DALI_TPU_OK;
 }
 

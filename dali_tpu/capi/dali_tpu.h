@@ -66,6 +66,33 @@ daliTpuResult daliTpuOutputInfo(daliTpuPipeline handle, int output, int sample,
 daliTpuResult daliTpuCopyOutputSample(daliTpuPipeline handle, int output,
                                       int sample, void* dst, size_t dst_bytes);
 
+/* Zero-copy view of one sample of the last iteration's outputs. The pointer
+ * borrows the runtime's host buffer and stays valid until the next
+ * daliTpuRun / daliTpuDestroyPipeline. info may be NULL. */
+daliTpuResult daliTpuOutputSampleData(daliTpuPipeline handle, int output,
+                                      int sample, const void** data,
+                                      daliTpuTensorInfo* info);
+
+/* Feed a batch into a named external_source node (Pipeline.feed_input).
+ * `data` holds n_samples C-contiguous samples back to back; infos[i]
+ * describes sample i (ndim/shape/dtype/nbytes). `layout` may be NULL. */
+daliTpuResult daliTpuFeedInput(daliTpuPipeline handle, const char* name,
+                               const void* data, const daliTpuTensorInfo* infos,
+                               int n_samples, const char* layout);
+
+/* Serialize pipeline state (Pipeline.checkpoint). Call with dst=NULL to get
+ * the required size (incl. NUL); payload is a NUL-terminated JSON string. */
+daliTpuResult daliTpuCheckpoint(daliTpuPipeline handle, char* dst,
+                                size_t dst_bytes, size_t* required);
+
+/* Restore state captured by daliTpuCheckpoint into a built pipeline. */
+daliTpuResult daliTpuRestoreCheckpoint(daliTpuPipeline handle,
+                                       const char* payload, size_t len);
+
+/* Epoch size of a named reader (Pipeline.reader_meta). */
+daliTpuResult daliTpuReaderSize(daliTpuPipeline handle, const char* reader_name,
+                                int64_t* size);
+
 daliTpuResult daliTpuDestroyPipeline(daliTpuPipeline handle);
 
 #ifdef __cplusplus

@@ -1,19 +1,25 @@
-/* C API smoke test: build a pipeline from serialized JSON, run, copy a sample. */
+/* C API test client (reference dali/c_api_2 test usage):
+ *   mode 1: <pipeline.json>            — create/run/info/copy + error paths
+ *   mode 2: <pipeline.json> --feed     — external_source: feed_input,
+ *            zero-copy output access, checkpoint/restore round trip
+ */
 #include <stdio.h>
 #include <stdlib.h>
 #include <string.h>
 
 #include "dali_tpu.h"
 
-int main(int argc, char** argv) {
-  if (argc != 2) { fprintf(stderr, "usage: %s <serialized.json>\n", argv[0]); return 2; }
-  FILE* f = fopen(argv[1], "rb");
-  if (!f) { perror("open"); return 2; }
+static char* read_file(const char* path, long* out_n) {
+  FILE* f = fopen(path, "rb");
+  if (!f) { perror("open"); return NULL; }
   fseek(f, 0, SEEK_END); long n = ftell(f); fseek(f, 0, SEEK_SET);
   char* payload = malloc(n);
   fread(payload, 1, n, f); fclose(f);
+  *out_n = n;
+  return payload;
+}
 
-  if (daliTpuInit() != DALI_TPU_OK) { fprintf(stderr, "init: %s\n", daliTpuGetLastError()); return 1; }
+static int run_basic(const char* payload, long n) {
   daliTpuPipeline p;
   if (daliTpuCreatePipeline(&p, payload, n) != DALI_TPU_OK) {
     fprintf(stderr, "create: %s\n", daliTpuGetLastError()); return 1;
@@ -27,7 +33,8 @@ int main(int argc, char** argv) {
   if (daliTpuOutputInfo(p, 0, 0, &info) != DALI_TPU_OK) {
     fprintf(stderr, "info: %s\n", daliTpuGetLastError()); return 1;
   }
-  printf("sample0: ndim=%lld nbytes=%lld shape=[", (long long)info.ndim, (long long)info.nbytes);
+  printf("sample0: ndim=%lld nbytes=%lld dtype=%d shape=[", (long long)info.ndim,
+         (long long)info.nbytes, info.dtype);
   for (int i = 0; i < info.ndim; i++) printf("%lld%s", (long long)info.shape[i], i + 1 < info.ndim ? "," : "");
   printf("]\n");
   void* buf = malloc(info.nbytes);
@@ -44,4 +51,63 @@ int main(int argc, char** argv) {
   daliTpuDestroyPipeline(p);
   printf("C API OK\n");
   return 0;
+}
+
+static int run_feed(const char* payload, long n) {
+  daliTpuPipeline p;
+  if (daliTpuCreatePipeline(&p, payload, n) != DALI_TPU_OK) {
+    fprintf(stderr, "create: %s\n", daliTpuGetLastError()); return 1;
+  }
+  /* feed one batch of 2 float32 samples [2,3] (pipeline multiplies by 2) */
+  float data[12];
+  for (int i = 0; i < 12; i++) data[i] = (float)i;
+  daliTpuTensorInfo infos[2];
+  for (int s = 0; s < 2; s++) {
+    infos[s].ndim = 2; infos[s].shape[0] = 2; infos[s].shape[1] = 3;
+    infos[s].dtype = 9; /* DALIDataType.FLOAT */
+    infos[s].nbytes = 24;
+  }
+  if (daliTpuFeedInput(p, "src", data, infos, 2, NULL) != DALI_TPU_OK) {
+    fprintf(stderr, "feed: %s\n", daliTpuGetLastError()); return 1;
+  }
+  if (daliTpuRun(p) != DALI_TPU_OK) { fprintf(stderr, "run: %s\n", daliTpuGetLastError()); return 1; }
+  const void* view = NULL;
+  daliTpuTensorInfo oi;
+  if (daliTpuOutputSampleData(p, 0, 1, &view, &oi) != DALI_TPU_OK) {
+    fprintf(stderr, "view: %s\n", daliTpuGetLastError()); return 1;
+  }
+  const float* f = (const float*)view;
+  /* sample 1 starts at value 6; x*2 => 12 */
+  if (f[0] != 12.0f || f[5] != 22.0f) {
+    fprintf(stderr, "zero-copy values wrong: %f %f\n", f[0], f[5]); return 1;
+  }
+  printf("feed+zero-copy OK (%f..%f)\n", f[0], f[5]);
+
+  /* checkpoint round trip */
+  size_t need = 0;
+  if (daliTpuCheckpoint(p, NULL, 0, &need) != DALI_TPU_OK || need == 0) {
+    fprintf(stderr, "ckpt size: %s\n", daliTpuGetLastError()); return 1;
+  }
+  char* ck = malloc(need);
+  if (daliTpuCheckpoint(p, ck, need, NULL) != DALI_TPU_OK) {
+    fprintf(stderr, "ckpt: %s\n", daliTpuGetLastError()); return 1;
+  }
+  printf("checkpoint bytes=%zu\n", need - 1);
+  if (daliTpuRestoreCheckpoint(p, ck, need - 1) != DALI_TPU_OK) {
+    fprintf(stderr, "restore: %s\n", daliTpuGetLastError()); return 1;
+  }
+  free(ck);
+  daliTpuDestroyPipeline(p);
+  printf("C API FEED OK\n");
+  return 0;
+}
+
+int main(int argc, char** argv) {
+  if (argc < 2) { fprintf(stderr, "usage: %s <serialized.json> [--feed]\n", argv[0]); return 2; }
+  long n;
+  char* payload = read_file(argv[1], &n);
+  if (!payload) return 2;
+  if (daliTpuInit() != DALI_TPU_OK) { fprintf(stderr, "init: %s\n", daliTpuGetLastError()); return 1; }
+  if (argc >= 3 && strcmp(argv[2], "--feed") == 0) return run_feed(payload, n);
+  return run_basic(payload, n);
 }

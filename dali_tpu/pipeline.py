@@ -308,6 +308,14 @@ class Pipeline:
                 f.write(payload)
         return payload
 
+    def restore_checkpoint(self, payload: str):
+        """Restore a checkpoint produced by :meth:`checkpoint` into this BUILT
+        pipeline (the C API's restore path; Python callers usually pass
+        ``checkpoint=`` at construction instead)."""
+        self._require_built()
+        state = json.loads(payload)
+        self._executor.restore_checkpoint(state.get("executor", state))
+
     # -- teardown ---------------------------------------------------------------------------------
     def __del__(self):
         try:

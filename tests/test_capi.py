@@ -38,3 +38,23 @@ def test_c_api_end_to_end(tmp_path):
                                   stderr=subprocess.DEVNULL, timeout=240)
     assert "C API OK" in out
     assert "outputs=1 batch=4" in out
+    assert "dtype=9" in out  # DALIDataType.FLOAT propagated
+
+    # feed_input + zero-copy + checkpoint round trip on an external_source
+    # pipeline (reference c_api_2 feed/checkpoint surface)
+    code2 = (
+        "import jax; jax.config.update('jax_default_device', jax.devices('cpu')[0])\n"
+        "from dali_tpu import pipeline_def, fn\n"
+        "@pipeline_def(batch_size=2, num_threads=1, seed=3)\n"
+        "def p():\n"
+        "    x = fn.external_source(name='src')\n"
+        "    return x * 2.0\n"
+        "pp = p(); pp.build()\n"
+        f"open({str(tmp_path / 'pipe_feed.json')!r}, 'w').write(pp.serialize())\n"
+    )
+    subprocess.check_call([sys.executable, "-c", code2], cwd=REPO)
+    out2 = subprocess.check_output([exe, str(tmp_path / "pipe_feed.json"), "--feed"],
+                                   env=env, text=True, stderr=subprocess.DEVNULL,
+                                   timeout=240)
+    assert "feed+zero-copy OK" in out2
+    assert "C API FEED OK" in out2
