@@ -15,7 +15,7 @@ from .base import Operator
 DALI_SCHEMA("experimental.Clahe").DocStr(
     "Contrast-limited adaptive histogram equalization on the luma channel "
     "(reference image/clahe/)."
-).NumInput(1).NumOutput(1).Devices("cpu").AddOptionalArg(
+).NumInput(1).NumOutput(1).Devices("cpu", "gpu").AddOptionalArg(
     "clip_limit", ArgType.FLOAT, "Contrast clip limit.", 4.0
 ).AddOptionalArg("tiles_x", ArgType.INT, "Grid tiles (x).", 8).AddOptionalArg(
     "tiles_y", ArgType.INT, "Grid tiles (y).", 8
@@ -41,7 +41,7 @@ class Clahe(Operator):
 
 DALI_SCHEMA("experimental.Debayer").DocStr(
     "Bayer→RGB demosaicing (reference debayer op; bilinear algorithm)."
-).NumInput(1).NumOutput(1).Devices("cpu").AddOptionalArg(
+).NumInput(1).NumOutput(1).Devices("cpu", "gpu").AddOptionalArg(
     "blue_position", ArgType.INT_VEC, "Position of the blue sample in the 2x2 tile (y, x).", [0, 0]
 ).AddOptionalArg("algorithm", ArgType.STRING, "'bilinear_npp' (compat) / 'edge_aware'.", "bilinear_npp")
 
@@ -52,13 +52,16 @@ class Debayer(Operator):
         import cv2
 
         bp = tuple(int(v) for v in self.spec.GetArgument("blue_position", [0, 0]))
-        # map blue position to OpenCV Bayer code (cv2 names the 2x2 tile by the
-        # colors at (0,0),(0,1)): blue at (0,0) → BG pattern, etc.
+        # map blue position to the OpenCV Bayer code. cv2's pattern letters
+        # name the colors at the SECOND row's 2nd/3rd columns, so blue at
+        # (0,0) is cv2's "RG" pattern (verified empirically with a
+        # constant-color mosaic; the golden debayer test guards this —
+        # round 2 fixed an R/B swap here that the gpu lowering exposed).
         code = {
-            (0, 0): cv2.COLOR_BayerBG2RGB,
-            (0, 1): cv2.COLOR_BayerGB2RGB,
-            (1, 0): cv2.COLOR_BayerGR2RGB,
-            (1, 1): cv2.COLOR_BayerRG2RGB,
+            (0, 0): cv2.COLOR_BayerRG2RGB,
+            (0, 1): cv2.COLOR_BayerGR2RGB,
+            (1, 0): cv2.COLOR_BayerGB2RGB,
+            (1, 1): cv2.COLOR_BayerBG2RGB,
         }[bp]
         x = raw[..., 0] if raw.ndim == 3 else raw
         if self.spec.GetArgument("algorithm", "bilinear_npp") == "edge_aware":

@@ -526,3 +526,151 @@ class JpegDistortionGPU(Operator):
 # the experimental.* aliases were mirrored before this module registered the
 # gpu impls — mirror them explicitly
 register_operator("experimental.TensorResize", "gpu")(TensorResizeGPU)
+
+
+# ====================================== CLAHE =======================================================
+
+
+@register_operator("experimental.Clahe", "gpu")
+class ClaheGPU(Operator):
+    """Contrast-limited adaptive histogram equalization as one XLA program:
+    per-tile scatter-add histograms -> clip + uniform excess redistribution ->
+    CDF LUTs -> bilinearly interpolated lookup (reference image/clahe GPU
+    kernels; algorithm per cv2::CLAHE). Luma-only for RGB inputs (applied in
+    a float Lab-free approximation: equalize BT.601 luma, scale chroma)."""
+
+    def host_output_shapes(self, ctx, input_shapes, input_batches):
+        return [input_shapes[0]]
+
+    def lower(self, dctx, inp: DeviceBatch):
+        import jax
+        import jax.numpy as jnp
+
+        tiles_x = int(self.spec.GetArgument("tiles_x", 8))
+        tiles_y = int(self.spec.GetArgument("tiles_y", 8))
+        clip = float(self.spec.GetArgument("clip_limit", 4.0))
+        H, W = inp.data.shape[1], inp.data.shape[2]
+        n = inp.data.shape[0]
+        chans = inp.data.shape[3] if inp.data.ndim == 4 else 1
+        if inp.shapes is not None:
+            eh, ew = inp.shapes[:, 0], inp.shapes[:, 1]
+        else:
+            eh = jnp.full((n,), H, jnp.int32)
+            ew = jnp.full((n,), W, jnp.int32)
+
+        yy = jnp.arange(H, dtype=jnp.float32)[:, None]
+        xx = jnp.arange(W, dtype=jnp.float32)[None, :]
+
+        def clahe_plane(p, h, w):
+            """p: [H, W] float in [0,255]; h/w: valid extent (dynamic)."""
+            v = jnp.clip(jnp.round(p), 0, 255).astype(jnp.int32)
+            th = h.astype(jnp.float32) / tiles_y
+            tw = w.astype(jnp.float32) / tiles_x
+            ty = jnp.clip((yy / th).astype(jnp.int32), 0, tiles_y - 1)
+            tx = jnp.clip((xx / tw).astype(jnp.int32), 0, tiles_x - 1)
+            tid = ty * tiles_x + tx  # [H, W] via broadcast
+            valid = (yy < h) & (xx < w)
+            ids = (tid * 256 + v).reshape(-1)
+            hist = jnp.zeros((tiles_y * tiles_x * 256,), jnp.float32)
+            hist = hist.at[ids].add(valid.reshape(-1).astype(jnp.float32))
+            hist = hist.reshape(tiles_y * tiles_x, 256)
+            # clip limit scaled by tile area (cv2 convention), excess spread
+            area = th * tw
+            lim = jnp.maximum(clip * area / 256.0, 1.0)
+            excess = jnp.sum(jnp.maximum(hist - lim, 0.0), axis=1, keepdims=True)
+            hist = jnp.minimum(hist, lim) + excess / 256.0
+            cdf = jnp.cumsum(hist, axis=1)
+            scale = 255.0 / jnp.maximum(area, 1.0)
+            luts = jnp.clip(jnp.round((cdf - cdf[:, :1]) * scale), 0, 255)
+            # bilinear interpolation between the 4 neighboring tile LUTs
+            fy = jnp.clip(yy / th - 0.5, 0.0, tiles_y - 1.0)
+            fx = jnp.clip(xx / tw - 0.5, 0.0, tiles_x - 1.0)
+            y0 = jnp.floor(fy).astype(jnp.int32)
+            x0 = jnp.floor(fx).astype(jnp.int32)
+            wy = fy - y0
+            wx = fx - x0
+            y1 = jnp.minimum(y0 + 1, tiles_y - 1)
+            x1 = jnp.minimum(x0 + 1, tiles_x - 1)
+
+            def lut_at(tyi, txi):
+                flat = (tyi * tiles_x + txi) * 256 + v
+                return jnp.take(luts.reshape(-1), flat)
+
+            out = ((1 - wy) * (1 - wx) * lut_at(y0, x0)
+                   + (1 - wy) * wx * lut_at(y0, x1)
+                   + wy * (1 - wx) * lut_at(y1, x0)
+                   + wy * wx * lut_at(y1, x1))
+            return jnp.where(valid, out, p)
+
+        def one(img, h, w):
+            f = img.astype(jnp.float32)
+            if chans == 3:
+                luma = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+                eq = clahe_plane(luma, h, w)
+                ratio = (eq + 1.0) / (luma + 1.0)
+                return f * ratio[..., None]
+            plane = f[..., 0] if f.ndim == 3 else f
+            eq = clahe_plane(plane, h, w)
+            return eq[..., None] if f.ndim == 3 else eq
+
+        out = jax.vmap(one)(inp.data, eh, ew)
+        if jnp.issubdtype(inp.data.dtype, jnp.integer):
+            info = jnp.iinfo(inp.data.dtype)
+            out = jnp.clip(jnp.round(out), info.min, info.max)
+        return [inp.with_data(out.astype(inp.data.dtype))]
+
+
+# ====================================== Debayer =====================================================
+
+
+@register_operator("experimental.Debayer", "gpu")
+class DebayerGPU(Operator):
+    """Bilinear demosaic as mask-normalized 3x3 convolutions (reference
+    imgproc/color_manipulation/debayer: NPP bilinear algorithm). Each color's
+    samples are isolated by a 2x2-phase mask; missing values interpolate with
+    the tent kernel normalized by the mask's own response."""
+
+    def host_output_shapes(self, ctx, input_shapes, input_batches):
+        shapes = np.asarray(input_shapes[0])
+        out = shapes[:, :2].copy()
+        return [np.concatenate([out, np.full((out.shape[0], 1), 3, out.dtype)], 1)]
+
+    def lower(self, dctx, inp: DeviceBatch):
+        import jax.numpy as jnp
+        from jax import lax
+
+        bp = tuple(int(v) for v in self.spec.GetArgument("blue_position", [0, 0]))
+        x = inp.data
+        if x.ndim == 4:  # [N, H, W, 1] -> [N, H, W]
+            x = x[..., 0]
+        f = x.astype(jnp.float32)
+        H, W = f.shape[1], f.shape[2]
+        ry, rx = 1 - bp[0], 1 - bp[1]  # red is diagonal from blue
+        iy = jnp.arange(H)[:, None]
+        ix = jnp.arange(W)[None, :]
+        masks = {
+            "b": ((iy % 2 == bp[0]) & (ix % 2 == bp[1])),
+            "r": ((iy % 2 == ry) & (ix % 2 == rx)),
+        }
+        masks["g"] = ~(masks["b"] | masks["r"])
+        k = jnp.asarray([[1.0, 2.0, 1.0], [2.0, 4.0, 2.0], [1.0, 2.0, 1.0]])
+
+        def interp(mask):
+            m = jnp.broadcast_to(mask[None].astype(jnp.float32), f.shape)
+            num = lax.conv_general_dilated(
+                (f * m)[:, None], k[None, None], (1, 1), "SAME",
+                dimension_numbers=("NCHW", "OIHW", "NCHW"))[:, 0]
+            den = lax.conv_general_dilated(
+                m[:, None], k[None, None], (1, 1), "SAME",
+                dimension_numbers=("NCHW", "OIHW", "NCHW"))[:, 0]
+            return num / jnp.maximum(den, 1e-6)
+
+        rgb = jnp.stack([interp(masks["r"]), interp(masks["g"]), interp(masks["b"])], -1)
+        if jnp.issubdtype(inp.data.dtype, jnp.integer):
+            info = jnp.iinfo(inp.data.dtype)
+            rgb = jnp.clip(jnp.round(rgb), info.min, info.max)
+        shapes = None
+        if inp.shapes is not None:
+            three = jnp.full((inp.shapes.shape[0], 1), 3, inp.shapes.dtype)
+            shapes = jnp.concatenate([inp.shapes[:, :2], three], axis=1)
+        return [DeviceBatch(rgb.astype(inp.data.dtype), shapes, "HWC")]

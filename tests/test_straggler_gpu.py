@@ -177,3 +177,61 @@ def test_jpeg_distortion_quality_monotonic_gpu():
         out = to_samples(pipe.run()[0])[0]
         errs[q] = np.abs(out.astype(np.float64) - img.astype(np.float64)).mean()
     assert errs[10.0] > errs[50.0] > errs[95.0], errs
+
+
+def test_debayer_gpu_vs_cv2_interior():
+    import cv2
+
+    rng = np.random.default_rng(11)
+    small = rng.integers(0, 256, (8, 8, 3), np.uint8)
+    rgb = cv2.resize(small, (40, 40), interpolation=cv2.INTER_CUBIC)
+    # mosaic with blue at (0,0): B at even/even, R at odd/odd, G elsewhere
+    raw = np.zeros((40, 40), np.uint8)
+    raw[0::2, 0::2] = rgb[0::2, 0::2, 2]
+    raw[1::2, 1::2] = rgb[1::2, 1::2, 0]
+    raw[0::2, 1::2] = rgb[0::2, 1::2, 1]
+    raw[1::2, 0::2] = rgb[1::2, 0::2, 1]
+    outs = {}
+    for device in ("cpu", "gpu"):
+        @pipeline_def(batch_size=1, num_threads=1, seed=2)
+        def p():
+            x = fn.external_source(source=lambda: [raw[..., None]], batch=True, cycle=True)
+            if device == "gpu":
+                x = x.gpu()
+            return fn.experimental.debayer(x, blue_position=[0, 0])
+
+        pipe = p()
+        pipe.build()
+        outs[device] = to_samples(pipe.run()[0])[0]
+    c = outs["cpu"][2:-2, 2:-2].astype(np.int32)
+    g = outs["gpu"][2:-2, 2:-2].astype(np.int32)
+    diff = np.abs(c - g)
+    # cv2 bilinear vs mask-normalized tent agree closely away from borders
+    assert diff.mean() < 3.0 and (diff > 12).mean() < 0.05, (diff.mean(), diff.max())
+
+
+def test_clahe_gpu_gray_vs_cv2():
+    import cv2
+
+    rng = np.random.default_rng(12)
+    small = rng.integers(20, 200, (8, 8), np.uint8)
+    gray = cv2.resize(small, (64, 64), interpolation=cv2.INTER_CUBIC)[..., None]
+    outs = {}
+    for device in ("cpu", "gpu"):
+        @pipeline_def(batch_size=1, num_threads=1, seed=2)
+        def p():
+            x = fn.external_source(source=lambda: [gray], batch=True, cycle=True)
+            if device == "gpu":
+                x = x.gpu()
+            return fn.experimental.clahe(x, clip_limit=3.0, tiles_x=4, tiles_y=4)
+
+        pipe = p()
+        pipe.build()
+        outs[device] = to_samples(pipe.run()[0])[0]
+    c = outs["cpu"].astype(np.int32)
+    g = outs["gpu"].astype(np.int32)
+    diff = np.abs(c - g)
+    # cv2 integer LUT rounding vs float program: small differences expected
+    assert diff.mean() < 4.0, (diff.mean(), diff.max())
+    # CLAHE must actually increase local contrast vs input
+    assert g.std() > gray.std() * 1.02
