@@ -159,3 +159,103 @@ class JaxFunction(Operator):
             layout = layouts[j] if j < len(layouts) else (inputs[0].layout if inputs else "")
             outs.append(DeviceBatch(r, sh, layout))
         return outs
+
+
+# ===================================== NumbaFunction ================================================
+
+DALI_SCHEMA("NumbaFunction").DocStr(
+    """Runs a (numba-jitted) kernel writing into preallocated outputs
+    (reference dali/operators/numba_function/numba_func.cc + plugin/numba):
+    ``run_fn(out0, .., in0, ..)``; ``setup_fn(out_shapes, in_shapes)``
+    computes output shapes (defaults to the first input's shape). When numba
+    is importable and ``run_fn`` is a plain function it is njit-compiled on
+    first use; otherwise the callable runs as-is (so kernels remain testable
+    in environments without numba, matching python_function semantics)."""
+).NumInput(1, 6).OutputFn(
+    lambda spec: len(spec.GetArgument("out_types", [0]) or [0])
+).Devices("cpu").MakeStateful().AddOptionalArg(
+    "run_fn", ArgType.PYTHON_OBJECT, "The kernel.", None
+).AddOptionalArg(
+    "setup_fn", ArgType.PYTHON_OBJECT, "Output-shape function.", None
+).AddOptionalArg(
+    "out_types", ArgType.INT_VEC, "DALIDataType per output.", None
+).AddOptionalArg(
+    "in_types", ArgType.INT_VEC, "DALIDataType per input (validated).", None
+).AddOptionalArg(
+    "outs_ndim", ArgType.INT_VEC, "ndim per output.", None
+).AddOptionalArg(
+    "ins_ndim", ArgType.INT_VEC, "ndim per input (validated).", None
+).AddOptionalArg(
+    "batch_processing", ArgType.BOOL, "Process whole batches.", False
+).AddOptionalArg("blocks", ArgType.INT_VEC, "CUDA grid compat (ignored).", None
+).AddOptionalArg("threads_per_block", ArgType.INT_VEC, "CUDA compat (ignored).", None)
+
+
+@register_operator("NumbaFunction", "cpu")
+class NumbaFunction(Operator):
+    def __init__(self, spec, op_id):
+        super().__init__(spec, op_id)
+        self._run_fn = spec._extra.get("_run_fn", spec.GetArgument("run_fn", None))
+        self._setup_fn = spec._extra.get("_setup_fn", spec.GetArgument("setup_fn", None))
+        if self._run_fn is None:
+            raise ValueError("numba_function requires `run_fn`")
+        self._compiled = None
+
+    def _kernel(self):
+        if self._compiled is None:
+            fn = self._run_fn
+            try:
+                import numba
+
+                if not hasattr(fn, "py_func"):  # not already a numba dispatcher
+                    fn = numba.njit(fn)
+            except ImportError:
+                pass
+            self._compiled = fn
+        return self._compiled
+
+    def _validate(self, arrays):
+        from ..types import DALIDataType, from_numpy_type
+
+        in_types = self.spec.GetArgument("in_types", None)
+        ins_ndim = self.spec.GetArgument("ins_ndim", None)
+        for k, a in enumerate(arrays):
+            if in_types is not None and k < len(in_types):
+                want = DALIDataType(int(in_types[k]))
+                got = from_numpy_type(a.dtype)
+                if got != want:
+                    raise TypeError(
+                        f"numba_function input {k}: expected {want}, got {got}")
+            if ins_ndim is not None and k < len(ins_ndim) and a.ndim != int(ins_ndim[k]):
+                raise TypeError(
+                    f"numba_function input {k}: expected ndim {ins_ndim[k]}, got {a.ndim}")
+
+    def _apply(self, *arrays):
+        from ..types import DALIDataType, to_numpy_type
+
+        self._validate(arrays)
+        out_types = self.spec.GetArgument("out_types", None) or []
+        outs_ndim = self.spec.GetArgument("outs_ndim", None)
+        in_shapes = [list(a.shape) for a in arrays]
+        if self._setup_fn is not None:
+            out_shapes = [[0] * (int(outs_ndim[i]) if outs_ndim else arrays[0].ndim)
+                          for i in range(len(out_types))]
+            self._setup_fn(out_shapes, in_shapes)
+        else:
+            out_shapes = [in_shapes[0] for _ in out_types]
+        outs = [np.zeros(shape, to_numpy_type(DALIDataType(int(dt))))
+                for shape, dt in zip(out_shapes, out_types)]
+        self._kernel()(*outs, *arrays)
+        return tuple(outs)
+
+    def run_batch(self, ctx, *inputs: HostBatch):
+        if self.spec.GetArgument("batch_processing", False):
+            n = len(inputs[0])
+            results = [self._apply(*(b.samples[i] for b in inputs)) for i in range(n)]
+        else:
+            n = len(inputs[0])
+            results = ctx.map_samples(
+                lambda i: self._apply(*(b.samples[i] for b in inputs)), n)
+        n_out = len(self.spec.GetArgument("out_types", [0]) or [0])
+        return [HostBatch([r[j] for r in results], layout="")
+                for j in range(n_out)]

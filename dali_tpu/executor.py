@@ -157,7 +157,7 @@ class Executor:
         self._device_thread: Optional[threading.Thread] = None
         self._device_q: Optional["queue.Queue"] = None
         self._work_q: "queue.Queue" = queue.Queue()
-        self._out_q: "queue.Queue" = queue.Queue(maxsize=max(1, pipeline.prefetch_queue_depth))
+        self._out_q: "queue.Queue" = queue.Queue(maxsize=pipeline.gpu_queue_depth)
         self._iteration = 0
         self._epoch = 0
         self._shutdown = False
@@ -208,7 +208,7 @@ class Executor:
     # -- lifecycle -------------------------------------------------------------------
     def start(self):
         if self._host_thread is None:
-            self._device_q = queue.Queue(maxsize=max(1, self.pipeline.prefetch_queue_depth))
+            self._device_q = queue.Queue(maxsize=self.pipeline.cpu_queue_depth)
             self._host_thread = threading.Thread(
                 target=self._host_loop, name="dali-tpu-host-stage", daemon=True
             )
@@ -280,7 +280,7 @@ class Executor:
         self._shutdown = False
         self._error = None
         self._work_q = queue.Queue()
-        self._out_q = queue.Queue(maxsize=max(1, self.pipeline.prefetch_queue_depth))
+        self._out_q = queue.Queue(maxsize=self.pipeline.gpu_queue_depth)
         for impl in self.impls.values():
             r = getattr(impl, "reset_epoch", None)
             if r is not None:

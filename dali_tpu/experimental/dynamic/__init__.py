@@ -155,7 +155,31 @@ class _EagerPipelineShim:
         self.pad_align = 64
 
 
+def _fn_for_schema(schema_name: str):
+    """The traced fn.* function for this schema (same naming convention)."""
+    from ... import fn as fn_root
+
+    mod = fn_root
+    parts = schema_name.split(".")
+    for p in parts[:-1]:
+        mod = getattr(mod, p)
+    return getattr(mod, _camel_to_snake(parts[-1]))
+
+
 def _eager_call(schema_name: str, *inputs, device=None, batch_size=None, **kwargs):
+    # Inside a pipeline_def trace, ndd functions ARE the fn API: dispatch to
+    # the traced operator so one function body works in both modes
+    # (reference dynamic-mode capture interop).
+    from ...data_node import DataNode
+    from ...pipeline import Pipeline
+
+    if Pipeline.current() is not None and (
+        not inputs or any(isinstance(i, DataNode) for i in inputs)
+    ):
+        if device is not None:
+            kwargs["device"] = device
+        return _fn_for_schema(schema_name)(*inputs, **kwargs)
+
     schema = GetSchema(schema_name)
     batches = [as_batch(i) if not isinstance(i, Batch) else i for i in inputs]
     if device is None:
@@ -258,3 +282,69 @@ def _populate():
 
 
 _populate()
+
+
+# ---------------------------------- capture -----------------------------------
+
+
+def capture(fn=None, *, num_threads: int = 1):
+    """Compile an eager (ndd) function into a pipeline for replay (reference
+    dynamic-mode capture machinery). The decorated function runs ONCE as a
+    pipeline_def trace (ndd ops dispatch to traced operators there); every
+    subsequent call feeds its Batch arguments through external_source nodes
+    and runs the compiled pipeline.
+
+        @ndd.capture
+        def frontend(imgs):
+            imgs = ndd.resize(imgs, resize_x=64, resize_y=64)
+            return ndd.crop_mirror_normalize(imgs, ...)
+
+        out = frontend(ndd.as_batch(samples))   # compiled from call #2 on
+    """
+
+    def deco(user_fn):
+        import functools
+
+        state = {}
+
+        @functools.wraps(user_fn)
+        def wrapper(*input_batches):
+            from ... import fn as fn_root
+            from ...pipeline import pipeline_def
+
+            batches = [as_batch(b) if not isinstance(b, Batch) else b
+                       for b in input_batches]
+            bs = len(batches[0])
+            pipe = state.get(bs)
+            if pipe is None:
+                ectx = EvalContext.current()
+
+                @pipeline_def(batch_size=bs, num_threads=num_threads,
+                              seed=ectx.seed)
+                def _captured():
+                    ins = [fn_root.external_source(name=f"__capture_in_{i}")
+                           for i in range(len(batches))]
+                    return user_fn(*ins)
+
+                pipe = _captured()
+                pipe.build()
+                state[bs] = pipe
+            for i, b in enumerate(batches):
+                cpu = b.cpu()
+                pipe.feed_input(f"__capture_in_{i}", list(cpu._samples))
+            outs = pipe.run()
+            result = []
+            for tl in outs:
+                if hasattr(tl, "jax_array"):
+                    shp = tl._shapes_np() if tl._shapes is not None else None
+                    result.append(Batch(device_data=tl.jax_array, shapes=shp,
+                                        layout=tl.layout()))
+                else:
+                    result.append(Batch(samples=[tl.at(i) for i in range(len(tl))],
+                                        layout=tl.layout()))
+            return result[0] if len(result) == 1 else tuple(result)
+
+        wrapper._captured_pipelines = state
+        return wrapper
+
+    return deco(fn) if fn is not None else deco

@@ -121,21 +121,39 @@ class Graph:
         return Graph(kept, outputs)
 
     # -- serialization ---------------------------------------------------------
-    def serialize(self, pipeline_params: Optional[dict] = None) -> str:
+    def serialize(self, pipeline_params: Optional[dict] = None,
+                  include_callables: bool = False) -> str:
         ops = []
         for op in self.ops:
-            ops.append(
-                {
-                    "name": op.instance_name,
-                    "schema": op.spec.schema_name,
-                    "device": op.device,
-                    "args": op.spec.serializable_args(),
-                    "inputs": [[i.source.instance_name, i.source_idx] for i in op.spec.inputs],
-                    "arg_inputs": {
-                        k: [v.source.instance_name, v.source_idx] for k, v in op.spec.arg_inputs.items()
-                    },
-                }
-            )
+            entry = {
+                "name": op.instance_name,
+                "schema": op.spec.schema_name,
+                "device": op.device,
+                "args": op.spec.serializable_args(),
+                "inputs": [[i.source.instance_name, i.source_idx] for i in op.spec.inputs],
+                "arg_inputs": {
+                    k: [v.source.instance_name, v.source_idx] for k, v in op.spec.arg_inputs.items()
+                },
+            }
+            if include_callables:
+                # by-value pickle of implementation payloads (external_source
+                # sources, python_function callables) so deserialize restores
+                # a RUNNABLE pipeline — the analogue of the reference's
+                # dill-based ExternalSource serialization (opt-in because the
+                # payload embeds code)
+                import base64
+
+                from . import pickling
+
+                blobs = {}
+                for k, v in op.spec._extra.items():
+                    if k == "_origin" or v is None:
+                        continue
+                    blobs[k] = base64.b64encode(
+                        pickling.dumps(v, by_value_all=True)).decode("ascii")
+                if blobs:
+                    entry["pickled_extra"] = blobs
+            ops.append(entry)
         doc = {
             "format": "dali_tpu.graph.v1",
             "params": pipeline_params or {},
@@ -153,6 +171,12 @@ class Graph:
         ops: List[OpNode] = []
         for i, entry in enumerate(doc["ops"]):
             spec = OpSpec(entry["schema"], device=entry["device"], name=entry["name"], **entry["args"])
+            for k, blob in entry.get("pickled_extra", {}).items():
+                import base64
+
+                from . import pickling
+
+                spec._extra[k] = pickling.loads(base64.b64decode(blob))
             for src_name, idx in entry["inputs"]:
                 spec.AddInput(nodes[src_name].outputs[idx])
             for k, (src_name, idx) in entry.get("arg_inputs", {}).items():

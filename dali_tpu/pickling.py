@@ -52,8 +52,22 @@ def _function_globals(fn):
     return out, modules
 
 
+class _ModuleRef:
+    """Closure cells can hold modules (e.g. a function-local ``import numpy``
+    in an enclosing scope); encode them by name."""
+
+    __slots__ = ("name",)
+
+    def __init__(self, name):
+        self.name = name
+
+
+def _encode_cell(v):
+    return _ModuleRef(v.__name__) if isinstance(v, types.ModuleType) else v
+
+
 def _reduce_function(fn):
-    closure = tuple(c.cell_contents for c in (fn.__closure__ or ()))
+    closure = tuple(_encode_cell(c.cell_contents) for c in (fn.__closure__ or ()))
     gl, modules = _function_globals(fn)
     return _rebuild_function, (
         marshal.dumps(fn.__code__),
@@ -74,7 +88,10 @@ def _rebuild_function(code_blob, name, defaults, closure, gl, modules, kwdefault
     g.update(gl)
     for alias, modname in modules.items():
         g[alias] = importlib.import_module(modname)
-    cells = tuple(types.CellType(v) for v in closure)
+    def _decode(v):
+        return importlib.import_module(v.name) if isinstance(v, _ModuleRef) else v
+
+    cells = tuple(types.CellType(_decode(v)) for v in closure)
     code = marshal.loads(code_blob)
     f = types.FunctionType(code, g, name, defaults, cells or None)
     if kwdefaults:
@@ -88,12 +105,18 @@ class _Pickler(pickle.Pickler):
         self._by_value_all = by_value_all
 
     def reducer_override(self, obj):
-        if isinstance(obj, types.FunctionType) and (
-            self._by_value_all
-            or getattr(obj, _BY_VALUE_ATTR, False)
-            or obj.__name__ == "<lambda>"
-            or obj.__module__ == "__main__"
-            or "<locals>" in getattr(obj, "__qualname__", "")
+        if (
+            isinstance(obj, types.FunctionType)
+            # never by-value our own rebuild machinery (it IS the reduce
+            # target — reducing it again would recurse forever)
+            and getattr(obj, "__module__", None) != __name__
+            and (
+                self._by_value_all
+                or getattr(obj, _BY_VALUE_ATTR, False)
+                or obj.__name__ == "<lambda>"
+                or obj.__module__ == "__main__"
+                or "<locals>" in getattr(obj, "__qualname__", "")
+            )
         ):
             return _reduce_function(obj)
         return NotImplemented

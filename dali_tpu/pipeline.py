@@ -77,9 +77,17 @@ class Pipeline:
         self.num_threads = num_threads if num_threads and num_threads > 0 else 4
         self.device_id = device_id
         self.seed = seed if seed is not None and seed >= 0 else 12345
-        self.prefetch_queue_depth = (
-            prefetch_queue_depth if isinstance(prefetch_queue_depth, int) else max(prefetch_queue_depth.values())
-        )
+        # dict form separates the stage depths (reference separated queues:
+        # {"cpu_size": N, "gpu_size": M}) — cpu_size bounds the host->device
+        # staging queue, gpu_size bounds the in-flight device iterations
+        if isinstance(prefetch_queue_depth, dict):
+            cpu_d = int(prefetch_queue_depth.get("cpu_size", 2))
+            gpu_d = int(prefetch_queue_depth.get("gpu_size", 2))
+        else:
+            cpu_d = gpu_d = int(prefetch_queue_depth)
+        self.cpu_queue_depth = max(1, cpu_d)
+        self.gpu_queue_depth = max(1, gpu_d)
+        self.prefetch_queue_depth = max(self.cpu_queue_depth, self.gpu_queue_depth)
         self.enable_conditionals = enable_conditionals
         self.enable_checkpointing = enable_checkpointing
         self.py_num_workers = py_num_workers
@@ -254,7 +262,13 @@ class Pipeline:
         return self._executor.statistics()
 
     # -- serialization ----------------------------------------------------------------------
-    def serialize(self, filename: Optional[str] = None) -> str:
+    def serialize(self, filename: Optional[str] = None,
+                  include_callables: bool = False) -> str:
+        """Serialize the graph to JSON. ``include_callables=True`` embeds
+        by-value pickles of external_source sources / python_function
+        callables so ``deserialize`` restores a runnable pipeline (opt-in:
+        the payload then contains code — reference dill-based ExternalSource
+        serialization)."""
         self._require_built()
         params = {
             "batch_size": self.max_batch_size,
@@ -264,7 +278,7 @@ class Pipeline:
             "prefetch_queue_depth": self.prefetch_queue_depth,
             "pad_align": self.pad_align,
         }
-        payload = self._graph.serialize(params)
+        payload = self._graph.serialize(params, include_callables=include_callables)
         if filename:
             with open(filename, "w") as f:
                 f.write(payload)

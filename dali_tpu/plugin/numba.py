@@ -39,6 +39,20 @@ def numba_function(
         ) from e
     if not isinstance(out_types, (list, tuple)):
         out_types = [out_types]
+    if not isinstance(in_types, (list, tuple)):
+        in_types = [in_types]
+    # delegate to the registered NumbaFunction operator (backend/interop.py)
+    return _fn.numba_function(
+        *inputs,
+        run_fn=run_fn,
+        setup_fn=setup_fn,
+        out_types=[int(t) for t in out_types],
+        in_types=[int(t) for t in in_types],
+        outs_ndim=outs_ndim,
+        ins_ndim=ins_ndim,
+        batch_processing=batch_processing,
+        **kwargs,
+    )
 
     def _apply(*arrays):
         outs = []

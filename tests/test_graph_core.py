@@ -115,3 +115,26 @@ def test_every_declared_device_has_impl():
         if not _schema.has_operator_impl(name, dev)
     ]
     assert not missing, f"schemas declaring devices without impls: {missing}"
+
+
+def test_prefetch_queue_depth_dict_semantics():
+    """Separated cpu/gpu queue depths (reference separated-queue executor
+    policy) flow into the two stage queues instead of collapsing to max()."""
+    import numpy as np
+
+    from dali_tpu import fn, pipeline_def
+
+    @pipeline_def(batch_size=1, num_threads=1, seed=1,
+                  prefetch_queue_depth={"cpu_size": 3, "gpu_size": 1})
+    def p():
+        x = fn.external_source(source=lambda: [np.zeros((2,), np.float32)],
+                               batch=True, cycle=True)
+        return x.gpu() + 1.0
+
+    pipe = p()
+    assert pipe.cpu_queue_depth == 3 and pipe.gpu_queue_depth == 1
+    pipe.build()
+    for _ in range(4):
+        pipe.run()
+    assert pipe._executor._device_q.maxsize == 3
+    assert pipe._executor._out_q.maxsize == 1

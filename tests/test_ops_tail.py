@@ -232,3 +232,59 @@ def test_executor_stage_wait_stats():
         assert k in stats and stats[k] >= 0.0, stats
     assert stats["host_phase_seconds"] > 0.0
     assert stats["device_phase_seconds"] > 0.0
+
+
+def test_numba_function_operator():
+    """NumbaFunction as a registered operator (reference
+    dali/operators/numba_function/numba_func.cc): run_fn fills preallocated
+    outputs, setup_fn computes shapes. Runs the plain-python path when numba
+    is absent (njit-compiled when available)."""
+    import numpy as np
+
+    from dali_tpu import fn, pipeline_def, types
+
+    def setup_fn(out_shapes, in_shapes):
+        for i in range(len(out_shapes[0])):
+            out_shapes[0][i] = in_shapes[0][i]
+
+    def run_fn(out0, in0):
+        for i in range(out0.shape[0]):
+            for j in range(out0.shape[1]):
+                out0[i, j] = in0[i, j] * 2 + 1
+
+    data = [np.arange(6, dtype=np.int32).reshape(2, 3),
+            np.arange(12, dtype=np.int32).reshape(3, 4)]
+
+    @pipeline_def(batch_size=2, num_threads=1, seed=1)
+    def p():
+        x = fn.external_source(source=lambda: data, batch=True, cycle=True)
+        return fn.numba_function(
+            x, run_fn=run_fn, setup_fn=setup_fn,
+            out_types=[int(types.INT32)], in_types=[int(types.INT32)],
+            outs_ndim=[2], ins_ndim=[2])
+
+    pipe = p()
+    pipe.build()
+    out = pipe.run()[0]
+    for i, d in enumerate(data):
+        np.testing.assert_array_equal(out.at(i), d * 2 + 1)
+
+
+def test_numba_function_type_validation():
+    import numpy as np
+    import pytest as _pytest
+
+    from dali_tpu import fn, pipeline_def, types
+
+    @pipeline_def(batch_size=1, num_threads=1, seed=1)
+    def p():
+        x = fn.external_source(source=lambda: [np.zeros((2, 2), np.float32)],
+                               batch=True, cycle=True)
+        return fn.numba_function(
+            x, run_fn=lambda o, i: None, out_types=[int(types.INT32)],
+            in_types=[int(types.INT32)], outs_ndim=[2], ins_ndim=[2])
+
+    pipe = p()
+    pipe.build()
+    with _pytest.raises(Exception, match="expected"):
+        pipe.run()
