@@ -274,6 +274,49 @@ _decoder_schema("decoders.ImageRandomCrop").DocStr(
 )
 
 
+def sample_rrc_windows_batch(rng, hw, random_area, random_aspect_ratio, num_attempts):
+    """Vectorized RRC window sampling for a whole batch: one Generator, one
+    set of array draws (the per-sample python loop + per-sample Philox
+    construction costs ~0.08 ms/sample — measurable against a ~0.65 ms/sample
+    decode). Same rejection semantics as sample_rrc_window; streams differ
+    (documented divergence — determinism is per (op, iteration) batch draw).
+
+    hw: [n, 2] int array. Returns [n, 4] int array of (y, x, ch, cw)."""
+    hw = np.asarray(hw, np.int64)
+    n = hw.shape[0]
+    h, w = hw[:, 0], hw[:, 1]
+    area = (h * w).astype(np.float64)
+    ta = rng.uniform(random_area[0], random_area[1], (num_attempts, n)) * area
+    log_lo, log_hi = np.log(random_aspect_ratio[0]), np.log(random_aspect_ratio[1])
+    ar = np.exp(rng.uniform(log_lo, log_hi, (num_attempts, n)))
+    cw = np.round(np.sqrt(ta * ar)).astype(np.int64)
+    ch = np.round(np.sqrt(ta / ar)).astype(np.int64)
+    ok = (cw > 0) & (cw <= w) & (ch > 0) & (ch <= h)
+    # uniform offset per attempt (inverse-CDF on a shared uniform draw)
+    u_y = rng.random((num_attempts, n))
+    u_x = rng.random((num_attempts, n))
+    y = np.floor(u_y * np.maximum(h - ch + 1, 1)).astype(np.int64)
+    x = np.floor(u_x * np.maximum(w - cw + 1, 1)).astype(np.int64)
+    first = np.argmax(ok, axis=0)  # first valid attempt (0 if none)
+    any_ok = ok.any(axis=0)
+    idx = (first, np.arange(n))
+    out = np.stack([y[idx], x[idx], ch[idx], cw[idx]], axis=1)
+    if not any_ok.all():
+        # fallback: center crop with clamped aspect (same as the scalar path)
+        in_ar = w / np.maximum(h, 1)
+        f_cw = np.where(in_ar < random_aspect_ratio[0], w,
+                        np.where(in_ar > random_aspect_ratio[1],
+                                 np.minimum(w, np.round(h * random_aspect_ratio[1])), w))
+        f_ch = np.where(in_ar < random_aspect_ratio[0],
+                        np.minimum(h, np.round(w / random_aspect_ratio[0])),
+                        np.where(in_ar > random_aspect_ratio[1], h, h))
+        f_ch = f_ch.astype(np.int64)
+        f_cw = f_cw.astype(np.int64)
+        fb = np.stack([(h - f_ch) // 2, (w - f_cw) // 2, f_ch, f_cw], axis=1)
+        out = np.where(any_ok[:, None], out, fb)
+    return out
+
+
 def sample_rrc_window(rng, h, w, random_area, random_aspect_ratio, num_attempts):
     """Sample a random-resized-crop window; mirrors the reference
     ``RandomCropAttr`` (``dali/operators/image/crop/random_crop_attr.h``) /
@@ -735,10 +778,10 @@ class JpegCoeffsSplitRRC(JpegCoeffsSplit):
         brc0 = np.zeros((n, 2), np.int32)  # luma block offsets (even)
         dims = np.zeros((n, 2), np.int32)  # decoded-region pixel size
         roi = np.zeros((n, 4), np.int32)  # residual y, x, ch, cw within region
+        wins = sample_rrc_windows_batch(ctx.rng(self), infos[:, :2], area, ar, attempts)
         for i in range(n):
             h, w = int(infos[i, 0]), int(infos[i, 1])
-            rng = ctx.rng(self, i)
-            y, x, ch, cw = sample_rrc_window(rng, h, w, area, ar, attempts)
+            y, x, ch, cw = (int(v) for v in wins[i])
             # snap to the 16px MCU grid with a 16px halo (keeps the chroma
             # upsample's neighborhood exact at the crop borders)
             y0 = max((y // 16) * 16 - 16, 0)

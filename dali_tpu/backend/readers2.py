@@ -11,6 +11,19 @@ from __future__ import annotations
 import json
 import os
 import tarfile
+
+
+def _open_maybe_s3(path):
+    """Binary reader for local paths or s3:// URIs (whole-object buffered —
+    webdataset shards are read through once for indexing, then per-component;
+    reference discover_files_s3.cc + s3 read path)."""
+    if isinstance(path, str) and path.startswith("s3://"):
+        import io
+
+        from .. import _s3
+
+        return io.BytesIO(_s3.read_bytes(path))
+    return open(path, "rb")
 from typing import Dict, List
 
 import numpy as np
@@ -138,7 +151,7 @@ class WebdatasetReader(BaseReader):
         for fi, p in enumerate(paths):
             groups: Dict[str, Dict[str, tuple]] = {}
             order: List[str] = []
-            with tarfile.open(p, "r") as tar:
+            with _open_maybe_s3(p) as fobj, tarfile.open(fileobj=fobj, mode="r") as tar:
                 for m in tar:
                     if not m.isfile():
                         continue
@@ -162,7 +175,7 @@ class WebdatasetReader(BaseReader):
         fi, comp = self._samples[index]
         exts = self.spec.GetArgument("ext")
         outs = []
-        with open(self._paths[fi], "rb") as f:
+        with _open_maybe_s3(self._paths[fi]) as f:
             for e in exts:
                 if e in comp:
                     off, size = comp[e]
@@ -212,9 +225,15 @@ class NumpyReader(BaseReader):
             import fnmatch
 
             pat = spec.GetArgument("file_filter", "*.npy")
-            self._files = [
-                os.path.join(root, f) for f in sorted(os.listdir(root)) if fnmatch.fnmatch(f, pat)
-            ]
+            if root.startswith("s3://"):
+                from .. import _s3
+
+                self._files = [u for u in sorted(_s3.list_uris(root))
+                               if fnmatch.fnmatch(u.rsplit("/", 1)[-1], pat)]
+            else:
+                self._files = [
+                    os.path.join(root, f) for f in sorted(os.listdir(root)) if fnmatch.fnmatch(f, pat)
+                ]
         else:
             raise ValueError("readers.numpy requires file_root, files, or file_list")
         if not self._files:
@@ -224,7 +243,14 @@ class NumpyReader(BaseReader):
         return len(self._files)
 
     def _read_payload(self, index: int):
-        return np.load(self._files[index], allow_pickle=False)
+        path = self._files[index]
+        if path.startswith("s3://"):
+            import io
+
+            from .. import _s3
+
+            return np.load(io.BytesIO(_s3.read_bytes(path)), allow_pickle=False)
+        return np.load(path, allow_pickle=False)
 
 
 # ====================================== readers.COCO ===============================================

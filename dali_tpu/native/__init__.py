@@ -644,10 +644,12 @@ def jpeg_coeffs_split_flat_batch(datas, ky, kc, blocks, flat_lens, num_threads: 
         "c_dc": np.concatenate([[0], np.cumsum(2 * c_n)[:-1]]),
         "c_ac": np.concatenate([[0], np.cumsum(2 * c_n * (kc * kc - 1))[:-1]]),
     }
-    y_dc = np.zeros((flat_lens[0],), np.int16)
-    y_ac = np.zeros((flat_lens[1],), np.int8)
-    c_dc = np.zeros((flat_lens[2],), np.int16)
-    c_ac = np.zeros((flat_lens[3],), np.int8)
+    # no pre-zero: the decoder writes every in-window cell (and memsets the
+    # window planes it owns); inter-sample gaps are never gathered on device
+    y_dc = np.empty((flat_lens[0],), np.int16)
+    y_ac = np.empty((flat_lens[1],), np.int8)
+    c_dc = np.empty((flat_lens[2],), np.int16)
+    c_ac = np.empty((flat_lens[3],), np.int8)
     q = np.empty((n, ky * ky + kc * kc), np.uint16)
     oks = (ctypes.c_int * n)()
 
@@ -725,10 +727,12 @@ def jpeg_coeffs_split_flat_crop_batch(datas, ky, kc, blocks, brc0, flat_lens,
         "c_dc": np.concatenate([[0], np.cumsum(2 * c_n)[:-1]]),
         "c_ac": np.concatenate([[0], np.cumsum(2 * c_n * (kc * kc - 1))[:-1]]),
     }
-    y_dc = np.zeros((flat_lens[0],), np.int16)
-    y_ac = np.zeros((flat_lens[1],), np.int8)
-    c_dc = np.zeros((flat_lens[2],), np.int16)
-    c_ac = np.zeros((flat_lens[3],), np.int8)
+    # no pre-zero: the decoder writes every in-window cell (and memsets the
+    # window planes it owns); inter-sample gaps are never gathered on device
+    y_dc = np.empty((flat_lens[0],), np.int16)
+    y_ac = np.empty((flat_lens[1],), np.int8)
+    c_dc = np.empty((flat_lens[2],), np.int16)
+    c_ac = np.empty((flat_lens[3],), np.int8)
     q = np.empty((n, ky * ky + kc * kc), np.uint16)
     oks = (ctypes.c_int * n)()
     holds = [np.ascontiguousarray(offs[k], np.int64) for k in ("y_dc", "y_ac", "c_dc", "c_ac")]

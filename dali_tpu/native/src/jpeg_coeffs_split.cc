@@ -130,6 +130,7 @@ int dali_tpu_jpeg_read_coeffs_split(const char* data, size_t len, int ky, int kc
 extern "C" int64_t dali_tpu_task_submit(void*, void (*)(void*), void*,
                                         const int64_t*, int);
 extern "C" void dali_tpu_pool_wait_all(void*);
+extern "C" int dali_tpu_pool_num_threads(void*);
 // Fast from-scratch baseline Huffman decoder (jpeg_huff.cc); nonzero return
 // means unsupported-or-corrupt-header and we fall back to libjpeg here.
 extern "C" int dali_tpu_jpeg_huff_read_coeffs_split_crop(
@@ -190,6 +191,9 @@ extern "C" int dali_tpu_jpeg_coeffs_split_batch(
   const int c_ac_k = kc * kc - 1;
   const int qn = ky * ky + kc * kc;
   std::vector<CoefSplitJob> jobs(n);
+  // single-worker pools: run inline (256 submit/wait round-trips per batch
+  // are pure mutex overhead on 1-core hosts)
+  const bool inline_run = dali_tpu_pool_num_threads(pool) <= 1;
   for (int i = 0; i < n; i++) {
     jobs[i] = {datas[i],
                lens[i],
@@ -207,9 +211,10 @@ extern "C" int dali_tpu_jpeg_coeffs_split_batch(
                c_ac + i * 2 * c_n * c_ac_k + c_n * c_ac_k,
                q + i * qn,
                &oks[i]};
-    dali_tpu_task_submit(pool, run_coef_split_job, &jobs[i], nullptr, 0);
+    if (inline_run) run_coef_split_job(&jobs[i]);
+    else dali_tpu_task_submit(pool, run_coef_split_job, &jobs[i], nullptr, 0);
   }
-  dali_tpu_pool_wait_all(pool);
+  if (!inline_run) dali_tpu_pool_wait_all(pool);
   return 0;
 }
 
@@ -226,6 +231,9 @@ extern "C" int dali_tpu_jpeg_coeffs_split_flat_batch(
   const int c_ac_k = kc * kc - 1;
   const int qn = ky * ky + kc * kc;
   std::vector<CoefSplitJob> jobs(n);
+  // single-worker pools: run inline (256 submit/wait round-trips per batch
+  // are pure mutex overhead on 1-core hosts)
+  const bool inline_run = dali_tpu_pool_num_threads(pool) <= 1;
   for (int i = 0; i < n; i++) {
     const long c_n = (long)cbh[i] * cbw[i];
     jobs[i] = {datas[i],
@@ -244,9 +252,10 @@ extern "C" int dali_tpu_jpeg_coeffs_split_flat_batch(
                c_ac + c_ac_off[i] + c_n * c_ac_k,
                q + (long)i * qn,
                &oks[i]};
-    dali_tpu_task_submit(pool, run_coef_split_job, &jobs[i], nullptr, 0);
+    if (inline_run) run_coef_split_job(&jobs[i]);
+    else dali_tpu_task_submit(pool, run_coef_split_job, &jobs[i], nullptr, 0);
   }
-  dali_tpu_pool_wait_all(pool);
+  if (!inline_run) dali_tpu_pool_wait_all(pool);
   return 0;
 }
 
@@ -264,6 +273,9 @@ extern "C" int dali_tpu_jpeg_coeffs_split_flat_crop_batch(
   const int c_ac_k = kc * kc - 1;
   const int qn = ky * ky + kc * kc;
   std::vector<CoefSplitJob> jobs(n);
+  // single-worker pools: run inline (256 submit/wait round-trips per batch
+  // are pure mutex overhead on 1-core hosts)
+  const bool inline_run = dali_tpu_pool_num_threads(pool) <= 1;
   for (int i = 0; i < n; i++) {
     const long c_n = (long)cbh[i] * cbw[i];
     jobs[i] = {datas[i],
@@ -286,8 +298,9 @@ extern "C" int dali_tpu_jpeg_coeffs_split_flat_crop_batch(
                y_bc0[i],
                y_br0[i] / 2,
                y_bc0[i] / 2};
-    dali_tpu_task_submit(pool, run_coef_split_job, &jobs[i], nullptr, 0);
+    if (inline_run) run_coef_split_job(&jobs[i]);
+    else dali_tpu_task_submit(pool, run_coef_split_job, &jobs[i], nullptr, 0);
   }
-  dali_tpu_pool_wait_all(pool);
+  if (!inline_run) dali_tpu_pool_wait_all(pool);
   return 0;
 }

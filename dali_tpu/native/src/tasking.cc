@@ -36,6 +36,8 @@ class Scheduler {
       workers_.emplace_back([this] { WorkerLoop(); });
   }
 
+  int NumThreads() const { return (int)workers_.size(); }
+
   ~Scheduler() {
     {
       std::lock_guard<std::mutex> lk(mu_);
@@ -129,6 +131,10 @@ struct Semaphore {
 extern "C" {
 
 void *dali_tpu_pool_create(int threads) { return new Scheduler(threads); }
+
+int dali_tpu_pool_num_threads(void *pool) {
+  return static_cast<Scheduler *>(pool)->NumThreads();
+}
 
 void dali_tpu_pool_destroy(void *p) { delete static_cast<Scheduler *>(p); }
 

@@ -102,7 +102,7 @@ def test_hybrid_rrc_matches_full_decode_crop(tmp_path):
     import cv2
 
     from dali_tpu.backend.base import HostCtx
-    from dali_tpu.backend.decoders import sample_rrc_window
+    from dali_tpu.backend.decoders import sample_rrc_windows_batch
 
     root = tmp_path / "imgs" / "c"
     root.mkdir(parents=True)
@@ -131,10 +131,11 @@ def test_hybrid_rrc_matches_full_decode_crop(tmp_path):
     rrc_op = next(i for i in pf._executor.impls.values()
                   if type(i).__name__ == "JpegCoeffsSplitRRC")
     ctx = HostCtx(pf, 0, 0)
+    hw = np.array([whole.shape()[i][:2] for i in range(2)])
+    wins = sample_rrc_windows_batch(ctx.rng(rrc_op), hw, [0.08, 1.0],
+                                    [3 / 4, 4 / 3], 10)
     for i in range(2):
-        h, w, _ = whole.shape()[i]
-        r = ctx.rng(rrc_op, i)
-        y, x, ch, cw = sample_rrc_window(r, h, w, [0.08, 1.0], [3 / 4, 4 / 3], 10)
+        y, x, ch, cw = (int(v) for v in wins[i])
         want = np.asarray(whole.as_tensor())[i][y:y + ch, x:x + cw]
         gh, gw, _ = crop.shape()[i]
         got = np.asarray(crop.as_tensor())[i][:gh, :gw]

@@ -130,3 +130,52 @@ def test_file_reader_from_s3_root(mock_s3):
 def test_missing_object_fails_cleanly(mock_s3):
     with pytest.raises(Exception):
         _s3.read_bytes("s3://bucket/nope.bin")
+
+
+def test_webdataset_reader_from_s3(mock_s3):
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tar:
+        for i in range(4):
+            for ext, payload in (("cls", str(i).encode()), ("txt", b"x" * (i + 1))):
+                ti = tarfile.TarInfo(name=f"s{i:03d}.{ext}")
+                ti.size = len(payload)
+                tar.addfile(ti, io.BytesIO(payload))
+    MockS3Handler.objects["bucket"]["shards/part0.tar"] = buf.getvalue()
+
+    from dali_tpu import fn, pipeline_def
+
+    @pipeline_def(batch_size=4, num_threads=1, seed=1)
+    def p():
+        cls, txt = fn.readers.webdataset(paths=["s3://bucket/shards/part0.tar"],
+                                         ext=["cls", "txt"], name="W")
+        return cls, txt
+
+    pipe = p()
+    pipe.build()
+    cls, txt = pipe.run()
+    assert bytes(cls.at(2)).decode() == "2"
+    assert len(txt.at(3)) == 4
+
+
+def test_numpy_reader_from_s3(mock_s3):
+    import io
+
+    for i in range(3):
+        b = io.BytesIO()
+        np.save(b, np.full((2, 2), i, np.int32))
+        MockS3Handler.objects["bucket"][f"arrays/a{i}.npy"] = b.getvalue()
+
+    from dali_tpu import fn, pipeline_def
+
+    @pipeline_def(batch_size=3, num_threads=1, seed=1)
+    def p():
+        return fn.readers.numpy(file_root="s3://bucket/arrays", name="N")
+
+    pipe = p()
+    pipe.build()
+    out = pipe.run()[0]
+    vals = sorted(int(out.at(i)[0, 0]) for i in range(3))
+    assert vals == [0, 1, 2]
