@@ -66,7 +66,15 @@ def _reduce(xp, kind, x, axes, keep, ddof=0, mean=None):
     if kind == "RootMeanSquare":
         return xp.sqrt(xp.mean(x * x, axis=axes, keepdims=keep))
     if kind in ("StdDev", "Variance"):
-        m = xp.mean(x, axis=axes, keepdims=True) if mean is None else mean
+        if mean is None:
+            m = xp.mean(x, axis=axes, keepdims=True)
+        else:
+            m = mean
+            if getattr(m, "ndim", 0) != x.ndim:
+                # a non-keep_dims mean input: re-insert the reduced axes so
+                # it broadcasts against x (reference two-input StdDev form)
+                shape = [1 if a in axes else x.shape[a] for a in range(x.ndim)]
+                m = xp.reshape(xp.asarray(m), shape)
         n = 1
         for a in axes:
             n *= x.shape[a]

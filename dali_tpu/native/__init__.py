@@ -375,6 +375,34 @@ class VideoFile:
             pass
 
 
+class _StagingRing:
+    """Reusable wire-buffer ring — the host staging arena (SURVEY §2.1
+    memory-manager row; reference mm::* pinned staging pools). np.empty per
+    batch costs ~17 MB of fresh-page faults at this batch size; a ring deep
+    enough to cover the prefetch queue reuses warm pages safely (a buffer is
+    only rewritten after its iteration's device transfer has completed)."""
+
+    DEPTH = 4  # > max prefetch depth in practice; grow if pipelines go deeper
+
+    def __init__(self):
+        self._slots = {}
+        self._idx = {}
+
+    def take(self, kind: str, n: int, dtype) -> np.ndarray:
+        key = (kind, np.dtype(dtype).str)
+        ring = self._slots.setdefault(key, [None] * self.DEPTH)
+        i = self._idx.get(key, 0)
+        self._idx[key] = (i + 1) % self.DEPTH
+        buf = ring[i]
+        if buf is None or buf.shape[0] < n:
+            buf = np.empty((n,), dtype)
+            ring[i] = buf
+        return buf[:n]
+
+
+_STAGING = _StagingRing()
+
+
 def jpeg_read_coeffs_split(data: bytes, ky: int, kc: int, y_bh: int, y_bw: int, c_bh: int, c_bw: int):
     """Split-precision wire format: DC int16 planes + AC int8 planes (saturated)
     + quant tables. Returns (y_dc [ybh,ybw], y_ac [ybh,ybw,ky²-1],
@@ -644,12 +672,12 @@ def jpeg_coeffs_split_flat_batch(datas, ky, kc, blocks, flat_lens, num_threads: 
         "c_dc": np.concatenate([[0], np.cumsum(2 * c_n)[:-1]]),
         "c_ac": np.concatenate([[0], np.cumsum(2 * c_n * (kc * kc - 1))[:-1]]),
     }
-    # no pre-zero: the decoder writes every in-window cell (and memsets the
-    # window planes it owns); inter-sample gaps are never gathered on device
-    y_dc = np.empty((flat_lens[0],), np.int16)
-    y_ac = np.empty((flat_lens[1],), np.int8)
-    c_dc = np.empty((flat_lens[2],), np.int16)
-    c_ac = np.empty((flat_lens[3],), np.int8)
+    # no pre-zero (the decoder writes every in-window cell; gaps are never
+    # gathered on device); buffers come from the staging ring (warm pages)
+    y_dc = _STAGING.take("y_dc", flat_lens[0], np.int16)
+    y_ac = _STAGING.take("y_ac", flat_lens[1], np.int8)
+    c_dc = _STAGING.take("c_dc", flat_lens[2], np.int16)
+    c_ac = _STAGING.take("c_ac", flat_lens[3], np.int8)
     q = np.empty((n, ky * ky + kc * kc), np.uint16)
     oks = (ctypes.c_int * n)()
 
@@ -727,12 +755,12 @@ def jpeg_coeffs_split_flat_crop_batch(datas, ky, kc, blocks, brc0, flat_lens,
         "c_dc": np.concatenate([[0], np.cumsum(2 * c_n)[:-1]]),
         "c_ac": np.concatenate([[0], np.cumsum(2 * c_n * (kc * kc - 1))[:-1]]),
     }
-    # no pre-zero: the decoder writes every in-window cell (and memsets the
-    # window planes it owns); inter-sample gaps are never gathered on device
-    y_dc = np.empty((flat_lens[0],), np.int16)
-    y_ac = np.empty((flat_lens[1],), np.int8)
-    c_dc = np.empty((flat_lens[2],), np.int16)
-    c_ac = np.empty((flat_lens[3],), np.int8)
+    # no pre-zero (the decoder writes every in-window cell; gaps are never
+    # gathered on device); buffers come from the staging ring (warm pages)
+    y_dc = _STAGING.take("y_dc", flat_lens[0], np.int16)
+    y_ac = _STAGING.take("y_ac", flat_lens[1], np.int8)
+    c_dc = _STAGING.take("c_dc", flat_lens[2], np.int16)
+    c_ac = _STAGING.take("c_ac", flat_lens[3], np.int8)
     q = np.empty((n, ky * ky + kc * kc), np.uint16)
     oks = (ctypes.c_int * n)()
     holds = [np.ascontiguousarray(offs[k], np.int64) for k in ("y_dc", "y_ac", "c_dc", "c_ac")]
