@@ -94,7 +94,9 @@ class S3Client:
             host = f"{bucket}.s3.{self.region}.amazonaws.com"
             base = f"https://{host}"
             path = "/" + urllib.parse.quote(key)
-        qs = urllib.parse.urlencode(sorted(query.items()))
+        # RFC 3986 encoding (%20, not '+') — SigV4 canonicalization requires it
+        qs = urllib.parse.urlencode(sorted(query.items()),
+                                    quote_via=urllib.parse.quote)
         payload_hash = hashlib.sha256(b"").hexdigest()
         now = datetime.datetime.now(datetime.timezone.utc)
         headers = self._sign("GET", host, path, qs, payload_hash, now)

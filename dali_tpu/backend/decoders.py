@@ -551,6 +551,18 @@ DALI_SCHEMA("_JpegIdctSplit").DocStr(
 
 @register_operator("_JpegCoeffsSplit", "mixed")
 class JpegCoeffsSplit(JpegCoeffs):
+    def _wire_ring(self):
+        """Per-op wire-buffer ring sized to this pipeline's in-flight staged
+        iterations (cpu_queue_depth + one being built + one in transfer) —
+        see native.StagingRing safety contract."""
+        from .. import native
+
+        ring = getattr(self, "_ring", None)
+        depth = getattr(self.pipeline, "cpu_queue_depth", 2) + 2
+        if ring is None or ring.depth < depth:
+            ring = self._ring = native.StagingRing(depth)
+        return ring
+
     def stage_batch_multi(self, ctx, inputs, canvases):
         """Fused path: ONE native call reads every sample's coefficient planes
         straight into the padded boundary canvases (batch entry in
@@ -605,7 +617,8 @@ class JpegCoeffsSplit(JpegCoeffs):
             self._flat_lens[j] = max(self._flat_lens[j], -(-need[j] // chunk) * chunk)
 
         r = native.jpeg_coeffs_split_flat_batch(
-            datas, ky, kc, blocks, self._flat_lens, num_threads=self.pipeline.num_threads
+            datas, ky, kc, blocks, self._flat_lens,
+            num_threads=self.pipeline.num_threads, ring=self._wire_ring(),
         )
         if r is None:
             return None
@@ -825,7 +838,7 @@ class JpegCoeffsSplitRRC(JpegCoeffsSplit):
 
         r = native.jpeg_coeffs_split_flat_crop_batch(
             datas, ky, kc, blocks, brc0, self._flat_lens,
-            num_threads=self.pipeline.num_threads,
+            num_threads=self.pipeline.num_threads, ring=self._wire_ring(),
         )
         if r is None:
             return None

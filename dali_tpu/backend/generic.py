@@ -295,9 +295,9 @@ class PadCPU(Operator):
         req_shape = self.spec.GetArgument("shape", None)
         target = shapes.max(axis=0)
         if req_shape:
-            for d, v in enumerate(req_shape):
-                if v > 0:
-                    target[d] = max(target[d], v)
+            for k, a2 in enumerate(axes):
+                if k < len(req_shape) and req_shape[k] > 0:
+                    target[a2] = max(target[a2], req_shape[k])
         if align:
             for i, d in enumerate(axes):
                 a = align[i] if i < len(align) else align[-1]
@@ -329,9 +329,11 @@ class PadGPU(Operator):
         req_shape = self.spec.GetArgument("shape", None)
         target = shapes.max(axis=0).astype(np.int64)
         if req_shape:
-            for d, v in enumerate(req_shape):
-                if v > 0 and d < ndim:
-                    target[d] = max(target[d], int(v))
+            # shape entries correspond to positions in `axes` (reference Pad:
+            # "extents of the output in the axes specified by axes"; -1/0 = keep)
+            for k, a in enumerate(axes):
+                if k < len(req_shape) and req_shape[k] > 0:
+                    target[a] = max(target[a], int(req_shape[k]))
         if align:
             for i, d in enumerate(axes):
                 a = align[i] if i < len(align) else align[-1]

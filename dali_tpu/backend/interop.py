@@ -248,14 +248,36 @@ class NumbaFunction(Operator):
         self._kernel()(*outs, *arrays)
         return tuple(outs)
 
-    def run_batch(self, ctx, *inputs: HostBatch):
-        if self.spec.GetArgument("batch_processing", False):
-            n = len(inputs[0])
-            results = [self._apply(*(b.samples[i] for b in inputs)) for i in range(n)]
+    def _apply_batch(self, batches):
+        """batch_processing=True: run_fn receives LISTS of samples (the
+        reference numba batch contract; setup_fn sees [out][sample][dim])."""
+        from ..types import DALIDataType, to_numpy_type
+
+        n = len(batches[0])
+        for arrays in zip(*batches):
+            self._validate(arrays)
+        out_types = self.spec.GetArgument("out_types", None) or []
+        outs_ndim = self.spec.GetArgument("outs_ndim", None)
+        in_shapes = [[list(a.shape) for a in b] for b in batches]
+        if self._setup_fn is not None:
+            out_shapes = [[[0] * (int(outs_ndim[j]) if outs_ndim else batches[0][i].ndim)
+                           for i in range(n)] for j in range(len(out_types))]
+            self._setup_fn(out_shapes, in_shapes)
         else:
-            n = len(inputs[0])
-            results = ctx.map_samples(
-                lambda i: self._apply(*(b.samples[i] for b in inputs)), n)
+            out_shapes = [in_shapes[0] for _ in out_types]
+        outs = [[np.zeros(shape, to_numpy_type(DALIDataType(int(dt))))
+                 for shape in shapes]
+                for shapes, dt in zip(out_shapes, out_types)]
+        self._kernel()(*outs, *[list(b) for b in batches])
+        return outs
+
+    def run_batch(self, ctx, *inputs: HostBatch):
         n_out = len(self.spec.GetArgument("out_types", [0]) or [0])
+        if self.spec.GetArgument("batch_processing", False):
+            outs = self._apply_batch([list(b.samples) for b in inputs])
+            return [HostBatch(o, layout="") for o in outs]
+        n = len(inputs[0])
+        results = ctx.map_samples(
+            lambda i: self._apply(*(b.samples[i] for b in inputs)), n)
         return [HostBatch([r[j] for r in results], layout="")
                 for j in range(n_out)]

@@ -345,17 +345,24 @@ class FileReader(BaseReader):
                 uris = sorted(_s3.list_uris(file_root))
                 root_prefix = file_root.rstrip("/") + "/"
                 match = fnmatch.fnmatchcase if case_sensitive else fnmatch.fnmatch
+                # label indices enumerate ALL subdirs (matching files or not),
+                # exactly like the local os.listdir path — otherwise labels
+                # diverge between local and s3 copies of the same dataset
+                subdirs = set()
                 by_dir = {}
                 for uri in uris:
                     rel = uri[len(root_prefix):]
                     sub, _, fname = rel.partition("/")
-                    if not fname or "/" in fname:
+                    if not fname:
+                        continue
+                    subdirs.add(sub)
+                    if "/" in fname:
                         continue  # only one level of label dirs, like local
                     name = fname if case_sensitive else fname.lower()
                     if any(match(name, pat) for pat in filters):
                         by_dir.setdefault(sub, []).append(uri)
-                for label, sub in enumerate(sorted(by_dir)):
-                    for uri in sorted(by_dir[sub]):
+                for label, sub in enumerate(sorted(subdirs)):
+                    for uri in sorted(by_dir.get(sub, [])):
                         self._files.append(uri)
                         self._labels.append(label)
                 if not self._files:

@@ -174,8 +174,23 @@ class WebdatasetReader(BaseReader):
     def _read_payload(self, index: int):
         fi, comp = self._samples[index]
         exts = self.spec.GetArgument("ext")
+        path = self._paths[fi]
         outs = []
-        with _open_maybe_s3(self._paths[fi]) as f:
+        if path.startswith("s3://"):
+            # ranged GETs per component — never re-download the whole shard
+            from .. import _s3
+
+            bucket, key = _s3.parse_uri(path)
+            cl = _s3.client()
+            for e in exts:
+                if e in comp:
+                    off, size = comp[e]
+                    blob = cl.get_object(bucket, key, byte_range=(off, off + size))
+                    outs.append(np.frombuffer(blob, np.uint8).copy())
+                else:
+                    outs.append(np.zeros((0,), np.uint8))
+            return tuple(outs)
+        with open(path, "rb") as f:
             for e in exts:
                 if e in comp:
                     off, size = comp[e]

@@ -180,6 +180,8 @@ class NonsilentRegionGPU(Operator):
     (cumsum-based, reference kernels/signal/moving_mean_square.cu)."""
 
     def host_output_shapes(self, ctx, input_shapes, input_batches):
+        if input_shapes[0] is None:
+            return None
         n = input_shapes[0].shape[0]
         return [np.zeros((n, 0), np.int32), np.zeros((n, 0), np.int32)]
 
@@ -302,13 +304,7 @@ class TensorResizeGPU(Operator):
                     x = x.astype(jnp.float32)
             return x
 
-        # pad canvas up-front so every sample maps onto the static output canvas
-        pads = [(0, 0)]
-        for a in range(nd):
-            tgt = canvas[a] if a in axes else inp.canvas[a]
-            pads.append((0, max(0, tgt - inp.canvas[a]) if a in axes else 0))
-        data = inp.data
-        out = jax.vmap(one)(data, in_ext, out_ext)
+        out = jax.vmap(one)(inp.data, in_ext, out_ext)
         from ..types import to_jnp_type
 
         dt_arg = self.spec.GetArgument("dtype", None)
@@ -319,8 +315,7 @@ class TensorResizeGPU(Operator):
         if jnp.issubdtype(dt, jnp.integer):
             info = jnp.iinfo(dt)
             out = jnp.clip(jnp.round(out), info.min, info.max)
-        shapes = out_ext if inp.shapes is not None or True else None
-        return [DeviceBatch(out.astype(dt), shapes, inp.layout)]
+        return [DeviceBatch(out.astype(dt), out_ext, inp.layout)]
 
 
 # ====================================== MultiPaste =================================================
@@ -631,6 +626,8 @@ class DebayerGPU(Operator):
     the tent kernel normalized by the mask's own response."""
 
     def host_output_shapes(self, ctx, input_shapes, input_batches):
+        if input_shapes[0] is None:
+            return None
         shapes = np.asarray(input_shapes[0])
         out = shapes[:, :2].copy()
         return [np.concatenate([out, np.full((out.shape[0], 1), 3, out.dtype)], 1)]

@@ -201,7 +201,9 @@ daliTpuResult daliTpuOutputInfo(daliTpuPipeline handle, int output, int sample,
   info->nbytes = PyLong_AsLongLong(nbytes);
   Py_DECREF(shape);
   Py_DECREF(nbytes);
-  // DALIDataType of the sample (types.from_numpy_type)
+  // DALIDataType of the sample (types.from_numpy_type); best-effort — on any
+  // failure leave dtype=-1 and CLEAR the error indicator (a dangling pending
+  // exception would corrupt the next C-API call into Python)
   info->dtype = -1;
   PyObject* types_mod = PyImport_ImportModule("dali_tpu.types");
   PyObject* dt = PyObject_GetAttrString(arr, "dtype");
@@ -212,10 +214,9 @@ daliTpuResult daliTpuOutputInfo(daliTpuPipeline handle, int output, int sample,
       info->dtype = (int32_t)PyLong_AsLong(iv ? iv : v);
       Py_XDECREF(iv);
       Py_DECREF(v);
-    } else {
-      PyErr_Clear();
     }
   }
+  PyErr_Clear();
   Py_XDECREF(dt);
   Py_XDECREF(types_mod);
   return DALI_TPU_OK;

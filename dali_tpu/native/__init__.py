@@ -375,32 +375,31 @@ class VideoFile:
             pass
 
 
-class _StagingRing:
+class StagingRing:
     """Reusable wire-buffer ring — the host staging arena (SURVEY §2.1
     memory-manager row; reference mm::* pinned staging pools). np.empty per
-    batch costs ~17 MB of fresh-page faults at this batch size; a ring deep
-    enough to cover the prefetch queue reuses warm pages safely (a buffer is
-    only rewritten after its iteration's device transfer has completed)."""
+    batch costs ~17 MB of fresh-page faults at this batch size; a ring reuses
+    warm pages. SAFETY: a slot may be rewritten only after its iteration's
+    device transfer completed, so the ring must be owned by ONE pipeline's
+    decoder op and sized >= that pipeline's in-flight staged iterations
+    (cpu_queue_depth + 2: one being built, one in transfer). Callers that
+    can't guarantee a depth pass ring=None and get fresh allocations."""
 
-    DEPTH = 4  # > max prefetch depth in practice; grow if pipelines go deeper
-
-    def __init__(self):
+    def __init__(self, depth: int):
+        self.depth = max(int(depth), 2)
         self._slots = {}
         self._idx = {}
 
     def take(self, kind: str, n: int, dtype) -> np.ndarray:
         key = (kind, np.dtype(dtype).str)
-        ring = self._slots.setdefault(key, [None] * self.DEPTH)
+        ring = self._slots.setdefault(key, [None] * self.depth)
         i = self._idx.get(key, 0)
-        self._idx[key] = (i + 1) % self.DEPTH
+        self._idx[key] = (i + 1) % self.depth
         buf = ring[i]
         if buf is None or buf.shape[0] < n:
             buf = np.empty((n,), dtype)
             ring[i] = buf
         return buf[:n]
-
-
-_STAGING = _StagingRing()
 
 
 def jpeg_read_coeffs_split(data: bytes, ky: int, kc: int, y_bh: int, y_bw: int, c_bh: int, c_bw: int):
@@ -651,7 +650,8 @@ def jpeg_coeffs_split_batch(datas, ky, kc, BH, BW, CBH, CBW, num_threads: int = 
     return y_dc, y_ac, c_dc, c_ac, q.astype(np.int32), [bool(v) for v in oks]
 
 
-def jpeg_coeffs_split_flat_batch(datas, ky, kc, blocks, flat_lens, num_threads: int = 0):
+def jpeg_coeffs_split_flat_batch(datas, ky, kc, blocks, flat_lens, num_threads: int = 0,
+                                 ring=None):
     """Flat-packed coefficient read: every sample's planes written densely at
     computed offsets of four flat buffers (no padding bytes). ``blocks`` is
     [N,4] int32 (ybh, ybw, cbh, cbw); ``flat_lens`` the grow-policy element
@@ -673,11 +673,17 @@ def jpeg_coeffs_split_flat_batch(datas, ky, kc, blocks, flat_lens, num_threads: 
         "c_ac": np.concatenate([[0], np.cumsum(2 * c_n * (kc * kc - 1))[:-1]]),
     }
     # no pre-zero (the decoder writes every in-window cell; gaps are never
-    # gathered on device); buffers come from the staging ring (warm pages)
-    y_dc = _STAGING.take("y_dc", flat_lens[0], np.int16)
-    y_ac = _STAGING.take("y_ac", flat_lens[1], np.int8)
-    c_dc = _STAGING.take("c_dc", flat_lens[2], np.int16)
-    c_ac = _STAGING.take("c_ac", flat_lens[3], np.int8)
+    # gathered on device); with a caller-owned ring, buffers reuse warm pages
+    if ring is not None:
+        y_dc = ring.take("y_dc", flat_lens[0], np.int16)
+        y_ac = ring.take("y_ac", flat_lens[1], np.int8)
+        c_dc = ring.take("c_dc", flat_lens[2], np.int16)
+        c_ac = ring.take("c_ac", flat_lens[3], np.int8)
+    else:
+        y_dc = np.empty((flat_lens[0],), np.int16)
+        y_ac = np.empty((flat_lens[1],), np.int8)
+        c_dc = np.empty((flat_lens[2],), np.int16)
+        c_ac = np.empty((flat_lens[3],), np.int8)
     q = np.empty((n, ky * ky + kc * kc), np.uint16)
     oks = (ctypes.c_int * n)()
 
@@ -733,7 +739,7 @@ def jpeg_coef_info_batch(datas, num_threads: int = 0):
 
 
 def jpeg_coeffs_split_flat_crop_batch(datas, ky, kc, blocks, brc0, flat_lens,
-                                      num_threads: int = 0):
+                                      num_threads: int = 0, ring=None):
     """Flat-packed CROPPED coefficient read (DCT-domain random crop): only the
     block window [brc0, brc0+blocks) of each sample is read and packed.
     ``blocks`` [N,4] = cropped (ybh, ybw, cbh, cbw); ``brc0`` [N,2] = luma
@@ -756,11 +762,17 @@ def jpeg_coeffs_split_flat_crop_batch(datas, ky, kc, blocks, brc0, flat_lens,
         "c_ac": np.concatenate([[0], np.cumsum(2 * c_n * (kc * kc - 1))[:-1]]),
     }
     # no pre-zero (the decoder writes every in-window cell; gaps are never
-    # gathered on device); buffers come from the staging ring (warm pages)
-    y_dc = _STAGING.take("y_dc", flat_lens[0], np.int16)
-    y_ac = _STAGING.take("y_ac", flat_lens[1], np.int8)
-    c_dc = _STAGING.take("c_dc", flat_lens[2], np.int16)
-    c_ac = _STAGING.take("c_ac", flat_lens[3], np.int8)
+    # gathered on device); with a caller-owned ring, buffers reuse warm pages
+    if ring is not None:
+        y_dc = ring.take("y_dc", flat_lens[0], np.int16)
+        y_ac = ring.take("y_ac", flat_lens[1], np.int8)
+        c_dc = ring.take("c_dc", flat_lens[2], np.int16)
+        c_ac = ring.take("c_ac", flat_lens[3], np.int8)
+    else:
+        y_dc = np.empty((flat_lens[0],), np.int16)
+        y_ac = np.empty((flat_lens[1],), np.int8)
+        c_dc = np.empty((flat_lens[2],), np.int16)
+        c_ac = np.empty((flat_lens[3],), np.int8)
     q = np.empty((n, ky * ky + kc * kc), np.uint16)
     oks = (ctypes.c_int * n)()
     holds = [np.ascontiguousarray(offs[k], np.int64) for k in ("y_dc", "y_ac", "c_dc", "c_ac")]

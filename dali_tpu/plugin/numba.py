@@ -54,24 +54,3 @@ def numba_function(
         **kwargs,
     )
 
-    def _apply(*arrays):
-        outs = []
-        in_shapes = [list(a.shape) for a in arrays]
-        if setup_fn is not None:
-            out_shapes = [[0] * (outs_ndim[i] if outs_ndim else arrays[0].ndim)
-                          for i in range(len(out_types))]
-            setup_fn(out_shapes, in_shapes)
-        else:
-            out_shapes = [in_shapes[0] for _ in out_types]
-        for shape, dt in zip(out_shapes, out_types):
-            outs.append(np.zeros(shape, to_numpy_type(dt)))
-        run_fn(*outs, *arrays)
-        return tuple(outs) if len(outs) > 1 else outs[0]
-
-    return _fn.python_function(
-        *inputs,
-        function=_apply,
-        num_outputs=len(out_types),
-        batch_processing=batch_processing,
-        **kwargs,
-    )

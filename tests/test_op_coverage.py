@@ -257,3 +257,72 @@ def test_random_mask_pixel_foreground():
     for _ in range(5):
         c = np.asarray(pipe.run()[0].at(0))
         assert mask[c[0], c[1]] == 1
+
+
+@pytest.mark.parametrize("device", ["cpu", "gpu"])
+def test_pad_shape_indexed_by_axes(device):
+    """`shape` entries correspond to positions in `axes` (reference Pad);
+    regression for a bug where shape[k] was applied to raw dim k."""
+    rng = np.random.default_rng(7)
+    data = [rng.integers(0, 255, (3, 4), np.uint8) for _ in range(2)]
+    out = run(lambda x: fn.pad(x, axes=[1], shape=[9], fill_value=1), data, device)[0]
+    for o in out:
+        assert o.shape == (3, 9), o.shape
+
+
+def test_numba_function_batch_processing():
+    """batch_processing=True passes LISTS of samples (the reference numba
+    batch contract), not per-sample arrays."""
+    def run_fn(outs, ins):
+        assert isinstance(outs, list) and isinstance(ins, list)
+        for o, i in zip(outs, ins):
+            o[:] = i * 3
+
+    data = [np.arange(4, dtype=np.int32), np.arange(6, dtype=np.int32)]
+
+    @pipeline_def(batch_size=2, num_threads=1, seed=1)
+    def p():
+        x = fn.external_source(source=lambda: data, batch=True, cycle=True)
+        return fn.numba_function(x, run_fn=run_fn, out_types=[int(types.INT32)],
+                                 in_types=[int(types.INT32)], outs_ndim=[1],
+                                 ins_ndim=[1], batch_processing=True)
+
+    pipe = p()
+    pipe.build()
+    out = pipe.run()[0]
+    for i, d in enumerate(data):
+        np.testing.assert_array_equal(out.at(i), d * 3)
+
+
+def test_staging_ring_depth_tracks_prefetch_queue():
+    """The wire-buffer ring must cover every in-flight staged iteration
+    (cpu_queue_depth + 2); a deeper queue gets a deeper ring."""
+    from dali_tpu import native
+
+    if not native.available():
+        pytest.skip("native runtime not built")
+    import cv2
+
+    import tempfile, os
+    root = tempfile.mkdtemp()
+    os.makedirs(f"{root}/c")
+    rng = np.random.default_rng(0)
+    for i in range(8):
+        cv2.imwrite(f"{root}/c/{i}.jpg", rng.integers(0, 255, (64, 64, 3), np.uint8),
+                    [cv2.IMWRITE_JPEG_QUALITY, 90])
+
+    @pipeline_def(batch_size=2, num_threads=1, seed=1,
+                  prefetch_queue_depth={"cpu_size": 3, "gpu_size": 2})
+    def p():
+        jp, _ = fn.readers.file(file_root=root, name="r")
+        img = fn.decoders.image_random_crop(jp, device="mixed",
+                                            hybrid_device_decode=True)
+        return fn.resize(img, resize_x=32, resize_y=32)
+
+    pipe = p()
+    pipe.build()
+    for _ in range(6):
+        pipe.run()
+    rrc = next(i for i in pipe._executor.impls.values()
+               if type(i).__name__ == "JpegCoeffsSplitRRC")
+    assert rrc._ring.depth >= 5  # cpu_size 3 + building + in-transfer
