@@ -422,6 +422,8 @@ class TensorResize(Operator):
 
 
 alias_schema("experimental.TensorResize", "TensorResize")
+alias_schema("experimental.Resize", "Resize")  # ref experimental/resize_op.cc
+alias_schema("TransformTranslation", "transforms.Translation")  # deprecated name
 
 
 # ====================================== BBoxRotate ================================================

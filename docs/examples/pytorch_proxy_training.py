@@ -1,0 +1,58 @@
+"""PyTorch DALI-proxy: torch DataLoader workers produce lightweight sample
+references; the dali_tpu pipeline runs in the MAIN process (where the TPU
+lives) and its outputs are substituted into the collated batches.
+
+Usage: python docs/examples/pytorch_proxy_training.py <imagenet-style dir>
+"""
+
+import sys
+
+import numpy as np
+import torch
+
+from dali_tpu import fn, pipeline_def, types
+from dali_tpu.plugin import proxy as dali_proxy
+
+
+@pipeline_def(batch_size=64, num_threads=4, seed=11)
+def train_pipe():
+    # fed by the proxy: raw encoded JPEG bytes from the torch dataset
+    jpegs = fn.external_source(name="jpegs")
+    images = fn.decoders.image(jpegs, device="mixed", hybrid_device_decode=True)
+    images = fn.random_resized_crop(images, size=[224, 224])
+    return fn.crop_mirror_normalize(
+        images, mirror=fn.random.coin_flip(), dtype=types.FLOAT,
+        output_layout="CHW", mean=[0.485 * 255, 0.456 * 255, 0.406 * 255],
+        std=[0.229 * 255, 0.224 * 255, 0.225 * 255])
+
+
+class JpegFolder(torch.utils.data.Dataset):
+    def __init__(self, root, transform):
+        import glob
+        import os
+
+        self.files = sorted(glob.glob(os.path.join(root, "*", "*.jpg")))
+        self.labels = {d: i for i, d in enumerate(sorted(
+            {os.path.basename(os.path.dirname(f)) for f in self.files}))}
+        self.transform = transform
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, i):
+        import os
+
+        with open(self.files[i], "rb") as f:
+            data = np.frombuffer(f.read(), np.uint8)
+        label = self.labels[os.path.basename(os.path.dirname(self.files[i]))]
+        return self.transform(data), label
+
+
+if __name__ == "__main__":
+    with dali_proxy.DALIServer(train_pipe()) as server:
+        ds = JpegFolder(sys.argv[1], transform=server.proxy)
+        loader = dali_proxy.DataLoader(server, ds, batch_size=64, num_workers=4,
+                                       shuffle=True)
+        for images, labels in loader:
+            print("batch:", images.shape, labels.shape)
+            break
