@@ -1,0 +1,124 @@
+// ASAN/UBSAN harness over the native parsers (the BUILD_FUZZING analogue,
+// reference dali/fuzzing/image_decoder_target.cc): deterministic xorshift
+// mutation corpus driven through the from-scratch Huffman decoder, the
+// libjpeg coefficient path, and the FFmpeg audio decode. Build + run via
+// qa/asan_fuzz.sh; any sanitizer report is a failure.
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+long dali_tpu_jpeg_encode_rgb(const unsigned char*, int, int, int, int, int,
+                              int, unsigned char*, long);
+int dali_tpu_jpeg_huff_read_coeffs_split_crop(const char*, size_t, int, int,
+                                              short*, signed char*, short*,
+                                              signed char*, short*,
+                                              signed char*, unsigned short*,
+                                              int, int, int, int, int, int,
+                                              int, int);
+int dali_tpu_jpeg_read_coeffs_split_crop(const char*, size_t, int, int, short*,
+                                         signed char*, short*, signed char*,
+                                         short*, signed char*, unsigned short*,
+                                         int, int, int, int, int, int, int,
+                                         int);
+#ifdef HAVE_AUDIO
+long dali_tpu_audio_encode(const float*, long, int, int, const char*,
+                           unsigned char*, long);
+int dali_tpu_audio_decode(const unsigned char*, size_t, float**, long*, int*,
+                          double*);
+void dali_tpu_audio_buffer_free(float*);
+#endif
+}
+
+static uint64_t rng_state = 0x9E3779B97F4A7C15ull;
+static uint64_t xrand() {
+  rng_state ^= rng_state << 13;
+  rng_state ^= rng_state >> 7;
+  rng_state ^= rng_state << 17;
+  return rng_state;
+}
+
+static void mutate(std::vector<unsigned char>& buf,
+                   const std::vector<unsigned char>& base, int kind) {
+  buf = base;
+  size_t n = buf.size();
+  switch (kind % 4) {
+    case 0:  // truncate
+      buf.resize(xrand() % (n + 1));
+      break;
+    case 1:  // flip bytes
+      for (int i = 0; i < 8; i++) buf[xrand() % n] ^= (unsigned char)(xrand() & 0xFF);
+      break;
+    case 2: {  // stomp a dword
+      size_t pos = xrand() % (n > 4 ? n - 4 : 1);
+      uint32_t v = (uint32_t)xrand();
+      std::memcpy(buf.data() + pos, &v, 4);
+      break;
+    }
+    default: {  // duplicate a slice
+      size_t lo = xrand() % n, len = xrand() % 64;
+      if (lo + len > n) len = n - lo;
+      buf.insert(buf.end(), buf.begin() + lo, buf.begin() + lo + len);
+    }
+  }
+}
+
+int main() {
+  // base JPEG
+  int H = 96, W = 112;
+  std::vector<unsigned char> img(H * W * 3);
+  for (size_t i = 0; i < img.size(); i++) img[i] = (unsigned char)(xrand() & 0xFF);
+  std::vector<unsigned char> jpg(H * W * 3 + 65536);
+  long n = dali_tpu_jpeg_encode_rgb(img.data(), H, W, 85, 0, 4, 0, jpg.data(),
+                                    (long)jpg.size());
+  if (n <= 0) { printf("encode failed\n"); return 1; }
+  jpg.resize(n);
+
+  int ybh = 12, ybw = 14, cbh = 6, cbw = 7;
+  std::vector<short> ydc(ybh * ybw), cbdc(cbh * cbw), crdc(cbh * cbw);
+  std::vector<signed char> yac(ybh * ybw * 15), cbac(cbh * cbw * 15),
+      crac(cbh * cbw * 15);
+  std::vector<unsigned short> q(32);
+  std::vector<unsigned char> mut;
+  const int N = 4000;
+  for (int i = 0; i < N; i++) {
+    mutate(mut, jpg, i);
+    dali_tpu_jpeg_huff_read_coeffs_split_crop(
+        (const char*)mut.data(), mut.size(), 4, 4, ydc.data(), yac.data(),
+        cbdc.data(), cbac.data(), crdc.data(), crac.data(), q.data(), ybh, ybw,
+        cbh, cbw, 2, 2, 1, 1);
+    if (i % 5 == 0) {
+      dali_tpu_jpeg_read_coeffs_split_crop(
+          (const char*)mut.data(), mut.size(), 4, 4, ydc.data(), yac.data(),
+          cbdc.data(), cbac.data(), crdc.data(), crac.data(), q.data(), ybh,
+          ybw, cbh, cbw, 0, 0, 0, 0);
+    }
+  }
+  printf("jpeg fuzz: %d mutations OK\n", N);
+
+#ifdef HAVE_AUDIO
+  std::vector<float> pcm(16000);
+  for (size_t i = 0; i < pcm.size(); i++)
+    pcm[i] = (float)((int64_t)(xrand() & 0xFFFF) - 0x8000) / 65536.0f;
+  std::vector<unsigned char> flac(1 << 20);
+  long fn_ = dali_tpu_audio_encode(pcm.data(), (long)pcm.size(), 1, 16000,
+                                   "flac", flac.data(), (long)flac.size());
+  if (fn_ > 0) {
+    flac.resize(fn_);
+    for (int i = 0; i < 600; i++) {
+      mutate(mut, flac, i);
+      float* out = nullptr;
+      long frames;
+      int ch;
+      double rate;
+      if (dali_tpu_audio_decode(mut.data(), mut.size(), &out, &frames, &ch,
+                                &rate) == 0)
+        dali_tpu_audio_buffer_free(out);
+    }
+    printf("audio fuzz: 600 mutations OK\n");
+  }
+#endif
+  printf("NATIVE FUZZ OK\n");
+  return 0;
+}
