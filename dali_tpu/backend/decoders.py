@@ -451,6 +451,28 @@ DALI_SCHEMA("_JpegIdct").DocStr(
 
 @register_operator("_JpegCoeffs", "mixed")
 class JpegCoeffs(Operator):
+    def _check_modes(self, modes):
+        """4:2:0 / 4:4:4 / 4:2:2 all ride the hybrid wire; the sampling mode
+        is a jit-static of the device IDCT program, so a batch must be
+        homogeneous (mixed-sampling corpora: decode with device='mixed'
+        without hybrid_device_decode, or bucket by sampling)."""
+        modes = np.asarray(modes)
+        if (modes < 0).any() or (modes > 2).any():
+            raise ValueError(
+                "hybrid_device_decode requires 3-component YCbCr "
+                "4:2:0/4:2:2/4:4:4 JPEGs"
+            )
+        if (modes != modes[0]).any():
+            raise ValueError(
+                "hybrid_device_decode: mixed chroma samplings in one batch "
+                f"({sorted(set(int(m) for m in modes))}); the sampling mode is "
+                "a compile-time static — bucket the dataset or disable "
+                "hybrid_device_decode"
+            )
+        if modes[0] != 0 and self.spec.GetArgument("chroma_full", False):
+            raise ValueError("chroma_full=True is only meaningful for 4:2:0")
+        self._last_mode = int(modes[0])
+
     def _ks(self):
         denom = int(self.spec.GetArgument("hybrid_scale", 1))
         ky = {1: 8, 2: 4, 4: 2}[denom]
@@ -468,12 +490,12 @@ class JpegCoeffs(Operator):
             info = native.jpeg_coef_info(d)
             if info is None:
                 raise ValueError(
-                    "hybrid_device_decode requires 3-component YCbCr 4:2:0 JPEGs; "
-                    "use hybrid_device_decode=False for this dataset"
+                    "hybrid_device_decode requires 3-component YCbCr "
+                    "4:2:0/4:2:2/4:4:4 JPEGs; use hybrid_device_decode=False "
+                    "for this dataset"
                 )
-            if info[6] != 0:
-                raise ValueError("hybrid_device_decode currently requires 4:2:0 sampling")
             infos.append(info)
+        self._check_modes(np.asarray([i[6] for i in infos]))
 
         def one(i):
             h, w, ybh, ybw, cbh, cbw, mode = infos[i]
@@ -481,7 +503,7 @@ class JpegCoeffs(Operator):
             if r is None:
                 raise ValueError("JPEG coefficient read failed")
             y, c, q = r
-            dims = np.array([h, w], np.int32)
+            dims = np.array([h, w, mode], np.int32)
             return y, c, q.astype(np.int32), dims
 
         results = ctx.map_samples(one, len(datas))
@@ -496,12 +518,24 @@ class JpegCoeffs(Operator):
         if output_idx == 0:
             return [8, 8, 1]  # luma block grid
         if output_idx == 1:
-            return [1, 4, 4, 1]  # chroma planes [2, cbh, cbw, kc²]
+            # chroma canvas must track the luma canvas through the device
+            # upsample: 4:2:0 halves both dims, 4:2:2 only width, 4:4:4 neither
+            mode = getattr(self, "_last_mode", 0)
+            ch = {0: 4, 1: 8, 2: 8}[mode]
+            cw = {0: 4, 1: 8, 2: 4}[mode]
+            return [1, ch, cw, 1]  # chroma planes [2, cbh, cbw, kc²]
         return [1] * ndim
 
 
 @register_operator("_JpegIdct", "gpu")
 class JpegIdct(Operator):
+    def device_statics(self, ctx, in_shapes, in_batches=None):
+        # chroma sampling mode (col 2 of the dims batch); jit-static
+        if in_batches is None or in_batches[3] is None:
+            return (0,)
+        d0 = np.asarray(in_batches[3].samples[0])
+        return (int(d0[2]) if d0.shape[0] > 2 else 0,)
+
     def host_output_shapes(self, ctx, input_shapes, input_batches):
         dims_hb = input_batches[3]
         if dims_hb is None:
@@ -524,9 +558,10 @@ class JpegIdct(Operator):
         ky = {1: 8, 2: 4, 4: 2}[denom]
 
         chroma_full = bool(self.spec.GetArgument("chroma_full", False))
-        fn = lambda y, c, q: jk.jpeg_device_tail(jnp, y, c, q, ky, True, chroma_full)
+        (mode,) = dctx.static(self) or (0,)
+        fn = lambda y, c, q: jk.jpeg_device_tail(jnp, y, c, q, ky, mode, chroma_full)
         rgb = jax.vmap(fn)(y_b.data, c_b.data, q_b.data)
-        dims = dims_b.data  # [N, 2] full-res (h, w)
+        dims = dims_b.data  # [N, >=2] full-res (h, w[, mode])
         out_h = (dims[:, 0] + denom - 1) // denom
         out_w = (dims[:, 1] + denom - 1) // denom
         n = rgb.shape[0]
@@ -579,10 +614,7 @@ class JpegCoeffsSplit(JpegCoeffs):
         infos = native.jpeg_coef_info_batch(datas, num_threads=self.pipeline.num_threads)
         if infos is None:
             return None
-        if (infos[:, 6] != 0).any():
-            raise ValueError(
-                "hybrid_device_decode requires 3-component YCbCr 4:2:0 JPEGs"
-            )
+        self._check_modes(infos[:, 6])
         blocks = infos[:, 2:6].copy()
 
         def grow(cur, want, align):
@@ -593,8 +625,9 @@ class JpegCoeffsSplit(JpegCoeffs):
         BH = grow(prev[0], blocks[:, 0].max(), 8)
         BW = grow(prev[1], blocks[:, 1].max(), 8)
         prevc = canvases[3] or [0, 0, 0, 0]  # c_ac canvas [2, CBH, CBW, k²-1]
-        CBH = grow(prevc[1], blocks[:, 2].max(), 4)
-        CBW = grow(prevc[2], blocks[:, 3].max(), 4)
+        mode = getattr(self, "_last_mode", 0)
+        CBH = grow(prevc[1], blocks[:, 2].max(), {0: 4, 1: 8, 2: 8}[mode])
+        CBW = grow(prevc[2], blocks[:, 3].max(), {0: 4, 1: 8, 2: 4}[mode])
 
         # flat-packed wire: per-sample planes dense at offsets (no padding
         # bytes in the transfer); lengths follow a grow policy so the jit
@@ -642,7 +675,7 @@ class JpegCoeffsSplit(JpegCoeffs):
                 (2, CBH, CBW, kc * kc - 1),
             ),
             (q, np.full((n, 1), q.shape[1], np.int32), ""),
-            HostBatch([infos[i, :2].copy() for i in range(n)], layout=""),
+            HostBatch([infos[i, [0, 1, 6]].copy() for i in range(n)], layout=""),
         ]
         return out
 
@@ -654,11 +687,12 @@ class JpegCoeffsSplit(JpegCoeffs):
         infos = []
         for d in datas:
             info = native.jpeg_coef_info(d)
-            if info is None or info[6] != 0:
+            if info is None:
                 raise ValueError(
-                    "hybrid_device_decode requires 3-component YCbCr 4:2:0 JPEGs"
+                    "hybrid_device_decode requires 3-component YCbCr 4:2:0/4:2:2/4:4:4 JPEGs"
                 )
             infos.append(info)
+        self._check_modes(np.asarray([i[6] for i in infos]))
 
         def one(i):
             h, w, ybh, ybw, cbh, cbw, mode = infos[i]
@@ -666,7 +700,7 @@ class JpegCoeffsSplit(JpegCoeffs):
             if r is None:
                 raise ValueError("JPEG coefficient read failed")
             y_dc, y_ac, c_dc, c_ac, q = r
-            return y_dc, y_ac, c_dc, c_ac, q.astype(np.int32), np.array([h, w], np.int32)
+            return y_dc, y_ac, c_dc, c_ac, q.astype(np.int32), np.array([h, w, mode], np.int32)
 
         results = ctx.map_samples(one, len(datas))
         return [HostBatch([r[j] for r in results], layout="") for j in range(6)]
@@ -681,6 +715,15 @@ class JpegCoeffsSplit(JpegCoeffs):
 
 @register_operator("_JpegIdctSplit", "gpu")
 class JpegIdctSplit(Operator):
+    def device_statics(self, ctx, in_shapes, in_batches=None):
+        # chroma sampling mode (0=4:2:0, 1=4:4:4, 2=4:2:2) rides the dims
+        # batch (col 2); it's a jit-static of the device program (the batch
+        # is mode-homogeneous — enforced by _check_modes on the host side)
+        if in_batches is None or in_batches[5] is None:
+            return (0,)
+        d0 = np.asarray(in_batches[5].samples[0])
+        return (int(d0[2]) if d0.shape[0] > 2 else 0,)
+
     def host_output_shapes(self, ctx, input_shapes, input_batches):
         dims_hb = input_batches[5]
         if dims_hb is None:
@@ -710,7 +753,8 @@ class JpegIdctSplit(Operator):
 
         y = combine(ydc_b.data, yac_b.data)
         c = combine(cdc_b.data, cac_b.data)
-        fn = lambda yy, cc, q: jk.jpeg_device_tail(jnp, yy, cc, q, ky, True, chroma_full)
+        (mode,) = dctx.static(self) or (0,)
+        fn = lambda yy, cc, q: jk.jpeg_device_tail(jnp, yy, cc, q, ky, mode, chroma_full)
         rgb = jax.vmap(fn)(y, c, q_b.data)
         dims = dims_b.data
         out_h = (dims[:, 0] + denom - 1) // denom

@@ -500,7 +500,21 @@ class Executor:
                 for pname in sorted(p):
                     params_list.append(np.asarray(p[pname]))
                     params_struct.append((node.id, pname))
-                st = impl.device_statics(ctx, in_shapes)
+                # ops whose jit-statics depend on host VALUES (e.g. the JPEG
+                # sampling mode) take the input batches as a third argument
+                import inspect
+
+                cls = type(impl)
+                takes_batches = getattr(cls, "_statics_takes_batches", None)
+                if takes_batches is None:
+                    takes_batches = (
+                        len(inspect.signature(cls.device_statics).parameters) >= 4
+                    )
+                    cls._statics_takes_batches = takes_batches
+                if takes_batches:
+                    st = impl.device_statics(ctx, in_shapes, in_batches)
+                else:
+                    st = impl.device_statics(ctx, in_shapes)
                 if st is not None:
                     statics[node.id] = st
             out_shapes = impl.host_output_shapes(ctx, in_shapes, in_batches)

@@ -80,6 +80,20 @@ def ycbcr_to_rgb(xp, y, cb, cr):
     return xp.clip(xp.round(rgb), 0, 255).astype(xp.uint8)
 
 
+def upsample2x_h(xp, x):
+    """Horizontal-only triangular 2x upsample (libjpeg h2v1 fancy path) —
+    the 4:2:2 chroma reconstruction."""
+    def up1d(v):
+        a = v
+        left = xp.concatenate([a[..., :1], a[..., :-1]], axis=-1)
+        right = xp.concatenate([a[..., 1:], a[..., -1:]], axis=-1)
+        lo = 0.75 * a + 0.25 * left
+        hi = 0.75 * a + 0.25 * right
+        return xp.stack([lo, hi], axis=-1).reshape(*a.shape[:-1], a.shape[-1] * 2)
+
+    return up1d(x)
+
+
 def chroma_k(ky: int, mode_420: bool, chroma_full: bool = False) -> int:
     """Chroma IDCT size. Default: decode chroma at ky (quarter of luma pixel
     count) and bilinearly upsample 2x — halves the host→device coefficient
@@ -91,22 +105,35 @@ def chroma_k(ky: int, mode_420: bool, chroma_full: bool = False) -> int:
     return ky
 
 
-def jpeg_device_tail(xp, y_coef, c_coef, qtabs, ky: int, mode_420: bool = True, chroma_full: bool = False):
+def jpeg_device_tail(xp, y_coef, c_coef, qtabs, ky: int, mode_420=True, chroma_full: bool = False):
     """Full device tail for one sample (vmap over batch outside).
 
+    ``mode_420`` is the sampling mode: True/0 = 4:2:0, False/1 = 4:4:4,
+    2 = 4:2:2 (bool form kept for API compatibility).
     y_coef [Yh, Yw, ky*ky] int16; c_coef [2, Ch, Cw, kc*kc];
     qtabs [ky*ky + kc*kc] uint16 (luma then chroma corner).
     Returns RGB [Yh*ky, Yw*ky, 3] uint8 (valid extent = image size / (8/ky)).
     """
-    kc = chroma_k(ky, mode_420, chroma_full)
+    # bool form is legacy API; NB True == 1 and False == 0 in dict/eq terms,
+    # so this must be identity-based
+    if mode_420 is True:
+        mode = 0
+    elif mode_420 is False:
+        mode = 1
+    else:
+        mode = int(mode_420)
+    kc = chroma_k(ky, mode == 0, chroma_full)
     qy = qtabs[: ky * ky]
     qc = qtabs[ky * ky : ky * ky + kc * kc]
     y = decode_blocks(xp, y_coef, qy, ky)
     cb = decode_blocks(xp, c_coef[0], qc, kc)
     cr = decode_blocks(xp, c_coef[1], qc, kc)
-    if mode_420 and kc < 2 * ky:
+    if mode == 0 and kc < 2 * ky:
         cb = upsample2x(xp, cb)
         cr = upsample2x(xp, cr)
+    elif mode == 2:
+        cb = upsample2x_h(xp, cb)
+        cr = upsample2x_h(xp, cr)
     # crop chroma to luma extent (MCU padding may differ)
     cb = cb[..., : y.shape[-2], : y.shape[-1]]
     cr = cr[..., : y.shape[-2], : y.shape[-1]]

@@ -55,18 +55,33 @@ int dali_tpu_jpeg_coef_info(const char* data, size_t len, int* h, int* w,
     bool c444 = y->h_samp_factor == 1 && y->v_samp_factor == 1 &&
                 cb->h_samp_factor == 1 && cb->v_samp_factor == 1 &&
                 cr->h_samp_factor == 1 && cr->v_samp_factor == 1;
-    if (c420 || c444) {
+    bool c422 = y->h_samp_factor == 2 && y->v_samp_factor == 1 &&
+                cb->h_samp_factor == 1 && cb->v_samp_factor == 1 &&
+                cr->h_samp_factor == 1 && cr->v_samp_factor == 1;
+    if (c420 || c444 || c422) {
       *h = cinfo.image_height;
       *w = cinfo.image_width;
-      *y_bh = (cinfo.image_height + (c420 ? 15 : 7)) / (c420 ? 16 : 8) * (c420 ? 2 : 1);
-      *y_bw = (cinfo.image_width + (c420 ? 15 : 7)) / (c420 ? 16 : 8) * (c420 ? 2 : 1);
-      *c_bh = (cinfo.image_height + (c420 ? 15 : 7)) / (c420 ? 16 : 8);
-      *c_bw = (cinfo.image_width + (c420 ? 15 : 7)) / (c420 ? 16 : 8);
-      if (c444) {
+      // MCU-padded block extents (dummy edge blocks included, like the
+      // interleaved scan codes them)
+      if (c420) {
+        *y_bh = (cinfo.image_height + 15) / 16 * 2;
+        *y_bw = (cinfo.image_width + 15) / 16 * 2;
+        *c_bh = (cinfo.image_height + 15) / 16;
+        *c_bw = (cinfo.image_width + 15) / 16;
+        *mode = 0;
+      } else if (c422) {  // MCUs are 16x8
+        *y_bh = (cinfo.image_height + 7) / 8;
+        *y_bw = (cinfo.image_width + 15) / 16 * 2;
+        *c_bh = *y_bh;
+        *c_bw = (cinfo.image_width + 15) / 16;
+        *mode = 2;
+      } else {
+        *y_bh = (cinfo.image_height + 7) / 8;
+        *y_bw = (cinfo.image_width + 7) / 8;
         *c_bh = *y_bh;
         *c_bw = *y_bw;
+        *mode = 1;
       }
-      *mode = c420 ? 0 : 1;
       rc = 0;
     }
   }

@@ -25,7 +25,8 @@ void enc_error_exit(j_common_ptr cinfo) {
 }
 }  // namespace
 
-// Encode interleaved RGB (HWC uint8) to JPEG. subsamp: 0 = 4:2:0, 1 = 4:4:4.
+// Encode interleaved RGB (HWC uint8) to JPEG. subsamp: 0 = 4:2:0, 1 = 4:4:4,
+// 2 = 4:2:2.
 // restart_interval in MCUs (0 = none). progressive: nonzero = multi-scan.
 // Returns the encoded byte count, or -1 on error / insufficient out_cap.
 long dali_tpu_jpeg_encode_rgb(const unsigned char* rgb, int h, int w,
@@ -53,6 +54,13 @@ long dali_tpu_jpeg_encode_rgb(const unsigned char* rgb, int h, int w,
   jpeg_set_quality(&cinfo, quality, TRUE);
   if (subsamp == 1) {
     for (int i = 0; i < 3; i++) {
+      cinfo.comp_info[i].h_samp_factor = 1;
+      cinfo.comp_info[i].v_samp_factor = 1;
+    }
+  } else if (subsamp == 2) {
+    cinfo.comp_info[0].h_samp_factor = 2;
+    cinfo.comp_info[0].v_samp_factor = 1;
+    for (int i = 1; i < 3; i++) {
       cinfo.comp_info[i].h_samp_factor = 1;
       cinfo.comp_info[i].v_samp_factor = 1;
     }

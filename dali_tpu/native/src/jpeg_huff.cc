@@ -433,7 +433,9 @@ struct Parser {
                 comp[1].v == 1 && comp[2].h == 1 && comp[2].v == 1;
     bool c444 = comp[0].h == 1 && comp[0].v == 1 && comp[1].h == 1 &&
                 comp[1].v == 1 && comp[2].h == 1 && comp[2].v == 1;
-    if (!c420 && !c444) return 1;
+    bool c422 = comp[0].h == 2 && comp[0].v == 1 && comp[1].h == 1 &&
+                comp[1].v == 1 && comp[2].h == 1 && comp[2].v == 1;
+    if (!c420 && !c444 && !c422) return 1;
     for (int i = 0; i < 3; i++) {
       int slot = -1;
       for (int s = 0; s < ns; s++)

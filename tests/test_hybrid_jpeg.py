@@ -140,3 +140,69 @@ def test_hybrid_rrc_matches_full_decode_crop(tmp_path):
         gh, gw, _ = crop.shape()[i]
         got = np.asarray(crop.as_tensor())[i][:gh, :gw]
         np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("subsamp,mode_name", [(1, "444"), (2, "422")])
+def test_hybrid_decode_444_422(tmp_path, subsamp, mode_name):
+    """4:4:4 and 4:2:2 ride the split hybrid path (sampling mode is a
+    jit-static); at scale 1 the output matches the full host decode to
+    within IDCT rounding."""
+    import cv2
+
+    from dali_tpu import native
+
+    if not native.available():
+        pytest.skip("native runtime not built")
+    rng = np.random.default_rng(5)
+    root = tmp_path / "imgs" / "c"
+    root.mkdir(parents=True)
+    for i, (h, w) in enumerate([(56, 72), (41, 67)]):
+        small = rng.integers(0, 256, (max(h // 8, 1), max(w // 8, 1), 3), np.uint8)
+        img = cv2.resize(small, (w, h), interpolation=cv2.INTER_CUBIC)
+        enc = native.jpeg_encode_rgb(img, quality=92, subsamp=subsamp)
+        (root / f"{i}.jpg").write_bytes(enc)
+
+    def make(hybrid):
+        @pipeline_def(batch_size=2, num_threads=1, seed=9)
+        def p():
+            jp, _ = fn.readers.file(file_root=str(tmp_path / "imgs"), name="r")
+            return fn.decoders.image(jp, device="mixed",
+                                     hybrid_device_decode=hybrid)
+
+        return p()
+
+    ph, pf = make(True), make(False)
+    ph.build(), pf.build()
+    (hyb,) = ph.run()
+    (full,) = pf.run()
+    for i in range(2):
+        a = np.asarray(hyb.as_tensor())[i]
+        b = np.asarray(full.as_tensor())[i]
+        hh, ww, _ = full.shape()[i]
+        diff = np.abs(a[:hh, :ww].astype(np.int32) - b[:hh, :ww].astype(np.int32))
+        # IDCT/upsample rounding only (same allowance as the 4:2:0
+        # chroma_full parity test: float vs libjpeg integer IDCT)
+        assert diff.max() <= 4 and diff.mean() < 0.6, (mode_name, diff.max(), diff.mean())
+
+
+def test_hybrid_mixed_sampling_batch_raises(tmp_path):
+    from dali_tpu import native
+
+    if not native.available():
+        pytest.skip("native runtime not built")
+    rng = np.random.default_rng(6)
+    root = tmp_path / "imgs" / "c"
+    root.mkdir(parents=True)
+    img = rng.integers(0, 256, (32, 32, 3), np.uint8)
+    (root / "a.jpg").write_bytes(native.jpeg_encode_rgb(img, subsamp=0))
+    (root / "b.jpg").write_bytes(native.jpeg_encode_rgb(img, subsamp=1))
+
+    @pipeline_def(batch_size=2, num_threads=1, seed=9)
+    def p():
+        jp, _ = fn.readers.file(file_root=str(tmp_path / "imgs"), name="r")
+        return fn.decoders.image(jp, device="mixed", hybrid_device_decode=True)
+
+    pipe = p()
+    pipe.build()
+    with pytest.raises(Exception, match="mixed chroma samplings"):
+        pipe.run()
