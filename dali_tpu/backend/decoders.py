@@ -621,11 +621,14 @@ class JpegCoeffsSplit(JpegCoeffs):
             want = int(-(-int(want) // align) * align)
             return max(want, cur)
 
+        mode = getattr(self, "_last_mode", 0)
+        if getattr(self, "_canvas_mode", mode) != mode:
+            canvases = [None] * len(canvases)  # stale mode: canvases restart
+        self._canvas_mode = mode
         prev = canvases[1] or [0, 0, 0]  # y_ac canvas [BH, BW, k²-1]
         BH = grow(prev[0], blocks[:, 0].max(), 8)
         BW = grow(prev[1], blocks[:, 1].max(), 8)
         prevc = canvases[3] or [0, 0, 0, 0]  # c_ac canvas [2, CBH, CBW, k²-1]
-        mode = getattr(self, "_last_mode", 0)
         CBH = grow(prevc[1], blocks[:, 2].max(), {0: 4, 1: 8, 2: 8}[mode])
         CBW = grow(prevc[2], blocks[:, 3].max(), {0: 4, 1: 8, 2: 4}[mode])
 
@@ -709,7 +712,11 @@ class JpegCoeffsSplit(JpegCoeffs):
         if output_idx in (0, 1):
             return [8, 8, 1][:ndim]
         if output_idx in (2, 3):
-            return [1, 4, 4, 1][:ndim]
+            # chroma canvas tracks the luma canvas through the mode's upsample
+            mode = getattr(self, "_last_mode", 0)
+            ch = {0: 4, 1: 8, 2: 8}[mode]
+            cw = {0: 4, 1: 8, 2: 4}[mode]
+            return [1, ch, cw, 1][:ndim]
         return [1] * ndim
 
 

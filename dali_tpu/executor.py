@@ -146,6 +146,18 @@ class Executor:
             if type(self.impls[n.id]).host_params is not Operator.host_params
             or type(self.impls[n.id]).device_statics is not Operator.device_statics
         ]
+        # ops whose jit-statics depend on host VALUES (e.g. the JPEG sampling
+        # mode) declare device_statics(self, ctx, in_shapes, in_batches=...);
+        # resolve the arity ONCE here, per instance (an MRO-cached flag would
+        # leak between a base and an override with different arities)
+        import inspect
+
+        for n in self.param_ops:
+            impl = self.impls[n.id]
+            fn_ = type(impl).device_statics
+            impl._statics_takes_batches = (
+                len(inspect.signature(fn_).parameters) >= 4
+            )
 
         # -- canvas state ("grow" padding policy) --------------------------------
         self._canvas: Dict[Tuple[int, int], List[int]] = {}
@@ -500,18 +512,7 @@ class Executor:
                 for pname in sorted(p):
                     params_list.append(np.asarray(p[pname]))
                     params_struct.append((node.id, pname))
-                # ops whose jit-statics depend on host VALUES (e.g. the JPEG
-                # sampling mode) take the input batches as a third argument
-                import inspect
-
-                cls = type(impl)
-                takes_batches = getattr(cls, "_statics_takes_batches", None)
-                if takes_batches is None:
-                    takes_batches = (
-                        len(inspect.signature(cls.device_statics).parameters) >= 4
-                    )
-                    cls._statics_takes_batches = takes_batches
-                if takes_batches:
+                if impl._statics_takes_batches:
                     st = impl.device_statics(ctx, in_shapes, in_batches)
                 else:
                     st = impl.device_statics(ctx, in_shapes)

@@ -54,21 +54,21 @@ def decode_blocks(xp, coeffs, qtab, k: int):
     return px.reshape(*lead, Hb * k, Wb * k)
 
 
-def upsample2x(xp, x):
-    """Bilinear 2x chroma upsample (fancy upsampling, reference libjpeg
-    jdsample fancy path: triangular filter)."""
-    # x: [..., H, W] → [..., 2H, 2W]
-    # triangular weights 3/4,1/4 like libjpeg h2v2 fancy upsampling
-    def up1d(v, axis):
-        a = xp.moveaxis(v, axis, -1)
-        left = xp.concatenate([a[..., :1], a[..., :-1]], axis=-1)
-        right = xp.concatenate([a[..., 1:], a[..., -1:]], axis=-1)
-        lo = 0.75 * a + 0.25 * left
-        hi = 0.75 * a + 0.25 * right
-        out = xp.stack([lo, hi], axis=-1).reshape(*a.shape[:-1], a.shape[-1] * 2)
-        return xp.moveaxis(out, -1, axis)
+def _up1d(xp, v, axis):
+    """Triangular (3/4, 1/4) 2x upsample along one axis — libjpeg's fancy
+    upsampling filter, shared by the h2v2 (4:2:0) and h2v1 (4:2:2) paths."""
+    a = xp.moveaxis(v, axis, -1)
+    left = xp.concatenate([a[..., :1], a[..., :-1]], axis=-1)
+    right = xp.concatenate([a[..., 1:], a[..., -1:]], axis=-1)
+    lo = 0.75 * a + 0.25 * left
+    hi = 0.75 * a + 0.25 * right
+    out = xp.stack([lo, hi], axis=-1).reshape(*a.shape[:-1], a.shape[-1] * 2)
+    return xp.moveaxis(out, -1, axis)
 
-    return up1d(up1d(x, -1), -2)
+
+def upsample2x(xp, x):
+    """Bilinear 2x chroma upsample in both dims (libjpeg h2v2 fancy path)."""
+    return _up1d(xp, _up1d(xp, x, -1), -2)
 
 
 def ycbcr_to_rgb(xp, y, cb, cr):
@@ -83,15 +83,7 @@ def ycbcr_to_rgb(xp, y, cb, cr):
 def upsample2x_h(xp, x):
     """Horizontal-only triangular 2x upsample (libjpeg h2v1 fancy path) —
     the 4:2:2 chroma reconstruction."""
-    def up1d(v):
-        a = v
-        left = xp.concatenate([a[..., :1], a[..., :-1]], axis=-1)
-        right = xp.concatenate([a[..., 1:], a[..., -1:]], axis=-1)
-        lo = 0.75 * a + 0.25 * left
-        hi = 0.75 * a + 0.25 * right
-        return xp.stack([lo, hi], axis=-1).reshape(*a.shape[:-1], a.shape[-1] * 2)
-
-    return up1d(x)
+    return _up1d(xp, x, -1)
 
 
 def chroma_k(ky: int, mode_420: bool, chroma_full: bool = False) -> int:
@@ -134,7 +126,19 @@ def jpeg_device_tail(xp, y_coef, c_coef, qtabs, ky: int, mode_420=True, chroma_f
     elif mode == 2:
         cb = upsample2x_h(xp, cb)
         cr = upsample2x_h(xp, cr)
-    # crop chroma to luma extent (MCU padding may differ)
-    cb = cb[..., : y.shape[-2], : y.shape[-1]]
-    cr = cr[..., : y.shape[-2], : y.shape[-1]]
+    # reconcile chroma with the luma extent: canvas paddings may differ (the
+    # grow policy is per-plane, and the staged canvases can outlive a batch
+    # whose sampling mode differed) — crop when larger, zero-pad when smaller
+    # (the padding region lies outside every sample's valid extent)
+    def fit(c):
+        c = c[..., : y.shape[-2], : y.shape[-1]]
+        pad_h = y.shape[-2] - c.shape[-2]
+        pad_w = y.shape[-1] - c.shape[-1]
+        if pad_h or pad_w:
+            widths = [(0, 0)] * (c.ndim - 2) + [(0, pad_h), (0, pad_w)]
+            c = xp.pad(c, widths)
+        return c
+
+    cb = fit(cb)
+    cr = fit(cr)
     return ycbcr_to_rgb(xp, y, cb, cr)

@@ -58,7 +58,10 @@ int dali_tpu_jpeg_coef_info(const char* data, size_t len, int* h, int* w,
     bool c422 = y->h_samp_factor == 2 && y->v_samp_factor == 1 &&
                 cb->h_samp_factor == 1 && cb->v_samp_factor == 1 &&
                 cr->h_samp_factor == 1 && cr->v_samp_factor == 1;
-    if (c420 || c444 || c422) {
+    // the hybrid wire ships exactly two quant tables (luma + shared chroma);
+    // legal-but-rare files with distinct Cb/Cr tables must take the full
+    // host decode instead of being silently dequantized with Cb's table
+    if ((c420 || c444 || c422) && cb->quant_tbl_no == cr->quant_tbl_no) {
       *h = cinfo.image_height;
       *w = cinfo.image_width;
       // MCU-padded block extents (dummy edge blocks included, like the

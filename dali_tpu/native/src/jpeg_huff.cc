@@ -436,6 +436,7 @@ struct Parser {
     bool c422 = comp[0].h == 2 && comp[0].v == 1 && comp[1].h == 1 &&
                 comp[1].v == 1 && comp[2].h == 1 && comp[2].v == 1;
     if (!c420 && !c444 && !c422) return 1;
+    if (comp[1].tq != comp[2].tq) return 1;  // wire has one shared chroma qtable
     for (int i = 0; i < 3; i++) {
       int slot = -1;
       for (int s = 0; s < ns; s++)

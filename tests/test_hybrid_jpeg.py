@@ -206,3 +206,109 @@ def test_hybrid_mixed_sampling_batch_raises(tmp_path):
     pipe.build()
     with pytest.raises(Exception, match="mixed chroma samplings"):
         pipe.run()
+
+
+@pytest.mark.parametrize("subsamp", [0, 1, 2])
+def test_hybrid_scaled_decode_all_modes(tmp_path, subsamp):
+    """hybrid_scale=2 for every sampling mode: output tracks the full decode
+    downscaled (the scaled IDCT approximates box downsampling)."""
+    import cv2
+
+    rng = np.random.default_rng(7)
+    root = tmp_path / "imgs" / "c"
+    root.mkdir(parents=True)
+    h, w = 64, 80
+    small = rng.integers(0, 256, (h // 8, w // 8, 3), np.uint8)
+    img = cv2.resize(small, (w, h), interpolation=cv2.INTER_CUBIC)
+    (root / "0.jpg").write_bytes(native.jpeg_encode_rgb(img, quality=92,
+                                                        subsamp=subsamp))
+
+    @pipeline_def(batch_size=1, num_threads=1, seed=9)
+    def p():
+        jp, _ = fn.readers.file(file_root=str(tmp_path / "imgs"), name="r")
+        return fn.decoders.image(jp, device="mixed", hybrid_device_decode=True,
+                                 hybrid_scale=2)
+
+    pipe = p()
+    pipe.build()
+    (out,) = pipe.run()
+    a = np.asarray(out.as_tensor())[0]
+    hh, ww, _ = out.shape()[0]
+    assert (hh, ww) == (h // 2, w // 2)
+    ref = cv2.resize(img, (w // 2, h // 2), interpolation=cv2.INTER_AREA)
+    diff = np.abs(a[:hh, :ww].astype(np.int32) - ref.astype(np.int32))
+    assert diff.mean() < 8.0, (subsamp, diff.mean())
+
+
+@pytest.mark.parametrize("subsamp", [1, 2])
+def test_hybrid_444_422_per_sample_fallback_path(tmp_path, subsamp, monkeypatch):
+    """The padded-canvas run_batch path (taken when flat staging is
+    unavailable) must honor the sampling mode's chroma alignment too."""
+    import cv2
+
+    from dali_tpu import native as _n
+
+    rng = np.random.default_rng(8)
+    root = tmp_path / "imgs" / "c"
+    root.mkdir(parents=True)
+    # ragged sizes chosen so luma/chroma canvas aligns differ without the fix
+    for i, (h, w) in enumerate([(56, 72), (41, 67)]):
+        small = rng.integers(0, 256, (max(h // 8, 1), max(w // 8, 1), 3), np.uint8)
+        img = cv2.resize(small, (w, h), interpolation=cv2.INTER_CUBIC)
+        (root / f"{i}.jpg").write_bytes(
+            native.jpeg_encode_rgb(img, quality=92, subsamp=subsamp))
+    monkeypatch.setattr(_n, "jpeg_coeffs_split_flat_batch",
+                        lambda *a, **k: None)  # force run_batch staging
+
+    @pipeline_def(batch_size=2, num_threads=1, seed=9)
+    def p():
+        jp, _ = fn.readers.file(file_root=str(tmp_path / "imgs"), name="r")
+        return fn.decoders.image(jp, device="mixed", hybrid_device_decode=True,
+                                 hybrid_wire="int8")
+
+    pipe = p()
+    pipe.build()
+    (out,) = pipe.run()
+    assert out.shape()[0] == (56, 72, 3)
+    assert out.shape()[1] == (41, 67, 3)
+
+
+def test_hybrid_mode_switch_across_batches(tmp_path):
+    """Consecutive single-mode batches of DIFFERENT modes through one
+    pipeline: the grow-only canvases must not strand the new mode's
+    chroma/luma coupling."""
+    import cv2
+
+    rng = np.random.default_rng(9)
+    imgs = {}
+    for sub, name in ((0, "a420"), (2, "b422"), (1, "c444")):
+        d = tmp_path / name / "c"
+        d.mkdir(parents=True)
+        # 420 batch first with LARGER images so its canvases linger
+        h, w = (96, 128) if sub == 0 else (48, 56)
+        small = rng.integers(0, 256, (h // 8, w // 8, 3), np.uint8)
+        img = cv2.resize(small, (w, h), interpolation=cv2.INTER_CUBIC)
+        (d / "0.jpg").write_bytes(native.jpeg_encode_rgb(img, subsamp=sub))
+        imgs[name] = (str(tmp_path / name), (h, w))
+
+    sources = [imgs["a420"], imgs["b422"], imgs["c444"], imgs["a420"]]
+    state = {"i": 0}
+
+    def src():
+        root, _ = sources[state["i"] % len(sources)]
+        state["i"] += 1
+        import glob
+
+        with open(glob.glob(root + "/c/*.jpg")[0], "rb") as f:
+            return [np.frombuffer(f.read(), np.uint8)]
+
+    @pipeline_def(batch_size=1, num_threads=1, seed=9, prefetch_queue_depth=1)
+    def p():
+        e = fn.external_source(source=src, batch=True)
+        return fn.decoders.image(e, device="mixed", hybrid_device_decode=True)
+
+    pipe = p()
+    pipe.build()
+    for root, (h, w) in sources:
+        (out,) = pipe.run()
+        assert out.shape()[0] == (h, w, 3), (root, out.shape())
