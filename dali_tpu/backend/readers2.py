@@ -270,13 +270,34 @@ class NumpyReader(BaseReader):
 
 # ====================================== readers.COCO ===============================================
 
+def _coco_outputs(spec):
+    n = 3
+    if spec.GetArgument("polygon_masks", False):
+        n += 2  # polygons [m, 3], vertices [v, 2]
+    if spec.GetArgument("pixelwise_masks", False):
+        n += 1  # mask [H, W, 1]
+    if spec.GetArgument("image_ids", False):
+        n += 1
+    return n
+
+
 DALI_SCHEMA("readers.COCO").DocStr(
     """Reads images + bboxes + labels from a COCO-format annotation file
     (reference ``readers__COCO``, ``coco_loader.cc``). Outputs
-    (images, bboxes [n,4], labels [n]) + optionally image_ids."""
-).NumInput(0).OutputFn(lambda spec: 4 if spec.GetArgument("image_ids", False) else 3).Devices(
+    (images, bboxes [n,4], labels [n] [, polygons [m,3], vertices [v,2]]
+    [, pixelwise mask [H,W,1]] [, image_ids])."""
+).NumInput(0).OutputFn(_coco_outputs).Devices(
     "cpu"
 ).MakeReader().AddOptionalArg(
+    "polygon_masks", ArgType.BOOL,
+    "Also output segmentation polygons: rows of (mask_idx, start_vertex, "
+    "end_vertex) + a shared [v, 2] vertex table (reference coco polygon "
+    "outputs; consumed by fn.segmentation.select_masks).", False
+).AddOptionalArg(
+    "pixelwise_masks", ArgType.BOOL,
+    "Also output a rasterized [H, W, 1] int32 mask of annotation indices "
+    "(reference pixelwise_masks).", False
+).AddOptionalArg(
     "file_root", ArgType.STRING, "Directory with the images.", None
 ).AddOptionalArg(
     "annotations_file", ArgType.STRING, "COCO JSON annotations.", None
@@ -315,13 +336,19 @@ class CocoReader(BaseReader):
             cat_map = {c: i + 1 for i, c in enumerate(cats)}  # contiguous, 1-based
         anns_by_img: Dict[int, list] = {}
         thresh = spec.GetArgument("size_threshold", 0.1)
+        want_polys = (spec.GetArgument("polygon_masks", False)
+                      or spec.GetArgument("pixelwise_masks", False))
         for a in doc.get("annotations", []):
             if a.get("iscrowd", 0):
                 continue
             x, y, w, h = a["bbox"]
             if w < thresh or h < thresh:
                 continue
-            anns_by_img.setdefault(a["image_id"], []).append((x, y, w, h, cat_map[a["category_id"]]))
+            seg = a.get("segmentation") if want_polys else None
+            polys = [np.asarray(p, np.float32).reshape(-1, 2)
+                     for p in (seg or []) if isinstance(p, list) and len(p) >= 6]
+            anns_by_img.setdefault(a["image_id"], []).append(
+                (x, y, w, h, cat_map[a["category_id"]], polys))
         self._index = []
         skip_empty = spec.GetArgument("skip_empty", False)
         for img_id in sorted(images):
@@ -348,14 +375,35 @@ class CocoReader(BaseReader):
             labels = np.zeros((0,), np.int32)
         if self.spec.GetArgument("ltrb", False):
             bb = np.stack([bb[:, 0], bb[:, 1], bb[:, 0] + bb[:, 2], bb[:, 1] + bb[:, 3]], axis=1)
-        if self.spec.GetArgument("ratio", False):
-            scale = np.array(
-                [w, h, w, h] if self.spec.GetArgument("ltrb", False) else [w, h, w, h], np.float32
-            )
-            bb = bb / scale
+        ratio = self.spec.GetArgument("ratio", False)
+        if ratio:
+            bb = bb / np.array([w, h, w, h], np.float32)
+        out = [data, bb, labels]
+        if self.spec.GetArgument("polygon_masks", False):
+            rows, verts = [], []
+            for mi, b in enumerate(boxes):
+                for poly in b[5]:
+                    start = len(verts)
+                    verts.extend(poly)
+                    rows.append((mi, start, start + len(poly)))
+            polygons = (np.asarray(rows, np.int32).reshape(-1, 3)
+                        if rows else np.zeros((0, 3), np.int32))
+            vertices = (np.stack(verts).astype(np.float32)
+                        if verts else np.zeros((0, 2), np.float32))
+            if ratio and len(vertices):
+                vertices = vertices / np.array([w, h], np.float32)
+            out += [polygons, vertices]
+        if self.spec.GetArgument("pixelwise_masks", False):
+            import cv2
+
+            mask = np.zeros((h, w, 1), np.int32)
+            for mi, b in enumerate(boxes):
+                for poly in b[5]:
+                    cv2.fillPoly(mask, [np.round(poly).astype(np.int32)], mi + 1)
+            out.append(mask)
         if self.spec.GetArgument("image_ids", False):
-            return data, bb, labels, np.array([img_id], np.int32)
-        return data, bb, labels
+            out.append(np.array([img_id], np.int32))
+        return tuple(out)
 
 
 # ====================================== readers.Sequence ===========================================

@@ -172,3 +172,56 @@ def test_select_masks():
     p_out, v_out = pipe().run()
     np.testing.assert_array_equal(p_out.at(0), [[0, 0, 3], [2, 3, 5]])
     np.testing.assert_array_equal(v_out.at(0), np.concatenate([verts[0:3], verts[7:9]]))
+
+
+def test_coco_polygon_and_pixelwise_masks(tmp_path):
+    """COCO segmentation outputs (reference polygon_masks/pixelwise_masks):
+    polygons as (mask_idx, start, end) rows over a shared vertex table, and
+    a rasterized annotation-index mask."""
+    import json
+
+    import cv2
+    import numpy as np
+
+    from dali_tpu import fn, pipeline_def
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    cv2.imwrite(str(img_dir / "i0.jpg"), np.zeros((40, 60, 3), np.uint8))
+    ann = {
+        "images": [{"id": 7, "file_name": "i0.jpg", "width": 60, "height": 40}],
+        "categories": [{"id": 3, "name": "c"}],
+        "annotations": [
+            {"id": 1, "image_id": 7, "category_id": 3, "bbox": [5, 5, 20, 20],
+             "iscrowd": 0,
+             "segmentation": [[5, 5, 25, 5, 25, 25, 5, 25]]},
+            {"id": 2, "image_id": 7, "category_id": 3, "bbox": [30, 10, 10, 12],
+             "iscrowd": 0,
+             "segmentation": [[30, 10, 40, 10, 40, 22], [31, 11, 39, 11, 39, 21]]},
+        ],
+    }
+    ann_file = tmp_path / "ann.json"
+    ann_file.write_text(json.dumps(ann))
+
+    @pipeline_def(batch_size=1, num_threads=1, seed=1)
+    def p():
+        return fn.readers.coco(file_root=str(img_dir),
+                               annotations_file=str(ann_file),
+                               polygon_masks=True, pixelwise_masks=True,
+                               name="C")
+
+    pipe = p()
+    pipe.build()
+    _img, bb, labels, polygons, vertices, mask = pipe.run()
+    polys = np.asarray(polygons.at(0))
+    verts = np.asarray(vertices.at(0))
+    assert polys.shape == (3, 3)
+    assert list(polys[:, 0]) == [0, 1, 1]  # mask indices
+    assert verts.shape == (4 + 3 + 3, 2)
+    np.testing.assert_allclose(verts[polys[0, 1]:polys[0, 2]],
+                               [[5, 5], [25, 5], [25, 25], [5, 25]])
+    m = np.asarray(mask.at(0))
+    assert m.shape == (40, 60, 1)
+    assert m[15, 15, 0] == 1  # inside first polygon
+    assert m[12, 35, 0] == 2  # inside second annotation
+    assert m[0, 0, 0] == 0
