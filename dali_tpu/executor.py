@@ -591,7 +591,39 @@ class Executor:
             else:
                 hb = staged["cpu_outputs"][k]
                 results.append(TensorListCPU(hb.samples, hb.layout))
+        self._validate_outputs(results)
         return tuple(results)
+
+    def _validate_outputs(self, results):
+        """Enforce the pipeline's declared output_dtype / output_ndim
+        (reference Pipeline output contracts: a mismatch raises, per output)."""
+        from .types import DALIDataType, from_numpy_type, to_numpy_type
+
+        want_dt = self.pipeline.output_dtype
+        want_nd = self.pipeline.output_ndim
+        if want_dt is None and want_nd is None:
+            return
+        n = len(results)
+        dts = want_dt if isinstance(want_dt, (list, tuple)) else [want_dt] * n
+        nds = want_nd if isinstance(want_nd, (list, tuple)) else [want_nd] * n
+        for i, tl in enumerate(results):
+            dt = dts[i] if i < len(dts) else None
+            nd = nds[i] if i < len(nds) else None
+            if dt is not None:
+                got = np.dtype(tl.dtype)
+                want = np.dtype(to_numpy_type(DALIDataType(int(dt))))
+                if got != want:
+                    raise RuntimeError(
+                        f"Pipeline output {i}: declared output_dtype "
+                        f"{DALIDataType(int(dt))!r} but got {got}"
+                    )
+            if nd is not None:
+                shapes = tl.shape()
+                if shapes and len(shapes[0]) != int(nd):
+                    raise RuntimeError(
+                        f"Pipeline output {i}: declared output_ndim {nd} but "
+                        f"got {len(shapes[0])}-D samples"
+                    )
 
     def _chunked_put(self, arr: np.ndarray):
         """Split a staged batch along N and device_put each chunk (async).

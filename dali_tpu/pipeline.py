@@ -98,6 +98,10 @@ class Pipeline:
         # debug=True: run the device stage eagerly (no jit) so user prints /
         # breakpoints work per-op (reference _debug_mode.py:37)
         self.debug = bool(debug)
+        # declared output contracts, validated on every iteration (reference
+        # pipeline output_dtype/output_ndim checks)
+        self.output_dtype = output_dtype
+        self.output_ndim = output_ndim
 
         self._graph_fn = None
         self._graph: Optional[Graph] = None

@@ -138,3 +138,35 @@ def test_prefetch_queue_depth_dict_semantics():
         pipe.run()
     assert pipe._executor._device_q.maxsize == 3
     assert pipe._executor._out_q.maxsize == 1
+
+
+def test_output_dtype_and_ndim_contracts():
+    """Declared output_dtype/output_ndim are enforced per iteration
+    (reference pipeline output contracts)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from dali_tpu import Pipeline, fn, pipeline_def, types
+
+    def make(**kw):
+        @pipeline_def(batch_size=1, num_threads=1, seed=1, **kw)
+        def p():
+            x = fn.external_source(source=lambda: [np.zeros((2, 3), np.float32)],
+                                   batch=True, cycle=True)
+            return x
+
+        return p()
+
+    ok = make(output_dtype=types.FLOAT, output_ndim=2)
+    ok.build()
+    ok.run()
+
+    bad_dt = make(output_dtype=types.INT32)
+    bad_dt.build()
+    with _pytest.raises(Exception, match="output_dtype"):
+        bad_dt.run()
+
+    bad_nd = make(output_ndim=3)
+    bad_nd.build()
+    with _pytest.raises(Exception, match="output_ndim"):
+        bad_nd.run()
