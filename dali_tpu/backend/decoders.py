@@ -451,6 +451,100 @@ DALI_SCHEMA("_JpegIdct").DocStr(
 
 @register_operator("_JpegCoeffs", "mixed")
 class JpegCoeffs(Operator):
+    def _coef_cache(self):
+        """Coefficient cache (reference decoder cache applied to the hybrid
+        wire): entropy-decoded full-image planes keyed by source_info, so
+        repeat epochs over small datasets skip the Huffman work entirely and
+        pay only a window memcpy. Enabled via cache_size (MB)."""
+        mb = self.spec.GetArgument("cache_size", 0)
+        if not mb:
+            return None
+        if not hasattr(self, "_ccache"):
+            self._ccache = {"cap": int(mb) << 20, "used": 0, "map": {},
+                            "hits": 0, "misses": 0}
+        return self._ccache
+
+    def _planes_for(self, cache, datas, keys, infos, ky, kc):
+        """Full-image coefficient planes per sample, from cache or one native
+        batch decode of the misses. Returns a list of
+        (y_dc [ybh,ybw], y_ac [ybh,ybw,ky²-1], c_dc [2,cbh,cbw], c_ac, q)."""
+        from .. import native
+
+        n = len(datas)
+        out = [None] * n
+        miss = []
+        for i in range(n):
+            ent = cache["map"].get(keys[i])
+            if ent is not None:
+                cache["hits"] += 1
+                out[i] = ent
+            else:
+                cache["misses"] += 1
+                miss.append(i)
+        if miss:
+            blocks = infos[np.asarray(miss), 2:6].astype(np.int32)
+            y_n = blocks[:, 0].astype(np.int64) * blocks[:, 1]
+            c_n = blocks[:, 2].astype(np.int64) * blocks[:, 3]
+            flat = [int(y_n.sum()), int((y_n * (ky * ky - 1)).sum()),
+                    int(2 * c_n.sum()), int((2 * c_n * (kc * kc - 1)).sum())]
+            r = native.jpeg_coeffs_split_flat_batch(
+                [datas[i] for i in miss], ky, kc, blocks, flat,
+                num_threads=self.pipeline.num_threads)
+            if r is None:
+                return None
+            y_dc, y_ac, c_dc, c_ac, q, offs, oks = r
+            if not all(oks):
+                raise ValueError(
+                    "JPEG coefficient read failed (corrupt sample in hybrid path)")
+            for j, i in enumerate(miss):
+                ybh, ybw, cbh, cbw = (int(v) for v in blocks[j])
+                ent = (
+                    y_dc[offs["y_dc"][j]:offs["y_dc"][j] + ybh * ybw]
+                    .reshape(ybh, ybw).copy(),
+                    y_ac[offs["y_ac"][j]:offs["y_ac"][j] + ybh * ybw * (ky * ky - 1)]
+                    .reshape(ybh, ybw, ky * ky - 1).copy(),
+                    c_dc[offs["c_dc"][j]:offs["c_dc"][j] + 2 * cbh * cbw]
+                    .reshape(2, cbh, cbw).copy(),
+                    c_ac[offs["c_ac"][j]:offs["c_ac"][j] + 2 * cbh * cbw * (kc * kc - 1)]
+                    .reshape(2, cbh, cbw, kc * kc - 1).copy(),
+                    q[j].copy(),
+                )
+                out[i] = ent
+                nbytes = sum(a.nbytes for a in ent)
+                if cache["used"] + nbytes <= cache["cap"]:
+                    cache["map"][keys[i]] = ent
+                    cache["used"] += nbytes
+        return out
+
+    @staticmethod
+    def _pack_windows(planes, blocks, brc0, flat_lens, ky, kc):
+        """Slice each sample's window out of its cached planes into the flat
+        wire buffers (the memcpy that replaces entropy decode on cache hits)."""
+        n = len(planes)
+        y_n = blocks[:, 0].astype(np.int64) * blocks[:, 1]
+        c_n = blocks[:, 2].astype(np.int64) * blocks[:, 3]
+        offs = {
+            "y_dc": np.concatenate([[0], np.cumsum(y_n)[:-1]]),
+            "y_ac": np.concatenate([[0], np.cumsum(y_n * (ky * ky - 1))[:-1]]),
+            "c_dc": np.concatenate([[0], np.cumsum(2 * c_n)[:-1]]),
+            "c_ac": np.concatenate([[0], np.cumsum(2 * c_n * (kc * kc - 1))[:-1]]),
+        }
+        y_dc = np.empty((flat_lens[0],), np.int16)
+        y_ac = np.empty((flat_lens[1],), np.int8)
+        c_dc = np.empty((flat_lens[2],), np.int16)
+        c_ac = np.empty((flat_lens[3],), np.int8)
+        qs = np.empty((n, planes[0][4].shape[0]), planes[0][4].dtype)
+        for i, (pyd, pya, pcd, pca, q) in enumerate(planes):
+            bh, bw, cbh, cbw = (int(v) for v in blocks[i])
+            r0, c0 = (int(v) for v in brc0[i])
+            cr0, cc0 = r0 // 2, c0 // 2
+            y_dc[offs["y_dc"][i]:offs["y_dc"][i] + bh * bw] =                 pyd[r0:r0 + bh, c0:c0 + bw].ravel()
+            y_ac[offs["y_ac"][i]:offs["y_ac"][i] + bh * bw * (ky * ky - 1)] =                 pya[r0:r0 + bh, c0:c0 + bw].ravel()
+            c_dc[offs["c_dc"][i]:offs["c_dc"][i] + 2 * cbh * cbw] =                 pcd[:, cr0:cr0 + cbh, cc0:cc0 + cbw].ravel()
+            c_ac[offs["c_ac"][i]:offs["c_ac"][i] + 2 * cbh * cbw * (kc * kc - 1)] =                 pca[:, cr0:cr0 + cbh, cc0:cc0 + cbw].ravel()
+            qs[i] = q
+        return y_dc, y_ac, c_dc, c_ac, qs, offs
+
     def _check_modes(self, modes):
         """4:2:0 / 4:4:4 / 4:2:2 all ride the hybrid wire; the sampling mode
         is a jit-static of the device IDCT program, so a batch must be
@@ -574,6 +668,8 @@ DALI_SCHEMA("_JpegCoeffsSplit").DocStr(
     (saturated) planes — half the host→device traffic
     (native/src/jpeg_coeffs_split.cc). Outputs: (y_dc, y_ac, c_dc, c_ac, q, dims)."""
 ).NumInput(1).NumOutput(6).Devices("mixed").MakeInternal().AddOptionalArg(
+    "cache_size", ArgType.INT, "Coefficient cache budget in MB (0 = off).", 0
+).AddOptionalArg(
     "hybrid_scale", ArgType.INT, "Decode scale denominator (1, 2, or 4).", 1
 ).AddOptionalArg("chroma_full", ArgType.BOOL, "Full-spectrum chroma.", False)
 
@@ -652,10 +748,18 @@ class JpegCoeffsSplit(JpegCoeffs):
         for j in range(4):
             self._flat_lens[j] = max(self._flat_lens[j], -(-need[j] // chunk) * chunk)
 
-        r = native.jpeg_coeffs_split_flat_batch(
-            datas, ky, kc, blocks, self._flat_lens,
-            num_threads=self.pipeline.num_threads, ring=self._wire_ring(),
-        )
+        cache = self._coef_cache()
+        keys = inputs[0].source_info
+        if cache is not None and keys:
+            planes = self._planes_for(cache, datas, keys, infos, ky, kc)
+            r = None if planes is None else (
+                *self._pack_windows(planes, blocks, np.zeros((n, 2), np.int32),
+                                    self._flat_lens, ky, kc), [True] * n)
+        else:
+            r = native.jpeg_coeffs_split_flat_batch(
+                datas, ky, kc, blocks, self._flat_lens,
+                num_threads=self.pipeline.num_threads, ring=self._wire_ring(),
+            )
         if r is None:
             return None
         y_dc, y_ac, c_dc, c_ac, q, offs, oks = r
@@ -801,6 +905,8 @@ DALI_SCHEMA("_JpegCoeffsSplitRRC").DocStr(
     work scale with the crop, not the image. Outputs the split-precision planes
     + dims (decoded-region size) + roi (residual window within the region)."""
 ).NumInput(1).NumOutput(7).Devices("mixed").MakeInternal().AddRandomSeedArg().AddOptionalArg(
+    "cache_size", ArgType.INT, "Coefficient cache budget in MB (0 = off).", 0
+).AddOptionalArg(
     "hybrid_scale", ArgType.INT, "Decode scale denominator (1, 2, or 4).", 1
 ).AddOptionalArg(
     "chroma_full", ArgType.BOOL, "Full-spectrum chroma.", False
@@ -887,10 +993,18 @@ class JpegCoeffsSplitRRC(JpegCoeffsSplit):
         for j in range(4):
             self._flat_lens[j] = max(self._flat_lens[j], -(-need[j] // chunk) * chunk)
 
-        r = native.jpeg_coeffs_split_flat_crop_batch(
-            datas, ky, kc, blocks, brc0, self._flat_lens,
-            num_threads=self.pipeline.num_threads, ring=self._wire_ring(),
-        )
+        cache = self._coef_cache()
+        keys = inp.source_info
+        if cache is not None and keys:
+            planes = self._planes_for(cache, datas, keys, infos, ky, kc)
+            r = None if planes is None else (
+                *self._pack_windows(planes, blocks, brc0, self._flat_lens, ky, kc),
+                [True] * n)
+        else:
+            r = native.jpeg_coeffs_split_flat_crop_batch(
+                datas, ky, kc, blocks, brc0, self._flat_lens,
+                num_threads=self.pipeline.num_threads, ring=self._wire_ring(),
+            )
         if r is None:
             return None
         y_dc, y_ac, c_dc, c_ac, q, offs, oks = r

@@ -312,3 +312,69 @@ def test_hybrid_mode_switch_across_batches(tmp_path):
     for root, (h, w) in sources:
         (out,) = pipe.run()
         assert out.shape()[0] == (h, w, 3), (root, out.shape())
+
+
+def test_hybrid_coefficient_cache(tmp_path):
+    """cache_size on the hybrid decoder caches entropy-decoded coefficient
+    planes by source_info (reference decoder cache applied to the hybrid
+    wire): epoch 2+ skips the Huffman decode and produces identical output."""
+    import cv2
+
+    root = tmp_path / "imgs" / "c"
+    root.mkdir(parents=True)
+    rng = np.random.default_rng(13)
+    for i in range(4):
+        small = rng.integers(0, 256, (8, 10, 3), np.uint8)
+        cv2.imwrite(str(root / f"{i}.jpg"),
+                    cv2.resize(small, (80, 64), interpolation=cv2.INTER_CUBIC))
+
+    def make(cache_mb):
+        @pipeline_def(batch_size=4, num_threads=1, seed=5)
+        def p():
+            jp, _ = fn.readers.file(file_root=str(tmp_path / "imgs"), name="r")
+            img = fn.decoders.image_random_crop(
+                jp, device="mixed", hybrid_device_decode=True, seed=77,
+                cache_size=cache_mb)
+            return fn.resize(img, resize_x=32, resize_y=32)
+
+        return p()
+
+    pc, pn = make(64), make(0)
+    pc.build(), pn.build()
+    for it in range(3):  # epoch = 1 iteration; 2nd+ hits the cache
+        a = np.asarray(pc.run()[0].as_tensor())
+        b = np.asarray(pn.run()[0].as_tensor())
+        np.testing.assert_array_equal(a, b)
+    coeffs_op = next(i for i in pc._executor.impls.values()
+                     if type(i).__name__ == "JpegCoeffsSplitRRC")
+    st = coeffs_op._ccache
+    assert st["misses"] == 4 and st["hits"] == 8, (st["hits"], st["misses"])
+
+
+def test_hybrid_cache_budget_eviction(tmp_path):
+    """A tiny budget keeps the cache within bounds (entries beyond the
+    budget simply decode every time)."""
+    import cv2
+
+    root = tmp_path / "imgs" / "c"
+    root.mkdir(parents=True)
+    rng = np.random.default_rng(14)
+    for i in range(3):
+        cv2.imwrite(str(root / f"{i}.jpg"),
+                    rng.integers(0, 256, (400, 500, 3), np.uint8),
+                    [cv2.IMWRITE_JPEG_QUALITY, 95])
+
+    @pipeline_def(batch_size=3, num_threads=1, seed=5)
+    def p():
+        jp, _ = fn.readers.file(file_root=str(tmp_path / "imgs"), name="r")
+        img = fn.decoders.image(jp, device="mixed", hybrid_device_decode=True,
+                                hybrid_wire="int8", cache_size=1)  # 1 MB
+        return fn.resize(img, resize_x=32, resize_y=32)
+
+    pipe = p()
+    pipe.build()
+    for _ in range(2):
+        pipe.run()
+    op = next(i for i in pipe._executor.impls.values()
+              if type(i).__name__ == "JpegCoeffsSplit")
+    assert op._ccache["used"] <= (1 << 20)
