@@ -147,19 +147,37 @@ class WebdatasetReader(BaseReader):
         self._paths = list(paths)
         exts = self.spec.GetArgument("ext")
         behavior = self.spec.GetArgument("missing_component_behavior", "empty")
+        index_paths = self.spec.GetArgument("index_paths", None)
+        if isinstance(index_paths, str):
+            index_paths = [index_paths]
         self._samples = []
         for fi, p in enumerate(paths):
             groups: Dict[str, Dict[str, tuple]] = {}
             order: List[str] = []
-            with _open_maybe_s3(p) as fobj, tarfile.open(fileobj=fobj, mode="r") as tar:
-                for m in tar:
-                    if not m.isfile():
-                        continue
-                    base, _, ext = m.name.partition(".")
-                    if base not in groups:
-                        groups[base] = {}
-                        order.append(base)
-                    groups[base][ext] = (m.offset_data, m.size)
+            if index_paths and fi < len(index_paths):
+                # wds2idx index: '<ext> <offset> <size> <basename>' lines —
+                # avoids scanning the shard (for s3:// shards, avoids
+                # downloading it entirely; tools/wds2idx.py creates these)
+                with open(index_paths[fi]) as f:
+                    for line in f:
+                        parts = line.split()
+                        if len(parts) != 4:
+                            continue
+                        ext, off, size, base = parts
+                        if base not in groups:
+                            groups[base] = {}
+                            order.append(base)
+                        groups[base][ext] = (int(off), int(size))
+            else:
+                with _open_maybe_s3(p) as fobj, tarfile.open(fileobj=fobj, mode="r") as tar:
+                    for m in tar:
+                        if not m.isfile():
+                            continue
+                        base, _, ext = m.name.partition(".")
+                        if base not in groups:
+                            groups[base] = {}
+                            order.append(base)
+                        groups[base][ext] = (m.offset_data, m.size)
             for base in order:
                 comp = groups[base]
                 if behavior == "skip" and any(e not in comp for e in exts):

@@ -148,3 +148,39 @@ def test_sequence_reader(tmp_path):
     out = pipe().run()[0]
     assert out.at(0).shape == (3, 20, 20, 3)
     assert out.layout() == "FHWC"
+
+
+def test_webdataset_index_paths(tmp_path):
+    """External wds2idx index files (reference webdataset index_paths):
+    indexing must not open the shard at all."""
+    import io
+    import subprocess
+    import sys
+    import tarfile
+
+    import numpy as np
+
+    from dali_tpu import fn, pipeline_def
+
+    shard = tmp_path / "data.tar"
+    with tarfile.open(shard, "w") as tar:
+        for i in range(3):
+            payload = f"sample{i}".encode()
+            ti = tarfile.TarInfo(name=f"s{i:03d}.cls")
+            ti.size = len(payload)
+            tar.addfile(ti, io.BytesIO(payload))
+    idx = tmp_path / "data.idx"
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    subprocess.check_call([sys.executable, os.path.join(repo, "tools", "wds2idx.py"),
+                           str(shard), str(idx)])
+
+    @pipeline_def(batch_size=3, num_threads=1, seed=1)
+    def p():
+        return fn.readers.webdataset(paths=[str(shard)], index_paths=[str(idx)],
+                                     ext=["cls"], name="W")
+
+    pipe = p()
+    pipe.build()
+    out = pipe.run()[0]
+    got = sorted(bytes(out.at(i)).decode() for i in range(3))
+    assert got == ["sample0", "sample1", "sample2"]
