@@ -27,8 +27,8 @@ BASELINE_IMGS_PER_SEC = 10_000.0
 DATA_DIR = "/tmp/dali_tpu_bench_data"
 N_IMAGES = 512
 BATCH = 256
-WARMUP = 4
-ITERS = 16
+WARMUP = 6
+ITERS = 24
 
 
 def ensure_dataset():
