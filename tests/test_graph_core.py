@@ -170,3 +170,27 @@ def test_output_dtype_and_ndim_contracts():
     bad_nd.build()
     with _pytest.raises(Exception, match="output_ndim"):
         bad_nd.run()
+
+
+def test_ops_class_api_workflow():
+    """The reference's class-style workflow: instantiate ops.* objects, call
+    them inside a Pipeline scope, set_outputs, build, run."""
+    import numpy as np
+
+    from dali_tpu import Pipeline, ops, types
+
+    data = [np.full((6, 4), i, np.float32) for i in range(2)]
+
+    pipe = Pipeline(batch_size=2, num_threads=1, seed=5)
+    src = ops.ExternalSource(source=lambda: data, batch=True, cycle=True)
+    cast = ops.Cast(dtype=types.INT32, device="cpu")
+    with pipe:
+        x = src()
+        y = cast(x)
+        pipe.set_outputs(x, y)
+    pipe.build()
+    xs, ys = pipe.run()
+    for i in range(2):
+        np.testing.assert_array_equal(xs.at(i), data[i])
+        assert ys.at(i).dtype == np.int32
+        np.testing.assert_array_equal(ys.at(i), data[i].astype(np.int32))
