@@ -264,3 +264,21 @@ def test_fuzz_tar_index(tmp_path):
         pipe.run()
 
     check_no_crash(index, mutations(base, rng, 120))
+
+
+@pytest.mark.parametrize("subsamp", [1, 2])
+def test_fuzz_jpeg_huffman_other_samplings(subsamp):
+    """Mutation fuzz over 4:4:4 / 4:2:2 streams (the round-2 fast-path
+    extensions) — same no-crash contract."""
+    from dali_tpu import native
+
+    if not native.available():
+        pytest.skip("native runtime not built")
+    rng = np.random.default_rng(20 + subsamp)
+    img = rng.integers(0, 256, (56, 64, 3), np.uint8)
+    base = native.jpeg_encode_rgb(img, quality=85, subsamp=subsamp)
+
+    def decode(blob):
+        native.jpeg_read_coeffs_split_crop(blob, 4, 4, 8, 8, 8, 4, impl="huff")
+
+    check_no_crash(decode, mutations(base, rng, 800))
