@@ -132,6 +132,53 @@ class Batch:
         return f"Batch({kind}, n={len(self)}, layout={self.layout!r})"
 
 
+def _batch_arithm(op, *operands, reverse=False):
+    """Eager arithmetic over Batch objects (reference dynamic-mode operator
+    overloads): same _ArithmeticGenericOp + expression DSL as DataNode."""
+    from ...data_node import _scalar_desc
+
+    ops = list(operands[::-1]) if reverse else list(operands)
+    inputs = []
+    descs = []
+    for o in ops:
+        if isinstance(o, Batch):
+            descs.append(f"&{len(inputs)}")
+            inputs.append(o)
+        elif isinstance(o, (bool, int, float)):
+            descs.append(_scalar_desc(o, None))
+        else:
+            return NotImplemented
+    expr = f"{op}({' '.join(descs)})"
+    return _eager_call("_ArithmeticGenericOp", *inputs, expression_desc=expr)
+
+
+def _add_batch_operators():
+    binops = {
+        "__add__": "add", "__sub__": "sub", "__mul__": "mul",
+        "__truediv__": "fdiv", "__floordiv__": "div", "__mod__": "mod",
+        "__pow__": "pow", "__eq__": "eq", "__ne__": "neq", "__lt__": "lt",
+        "__le__": "leq", "__gt__": "gt", "__ge__": "geq",
+        "__and__": "bitand", "__or__": "bitor", "__xor__": "bitxor",
+    }
+    for dunder, op in binops.items():
+        def fwd(self, other, _op=op):
+            return _batch_arithm(_op, self, other)
+        setattr(Batch, dunder, fwd)
+    for dunder, op in (("__radd__", "add"), ("__rsub__", "sub"),
+                       ("__rmul__", "mul"), ("__rtruediv__", "fdiv"),
+                       ("__rfloordiv__", "div"), ("__rmod__", "mod"),
+                       ("__rpow__", "pow")):
+        def rev(self, other, _op=op):
+            return _batch_arithm(_op, other, self)
+        setattr(Batch, dunder, rev)
+    Batch.__neg__ = lambda self: _batch_arithm("minus", self)
+    Batch.__pos__ = lambda self: _batch_arithm("plus", self)
+    Batch.__abs__ = lambda self: _batch_arithm("abs", self)
+
+
+_add_batch_operators()
+
+
 def as_batch(data, layout="") -> Batch:
     if isinstance(data, Batch):
         return data

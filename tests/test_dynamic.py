@@ -58,3 +58,23 @@ def test_batch_roundtrip():
 
 def test_readers_not_in_ndd():
     assert not hasattr(ndd, "readers") or not hasattr(ndd.readers, "file")
+
+
+def test_ndd_batch_arithmetic_operators():
+    """Dynamic-mode Batch supports the arithmetic DSL like DataNode
+    (reference dynamic-mode operator overloads)."""
+    import numpy as np
+
+    import dali_tpu.experimental.dynamic as ndd
+
+    b = ndd.as_batch([np.ones((2, 2), np.float32),
+                      np.full((3, 2), 4.0, np.float32)])
+    c = (b * 2 + 1) / 2
+    np.testing.assert_allclose(np.asarray(c.cpu().at(0)), np.full((2, 2), 1.5))
+    np.testing.assert_allclose(np.asarray(c.cpu().at(1)), np.full((3, 2), 4.5))
+    g = (2 * b.gpu() - 1) ** 2
+    np.testing.assert_allclose(np.asarray(g.cpu().at(1)), np.full((3, 2), 49.0))
+    m = b > 0.5
+    assert np.asarray(m.cpu().at(0)).dtype == np.bool_
+    np.testing.assert_allclose(np.asarray((-b).cpu().at(0)), -np.ones((2, 2)))
+    np.testing.assert_allclose(np.asarray(abs(b - 2).cpu().at(0)), np.ones((2, 2)))
