@@ -13,7 +13,12 @@ def _arithm(op, *args):
         return args[0]._arithm(op, *args[1:])
     if len(args) == 2 and isinstance(args[1], DataNode):
         return args[1]._arithm(op, args[0], reverse=True)
-    raise TypeError(f"math.{op} requires at least one DataNode argument")
+    # eager path: dynamic-mode Batch operands (reference ndd math support)
+    from .experimental.dynamic import Batch, _batch_arithm
+
+    if any(isinstance(a, Batch) for a in args):
+        return _batch_arithm(op, *args)
+    raise TypeError(f"math.{op} requires a DataNode or dynamic Batch argument")
 
 
 def sqrt(x):

@@ -78,3 +78,19 @@ def test_ndd_batch_arithmetic_operators():
     assert np.asarray(m.cpu().at(0)).dtype == np.bool_
     np.testing.assert_allclose(np.asarray((-b).cpu().at(0)), -np.ones((2, 2)))
     np.testing.assert_allclose(np.asarray(abs(b - 2).cpu().at(0)), np.ones((2, 2)))
+
+
+def test_ndd_math_dsl():
+    import numpy as np
+
+    import dali_tpu.experimental.dynamic as ndd
+    import dali_tpu.math as dmath
+
+    b = ndd.as_batch([np.full((2, 2), 4.0, np.float32)])
+    np.testing.assert_allclose(np.asarray(dmath.sqrt(b).cpu().at(0)),
+                               np.full((2, 2), 2.0))
+    np.testing.assert_allclose(np.asarray(dmath.min(b, 3.0).cpu().at(0)),
+                               np.full((2, 2), 3.0))
+    g = dmath.log(b.gpu())
+    np.testing.assert_allclose(np.asarray(g.cpu().at(0)),
+                               np.full((2, 2), np.log(4.0)), rtol=1e-6)

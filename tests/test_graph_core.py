@@ -194,3 +194,35 @@ def test_ops_class_api_workflow():
         np.testing.assert_array_equal(xs.at(i), data[i])
         assert ys.at(i).dtype == np.int32
         np.testing.assert_array_equal(ys.at(i), data[i].astype(np.int32))
+
+
+def test_fn_stub_coverage():
+    """Every public schema has a generated .pyi stub under dali_tpu/fn
+    (reference type_annotations checks)."""
+    import ast
+    import os
+
+    from dali_tpu._schema import GetSchema, RegisteredSchemas
+    from dali_tpu.fn import _camel_to_snake
+
+    root = os.path.join(os.path.dirname(__file__), "..", "dali_tpu", "fn")
+    stubs = {}
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if f.endswith(".pyi"):
+                mod = os.path.relpath(dirpath, root).replace(os.sep, ".")
+                tree = ast.parse(open(os.path.join(dirpath, f)).read())
+                for node in tree.body:
+                    if isinstance(node, ast.FunctionDef):
+                        key = node.name if mod == "." else f"{mod}.{node.name}"
+                        stubs[key] = node
+    missing = []
+    for name in RegisteredSchemas():
+        schema = GetSchema(name)
+        if schema.is_internal:
+            continue
+        parts = name.split(".")
+        key = ".".join(parts[:-1] + [_camel_to_snake(parts[-1])])
+        if key not in stubs:
+            missing.append(name)
+    assert not missing, f"schemas without fn stubs: {missing[:10]} (+{len(missing)})"
