@@ -125,7 +125,7 @@ def _decoders_image_fn(*inputs, device=None, hybrid_device_decode=False, hybrid_
         )
     y, c, q, dims = _op_call(
         "_JpegCoeffs", device="mixed", inputs=inputs, name=name, hybrid_scale=hybrid_scale,
-        chroma_full=hybrid_chroma_full,
+        chroma_full=hybrid_chroma_full, cache_size=cache_mb,
     )
     return _op_call(
         "_JpegIdct", device="gpu", inputs=[y, c, q, dims], hybrid_scale=hybrid_scale,

@@ -437,6 +437,8 @@ DALI_SCHEMA("_JpegCoeffs").DocStr(
     decode only, exporting low-frequency DCT coefficient planes + quant tables.
     Outputs: (y_coeffs, chroma_coeffs, quant_tables, dims)."""
 ).NumInput(1).NumOutput(4).Devices("mixed").MakeInternal().AddOptionalArg(
+    "cache_size", ArgType.INT, "Coefficient cache budget in MB (0 = off).", 0
+).AddOptionalArg(
     "hybrid_scale", ArgType.INT, "Decode scale denominator (1, 2, or 4).", 1
 ).AddOptionalArg("chroma_full", ArgType.BOOL, "Full-spectrum chroma (2x traffic).", False)
 
@@ -476,10 +478,8 @@ class JpegCoeffs(Operator):
         for i in range(n):
             ent = cache["map"].get(keys[i])
             if ent is not None:
-                cache["hits"] += 1
                 out[i] = ent
             else:
-                cache["misses"] += 1
                 miss.append(i)
         if miss:
             blocks = infos[np.asarray(miss), 2:6].astype(np.int32)
@@ -517,10 +517,68 @@ class JpegCoeffs(Operator):
         return out
 
     @staticmethod
-    def _pack_windows(planes, blocks, brc0, flat_lens, ky, kc):
-        """Slice each sample's window out of its cached planes into the flat
-        wire buffers (the memcpy that replaces entropy decode on cache hits)."""
-        n = len(planes)
+    def _chroma_origin(mode, r0, c0):
+        """Chroma window origin for a luma block origin, per sampling mode."""
+        if mode == 0:    # 4:2:0
+            return r0 // 2, c0 // 2
+        if mode == 2:    # 4:2:2
+            return r0, c0 // 2
+        return r0, c0    # 4:4:4
+
+    def _stage_via_cache(self, cache, datas, keys, infos, blocks, brc0, ky, kc):
+        """Per-sample window planes: from the cache, from a batch decode of
+        the misses (inserted while the budget allows), or — once the budget
+        is exhausted — from a CROP-BOUNDED native read (never a full-image
+        decode: an over-budget cache must not be slower than cache_size=0)."""
+        from .. import native
+
+        mode = getattr(self, "_last_mode", 0)
+        n = len(datas)
+        windows = [None] * n  # (y_dc, y_ac, c_dc, c_ac, q) window arrays
+        for i in range(n):
+            if keys[i] in cache["map"]:
+                cache["hits"] += 1
+            else:
+                cache["misses"] += 1
+        to_fill = [i for i in range(n)
+                   if keys[i] not in cache["map"] and cache["used"] < cache["cap"]]
+        if to_fill:
+            planes = self._planes_for(cache, [datas[i] for i in to_fill],
+                                      [keys[i] for i in to_fill],
+                                      infos[np.asarray(to_fill)], ky, kc)
+            if planes is None:
+                return None
+            fill_planes = dict(zip(to_fill, planes))
+        else:
+            fill_planes = {}
+        for i in range(n):
+            bh, bw, cbh, cbw = (int(v) for v in blocks[i])
+            r0, c0 = (int(v) for v in brc0[i])
+            cr0, cc0 = self._chroma_origin(mode, r0, c0)
+            ent = cache["map"].get(keys[i]) or fill_planes.get(i)
+            if ent is not None:
+                pyd, pya, pcd, pca, q = ent
+                windows[i] = (
+                    np.ascontiguousarray(pyd[r0:r0 + bh, c0:c0 + bw]),
+                    np.ascontiguousarray(pya[r0:r0 + bh, c0:c0 + bw]),
+                    np.ascontiguousarray(pcd[:, cr0:cr0 + cbh, cc0:cc0 + cbw]),
+                    np.ascontiguousarray(pca[:, cr0:cr0 + cbh, cc0:cc0 + cbw]),
+                    q,
+                )
+            else:  # budget exhausted: crop-bounded native decode
+                r = native.jpeg_read_coeffs_split_crop(
+                    np.ascontiguousarray(datas[i]).tobytes(), ky, kc,
+                    bh, bw, cbh, cbw, y_br0=r0, y_bc0=c0, c_br0=cr0, c_bc0=cc0)
+                if r is None:
+                    raise ValueError("JPEG coefficient read failed")
+                y_dc, y_ac, c_dc, c_ac, q = r
+                windows[i] = (y_dc, y_ac, c_dc, c_ac, q.astype(np.int32))
+        return self._pack_flat(windows, blocks, ky, kc)
+
+    @staticmethod
+    def _pack_flat(windows, blocks, ky, kc):
+        """Pack per-sample window arrays densely into the flat wire buffers."""
+        n = len(windows)
         y_n = blocks[:, 0].astype(np.int64) * blocks[:, 1]
         c_n = blocks[:, 2].astype(np.int64) * blocks[:, 3]
         offs = {
@@ -529,19 +587,16 @@ class JpegCoeffs(Operator):
             "c_dc": np.concatenate([[0], np.cumsum(2 * c_n)[:-1]]),
             "c_ac": np.concatenate([[0], np.cumsum(2 * c_n * (kc * kc - 1))[:-1]]),
         }
-        y_dc = np.empty((flat_lens[0],), np.int16)
-        y_ac = np.empty((flat_lens[1],), np.int8)
-        c_dc = np.empty((flat_lens[2],), np.int16)
-        c_ac = np.empty((flat_lens[3],), np.int8)
-        qs = np.empty((n, planes[0][4].shape[0]), planes[0][4].dtype)
-        for i, (pyd, pya, pcd, pca, q) in enumerate(planes):
-            bh, bw, cbh, cbw = (int(v) for v in blocks[i])
-            r0, c0 = (int(v) for v in brc0[i])
-            cr0, cc0 = r0 // 2, c0 // 2
-            y_dc[offs["y_dc"][i]:offs["y_dc"][i] + bh * bw] =                 pyd[r0:r0 + bh, c0:c0 + bw].ravel()
-            y_ac[offs["y_ac"][i]:offs["y_ac"][i] + bh * bw * (ky * ky - 1)] =                 pya[r0:r0 + bh, c0:c0 + bw].ravel()
-            c_dc[offs["c_dc"][i]:offs["c_dc"][i] + 2 * cbh * cbw] =                 pcd[:, cr0:cr0 + cbh, cc0:cc0 + cbw].ravel()
-            c_ac[offs["c_ac"][i]:offs["c_ac"][i] + 2 * cbh * cbw * (kc * kc - 1)] =                 pca[:, cr0:cr0 + cbh, cc0:cc0 + cbw].ravel()
+        y_dc = np.empty((int(y_n.sum()),), np.int16)
+        y_ac = np.empty((int((y_n * (ky * ky - 1)).sum()),), np.int8)
+        c_dc = np.empty((int(2 * c_n.sum()),), np.int16)
+        c_ac = np.empty((int((2 * c_n * (kc * kc - 1)).sum()),), np.int8)
+        qs = np.empty((n, windows[0][4].shape[0]), windows[0][4].dtype)
+        for i, (wyd, wya, wcd, wca, q) in enumerate(windows):
+            y_dc[offs["y_dc"][i]:offs["y_dc"][i] + wyd.size] = wyd.ravel()
+            y_ac[offs["y_ac"][i]:offs["y_ac"][i] + wya.size] = wya.ravel()
+            c_dc[offs["c_dc"][i]:offs["c_dc"][i] + wcd.size] = wcd.ravel()
+            c_ac[offs["c_ac"][i]:offs["c_ac"][i] + wca.size] = wca.ravel()
             qs[i] = q
         return y_dc, y_ac, c_dc, c_ac, qs, offs
 
@@ -590,15 +645,30 @@ class JpegCoeffs(Operator):
                 )
             infos.append(info)
         self._check_modes(np.asarray([i[6] for i in infos]))
+        cache = self._coef_cache()
+        keys = inp.source_info if cache is not None else None
 
         def one(i):
             h, w, ybh, ybw, cbh, cbw, mode = infos[i]
+            if keys:
+                ent = cache["map"].get(keys[i])
+                if ent is not None:
+                    cache["hits"] += 1
+                    y, c, q = ent
+                    return y, c, q, np.array([h, w, mode], np.int32)
+                cache["misses"] += 1
             r = native.jpeg_read_coeffs(datas[i], ky, kc, ybh, ybw, cbh, cbw)
             if r is None:
                 raise ValueError("JPEG coefficient read failed")
             y, c, q = r
+            q = q.astype(np.int32)
+            if keys:
+                nbytes = y.nbytes + c.nbytes + q.nbytes
+                if cache["used"] + nbytes <= cache["cap"]:
+                    cache["map"][keys[i]] = (y, c, q)
+                    cache["used"] += nbytes
             dims = np.array([h, w, mode], np.int32)
-            return y, c, q.astype(np.int32), dims
+            return y, c, q, dims
 
         results = ctx.map_samples(one, len(datas))
         return [
@@ -751,10 +821,9 @@ class JpegCoeffsSplit(JpegCoeffs):
         cache = self._coef_cache()
         keys = inputs[0].source_info
         if cache is not None and keys:
-            planes = self._planes_for(cache, datas, keys, infos, ky, kc)
-            r = None if planes is None else (
-                *self._pack_windows(planes, blocks, np.zeros((n, 2), np.int32),
-                                    self._flat_lens, ky, kc), [True] * n)
+            packed = self._stage_via_cache(cache, datas, keys, infos, blocks,
+                                           np.zeros((n, 2), np.int32), ky, kc)
+            r = None if packed is None else (*packed, [True] * n)
         else:
             r = native.jpeg_coeffs_split_flat_batch(
                 datas, ky, kc, blocks, self._flat_lens,
@@ -996,10 +1065,9 @@ class JpegCoeffsSplitRRC(JpegCoeffsSplit):
         cache = self._coef_cache()
         keys = inp.source_info
         if cache is not None and keys:
-            planes = self._planes_for(cache, datas, keys, infos, ky, kc)
-            r = None if planes is None else (
-                *self._pack_windows(planes, blocks, brc0, self._flat_lens, ky, kc),
-                [True] * n)
+            packed = self._stage_via_cache(cache, datas, keys, infos, blocks,
+                                           brc0, ky, kc)
+            r = None if packed is None else (*packed, [True] * n)
         else:
             r = native.jpeg_coeffs_split_flat_crop_batch(
                 datas, ky, kc, blocks, brc0, self._flat_lens,

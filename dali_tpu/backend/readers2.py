@@ -159,10 +159,14 @@ class WebdatasetReader(BaseReader):
                 # avoids scanning the shard (for s3:// shards, avoids
                 # downloading it entirely; tools/wds2idx.py creates these)
                 with open(index_paths[fi]) as f:
-                    for line in f:
-                        parts = line.split()
-                        if len(parts) != 4:
+                    for lineno, line in enumerate(f, 1):
+                        if not line.strip():
                             continue
+                        parts = line.rstrip("\n").split(" ", 3)  # basename may contain spaces
+                        if len(parts) != 4:
+                            raise ValueError(
+                                f"{index_paths[fi]}:{lineno}: malformed wds2idx "
+                                f"line (expected 'ext offset size basename')")
                         ext, off, size, base = parts
                         if base not in groups:
                             groups[base] = {}

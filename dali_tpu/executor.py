@@ -618,11 +618,16 @@ class Executor:
                         f"{DALIDataType(int(dt))!r} but got {got}"
                     )
             if nd is not None:
-                shapes = tl.shape()
-                if shapes and len(shapes[0]) != int(nd):
+                # derive ndim WITHOUT tl.shape(): that would fetch the device
+                # shapes array every iteration (a D2H sync per batch)
+                if hasattr(tl, "jax_array"):
+                    got_nd = tl.jax_array.ndim - 1
+                else:
+                    got_nd = tl.at(0).ndim if len(tl) else int(nd)
+                if got_nd != int(nd):
                     raise RuntimeError(
                         f"Pipeline output {i}: declared output_ndim {nd} but "
-                        f"got {len(shapes[0])}-D samples"
+                        f"got {got_nd}-D samples"
                     )
 
     def _chunked_put(self, arr: np.ndarray):

@@ -146,6 +146,8 @@ def _batch_arithm(op, *operands, reverse=False):
             inputs.append(o)
         elif isinstance(o, (bool, int, float)):
             descs.append(_scalar_desc(o, None))
+        elif isinstance(o, np.generic):  # numpy scalars
+            descs.append(_scalar_desc(o.item(), None))
         else:
             return NotImplemented
     expr = f"{op}({' '.join(descs)})"
@@ -167,10 +169,18 @@ def _add_batch_operators():
     for dunder, op in (("__radd__", "add"), ("__rsub__", "sub"),
                        ("__rmul__", "mul"), ("__rtruediv__", "fdiv"),
                        ("__rfloordiv__", "div"), ("__rmod__", "mod"),
-                       ("__rpow__", "pow")):
+                       ("__rpow__", "pow"), ("__rand__", "bitand"),
+                       ("__ror__", "bitor"), ("__rxor__", "bitxor")):
         def rev(self, other, _op=op):
             return _batch_arithm(_op, other, self)
         setattr(Batch, dunder, rev)
+    def _no_bool(self):
+        raise TypeError(
+            "A dynamic Batch cannot be used in a plain Python `if` or "
+            "`bool()` — comparisons are elementwise (same contract as "
+            "DataNode). Reduce explicitly, e.g. bool(np.all(...)).")
+
+    Batch.__bool__ = _no_bool
     Batch.__neg__ = lambda self: _batch_arithm("minus", self)
     Batch.__pos__ = lambda self: _batch_arithm("plus", self)
     Batch.__abs__ = lambda self: _batch_arithm("abs", self)

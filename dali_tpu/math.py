@@ -17,7 +17,12 @@ def _arithm(op, *args):
     from .experimental.dynamic import Batch, _batch_arithm
 
     if any(isinstance(a, Batch) for a in args):
-        return _batch_arithm(op, *args)
+        out = _batch_arithm(op, *args)
+        if out is NotImplemented:
+            raise TypeError(
+                f"math.{op}: unsupported operand types "
+                f"{tuple(type(a).__name__ for a in args)}")
+        return out
     raise TypeError(f"math.{op} requires a DataNode or dynamic Batch argument")
 
 

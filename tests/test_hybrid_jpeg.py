@@ -378,3 +378,32 @@ def test_hybrid_cache_budget_eviction(tmp_path):
     op = next(i for i in pipe._executor.impls.values()
               if type(i).__name__ == "JpegCoeffsSplit")
     assert op._ccache["used"] <= (1 << 20)
+
+
+def test_hybrid_coefficient_cache_int16_wire(tmp_path):
+    """cache_size works on the DEFAULT int16 hybrid wire too (regression:
+    it was silently dropped there)."""
+    import cv2
+
+    root = tmp_path / "imgs" / "c"
+    root.mkdir(parents=True)
+    rng = np.random.default_rng(15)
+    for i in range(3):
+        cv2.imwrite(str(root / f"{i}.jpg"),
+                    rng.integers(0, 256, (48, 56, 3), np.uint8))
+
+    @pipeline_def(batch_size=3, num_threads=1, seed=5)
+    def p():
+        jp, _ = fn.readers.file(file_root=str(tmp_path / "imgs"), name="r")
+        img = fn.decoders.image(jp, device="mixed", hybrid_device_decode=True,
+                                cache_size=64)  # default hybrid_wire="int16"
+        return fn.resize(img, resize_x=24, resize_y=24)
+
+    pipe = p()
+    pipe.build()
+    a = np.asarray(pipe.run()[0].as_tensor())
+    b = np.asarray(pipe.run()[0].as_tensor())
+    np.testing.assert_array_equal(a, b)  # hit path identical
+    op = next(i for i in pipe._executor.impls.values()
+              if type(i).__name__ == "JpegCoeffs")
+    assert op._ccache["misses"] == 3 and op._ccache["hits"] == 3
