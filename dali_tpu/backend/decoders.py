@@ -1007,48 +1007,60 @@ class JpegCoeffsSplitRRC(JpegCoeffsSplit):
         infos = native.jpeg_coef_info_batch(datas, num_threads=self.pipeline.num_threads)
         if infos is None:
             return None
-        if (infos[:, 6] != 0).any():
-            raise ValueError("hybrid_device_decode requires 3-component YCbCr 4:2:0 JPEGs")
+        self._check_modes(infos[:, 6])
+        mode = int(infos[0, 6])
+        # MCU pixel grid per sampling mode: the decoded region snaps to it
+        # (one-MCU halo keeps the chroma upsample's border neighborhood exact)
+        mcu_h, mcu_w = {0: (16, 16), 2: (8, 16), 1: (8, 8)}[mode]
 
         area = self.spec.GetArgument("random_area")
         ar = self.spec.GetArgument("random_aspect_ratio")
         attempts = self.spec.GetArgument("num_attempts", 10)
         blocks = np.zeros((n, 4), np.int32)  # cropped ybh, ybw, cbh, cbw
-        brc0 = np.zeros((n, 2), np.int32)  # luma block offsets (even)
-        dims = np.zeros((n, 2), np.int32)  # decoded-region pixel size
+        brc0 = np.zeros((n, 2), np.int32)  # luma block offsets
+        dims = np.zeros((n, 3), np.int32)  # decoded-region pixel size + mode
         roi = np.zeros((n, 4), np.int32)  # residual y, x, ch, cw within region
         wins = sample_rrc_windows_batch(ctx.rng(self), infos[:, :2], area, ar, attempts)
         for i in range(n):
             h, w = int(infos[i, 0]), int(infos[i, 1])
             y, x, ch, cw = (int(v) for v in wins[i])
-            # snap to the 16px MCU grid with a 16px halo (keeps the chroma
-            # upsample's neighborhood exact at the crop borders)
-            y0 = max((y // 16) * 16 - 16, 0)
-            x0 = max((x // 16) * 16 - 16, 0)
-            y1 = -(-(y + ch) // 16) * 16 + 16
-            x1 = -(-(x + cw) // 16) * 16 + 16
+            y0 = max((y // mcu_h) * mcu_h - mcu_h, 0)
+            x0 = max((x // mcu_w) * mcu_w - mcu_w, 0)
+            y1 = -(-(y + ch) // mcu_h) * mcu_h + mcu_h
+            x1 = -(-(x + cw) // mcu_w) * mcu_w + mcu_w
             y1 = min(y1, int(infos[i, 2]) * 8)  # full luma block extent
             x1 = min(x1, int(infos[i, 3]) * 8)
-            # region must stay 16-aligned for chroma (full extent may be odd-block)
-            if (y1 - y0) % 16:
-                y1 += 16 - (y1 - y0) % 16
-            if (x1 - x0) % 16:
-                x1 += 16 - (x1 - x0) % 16
-            blocks[i] = ((y1 - y0) // 8, (x1 - x0) // 8, (y1 - y0) // 16, (x1 - x0) // 16)
+            # region must stay MCU-aligned (full extent may be odd-block)
+            if (y1 - y0) % mcu_h:
+                y1 += mcu_h - (y1 - y0) % mcu_h
+            if (x1 - x0) % mcu_w:
+                x1 += mcu_w - (x1 - x0) % mcu_w
+            cbh = (y1 - y0) // 8 if mode != 0 else (y1 - y0) // 16
+            cbw = (x1 - x0) // 8 if mode == 1 else (x1 - x0) // 16
+            blocks[i] = ((y1 - y0) // 8, (x1 - x0) // 8, cbh, cbw)
             brc0[i] = (y0 // 8, x0 // 8)
-            dims[i] = (y1 - y0, x1 - x0)
+            dims[i] = (y1 - y0, x1 - x0, mode)
             roi[i] = (y - y0, x - x0, ch, cw)
+        c_brc0 = np.stack([
+            np.asarray([self._chroma_origin(mode, int(r), int(c))[0]
+                        for r, c in brc0], np.int32),
+            np.asarray([self._chroma_origin(mode, int(r), int(c))[1]
+                        for r, c in brc0], np.int32),
+        ], 1)
 
         def grow(cur, want, align):
             want = int(-(-int(want) // align) * align)
             return max(want, cur)
 
+        if getattr(self, "_canvas_mode", mode) != mode:
+            canvases = [None] * len(canvases)  # stale mode: canvases restart
+        self._canvas_mode = mode
         prev = canvases[1] or [0, 0, 0]
         BH = grow(prev[0], blocks[:, 0].max(), 8)
         BW = grow(prev[1], blocks[:, 1].max(), 8)
         prevc = canvases[3] or [0, 0, 0, 0]
-        CBH = grow(prevc[1], blocks[:, 2].max(), 4)
-        CBW = grow(prevc[2], blocks[:, 3].max(), 4)
+        CBH = grow(prevc[1], blocks[:, 2].max(), {0: 4, 1: 8, 2: 8}[mode])
+        CBW = grow(prevc[2], blocks[:, 3].max(), {0: 4, 1: 8, 2: 4}[mode])
 
         from ..executor import _FlatStaged
 
@@ -1072,6 +1084,7 @@ class JpegCoeffsSplitRRC(JpegCoeffsSplit):
             r = native.jpeg_coeffs_split_flat_crop_batch(
                 datas, ky, kc, blocks, brc0, self._flat_lens,
                 num_threads=self.pipeline.num_threads, ring=self._wire_ring(),
+                c_brc0=c_brc0,
             )
         if r is None:
             return None

@@ -84,6 +84,7 @@ def _load():
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
             ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -739,7 +740,8 @@ def jpeg_coef_info_batch(datas, num_threads: int = 0):
 
 
 def jpeg_coeffs_split_flat_crop_batch(datas, ky, kc, blocks, brc0, flat_lens,
-                                      num_threads: int = 0, ring=None):
+                                      num_threads: int = 0, ring=None,
+                                      c_brc0=None):
     """Flat-packed CROPPED coefficient read (DCT-domain random crop): only the
     block window [brc0, brc0+blocks) of each sample is read and packed.
     ``blocks`` [N,4] = cropped (ybh, ybw, cbh, cbw); ``brc0`` [N,2] = luma
@@ -753,6 +755,10 @@ def jpeg_coeffs_split_flat_crop_batch(datas, ky, kc, blocks, brc0, flat_lens,
     ybh, ybw, cbh, cbw = (np.ascontiguousarray(blocks[:, j], np.int32) for j in range(4))
     br0 = np.ascontiguousarray(brc0[:, 0], np.int32)
     bc0 = np.ascontiguousarray(brc0[:, 1], np.int32)
+    if c_brc0 is None:
+        c_brc0 = np.stack([brc0[:, 0] // 2, brc0[:, 1] // 2], 1)  # 4:2:0
+    cbr0 = np.ascontiguousarray(c_brc0[:, 0], np.int32)
+    cbc0 = np.ascontiguousarray(c_brc0[:, 1], np.int32)
     y_n = ybh.astype(np.int64) * ybw
     c_n = cbh.astype(np.int64) * cbw
     offs = {
@@ -787,6 +793,8 @@ def jpeg_coeffs_split_flat_crop_batch(datas, ky, kc, blocks, brc0, flat_lens,
         cbw.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         br0.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         bc0.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        cbr0.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        cbc0.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         holds[0].ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
         holds[1].ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
         holds[2].ctypes.data_as(ctypes.POINTER(ctypes.c_long)),

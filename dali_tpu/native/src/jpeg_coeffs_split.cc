@@ -267,6 +267,7 @@ extern "C" int dali_tpu_jpeg_coeffs_split_flat_crop_batch(
     void* pool, const char** datas, const size_t* lens, int n, int ky, int kc,
     const int* ybh, const int* ybw, const int* cbh, const int* cbw,
     const int* y_br0, const int* y_bc0,
+    const int* c_br0, const int* c_bc0,  // explicit chroma window origins
     const long* y_dc_off, const long* y_ac_off, const long* c_dc_off,
     const long* c_ac_off, short* y_dc, signed char* y_ac, short* c_dc,
     signed char* c_ac, unsigned short* q, int* oks) {
@@ -296,8 +297,8 @@ extern "C" int dali_tpu_jpeg_coeffs_split_flat_crop_batch(
                &oks[i],
                y_br0[i],
                y_bc0[i],
-               y_br0[i] / 2,
-               y_bc0[i] / 2};
+               c_br0[i],
+               c_bc0[i]};
     if (inline_run) run_coef_split_job(&jobs[i]);
     else dali_tpu_task_submit(pool, run_coef_split_job, &jobs[i], nullptr, 0);
   }

@@ -407,3 +407,51 @@ def test_hybrid_coefficient_cache_int16_wire(tmp_path):
     op = next(i for i in pipe._executor.impls.values()
               if type(i).__name__ == "JpegCoeffs")
     assert op._ccache["misses"] == 3 and op._ccache["hits"] == 3
+
+
+@pytest.mark.parametrize("subsamp", [1, 2])
+def test_hybrid_rrc_444_422_matches_full_decode_crop(tmp_path, subsamp):
+    """Fused DCT-domain RRC for 4:4:4 / 4:2:2: bit-exact vs full hybrid
+    decode then crop at scale 1 (extends the 4:2:0 parity test)."""
+    import cv2
+
+    from dali_tpu.backend.base import HostCtx
+    from dali_tpu.backend.decoders import sample_rrc_windows_batch
+
+    root = tmp_path / "imgs" / "c"
+    root.mkdir(parents=True)
+    rng = np.random.default_rng(17)
+    for i, (h, w) in enumerate([(110, 180), (231, 175)]):
+        small = rng.integers(0, 256, (h // 8, w // 8, 3), np.uint8)
+        img = cv2.resize(small, (w, h), interpolation=cv2.INTER_CUBIC)
+        (root / f"{i}.jpg").write_bytes(
+            native.jpeg_encode_rgb(img, quality=90, subsamp=subsamp))
+
+    @pipeline_def(batch_size=2, num_threads=1, seed=9)
+    def fused():
+        jp, _ = fn.readers.file(file_root=str(tmp_path / "imgs"), name="r")
+        return fn.decoders.image_random_crop(
+            jp, device="mixed", hybrid_device_decode=True, seed=123)
+
+    @pipeline_def(batch_size=2, num_threads=1, seed=9)
+    def full():
+        jp, _ = fn.readers.file(file_root=str(tmp_path / "imgs"), name="r")
+        return fn.decoders.image(jp, device="mixed", hybrid_device_decode=True,
+                                 hybrid_wire="int8")
+
+    pf, pg = fused(), full()
+    pf.build(), pg.build()
+    (crop,) = pf.run()
+    (whole,) = pg.run()
+    rrc_op = next(i for i in pf._executor.impls.values()
+                  if type(i).__name__ == "JpegCoeffsSplitRRC")
+    ctx = HostCtx(pf, 0, 0)
+    hw = np.array([whole.shape()[i][:2] for i in range(2)])
+    wins = sample_rrc_windows_batch(ctx.rng(rrc_op), hw, [0.08, 1.0],
+                                    [3 / 4, 4 / 3], 10)
+    for i in range(2):
+        y, x, ch, cw = (int(v) for v in wins[i])
+        want = np.asarray(whole.as_tensor())[i][y:y + ch, x:x + cw]
+        gh, gw, _ = crop.shape()[i]
+        got = np.asarray(crop.as_tensor())[i][:gh, :gw]
+        np.testing.assert_array_equal(got, want)
