@@ -155,3 +155,16 @@ print(int(np.abs(y_dc[:12*16].astype(np.int64)).sum()))
     assert r1.returncode == 0, r1.stderr
     assert r2.returncode == 0, r2.stderr
     assert r1.stdout == r2.stdout and r1.stdout.strip()
+
+
+@pytest.mark.parametrize("subsamp,cdiv", [(1, (1, 1)), (2, (1, 2))])
+def test_huff_parity_cropped_windows_other_samplings(subsamp, cdiv):
+    """Windowed reads for 4:4:4 / 4:2:2 match the libjpeg path bit-exactly."""
+    rng = np.random.default_rng(31)
+    data = native.jpeg_encode_rgb(_img(120, 144, 31), quality=88, subsamp=subsamp)
+    ybh, ybw, cbh, cbw = _windows(data, 4, 4)
+    wbh, wbw = 8, 10
+    br0, bc0 = 4, 6
+    dr, dc = cdiv
+    crop = (wbh, wbw, br0, bc0, wbh // dr, wbw // dc, br0 // dr, bc0 // dc)
+    _compare(data, crop=crop)
