@@ -21,16 +21,21 @@
 // markers. Anything else returns nonzero and the caller falls back to the
 // libjpeg path (jpeg_coeffs_split.cc).
 //
-// Hot-loop structure note: the whole scan decode runs in ONE function with
-// the bit-reader state in plain locals (decode_scan); cold paths (refill
-// around stuffed bytes/markers, >kLookahead-bit codes) take and return the
-// reader BY VALUE. Output stores go through char/short pointers, which in
-// C++ may alias anything — keeping the reader in never-addressed locals is
-// what lets the compiler hold it in registers across those stores.
+// Hot-loop structure note: the scan's entropy bytes are UNSTUFFED once into
+// a contiguous thread-local buffer (FF 00 -> FF, restart markers recorded,
+// zero tail padding). The decode loop keeps the bit reader in two locals —
+// a left-aligned 64-bit accumulator and a valid-bit count — and refills it
+// BRANCHLESSLY from that buffer (one unaligned load + bswap + shift; the
+// overlapping re-OR of already-buffered bits is idempotent), so there is no
+// refill branch, no stuffing check, and no marker state anywhere in the
+// loop. Out-of-selection coefficient stores go through a conditional-move
+// select to a sink byte instead of a data-dependent branch.
 
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+
+#include <vector>
 
 namespace {
 
@@ -75,9 +80,12 @@ struct HuffTbl {
 // code+magnitude fitting the window, pre-compute run, the EXTENDed value
 // (pre-saturated to int8 — exactly what the wire format stores), and the
 // total bits to consume. One lookup replaces symbol decode + receive+extend
-// for the common small coefficients. Entry 0 = not covered (regular path).
+// for the common small coefficients. sz==0 control symbols (EOB, ZRL) whose
+// code fits the window get entries too (bit 24 set; run distinguishes them)
+// — EOB fires once per block, keeping it out of the slow path matters.
+// Entry 0 = not covered (regular path).
 struct FastAc {
-  int32_t e[1 << kFastAc];  // (sat8(value)&0xFF)<<16 | run<<8 | nbits
+  int32_t e[1 << kFastAc];  // ctrl<<24 | (sat8(value)&0xFF)<<16 | run<<8 | nbits
 };
 
 void build_fac(const uint8_t* counts, const uint8_t* vals, FastAc* f) {
@@ -88,7 +96,14 @@ void build_fac(const uint8_t* counts, const uint8_t* vals, FastAc* f) {
       int cd = code + c;
       int rs = vals[k];
       int run = rs >> 4, sz = rs & 15;
-      if (sz == 0 || l + sz > kFastAc) continue;
+      if (sz == 0) {  // EOB (run 0) / ZRL (run 15): code-only entry
+        if (l > kFastAc) continue;
+        int32_t entry = (1 << 24) | (run << 8) | l;
+        int lo = cd << (kFastAc - l), n = 1 << (kFastAc - l);
+        for (int j = 0; j < n; j++) f->e[lo + j] = entry;
+        continue;
+      }
+      if (l + sz > kFastAc) continue;
       int tail = kFastAc - l - sz;  // free bits after code+magnitude
       for (int m = 0; m < (1 << sz); m++) {
         int v = m < (1 << (sz - 1)) ? m - (1 << sz) + 1 : m;
@@ -166,81 +181,75 @@ bool build_huff(const uint8_t* counts /*[1..16]*/, const uint8_t* vals,
   return true;
 }
 
-// Bit-reader state, passed BY VALUE to cold helpers (no address escapes, so
-// the hot loop keeps it in registers). acc is left-aligned; top cnt bits
-// valid. Byte-stuffing (FF 00) removed on refill; refill never advances past
-// a marker. Past end-of-data / at a marker it feeds zero bits so decode
-// terminates deterministically on truncated streams.
-struct BR {
-  const uint8_t* p;
-  uint64_t acc;
-  int cnt;
-  uint8_t at_marker;
-  uint8_t exhausted;
+// Unstuffed entropy stream: scan bytes with FF 00 collapsed to FF, restart
+// markers stripped (their unstuffed byte offsets recorded in rst_off), and
+// 256 zero bytes of tail padding. Truncated/corrupt streams simply run into
+// the zero padding; the decode loop bounds every store by the window maps
+// and checks the bit position once per BLOCK, and one block's worst-case
+// consumption (DC 27 bits + 63 AC symbols * 26 bits ~ 210 bytes) plus the
+// trailing 8-byte window fits inside the padding, so reads stay in bounds
+// and decode terminates cleanly (the same warn-and-zero-fill contract
+// libjpeg applies to broken streams).
+struct Unstuffed {
+  std::vector<uint8_t> buf;     // reused across calls (thread-local)
+  std::vector<size_t> rst_off;  // unstuffed offset just AFTER each RSTn
+  size_t len = 0;               // unstuffed payload length (pre-padding)
 };
 
-__attribute__((noinline)) BR refill_slow(BR s, const uint8_t* pend) {
-  while (s.cnt <= 56) {
-    if (s.at_marker) { s.cnt += 8; continue; }
-    if (s.p >= pend) { s.exhausted = 1; s.cnt += 8; continue; }
-    uint8_t b = *s.p;
-    if (b != 0xFF) {
-      s.acc |= (uint64_t)b << (56 - s.cnt);
-      s.cnt += 8;
-      s.p++;
-      continue;
+void unstuff_scan(const uint8_t* p, const uint8_t* pend, Unstuffed* u) {
+  u->rst_off.clear();
+  size_t cap = (size_t)(pend - p) + 256;
+  if (u->buf.size() < cap) u->buf.resize(cap);
+  uint8_t* o = u->buf.data();
+  while (p < pend) {
+    const uint8_t* ff =
+        (const uint8_t*)std::memchr(p, 0xFF, (size_t)(pend - p));
+    if (!ff) {
+      std::memcpy(o, p, (size_t)(pend - p));
+      o += pend - p;
+      break;
     }
-    if (s.p + 1 >= pend) { s.exhausted = 1; s.cnt += 8; continue; }
-    uint8_t m = s.p[1];
+    std::memcpy(o, p, (size_t)(ff - p));
+    o += ff - p;
+    p = ff;
+    if (p + 1 >= pend) break;  // lone trailing FF: drop
+    uint8_t m = p[1];
     if (m == 0x00) {  // stuffed FF
-      s.acc |= 0xFFull << (56 - s.cnt);
-      s.cnt += 8;
-      s.p += 2;
+      *o++ = 0xFF;
+      p += 2;
     } else if (m == 0xFF) {  // fill byte
-      s.p++;
+      p++;
+    } else if (m >= 0xD0 && m <= 0xD7) {  // restart marker
+      u->rst_off.push_back((size_t)(o - u->buf.data()));
+      p += 2;
     } else {
-      s.at_marker = 1;
-      s.cnt += 8;
+      break;  // EOI or other marker: end of scan
     }
   }
-  return s;
+  u->len = (size_t)(o - u->buf.data());
+  std::memset(o, 0, 256);
 }
 
-struct SlowDec {
-  BR br;
-  int sym;  // -1 on invalid code
-};
+inline uint64_t peek64(const uint8_t* buf, uint64_t pos) {
+  uint64_t x;
+  std::memcpy(&x, buf + (pos >> 3), 8);
+  return __builtin_bswap64(x) << (pos & 7);
+}
 
 // Codes longer than kLookahead bits: canonical decode, shortest-first.
-__attribute__((noinline)) SlowDec huff_decode_slow(BR s, const HuffTbl* t) {
-  unsigned code16 = (unsigned)(s.acc >> 48);
+// `w` is the left-aligned 57+ bit window at the current position.
+// Returns symbol (-1 invalid) and writes the code length.
+__attribute__((noinline)) int huff_decode_slow(uint64_t w, const HuffTbl* t,
+                                               int* len_out) {
+  unsigned code16 = (unsigned)(w >> 48);
   for (int l = kLookahead + 1; l <= 16; l++) {
     unsigned cd = code16 >> (16 - l);
     if ((int32_t)cd <= t->maxcode[l]) {
-      s.acc <<= l;
-      s.cnt -= l;
-      return {s, t->vals[t->valoff[l] + cd]};
+      *len_out = l;
+      return t->vals[t->valoff[l] + cd];
     }
   }
-  return {s, -1};
-}
-
-// Re-sync at a restart boundary: drop pad bits, step over RSTn. Returns
-// exhausted=1 state if the expected marker is absent (caller stops cleanly).
-__attribute__((noinline)) BR restart_resync(BR s, const uint8_t* pend) {
-  s.acc = 0;
-  s.cnt = 0;
-  s.at_marker = 0;
-  while (s.p + 1 < pend) {
-    if (s.p[0] == 0xFF && s.p[1] != 0x00 && s.p[1] != 0xFF) break;
-    s.p++;
-  }
-  if (s.p + 1 < pend && s.p[0] == 0xFF && s.p[1] >= 0xD0 && s.p[1] <= 0xD7) {
-    s.p += 2;
-  } else {
-    s.exhausted = 1;
-  }
-  return s;
+  return -1;
 }
 
 struct Parser {
@@ -460,93 +469,56 @@ struct CompState {
   int h, v, bh, bw, br0, bc0, nac, real_bh, real_bw;
 };
 
-// --- hot-loop macros (see structure note at the top of the file) ---------
-
-// Keep >= `need` bits buffered. Fast path: 8 clean bytes at once (no 0xFF),
-// detected with the SWAR has-0xFF test; anything else takes the cold refill.
-#define ENSURE(need)                                                          \
-  if (cnt < (need)) {                                                         \
-    bool fast_ = false;                                                       \
-    if (!at_marker && p + 8 <= pend) {                                        \
-      uint64_t x_;                                                            \
-      std::memcpy(&x_, p, 8);                                                 \
-      uint64_t y_ = ~x_;                                                      \
-      if ((((y_ - 0x0101010101010101ull) & ~y_) & 0x8080808080808080ull) ==   \
-          0) {                                                                \
-        uint64_t bits_ = __builtin_bswap64(x_);                               \
-        int nb_ = (63 - cnt) >> 3;                                            \
-        acc |= (bits_ & (~0ull << (64 - nb_ * 8))) >> cnt;                    \
-        cnt += nb_ * 8;                                                       \
-        p += nb_;                                                             \
-        fast_ = true;                                                         \
-      }                                                                       \
-    }                                                                         \
-    if (!fast_) {                                                             \
-      BR s_{p, acc, cnt, at_marker, exhausted};                               \
-      s_ = refill_slow(s_, pend);                                             \
-      p = s_.p;                                                               \
-      acc = s_.acc;                                                           \
-      cnt = s_.cnt;                                                           \
-      at_marker = s_.at_marker;                                               \
-      exhausted = s_.exhausted;                                               \
-    }                                                                         \
-  }
-
-// Decode one Huffman symbol from tbl into `sym` (-1 = invalid code).
-// Caller must have >= 16 bits buffered.
-#define HDEC(out_, tbl)                                             \
-  {                                                                 \
-    int e_ = (tbl).lut[(unsigned)(acc >> (64 - kLookahead))];       \
-    if (e_ >= 0) {                                                  \
-      acc <<= (e_ >> 8);                                            \
-      cnt -= (e_ >> 8);                                             \
-      out_ = e_ & 0xFF;                                             \
-    } else {                                                        \
-      BR s_{p, acc, cnt, at_marker, exhausted};                     \
-      SlowDec r_ = huff_decode_slow(s_, &(tbl));                    \
-      acc = r_.br.acc;                                              \
-      cnt = r_.br.cnt;                                              \
-      out_ = r_.sym;                                                \
-    }                                                               \
-  }
-
-// ITU-T.81 F2.2.1 RECEIVE+EXTEND, s in [1,16]; needs s bits buffered.
-#define RECV_EXT(out, s)                           \
-  {                                                \
-    int v_ = (int)(acc >> (64 - (s)));             \
-    acc <<= (s);                                   \
-    cnt -= (s);                                    \
-    out = v_ < (1 << ((s)-1)) ? v_ - (1 << (s)) + 1 : v_; \
-  }
-
 // Decode the (single, interleaved) scan into the component windows.
 // Returns 0; corrupt tails stop early, leaving pre-zeroed cells (the same
 // warn-and-zero-fill contract libjpeg applies to broken streams).
+//
+// Bit reader: register accumulator `acc` (left-aligned, top `cnt` bits
+// valid) refilled BRANCHLESSLY from the unstuffed buffer — one unaligned
+// load + bswap + shift per refill, no stuffing/marker checks in the loop
+// (the unstuff pass removed them; see the structure note at the top).
+// The largest per-step consumption is code(16) + magnitude(11) = 27 bits,
+// so one refill (>= 56 bits) covers symbol + value. The byte cursor is
+// validated once per block; the buffer's 256-byte zero tail covers a
+// block's worst-case consumption (~210 bytes) plus refill slack between
+// checks, so reads stay in bounds and truncated streams terminate.
+#define REFILL()                         \
+  {                                      \
+    uint64_t x_;                         \
+    std::memcpy(&x_, p, 8);              \
+    acc |= __builtin_bswap64(x_) >> cnt; \
+    p += (63 - cnt) >> 3;                \
+    cnt |= 56;                           \
+  }
+
 int decode_scan(const Parser& ps, const CompState* cs, const uint8_t* pend,
                 int mcus_x, int stop_my) {
-  const uint8_t* p = ps.scan_start;
+  thread_local Unstuffed tl_us;
+  Unstuffed& us = tl_us;
+  unstuff_scan(ps.scan_start, pend, &us);
+  const uint8_t* buf0 = us.buf.data();
+  const uint8_t* p = buf0;
+  const long bits_len = (long)us.len << 3;  // padding lies beyond
   uint64_t acc = 0;
   int cnt = 0;
-  uint8_t at_marker = 0, exhausted = 0;
+  size_t next_rst = 0;
   int pred0 = 0, pred1 = 0, pred2 = 0;
   // dummy sinks for out-of-window blocks: zmap of all -1 skips AC stores,
   // dc writes land in a scratch slot (branch-free vs a store/no-store split)
   signed char zmap_skip[64];
   std::memset(zmap_skip, -1, sizeof(zmap_skip));
   short dc_sink;
+  signed char ac_sink[4];  // branchless out-of-selection store target
   const int ri = ps.ri;
   int togo = ri;
 
   for (int my = 0; my < stop_my; my++) {
     for (int mx = 0; mx < mcus_x; mx++) {
       if (ri && togo == 0) {
-        BR s{p, acc, cnt, at_marker, exhausted};
-        s = restart_resync(s, pend);
-        if (s.exhausted) return 0;  // corrupt: keep zeros
-        p = s.p;
-        acc = s.acc;
-        cnt = s.cnt;
-        at_marker = s.at_marker;
+        if (next_rst >= us.rst_off.size()) return 0;  // corrupt: keep zeros
+        p = us.buf.data() + us.rst_off[next_rst++];   // past pad bits + RSTn
+        acc = 0;
+        cnt = 0;
         pred0 = pred1 = pred2 = 0;
         togo = ri;
       }
@@ -555,10 +527,14 @@ int decode_scan(const Parser& ps, const CompState* cs, const uint8_t* pend,
         int& pred = ci == 0 ? pred0 : ci == 1 ? pred1 : pred2;
         for (int v = 0; v < C.v; v++) {
           for (int h = 0; h < C.h; h++) {
+            // Truncation check on the CONSUMED position (p runs up to 7
+            // bytes ahead of it — refill lookahead): stop once decode has
+            // actually eaten into the zero padding.
+            if (((p - buf0) << 3) - cnt > (long)bits_len) return 0;
             const int brow = my * C.v + v, bcol = mx * C.h + h;
             const int wr = brow - C.br0, wc = bcol - C.bc0;
             short* dcp = &dc_sink;
-            signed char* acp = nullptr;
+            signed char* acp = ac_sink;
             const signed char* zmap = zmap_skip;
             if ((unsigned)wr < (unsigned)C.bh &&
                 (unsigned)wc < (unsigned)C.bw && brow < C.real_bh &&
@@ -569,67 +545,90 @@ int decode_scan(const Parser& ps, const CompState* cs, const uint8_t* pend,
               zmap = C.zmap;
             }
             // --- one 8x8 block ---
-            ENSURE(32);
+            REFILL();
             int de = C.fdc->e[(unsigned)(acc >> (64 - kFastAc))];
             if (de) {  // size symbol + magnitude in one lookup
               pred += (int)(int16_t)(de >> 16);
               acc <<= (de & 63);
               cnt -= (de & 63);
             } else {
-              int s;
-              HDEC(s, *C.dct);
+              int l = 0, s;
+              int e = C.dct->lut[(unsigned)(acc >> (64 - kLookahead))];
+              if (e >= 0) {
+                l = e >> 8;
+                s = e & 0xFF;
+              } else {
+                s = huff_decode_slow(acc, C.dct, &l);
+              }
               if (s < 0 || s > 15) return 0;  // corrupt: stop, zeros remain
               if (s) {
-                int diff;
-                RECV_EXT(diff, s);
-                pred += diff;
+                int mv = (int)((acc << l) >> (64 - s));
+                pred += mv < (1 << (s - 1)) ? mv - (1 << s) + 1 : mv;
               }
+              acc <<= l + s;
+              cnt -= l + s;
             }
             *dcp = (short)pred;
             int k = 1;
             while (k <= 63) {
-              ENSURE(32);
+              REFILL();
               int fe = C.fac->e[(unsigned)(acc >> (64 - kFastAc))];
               if (fe) {  // symbol+magnitude in one pre-saturated lookup
-                k += (fe >> 8) & 15;
-                if (k > 63) return 0;
                 acc <<= (fe & 63);
                 cnt -= (fe & 63);
+                if (fe & (1 << 24)) {            // control symbol, code-only
+                  if ((fe & 0xF00) == 0) break;  // EOB
+                  k += 16;                       // ZRL
+                  continue;
+                }
+                k += (fe >> 8) & 15;
+                if (k > 63) return 0;
                 int slot = zmap[k];
-                if (slot >= 0) acp[slot] = (signed char)(fe >> 16);
+                // out-of-selection coefficients land in the sink via a
+                // conditional move — the select pattern is data-dependent
+                // and would mispredict as a branch
+                signed char* dst = slot >= 0 ? acp + slot : ac_sink;
+                *dst = (signed char)(fe >> 16);
                 k++;
                 continue;
               }
-              int rs;
-              HDEC(rs, *C.act);
-              if (rs < 0) return 0;
+              int l = 0, rs;
+              int e = C.act->lut[(unsigned)(acc >> (64 - kLookahead))];
+              if (e >= 0) {
+                l = e >> 8;
+                rs = e & 0xFF;
+              } else {
+                rs = huff_decode_slow(acc, C.act, &l);
+                if (rs < 0) return 0;
+              }
               int r = rs >> 4, sz = rs & 15;
               if (sz == 0) {
+                acc <<= l;
+                cnt -= l;
                 if (r != 15) break;  // EOB
                 k += 16;             // ZRL
                 continue;
               }
               k += r;
               if (k > 63) return 0;
-              int val;
-              RECV_EXT(val, sz);
+              int mv = (int)((acc << l) >> (64 - sz));
+              acc <<= l + sz;
+              cnt -= l + sz;
+              int val = mv < (1 << (sz - 1)) ? mv - (1 << sz) + 1 : mv;
               int slot = zmap[k];
-              if (slot >= 0) acp[slot] = sat8(val);
+              signed char* dst = slot >= 0 ? acp + slot : ac_sink;
+              *dst = sat8(val);
               k++;
             }
           }
         }
       }
       if (ri) togo--;
-      if (exhausted) return 0;  // truncated: stop, zeros remain
     }
   }
   return 0;
 }
-
-#undef ENSURE
-#undef HDEC
-#undef RECV_EXT
+#undef REFILL
 
 }  // namespace
 

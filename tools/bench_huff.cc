@@ -1,0 +1,117 @@
+// Microbenchmark for the from-scratch JPEG Huffman coefficient decoder
+// (native/src/jpeg_huff.cc). Feeds it the bench corpus with RN50-style
+// RandomResizedCrop windows and reports us/img for the crop-bounded
+// coefficient read — the host-side hot loop of the hybrid decode path.
+//
+// Build+run:
+//   g++ -O3 -march=native -std=c++17 tools/bench_huff.cc \
+//       dali_tpu/native/src/jpeg_huff.cc -o /tmp/bench_huff
+//   /tmp/bench_huff /tmp/dali_tpu_bench_data/class0 256 12
+#include <chrono>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <dirent.h>
+#include <string>
+#include <vector>
+
+extern "C" int dali_tpu_jpeg_huff_read_coeffs_split_crop(
+    const char* data, size_t len, int ky, int kc, short* y_dc,
+    signed char* y_ac, short* cb_dc, signed char* cb_ac, short* cr_dc,
+    signed char* cr_ac, unsigned short* q_out, int y_bh, int y_bw, int c_bh,
+    int c_bw, int y_br0, int y_bc0, int c_br0, int c_bc0);
+
+namespace {
+struct Img {
+  std::vector<char> bytes;
+  int h = 0, w = 0;
+};
+
+// minimal SOF scan for dims
+bool dims(const std::vector<char>& b, int* h, int* w) {
+  const auto* d = reinterpret_cast<const uint8_t*>(b.data());
+  size_t n = b.size(), p = 2;
+  while (p + 4 < n) {
+    if (d[p] != 0xFF) { p++; continue; }
+    uint8_t m = d[p + 1];
+    p += 2;
+    if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7) || m == 0x01) continue;
+    int L = (d[p] << 8) | d[p + 1];
+    if (m == 0xC0 || m == 0xC1) {
+      *h = (d[p + 3] << 8) | d[p + 4];
+      *w = (d[p + 5] << 8) | d[p + 6];
+      return true;
+    }
+    p += L;
+  }
+  return false;
+}
+}  // namespace
+
+int main(int argc, char** argv) {
+  const char* dir = argc > 1 ? argv[1] : "/tmp/dali_tpu_bench_data/class0";
+  int nimg = argc > 2 ? atoi(argv[2]) : 256;
+  int reps = argc > 3 ? atoi(argv[3]) : 12;
+  std::vector<Img> imgs;
+  if (DIR* dp = opendir(dir)) {
+    std::vector<std::string> names;
+    while (dirent* e = readdir(dp))
+      if (strstr(e->d_name, ".jpg")) names.push_back(e->d_name);
+    closedir(dp);
+    std::sort(names.begin(), names.end());
+    for (auto& nm : names) {
+      if ((int)imgs.size() >= nimg) break;
+      std::string path = std::string(dir) + "/" + nm;
+      FILE* f = fopen(path.c_str(), "rb");
+      if (!f) continue;
+      fseek(f, 0, SEEK_END);
+      long sz = ftell(f);
+      fseek(f, 0, SEEK_SET);
+      Img im;
+      im.bytes.resize(sz);
+      if (fread(im.bytes.data(), 1, sz, f) != (size_t)sz) { fclose(f); continue; }
+      fclose(f);
+      if (dims(im.bytes, &im.h, &im.w)) imgs.push_back(std::move(im));
+    }
+  }
+  if (imgs.empty()) { fprintf(stderr, "no images in %s\n", dir); return 1; }
+
+  const int ky = 4, kc = 4;
+  std::vector<short> ydc(1 << 16), cdc(1 << 15), crdc(1 << 15);
+  std::vector<signed char> yac((1 << 16) * (ky * ky - 1)),
+      cac((1 << 15) * (kc * kc - 1)), crac((1 << 15) * (kc * kc - 1));
+  unsigned short q[128];
+  uint64_t seed = 12345;
+  auto rnd = [&]() { seed = seed * 6364136223846793005ull + 1442695040888963407ull; return (uint32_t)(seed >> 33); };
+
+  double best = 1e30;
+  long long checksum = 0;
+  for (int r = 0; r < reps; r++) {
+    auto t0 = std::chrono::steady_clock::now();
+    for (auto& im : imgs) {
+      // RN50 RRC-ish window: ~0.08-1.0 area, here mid-range 0.5-0.9 linear,
+      // 16px-aligned origin (matches the decoder op's MCU snap)
+      int ch = (int)(im.h * (0.55 + 0.35 * (rnd() % 1000) / 1000.0)) / 16 * 16;
+      int cw = (int)(im.w * (0.55 + 0.35 * (rnd() % 1000) / 1000.0)) / 16 * 16;
+      if (ch < 16) ch = 16;
+      if (cw < 16) cw = 16;
+      int y0 = (int)((im.h - ch) * (rnd() % 1000) / 1000.0) / 16 * 16;
+      int x0 = (int)((im.w - cw) * (rnd() % 1000) / 1000.0) / 16 * 16;
+      int ybh = ch / 8, ybw = cw / 8, cbh = ch / 16, cbw = cw / 16;
+      int rc = dali_tpu_jpeg_huff_read_coeffs_split_crop(
+          im.bytes.data(), im.bytes.size(), ky, kc, ydc.data(), yac.data(),
+          cdc.data(), cac.data(), crdc.data(), crac.data(), q, ybh, ybw, cbh,
+          cbw, y0 / 8, x0 / 8, y0 / 16, x0 / 16);
+      if (rc) { fprintf(stderr, "decode rc=%d\n", rc); return 1; }
+      checksum += ydc[0] + yac[0] + cdc[0];
+    }
+    double us = std::chrono::duration<double, std::micro>(
+                    std::chrono::steady_clock::now() - t0)
+                    .count() /
+                imgs.size();
+    if (us < best) best = us;
+  }
+  printf("%zu imgs, best %.1f us/img (%.0f img/s/core) [chk %lld]\n",
+         imgs.size(), best, 1e6 / best, checksum);
+  return 0;
+}
