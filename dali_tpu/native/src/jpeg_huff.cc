@@ -512,7 +512,94 @@ int decode_scan(const Parser& ps, const CompState* cs, const uint8_t* pend,
   const int ri = ps.ri;
   int togo = ri;
 
-  for (int my = 0; my < stop_my; my++) {
+  // MCU rows entirely above every component's window: decode in SKIP mode —
+  // Huffman state and DC predictors advance, but no values are extended and
+  // nothing is stored (rows below the window are never reached at all).
+  int skip_my = stop_my;
+  for (int i = 0; i < 3; i++) {
+    int s = cs[i].br0 > 0 ? cs[i].br0 / cs[i].v : 0;
+    if (s < skip_my) skip_my = s;
+  }
+  for (int my = 0; my < skip_my; my++) {
+    for (int mx = 0; mx < mcus_x; mx++) {
+      if (ri && togo == 0) {
+        if (next_rst >= us.rst_off.size()) return 0;  // corrupt: keep zeros
+        p = us.buf.data() + us.rst_off[next_rst++];
+        acc = 0;
+        cnt = 0;
+        pred0 = pred1 = pred2 = 0;
+        togo = ri;
+      }
+      for (int ci = 0; ci < 3; ci++) {
+        const CompState& C = cs[ci];
+        int& pred = ci == 0 ? pred0 : ci == 1 ? pred1 : pred2;
+        for (int nb = C.v * C.h; nb > 0; nb--) {
+          if (((p - buf0) << 3) - cnt > (long)bits_len) return 0;
+          REFILL();
+          int de = C.fdc->e[(unsigned)(acc >> (64 - kFastAc))];
+          if (de) {
+            pred += (int)(int16_t)(de >> 16);
+            acc <<= (de & 63);
+            cnt -= (de & 63);
+          } else {
+            int l = 0, s;
+            int e = C.dct->lut[(unsigned)(acc >> (64 - kLookahead))];
+            if (e >= 0) {
+              l = e >> 8;
+              s = e & 0xFF;
+            } else {
+              s = huff_decode_slow(acc, C.dct, &l);
+            }
+            if (s < 0 || s > 15) return 0;
+            if (s) {
+              int mv = (int)((acc << l) >> (64 - s));
+              pred += mv < (1 << (s - 1)) ? mv - (1 << s) + 1 : mv;
+            }
+            acc <<= l + s;
+            cnt -= l + s;
+          }
+          int k = 1;
+          while (k <= 63) {
+            REFILL();
+            int fe = C.fac->e[(unsigned)(acc >> (64 - kFastAc))];
+            if (fe) {
+              acc <<= (fe & 63);
+              cnt -= (fe & 63);
+              if (fe & (1 << 24)) {
+                if ((fe & 0xF00) == 0) break;  // EOB
+                k += 16;                       // ZRL
+                continue;
+              }
+              k += (((fe >> 8) & 15) + 1);
+              continue;
+            }
+            int l = 0, rs;
+            int e = C.act->lut[(unsigned)(acc >> (64 - kLookahead))];
+            if (e >= 0) {
+              l = e >> 8;
+              rs = e & 0xFF;
+            } else {
+              rs = huff_decode_slow(acc, C.act, &l);
+              if (rs < 0) return 0;
+            }
+            int r = rs >> 4, sz = rs & 15;
+            acc <<= l + sz;
+            cnt -= l + sz;
+            if (sz == 0) {
+              if (r != 15) break;  // EOB
+              k += 16;             // ZRL
+              continue;
+            }
+            k += r + 1;
+          }
+          if (k > 64) return 0;  // run past block end: corrupt
+        }
+      }
+      if (ri) togo--;
+    }
+  }
+
+  for (int my = skip_my; my < stop_my; my++) {
     for (int mx = 0; mx < mcus_x; mx++) {
       if (ri && togo == 0) {
         if (next_rst >= us.rst_off.size()) return 0;  // corrupt: keep zeros
