@@ -752,6 +752,65 @@ DALI_SCHEMA("_JpegIdctSplit").DocStr(
 
 @register_operator("_JpegCoeffsSplit", "mixed")
 class JpegCoeffsSplit(JpegCoeffs):
+    def _sparse_wire_enabled(self, nac_y: int, nac_c: int) -> bool:
+        """Sparse AC wire (per-block bitmap + packed nonzeros): on by default
+        when the native pack kernel exists and the selection fits a uint16
+        bitmap. Kill switch: DALI_TPU_DISABLE_SPARSE_WIRE=1 (docs/env_vars)."""
+        import os
+
+        from .. import native
+
+        if os.environ.get("DALI_TPU_DISABLE_SPARSE_WIRE", "0") not in ("", "0"):
+            return False
+        return native.has_sparse_pack() and nac_y <= 16 and nac_c <= 16
+
+    def _ac_to_sparse(self, name, ac_flat, n_blocks, nac, dc_offsets, shapes,
+                      canvas, mask_len, ac_cap):
+        """Pack a dense flat AC plane into the sparse wire (_SparseStaged).
+
+        The dense plane stays host-side; only ~(2 + nnz) bytes per block are
+        transferred. ``mask_len`` rides the DC plane's ratcheted length so the
+        mask's wire shape is jit-stable; the packed-values length follows its
+        own 1 MB grow policy."""
+        from .. import native
+        from ..executor import _SparseStaged
+
+        ring = self._wire_ring()
+        mask = ring.take(name + "_mask", int(mask_len), np.uint16)
+        vals = ring.take(name + "_vals", int(ac_cap) + 16, np.int8)
+        nnz = native.sparse_pack_i8(ac_flat, int(n_blocks), int(nac), mask, vals)
+        if not hasattr(self, "_sparse_lens"):
+            self._sparse_lens = {}
+        # fine-grained grow policy: 256K-element chunks with 1.25x headroom —
+        # coarse 1M chunks overshipped ~15% of the wire as ratchet padding
+        chunk = 1 << 18
+        prev = self._sparse_lens.get(name, 0)
+        need = max(nnz, 1) if prev else int(max(nnz, 1) * 1.25)
+        want = max(prev, -(-need // chunk) * chunk)
+        self._sparse_lens[name] = want
+        return _SparseStaged(mask, vals[:want], dc_offsets, shapes, canvas)
+
+    def _stage_ac_planes(self, y_ac, c_ac, offs, y_shapes, c_shapes, y_canvas,
+                         c_canvas, n_y_blocks, n_c_blocks, ky, kc):
+        """The two AC boundary entries: sparse wire when available, dense
+        flat otherwise."""
+        from ..executor import _FlatStaged
+
+        nac_y, nac_c = ky * ky - 1, kc * kc - 1
+        if self._sparse_wire_enabled(nac_y, nac_c):
+            return (
+                self._ac_to_sparse("y_ac", y_ac, n_y_blocks, nac_y,
+                                   offs["y_dc"], y_shapes, y_canvas,
+                                   self._flat_lens[0], self._flat_lens[1]),
+                self._ac_to_sparse("c_ac", c_ac, n_c_blocks, nac_c,
+                                   offs["c_dc"], c_shapes, c_canvas,
+                                   self._flat_lens[2], self._flat_lens[3]),
+            )
+        return (
+            _FlatStaged(y_ac, offs["y_ac"], y_shapes, y_canvas),
+            _FlatStaged(c_ac, offs["c_ac"], c_shapes, c_canvas),
+        )
+
     def _wire_ring(self):
         """Per-op wire-buffer ring sized to this pipeline's in-flight staged
         iterations (cpu_queue_depth + one being built + one in transfer) —
@@ -814,9 +873,12 @@ class JpegCoeffsSplit(JpegCoeffs):
         )
         if not hasattr(self, "_flat_lens"):
             self._flat_lens = [0, 0, 0, 0]
-        chunk = 1 << 20
+        # fine-grained grow policy (see _ac_to_sparse): 256K-element chunks,
+        # 1.25x headroom on first growth so early batches don't recompile
+        chunk = 1 << 18
         for j in range(4):
-            self._flat_lens[j] = max(self._flat_lens[j], -(-need[j] // chunk) * chunk)
+            want = need[j] if self._flat_lens[j] else int(need[j] * 1.25)
+            self._flat_lens[j] = max(self._flat_lens[j], -(-want // chunk) * chunk)
 
         cache = self._coef_cache()
         keys = inputs[0].source_info
@@ -837,19 +899,18 @@ class JpegCoeffsSplit(JpegCoeffs):
         yb = blocks[:, :2]
         cb = blocks[:, 2:]
         two = np.full((n, 1), 2, np.int32)
+        y_shapes = np.concatenate([yb, np.full((n, 1), ky * ky - 1, np.int32)], 1)
+        c_shapes = np.concatenate([two, cb, np.full((n, 1), kc * kc - 1, np.int32)], 1)
+        y_ac_st, c_ac_st = self._stage_ac_planes(
+            y_ac, c_ac, offs, y_shapes, c_shapes,
+            (BH, BW, ky * ky - 1), (2, CBH, CBW, kc * kc - 1),
+            int(y_n.sum()), int(2 * c_n.sum()), ky, kc,
+        )
         out = [
             _FlatStaged(y_dc, offs["y_dc"], yb.copy(), (BH, BW)),
-            _FlatStaged(
-                y_ac, offs["y_ac"],
-                np.concatenate([yb, np.full((n, 1), ky * ky - 1, np.int32)], 1),
-                (BH, BW, ky * ky - 1),
-            ),
+            y_ac_st,
             _FlatStaged(c_dc, offs["c_dc"], np.concatenate([two, cb], 1), (2, CBH, CBW)),
-            _FlatStaged(
-                c_ac, offs["c_ac"],
-                np.concatenate([two, cb, np.full((n, 1), kc * kc - 1, np.int32)], 1),
-                (2, CBH, CBW, kc * kc - 1),
-            ),
+            c_ac_st,
             (q, np.full((n, 1), q.shape[1], np.int32), ""),
             HostBatch([infos[i, [0, 1, 6]].copy() for i in range(n)], layout=""),
         ]
@@ -1070,9 +1131,12 @@ class JpegCoeffsSplitRRC(JpegCoeffsSplit):
                 int(2 * c_n.sum()), int((2 * c_n * (kc * kc - 1)).sum()))
         if not hasattr(self, "_flat_lens"):
             self._flat_lens = [0, 0, 0, 0]
-        chunk = 1 << 20
+        # fine-grained grow policy (see _ac_to_sparse): 256K-element chunks,
+        # 1.25x headroom on first growth so early batches don't recompile
+        chunk = 1 << 18
         for j in range(4):
-            self._flat_lens[j] = max(self._flat_lens[j], -(-need[j] // chunk) * chunk)
+            want = need[j] if self._flat_lens[j] else int(need[j] * 1.25)
+            self._flat_lens[j] = max(self._flat_lens[j], -(-want // chunk) * chunk)
 
         cache = self._coef_cache()
         keys = inp.source_info
@@ -1094,15 +1158,18 @@ class JpegCoeffsSplitRRC(JpegCoeffsSplit):
         yb = blocks[:, :2]
         cb = blocks[:, 2:]
         two = np.full((n, 1), 2, np.int32)
+        y_shapes = np.concatenate([yb, np.full((n, 1), ky * ky - 1, np.int32)], 1)
+        c_shapes = np.concatenate([two, cb, np.full((n, 1), kc * kc - 1, np.int32)], 1)
+        y_ac_st, c_ac_st = self._stage_ac_planes(
+            y_ac, c_ac, offs, y_shapes, c_shapes,
+            (BH, BW, ky * ky - 1), (2, CBH, CBW, kc * kc - 1),
+            int(y_n.sum()), int(2 * c_n.sum()), ky, kc,
+        )
         return [
             _FlatStaged(y_dc, offs["y_dc"], yb.copy(), (BH, BW)),
-            _FlatStaged(y_ac, offs["y_ac"],
-                        np.concatenate([yb, np.full((n, 1), ky * ky - 1, np.int32)], 1),
-                        (BH, BW, ky * ky - 1)),
+            y_ac_st,
             _FlatStaged(c_dc, offs["c_dc"], np.concatenate([two, cb], 1), (2, CBH, CBW)),
-            _FlatStaged(c_ac, offs["c_ac"],
-                        np.concatenate([two, cb, np.full((n, 1), kc * kc - 1, np.int32)], 1),
-                        (2, CBH, CBW, kc * kc - 1)),
+            c_ac_st,
             (q, np.full((n, 1), q.shape[1], np.int32), ""),
             HostBatch([dims[i].copy() for i in range(n)], layout=""),
             HostBatch([roi[i].copy() for i in range(n)], layout=""),

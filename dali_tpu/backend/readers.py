@@ -297,6 +297,12 @@ DALI_SCHEMA("readers.File").DocStr(
     "shuffle_after_epoch", ArgType.BOOL, "Reshuffle the whole dataset every epoch.", False
 ).AddOptionalArg(
     "case_sensitive_filter", ArgType.BOOL, "Case-sensitive glob matching.", False
+).AddOptionalArg(
+    "dont_use_mmap", ArgType.BOOL,
+    "Read files with plain file I/O instead of keeping them memory-mapped "
+    "(reference loader.h `dont_use_mmap`). The default mmaps files, so "
+    "repeat epochs read warm page-cache pages with no syscall per sample.",
+    False,
 )
 
 
@@ -387,17 +393,43 @@ class FileReader(BaseReader):
     def _num_samples(self):
         return len(self._files)
 
+    # Cap on live mappings (vm.max_map_count is ~65530 by default); beyond it
+    # the oldest mappings are dropped and close when their consumers do.
+    _MMAP_CAP = 32768
+
     def _read_payload(self, index: int):
         path = self._files[index]
         if path.startswith("s3://"):
             from .. import _s3
 
             data = np.frombuffer(_s3.read_bytes(path), dtype=np.uint8)
+        elif not self.spec.GetArgument("dont_use_mmap", False):
+            data = self._mmap_payload(path)
         else:
             with open(path, "rb") as f:
                 data = np.frombuffer(f.read(), dtype=np.uint8)
         label = np.array([self._labels[index]], dtype=np.int32)
         return data, label
+
+    def _mmap_payload(self, path: str) -> np.ndarray:
+        import mmap as _mmaplib
+
+        cache = getattr(self, "_mmaps", None)
+        if cache is None:
+            cache = self._mmaps = {}
+        mm = cache.get(path)
+        if mm is None:
+            with open(path, "rb") as f:
+                try:
+                    mm = _mmaplib.mmap(f.fileno(), 0, access=_mmaplib.ACCESS_READ)
+                except (ValueError, OSError):  # empty file / unmappable fs
+                    return np.frombuffer(f.read(), dtype=np.uint8)
+            if len(cache) >= self._MMAP_CAP:
+                # drop (don't close) the oldest half; refcounts finish them
+                for k in list(cache)[: self._MMAP_CAP // 2]:
+                    del cache[k]
+            cache[path] = mm
+        return np.frombuffer(mm, dtype=np.uint8)
 
     def _source_info(self, index: int):
         return self._files[index]

@@ -67,6 +67,27 @@ class _FlatStaged:
         self.layout = layout
 
 
+class _SparseStaged:
+    """A sparse-packed boundary batch (hybrid-JPEG AC planes): per-block
+    nonzero bitmap ``mask`` (uint16, flat in the same block order/offsets as
+    the DC plane) + ``vals``, the nonzero int8 values concatenated in slot
+    order across the batch. Self-describing — the device program rebuilds
+    value positions from cumsum(popcount(mask)), so only ~(2 + nnz) bytes
+    per block ride the wire instead of the dense k*k-1. Reconstruction:
+    ``_unsparse_boundary``. ``canvas`` is the dense canvas incl. the
+    trailing nac dim; ``shapes`` are per-sample dense dims incl. nac."""
+
+    __slots__ = ("mask", "vals", "offsets", "shapes", "canvas", "layout")
+
+    def __init__(self, mask, vals, offsets, shapes, canvas, layout=""):
+        self.mask = mask
+        self.vals = vals
+        self.offsets = np.asarray(offsets, np.int32)
+        self.shapes = shapes
+        self.canvas = tuple(int(c) for c in canvas)
+        self.layout = layout
+
+
 class SamplePool:
     """Per-sample worker pool (analogue of the reference thread pool,
     ``dali/pipeline/util/thread_pool.h:40``)."""
@@ -406,7 +427,7 @@ class Executor:
                         k = (node.id, j)
                         if isinstance(item, HostBatch):
                             env[k] = item
-                        elif isinstance(item, _FlatStaged):
+                        elif isinstance(item, (_FlatStaged, _SparseStaged)):
                             self._canvas[k] = list(item.canvas)
                             env[k] = item
                         else:
@@ -446,6 +467,14 @@ class Executor:
                 ragged_flags.append(True)
                 boundary_layouts.append(hb.layout)
                 flat_meta.append(hb.canvas)
+                flat_offsets.append(hb.offsets)
+                continue
+            if isinstance(hb, _SparseStaged):
+                padded_arrays.append((hb.mask, hb.vals))
+                shape_arrays.append(hb.shapes)
+                ragged_flags.append(True)
+                boundary_layouts.append(hb.layout)
+                flat_meta.append(("sparse",) + hb.canvas)
                 flat_offsets.append(hb.offsets)
                 continue
             flat_meta.append(None)
@@ -562,7 +591,11 @@ class Executor:
                 [self.pipeline.seed & 0x7FFFFFFF, staged["iteration"]], dtype=np.uint32
             )
             dev_outs = fn(
-                tuple(self._chunked_put(arr) for arr in staged["padded"]),
+                tuple(
+                    tuple(self._chunked_put(a) for a in arr)
+                    if isinstance(arr, tuple) else self._chunked_put(arr)
+                    for arr in staged["padded"]
+                ),
                 tuple(np.asarray(s) for s in staged["shapes"]),
                 tuple(o for o in staged["flat_offsets"] if o is not None),
                 tuple(staged["args"]),
@@ -698,15 +731,25 @@ class Executor:
                 import jax.numpy as jnp
 
                 env: Dict[Tuple[int, int], DeviceBatch] = {}
+                def _cat(chunks):
+                    return chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
+
                 fo = 0
                 for i in range(len(boundary_keys)):
-                    chunks = padded[i]
-                    data = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
-                    if flat_meta[i] is not None:
-                        data = _unflatten_boundary(
-                            jnp, data, flat_offs[fo], shapes[i], flat_meta[i]
+                    if flat_meta[i] is not None and flat_meta[i][0] == "sparse":
+                        mask = _cat(padded[i][0])
+                        vals = _cat(padded[i][1])
+                        data = _unsparse_boundary(
+                            jnp, mask, vals, flat_offs[fo], shapes[i], flat_meta[i][1:]
                         )
                         fo += 1
+                    else:
+                        data = _cat(padded[i])
+                        if flat_meta[i] is not None:
+                            data = _unflatten_boundary(
+                                jnp, data, flat_offs[fo], shapes[i], flat_meta[i]
+                            )
+                            fo += 1
                     env[boundary_keys[i]] = DeviceBatch(
                         data,
                         shapes[i] if ragged_flags[i] else None,
@@ -805,3 +848,50 @@ def _unflatten_boundary(jnp, flat, offsets, shapes, canvas):
         valid = v if valid is None else (valid & v)
     out = jnp.take(flat, jnp.clip(idx, 0, flat.shape[0] - 1))
     return jnp.where(valid, out, jnp.zeros((), flat.dtype))
+
+
+def _unsparse_boundary(jnp, mask, vals, offsets, shapes, canvas):
+    """Rebuild a dense padded AC canvas from the sparse wire (_SparseStaged).
+
+    mask [Tb] uint16 — per-block nonzero bitmaps, flat in block order;
+    vals [Tv] int8 — packed nonzero values in that same global order;
+    offsets [N] — per-sample BLOCK offsets into mask (the DC plane's offsets);
+    shapes [N, nd] — per-sample dense dims, last = nac; canvas — dense canvas
+    dims, last = nac. Positions are self-describing: value p of block b lives
+    at cumsum(popcount(mask))[b] + p. Two gathers; everything else is
+    elementwise — negligible next to the IDCT that consumes the result."""
+    import jax
+
+    n = shapes.shape[0]
+    nd = len(canvas)
+    nac = int(canvas[-1])
+    block_canvas = tuple(canvas[:-1])
+    blk_shape = (n,) + block_canvas
+    bshape = (n,) + (1,) * (nd - 1)
+    # per-sample row-major strides over the BLOCK dims (all but the nac dim)
+    stride = jnp.ones((n,), jnp.int32)
+    strides = [None] * (nd - 1)
+    for d in range(nd - 2, -1, -1):
+        strides[d] = stride
+        stride = stride * shapes[:, d].astype(jnp.int32)
+    bidx = jnp.broadcast_to(offsets.astype(jnp.int32).reshape(bshape), blk_shape)
+    valid = None
+    for d in range(nd - 1):
+        coord = jax.lax.broadcasted_iota(jnp.int32, blk_shape, d + 1)
+        bidx = bidx + coord * strides[d].reshape(bshape)
+        v = coord < shapes[:, d].astype(jnp.int32).reshape(bshape)
+        valid = v if valid is None else (valid & v)
+    bidx = jnp.clip(bidx, 0, mask.shape[0] - 1)
+    mask_i32 = mask.astype(jnp.int32)
+    nnz = jax.lax.population_count(mask_i32)
+    starts = jnp.cumsum(nnz) - nnz  # exclusive prefix over the flat stream
+    m_c = jnp.take(mask_i32, bidx)        # [n, *block_canvas]
+    s_c = jnp.take(starts, bidx)
+    j = jax.lax.broadcasted_iota(jnp.int32, blk_shape + (nac,), nd)
+    m_e = m_c[..., None]
+    has = (m_e >> j) & 1
+    prefix = jax.lax.population_count(m_e & ((1 << j) - 1))
+    pos = s_c[..., None] + prefix
+    v = jnp.take(vals, jnp.clip(pos, 0, vals.shape[0] - 1))
+    keep = (has == 1) & valid[..., None]
+    return jnp.where(keep, v, jnp.zeros((), vals.dtype))

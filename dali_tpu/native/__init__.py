@@ -719,6 +719,36 @@ def jpeg_coeffs_split_flat_batch(datas, ky, kc, blocks, flat_lens, num_threads: 
     return y_dc, y_ac, c_dc, c_ac, q.astype(np.int32), offs, [bool(v) for v in oks]
 
 
+def has_sparse_pack() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "dali_tpu_sparse_pack_i8")
+
+
+def sparse_pack_i8(dense: np.ndarray, n_blocks: int, nac: int,
+                   mask_out: np.ndarray, vals_out: np.ndarray) -> int:
+    """Pack a dense flat AC plane ([n_blocks * nac] int8) into the sparse
+    wire form: per-block nonzero bitmap (uint16) + packed nonzero values.
+    ``vals_out`` must hold n_blocks*nac + 16 bytes (worst case + SIMD slack).
+    Returns the number of packed values. See native/src/sparse_pack.cc."""
+    lib = _load()
+    fn = lib.dali_tpu_sparse_pack_i8
+    if fn.restype is not ctypes.c_longlong:
+        fn.restype = ctypes.c_longlong
+    assert dense.dtype == np.int8 and mask_out.dtype == np.uint16
+    assert vals_out.dtype == np.int8
+    assert mask_out.shape[0] >= n_blocks
+    assert vals_out.shape[0] >= n_blocks * nac + 16
+    nnz = fn(
+        dense.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_longlong(int(n_blocks)), int(nac),
+        mask_out.ctypes.data_as(ctypes.c_void_p),
+        vals_out.ctypes.data_as(ctypes.c_void_p),
+    )
+    if nnz < 0:
+        raise ValueError(f"sparse_pack_i8: unsupported nac={nac}")
+    return int(nnz)
+
+
 def jpeg_coef_info_batch(datas, num_threads: int = 0):
     """Header scan for a whole batch: [n, 7] int32 (h, w, y_bh, y_bw, c_bh,
     c_bw, mode); mode -1 = unsupported stream."""

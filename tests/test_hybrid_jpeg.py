@@ -455,3 +455,56 @@ def test_hybrid_rrc_444_422_matches_full_decode_crop(tmp_path, subsamp):
         gh, gw, _ = crop.shape()[i]
         got = np.asarray(crop.as_tensor())[i][:gh, :gw]
         np.testing.assert_array_equal(got, want)
+
+
+def test_sparse_pack_roundtrip():
+    """sparse_pack_i8 (native/src/sparse_pack.cc): mask+vals rebuild the
+    dense plane exactly, for SIMD and scalar-tail block counts."""
+    rng = np.random.default_rng(3)
+    for n_blocks, nac in [(1, 15), (2, 15), (37, 15), (1000, 15), (64, 8), (5, 3)]:
+        dense = rng.integers(-30, 30, n_blocks * nac).astype(np.int8)
+        dense[rng.random(dense.shape) < 0.6] = 0  # typical sparsity
+        mask = np.zeros(n_blocks, np.uint16)
+        vals = np.zeros(n_blocks * nac + 16, np.int8)
+        nnz = native.sparse_pack_i8(dense, n_blocks, nac, mask, vals)
+        assert nnz == int(np.count_nonzero(dense))
+        rebuilt = np.zeros_like(dense)
+        t = 0
+        for b in range(n_blocks):
+            for j in range(nac):
+                if mask[b] >> j & 1:
+                    rebuilt[b * nac + j] = vals[t]
+                    t += 1
+        np.testing.assert_array_equal(rebuilt, dense)
+        assert t == nnz
+
+
+def test_sparse_wire_matches_dense(tmp_path, monkeypatch):
+    """The sparse AC wire (mask + packed nonzeros, device-side rebuild in
+    executor._unsparse_boundary) is bit-identical to the dense flat wire."""
+    import os
+    d = tmp_path / "imgs" / "c"
+    d.mkdir(parents=True)
+    rng = np.random.default_rng(11)
+    for i, (h, w) in enumerate([(64, 80), (112, 96), (57, 41)]):
+        img = np.kron(rng.integers(0, 256, (h // 8, w // 8, 3), np.uint8),
+                      np.ones((8, 8, 1), np.uint8))[:h, :w]
+        (d / f"{i}.jpg").write_bytes(
+            native.jpeg_encode_rgb(np.ascontiguousarray(img), quality=88))
+
+    from dali_tpu import fn, pipeline_def
+
+    def build():
+        @pipeline_def(batch_size=3, num_threads=1, seed=5)
+        def p():
+            jp, _ = fn.readers.file(file_root=str(tmp_path / "imgs"), name="r")
+            return fn.decoders.image(jp, device="mixed", hybrid_device_decode=True)
+        pipe = p()
+        pipe.build()
+        return np.asarray(pipe.run()[0].as_tensor())
+
+    monkeypatch.setenv("DALI_TPU_DISABLE_SPARSE_WIRE", "1")
+    dense = build()
+    monkeypatch.setenv("DALI_TPU_DISABLE_SPARSE_WIRE", "0")
+    sparse = build()
+    np.testing.assert_array_equal(dense, sparse)
