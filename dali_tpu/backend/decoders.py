@@ -779,16 +779,51 @@ class JpegCoeffsSplit(JpegCoeffs):
         mask = ring.take(name + "_mask", int(mask_len), np.uint16)
         vals = ring.take(name + "_vals", int(ac_cap) + 16, np.int8)
         nnz = native.sparse_pack_i8(ac_flat, int(n_blocks), int(nac), mask, vals)
+        want = self._wire_ratchet(name, nnz)
+        # second stage: nibble-pack the value stream (4-bit codes + escape
+        # bytes for |v|>7) — another ~15% off the wire on photo content.
+        # Zero the ratchet slack first: stale ring bytes there would invent
+        # phantom escapes and nondeterministic stream sizes.
+        vals[nnz:want] = 0
+        nibs = ring.take(name + "_nibs", (want + 1) // 2, np.uint8)
+        esc = ring.take(name + "_esc", want, np.int8)
+        n_esc = native.nib_pack_i8(vals, int(want), nibs, esc)
+        e_want = min(self._wire_ratchet(name + "_esc", n_esc), want)
+        return _SparseStaged(mask, None, dc_offsets, shapes, canvas,
+                             nibs=nibs, esc=esc[:e_want])
+
+    def _wire_ratchet(self, name: str, need: int) -> int:
+        """Monotonic wire-length grow policy: 256K-element chunks with 1.25x
+        headroom on first growth — coarse 1M chunks overshipped ~15% of the
+        wire as ratchet padding, finer ones recompile the gather program on
+        every new maximum."""
         if not hasattr(self, "_sparse_lens"):
             self._sparse_lens = {}
-        # fine-grained grow policy: 256K-element chunks with 1.25x headroom —
-        # coarse 1M chunks overshipped ~15% of the wire as ratchet padding
         chunk = 1 << 18
         prev = self._sparse_lens.get(name, 0)
-        need = max(nnz, 1) if prev else int(max(nnz, 1) * 1.25)
-        want = max(prev, -(-need // chunk) * chunk)
+        want = max(need, 1) if prev else int(max(need, 1) * 1.25)
+        want = max(prev, -(-want // chunk) * chunk)
         self._sparse_lens[name] = want
-        return _SparseStaged(mask, vals[:want], dc_offsets, shapes, canvas)
+        return want
+
+    def _dc_to_esc8(self, name, dc_flat, n_blocks, offsets, shapes, canvas,
+                    dc_len):
+        """Escape-pack a flat int16 DC plane to int8 + rare int16 escapes
+        (_Esc16Staged) — halves the DC wire. ``dc_len`` is the plane's
+        ratcheted length (shape-stable wire); the tail past ``n_blocks`` is
+        zeroed so stale ring bytes can't masquerade as escape markers."""
+        from .. import native
+        from ..executor import _Esc16Staged
+
+        ring = self._wire_ring()
+        n_blocks = int(n_blocks)
+        dc_len = int(dc_len)
+        dc8 = ring.take(name + "_8", dc_len, np.int8)
+        esc = ring.take(name + "_esc16", dc_len, np.int16)
+        n_esc = native.esc_pack_i16(dc_flat[:n_blocks], n_blocks, dc8, esc)
+        dc8[n_blocks:dc_len] = 0
+        e_want = min(self._wire_ratchet(name + "_esc", n_esc), dc_len)
+        return _Esc16Staged(dc8, esc[:e_want], offsets, shapes, canvas)
 
     def _stage_ac_planes(self, y_ac, c_ac, offs, y_shapes, c_shapes, y_canvas,
                          c_canvas, n_y_blocks, n_c_blocks, ky, kc):
@@ -809,6 +844,24 @@ class JpegCoeffsSplit(JpegCoeffs):
         return (
             _FlatStaged(y_ac, offs["y_ac"], y_shapes, y_canvas),
             _FlatStaged(c_ac, offs["c_ac"], c_shapes, c_canvas),
+        )
+
+    def _stage_dc_planes(self, y_dc, c_dc, offs, y_shapes, c_shapes, y_canvas,
+                         c_canvas, n_y_blocks, n_c_blocks, ky, kc):
+        """The two DC boundary entries: escape-packed int8 wire when
+        available, dense int16 flat otherwise."""
+        from ..executor import _FlatStaged
+
+        if self._sparse_wire_enabled(ky * ky - 1, kc * kc - 1):
+            return (
+                self._dc_to_esc8("y_dc", y_dc, n_y_blocks, offs["y_dc"],
+                                 y_shapes, y_canvas, self._flat_lens[0]),
+                self._dc_to_esc8("c_dc", c_dc, n_c_blocks, offs["c_dc"],
+                                 c_shapes, c_canvas, self._flat_lens[2]),
+            )
+        return (
+            _FlatStaged(y_dc, offs["y_dc"], y_shapes, y_canvas),
+            _FlatStaged(c_dc, offs["c_dc"], c_shapes, c_canvas),
         )
 
     def _wire_ring(self):
@@ -906,10 +959,14 @@ class JpegCoeffsSplit(JpegCoeffs):
             (BH, BW, ky * ky - 1), (2, CBH, CBW, kc * kc - 1),
             int(y_n.sum()), int(2 * c_n.sum()), ky, kc,
         )
+        y_dc_st, c_dc_st = self._stage_dc_planes(
+            y_dc, c_dc, offs, yb.copy(), np.concatenate([two, cb], 1),
+            (BH, BW), (2, CBH, CBW), int(y_n.sum()), int(2 * c_n.sum()), ky, kc,
+        )
         out = [
-            _FlatStaged(y_dc, offs["y_dc"], yb.copy(), (BH, BW)),
+            y_dc_st,
             y_ac_st,
-            _FlatStaged(c_dc, offs["c_dc"], np.concatenate([two, cb], 1), (2, CBH, CBW)),
+            c_dc_st,
             c_ac_st,
             (q, np.full((n, 1), q.shape[1], np.int32), ""),
             HostBatch([infos[i, [0, 1, 6]].copy() for i in range(n)], layout=""),
@@ -1165,10 +1222,14 @@ class JpegCoeffsSplitRRC(JpegCoeffsSplit):
             (BH, BW, ky * ky - 1), (2, CBH, CBW, kc * kc - 1),
             int(y_n.sum()), int(2 * c_n.sum()), ky, kc,
         )
+        y_dc_st, c_dc_st = self._stage_dc_planes(
+            y_dc, c_dc, offs, yb.copy(), np.concatenate([two, cb], 1),
+            (BH, BW), (2, CBH, CBW), int(y_n.sum()), int(2 * c_n.sum()), ky, kc,
+        )
         return [
-            _FlatStaged(y_dc, offs["y_dc"], yb.copy(), (BH, BW)),
+            y_dc_st,
             y_ac_st,
-            _FlatStaged(c_dc, offs["c_dc"], np.concatenate([two, cb], 1), (2, CBH, CBW)),
+            c_dc_st,
             c_ac_st,
             (q, np.full((n, 1), q.shape[1], np.int32), ""),
             HostBatch([dims[i].copy() for i in range(n)], layout=""),

@@ -70,18 +70,41 @@ class _FlatStaged:
 class _SparseStaged:
     """A sparse-packed boundary batch (hybrid-JPEG AC planes): per-block
     nonzero bitmap ``mask`` (uint16, flat in the same block order/offsets as
-    the DC plane) + ``vals``, the nonzero int8 values concatenated in slot
-    order across the batch. Self-describing — the device program rebuilds
-    value positions from cumsum(popcount(mask)), so only ~(2 + nnz) bytes
-    per block ride the wire instead of the dense k*k-1. Reconstruction:
-    ``_unsparse_boundary``. ``canvas`` is the dense canvas incl. the
-    trailing nac dim; ``shapes`` are per-sample dense dims incl. nac."""
+    the DC plane) + the nonzero int8 values concatenated in slot order
+    across the batch — either dense bytes (``vals``) or nibble-packed
+    (``nibs`` 4-bit codes + ``esc`` full bytes for |v|>7, ~34% on photo
+    content). Self-describing — the device program rebuilds value positions
+    from cumsum(popcount(mask)) and escape positions from cumsum(code==-8).
+    Reconstruction: ``_unsparse_boundary`` (+ ``_decode_nib_stream``).
+    ``canvas`` is the dense canvas incl. the trailing nac dim; ``shapes``
+    are per-sample dense dims incl. nac."""
 
-    __slots__ = ("mask", "vals", "offsets", "shapes", "canvas", "layout")
+    __slots__ = ("mask", "vals", "nibs", "esc", "offsets", "shapes", "canvas",
+                 "layout")
 
-    def __init__(self, mask, vals, offsets, shapes, canvas, layout=""):
+    def __init__(self, mask, vals, offsets, shapes, canvas, layout="",
+                 nibs=None, esc=None):
         self.mask = mask
         self.vals = vals
+        self.nibs = nibs
+        self.esc = esc
+        self.offsets = np.asarray(offsets, np.int32)
+        self.shapes = shapes
+        self.canvas = tuple(int(c) for c in canvas)
+        self.layout = layout
+
+
+class _Esc16Staged:
+    """An int16 boundary plane (hybrid-JPEG DC) escape-packed to int8:
+    ``dc8`` carries values in [-127, 127]; the marker -128 points at the
+    next full int16 in ``esc`` (~1% of quantized DC terms). Halves the DC
+    wire. Reconstruction: ``_decode_esc16_stream`` + ``_unflatten_boundary``."""
+
+    __slots__ = ("dc8", "esc", "offsets", "shapes", "canvas", "layout")
+
+    def __init__(self, dc8, esc, offsets, shapes, canvas, layout=""):
+        self.dc8 = dc8
+        self.esc = esc
         self.offsets = np.asarray(offsets, np.int32)
         self.shapes = shapes
         self.canvas = tuple(int(c) for c in canvas)
@@ -427,7 +450,7 @@ class Executor:
                         k = (node.id, j)
                         if isinstance(item, HostBatch):
                             env[k] = item
-                        elif isinstance(item, (_FlatStaged, _SparseStaged)):
+                        elif isinstance(item, (_FlatStaged, _SparseStaged, _Esc16Staged)):
                             self._canvas[k] = list(item.canvas)
                             env[k] = item
                         else:
@@ -470,11 +493,23 @@ class Executor:
                 flat_offsets.append(hb.offsets)
                 continue
             if isinstance(hb, _SparseStaged):
-                padded_arrays.append((hb.mask, hb.vals))
+                if hb.nibs is not None:
+                    padded_arrays.append((hb.mask, hb.nibs, hb.esc))
+                    flat_meta.append(("sparse4",) + hb.canvas)
+                else:
+                    padded_arrays.append((hb.mask, hb.vals))
+                    flat_meta.append(("sparse",) + hb.canvas)
                 shape_arrays.append(hb.shapes)
                 ragged_flags.append(True)
                 boundary_layouts.append(hb.layout)
-                flat_meta.append(("sparse",) + hb.canvas)
+                flat_offsets.append(hb.offsets)
+                continue
+            if isinstance(hb, _Esc16Staged):
+                padded_arrays.append((hb.dc8, hb.esc))
+                shape_arrays.append(hb.shapes)
+                ragged_flags.append(True)
+                boundary_layouts.append(hb.layout)
+                flat_meta.append(("esc16",) + hb.canvas)
                 flat_offsets.append(hb.offsets)
                 continue
             flat_meta.append(None)
@@ -736,11 +771,25 @@ class Executor:
 
                 fo = 0
                 for i in range(len(boundary_keys)):
-                    if flat_meta[i] is not None and flat_meta[i][0] == "sparse":
+                    kind = flat_meta[i][0] if flat_meta[i] is not None else None
+                    if kind in ("sparse", "sparse4"):
                         mask = _cat(padded[i][0])
-                        vals = _cat(padded[i][1])
+                        if kind == "sparse4":
+                            nibs = _cat(padded[i][1])
+                            esc = _cat(padded[i][2])
+                            vals = _decode_nib_stream(jnp, nibs, esc)
+                        else:
+                            vals = _cat(padded[i][1])
                         data = _unsparse_boundary(
                             jnp, mask, vals, flat_offs[fo], shapes[i], flat_meta[i][1:]
+                        )
+                        fo += 1
+                    elif kind == "esc16":
+                        dc8 = _cat(padded[i][0])
+                        esc = _cat(padded[i][1])
+                        flat16 = _decode_esc16_stream(jnp, dc8, esc)
+                        data = _unflatten_boundary(
+                            jnp, flat16, flat_offs[fo], shapes[i], flat_meta[i][1:]
                         )
                         fo += 1
                     else:
@@ -848,6 +897,34 @@ def _unflatten_boundary(jnp, flat, offsets, shapes, canvas):
         valid = v if valid is None else (valid & v)
     out = jnp.take(flat, jnp.clip(idx, 0, flat.shape[0] - 1))
     return jnp.where(valid, out, jnp.zeros((), flat.dtype))
+
+
+def _decode_nib_stream(jnp, nibs, esc):
+    """Expand a nibble-packed value stream (sparse_pack.cc nib_pack_i8) to
+    int8: 4-bit signed codes, -8 escapes to the next full byte of ``esc``
+    (positions self-described by cumsum(code == -8))."""
+    n32 = nibs.astype(jnp.int32)
+    lo = n32 & 0xF
+    hi = (n32 >> 4) & 0xF
+    nib = jnp.stack([lo, hi], axis=1).reshape(-1)  # little-nibble first
+    v = (nib ^ 8) - 8  # sign-extend 4-bit
+    is_esc = v == -8
+    ecnt = is_esc.astype(jnp.int32)
+    prefix = jnp.cumsum(ecnt) - ecnt
+    ev = jnp.take(esc, jnp.clip(prefix, 0, esc.shape[0] - 1))
+    return jnp.where(is_esc, ev.astype(jnp.int32), v).astype(jnp.int8)
+
+
+def _decode_esc16_stream(jnp, dc8, esc):
+    """Expand an escape-packed int16 stream (sparse_pack.cc esc_pack_i16):
+    int8 values pass through, the -128 marker pulls the next int16 of
+    ``esc`` (positions from cumsum(marker))."""
+    v = dc8.astype(jnp.int32)
+    is_esc = v == -128
+    ecnt = is_esc.astype(jnp.int32)
+    prefix = jnp.cumsum(ecnt) - ecnt
+    ev = jnp.take(esc, jnp.clip(prefix, 0, esc.shape[0] - 1))
+    return jnp.where(is_esc, ev.astype(jnp.int32), v).astype(jnp.int16)
 
 
 def _unsparse_boundary(jnp, mask, vals, offsets, shapes, canvas):

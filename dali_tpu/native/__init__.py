@@ -749,6 +749,43 @@ def sparse_pack_i8(dense: np.ndarray, n_blocks: int, nac: int,
     return int(nnz)
 
 
+def nib_pack_i8(vals: np.ndarray, n: int, nibbles_out: np.ndarray,
+                escapes_out: np.ndarray) -> int:
+    """Nibble-pack a packed int8 value stream: 4-bit codes in [-7,7], code
+    -8 escapes to a full int8 in ``escapes_out``. Returns the escape count.
+    See native/src/sparse_pack.cc."""
+    lib = _load()
+    fn = lib.dali_tpu_nib_pack_i8
+    if fn.restype is not ctypes.c_longlong:
+        fn.restype = ctypes.c_longlong
+    assert vals.dtype == np.int8 and nibbles_out.dtype == np.uint8
+    assert escapes_out.dtype == np.int8
+    assert nibbles_out.shape[0] >= (n + 1) // 2 and escapes_out.shape[0] >= n
+    return int(fn(
+        vals.ctypes.data_as(ctypes.c_void_p), ctypes.c_longlong(int(n)),
+        nibbles_out.ctypes.data_as(ctypes.c_void_p),
+        escapes_out.ctypes.data_as(ctypes.c_void_p),
+    ))
+
+
+def esc_pack_i16(vals: np.ndarray, n: int, out8: np.ndarray,
+                 escapes_out: np.ndarray) -> int:
+    """Escape-pack an int16 stream to int8 (-128 marks an escape carried in
+    ``escapes_out``). Returns the escape count. See sparse_pack.cc."""
+    lib = _load()
+    fn = lib.dali_tpu_esc_pack_i16
+    if fn.restype is not ctypes.c_longlong:
+        fn.restype = ctypes.c_longlong
+    assert vals.dtype == np.int16 and out8.dtype == np.int8
+    assert escapes_out.dtype == np.int16
+    assert out8.shape[0] >= n and escapes_out.shape[0] >= n
+    return int(fn(
+        vals.ctypes.data_as(ctypes.c_void_p), ctypes.c_longlong(int(n)),
+        out8.ctypes.data_as(ctypes.c_void_p),
+        escapes_out.ctypes.data_as(ctypes.c_void_p),
+    ))
+
+
 def jpeg_coef_info_batch(datas, num_threads: int = 0):
     """Header scan for a whole batch: [n, 7] int32 (h, w, y_bh, y_bw, c_bh,
     c_bw, mode); mode -1 = unsupported stream."""

@@ -95,4 +95,102 @@ long long dali_tpu_sparse_pack_i8(const signed char* dense, long long n_blocks,
   return t;
 }
 
+// Nibble-pack a packed int8 value stream: each value becomes a signed
+// 4-bit code in [-7, 7]; -8 (0x8) marks an escape whose full int8 value is
+// appended to `escapes` in order. Self-describing like the mask stream —
+// the device rebuilds escape positions from cumsum(code == -8). Two codes
+// per output byte, little-nibble first; odd tail padded with 0.
+// Returns the escape count. `escapes` must hold n values (worst case).
+long long dali_tpu_nib_pack_i8(const signed char* vals, long long n,
+                               unsigned char* nibbles, signed char* escapes) {
+  long long e = 0;
+  long long i = 0;
+#if defined(__SSSE3__)
+  const __m128i lo7 = _mm_set1_epi8(7);
+  const __m128i hi7 = _mm_set1_epi8(-7);
+  const __m128i x0f = _mm_set1_epi8(0x0F);
+  const __m128i x08 = _mm_set1_epi8(0x08);
+  const __m128i evens =
+      _mm_setr_epi8(0, 2, 4, 6, 8, 10, 12, 14, -1, -1, -1, -1, -1, -1, -1, -1);
+  const __m128i odds =
+      _mm_setr_epi8(1, 3, 5, 7, 9, 11, 13, 15, -1, -1, -1, -1, -1, -1, -1, -1);
+  for (; i + 16 <= n; i += 16) {
+    __m128i v = _mm_loadu_si128(reinterpret_cast<const __m128i*>(vals + i));
+    __m128i esc = _mm_or_si128(_mm_cmpgt_epi8(v, lo7), _mm_cmpgt_epi8(hi7, v));
+    __m128i nib = _mm_or_si128(_mm_andnot_si128(esc, _mm_and_si128(v, x0f)),
+                               _mm_and_si128(esc, x08));
+    __m128i ev = _mm_shuffle_epi8(nib, evens);
+    __m128i od = _mm_shuffle_epi8(nib, odds);
+    __m128i out = _mm_or_si128(ev, _mm_slli_epi16(_mm_and_si128(od, x0f), 4));
+    _mm_storel_epi64(reinterpret_cast<__m128i*>(nibbles + (i >> 1)), out);
+    unsigned em = (unsigned)_mm_movemask_epi8(esc);
+    while (em) {  // rare: compact escaped full values
+      int b = __builtin_ctz(em);
+      escapes[e++] = vals[i + b];
+      em &= em - 1;
+    }
+  }
+#endif
+  unsigned char cur = 0;
+  for (; i < n; i++) {
+    int v = vals[i];
+    unsigned nb;
+    if (v < -7 || v > 7) {
+      nb = 0x8;
+      escapes[e++] = (signed char)v;
+    } else {
+      nb = (unsigned)v & 0xF;
+    }
+    if (i & 1) {
+      nibbles[i >> 1] = (unsigned char)(cur | (nb << 4));
+    } else {
+      cur = (unsigned char)nb;
+      if (i + 1 == n) nibbles[i >> 1] = cur;  // odd tail
+    }
+  }
+  return e;
+}
+
+// Escape-pack an int16 stream (hybrid DC planes) to int8: values in
+// [-127, 127] pass through; anything else becomes the marker -128 with the
+// full int16 appended to `escapes` (typically ~1% of quantized DC terms).
+// Returns the escape count. `escapes` must hold n values (worst case).
+long long dali_tpu_esc_pack_i16(const short* vals, long long n,
+                                signed char* out8, short* escapes) {
+  long long e = 0;
+  long long i = 0;
+#if defined(__SSSE3__)
+  const __m128i lo = _mm_set1_epi16(127);
+  const __m128i hi = _mm_set1_epi16(-127);
+  const __m128i mark = _mm_set1_epi8(-128);
+  for (; i + 16 <= n; i += 16) {
+    __m128i a = _mm_loadu_si128(reinterpret_cast<const __m128i*>(vals + i));
+    __m128i b = _mm_loadu_si128(reinterpret_cast<const __m128i*>(vals + i + 8));
+    __m128i ea = _mm_or_si128(_mm_cmpgt_epi16(a, lo), _mm_cmpgt_epi16(hi, a));
+    __m128i eb = _mm_or_si128(_mm_cmpgt_epi16(b, lo), _mm_cmpgt_epi16(hi, b));
+    __m128i esc8 = _mm_packs_epi16(ea, eb);  // lane masks survive packs
+    __m128i sat = _mm_packs_epi16(a, b);
+    __m128i out = _mm_or_si128(_mm_andnot_si128(esc8, sat),
+                               _mm_and_si128(esc8, mark));
+    _mm_storeu_si128(reinterpret_cast<__m128i*>(out8 + i), out);
+    unsigned em = (unsigned)_mm_movemask_epi8(esc8);
+    while (em) {
+      int bpos = __builtin_ctz(em);
+      escapes[e++] = vals[i + bpos];
+      em &= em - 1;
+    }
+  }
+#endif
+  for (; i < n; i++) {
+    int v = vals[i];
+    if (v < -127 || v > 127) {
+      out8[i] = -128;
+      escapes[e++] = (short)v;
+    } else {
+      out8[i] = (signed char)v;
+    }
+  }
+  return e;
+}
+
 }  // extern "C"
