@@ -779,18 +779,27 @@ class JpegCoeffsSplit(JpegCoeffs):
         mask = ring.take(name + "_mask", int(mask_len), np.uint16)
         vals = ring.take(name + "_vals", int(ac_cap) + 16, np.int8)
         nnz = native.sparse_pack_i8(ac_flat, int(n_blocks), int(nac), mask, vals)
-        want = self._wire_ratchet(name, nnz)
         # second stage: nibble-pack the value stream (4-bit codes + escape
         # bytes for |v|>7) — another ~15% off the wire on photo content.
-        # Zero the ratchet slack first: stale ring bytes there would invent
-        # phantom escapes and nondeterministic stream sizes.
-        vals[nnz:want] = 0
-        nibs = ring.take(name + "_nibs", (want + 1) // 2, np.uint8)
-        esc = ring.take(name + "_esc", want, np.int8)
-        n_esc = native.nib_pack_i8(vals, int(want), nibs, esc)
-        e_want = min(self._wire_ratchet(name + "_esc", n_esc), want)
+        # Only the nnz real values are packed; the nibble wire length rides
+        # its own ratchet (positions past nnz are never read on device).
+        nib_len = self._wire_ratchet(name + "_nibs", (nnz + 1) // 2)
+        nibs = ring.take(name + "_nibs", nib_len, np.uint8)
+        esc = ring.take(name + "_esc", self._esc_cap(name + "_esc", nnz), np.int8)
+        n_esc = native.nib_pack_i8(vals, int(nnz), nibs, esc)
+        e_want = self._wire_ratchet(name + "_esc", n_esc)  # <= cap by _esc_cap
         return _SparseStaged(mask, None, dc_offsets, shapes, canvas,
                              nibs=nibs, esc=esc[:e_want])
+
+    def _esc_cap(self, name: str, worst: int) -> int:
+        """Escape-buffer capacity: covers both the worst-case escape count of
+        THIS batch (every value escapes) and any already-ratcheted wire
+        length, so the post-pack ratchet slice is always in bounds."""
+        chunk = 1 << 18
+        first_growth = -(-int(max(worst, 1) * 1.25) // chunk) * chunk
+        if not hasattr(self, "_sparse_lens"):
+            self._sparse_lens = {}
+        return max(first_growth, self._sparse_lens.get(name, 0))
 
     def _wire_ratchet(self, name: str, need: int) -> int:
         """Monotonic wire-length grow policy: 256K-element chunks with 1.25x
@@ -819,10 +828,11 @@ class JpegCoeffsSplit(JpegCoeffs):
         n_blocks = int(n_blocks)
         dc_len = int(dc_len)
         dc8 = ring.take(name + "_8", dc_len, np.int8)
-        esc = ring.take(name + "_esc16", dc_len, np.int16)
+        esc = ring.take(name + "_esc16", self._esc_cap(name + "_esc", n_blocks),
+                        np.int16)
         n_esc = native.esc_pack_i16(dc_flat[:n_blocks], n_blocks, dc8, esc)
         dc8[n_blocks:dc_len] = 0
-        e_want = min(self._wire_ratchet(name + "_esc", n_esc), dc_len)
+        e_want = self._wire_ratchet(name + "_esc", n_esc)  # <= cap by _esc_cap
         return _Esc16Staged(dc8, esc[:e_want], offsets, shapes, canvas)
 
     def _stage_ac_planes(self, y_ac, c_ac, offs, y_shapes, c_shapes, y_canvas,
