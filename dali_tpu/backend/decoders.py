@@ -796,7 +796,7 @@ class JpegCoeffsSplit(JpegCoeffs):
         THIS batch (every value escapes) and any already-ratcheted wire
         length, so the post-pack ratchet slice is always in bounds."""
         chunk = 1 << 18
-        first_growth = -(-int(max(worst, 1) * 1.25) // chunk) * chunk
+        first_growth = -(-(int(max(worst, 1) * 1.25) + 16) // chunk) * chunk
         if not hasattr(self, "_sparse_lens"):
             self._sparse_lens = {}
         return max(first_growth, self._sparse_lens.get(name, 0))

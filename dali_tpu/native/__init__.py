@@ -760,7 +760,8 @@ def nib_pack_i8(vals: np.ndarray, n: int, nibbles_out: np.ndarray,
         fn.restype = ctypes.c_longlong
     assert vals.dtype == np.int8 and nibbles_out.dtype == np.uint8
     assert escapes_out.dtype == np.int8
-    assert nibbles_out.shape[0] >= (n + 1) // 2 and escapes_out.shape[0] >= n
+    assert nibbles_out.shape[0] >= (n + 1) // 2
+    assert escapes_out.shape[0] >= n + 16  # SIMD left-pack store slack
     return int(fn(
         vals.ctypes.data_as(ctypes.c_void_p), ctypes.c_longlong(int(n)),
         nibbles_out.ctypes.data_as(ctypes.c_void_p),
