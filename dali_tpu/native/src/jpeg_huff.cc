@@ -599,7 +599,29 @@ int decode_scan(const Parser& ps, const CompState* cs, const uint8_t* pend,
     }
   }
 
+  // Per-(component, sub-row) state that is constant across an MCU row —
+  // hoists the row half of the window test and the row-base pointer math
+  // out of the per-block path (the column half remains per block).
+  struct RowState {
+    short* dc_row;
+    signed char* ac_row;
+    bool row_ok;
+  } rows[3][4];
+
   for (int my = skip_my; my < stop_my; my++) {
+    for (int ci = 0; ci < 3; ci++) {
+      const CompState& C = cs[ci];
+      for (int v = 0; v < C.v; v++) {
+        const int brow = my * C.v + v;
+        const int wr = brow - C.br0;
+        RowState& R = rows[ci][v];
+        R.row_ok = (unsigned)wr < (unsigned)C.bh && brow < C.real_bh;
+        if (R.row_ok) {
+          R.dc_row = C.dc + (long)wr * C.bw;
+          R.ac_row = C.ac + (long)wr * C.bw * C.nac;
+        }
+      }
+    }
     for (int mx = 0; mx < mcus_x; mx++) {
       if (ri && togo == 0) {
         if (next_rst >= us.rst_off.size()) return 0;  // corrupt: keep zeros
@@ -613,22 +635,21 @@ int decode_scan(const Parser& ps, const CompState* cs, const uint8_t* pend,
         const CompState& C = cs[ci];
         int& pred = ci == 0 ? pred0 : ci == 1 ? pred1 : pred2;
         for (int v = 0; v < C.v; v++) {
+          const RowState& R = rows[ci][v];
           for (int h = 0; h < C.h; h++) {
             // Truncation check on the CONSUMED position (p runs up to 7
             // bytes ahead of it — refill lookahead): stop once decode has
             // actually eaten into the zero padding.
             if (((p - buf0) << 3) - cnt > (long)bits_len) return 0;
-            const int brow = my * C.v + v, bcol = mx * C.h + h;
-            const int wr = brow - C.br0, wc = bcol - C.bc0;
+            const int bcol = mx * C.h + h;
+            const int wc = bcol - C.bc0;
             short* dcp = &dc_sink;
             signed char* acp = ac_sink;
             const signed char* zmap = zmap_skip;
-            if ((unsigned)wr < (unsigned)C.bh &&
-                (unsigned)wc < (unsigned)C.bw && brow < C.real_bh &&
+            if (R.row_ok && (unsigned)wc < (unsigned)C.bw &&
                 bcol < C.real_bw) {
-              const long bi = (long)wr * C.bw + wc;
-              dcp = C.dc + bi;
-              acp = C.ac + bi * C.nac;
+              dcp = R.dc_row + wc;
+              acp = R.ac_row + (long)wc * C.nac;
               zmap = C.zmap;
             }
             // --- one 8x8 block ---
