@@ -36,6 +36,13 @@ def alias_schema(alias: str, target: str):
 
 
 _LEGACY = {
+    # ops the reference promoted out of the experimental namespace (both
+    # names stay registered there: image/clahe/clahe_op.cc DALI_SCHEMA(Clahe),
+    # image/color/equalize.cc, image/convolution/filter.cc, debayer)
+    "Clahe": "experimental.Clahe",
+    "Equalize": "experimental.Equalize",
+    "Filter": "experimental.Filter",
+    "Debayer": "experimental.Debayer",
     "FileReader": "readers.File",
     "COCOReader": "readers.COCO",
     "CaffeReader": "readers.Caffe",

@@ -37,6 +37,11 @@ class EvalContext:
         self.seed = seed
         self.num_threads = num_threads
         self.counter = 0
+        # persistent impls for STATEFUL ops (readers, anything MakeStateful):
+        # the same call site advances the same reader across calls instead of
+        # restarting it (reference dynamic _ops.Operator._get instance cache)
+        self._op_cache = {}
+        self._pending_states = {}  # cache key -> state to apply on creation
 
     def __enter__(self):
         self._prev = EvalContext._current
@@ -52,6 +57,85 @@ class EvalContext:
         if cls._current is None:
             cls._current = EvalContext()
         return cls._current
+
+
+class Checkpoint:
+    """Dynamic-mode checkpoint (reference ``dynamic/checkpoint.py``): captures
+    the eval context's RNG stream position (seed + call counter — eager random
+    ops key their streams off it) and every cached stateful operator's state
+    (reader cursors etc.). ``apply`` restores onto an eval context; states for
+    readers not yet instantiated are applied when they first run."""
+
+    FORMAT_VERSION = 1
+
+    def __init__(self, state=None):
+        self.state = state or {}
+
+    @classmethod
+    def collect(cls, ectx: "EvalContext" = None) -> "Checkpoint":
+        ectx = ectx or EvalContext.current()
+        ops = {}
+        for key, impl in ectx._op_cache.items():
+            st = impl.save_state()
+            if st is not None:
+                ops[repr(key)] = {"type": type(impl).__name__, "state": st}
+        return cls({
+            "version": cls.FORMAT_VERSION,
+            "seed": ectx.seed,
+            "counter": ectx.counter,
+            "ops": ops,
+        })
+
+    def apply(self, ectx: "EvalContext" = None) -> None:
+        ectx = ectx or EvalContext.current()
+        if self.state.get("version") != self.FORMAT_VERSION:
+            raise ValueError(
+                f"ndd checkpoint version {self.state.get('version')} != {self.FORMAT_VERSION}")
+        ectx.seed = self.state["seed"]
+        ectx.counter = self.state["counter"]
+        for key_r, entry in self.state.get("ops", {}).items():
+            impl = next((im for k, im in ectx._op_cache.items() if repr(k) == key_r), None)
+            if impl is not None:
+                if type(impl).__name__ != entry["type"]:
+                    raise TypeError(
+                        f"checkpoint state for {entry['type']} cannot apply to "
+                        f"{type(impl).__name__}")
+                impl.restore_state(entry["state"])
+            else:
+                ectx._pending_states[key_r] = entry
+
+    def serialize(self) -> str:
+        import base64
+        import json
+
+        from ... import pickling
+
+        def enc(o):
+            if isinstance(o, (np.integer, np.floating)):
+                return o.item()
+            return {"__pkl__": base64.b64encode(pickling.dumps(o)).decode()}
+
+        return json.dumps(self.state, default=enc)
+
+    @classmethod
+    def deserialize(cls, payload: str) -> "Checkpoint":
+        import base64
+        import json
+
+        from ... import pickling
+
+        def dec(d):
+            if "__pkl__" in d:
+                return pickling.loads(base64.b64decode(d["__pkl__"]))
+            return d
+
+        return cls(json.loads(payload, object_hook=dec))
+
+
+def current_checkpoint() -> Checkpoint:
+    """Collect a checkpoint of the current eval context (reference
+    ``dynamic/checkpoint.py`` ``current()``)."""
+    return Checkpoint.collect(EvalContext.current())
 
 
 class Batch:
@@ -257,7 +341,25 @@ def _eager_call(schema_name: str, *inputs, device=None, batch_size=None, **kwarg
             plain_kwargs[k] = v
     spec = OpSpec(schema_name, device=device if device != "gpu" else "gpu", **plain_kwargs)
     impl_cls = get_operator_impl(schema_name, device)
-    impl = impl_cls(spec, op_id=ectx.counter)
+    if schema.is_reader:
+        # persistent instance per (op, device, args): the reader ADVANCES
+        # across eager calls instead of restarting, and its cursor is what
+        # ndd.Checkpoint captures (reference dynamic _ops.Reader)
+        key = (schema_name, device,
+               tuple(sorted((k, repr(v)) for k, v in plain_kwargs.items())))
+        impl = ectx._op_cache.get(key)
+        if impl is None:
+            impl = impl_cls(spec, op_id=1_000_000 + len(ectx._op_cache))
+            ectx._op_cache[key] = impl
+            pend = ectx._pending_states.pop(repr(key), None)
+            if pend is not None:
+                if type(impl).__name__ != pend["type"]:
+                    raise TypeError(
+                        f"checkpoint state for {pend['type']} cannot apply to "
+                        f"{type(impl).__name__}")
+                impl.restore_state(pend["state"])
+    else:
+        impl = impl_cls(spec, op_id=ectx.counter)
     shim = _EagerPipelineShim(ectx, n)
     impl.pipeline = shim
     ctx = HostCtx.__new__(HostCtx)
@@ -327,8 +429,11 @@ def _populate():
     this = sys.modules[__name__]
     for schema_name in RegisteredSchemas():
         schema = GetSchema(schema_name)
-        if schema.is_internal or schema.is_reader:
-            continue  # readers are stateful — use the pipeline API
+        if schema.is_internal:
+            continue
+        # readers ARE exposed: stateful instances persist per call site in
+        # the EvalContext (reference dynamic _ops.Reader), advancing across
+        # calls and checkpointable via ndd.Checkpoint
         parts = schema_name.split(".")
         mod = this
         for p in parts[:-1]:

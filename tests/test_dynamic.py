@@ -56,8 +56,10 @@ def test_batch_roundtrip():
         np.testing.assert_array_equal(back.at(i), imgs[i])
 
 
-def test_readers_not_in_ndd():
-    assert not hasattr(ndd, "readers") or not hasattr(ndd.readers, "file")
+def test_readers_in_ndd():
+    # readers are exposed as persistent stateful instances per call site
+    # (reference dynamic _ops.Reader) — see the checkpoint tests below
+    assert hasattr(ndd, "readers") and hasattr(ndd.readers, "file")
 
 
 def test_ndd_batch_arithmetic_operators():
@@ -94,3 +96,44 @@ def test_ndd_math_dsl():
     g = dmath.log(b.gpu())
     np.testing.assert_allclose(np.asarray(g.cpu().at(0)),
                                np.full((2, 2), np.log(4.0)), rtol=1e-6)
+
+
+def test_ndd_reader_advances_across_calls(tmp_path):
+    """Eager readers persist per call site (reference dynamic _ops.Reader):
+    repeated calls advance through the dataset instead of restarting."""
+    import dali_tpu.experimental.dynamic as ndd
+
+    for i in range(6):
+        np.save(str(tmp_path / f"s{i}.npy"), np.full((2,), i, np.int32))
+    with ndd.EvalContext(seed=1):
+        a = ndd.readers.numpy(file_root=str(tmp_path), batch_size=2)
+        b = ndd.readers.numpy(file_root=str(tmp_path), batch_size=2)
+    va = sorted(int(a.at(i)[0]) for i in range(2))
+    vb = sorted(int(b.at(i)[0]) for i in range(2))
+    assert va != vb or set(va) != set(vb)  # second call moved on
+    assert set(va) | set(vb) == {0, 1, 2, 3}
+
+
+def test_ndd_checkpoint_resumes_reader_and_stream(tmp_path):
+    import dali_tpu.experimental.dynamic as ndd
+
+    for i in range(8):
+        np.save(str(tmp_path / f"s{i}.npy"), np.full((2,), i, np.int32))
+
+    with ndd.EvalContext(seed=7) as ectx:
+        ndd.readers.numpy(file_root=str(tmp_path), batch_size=2)
+        ckpt = ndd.Checkpoint.collect(ectx)
+        payload = ckpt.serialize()
+        after_a = ndd.readers.numpy(file_root=str(tmp_path), batch_size=2)
+        rand_a = ndd.random.uniform(range=[0.0, 1.0], shape=[4], batch_size=2)
+
+    # fresh context: apply the checkpoint BEFORE the reader exists — state is
+    # applied lazily on first use
+    with ndd.EvalContext(seed=0) as ectx2:
+        ndd.Checkpoint.deserialize(payload).apply(ectx2)
+        after_b = ndd.readers.numpy(file_root=str(tmp_path), batch_size=2)
+        rand_b = ndd.random.uniform(range=[0.0, 1.0], shape=[4], batch_size=2)
+
+    np.testing.assert_array_equal(after_a.as_array(), after_b.as_array())
+    np.testing.assert_allclose(np.asarray(rand_a.as_array()),
+                               np.asarray(rand_b.as_array()), rtol=1e-6)
