@@ -132,8 +132,9 @@ def build_audio_pipeline():
     def asr_frontend():
         enc, _ = fn.readers.file(file_root=AUDIO_DIR, file_filters=["*.flac"],
                                  random_shuffle=True, name="R")
-        audio, _rate = fn.decoders.audio(enc, dtype=types.FLOAT, downmix=True)
-        audio = audio.gpu()
+        # mixed decode: 16-bit PCM rides the wire as int16, floats on device
+        audio, _rate = fn.decoders.audio(enc, dtype=types.FLOAT, downmix=True,
+                                         device="mixed")
         audio = fn.preemphasis_filter(audio, preemph_coeff=0.97)
         spec = fn.spectrogram(audio, nfft=512, window_length=320, window_step=160)
         mel = fn.mel_filter_bank(spec, sample_rate=float(AUDIO_RATE), nfilter=80)

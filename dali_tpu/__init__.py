@@ -135,6 +135,26 @@ def _decoders_image_fn(*inputs, device=None, hybrid_device_decode=False, hybrid_
 
 fn.decoders.image = _decoders_image_fn
 
+_default_decoders_audio = fn.decoders.audio
+
+
+def _decoders_audio_fn(*inputs, device=None, **kwargs):
+    """fn.decoders.audio with a TPU-native ``device='mixed'`` variant: host
+    decode, device-resident output. 16-bit PCM rides the wire as int16 and is
+    converted to float on device — half the host→device audio bytes
+    (backend/audio.py `_AudioStage` + `_AudioToOutput`)."""
+    if device != "mixed":
+        return _default_decoders_audio(*inputs, device=device, **kwargs)
+    name = kwargs.pop("name", None)
+    dtype = kwargs.get("dtype", None)
+    pcm, rate = _op_call("_AudioStage", device="mixed", inputs=inputs, name=name, **kwargs)
+    out_kwargs = {} if dtype is None else {"dtype": dtype}
+    audio = _op_call("_AudioToOutput", device="gpu", inputs=[pcm], **out_kwargs)
+    return audio, rate
+
+
+fn.decoders.audio = _decoders_audio_fn
+
 _default_decoders_image_random_crop = fn.decoders.image_random_crop
 
 

@@ -138,6 +138,85 @@ class AudioDecoderCPU(Operator):
         return "" if output_idx else "t"
 
 
+# Mixed audio decode: host entropy decode, device-resident output. When the
+# requested dtype is FLOAT and the PCM is exactly int16/32768 (i.e. the
+# source was 16-bit, the common case for speech corpora), the samples ride
+# the wire as int16 and the division happens on device — HALF the
+# host→device audio bytes. TPU-native extension; the reference decoder is
+# CPU-only (decoder/audio/generic_decoder.cc).
+
+DALI_SCHEMA("_AudioStage").DocStr(
+    "Host half of the mixed audio decode: decoded PCM staged at wire "
+    "precision (int16 when exact) + per-sample rate."
+).NumInput(1).NumOutput(2).Devices("mixed").MakeInternal().AddOptionalArg(
+    "sample_rate", ArgType.FLOAT, "Resample to this rate (0 = keep).", 0.0, tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "downmix", ArgType.BOOL, "Downmix to mono.", False
+).AddOptionalArg(
+    "dtype", ArgType.DATA_TYPE, "Requested output dtype.", DALIDataType.FLOAT
+).AddOptionalArg("quality", ArgType.FLOAT, "Resampling quality (0..100).", 50.0)
+
+
+@register_operator("_AudioStage", "mixed")
+class AudioStageMixed(AudioDecoderCPU):
+    def run_batch(self, ctx, inp):
+        dt = self.spec.GetArgument("dtype", DALIDataType.FLOAT)
+        outs = ctx.map_samples(
+            lambda i: self._decode_one(ctx, i, inp.samples[i]), len(inp.samples)
+        )
+        pcm = [o[0] for o in outs]
+        rates = [np.asarray([o[1]], np.float32) for o in outs]
+        if dt == DALIDataType.FLOAT:
+            # int16 wire iff EVERY sample converts exactly (uniform batch dtype)
+            scaled = [x * 32768.0 for x in pcm]
+            if all(
+                np.all(np.abs(s) <= 32767) and np.all(s == np.round(s))
+                for s in scaled
+            ):
+                pcm = [s.astype(np.int16) for s in scaled]
+        return [HostBatch(pcm, layout=self.output_layout(0, None)),
+                HostBatch(rates, layout="")]
+
+    def _decode_one(self, ctx, idx, encoded):
+        data = np.ascontiguousarray(encoded).tobytes()
+        x, rate = decode_audio(data)
+        if self.spec.GetArgument("downmix", False) and x.ndim == 2:
+            x = x.mean(axis=1)
+        target = float(np.asarray(ctx.arg(self, "sample_rate", idx, 0.0)))
+        if target > 0:
+            x = _resample_audio(x, rate, target)
+            rate = target
+        dt = self.spec.GetArgument("dtype", DALIDataType.FLOAT)
+        if dt == DALIDataType.INT16:
+            x = np.clip(np.round(x * 32767.0), -32768, 32767).astype(np.int16)
+        elif dt != DALIDataType.FLOAT:
+            x = x.astype(to_numpy_type(dt))
+        return np.ascontiguousarray(x, dtype=x.dtype), np.float32(rate)
+
+
+DALI_SCHEMA("_AudioToOutput").DocStr(
+    "Device half of the mixed audio decode: converts wire-precision PCM to "
+    "the requested dtype (int16 wire -> float/32768 on device)."
+).NumInput(1).NumOutput(1).Devices("gpu").MakeInternal().AddOptionalArg(
+    "dtype", ArgType.DATA_TYPE, "Requested output dtype.", DALIDataType.FLOAT
+)
+
+
+@register_operator("_AudioToOutput", "gpu")
+class AudioToOutput(Operator):
+    def lower(self, dctx, pcm):
+        import jax.numpy as jnp
+
+        dt = self.spec.GetArgument("dtype", DALIDataType.FLOAT)
+        data = pcm.data
+        if dt == DALIDataType.FLOAT:
+            if data.dtype == jnp.int16:
+                data = data.astype(jnp.float32) * (1.0 / 32768.0)
+            else:
+                data = data.astype(jnp.float32)
+        return [DeviceBatch(data, pcm.shapes, pcm.layout)]
+
+
 # ====================================== PreemphasisFilter ==========================================
 
 DALI_SCHEMA("PreemphasisFilter").DocStr(

@@ -245,3 +245,37 @@ def test_audio_decode_flac_bit_depth_and_downmix(tmp_path):
     a2, a1 = pipe().run()
     assert a2.at(0).shape == (rate, 2)
     np.testing.assert_allclose(a1.at(0), a2.at(0).mean(1), atol=1e-4)
+
+
+def test_mixed_audio_decode_matches_cpu(tmp_path):
+    """device='mixed' audio decode (int16 wire + device float conversion,
+    backend/audio.py _AudioStage/_AudioToOutput) is bit-exact vs the cpu
+    decoder for 16-bit sources."""
+    from dali_tpu import native
+
+    if not (native.available() and native.has_audio()):
+        pytest.skip("native audio decoder not built")
+    d = tmp_path / "c0"
+    d.mkdir()
+    rng = np.random.default_rng(3)
+    for i in range(4):
+        x = (rng.standard_normal(8000).astype(np.float32) * 0.3)
+        (d / f"{i}.flac").write_bytes(native.audio_encode(x, 16000, "flac"))
+
+    def build(dev):
+        @pipeline_def(batch_size=4, num_threads=1, seed=5)
+        def p():
+            enc, _ = fn.readers.file(file_root=str(tmp_path),
+                                     file_filters=["*.flac"], name="R")
+            audio, rate = fn.decoders.audio(enc, dtype=types.FLOAT,
+                                            downmix=True, device=dev)
+            if dev != "mixed":
+                audio = audio.gpu()
+            return audio, rate
+
+        pipe = p()
+        pipe.build()
+        a, _ = pipe.run()
+        return np.asarray(a.as_tensor())
+
+    np.testing.assert_array_equal(build("mixed"), build(None))
