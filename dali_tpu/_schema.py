@@ -244,6 +244,7 @@ class OpSchema:
 
 _registry: Dict[str, OpSchema] = {}
 _impl_registry: Dict[Tuple[str, str], Any] = {}  # (schema_name, device) -> impl factory
+_alias_targets: Dict[str, str] = {}  # alias schema name -> canonical name
 
 
 def DALI_SCHEMA(name: str) -> OpSchema:
@@ -291,13 +292,21 @@ def get_operator_impl(schema_name: str, device: str):
     key = (schema_name, device)
     if key in _impl_registry:
         return _impl_registry[key]
+    # alias schemas resolve to their canonical op DYNAMICALLY — impls for the
+    # target may be registered after the alias was created
+    target = _alias_targets.get(schema_name)
+    if target is not None and (target, device) in _impl_registry:
+        return _impl_registry[(target, device)]
     # "gpu" requests fall back to an op registered for mixed and vice versa is NOT
     # allowed; but cpu-only ops invoked with gpu device raise here.
     raise KeyError(f"No implementation of operator '{schema_name}' for device '{device}'")
 
 
 def has_operator_impl(schema_name: str, device: str) -> bool:
-    return (schema_name, device) in _impl_registry
+    if (schema_name, device) in _impl_registry:
+        return True
+    target = _alias_targets.get(schema_name)
+    return target is not None and (target, device) in _impl_registry
 
 
 class OpSpec:

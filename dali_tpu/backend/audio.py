@@ -165,12 +165,12 @@ class AudioStageMixed(AudioDecoderCPU):
             lambda i: self._decode_one(ctx, i, inp.samples[i]), len(inp.samples)
         )
         pcm = [o[0] for o in outs]
-        rates = [np.asarray([o[1]], np.float32) for o in outs]
+        rates = [np.float32(o[1]) for o in outs]  # 0-d, like the cpu decoder
         if dt == DALIDataType.FLOAT:
             # int16 wire iff EVERY sample converts exactly (uniform batch dtype)
             scaled = [x * 32768.0 for x in pcm]
             if all(
-                np.all(np.abs(s) <= 32767) and np.all(s == np.round(s))
+                np.all(s >= -32768) and np.all(s <= 32767) and np.all(s == np.round(s))
                 for s in scaled
             ):
                 pcm = [s.astype(np.int16) for s in scaled]

@@ -788,14 +788,13 @@ class JpegCoeffsSplit(JpegCoeffs):
         esc = ring.take(name + "_esc", self._esc_cap(name + "_esc", nnz), np.int8)
         n_esc = native.nib_pack_i8(vals, int(nnz), nibs, esc)
         e_want = self._wire_ratchet(name + "_esc", n_esc)  # <= cap by _esc_cap
-        return _SparseStaged(mask, None, dc_offsets, shapes, canvas,
-                             nibs=nibs, esc=esc[:e_want])
+        return _SparseStaged(mask, nibs, esc[:e_want], dc_offsets, shapes, canvas)
 
     def _esc_cap(self, name: str, worst: int) -> int:
         """Escape-buffer capacity: covers both the worst-case escape count of
         THIS batch (every value escapes) and any already-ratcheted wire
         length, so the post-pack ratchet slice is always in bounds."""
-        chunk = 1 << 18
+        chunk = 1 << 14 if name.endswith("_esc") else 1 << 18
         first_growth = -(-(int(max(worst, 1) * 1.25) + 16) // chunk) * chunk
         if not hasattr(self, "_sparse_lens"):
             self._sparse_lens = {}
@@ -808,7 +807,9 @@ class JpegCoeffsSplit(JpegCoeffs):
         every new maximum."""
         if not hasattr(self, "_sparse_lens"):
             self._sparse_lens = {}
-        chunk = 1 << 18
+        # low-volume escape streams (a few KB real data) use 16K-element
+        # chunks: a 256K minimum would re-waste ~1.5 MB/batch of padding
+        chunk = 1 << 14 if name.endswith("_esc") else 1 << 18
         prev = self._sparse_lens.get(name, 0)
         want = max(need, 1) if prev else int(max(need, 1) * 1.25)
         want = max(prev, -(-want // chunk) * chunk)

@@ -16,7 +16,7 @@ import io
 
 import numpy as np
 
-from .._schema import DALI_SCHEMA, ArgType, _impl_registry, _registry, register_operator
+from .._schema import _alias_targets, DALI_SCHEMA, ArgType, _impl_registry, _registry, register_operator
 from ..batch import DeviceBatch, HostBatch
 from ..types import DALIInterpType
 from .base import Operator
@@ -30,6 +30,7 @@ def alias_schema(alias: str, target: str):
     if alias in _registry:
         return
     _registry[alias] = _registry[target]
+    _alias_targets[alias] = target  # impl lookup resolves through this
     for (name, dev), impl in list(_impl_registry.items()):
         if name == target:
             _impl_registry[(alias, dev)] = impl

@@ -425,9 +425,11 @@ class FileReader(BaseReader):
                 except (ValueError, OSError):  # empty file / unmappable fs
                     return np.frombuffer(f.read(), dtype=np.uint8)
             if len(cache) >= self._MMAP_CAP:
-                # drop (don't close) the oldest half; refcounts finish them
+                # drop (don't close) the oldest half; refcounts finish them.
+                # pop() tolerates concurrent eviction — _read_payload runs on
+                # the sample pool, and two threads may race through here
                 for k in list(cache)[: self._MMAP_CAP // 2]:
-                    del cache[k]
+                    cache.pop(k, None)
             cache[path] = mm
         return np.frombuffer(mm, dtype=np.uint8)
 

@@ -71,21 +71,18 @@ class _SparseStaged:
     """A sparse-packed boundary batch (hybrid-JPEG AC planes): per-block
     nonzero bitmap ``mask`` (uint16, flat in the same block order/offsets as
     the DC plane) + the nonzero int8 values concatenated in slot order
-    across the batch — either dense bytes (``vals``) or nibble-packed
-    (``nibs`` 4-bit codes + ``esc`` full bytes for |v|>7, ~34% on photo
-    content). Self-describing — the device program rebuilds value positions
-    from cumsum(popcount(mask)) and escape positions from cumsum(code==-8).
-    Reconstruction: ``_unsparse_boundary`` (+ ``_decode_nib_stream``).
-    ``canvas`` is the dense canvas incl. the trailing nac dim; ``shapes``
-    are per-sample dense dims incl. nac."""
+    across the batch, nibble-packed (``nibs`` 4-bit codes + ``esc`` full
+    bytes for |v|>7, ~34% on photo content). Self-describing — the device
+    program rebuilds value positions from cumsum(popcount(mask)) and escape
+    positions from cumsum(code==-8). Reconstruction: ``_unsparse_boundary``
+    (+ ``_decode_nib_stream``). ``canvas`` is the dense canvas incl. the
+    trailing nac dim; ``shapes`` are per-sample dense dims incl. nac."""
 
-    __slots__ = ("mask", "vals", "nibs", "esc", "offsets", "shapes", "canvas",
+    __slots__ = ("mask", "nibs", "esc", "offsets", "shapes", "canvas",
                  "layout")
 
-    def __init__(self, mask, vals, offsets, shapes, canvas, layout="",
-                 nibs=None, esc=None):
+    def __init__(self, mask, nibs, esc, offsets, shapes, canvas, layout=""):
         self.mask = mask
-        self.vals = vals
         self.nibs = nibs
         self.esc = esc
         self.offsets = np.asarray(offsets, np.int32)
@@ -493,12 +490,8 @@ class Executor:
                 flat_offsets.append(hb.offsets)
                 continue
             if isinstance(hb, _SparseStaged):
-                if hb.nibs is not None:
-                    padded_arrays.append((hb.mask, hb.nibs, hb.esc))
-                    flat_meta.append(("sparse4",) + hb.canvas)
-                else:
-                    padded_arrays.append((hb.mask, hb.vals))
-                    flat_meta.append(("sparse",) + hb.canvas)
+                padded_arrays.append((hb.mask, hb.nibs, hb.esc))
+                flat_meta.append(("sparse4",) + hb.canvas)
                 shape_arrays.append(hb.shapes)
                 ragged_flags.append(True)
                 boundary_layouts.append(hb.layout)
@@ -772,14 +765,11 @@ class Executor:
                 fo = 0
                 for i in range(len(boundary_keys)):
                     kind = flat_meta[i][0] if flat_meta[i] is not None else None
-                    if kind in ("sparse", "sparse4"):
+                    if kind == "sparse4":
                         mask = _cat(padded[i][0])
-                        if kind == "sparse4":
-                            nibs = _cat(padded[i][1])
-                            esc = _cat(padded[i][2])
-                            vals = _decode_nib_stream(jnp, nibs, esc)
-                        else:
-                            vals = _cat(padded[i][1])
+                        nibs = _cat(padded[i][1])
+                        esc = _cat(padded[i][2])
+                        vals = _decode_nib_stream(jnp, nibs, esc)
                         data = _unsparse_boundary(
                             jnp, mask, vals, flat_offs[fo], shapes[i], flat_meta[i][1:]
                         )

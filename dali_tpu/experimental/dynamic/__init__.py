@@ -307,6 +307,20 @@ def _fn_for_schema(schema_name: str):
     return getattr(mod, _camel_to_snake(parts[-1]))
 
 
+def _freeze_arg(v) -> str:
+    """Hashable identity for a reader-cache kwarg. repr() truncates large
+    numpy arrays ('...'), which would collide distinct readers — hash array
+    contents instead."""
+    import hashlib
+
+    if isinstance(v, np.ndarray):
+        h = hashlib.sha1(np.ascontiguousarray(v).tobytes()).hexdigest()[:16]
+        return f"ndarray({v.dtype},{v.shape},{h})"
+    if isinstance(v, (list, tuple)):
+        return f"{type(v).__name__}[" + ",".join(_freeze_arg(x) for x in v) + "]"
+    return repr(v)
+
+
 def _eager_call(schema_name: str, *inputs, device=None, batch_size=None, **kwargs):
     # Inside a pipeline_def trace, ndd functions ARE the fn API: dispatch to
     # the traced operator so one function body works in both modes
@@ -346,7 +360,7 @@ def _eager_call(schema_name: str, *inputs, device=None, batch_size=None, **kwarg
         # across eager calls instead of restarting, and its cursor is what
         # ndd.Checkpoint captures (reference dynamic _ops.Reader)
         key = (schema_name, device,
-               tuple(sorted((k, repr(v)) for k, v in plain_kwargs.items())))
+               tuple(sorted((k, _freeze_arg(v)) for k, v in plain_kwargs.items())))
         impl = ectx._op_cache.get(key)
         if impl is None:
             impl = impl_cls(spec, op_id=1_000_000 + len(ectx._op_cache))

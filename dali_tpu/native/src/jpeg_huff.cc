@@ -183,13 +183,14 @@ bool build_huff(const uint8_t* counts /*[1..16]*/, const uint8_t* vals,
 
 // Unstuffed entropy stream: scan bytes with FF 00 collapsed to FF, restart
 // markers stripped (their unstuffed byte offsets recorded in rst_off), and
-// 256 zero bytes of tail padding. Truncated/corrupt streams simply run into
+// 512 zero bytes of tail padding. Truncated/corrupt streams simply run into
 // the zero padding; the decode loop bounds every store by the window maps
-// and checks the bit position once per BLOCK, and one block's worst-case
-// consumption (DC 27 bits + 63 AC symbols * 26 bits ~ 210 bytes) plus the
-// trailing 8-byte window fits inside the padding, so reads stay in bounds
-// and decode terminates cleanly (the same warn-and-zero-fill contract
-// libjpeg applies to broken streams).
+// and checks the bit position once per BLOCK. One block's TRUE worst case —
+// adversarial Huffman tables can declare 16-bit codes with size-15
+// magnitudes, so DC 31 bits + 63 AC symbols * 31 bits ~ 249 bytes — plus the
+// refill lookahead (up to 7 bytes) and the 8-byte window stays well inside
+// the padding, so reads stay in bounds and decode terminates cleanly (the
+// same warn-and-zero-fill contract libjpeg applies to broken streams).
 struct Unstuffed {
   std::vector<uint8_t> buf;     // reused across calls (thread-local)
   std::vector<size_t> rst_off;  // unstuffed offset just AFTER each RSTn
@@ -198,7 +199,7 @@ struct Unstuffed {
 
 void unstuff_scan(const uint8_t* p, const uint8_t* pend, Unstuffed* u) {
   u->rst_off.clear();
-  size_t cap = (size_t)(pend - p) + 256;
+  size_t cap = (size_t)(pend - p) + 512;
   if (u->buf.size() < cap) u->buf.resize(cap);
   uint8_t* o = u->buf.data();
   while (p < pend) {
@@ -227,7 +228,7 @@ void unstuff_scan(const uint8_t* p, const uint8_t* pend, Unstuffed* u) {
     }
   }
   u->len = (size_t)(o - u->buf.data());
-  std::memset(o, 0, 256);
+  std::memset(o, 0, 512);
 }
 
 inline uint64_t peek64(const uint8_t* buf, uint64_t pos) {

@@ -508,3 +508,39 @@ def test_sparse_wire_matches_dense(tmp_path, monkeypatch):
     monkeypatch.setenv("DALI_TPU_DISABLE_SPARSE_WIRE", "0")
     sparse = build()
     np.testing.assert_array_equal(dense, sparse)
+
+
+def test_sparse_wire_matches_dense_rrc(tmp_path, monkeypatch):
+    """Sparse wire parity on the PRODUCTION path: the fused DCT-domain
+    RandomResizedCrop decoder (JpegCoeffsSplitRRC) with per-iteration
+    varying crop windows."""
+    d = tmp_path / "imgs" / "c"
+    d.mkdir(parents=True)
+    rng = np.random.default_rng(21)
+    for i, (h, w) in enumerate([(96, 128), (160, 112), (80, 80), (131, 99)]):
+        img = np.kron(rng.integers(0, 256, (h // 8, w // 8, 3), np.uint8),
+                      np.ones((8, 8, 1), np.uint8))[:h, :w]
+        (d / f"{i}.jpg").write_bytes(
+            native.jpeg_encode_rgb(np.ascontiguousarray(img), quality=85))
+
+    from dali_tpu import fn, pipeline_def
+
+    def run3(env):
+        monkeypatch.setenv("DALI_TPU_DISABLE_SPARSE_WIRE", env)
+
+        @pipeline_def(batch_size=4, num_threads=1, seed=9)
+        def p():
+            jp, _ = fn.readers.file(file_root=str(tmp_path / "imgs"), name="r")
+            img = fn.decoders.image_random_crop(
+                jp, device="mixed", hybrid_device_decode=True, hybrid_scale=2,
+                seed=77)
+            return fn.resize(img, resize_x=48, resize_y=48)
+
+        pipe = p()
+        pipe.build()
+        return [np.asarray(pipe.run()[0].as_tensor()) for _ in range(3)]
+
+    dense = run3("1")
+    sparse = run3("0")
+    for a, b in zip(dense, sparse):
+        np.testing.assert_array_equal(a, b)

@@ -7,9 +7,11 @@
 //   g++ -O3 -march=native -std=c++17 tools/bench_huff.cc \
 //       dali_tpu/native/src/jpeg_huff.cc -o /tmp/bench_huff
 //   /tmp/bench_huff /tmp/dali_tpu_bench_data/class0 256 12
+#include <algorithm>
 #include <chrono>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <dirent.h>
 #include <string>
