@@ -217,6 +217,16 @@ class OpSchema:
         self.AddOptionalArg("prefetch_queue_depth", ArgType.INT, "Reader-side prefetch depth.", 1)
         self.AddOptionalArg("skip_cached_images", ArgType.BOOL, "Compatibility no-op.", False)
         self.AddOptionalArg("dont_use_mmap", ArgType.BOOL, "Use plain reads instead of mmap.", False)
+        self.AddOptionalArg(
+            "shuffle_after_epoch", ArgType.BOOL,
+            "Reshuffle the WHOLE dataset every epoch with a global permutation "
+            "(all shards see the same order; reference loader.h "
+            "shuffle_after_epoch). Mutually amplifying with random_shuffle's "
+            "buffer shuffle.", False)
+        self.AddOptionalArg(
+            "shuffle_after_epoch_seed", ArgType.INT,
+            "Dedicated seed for the per-epoch global permutation (-1: derive "
+            "from `seed`). Lets multiple readers share one permutation.", -1)
         self.AddRandomSeedArg()
         return self
 

@@ -78,6 +78,14 @@ DALI_SCHEMA("ExternalSource").DocStr(
     "parallel", ArgType.BOOL, "Run source in worker processes.", False
 ).AddOptionalArg(
     "prefetch_queue_depth", ArgType.INT, "Parallel-mode prefetch depth.", 1
+).AddOptionalArg(
+    "dtype", ArgType.DATA_TYPE,
+    "Expected data dtype; fed data of a different dtype raises (reference "
+    "ExternalSource `dtype` validation).", None
+).AddOptionalArg(
+    "ndim", ArgType.INT,
+    "Expected sample dimensionality; mismatches raise. Inferred from "
+    "`layout` when that is set (reference ExternalSource `ndim`).", None
 )
 
 
@@ -131,6 +139,7 @@ class ExternalSource(Operator):
         if self.spec.GetArgument("parallel", False) and self._source_kind == "callable":
             outs = self._run_parallel(ctx, n_out)
             self._iteration += 1
+            self._validate_outs(outs)
             return outs
         data, layout = self._next_data(ctx)
         groups = self._split_outputs(data, n_out)
@@ -139,7 +148,36 @@ class ExternalSource(Operator):
             samples = self._to_samples(g, ctx.batch_size)
             outs.append(HostBatch(samples, layout=layout))
         self._iteration += 1
+        self._validate_outs(outs)
         return outs
+
+    def _validate_outs(self, outs):
+        """Enforce the declared dtype/ndim contract (reference ExternalSource
+        dtype=/ndim= validation; mismatched feeds must raise, not corrupt)."""
+        import numpy as np
+
+        from ..types import DALIDataType, to_numpy_type
+
+        want_dt = self.spec.GetArgument("dtype", None)
+        want_nd = self.spec.GetArgument("ndim", None)
+        if want_nd is None and self._layout:
+            want_nd = len(self._layout)
+        if want_dt is None and want_nd is None:
+            return
+        for hb in outs:
+            if not hb.samples:
+                continue
+            s = np.asarray(hb.samples[0])
+            if want_dt is not None:
+                want = np.dtype(to_numpy_type(DALIDataType(int(want_dt))))
+                if s.dtype != want:
+                    raise TypeError(
+                        f"ExternalSource '{self.spec.name}': declared dtype "
+                        f"{want} but source produced {s.dtype}")
+            if want_nd is not None and s.ndim != int(want_nd):
+                raise ValueError(
+                    f"ExternalSource '{self.spec.name}': declared ndim "
+                    f"{int(want_nd)} but source produced {s.ndim}-D samples")
 
     def _run_parallel(self, ctx, n_out):
         """Multiprocess path (reference _multiproc pool; parallel=True)."""

@@ -60,7 +60,15 @@ DALI_SCHEMA("Water").DocStr(
     "phase_x", ArgType.FLOAT, "X phase.", 0.0
 ).AddOptionalArg("phase_y", ArgType.FLOAT, "Y phase.", 0.0).AddOptionalArg(
     "fill_value", ArgType.FLOAT, "Border fill.", 0.0
-).AddOptionalArg("interp_type", ArgType.INTERP_TYPE, "Interpolation.", DALIInterpType.INTERP_LINEAR)
+).AddOptionalArg(
+    "interp_type", ArgType.INTERP_TYPE,
+    "Interpolation (reference displacement_filter.cc default: NN).",
+    DALIInterpType.INTERP_NN
+).AddOptionalArg(
+    "mask", ArgType.INT,
+    "Per-sample apply flag: 0 = pass the input through unchanged "
+    "(reference displacement_filter.cc `mask`).", 1,
+    tensor_ok=True, per_sample=True)
 
 
 def _water_coords(xp, H, W, spec):
@@ -77,11 +85,38 @@ def _water_coords(xp, H, W, spec):
     return sx, sy
 
 
+
+
+def _apply_mask(jnp, dctx, op, orig, warped):
+    """Per-sample `mask` flag: 0 passes the input through."""
+    m = np.asarray(dctx.arg(op, "mask", 1)) if not dctx.has_tensor_arg(op, "mask") \
+        else dctx.arg(op, "mask", 1)
+    if not dctx.has_tensor_arg(op, "mask"):
+        flat = np.asarray(m).reshape(-1)
+        if flat.size == 1 and int(flat[0]) == 1:
+            return warped
+    n = orig.shape[0]
+    m = jnp.broadcast_to(jnp.asarray(m).reshape(-1), (n,))
+    m = m.reshape((n,) + (1,) * (orig.ndim - 1))
+    return jnp.where(m != 0, warped, orig.astype(warped.dtype))
+
+
+
+def _maybe_nn(xp, xs, ys, spec):
+    """NN interpolation = gather at rounded source coords (reference
+    displacement ops default to DALI_INTERP_NN)."""
+    if spec.GetArgument("interp_type", DALIInterpType.INTERP_NN) == DALIInterpType.INTERP_NN:
+        return xp.round(xs), xp.round(ys)
+    return xs, ys
+
 @register_operator("Water", "cpu")
 class WaterCPU(Operator):
     def run_sample(self, ctx, idx, img):
+        if not int(np.asarray(ctx.arg(self, "mask", idx, 1))):
+            return img
         H, W = img.shape[:2]
         sx, sy = _water_coords(np, H, W, self.spec)
+        sx, sy = _maybe_nn(np, sx, sy, self.spec)
         out = _bilinear_gather(np, img, sx, sy, self.spec.GetArgument("fill_value", 0.0))
         return _to_dtype(np, out, img.dtype)
 
@@ -94,8 +129,10 @@ class WaterGPU(Operator):
 
         H, W = inp.data.shape[1], inp.data.shape[2]
         sx, sy = _water_coords(jnp, H, W, self.spec)
+        sx, sy = _maybe_nn(jnp, sx, sy, self.spec)
         fill = self.spec.GetArgument("fill_value", 0.0)
         out = jax.vmap(lambda im: _bilinear_gather(jnp, im, sx, sy, fill))(inp.data)
+        out = _apply_mask(jnp, dctx, self, inp.data, out)
         return [inp.with_data(_to_dtype(jnp, out, inp.data.dtype))]
 
 
@@ -105,7 +142,14 @@ DALI_SCHEMA("Sphere").DocStr(
     "Spherical lens distortion (reference image/remap/sphere.cc)."
 ).NumInput(1).NumOutput(1).Devices("cpu", "gpu").AddOptionalArg(
     "fill_value", ArgType.FLOAT, "Border fill.", 0.0
-).AddOptionalArg("interp_type", ArgType.INTERP_TYPE, "Interpolation.", DALIInterpType.INTERP_LINEAR)
+).AddOptionalArg(
+    "interp_type", ArgType.INTERP_TYPE,
+    "Interpolation (reference displacement_filter.cc default: NN).",
+    DALIInterpType.INTERP_NN
+).AddOptionalArg(
+    "mask", ArgType.INT,
+    "Per-sample apply flag: 0 = pass the input through unchanged.", 1,
+    tensor_ok=True, per_sample=True)
 
 
 def _sphere_coords(xp, H, W):
@@ -125,8 +169,11 @@ def _sphere_coords(xp, H, W):
 @register_operator("Sphere", "cpu")
 class SphereCPU(Operator):
     def run_sample(self, ctx, idx, img):
+        if not int(np.asarray(ctx.arg(self, "mask", idx, 1))):
+            return img
         H, W = img.shape[:2]
         sx, sy = _sphere_coords(np, H, W)
+        sx, sy = _maybe_nn(np, sx, sy, self.spec)
         out = _bilinear_gather(np, img, sx, sy, self.spec.GetArgument("fill_value", 0.0))
         return _to_dtype(np, out, img.dtype)
 
@@ -139,8 +186,10 @@ class SphereGPU(Operator):
 
         H, W = inp.data.shape[1], inp.data.shape[2]
         sx, sy = _sphere_coords(jnp, H, W)
+        sx, sy = _maybe_nn(jnp, sx, sy, self.spec)
         fill = self.spec.GetArgument("fill_value", 0.0)
         out = jax.vmap(lambda im: _bilinear_gather(jnp, im, sx, sy, fill))(inp.data)
+        out = _apply_mask(jnp, dctx, self, inp.data, out)
         return [inp.with_data(_to_dtype(jnp, out, inp.data.dtype))]
 
 
@@ -150,7 +199,14 @@ DALI_SCHEMA("Jitter").DocStr(
     "Random per-pixel displacement within ±nDegree/2 (reference image/remap/jitter.cc)."
 ).NumInput(1).NumOutput(1).Devices("cpu", "gpu").AddRandomSeedArg().AddOptionalArg(
     "nDegree", ArgType.INT, "Jitter extent.", 2
-).AddOptionalArg("fill_value", ArgType.FLOAT, "Border fill.", 0.0)
+).AddOptionalArg("fill_value", ArgType.FLOAT, "Border fill.", 0.0).AddOptionalArg(
+    "interp_type", ArgType.INTERP_TYPE,
+    "Interpolation (reference displacement_filter.cc default: NN).",
+    DALIInterpType.INTERP_NN
+).AddOptionalArg(
+    "mask", ArgType.INT,
+    "Per-sample apply flag: 0 = pass the input through unchanged.", 1,
+    tensor_ok=True, per_sample=True)
 
 
 @register_operator("Jitter", "cpu")
@@ -164,6 +220,9 @@ class JitterCPU(Operator):
         dy = rng.uniform(-half, half, (H, W)).astype(np.float32)
         xs = np.arange(W, dtype=np.float32)[None, :] + dx
         ys = np.arange(H, dtype=np.float32)[:, None] + dy
+        if not int(np.asarray(ctx.arg(self, "mask", idx, 1))):
+            return img
+        xs, ys = _maybe_nn(np, xs, ys, self.spec)
         out = _bilinear_gather(np, img, xs, ys, self.spec.GetArgument("fill_value", 0.0))
         return _to_dtype(np, out, img.dtype)
 
@@ -181,8 +240,10 @@ class JitterGPU(Operator):
         disp = jax.random.uniform(key, (n, H, W, 2), jnp.float32, -half, half)
         xs = jnp.arange(W, dtype=jnp.float32)[None, None, :] + disp[..., 0]
         ys = jnp.arange(H, dtype=jnp.float32)[None, :, None] * jnp.ones((1, 1, W)) + disp[..., 1]
+        xs, ys = _maybe_nn(jnp, xs, ys, self.spec)
         fill = self.spec.GetArgument("fill_value", 0.0)
         out = jax.vmap(lambda im, x, y: _bilinear_gather(jnp, im, x, y, fill))(inp.data, xs, ys)
+        out = _apply_mask(jnp, dctx, self, inp.data, out)
         return [inp.with_data(_to_dtype(jnp, out, inp.data.dtype))]
 
 
@@ -328,7 +389,16 @@ for _nm, _doc in (("experimental.Dilate", "Dilation"), ("experimental.Erode", "E
         f"{_doc} (reference image/morphology/morphology.cc via CV-CUDA)."
     ).NumInput(1).NumOutput(1).Devices("cpu", "gpu").AddOptionalArg(
         "mask_size", ArgType.INT_VEC, "Structuring element size.", [3, 3]
-    ).AddOptionalArg("anchor", ArgType.INT_VEC, "Anchor (-1 = center).", [-1, -1])
+    ).AddOptionalArg(
+        "anchor", ArgType.INT_VEC, "Anchor (-1 = center).", [-1, -1]
+    ).AddOptionalArg(
+        "iterations", ArgType.INT,
+        "Number of times the operation is applied (reference "
+        "morphology.cc `iterations`).", 1
+    ).AddOptionalArg(
+        "border_mode", ArgType.STRING,
+        '"constant" (outside pixels take the reduction identity — matching '
+        'CV-CUDA\'s default) or "replicate".', "constant")
 
 
 class _MorphBase(Operator):
@@ -340,7 +410,12 @@ class _MorphBase(Operator):
         ms = self.spec.GetArgument("mask_size", [3, 3])
         kernel = np.ones((int(ms[0]), int(ms[-1])), np.uint8)
         fn = cv2.dilate if self.op_name == "dilate" else cv2.erode
-        out = fn(img, kernel)
+        border = (cv2.BORDER_REPLICATE
+                  if self.spec.GetArgument("border_mode", "constant") == "replicate"
+                  else cv2.BORDER_CONSTANT)
+        out = fn(img, kernel,
+                 iterations=int(self.spec.GetArgument("iterations", 1)),
+                 borderType=border)
         return out[:, :, None] if out.ndim == 2 and img.ndim == 3 else out
 
 

@@ -19,6 +19,15 @@ DALI_SCHEMA("experimental.Clahe").DocStr(
     "clip_limit", ArgType.FLOAT, "Contrast clip limit.", 4.0
 ).AddOptionalArg("tiles_x", ArgType.INT, "Grid tiles (x).", 8).AddOptionalArg(
     "tiles_y", ArgType.INT, "Grid tiles (y).", 8
+).AddOptionalArg(
+    "bins", ArgType.INT,
+    "Histogram bins (power of 2; reference clahe_op.cc `bins`). The cpu "
+    "delegate (cv2) supports 256 only; the gpu lowering honors any value.",
+    256
+).AddOptionalArg(
+    "luma_only", ArgType.BOOL,
+    "RGB inputs: equalize the luminance channel and scale chroma (True, "
+    "default) or equalize each channel independently (False).", True
 )
 
 
@@ -27,11 +36,18 @@ class Clahe(Operator):
     def run_sample(self, ctx, idx, img):
         import cv2
 
+        if int(self.spec.GetArgument("bins", 256)) != 256:
+            raise ValueError(
+                "experimental.Clahe cpu supports bins=256 only (cv2 delegate); "
+                "use device='gpu' for other bin counts")
         clahe = cv2.createCLAHE(
             clipLimit=self.spec.GetArgument("clip_limit", 4.0),
             tileGridSize=(self.spec.GetArgument("tiles_x", 8), self.spec.GetArgument("tiles_y", 8)),
         )
         if img.ndim == 3 and img.shape[-1] == 3:
+            if not self.spec.GetArgument("luma_only", True):
+                out = np.stack([clahe.apply(img[..., c]) for c in range(3)], axis=-1)
+                return out
             lab = cv2.cvtColor(img, cv2.COLOR_RGB2LAB)
             lab[..., 0] = clahe.apply(lab[..., 0])
             return cv2.cvtColor(lab, cv2.COLOR_LAB2RGB)

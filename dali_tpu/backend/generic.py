@@ -189,7 +189,24 @@ DALI_SCHEMA("Transpose").DocStr(
     "Permutes sample dims (reference generic/transpose/)."
 ).NumInput(1).NumOutput(1).Devices("cpu", "gpu").AddArg(
     "perm", ArgType.INT_VEC, "Dimension permutation."
-).AddOptionalArg("transpose_layout", ArgType.BOOL, "Also permute the layout string.", True)
+).AddOptionalArg(
+    "transpose_layout", ArgType.BOOL, "Also permute the layout string.", True
+).AddOptionalArg(
+    "output_layout", ArgType.STRING,
+    "Explicit output layout (overrides transpose_layout; reference "
+    "generic/transpose/transpose.cc `output_layout`).", None)
+
+
+
+
+def _transpose_layout(spec, in_layout: str) -> str:
+    explicit = spec.GetArgument("output_layout", None)
+    if explicit:
+        return explicit
+    if in_layout and spec.GetArgument("transpose_layout", True):
+        perm = spec.GetArgument("perm")
+        return "".join(in_layout[p] for p in perm)
+    return in_layout
 
 
 @register_operator("Transpose", "cpu")
@@ -198,11 +215,7 @@ class TransposeCPU(Operator):
         return np.ascontiguousarray(np.transpose(x, self.spec.GetArgument("perm")))
 
     def output_layout(self, output_idx, inputs):
-        layout = inputs[0].layout if inputs else ""
-        if layout and self.spec.GetArgument("transpose_layout", True):
-            perm = self.spec.GetArgument("perm")
-            return "".join(layout[p] for p in perm)
-        return layout
+        return _transpose_layout(self.spec, inputs[0].layout if inputs else "")
 
 
 @register_operator("Transpose", "gpu")
@@ -212,9 +225,7 @@ class TransposeGPU(Operator):
 
         perm = self.spec.GetArgument("perm")
         x = jnp.transpose(inp.data, (0, *(p + 1 for p in perm)))
-        layout = inp.layout
-        if layout and self.spec.GetArgument("transpose_layout", True):
-            layout = "".join(layout[p] for p in perm)
+        layout = _transpose_layout(self.spec, inp.layout)
         shapes = inp.shapes[:, list(perm)] if inp.shapes is not None else None
         return [DeviceBatch(x, shapes, layout)]
 
@@ -231,11 +242,34 @@ DALI_SCHEMA("OneHot").DocStr("One-hot encoding (reference generic/one_hot.cc).")
     "on_value", ArgType.FLOAT, "Value for the hot position.", 1.0
 ).AddOptionalArg(
     "off_value", ArgType.FLOAT, "Value elsewhere.", 0.0
-).AddOptionalArg("axis", ArgType.INT, "Axis for the new dim.", -1)
+).AddOptionalArg(
+    "axis", ArgType.INT, "Axis for the new dim.", -1
+).AddOptionalArg(
+    "axis_name", ArgType.STRING,
+    "Single-character layout name for the new axis (reference "
+    "generic/one_hot.cc `axis_name`): inserted into the output layout when "
+    "the input layout is known.", None)
+
+
+def _one_hot_layout(spec, inputs) -> str:
+    name = spec.GetArgument("axis_name", None)
+    in_layout = inputs[0].layout if inputs else ""
+    if not name:
+        return ""
+    if len(name) != 1:
+        raise ValueError("OneHot axis_name must be a single character")
+    axis = spec.GetArgument("axis", -1)
+    if in_layout:
+        pos = len(in_layout) if axis < 0 else axis
+        return in_layout[:pos] + name + in_layout[pos:]
+    return name
 
 
 @register_operator("OneHot", "cpu")
 class OneHotCPU(Operator):
+    def output_layout(self, output_idx, inputs):
+        return _one_hot_layout(self.spec, inputs)
+
     def run_sample(self, ctx, idx, x):
         nc = self.spec.GetArgument("num_classes")
         on = self.spec.GetArgument("on_value", 1.0)
@@ -266,7 +300,7 @@ class OneHotGPU(Operator):
             x = x[:, 0]
         oh = jax.nn.one_hot(x.astype(jnp.int32), nc)
         out = (oh * (on - off) + off).astype(dt)
-        return [DeviceBatch(out, None, "")]
+        return [DeviceBatch(out, None, _one_hot_layout(self.spec, [inp]))]
 
 
 # ==================================== Pad ==============================================================

@@ -533,6 +533,9 @@ def _value_schema(name, doc):
         .Devices("cpu", "gpu")
         .AddOptionalArg("shape", ArgType.INT_VEC, "Output shape.", None, tensor_ok=True, per_sample=True)
         .AddOptionalArg("dtype", ArgType.DATA_TYPE, "Output dtype.", None)
+        .AddOptionalArg("layout", ArgType.STRING,
+                        "Layout string of the output (reference "
+                        "generic/constant_value.cc `layout`).", None)
     )
 
 
@@ -551,6 +554,12 @@ _value_schema("FullLike", "`fill_value` with input's shape.").AddArg(
 class _ValueOpCPU(Operator):
     fill = 0.0
     like = False
+
+    def output_layout(self, output_idx, inputs):
+        explicit = self.spec.GetArgument("layout", None)
+        if explicit:
+            return explicit
+        return inputs[0].layout if (self.like and inputs) else ""
 
     def run_sample(self, ctx, idx, *inputs):
         if self.like:

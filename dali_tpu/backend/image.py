@@ -14,7 +14,7 @@ from .._schema import DALI_SCHEMA, ArgType, register_operator
 from ..batch import DeviceBatch, HostBatch
 from ..kernels import cmn as cmn_kernel
 from ..kernels import resample as resample_kernel
-from ..types import DALIDataType, DALIInterpType, to_jnp_type, to_numpy_type
+from ..types import DALIDataType, DALIImageType, DALIInterpType, to_jnp_type, to_numpy_type
 from .base import Operator
 from .decoders import sample_rrc_window
 
@@ -381,6 +381,26 @@ DALI_SCHEMA("CropMirrorNormalize").DocStr(
     "output_layout", ArgType.TENSOR_LAYOUT, "Output layout (CHW/HWC).", "CHW"
 ).AddOptionalArg(
     "pad_output", ArgType.BOOL, "Pad channels to 4.", False
+).AddOptionalArg(
+    "out_of_bounds_policy", ArgType.STRING,
+    '"error" (default), "pad" (out-of-image pixels become fill_values), or '
+    '"trim_to_shape" (window clamped into the image; output may be smaller). '
+    "Reference slice OutOfBoundsPolicy (slice_attr / crop_mirror_normalize).",
+    "error"
+).AddOptionalArg(
+    "fill_values", ArgType.FLOAT_VEC,
+    "Per-channel OUTPUT values for out-of-bounds pixels (pad policy); "
+    "used as-is, not normalized (reference crop_mirror_normalize.cc).",
+    [0.0]
+).AddOptionalArg(
+    "image_type", ArgType.IMAGE_TYPE, "Compatibility arg (deprecated in the "
+    "reference; ignored).", DALIImageType.RGB
+).AddOptionalArg(
+    "crop_d", ArgType.FLOAT, "Volumetric crop depth (DHWC inputs; cpu).", 0.0,
+    tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "crop_pos_z", ArgType.FLOAT, "Volumetric window z in [0,1] (cpu).", 0.5,
+    tensor_ok=True, per_sample=True
 )
 
 
@@ -425,10 +445,14 @@ class CropMirrorNormalizeGPU(Operator, _CMNCommon):
             py = jnp.broadcast_to(py, (n,))
         if px.shape[0] == 1:
             px = jnp.broadcast_to(px, (n,))
+        policy = spec.GetArgument("out_of_bounds_policy", "error")
         crop_y = jnp.round(py * (ext_h - crop_h).astype(jnp.float32)).astype(jnp.int32)
         crop_x = jnp.round(px * (ext_w - crop_w).astype(jnp.float32)).astype(jnp.int32)
-        crop_y = jnp.maximum(crop_y, 0)
-        crop_x = jnp.maximum(crop_x, 0)
+        if policy != "pad":
+            # error/trim: window clamped into the image ("error" raises on the
+            # host in host_output_shapes, where per-sample extents are numpy)
+            crop_y = jnp.maximum(crop_y, 0)
+            crop_x = jnp.maximum(crop_x, 0)
         mirror = dctx.arg(self, "mirror", 0)
         if dctx.has_tensor_arg(self, "mirror"):
             mirror = jnp.asarray(mirror).reshape(-1)
@@ -452,35 +476,109 @@ class CropMirrorNormalizeGPU(Operator, _CMNCommon):
             layout,
             dtype,
             bool(spec.GetArgument("pad_output", False)),
+            ext_h=ext_h if policy == "pad" else None,
+            ext_w=ext_w if policy == "pad" else None,
+            fill=np.asarray(spec.GetArgument("fill_values", [0.0]), np.float32)
+            if policy == "pad" else None,
         )
+        if policy == "trim_to_shape" and inp.shapes is not None:
+            # window clamped into each image; the output shrinks per sample
+            oh = jnp.minimum(jnp.full((n,), crop_h, jnp.int32), ext_h)
+            ow = jnp.minimum(jnp.full((n,), crop_w, jnp.int32), ext_w)
+            oc = jnp.full((n,), out.shape[1] if layout.endswith("HW") else out.shape[-1], jnp.int32)
+            cols = [oc, oh, ow] if layout in ("CHW", "FCHW") else [oh, ow, oc]
+            return [DeviceBatch(out, jnp.stack(cols, axis=1), layout)]
         return [DeviceBatch(out, None, layout)]
+
+    def host_output_shapes(self, ctx, input_shapes, input_batches):
+        # "error" policy contract: raise on the host when a window falls out
+        # of a sample's extent (reference OutOfBoundsPolicy::Error)
+        if self.spec.GetArgument("out_of_bounds_policy", "error") != "error":
+            return None
+        shapes = input_shapes[0] if input_shapes else None
+        if shapes is None:
+            return None
+        cs = self._crop_size(None)
+        if cs is None:
+            return None
+        ch, cw = cs
+        sh = np.asarray(shapes)
+        hw = sh[:, -3:-1] if sh.shape[1] >= 3 else sh[:, :2]
+        bad = (hw[:, 0] < ch) | (hw[:, 1] < cw)
+        if bad.any():
+            i = int(np.argmax(bad))
+            raise ValueError(
+                f"CropMirrorNormalize: crop window {ch}x{cw} out of bounds for "
+                f"sample {i} of extent {int(hw[i,0])}x{int(hw[i,1])} "
+                f"(out_of_bounds_policy='error'; use 'pad' or 'trim_to_shape')")
+        return None
 
 
 @register_operator("CropMirrorNormalize", "cpu")
 class CropMirrorNormalizeCPU(Operator, _CMNCommon):
     def run_sample(self, ctx, idx, img):
         spec = self.spec
-        h, w, c = img.shape
+        vol = img.ndim == 4  # DHWC (crop_d / crop_pos_z)
+        if vol:
+            d, h, w, c = img.shape
+        else:
+            h, w, c = img.shape
         cs = self._crop_size((h, w))
         crop_h, crop_w = cs if cs else (h, w)
+        policy = spec.GetArgument("out_of_bounds_policy", "error")
+        fill = np.asarray(spec.GetArgument("fill_values", [0.0]), np.float32)
         py = float(ctx.arg(self, "crop_pos_y", idx, 0.5))
         px = float(ctx.arg(self, "crop_pos_x", idx, 0.5))
         y = int(round(py * (h - crop_h)))
         x = int(round(px * (w - crop_w)))
-        win = img[y : y + crop_h, x : x + crop_w].astype(np.float32)
+        if vol:
+            crop_d = int(ctx.arg(self, "crop_d", idx, 0.0) or 0) or d
+            pz = float(ctx.arg(self, "crop_pos_z", idx, 0.5))
+            z = int(round(pz * (d - crop_d)))
+        oob = y < 0 or x < 0 or y + crop_h > h or x + crop_w > w or (
+            vol and (z < 0 or z + crop_d > d))
+        if oob and policy == "error":
+            raise ValueError(
+                f"CropMirrorNormalize: crop window {crop_h}x{crop_w} out of "
+                f"bounds for {h}x{w} (out_of_bounds_policy='error')")
+        if policy == "trim_to_shape":
+            y = max(y, 0); x = max(x, 0)
+            crop_h = min(crop_h, h - y); crop_w = min(crop_w, w - x)
+            if vol:
+                z = max(z, 0); crop_d = min(crop_d, d - z)
+        pad_mode = oob and policy == "pad"
+        sl = (slice(max(z, 0), z + crop_d),) if vol else ()
+        win = img[sl + (slice(max(y, 0), y + crop_h),
+                        slice(max(x, 0), x + crop_w))].astype(np.float32)
+        oob_mask = None
+        if pad_mode:
+            # pad up to the requested window; mask remembers what was padded
+            # (fill_values are final OUTPUT values — not normalized)
+            pads = []
+            if vol:
+                pads.append((max(-z, 0), crop_d - win.shape[0] - max(-z, 0)))
+            pads += [(max(-y, 0), crop_h - win.shape[-3] - max(-y, 0)),
+                     (max(-x, 0), crop_w - win.shape[-2] - max(-x, 0)), (0, 0)]
+            oob_mask = np.pad(np.zeros(win.shape[:-1], bool), [p for p in pads[:-1]],
+                              constant_values=True)
+            win = np.pad(win, pads)
         m = ctx.arg(self, "mirror", idx, 0)
         if int(np.asarray(m)) != 0:
-            win = win[:, ::-1]
+            win = win[..., :, ::-1, :]
+            if oob_mask is not None:
+                oob_mask = oob_mask[..., :, ::-1]
         mean = np.asarray(spec.GetArgument("mean", [0.0]), np.float32)
         std = np.asarray(spec.GetArgument("std", [1.0]), np.float32)
         scale = float(spec.GetArgument("scale", 1.0))
         shift = float(spec.GetArgument("shift", 0.0))
         out = scale * (win - mean) / std + shift
+        if oob_mask is not None:
+            out[oob_mask] = fill if fill.size == c else fill.reshape(-1)[0]
         if spec.GetArgument("pad_output", False) and c < 4:
-            out = np.pad(out, ((0, 0), (0, 0), (0, 4 - c)))
+            out = np.pad(out, [(0, 0)] * (out.ndim - 1) + [(0, 4 - c)])
         layout = spec.GetArgument("output_layout", "CHW")
-        if layout == "CHW":
-            out = np.transpose(out, (2, 0, 1))
+        if layout in ("CHW", "FCHW", "DCHW"):
+            out = np.transpose(out, (0, 3, 1, 2) if out.ndim == 4 else (2, 0, 1))
         dtype = to_numpy_type(spec.GetArgument("dtype", DALIDataType.FLOAT))
         return np.ascontiguousarray(out.astype(dtype))
 
@@ -492,10 +590,14 @@ class CropMirrorNormalizeCPU(Operator, _CMNCommon):
 
 DALI_SCHEMA("Flip").DocStr(
     "Flips images horizontally/vertically (reference ``generic/flip.cc``)."
-).NumInput(1).NumOutput(1).Devices("cpu", "gpu").AllowSequences().AddOptionalArg(
+).NumInput(1).NumOutput(1).Devices("cpu", "gpu").AllowSequences().SupportVolumetric().AddOptionalArg(
     "horizontal", ArgType.INT, "Flip horizontally.", 1, tensor_ok=True, per_sample=True
 ).AddOptionalArg(
     "vertical", ArgType.INT, "Flip vertically.", 0, tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "depthwise", ArgType.INT,
+    "Flip the depth (D) axis of volumetric DHWC inputs (reference "
+    "generic/flip.cc `depthwise`).", 0, tensor_ok=True, per_sample=True
 )
 
 
@@ -504,10 +606,16 @@ class FlipCPU(Operator):
     def run_sample(self, ctx, idx, img):
         h = int(np.asarray(ctx.arg(self, "horizontal", idx, 1)))
         v = int(np.asarray(ctx.arg(self, "vertical", idx, 0)))
+        d = int(np.asarray(ctx.arg(self, "depthwise", idx, 0)))
+        vol = img.ndim >= 4  # DHWC
         out = img
         if h:
-            out = out[:, ::-1]
+            out = out[..., :, ::-1, :] if vol else out[:, ::-1]
         if v:
+            out = out[..., ::-1, :, :] if vol else out[::-1]
+        if d:
+            if not vol:
+                raise ValueError("Flip depthwise=1 requires volumetric (DHWC) input")
             out = out[::-1]
         return np.ascontiguousarray(out)
 

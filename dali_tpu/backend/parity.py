@@ -244,7 +244,17 @@ DALI_SCHEMA("experimental.WarpPerspective").DocStr(
     "fill_value", ArgType.FLOAT, "Out-of-bounds fill.", 0.0
 ).AddOptionalArg(
     "interp_type", ArgType.INTERP_TYPE, "NN or linear.", DALIInterpType.INTERP_LINEAR
-).AddOptionalArg("inverse_map", ArgType.BOOL, "Matrix maps dst→src (True).", True)
+).AddOptionalArg(
+    "inverse_map", ArgType.BOOL, "Matrix maps dst→src (True).", True
+).AddOptionalArg(
+    "border_mode", ArgType.STRING,
+    '"constant" (fill_value outside) or "replicate" (clamp to edge). '
+    "Reference cvcuda/warp_perspective.cc `border_mode`.", "constant"
+).AddOptionalArg(
+    "pixel_origin", ArgType.STRING,
+    '"corner" (default; (0,0) = top-left corner of the top-left pixel, '
+    'OpenGL-style) or "center" (OpenCV-style). Reference '
+    "warp_perspective.cc `pixel_origin`.", "corner")
 
 
 class _WarpPerspectiveCommon(Operator):
@@ -252,7 +262,20 @@ class _WarpPerspectiveCommon(Operator):
         m = np.asarray(raw, np.float32).reshape(3, 3)
         if not self.spec.GetArgument("inverse_map", True):
             m = np.linalg.inv(m).astype(np.float32)
-        return m
+        return self._origin_adjust(m, np)
+
+    def _origin_adjust(self, m, xp):
+        """pixel_origin='corner': indices address pixel CENTERS at i+0.5, so
+        conjugate the dst→src map with the half-pixel shift; 'center' uses
+        index coordinates directly (OpenCV convention, what the gather does).
+        Works for [3,3] and batched [N,3,3] matrices."""
+        if self.spec.GetArgument("pixel_origin", "corner") != "corner":
+            return m
+        to_corner = xp.asarray(
+            [[1, 0, 0.5], [0, 1, 0.5], [0, 0, 1]], m.dtype if hasattr(m, "dtype") else None)
+        to_center = xp.asarray(
+            [[1, 0, -0.5], [0, 1, -0.5], [0, 0, 1]], m.dtype if hasattr(m, "dtype") else None)
+        return to_center @ m @ to_corner
 
 
 @register_operator("experimental.WarpPerspective", "cpu")
@@ -268,9 +291,12 @@ class WarpPerspectiveCPU(_WarpPerspectiveCommon):
         flags = (cv2.INTER_NEAREST if interp == DALIInterpType.INTERP_NN else cv2.INTER_LINEAR)
         fill = self.spec.GetArgument("fill_value", 0.0)
         # our matrix is dst→src; cv2.warpPerspective wants src→dst unless WARP_INVERSE_MAP
+        border = (cv2.BORDER_REPLICATE
+                  if self.spec.GetArgument("border_mode", "constant") == "replicate"
+                  else cv2.BORDER_CONSTANT)
         out = cv2.warpPerspective(
             img, m, (out_w, out_h), flags=flags | cv2.WARP_INVERSE_MAP,
-            borderMode=cv2.BORDER_CONSTANT, borderValue=[fill] * 4,
+            borderMode=border, borderValue=[fill] * 4,
         )
         return np.ascontiguousarray(out if out.ndim == img.ndim else out[..., None])
 
@@ -292,6 +318,7 @@ class WarpPerspectiveGPU(_WarpPerspectiveCommon):
                 m = jnp.broadcast_to(m, (n, 3, 3))
         if not self.spec.GetArgument("inverse_map", True):
             m = jnp.linalg.inv(m)
+        m = self._origin_adjust(m, jnp)
         size = self.spec.GetArgument("size", None)
         H, W = inp.data.shape[1:3]
         out_h, out_w = (int(size[0]), int(size[1])) if size else (H, W)
@@ -299,7 +326,8 @@ class WarpPerspectiveGPU(_WarpPerspectiveCommon):
         fill = self.spec.GetArgument("fill_value", 0.0)
         ext = inp.shapes[:, :2] if inp.shapes is not None else None
         out = wk.warp_perspective_batch(
-            inp.data, m, out_h, out_w, ext, interp, fill, inp.data.dtype
+            inp.data, m, out_h, out_w, ext, interp, fill, inp.data.dtype,
+            replicate=self.spec.GetArgument("border_mode", "constant") == "replicate",
         )
         shapes = None
         if inp.shapes is not None and size is None:

@@ -49,6 +49,7 @@ class IndexedLoader:
         batch_size: int,
         seed: int,
         shuffle_after_epoch: bool = False,
+        shuffle_after_epoch_seed: int = -1,
     ):
         self._num_samples_fn = num_samples_fn
         self.shard_id = shard_id
@@ -60,6 +61,9 @@ class IndexedLoader:
         self.batch_size = batch_size
         self.seed = seed
         self.shuffle_after_epoch = shuffle_after_epoch
+        # dedicated permutation seed (reference shuffle_after_epoch_seed):
+        # readers sharing it see the SAME per-epoch global order
+        self.shuffle_seed = shuffle_after_epoch_seed if shuffle_after_epoch_seed >= 0 else seed
 
         self._n = None
         self._epoch = 0
@@ -103,7 +107,7 @@ class IndexedLoader:
             return None
         if epoch not in self._perm_cache:
             rng = np.random.Generator(
-                np.random.Philox(key=np.array([self.seed, epoch], dtype=np.uint64))
+                np.random.Philox(key=np.array([self.shuffle_seed, epoch], dtype=np.uint64))
             )
             self._perm_cache = {epoch: rng.permutation(self.num_samples)}
         return self._perm_cache[epoch]
@@ -210,9 +214,8 @@ class BaseReader(ReaderOperator):
             pad_last_batch=spec.GetArgument("pad_last_batch", False),
             batch_size=self.pipeline.max_batch_size,
             seed=seed,
-            shuffle_after_epoch=bool(spec.GetArgument("shuffle_after_epoch", False))
-            if "shuffle_after_epoch" in spec.schema.args
-            else False,
+            shuffle_after_epoch=bool(spec.GetArgument("shuffle_after_epoch", False)),
+            shuffle_after_epoch_seed=int(spec.GetArgument("shuffle_after_epoch_seed", -1)),
         )
 
     def _ensure_loader(self):
@@ -294,15 +297,7 @@ DALI_SCHEMA("readers.File").DocStr(
     "file_filters", ArgType.STRING_VEC, "Glob filters for file discovery.",
     ["*.jpg", "*.jpeg", "*.png", "*.bmp", "*.tif", "*.tiff", "*.pnm", "*.ppm", "*.pgm", "*.pbm", "*.jp2", "*.webp"],
 ).AddOptionalArg(
-    "shuffle_after_epoch", ArgType.BOOL, "Reshuffle the whole dataset every epoch.", False
-).AddOptionalArg(
     "case_sensitive_filter", ArgType.BOOL, "Case-sensitive glob matching.", False
-).AddOptionalArg(
-    "dont_use_mmap", ArgType.BOOL,
-    "Read files with plain file I/O instead of keeping them memory-mapped "
-    "(reference loader.h `dont_use_mmap`). The default mmaps files, so "
-    "repeat epochs read warm page-cache pages with no syscall per sample.",
-    False,
 )
 
 

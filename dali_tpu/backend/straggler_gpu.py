@@ -54,6 +54,7 @@ class CoordFlipGPU(Operator):
 
         out = flip_axis(out, "x", "flip_x", "center_x", 1)
         out = flip_axis(out, "y", "flip_y", "center_y", 0)
+        out = flip_axis(out, "z", "flip_z", "center_z", 0)
         return [inp.with_data(out)]
 
 
@@ -116,8 +117,19 @@ class _MorphGPU(Operator):
             x = jnp.where(valid, x, jnp.asarray(ident, dt))
         window = (1, mh, mw) + (1,) * (x.ndim - 3)
         red = lax.max if self.is_dilate else lax.min
-        out = lax.reduce_window(x, jnp.asarray(ident, dt), red, window,
-                                (1,) * x.ndim, "SAME")
+        if self.spec.GetArgument("border_mode", "constant") == "replicate":
+            # replicate border: pad with edge values before the reduction
+            ph, pw = mh // 2, mw // 2
+            pads = [(0, 0), (ph, ph), (pw, pw)] + [(0, 0)] * (x.ndim - 3)
+            xr = jnp.pad(x, pads, mode="edge")
+            out = lax.reduce_window(xr, jnp.asarray(ident, dt), red, window,
+                                    (1,) * x.ndim, "VALID")
+        else:
+            out = lax.reduce_window(x, jnp.asarray(ident, dt), red, window,
+                                    (1,) * x.ndim, "SAME")
+        for _ in range(int(self.spec.GetArgument("iterations", 1)) - 1):
+            out = lax.reduce_window(out, jnp.asarray(ident, dt), red, window,
+                                    (1,) * x.ndim, "SAME")
         if inp.shapes is not None:
             out = jnp.where(valid, out, jnp.zeros((), dt))
         return [inp.with_data(out)]
@@ -544,6 +556,10 @@ class ClaheGPU(Operator):
         tiles_x = int(self.spec.GetArgument("tiles_x", 8))
         tiles_y = int(self.spec.GetArgument("tiles_y", 8))
         clip = float(self.spec.GetArgument("clip_limit", 4.0))
+        bins = int(self.spec.GetArgument("bins", 256))
+        if bins < 2 or bins & (bins - 1):
+            raise ValueError(f"Clahe bins must be a power of 2, got {bins}")
+        luma_only = bool(self.spec.GetArgument("luma_only", True))
         H, W = inp.data.shape[1], inp.data.shape[2]
         n = inp.data.shape[0]
         chans = inp.data.shape[3] if inp.data.ndim == 4 else 1
@@ -558,22 +574,22 @@ class ClaheGPU(Operator):
 
         def clahe_plane(p, h, w):
             """p: [H, W] float in [0,255]; h/w: valid extent (dynamic)."""
-            v = jnp.clip(jnp.round(p), 0, 255).astype(jnp.int32)
+            v = jnp.clip(jnp.round(p * ((bins - 1) / 255.0)), 0, bins - 1).astype(jnp.int32)
             th = h.astype(jnp.float32) / tiles_y
             tw = w.astype(jnp.float32) / tiles_x
             ty = jnp.clip((yy / th).astype(jnp.int32), 0, tiles_y - 1)
             tx = jnp.clip((xx / tw).astype(jnp.int32), 0, tiles_x - 1)
             tid = ty * tiles_x + tx  # [H, W] via broadcast
             valid = (yy < h) & (xx < w)
-            ids = (tid * 256 + v).reshape(-1)
-            hist = jnp.zeros((tiles_y * tiles_x * 256,), jnp.float32)
+            ids = (tid * bins + v).reshape(-1)
+            hist = jnp.zeros((tiles_y * tiles_x * bins,), jnp.float32)
             hist = hist.at[ids].add(valid.reshape(-1).astype(jnp.float32))
-            hist = hist.reshape(tiles_y * tiles_x, 256)
+            hist = hist.reshape(tiles_y * tiles_x, bins)
             # clip limit scaled by tile area (cv2 convention), excess spread
             area = th * tw
-            lim = jnp.maximum(clip * area / 256.0, 1.0)
+            lim = jnp.maximum(clip * area / bins, 1.0)
             excess = jnp.sum(jnp.maximum(hist - lim, 0.0), axis=1, keepdims=True)
-            hist = jnp.minimum(hist, lim) + excess / 256.0
+            hist = jnp.minimum(hist, lim) + excess / bins
             cdf = jnp.cumsum(hist, axis=1)
             scale = 255.0 / jnp.maximum(area, 1.0)
             luts = jnp.clip(jnp.round((cdf - cdf[:, :1]) * scale), 0, 255)
@@ -588,7 +604,7 @@ class ClaheGPU(Operator):
             x1 = jnp.minimum(x0 + 1, tiles_x - 1)
 
             def lut_at(tyi, txi):
-                flat = (tyi * tiles_x + txi) * 256 + v
+                flat = (tyi * tiles_x + txi) * bins + v
                 return jnp.take(luts.reshape(-1), flat)
 
             out = ((1 - wy) * (1 - wx) * lut_at(y0, x0)
@@ -600,6 +616,9 @@ class ClaheGPU(Operator):
         def one(img, h, w):
             f = img.astype(jnp.float32)
             if chans == 3:
+                if not luma_only:
+                    return jnp.stack(
+                        [clahe_plane(f[..., c], h, w) for c in range(3)], axis=-1)
                 luma = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
                 eq = clahe_plane(luma, h, w)
                 ratio = (eq + 1.0) / (luma + 1.0)

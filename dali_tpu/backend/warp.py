@@ -223,6 +223,12 @@ def _transform_schema(name, doc):
         .NumInput(0, 1)
         .NumOutput(1)
         .Devices("cpu")
+        .AddOptionalArg(
+            "reverse_order", ArgType.BOOL,
+            "With an input transform T: False (default) applies THIS "
+            "transform after T (out = M @ T); True applies it before "
+            "(out = T @ M). Reference transform_base.h `reverse_order`.",
+            False)
     )
 
 
@@ -232,7 +238,8 @@ _transform_schema("transforms.Rotation", "Rotation matrix generator.").AddOption
 
 _transform_schema("transforms.Scale", "Scaling matrix generator.").AddOptionalArg(
     "scale", ArgType.FLOAT_VEC, "Scale factors.", None, tensor_ok=True, per_sample=True
-).AddOptionalArg("center", ArgType.FLOAT_VEC, "Scaling center.", None)
+).AddOptionalArg("center", ArgType.FLOAT_VEC, "Scaling center.", None).AddOptionalArg(
+    "ndim", ArgType.INT, "Number of dims when a scalar `scale` should expand.", None)
 
 _transform_schema("transforms.Translation", "Translation matrix generator.").AddOptionalArg(
     "offset", ArgType.FLOAT_VEC, "Translation offset.", None, tensor_ok=True, per_sample=True
@@ -273,6 +280,8 @@ class _TransformBase(Operator):
     def run_sample(self, ctx, idx, *inputs):
         m_in = np.asarray(inputs[0], np.float32) if inputs else None
         m = self._matrix(ctx, idx)
+        if self.spec.GetArgument("reverse_order", False) and m_in is not None:
+            return self._compose(m_in, m)
         return self._compose(m, m_in)
 
     def output_layout(self, output_idx, inputs):
@@ -295,6 +304,9 @@ class TRotation(_TransformBase):
 class TScale(_TransformBase):
     def _matrix(self, ctx, idx):
         scale = np.asarray(ctx.arg(self, "scale", idx, [1.0, 1.0]), np.float32).reshape(-1)
+        ndim = self.spec.GetArgument("ndim", None)
+        if ndim and scale.size == 1:
+            scale = np.repeat(scale, int(ndim))
         center = np.asarray(self.spec.GetArgument("center", None) or [0.0, 0.0], np.float32)
         m = np.diag(scale[:2]).astype(np.float32)
         t = center - m @ center
@@ -356,9 +368,12 @@ DALI_SCHEMA("CoordFlip").DocStr(
     "flip_x", ArgType.INT, "Flip x.", 1, tensor_ok=True, per_sample=True
 ).AddOptionalArg(
     "flip_y", ArgType.INT, "Flip y.", 0, tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "flip_z", ArgType.INT, "Flip z.", 0, tensor_ok=True, per_sample=True
 ).AddOptionalArg("layout", ArgType.TENSOR_LAYOUT, "Coordinate layout ('x', 'xy', 'xyz').", "xy").AddOptionalArg(
     "center_x", ArgType.FLOAT, "Flip center x.", 0.5
-).AddOptionalArg("center_y", ArgType.FLOAT, "Flip center y.", 0.5)
+).AddOptionalArg("center_y", ArgType.FLOAT, "Flip center y.", 0.5).AddOptionalArg(
+    "center_z", ArgType.FLOAT, "Flip center z.", 0.5)
 
 
 @register_operator("CoordFlip", "cpu")
@@ -376,6 +391,11 @@ class CoordFlip(Operator):
             i = layout.find("y")
             if i >= 0:
                 out[..., i] = 2 * cy - out[..., i]
+        if int(np.asarray(ctx.arg(self, "flip_z", idx, 0))):
+            cz = self.spec.GetArgument("center_z", 0.5)
+            i = layout.find("z")
+            if i >= 0:
+                out[..., i] = 2 * cz - out[..., i]
         return out
 
 

@@ -60,6 +60,8 @@ def external_source(
         batch=batch,
         cycle=cycle,
         layout=layout,
+        dtype=dtype,
+        ndim=ndim,
         repeat_last=repeat_last,
         parallel=parallel,
         no_copy=no_copy,

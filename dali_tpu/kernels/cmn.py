@@ -29,6 +29,9 @@ def crop_mirror_normalize(
     output_layout: str = "CHW",
     out_dtype=jnp.float32,
     pad_output: bool = False,
+    ext_h=None,  # [N] per-sample valid extents (pad policy only)
+    ext_w=None,
+    fill=None,  # [C] OUTPUT values for out-of-bounds pixels (pad policy)
 ):
     n, H, W, C = data.shape
     mean = jnp.asarray(mean, jnp.float32).reshape(-1)
@@ -40,19 +43,44 @@ def crop_mirror_normalize(
     # fold scale/shift: out = scale * (x - mean) / std + shift = x * a + b
     a = scale / std
     b = shift - mean * scale / std
+    if fill is not None:
+        fill = jnp.asarray(fill, jnp.float32).reshape(-1)
+        if fill.shape[0] == 1:
+            fill = jnp.broadcast_to(fill, (C,))
 
-    def one(img, cy, cx, m):
-        win = jax.lax.dynamic_slice(img, (cy, cx, 0), (crop_h, crop_w, C))
-        win = win.astype(jnp.float32)
+    def one(img, cy, cx, m, eh, ew):
+        if fill is None:
+            win = jax.lax.dynamic_slice(img, (cy, cx, 0), (crop_h, crop_w, C))
+            win = win.astype(jnp.float32)
+            if mirror is not None:
+                win = jnp.where(m != 0, win[:, ::-1, :], win)
+            return win * a + b
+        # pad policy: origins may be negative / run past the extent — gather
+        # with clipped indices and substitute `fill` (reference SliceBase
+        # out_of_bounds_policy='pad': fill_values are final output values,
+        # not normalized)
+        rows = cy + jnp.arange(crop_h, dtype=jnp.int32)
+        cols = cx + jnp.arange(crop_w, dtype=jnp.int32)
+        win = jnp.take(img, jnp.clip(rows, 0, H - 1), axis=0)
+        win = jnp.take(win, jnp.clip(cols, 0, W - 1), axis=1).astype(jnp.float32)
+        valid = ((rows >= 0) & (rows < eh))[:, None, None] & (
+            (cols >= 0) & (cols < ew)
+        )[None, :, None]
+        out = jnp.where(valid, win * a + b, fill)
         if mirror is not None:
-            win = jnp.where(m != 0, win[:, ::-1, :], win)
-        out = win * a + b
+            out = jnp.where(m != 0, out[:, ::-1, :], out)
         return out
 
+    if ext_h is None:
+        ext_h = jnp.full((n,), H, jnp.int32)
+    if ext_w is None:
+        ext_w = jnp.full((n,), W, jnp.int32)
     if mirror is None:
-        out = jax.vmap(lambda i, y, x: one(i, y, x, 0))(data, crop_y, crop_x)
+        out = jax.vmap(lambda i, y, x, eh, ew: one(i, y, x, 0, eh, ew))(
+            data, crop_y, crop_x, ext_h, ext_w)
     else:
-        out = jax.vmap(one)(data, crop_y, crop_x, mirror.astype(jnp.int32))
+        out = jax.vmap(one)(data, crop_y, crop_x, mirror.astype(jnp.int32),
+                            ext_h, ext_w)
 
     if pad_output:
         pad_c = 4 - C

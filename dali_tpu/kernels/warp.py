@@ -113,9 +113,11 @@ def warp_perspective_batch(
     interp: DALIInterpType = DALIInterpType.INTERP_LINEAR,
     fill_value: float = 0.0,
     out_dtype=None,
+    replicate: bool = False,
 ):
     """Perspective warp (reference ``operators/image/remap/cvcuda/warp_perspective``):
-    per-pixel homography divide, then the same NN/bilinear taps as affine."""
+    per-pixel homography divide, then the same NN/bilinear taps as affine.
+    ``replicate`` clamps out-of-image taps to the edge instead of filling."""
     n, H, W, C = data.shape
     if extents is None:
         extents = jnp.tile(jnp.array([[H, W]], jnp.int32), (n, 1))
@@ -136,8 +138,12 @@ def warp_perspective_batch(
         if interp == DALIInterpType.INTERP_NN:
             ix = jnp.round(sx).astype(jnp.int32)
             iy = jnp.round(sy).astype(jnp.int32)
+            iyc = jnp.clip(iy, 0, jnp.maximum(eh.astype(jnp.int32) - 1, 0))
+            ixc = jnp.clip(ix, 0, jnp.maximum(ew.astype(jnp.int32) - 1, 0))
+            out = imgf[jnp.clip(iyc, 0, H - 1), jnp.clip(ixc, 0, W - 1)]
+            if replicate:
+                return out
             valid = (ix >= 0) & (ix < ew) & (iy >= 0) & (iy < eh)
-            out = imgf[jnp.clip(iy, 0, H - 1), jnp.clip(ix, 0, W - 1)]
             return jnp.where(valid[..., None], out, fill_value)
         x0 = jnp.floor(sx)
         y0 = jnp.floor(sy)
@@ -145,8 +151,12 @@ def warp_perspective_batch(
         ix0, iy0 = x0.astype(jnp.int32), y0.astype(jnp.int32)
 
         def tap(iy, ix):
+            iyc = jnp.clip(iy, 0, jnp.maximum(eh.astype(jnp.int32) - 1, 0))
+            ixc = jnp.clip(ix, 0, jnp.maximum(ew.astype(jnp.int32) - 1, 0))
+            v = imgf[jnp.clip(iyc, 0, H - 1), jnp.clip(ixc, 0, W - 1)]
+            if replicate:
+                return v
             valid = (ix >= 0) & (ix < ew.astype(jnp.int32)) & (iy >= 0) & (iy < eh.astype(jnp.int32))
-            v = imgf[jnp.clip(iy, 0, H - 1), jnp.clip(ix, 0, W - 1)]
             return jnp.where(valid[..., None], v, fill_value)
 
         wxe, wye = wx[..., None], wy[..., None]
