@@ -127,13 +127,21 @@ DALI_SCHEMA("Hue").DocStr("Hue rotation (reference hue.cc).").NumInput(1).NumOut
     "cpu", "gpu"
 ).AllowSequences().AddOptionalArg(
     "hue", ArgType.FLOAT, "Hue rotation in degrees.", 0.0, tensor_ok=True, per_sample=True
-).AddOptionalArg("dtype", ArgType.DATA_TYPE, "Output dtype.", None)
+).AddOptionalArg("dtype", ArgType.DATA_TYPE, "Output dtype.", None).AddOptionalArg(
+    "image_type", ArgType.IMAGE_TYPE,
+    "Input/output color space (deprecated in the reference "
+    "ColorTransformBase; accepted for compatibility, RGB assumed).",
+    DALIImageType.RGB)
 
 DALI_SCHEMA("Saturation").DocStr("Saturation scaling (reference saturation.cc).").NumInput(1).NumOutput(
     1
 ).Devices("cpu", "gpu").AllowSequences().AddOptionalArg(
     "saturation", ArgType.FLOAT, "Saturation multiplier.", 1.0, tensor_ok=True, per_sample=True
-).AddOptionalArg("dtype", ArgType.DATA_TYPE, "Output dtype.", None)
+).AddOptionalArg("dtype", ArgType.DATA_TYPE, "Output dtype.", None).AddOptionalArg(
+    "image_type", ArgType.IMAGE_TYPE,
+    "Input/output color space (deprecated in the reference "
+    "ColorTransformBase; accepted for compatibility, RGB assumed).",
+    DALIImageType.RGB)
 
 
 class _HsvLikeCPU(Operator):
@@ -184,7 +192,11 @@ DALI_SCHEMA("ColorTwist").DocStr(
     "brightness", ArgType.FLOAT, "Brightness multiplier.", 1.0, tensor_ok=True, per_sample=True
 ).AddOptionalArg(
     "contrast", ArgType.FLOAT, "Contrast factor.", 1.0, tensor_ok=True, per_sample=True
-).AddOptionalArg("dtype", ArgType.DATA_TYPE, "Output dtype.", None)
+).AddOptionalArg("dtype", ArgType.DATA_TYPE, "Output dtype.", None).AddOptionalArg(
+    "image_type", ArgType.IMAGE_TYPE,
+    "Input/output color space (deprecated in the reference "
+    "ColorTransformBase; accepted for compatibility, RGB assumed).",
+    DALIImageType.RGB)
 
 
 @register_operator("ColorTwist", "cpu")

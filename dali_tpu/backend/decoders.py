@@ -132,7 +132,9 @@ class _ImageDecoderBase(Operator):
                 denom = choose_denom(h, w, hint)
             except Exception:
                 denom = 1
-        return imgcodec.decode(data, output_type=out_type, denom=denom)
+        return imgcodec.decode(
+            data, output_type=out_type, denom=denom,
+            adjust_orientation=self.spec.GetArgument("adjust_orientation", True))
 
     def output_layout(self, output_idx, inputs):
         return "HWC"
@@ -188,6 +190,10 @@ class ImageDecoderMixed(_ImageDecoderBase):
         keys = inputs[0].source_info if cache is not None else None
         hint = self.spec.GetArgument("downscale_shorter_hint", 0)
         datas = [np.ascontiguousarray(e).tobytes() for e in enc]
+        if self.spec.GetArgument("adjust_orientation", True) and any(
+            imgcodec.exif_orientation(d) != 1 for d in datas
+        ):
+            return None  # EXIF-rotated samples: generic path applies the tag
         dims = []
         denoms = []
         for d in datas:
@@ -1079,15 +1085,29 @@ DALI_SCHEMA("PeekImageShape").DocStr(
     "``imgcodec/peek_image_shape.cc``)."
 ).NumInput(1).NumOutput(1).Devices("cpu").AddOptionalArg(
     "dtype", ArgType.DATA_TYPE, "Output dtype.", None
+).AddOptionalArg(
+    "image_type", ArgType.IMAGE_TYPE,
+    "Color space the decode would produce — GRAY reports 1 channel "
+    "(reference peek_image_shape.cc `image_type`).", DALIImageType.RGB
+).AddOptionalArg(
+    "adjust_orientation", ArgType.BOOL,
+    "Report the post-EXIF-rotation shape (reference default): orientations "
+    "5-8 swap height/width.", True
 )
 
 
 @register_operator("PeekImageShape", "cpu")
 class PeekImageShape(Operator):
     def run_sample(self, ctx, idx, encoded):
-        from ..types import to_numpy_type, INT64
+        from ..types import to_numpy_type
 
-        h, w, c = imgcodec.peek_shape(np.ascontiguousarray(encoded).tobytes())
+        data = np.ascontiguousarray(encoded).tobytes()
+        h, w, c = imgcodec.peek_shape(data)
+        if self.spec.GetArgument("adjust_orientation", True) and imgcodec.is_jpeg(data):
+            if imgcodec.exif_orientation(data) >= 5:
+                h, w = w, h
+        if self.spec.GetArgument("image_type", DALIImageType.RGB) == DALIImageType.GRAY:
+            c = 1
         dtype = self.spec.GetArgument("dtype", None)
         np_dt = to_numpy_type(dtype) if dtype is not None else np.int64
         return np.array([h, w, c], dtype=np_dt)

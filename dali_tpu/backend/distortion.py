@@ -321,7 +321,13 @@ DALI_SCHEMA("Paste").DocStr(
     "paste_y", ArgType.FLOAT, "Vertical position [0,1].", 0.5, tensor_ok=True, per_sample=True
 ).AddOptionalArg(
     "fill_value", ArgType.FLOAT_VEC, "Canvas fill (per channel).", [0.0]
-).AddOptionalArg("min_canvas_size", ArgType.FLOAT, "Minimum canvas extent.", 0.0)
+).AddOptionalArg(
+    "min_canvas_size", ArgType.FLOAT, "Minimum canvas extent.", 0.0
+).AddOptionalArg(
+    "n_channels", ArgType.INT,
+    "Number of output channels (reference paste.cc `n_channels`); the "
+    "fill_value list must match. Defaults to the input's channel count.",
+    None)
 
 
 @register_operator("Paste", "cpu")
@@ -334,11 +340,14 @@ class PasteCPU(Operator):
         ch = max(int(round(h * r)), int(self.spec.GetArgument("min_canvas_size", 0.0)), h)
         cw = max(int(round(w * r)), int(self.spec.GetArgument("min_canvas_size", 0.0)), w)
         fill = self.spec.GetArgument("fill_value", [0.0])
-        canvas = np.empty((ch, cw, c), img.dtype)
+        nc = int(self.spec.GetArgument("n_channels", None) or c)
+        if nc < c:
+            raise ValueError(f"Paste n_channels={nc} < input channels {c}")
+        canvas = np.empty((ch, cw, nc), img.dtype)
         canvas[...] = np.asarray(fill, img.dtype).reshape(1, 1, -1)
         y = int(round(py * (ch - h)))
         x = int(round(px * (cw - w)))
-        canvas[y : y + h, x : x + w] = img
+        canvas[y : y + h, x : x + w, :c] = img
         return canvas
 
 

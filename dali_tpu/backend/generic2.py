@@ -12,7 +12,7 @@ import numpy as np
 
 from .._schema import DALI_SCHEMA, ArgType, register_operator
 from ..batch import DeviceBatch, HostBatch
-from ..types import DALIDataType, to_jnp_type, to_numpy_type
+from ..types import DALIImageType, DALIDataType, to_jnp_type, to_numpy_type
 from .base import Operator
 
 # ======================================== Slice ==================================================
@@ -146,6 +146,16 @@ DALI_SCHEMA("Crop").DocStr(
     "out_of_bounds_policy", ArgType.STRING, '"error"|"pad"|"trim_to_shape".', "error"
 ).AddOptionalArg("fill_values", ArgType.FLOAT_VEC, "Pad fill.", [0.0]).AddOptionalArg(
     "dtype", ArgType.DATA_TYPE, "Output dtype.", None
+).AddOptionalArg(
+    "image_type", ArgType.IMAGE_TYPE,
+    "Compatibility arg (deprecated in the reference; ignored).",
+    DALIImageType.RGB
+).AddOptionalArg(
+    "crop_d", ArgType.FLOAT, "Volumetric crop depth (DHWC inputs; cpu).", 0.0,
+    tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "crop_pos_z", ArgType.FLOAT, "Volumetric window z in [0,1] (cpu).", 0.5,
+    tensor_ok=True, per_sample=True
 )
 
 
@@ -165,7 +175,13 @@ class _CropCommon(Operator):
 class CropCPU(_CropCommon):
     def run_sample(self, ctx, idx, img):
         ch, cw = self._size()
-        h, w = img.shape[:2]
+        if img.ndim == 4:  # DHWC: crop depth first, then the 2-D path
+            d = img.shape[0]
+            cd = int(np.asarray(ctx.arg(self, "crop_d", idx, 0.0)) or 0) or d
+            pz = float(np.asarray(ctx.arg(self, "crop_pos_z", idx, 0.5)))
+            z = max(int(round(pz * (d - cd))), 0)
+            img = img[z : z + cd]
+        h, w = img.shape[-3:-1]
         py = float(np.asarray(ctx.arg(self, "crop_pos_y", idx, 0.5)))
         px = float(np.asarray(ctx.arg(self, "crop_pos_x", idx, 0.5)))
         y = int(round(py * (h - ch)))

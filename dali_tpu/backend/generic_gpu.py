@@ -407,6 +407,16 @@ class PasteGPU(_GrowCanvasOp):
             return jnp.where(inside, g, canvas)
 
         out = jax.vmap(one)(inp.data, pos, ext)
+        nc = self.spec.GetArgument("n_channels", None)
+        if nc is not None and int(nc) > C:
+            extra = int(nc) - C
+            fpad = jnp.broadcast_to(
+                (fv.reshape(-1)[C:] if fv.size >= int(nc) else fv.reshape(-1)[-1:]),
+                (extra,)).astype(out.dtype)
+            out = jnp.concatenate(
+                [out, jnp.broadcast_to(fpad, out.shape[:-1] + (extra,))], axis=-1)
+            out_ext = np.concatenate(
+                [out_ext[:, :2], np.full((out_ext.shape[0], 1), int(nc), out_ext.dtype)], 1)
         return [DeviceBatch(out, out_ext, inp.layout or "HWC")]
 
 

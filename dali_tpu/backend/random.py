@@ -160,7 +160,10 @@ DALI_SCHEMA("BatchPermutation").DocStr(
     "Random permutation of batch indices (reference random/batch_permutation.cc)."
 ).NumInput(0).NumOutput(1).Devices("cpu").AddRandomSeedArg().AddOptionalArg(
     "no_fixed_points", ArgType.BOOL, "Ensure perm[i] != i.", False
-)
+).AddOptionalArg(
+    "allow_repetitions", ArgType.BOOL,
+    "Sample indices WITH replacement instead of a permutation (reference "
+    "batch_permutation.cc `allow_repetitions`).", False)
 
 
 @register_operator("BatchPermutation", "cpu")
@@ -168,10 +171,16 @@ class BatchPermutation(Operator):
     def run_batch(self, ctx, *unused):
         rng = ctx.rng(self)
         n = ctx.batch_size
-        perm = rng.permutation(n)
-        if self.spec.GetArgument("no_fixed_points", False) and n > 1:
-            while np.any(perm == np.arange(n)):
-                perm = rng.permutation(n)
+        if self.spec.GetArgument("allow_repetitions", False):
+            perm = rng.integers(0, n, size=n)
+            if self.spec.GetArgument("no_fixed_points", False) and n > 1:
+                while np.any(perm == np.arange(n)):
+                    perm = rng.integers(0, n, size=n)
+        else:
+            perm = rng.permutation(n)
+            if self.spec.GetArgument("no_fixed_points", False) and n > 1:
+                while np.any(perm == np.arange(n)):
+                    perm = rng.permutation(n)
         return [HostBatch([np.int32(perm[i]) for i in range(n)], layout="")]
 
 

@@ -45,11 +45,87 @@ def _backends():
     return _native, _cv2
 
 
-def decode(data: bytes, output_type=DALIImageType.RGB, denom: int = 1) -> np.ndarray:
+def exif_orientation(data: bytes) -> int:
+    """EXIF orientation (1-8; 1 = upright) from a JPEG's APP1 segment, or 1.
+
+    Reference: imgcodec applies EXIF orientation by default
+    (``adjust_orientation``; dali/imgcodec/decoders parse the same tag
+    0x0112 from the TIFF IFD0)."""
+    if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
+        return 1
+    pos = 2
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            return 1
+        marker = data[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker in (0xDA, 0xD9):  # SOS/EOI: no APP1 seen
+            return 1
+        seg_len = (data[pos + 2] << 8) | data[pos + 3]
+        if marker == 0xE1 and data[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            tiff = pos + 10
+            if tiff + 8 > n:
+                return 1
+            bo = data[tiff : tiff + 2]
+            if bo == b"II":
+                u16 = lambda o: int.from_bytes(data[o : o + 2], "little")
+                u32 = lambda o: int.from_bytes(data[o : o + 4], "little")
+            elif bo == b"MM":
+                u16 = lambda o: int.from_bytes(data[o : o + 2], "big")
+                u32 = lambda o: int.from_bytes(data[o : o + 4], "big")
+            else:
+                return 1
+            ifd = tiff + u32(tiff + 4)
+            if ifd + 2 > n:
+                return 1
+            count = u16(ifd)
+            for i in range(count):
+                e = ifd + 2 + 12 * i
+                if e + 12 > n:
+                    return 1
+                if u16(e) == 0x0112:
+                    v = u16(e + 8)
+                    return v if 1 <= v <= 8 else 1
+            return 1
+        pos += 2 + seg_len
+    return 1
+
+
+def apply_orientation(img: np.ndarray, orientation: int) -> np.ndarray:
+    """Apply an EXIF orientation so the result is upright (HWC)."""
+    if orientation == 2:
+        return img[:, ::-1]
+    if orientation == 3:
+        return img[::-1, ::-1]
+    if orientation == 4:
+        return img[::-1]
+    if orientation == 5:
+        return np.swapaxes(img, 0, 1)
+    if orientation == 6:
+        return np.swapaxes(img, 0, 1)[:, ::-1]
+    if orientation == 7:
+        return np.swapaxes(img, 0, 1)[::-1, ::-1]
+    if orientation == 8:
+        return np.swapaxes(img, 0, 1)[::-1]
+    return img
+
+
+def decode(data: bytes, output_type=DALIImageType.RGB, denom: int = 1,
+           adjust_orientation: bool = True) -> np.ndarray:
     """Decode an encoded image to HWC uint8 in the requested color space.
 
     ``denom`` (JPEG only): decode at 1/denom DCT scale (libjpeg scaled decode).
+    ``adjust_orientation`` applies the EXIF orientation tag (reference
+    default) — rotated-camera JPEGs come out upright.
     """
+    if adjust_orientation and is_jpeg(data):
+        o = exif_orientation(data)
+        if o != 1:
+            img = decode(data, output_type, denom, adjust_orientation=False)
+            return np.ascontiguousarray(apply_orientation(img, o))
     native, cv2 = _backends()
     if native is not None and is_jpeg(data):
         if output_type == DALIImageType.GRAY:
