@@ -102,7 +102,12 @@ DALI_SCHEMA("readers.Fits").DocStr(
     "files", ArgType.STRING_VEC, "Explicit file list.", None
 ).AddOptionalArg("file_filter", ArgType.STRING, "Glob filter.", "*.fits").AddOptionalArg(
     "hdu_indices", ArgType.INT_VEC, "HDUs to read (primary only supported).", [1]
-)
+).AddOptionalArg(
+    "file_list", ArgType.STRING, "Path to a file with one FITS path per line.", None
+).AddOptionalArg(
+    "dtypes", ArgType.INT_VEC,
+    "Expected output dtypes per HDU (DALIDataType values); data is cast "
+    "when it differs (reference fits_reader_op.cc `dtypes`).", None)
 
 
 @register_operator("readers.Fits", "cpu")
@@ -122,6 +127,10 @@ class FitsReader(BaseReader):
         root = spec.GetArgument("file_root", None)
         if files:
             self._files = [os.path.join(root, f) if root and not os.path.isabs(f) else f for f in files]
+        elif spec.GetArgument("file_list", None):
+            with open(spec.GetArgument("file_list")) as f:
+                base = root or ""
+                self._files = [os.path.join(base, line.strip()) for line in f if line.strip()]
         elif root:
             pat = spec.GetArgument("file_filter", "*.fits")
             self._files = [
@@ -136,7 +145,13 @@ class FitsReader(BaseReader):
         return len(self._files)
 
     def _read_payload(self, index: int):
-        return read_fits_image(self._files[index])
+        arr = read_fits_image(self._files[index])
+        dtypes = self.spec.GetArgument("dtypes", None)
+        if dtypes:
+            from ..types import DALIDataType, to_numpy_type
+
+            arr = arr.astype(to_numpy_type(DALIDataType(int(dtypes[0]))))
+        return arr
 
 
 # ====================================== experimental.Remap =========================================

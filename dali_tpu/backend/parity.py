@@ -91,7 +91,8 @@ def register_aliases():
 DALI_SCHEMA("decoders.Numpy").DocStr(
     "Parses serialized .npy buffers (reference decoders__Numpy, "
     "operators/decoder/numpy/)."
-).NumInput(1).NumOutput(1).Devices("cpu", "mixed")
+).NumInput(1).NumOutput(1).Devices("cpu", "mixed").AddOptionalArg(
+    "dtype", ArgType.DATA_TYPE, "Cast the parsed array to this dtype.", None)
 
 
 @register_operator("decoders.Numpy", "cpu")
@@ -100,6 +101,11 @@ class NumpyDecoder(Operator):
     def run_sample(self, ctx, idx, buf):
         arr = np.lib.format.read_array(io.BytesIO(np.ascontiguousarray(buf).tobytes()),
                                        allow_pickle=False)
+        dt = self.spec.GetArgument("dtype", None)
+        if dt is not None:
+            from ..types import to_numpy_type
+
+            arr = arr.astype(to_numpy_type(dt))
         return np.ascontiguousarray(arr)
 
 
@@ -113,7 +119,26 @@ DALI_SCHEMA("decoders.Video").DocStr(
     "start_frame", ArgType.INT, "First frame.", 0, tensor_ok=True, per_sample=True
 ).AddOptionalArg(
     "sequence_length", ArgType.INT, "Frames to decode (0 = all).", 0, tensor_ok=True, per_sample=True
-).AddOptionalArg("stride", ArgType.INT, "Frame stride.", 1)
+).AddOptionalArg(
+    "stride", ArgType.INT, "Frame stride.", 1
+).AddOptionalArg(
+    "end_frame", ArgType.INT,
+    "Decode frames [start_frame, end_frame) — alternative to "
+    "sequence_length (reference video_decoder_cpu.cc).", 0,
+    tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "pad_mode", ArgType.STRING,
+    'Sequence padding when the video runs short: "none", "constant" '
+    '(pad_value), "edge"/"repeat", "reflect_1001"/"symmetric", '
+    '"reflect_101"/"reflect" (reference video_decoder_cpu.cc).', "constant"
+).AddOptionalArg(
+    "pad_value", ArgType.FLOAT, "Constant pad value.", 0.0
+).AddOptionalArg(
+    "fill_value", ArgType.FLOAT, "Alias of pad_value.", None
+).AddOptionalArg(
+    "build_index", ArgType.BOOL,
+    "Build a frame index for faster seeking (hint; the FFmpeg host decoder "
+    "seeks sequentially).", True)
 
 
 @register_operator("decoders.Video", "cpu")
@@ -132,14 +157,53 @@ class VideoDecoder(Operator):
             vf = VideoFile(path)
             start = int(np.asarray(ctx.arg(self, "start_frame", idx, 0)))
             length = int(np.asarray(ctx.arg(self, "sequence_length", idx, 0)))
+            end = int(np.asarray(ctx.arg(self, "end_frame", idx, 0)))
             stride = self.spec.GetArgument("stride", 1)
+            if length <= 0 and end > 0:
+                length = max((end - start + stride - 1) // stride, 1)
+            requested = length
             if length <= 0:
                 length = max((vf.num_frames - start + stride - 1) // stride, 1)
+                requested = 0  # "all available": never pad
             frames = vf.read(start, length, stride)
             vf.close()
+            if requested and frames.shape[0] < requested:
+                frames = self._pad_sequence(frames, requested)
             return frames
         finally:
             os.unlink(path)
+
+    def _pad_sequence(self, frames, want):
+        """Short-video padding (reference pad_mode semantics)."""
+        mode = self.spec.GetArgument("pad_mode", "constant")
+        got = frames.shape[0]
+        extra = want - got
+        if mode == "none" or got == 0:
+            return frames
+        if mode == "constant":
+            fv = self.spec.GetArgument("fill_value", None)
+            if fv is None:
+                fv = self.spec.GetArgument("pad_value", 0.0)
+            pad = np.full((extra,) + frames.shape[1:], fv, frames.dtype)
+        elif mode in ("edge", "repeat"):
+            pad = np.repeat(frames[-1:], extra, axis=0)
+        elif mode in ("reflect_1001", "symmetric"):
+            idx = [(got - 1) - (i % got) if (i // got) % 2 == 0 else i % got
+                   for i in range(extra)]
+            pad = frames[idx]
+        elif mode in ("reflect_101", "reflect"):
+            if got == 1:
+                pad = np.repeat(frames[-1:], extra, axis=0)
+            else:
+                period = 2 * (got - 1)
+                idx = []
+                for i in range(extra):
+                    p = (got - 2 - i) % period
+                    idx.append(p if p < got else period - p)
+                pad = frames[idx]
+        else:
+            raise ValueError(f"Unknown pad_mode {mode!r}")
+        return np.concatenate([frames, pad], axis=0)
 
     def output_layout(self, j, inputs):
         return "FHWC"
@@ -417,11 +481,40 @@ DALI_SCHEMA("TensorResize").DocStr(
     "interp_type", ArgType.INTERP_TYPE, "Interpolation.", DALIInterpType.INTERP_LINEAR
 ).AddOptionalArg(
     "antialias", ArgType.BOOL, "Antialias on downscale.", True
-).AddOptionalArg("dtype", ArgType.DATA_TYPE, "Output dtype.", None)
+).AddOptionalArg(
+    "dtype", ArgType.DATA_TYPE, "Output dtype.", None
+).AddOptionalArg(
+    "axis_names", ArgType.TENSOR_LAYOUT,
+    "Axes to resize named by layout letters (alternative to `axes`).", None
+).AddOptionalArg(
+    "mode", ArgType.STRING, '"default", "stretch", "not_larger", "not_smaller".', "default"
+).AddOptionalArg(
+    "roi_start", ArgType.FLOAT_VEC, "Input ROI origin (per resized axis).", None,
+    tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "roi_end", ArgType.FLOAT_VEC, "Input ROI end (per resized axis).", None,
+    tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "roi_relative", ArgType.BOOL, "ROI in relative [0,1] coords.", False
+).AddOptionalArg(
+    "size_rounding", ArgType.STRING,
+    'Fractional output extent rounding: "round", "truncate", "ceil" '
+    "(reference tensor_resize_attr.cc).", "round"
+).AddOptionalArg(
+    "subpixel_scale", ArgType.BOOL, "Adjust scale for fractional sizes.", True
+).AddOptionalArg(
+    "mag_filter", ArgType.INTERP_TYPE, "Filter for upscaling.", None
+).AddOptionalArg(
+    "min_filter", ArgType.INTERP_TYPE, "Filter for downscaling.", None
+)
 
 
 @register_operator("TensorResize", "cpu")
 class TensorResize(Operator):
+    def run_batch(self, ctx, inp):
+        self._in_layout = inp.layout or ""
+        return super().run_batch(ctx, inp)
+
     def run_sample(self, ctx, idx, x):
         from scipy import ndimage
 
@@ -430,15 +523,44 @@ class TensorResize(Operator):
         spec = self.spec
         axes = spec.GetArgument("axes", None)
         nd = x.ndim
+        names = spec.GetArgument("axis_names", None)
+        if names and not axes:
+            layout = getattr(self, "_in_layout", "") or ""
+            if not layout:
+                raise ValueError("TensorResize axis_names requires a layout on the input")
+            axes = [layout.index(ch) for ch in names]
         if not axes:
             axes = list(range(nd))
+        # optional per-axis input ROI
+        rs = ctx.arg(self, "roi_start", idx, None)
+        re_ = ctx.arg(self, "roi_end", idx, None)
+        if rs is not None or re_ is not None:
+            rel = spec.GetArgument("roi_relative", False)
+            exts = [x.shape[a] for a in axes]
+            s0 = np.asarray(rs if rs is not None else [0.0] * len(axes), np.float64).reshape(-1)
+            e0 = np.asarray(re_ if re_ is not None else ([1.0] * len(axes) if rel else exts),
+                            np.float64).reshape(-1)
+            if rel:
+                s0 = s0 * exts
+                e0 = e0 * exts
+            sl = [slice(None)] * nd
+            for k, a in enumerate(axes):
+                sl[a] = slice(int(round(s0[k])), max(int(round(e0[k])), int(round(s0[k])) + 1))
+            x = x[tuple(sl)]
+        rounding = {"round": round, "truncate": int,
+                    "ceil": lambda v: int(-(-v // 1))}[spec.GetArgument("size_rounding", "round")]
         sizes = ctx.arg(self, "sizes", idx, None)
         scales = ctx.arg(self, "scales", idx, None)
         zoom = [1.0] * nd
         if sizes is not None:
             sizes = np.asarray(sizes, np.float64).reshape(-1)
+            mode = spec.GetArgument("mode", "default")
+            if mode in ("not_larger", "not_smaller") and sizes.size:
+                ratios = [float(sizes[k]) / x.shape[a] for k, a in enumerate(axes)]
+                r = min(ratios) if mode == "not_larger" else max(ratios)
+                sizes = np.asarray([rounding(x.shape[a] * r) for a in axes], np.float64)
             for k, a in enumerate(axes):
-                zoom[a] = float(sizes[k]) / x.shape[a]
+                zoom[a] = float(rounding(sizes[k])) / x.shape[a]
         elif scales is not None:
             scales = np.asarray(scales, np.float64).reshape(-1)
             for k, a in enumerate(axes):

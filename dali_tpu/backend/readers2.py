@@ -237,7 +237,31 @@ DALI_SCHEMA("readers.Numpy").DocStr(
     "file_filter", ArgType.STRING, "Glob filter.", "*.npy"
 ).AddOptionalArg(
     "register_buffers", ArgType.BOOL, "Compatibility no-op (GDS).", True
-).AddOptionalArg("cache_header_information", ArgType.BOOL, "Cache npy headers.", False)
+).AddOptionalArg(
+    "cache_header_information", ArgType.BOOL, "Cache npy headers.", False
+).AddOptionalArg(
+    "roi_start", ArgType.FLOAT_VEC, "Region-of-interest origin.", None,
+    tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "rel_roi_start", ArgType.FLOAT_VEC, "Relative ROI origin.", None,
+    tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "roi_end", ArgType.FLOAT_VEC, "ROI end.", None, tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "rel_roi_end", ArgType.FLOAT_VEC, "Relative ROI end.", None,
+    tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "roi_shape", ArgType.FLOAT_VEC, "ROI shape.", None, tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "rel_roi_shape", ArgType.FLOAT_VEC, "Relative ROI shape.", None,
+    tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "roi_axes", ArgType.INT_VEC, "Axes the ROI args refer to (default: leading).", None
+).AddOptionalArg(
+    "out_of_bounds_policy", ArgType.STRING, '"error"|"pad"|"trim_to_shape".', "error"
+).AddOptionalArg(
+    "fill_value", ArgType.FLOAT, "Pad value for out-of-bounds ROI reads.", 0.0
+)
 
 
 @register_operator("readers.Numpy", "cpu")
@@ -286,8 +310,64 @@ class NumpyReader(BaseReader):
 
             from .. import _s3
 
-            return np.load(io.BytesIO(_s3.read_bytes(path)), allow_pickle=False)
-        return np.load(path, allow_pickle=False)
+            arr = np.load(io.BytesIO(_s3.read_bytes(path)), allow_pickle=False)
+        else:
+            # mmap: an ROI read then touches only the region's pages (the
+            # spirit of the reference's GDS/O_DIRECT partial reads)
+            arr = np.load(path, allow_pickle=False,
+                          mmap_mode="r" if self._has_roi() else None)
+        return self._apply_roi(arr)
+
+    def _has_roi(self):
+        return any(self.spec.GetArgument(a, None) is not None for a in (
+            "roi_start", "rel_roi_start", "roi_end", "rel_roi_end",
+            "roi_shape", "rel_roi_shape"))
+
+    def _apply_roi(self, arr):
+        """ROI read (reference numpy_loader roi support: start/end/shape in
+        absolute or relative form over `roi_axes`)."""
+        if not self._has_roi():
+            return np.ascontiguousarray(arr)
+        spec = self.spec
+        axes = spec.GetArgument("roi_axes", None) or list(range(arr.ndim))
+        exts = np.asarray([arr.shape[a] for a in axes], np.float64)
+
+        def getv(name, rel_name):
+            v = spec.GetArgument(name, None)
+            if v is not None:
+                return np.asarray(v, np.float64).reshape(-1)
+            rv = spec.GetArgument(rel_name, None)
+            if rv is not None:
+                return np.asarray(rv, np.float64).reshape(-1) * exts
+            return None
+
+        start = getv("roi_start", "rel_roi_start")
+        end = getv("roi_end", "rel_roi_end")
+        shape = getv("roi_shape", "rel_roi_shape")
+        if start is None:
+            start = np.zeros(len(axes))
+        if end is None:
+            end = start + shape if shape is not None else exts
+        policy = spec.GetArgument("out_of_bounds_policy", "error")
+        s = np.round(start).astype(np.int64)
+        e = np.round(end).astype(np.int64)
+        oob = (s < 0).any() or (e > exts.astype(np.int64)).any()
+        if oob and policy == "error":
+            raise ValueError(
+                f"readers.Numpy: ROI [{s}, {e}) out of bounds for extents "
+                f"{exts.astype(int)} (out_of_bounds_policy='error')")
+        sl = [slice(None)] * arr.ndim
+        for k, a in enumerate(axes):
+            sl[a] = slice(max(int(s[k]), 0), max(min(int(e[k]), arr.shape[a]), max(int(s[k]), 0)))
+        out = np.ascontiguousarray(arr[tuple(sl)])
+        if oob and policy == "pad":
+            fill = spec.GetArgument("fill_value", 0.0)
+            pads = [(0, 0)] * arr.ndim
+            for k, a in enumerate(axes):
+                pads[a] = (max(-int(s[k]), 0),
+                           max(int(e[k]) - arr.shape[a], 0))
+            out = np.pad(out, pads, constant_values=fill)
+        return out
 
 
 # ====================================== readers.COCO ===============================================
@@ -333,7 +413,27 @@ DALI_SCHEMA("readers.COCO").DocStr(
     "skip_empty", ArgType.BOOL, "Skip images with no boxes.", False
 ).AddOptionalArg(
     "image_ids", ArgType.BOOL, "Also output image ids.", False
-).AddOptionalArg("avoid_class_remapping", ArgType.BOOL, "Keep original category ids.", False)
+).AddOptionalArg(
+    "avoid_class_remapping", ArgType.BOOL, "Keep original category ids.", False
+).AddOptionalArg(
+    "include_iscrowd", ArgType.BOOL,
+    "Include annotations marked iscrowd=1 (reference coco_reader_op.cc).",
+    True
+).AddOptionalArg(
+    "masks", ArgType.BOOL,
+    "Deprecated alias of polygon_masks with the LEGACY polygon row format "
+    "(mask_idx, start_coord, end_coord) = 2x the vertex indices "
+    "(reference DeprecateArg('masks', '0.28')).", False
+).AddOptionalArg(
+    "preprocessed_annotations", ArgType.STRING,
+    "Directory with annotations pre-parsed by "
+    "save_preprocessed_annotations (loads instead of parsing JSON).", None
+).AddOptionalArg(
+    "save_preprocessed_annotations", ArgType.BOOL,
+    "Save the parsed annotation index for fast reloads.", False
+).AddOptionalArg(
+    "save_preprocessed_annotations_dir", ArgType.STRING,
+    "Target directory for save_preprocessed_annotations.", None)
 
 
 @register_operator("readers.COCO", "cpu")
@@ -346,6 +446,13 @@ class CocoReader(BaseReader):
         if self._index is not None:
             return
         spec = self.spec
+        pre = spec.GetArgument("preprocessed_annotations", None)
+        if pre:
+            import pickle
+
+            with open(os.path.join(pre, "annotations.pkl"), "rb") as f:
+                self._index = pickle.load(f)
+            return
         ann_file = spec.GetArgument("annotations_file")
         root = spec.GetArgument("file_root", "")
         with open(ann_file) as f:
@@ -359,9 +466,11 @@ class CocoReader(BaseReader):
         anns_by_img: Dict[int, list] = {}
         thresh = spec.GetArgument("size_threshold", 0.1)
         want_polys = (spec.GetArgument("polygon_masks", False)
+                      or spec.GetArgument("masks", False)
                       or spec.GetArgument("pixelwise_masks", False))
+        include_iscrowd = spec.GetArgument("include_iscrowd", True)
         for a in doc.get("annotations", []):
-            if a.get("iscrowd", 0):
+            if a.get("iscrowd", 0) and not include_iscrowd:
                 continue
             x, y, w, h = a["bbox"]
             if w < thresh or h < thresh:
@@ -381,6 +490,17 @@ class CocoReader(BaseReader):
             self._index.append(
                 (os.path.join(root, im["file_name"]), boxes, im["width"], im["height"], img_id)
             )
+        if spec.GetArgument("save_preprocessed_annotations", False):
+            import pickle
+
+            out_dir = spec.GetArgument("save_preprocessed_annotations_dir", None)
+            if not out_dir:
+                raise ValueError(
+                    "save_preprocessed_annotations requires "
+                    "save_preprocessed_annotations_dir")
+            os.makedirs(out_dir, exist_ok=True)
+            with open(os.path.join(out_dir, "annotations.pkl"), "wb") as f:
+                pickle.dump(self._index, f)
 
     def _num_samples(self):
         return len(self._index)

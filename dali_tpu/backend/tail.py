@@ -231,7 +231,40 @@ def _resize_crop_mirror_schema(name):
         "crop_pos_y", ArgType.FLOAT, "Crop y position.", 0.5, tensor_ok=True, per_sample=True
     ).AddOptionalArg(
         "mirror", ArgType.INT, "Horizontal mirror flag.", 0, tensor_ok=True, per_sample=True
-    ).AddOptionalArg("interp_type", ArgType.INTERP_TYPE, "Interpolation.", DALIInterpType.INTERP_LINEAR)
+    ).AddOptionalArg(
+        "interp_type", ArgType.INTERP_TYPE, "Interpolation.", DALIInterpType.INTERP_LINEAR
+    ).AddOptionalArg(
+        "antialias", ArgType.BOOL, "Antialiasing for downscaling.", True
+    ).AddOptionalArg(
+        "mag_filter", ArgType.INTERP_TYPE, "Filter for upscaling.", None
+    ).AddOptionalArg(
+        "min_filter", ArgType.INTERP_TYPE, "Filter for downscaling.", None
+    ).AddOptionalArg(
+        "resize_longer", ArgType.FLOAT, "Resize longer edge.", 0.0, tensor_ok=True, per_sample=True
+    ).AddOptionalArg(
+        "size", ArgType.FLOAT_VEC, "Output size (H, W).", None, tensor_ok=True, per_sample=True
+    ).AddOptionalArg(
+        "mode", ArgType.STRING, '"default", "stretch", "not_larger", "not_smaller".', "default"
+    ).AddOptionalArg(
+        "roi_start", ArgType.FLOAT_VEC, "Input ROI origin.", None, tensor_ok=True, per_sample=True
+    ).AddOptionalArg(
+        "roi_end", ArgType.FLOAT_VEC, "Input ROI end.", None, tensor_ok=True, per_sample=True
+    ).AddOptionalArg(
+        "roi_relative", ArgType.BOOL, "ROI given in relative [0,1] coords.", False
+    ).AddOptionalArg(
+        "subpixel_scale", ArgType.BOOL, "Adjust scale for fractional sizes.", True
+    ).AddOptionalArg(
+        "crop_w", ArgType.FLOAT, "Crop width.", 0.0, tensor_ok=True, per_sample=True
+    ).AddOptionalArg(
+        "crop_h", ArgType.FLOAT, "Crop height.", 0.0, tensor_ok=True, per_sample=True
+    ).AddOptionalArg(
+        "dtype", ArgType.DATA_TYPE, "Output dtype.", None
+    ).AddOptionalArg(
+        "crop_d", ArgType.FLOAT, "Volumetric crop depth (unsupported here).", 0.0
+    ).AddOptionalArg(
+        "crop_pos_z", ArgType.FLOAT, "Volumetric z pos.", 0.5
+    ).AddOptionalArg(
+        "resize_z", ArgType.FLOAT, "Volumetric resize depth (unsupported here).", 0.0)
     return s
 
 
@@ -245,12 +278,45 @@ class _RCMBase(Operator):
 
         from .image import compute_resize_size
 
+        from ..types import to_numpy_type
+
         h, w = img.shape[:2]
+        # optional input ROI (reference ResizeAttr roi_start/roi_end)
+        rs = ctx.arg(self, "roi_start", idx, None)
+        re_ = ctx.arg(self, "roi_end", idx, None)
+        if rs is not None or re_ is not None:
+            rel = self.spec.GetArgument("roi_relative", False)
+            s0 = np.asarray(rs if rs is not None else ([0.0, 0.0] if rel else [0, 0]), np.float64)
+            e0 = np.asarray(re_ if re_ is not None else ([1.0, 1.0] if rel else [h, w]), np.float64)
+            if rel:
+                s0 = s0 * [h, w]
+                e0 = e0 * [h, w]
+            y0, x0 = int(round(s0[0])), int(round(s0[1]))
+            y1, x1 = int(round(e0[0])), int(round(e0[1]))
+            img = img[max(y0, 0) : max(y1, y0 + 1), max(x0, 0) : max(x1, x0 + 1)]
+            h, w = img.shape[:2]
         out_h, out_w = compute_resize_size(h, w, self.spec, lambda n, d=None: ctx.arg(self, n, idx, d))
-        resized = cv2.resize(img, (out_w, out_h), interpolation=cv2.INTER_LINEAR)
+        interp = self.spec.GetArgument("interp_type", DALIInterpType.INTERP_LINEAR)
+        scale_down = out_h < h or out_w < w
+        f = self.spec.GetArgument("min_filter" if scale_down else "mag_filter", None)
+        if f is not None:
+            interp = f
+        cv_interp = {DALIInterpType.INTERP_NN: cv2.INTER_NEAREST,
+                     DALIInterpType.INTERP_CUBIC: cv2.INTER_CUBIC,
+                     DALIInterpType.INTERP_LANCZOS3: cv2.INTER_LANCZOS4,
+                     DALIInterpType.INTERP_TRIANGULAR: cv2.INTER_AREA}.get(
+                         interp, cv2.INTER_LINEAR)
+        if scale_down and self.spec.GetArgument("antialias", True) and cv_interp == cv2.INTER_LINEAR:
+            cv_interp = cv2.INTER_AREA
+        resized = cv2.resize(img, (out_w, out_h), interpolation=cv_interp)
         if resized.ndim == 2:
             resized = resized[:, :, None]
         crop = self.spec.GetArgument("crop", None)
+        if not crop:
+            ch_ = int(self.spec.GetArgument("crop_h", 0.0) or 0)
+            cw_ = int(self.spec.GetArgument("crop_w", 0.0) or 0)
+            if ch_ and cw_:
+                crop = [ch_, cw_]
         if crop:
             ch, cw = int(crop[0]), int(crop[1])
             py = float(np.asarray(ctx.arg(self, "crop_pos_y", idx, 0.5)))
@@ -260,6 +326,11 @@ class _RCMBase(Operator):
             resized = resized[y : y + ch, x : x + cw]
         if int(np.asarray(ctx.arg(self, "mirror", idx, 0))):
             resized = resized[:, ::-1]
+        dt = self.spec.GetArgument("dtype", None)
+        if dt is not None:
+            from ..types import to_numpy_type as _tnt
+
+            resized = resized.astype(_tnt(dt))
         return np.ascontiguousarray(resized)
 
     def output_layout(self, j, inputs):
@@ -276,19 +347,33 @@ DALI_SCHEMA("readers.NemoAsr").DocStr(
     "Reads NeMo ASR manifests (reference ``readers__NemoAsr``, nemo_asr_loader.cc): "
     "JSON-lines with audio_filepath/duration/text. Outputs (audio, sample_rate, "
     "transcript bytes)."
-).NumInput(0).OutputFn(lambda spec: 3 if spec.GetArgument("read_text", True) else 2).Devices(
+).NumInput(0).OutputFn(
+    lambda spec: (1 + (1 if spec.GetArgument("read_sample_rate", True) else 0)
+                  + (1 if spec.GetArgument("read_text", True) else 0)
+                  + (1 if spec.GetArgument("read_idxs", False) else 0))
+).Devices(
     "cpu"
 ).MakeReader().AddArg(
     "manifest_filepaths", ArgType.STRING_VEC, "Manifest JSON-lines files."
 ).AddOptionalArg(
     "sample_rate", ArgType.FLOAT, "Resample target (0 = keep).", 0.0
 ).AddOptionalArg(
+    "read_sample_rate", ArgType.BOOL,
+    "Output the sample rate as a separate output (reference "
+    "nemo_asr_reader_op.cc).", True
+).AddOptionalArg(
     "read_text", ArgType.BOOL, "Also output transcripts.", True
+).AddOptionalArg(
+    "read_idxs", ArgType.BOOL,
+    "Output each sample's manifest index as a separate output.", False
 ).AddOptionalArg(
     "downmix", ArgType.BOOL, "Downmix to mono.", True
 ).AddOptionalArg(
     "min_duration", ArgType.FLOAT, "Skip shorter clips.", 0.0
-).AddOptionalArg("max_duration", ArgType.FLOAT, "Skip longer clips (0 = inf).", 0.0)
+).AddOptionalArg(
+    "max_duration", ArgType.FLOAT, "Skip longer clips (0 = inf).", 0.0
+).AddOptionalArg(
+    "quality", ArgType.FLOAT, "Resampling quality (0..100; hint).", 50.0)
 
 
 @register_operator("readers.NemoAsr", "cpu")
@@ -329,20 +414,24 @@ class NemoAsrReader(BaseReader):
         return len(self._entries)
 
     def _read_payload(self, index: int):
-        from .audio import _resample_audio, decode_wav
+        from .audio import _resample_audio, decode_audio
 
         path, text = self._entries[index]
         with open(path, "rb") as f:
-            audio, rate = decode_wav(f.read())
+            audio, rate = decode_audio(f.read())  # WAV builtin; FLAC/OGG via FFmpeg
         if self.spec.GetArgument("downmix", True) and audio.ndim == 2:
             audio = audio.mean(axis=1)
         target = self.spec.GetArgument("sample_rate", 0.0)
         if target and target > 0:
             audio = _resample_audio(audio, rate, target)
             rate = target
-        outs = (audio.astype(np.float32), np.float32(rate))
+        outs = (audio.astype(np.float32),)
+        if self.spec.GetArgument("read_sample_rate", True):
+            outs += (np.float32(rate),)
         if self.spec.GetArgument("read_text", True):
             outs += (np.frombuffer(text.encode(), np.uint8).copy(),)
+        if self.spec.GetArgument("read_idxs", False):
+            outs += (np.array([index], np.int64),)
         return outs
 
 

@@ -24,13 +24,11 @@ DALI_SCHEMA("readers.Video").DocStr(
     ``file_list``/``labels`` given). Host FFmpeg decode; there is no NVDEC
     analogue on TPU hosts."""
 ).NumInput(0).OutputFn(
-    lambda spec: 2
-    if (
-        spec.GetArgument("labels", None)
-        or spec.GetArgument("file_list", None)
-        or spec.GetArgument("file_root", None)
-    )
-    else 1
+    lambda spec: (1 + (1 if (spec.GetArgument("labels", None)
+                             or spec.GetArgument("file_list", None)
+                             or spec.GetArgument("file_root", None)) else 0)
+                  + (1 if spec.GetArgument("enable_frame_num", False) else 0)
+                  + (1 if spec.GetArgument("enable_timestamps", False) else 0))
 ).Devices(
     "cpu", "mixed"
 ).MakeReader().AddOptionalArg(
@@ -38,14 +36,44 @@ DALI_SCHEMA("readers.Video").DocStr(
 ).AddOptionalArg(
     "file_root", ArgType.STRING, "Directory with class subdirs of videos.", None
 ).AddOptionalArg(
-    "file_list", ArgType.STRING, "File with 'path label' lines.", None
+    "file_list", ArgType.STRING, "File with 'path label [start end]' lines.", None
 ).AddOptionalArg(
     "labels", ArgType.INT_VEC, "Labels for `filenames`.", None
 ).AddArg("sequence_length", ArgType.INT, "Frames per sample.").AddOptionalArg(
     "step", ArgType.INT, "Frame distance between first frames of sequences (-1 = sequence_length).", -1
 ).AddOptionalArg(
     "stride", ArgType.INT, "Distance between consecutive frames.", 1
-).AddOptionalArg("image_type", ArgType.IMAGE_TYPE, "Output color space (RGB).", None)
+).AddOptionalArg(
+    "image_type", ArgType.IMAGE_TYPE, "Output color space (RGB).", None
+).AddOptionalArg(
+    "enable_frame_num", ArgType.BOOL,
+    "Extra output: the sequence's first frame index (reference "
+    "readers__Video `enable_frame_num`).", False
+).AddOptionalArg(
+    "enable_timestamps", ArgType.BOOL,
+    "Extra output: per-frame timestamps in seconds (frame/fps).", False
+).AddOptionalArg(
+    "pad_sequences", ArgType.BOOL,
+    "Also emit trailing sequences that run past the video's end, padded by "
+    "repeating the last frame (reference `pad_sequences`).", False
+).AddOptionalArg(
+    "normalized", ArgType.BOOL, "Output floats scaled to [0, 1].", False
+).AddOptionalArg(
+    "dtype", ArgType.DATA_TYPE, "Output dtype (UINT8 or FLOAT).", None
+).AddOptionalArg(
+    "channels", ArgType.INT, "Output channels: 3 (RGB) or 1 (luma).", 3
+).AddOptionalArg(
+    "skip_vfr_check", ArgType.BOOL,
+    "Skip the variable-frame-rate check (compat hint; the FFmpeg host "
+    "decoder indexes frames by decode order).", False
+).AddOptionalArg(
+    "file_list_frame_num", ArgType.BOOL,
+    "file_list start/end columns are frame numbers (True) or seconds "
+    "(False).", False
+).AddOptionalArg(
+    "file_list_include_preceding_frame", ArgType.BOOL,
+    "Seconds-based ranges include the frame straddling the start time.",
+    False)
 
 
 class _VideoReaderImpl(BaseReader):
@@ -54,6 +82,8 @@ class _VideoReaderImpl(BaseReader):
         self._sequences = None  # [(file_idx, start_frame, label)]
         self._files: List[str] = None
         self._handles: Dict[int, object] = {}
+        self._ranges: List = []
+        self._fps: Dict[int, float] = {}
 
     def _build_index(self):
         if self._sequences is not None:
@@ -69,11 +99,18 @@ class _VideoReaderImpl(BaseReader):
         elif spec.GetArgument("file_list", None):
             with open(spec.GetArgument("file_list")) as f:
                 for line in f:
-                    if not line.strip():
+                    parts = line.split()
+                    if not parts:
                         continue
-                    path, _, lab = line.strip().rpartition(" ")
-                    files.append(path)
-                    labels.append(int(lab))
+                    if len(parts) >= 4:  # path label start end
+                        files.append(parts[0])
+                        labels.append(int(parts[1]))
+                        self._ranges.append((float(parts[2]), float(parts[3])))
+                    else:
+                        path, _, lab = line.strip().rpartition(" ")
+                        files.append(path)
+                        labels.append(int(lab))
+                        self._ranges.append(None)
         elif spec.GetArgument("file_root", None):
             root = spec.GetArgument("file_root")
             for li, sub in enumerate(sorted(os.listdir(root))):
@@ -91,13 +128,30 @@ class _VideoReaderImpl(BaseReader):
         if step is None or step < 0:
             step = L
         self._sequences = []
+        self._fps = {}
         span = (L - 1) * stride + 1
+        pad_seq = spec.GetArgument("pad_sequences", False)
+        by_frame = spec.GetArgument("file_list_frame_num", False)
+        incl_prev = spec.GetArgument("file_list_include_preceding_frame", False)
         for fi, path in enumerate(files):
             v = native.VideoFile(path)
             n = v.num_frames
+            fps = getattr(v, "fps", 0.0) or 25.0
+            self._fps[fi] = fps
             v.close()
-            start = 0
-            while start + span <= n:
+            rng = self._ranges[fi] if fi < len(self._ranges) else None
+            lo, hi = 0, n
+            if rng is not None:
+                a, b = rng
+                if by_frame:
+                    lo, hi = int(a), int(b) if b > 0 else n
+                else:  # seconds
+                    lo = int(np.floor(a * fps)) if incl_prev else int(np.ceil(a * fps))
+                    hi = int(np.ceil(b * fps)) if b > 0 else n
+                lo, hi = max(lo, 0), min(max(hi, lo), n)
+            start = lo
+            limit = hi if not pad_seq else hi - 1 + span  # allow padded tails
+            while start + (1 if pad_seq else span) <= hi and start + span <= limit:
                 self._sequences.append((fi, start, labels[fi]))
                 start += step
         if not self._sequences:
@@ -127,18 +181,40 @@ class _VideoReaderImpl(BaseReader):
 
     def _read_payload(self, index: int):
         fi, start, label = self._sequences[index]
-        L = self.spec.GetArgument("sequence_length")
-        stride = self.spec.GetArgument("stride", 1)
+        spec = self.spec
+        L = spec.GetArgument("sequence_length")
+        stride = spec.GetArgument("stride", 1)
         h = self._handle(fi)
         # the decoder handle is stateful: serialize reads per file
         with h._lock:
             frames = h.read(start, L, stride)
+        if frames.shape[0] < L:  # pad_sequences tail: repeat the last frame
+            frames = np.concatenate(
+                [frames, np.repeat(frames[-1:], L - frames.shape[0], axis=0)], axis=0)
+        if spec.GetArgument("channels", 3) == 1:
+            luma = (0.299 * frames[..., 0] + 0.587 * frames[..., 1]
+                    + 0.114 * frames[..., 2])
+            frames = np.clip(np.round(luma), 0, 255).astype(np.uint8)[..., None]
+        dt = spec.GetArgument("dtype", None)
+        if spec.GetArgument("normalized", False):
+            frames = frames.astype(np.float32) / 255.0
+        elif dt is not None:
+            from ..types import to_numpy_type
+
+            frames = frames.astype(to_numpy_type(dt))
+        outs = [frames]
         if self._has_labels():
-            return frames, np.array([label], np.int32)
-        return frames
+            outs.append(np.array([label], np.int32))
+        if spec.GetArgument("enable_frame_num", False):
+            outs.append(np.array([start], np.int32))
+        if spec.GetArgument("enable_timestamps", False):
+            fps = self._fps.get(fi, 25.0)
+            ts = (start + np.arange(L) * stride) / fps
+            outs.append(ts.astype(np.float64))
+        return tuple(outs) if len(outs) > 1 else outs[0]
 
     def _payload_layouts(self):
-        return ["FHWC", ""]
+        return ["FHWC", "", "", ""]
 
 
 @register_operator("readers.Video", "cpu")
