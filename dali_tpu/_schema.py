@@ -227,6 +227,11 @@ class OpSchema:
             "shuffle_after_epoch_seed", ArgType.INT,
             "Dedicated seed for the per-epoch global permutation (-1: derive "
             "from `seed`). Lets multiple readers share one permutation.", -1)
+        self.AddOptionalArg(
+            "tensor_init_bytes", ArgType.INT,
+            "Initial per-sample buffer reservation hint (reference loader.h "
+            "tensor_init_bytes). Host buffers here grow on demand; accepted "
+            "for compatibility.", 1048576)
         self.AddRandomSeedArg()
         return self
 

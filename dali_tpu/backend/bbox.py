@@ -95,8 +95,11 @@ class BBoxPaste(Operator):
 DALI_SCHEMA("RandomBBoxCrop").DocStr(
     """SSD-style IoU-constrained random crop (reference bbox/random_bbox_crop.cc):
     samples a window whose min IoU with some box satisfies a randomly chosen
-    threshold; outputs (anchor, shape, cropped_bboxes, labels)."""
-).NumInput(1, 2).NumOutput(4).Devices("cpu").AddRandomSeedArg().AddOptionalArg(
+    threshold; outputs (anchor, shape, cropped_bboxes, labels[,
+    bbox_indices])."""
+).NumInput(1, 2).OutputFn(
+    lambda spec: 4 + int(spec.GetArgument("output_bbox_indices", False))
+).Devices("cpu").AddRandomSeedArg().AddOptionalArg(
     "aspect_ratio", ArgType.FLOAT_VEC, "Window aspect-ratio range.", [1.0, 1.0]
 ).AddOptionalArg(
     "thresholds", ArgType.FLOAT_VEC, "Candidate min-IoU thresholds.", [0.0]
@@ -118,7 +121,21 @@ DALI_SCHEMA("RandomBBoxCrop").DocStr(
     "all_boxes_above_threshold", ArgType.BOOL, "Require all boxes to satisfy IoU.", True
 ).AddOptionalArg("crop_shape", ArgType.INT_VEC, "Fixed crop shape (absolute).", None).AddOptionalArg(
     "input_shape", ArgType.INT_VEC, "Input shape for absolute crops.", None, tensor_ok=True, per_sample=True
-)
+).AddOptionalArg(
+    "shape_layout", ArgType.TENSOR_LAYOUT,
+    'Meaning of crop_shape/input_shape dims ("WH" default; reference '
+    "bbox_crop.cc `shape_layout`).", None
+).AddOptionalArg(
+    "output_bbox_indices", ArgType.BOOL,
+    "Extra output with the original indices of the kept boxes.", False
+).AddOptionalArg(
+    "bbox_prune_threshold", ArgType.FLOAT,
+    "When set, keep boxes whose area fraction inside the window is >= this "
+    "value instead of the centroid filter (0.0 keeps any overlap).", None
+).AddOptionalArg(
+    "quiet", ArgType.BOOL,
+    "Suppress the warning emitted when no valid window is found within the "
+    "attempt budget and the best candidate is used.", False)
 
 
 def _iou(boxes: np.ndarray, window: np.ndarray) -> np.ndarray:
@@ -138,22 +155,75 @@ def _iou(boxes: np.ndarray, window: np.ndarray) -> np.ndarray:
 class RandomBBoxCrop(Operator):
     def run_batch(self, ctx, boxes_b: HostBatch, *labels_b):
         rng = ctx.rng(self)
-        anchors, shapes, out_boxes, out_labels = [], [], [], []
+        anchors, shapes, out_boxes, out_labels, out_idx = [], [], [], [], []
         labels_samples = labels_b[0].samples if labels_b else [None] * len(boxes_b)
         for i in range(len(boxes_b)):
-            a, s, bb, lb = self._one(rng, boxes_b.samples[i].reshape(-1, 4), labels_samples[i])
+            a, s, bb, lb, ki = self._one(
+                ctx, i, rng, boxes_b.samples[i].reshape(-1, 4), labels_samples[i])
             anchors.append(a)
             shapes.append(s)
             out_boxes.append(bb)
             out_labels.append(lb if lb is not None else np.zeros((0,), np.int32))
-        return [
+            out_idx.append(ki)
+        outs = [
             HostBatch(anchors),
             HostBatch(shapes),
             HostBatch(out_boxes),
             HostBatch(out_labels),
         ]
+        if self.spec.GetArgument("output_bbox_indices", False):
+            outs.append(HostBatch(out_idx))
+        return outs
 
-    def _one(self, rng, boxes, labels):
+    def _fixed_window(self, ctx, i, rng):
+        """crop_shape mode: absolute pixel window inside input_shape
+        (reference bbox_crop.cc has_crop_shape_). Returns (abs_anchor,
+        abs_shape, relative ltrb window) or None."""
+        spec = self.spec
+        crop_shape = spec.GetArgument("crop_shape", None)
+        if not crop_shape:
+            return None
+        in_shape = ctx.arg(self, "input_shape", i, None)
+        if in_shape is None:
+            raise ValueError("RandomBBoxCrop: crop_shape requires input_shape")
+        cs = np.asarray(crop_shape, np.float64).reshape(-1)
+        ins = np.asarray(in_shape, np.float64).reshape(-1)
+        layout = spec.GetArgument("shape_layout", None) or ("WH" if cs.size == 2 else "WHD")
+        # normalize to (W, H) order for the xy window math
+        wi, hi = layout.index("W"), layout.index("H")
+        cw, chh = cs[wi], cs[hi]
+        iw, ih = ins[wi], ins[hi]
+        if cw > iw or chh > ih:
+            raise ValueError(
+                f"RandomBBoxCrop: crop_shape {crop_shape} exceeds input_shape "
+                f"{list(np.asarray(in_shape).reshape(-1))}")
+        x = float(rng.integers(0, int(iw - cw) + 1))
+        y = float(rng.integers(0, int(ih - chh) + 1))
+        window = np.array([x / iw, y / ih, (x + cw) / iw, (y + chh) / ih], np.float32)
+        anchor = np.zeros(cs.size, np.float32)
+        anchor[wi], anchor[hi] = x, y
+        return anchor, cs.astype(np.float32), window
+
+    def _filter(self, boxes, window):
+        """Centroid filter, or area-fraction filter when bbox_prune_threshold
+        is set (reference bbox_crop.cc)."""
+        prune = self.spec.GetArgument("bbox_prune_threshold", None)
+        if prune is None:
+            centers = (boxes[:, :2] + boxes[:, 2:]) / 2
+            return (
+                (centers[:, 0] >= window[0])
+                & (centers[:, 0] <= window[2])
+                & (centers[:, 1] >= window[1])
+                & (centers[:, 1] <= window[3])
+            )
+        iw = np.maximum(np.minimum(boxes[:, 2], window[2]) - np.maximum(boxes[:, 0], window[0]), 0)
+        ih = np.maximum(np.minimum(boxes[:, 3], window[3]) - np.maximum(boxes[:, 1], window[1]), 0)
+        inter = iw * ih
+        area = np.maximum((boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1]), 1e-9)
+        frac = inter / area
+        return (frac >= prune) if prune > 0 else (inter > 0)
+
+    def _one(self, ctx, i, rng, boxes, labels):
         spec = self.spec
         thresholds = list(spec.GetArgument("thresholds", [0.0]))
         if spec.GetArgument("allow_no_crop", True):
@@ -161,41 +231,45 @@ class RandomBBoxCrop(Operator):
         scaling = spec.GetArgument("scaling", [1.0, 1.0])
         ar_range = spec.GetArgument("aspect_ratio", [1.0, 1.0])
         attempts = spec.GetArgument("num_attempts", 1)
+        total_cap = spec.GetArgument("total_num_attempts", 0)
+        fixed = spec.GetArgument("crop_shape", None) is not None
         boxes = boxes.astype(np.float32)
+        all_idx = np.arange(boxes.shape[0], dtype=np.int32)
+        total = 0
+        best = None  # (min_iou, result) fallback when the attempt budget runs out
         while True:
             thr = thresholds[int(rng.integers(0, len(thresholds)))]
             if thr is None:
                 anchor = np.zeros(2, np.float32)
                 shape = np.ones(2, np.float32)
+                if fixed:  # no-crop in fixed mode: the whole image, absolute
+                    in_shape = np.asarray(ctx.arg(self, "input_shape", i), np.float32).reshape(-1)
+                    anchor, shape = np.zeros_like(in_shape), in_shape
                 return anchor, shape, boxes.copy(), (
                     labels.astype(np.int32) if labels is not None else None
-                )
+                ), all_idx
             for _ in range(attempts):
-                scale = rng.uniform(scaling[0], scaling[1])
-                ar = rng.uniform(ar_range[0], ar_range[1])
-                w = scale * np.sqrt(ar)
-                h = scale / np.sqrt(ar)
-                if w > 1 or h > 1:
-                    continue
-                x = rng.uniform(0, 1 - w)
-                y = rng.uniform(0, 1 - h)
-                window = np.array([x, y, x + w, y + h], np.float32)
+                total += 1
+                if fixed:
+                    anchor_abs, shape_abs, window = self._fixed_window(ctx, i, rng)
+                    x, y = window[0], window[1]
+                    w, h = window[2] - window[0], window[3] - window[1]
+                else:
+                    scale = rng.uniform(scaling[0], scaling[1])
+                    ar = rng.uniform(ar_range[0], ar_range[1])
+                    w = scale * np.sqrt(ar)
+                    h = scale / np.sqrt(ar)
+                    if w > 1 or h > 1:
+                        continue
+                    x = rng.uniform(0, 1 - w)
+                    y = rng.uniform(0, 1 - h)
+                    window = np.array([x, y, x + w, y + h], np.float32)
+                    anchor_abs = np.array([x, y], np.float32)
+                    shape_abs = np.array([w, h], np.float32)
                 if boxes.shape[0]:
-                    centers = (boxes[:, :2] + boxes[:, 2:]) / 2
-                    inside = (
-                        (centers[:, 0] >= window[0])
-                        & (centers[:, 0] <= window[2])
-                        & (centers[:, 1] >= window[1])
-                        & (centers[:, 1] <= window[3])
-                    )
-                    if not inside.any():
-                        continue
+                    inside = self._filter(boxes, window)
                     ious = _iou(boxes, window)
-                    check = ious[inside] if not self.spec.GetArgument(
-                        "all_boxes_above_threshold", True
-                    ) else ious[inside]
-                    if (check < thr).any():
-                        continue
+                    min_iou = float(ious[inside].min()) if inside.any() else -1.0
                     kept = boxes[inside].copy()
                     # clip to window + rebase to window coords
                     kept[:, 0] = np.clip(kept[:, 0], window[0], window[2])
@@ -207,12 +281,32 @@ class RandomBBoxCrop(Operator):
                     new_labels = (
                         labels[inside].astype(np.int32) if labels is not None else None
                     )
+                    result = (anchor_abs, shape_abs, kept, new_labels,
+                              all_idx[inside])
+                    if best is None or min_iou > best[0]:
+                        best = (min_iou, result)
+                    if not inside.any() or (ious[inside] < thr).any():
+                        continue
                 else:
-                    kept = boxes.copy()
                     new_labels = labels.astype(np.int32) if labels is not None else None
-                anchor = np.array([x, y], np.float32)
-                shape = np.array([w, h], np.float32)
-                return anchor, shape, kept, new_labels
+                    result = (anchor_abs, shape_abs, boxes.copy(), new_labels, all_idx)
+                return result
+            if total_cap and total >= total_cap:
+                # attempt budget exhausted: use the best candidate seen
+                # (reference warns unless `quiet`)
+                if not spec.GetArgument("quiet", False):
+                    import warnings
+
+                    warnings.warn(
+                        "RandomBBoxCrop: no window satisfied the threshold "
+                        f"within {total} attempts; using the best candidate "
+                        "(pass quiet=True to silence)")
+                if best is not None:
+                    return best[1]
+                return (np.zeros(2, np.float32), np.ones(2, np.float32),
+                        boxes.copy(),
+                        labels.astype(np.int32) if labels is not None else None,
+                        all_idx)
 
     def output_layout(self, j, inputs):
         return ""

@@ -37,6 +37,14 @@ def _decoder_schema(name, extra_doc=""):
         .AddOptionalArg("use_fast_idct", ArgType.BOOL, "Use fast IDCT path.", False)
         .AddOptionalArg("memory_stats", ArgType.BOOL, "Compatibility no-op.", False)
         .AddOptionalArg("adjust_orientation", ArgType.BOOL, "Apply EXIF orientation.", True)
+        .AddOptionalArg("jpeg_fancy_upsampling", ArgType.BOOL,
+                        "Triangular chroma upsampling for subsampled JPEGs "
+                        "(libjpeg fancy path; reference decoder_schema.cc "
+                        "`jpeg_fancy_upsampling`). False = box replication.", True)
+        .AddOptionalArg("device_memory_padding_jpeg2k", ArgType.INT,
+                        "Compatibility no-op (nvJPEG2k buffer hint).", 0)
+        .AddOptionalArg("host_memory_padding_jpeg2k", ArgType.INT,
+                        "Compatibility no-op (nvJPEG2k buffer hint).", 0)
         .AddOptionalArg("cache_size", ArgType.INT,
                         "Decoded-image cache size in MB (0 = off; reference "
                         "decoder/cache/cached_decoder_impl.cc). Keyed by the "
@@ -134,7 +142,8 @@ class _ImageDecoderBase(Operator):
                 denom = 1
         return imgcodec.decode(
             data, output_type=out_type, denom=denom,
-            adjust_orientation=self.spec.GetArgument("adjust_orientation", True))
+            adjust_orientation=self.spec.GetArgument("adjust_orientation", True),
+            fancy_upsampling=self.spec.GetArgument("jpeg_fancy_upsampling", True))
 
     def output_layout(self, output_idx, inputs):
         return "HWC"
@@ -232,10 +241,11 @@ class ImageDecoderMixed(_ImageDecoderBase):
             return arr, shapes, "HWC"
         # whole-batch native decode: one C call, per-sample fan-out on the
         # native tasking pool (no per-sample GIL crossings)
+        fancy = self.spec.GetArgument("jpeg_fancy_upsampling", True)
         oks_partial = native.decode_jpeg_batch(
             [datas[i] for i in todo], [arr[i] for i in todo], [denoms[i] for i in todo],
             [int(shapes[i][0]) for i in todo], [int(shapes[i][1]) for i in todo],
-            num_threads=self.pipeline.num_threads,
+            fancy=fancy, num_threads=self.pipeline.num_threads,
         )
         oks = None
         if oks_partial is not None:
@@ -247,7 +257,8 @@ class ImageDecoderMixed(_ImageDecoderBase):
 
             def one(j):
                 i = todo[j]
-                if not native.decode_jpeg_into(datas[i], arr[i], denom=denoms[i]):
+                if not native.decode_jpeg_into(datas[i], arr[i], denom=denoms[i],
+                                               fancy_upsampling=fancy):
                     oks[i] = False
                 return True
 
@@ -374,7 +385,9 @@ class _ImageRandomCropBase(_ImageDecoderBase):
             if h is not None:
                 y, x, ch, cw = sample_rrc_window(rng, h, w, area, ar, attempts)
                 denom = choose_denom(ch, cw, hint) if hint else 1
-                img = native.decode_jpeg(data, denom=denom)
+                img = native.decode_jpeg(
+                    data, denom=denom,
+                    fancy_upsampling=self.spec.GetArgument("jpeg_fancy_upsampling", True))
                 if img is not None:
                     if denom > 1:
                         # crop coordinates in scaled space (libjpeg rounds up)
@@ -408,11 +421,24 @@ _decoder_schema("decoders.ImageCrop").DocStr(
     "crop_w", ArgType.FLOAT, "Crop width.", 0.0, tensor_ok=True, per_sample=True
 ).AddOptionalArg(
     "crop_h", ArgType.FLOAT, "Crop height.", 0.0, tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "crop_d", ArgType.FLOAT,
+    "Volumetric crop depth (CropAttr compat; decoded images are 2-D, so this "
+    "is accepted but unused).", 0.0, tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "crop_pos_z", ArgType.FLOAT, "Volumetric window z (CropAttr compat).", 0.5,
+    tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "rounding", ArgType.STRING,
+    'Crop-start integer conversion: "round" or "truncate" (crop_attr.cc).',
+    "round"
 )
 
 
 class _ImageCropBase(_ImageDecoderBase):
     def run_sample(self, ctx, idx, encoded):
+        from .generic2 import _crop_round
+
         img = self._decode(ctx, idx, encoded)
         h, w = img.shape[:2]
         crop = self.spec.GetArgument("crop", None)
@@ -421,8 +447,9 @@ class _ImageCropBase(_ImageDecoderBase):
         py = float(ctx.arg(self, "crop_pos_y", idx, 0.5))
         px = float(ctx.arg(self, "crop_pos_x", idx, 0.5))
         ch, cw = min(ch, h), min(cw, w)
-        y = int(round(py * (h - ch)))
-        x = int(round(px * (w - cw)))
+        rnd = self.spec.GetArgument("rounding", "round")
+        y = _crop_round(py * (h - ch), rnd)
+        x = _crop_round(px * (w - cw), rnd)
         return np.ascontiguousarray(img[y : y + ch, x : x + cw])
 
 

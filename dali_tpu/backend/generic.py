@@ -314,8 +314,22 @@ DALI_SCHEMA("Pad").DocStr(
 ).AddOptionalArg(
     "axes", ArgType.INT_VEC, "Axes to pad (default: all).", None
 ).AddOptionalArg(
+    "axis_names", ArgType.TENSOR_LAYOUT,
+    "Axes to pad named by layout letter (alternative to `axes`; reference "
+    "pad.cc `axis_names`).", None
+).AddOptionalArg(
     "align", ArgType.INT_VEC, "Alignment per axis.", None
 ).AddOptionalArg("shape", ArgType.INT_VEC, "Minimum output shape.", None)
+
+
+def _pad_axes(spec, layout, ndim):
+    names = spec.GetArgument("axis_names", None)
+    if names:
+        if not layout:
+            raise ValueError("Pad: axis_names requires a layout on the input")
+        return [layout.index(ch) for ch in names]
+    axes = spec.GetArgument("axes", None)
+    return list(range(ndim)) if not axes else [a % ndim for a in axes]
 
 
 @register_operator("Pad", "cpu")
@@ -323,8 +337,7 @@ class PadCPU(Operator):
     def run_batch(self, ctx, inp: HostBatch):
         shapes = inp.shapes()
         ndim = shapes.shape[1]
-        axes = self.spec.GetArgument("axes", None)
-        axes = list(range(ndim)) if not axes else list(axes)
+        axes = _pad_axes(self.spec, inp.layout or "", ndim)
         align = self.spec.GetArgument("align", None)
         req_shape = self.spec.GetArgument("shape", None)
         target = shapes.max(axis=0)
@@ -355,10 +368,13 @@ class PadGPU(Operator):
     (c) output extents are the pad target in padded axes, ragged elsewhere
     (reference generic/pad.cc semantics)."""
 
-    def _targets(self, shapes):
+    def _targets(self, shapes, layout=""):
         ndim = shapes.shape[1]
-        axes = self.spec.GetArgument("axes", None)
-        axes = list(range(ndim)) if not axes else [a % ndim for a in axes]
+        if self.spec.GetArgument("axis_names", None) and not layout:
+            raise ValueError(
+                "Pad(gpu): axis_names requires a layout-carrying host-boundary "
+                "input; pass `axes` instead for device-to-device edges")
+        axes = _pad_axes(self.spec, layout, ndim)
         align = self.spec.GetArgument("align", None)
         req_shape = self.spec.GetArgument("shape", None)
         target = shapes.max(axis=0).astype(np.int64)
@@ -374,20 +390,25 @@ class PadGPU(Operator):
                 target[d] = ((target[d] + a - 1) // a) * a
         return axes, target
 
+    @staticmethod
+    def _batch_layout(input_batches):
+        b = input_batches[0] if input_batches else None
+        return getattr(b, "layout", "") or ""
+
     def host_output_shapes(self, ctx, input_shapes, input_batches):
         shapes = input_shapes[0]
         if shapes is None:
             return None
         shapes = np.asarray(shapes)
-        axes, target = self._targets(shapes)
+        axes, target = self._targets(shapes, self._batch_layout(input_batches))
         out = shapes.copy()
         for d in axes:
             out[:, d] = target[d]
         return [out]
 
-    def device_statics(self, ctx, input_shapes):
+    def device_statics(self, ctx, input_shapes, input_batches=None):
         shapes = np.asarray(input_shapes[0])
-        axes, target = self._targets(shapes)
+        axes, target = self._targets(shapes, self._batch_layout(input_batches))
         return (tuple(axes), tuple(int(t) for t in target))
 
     def lower(self, dctx, inp: DeviceBatch):

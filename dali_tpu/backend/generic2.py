@@ -156,7 +156,20 @@ DALI_SCHEMA("Crop").DocStr(
 ).AddOptionalArg(
     "crop_pos_z", ArgType.FLOAT, "Volumetric window z in [0,1] (cpu).", 0.5,
     tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "rounding", ArgType.STRING,
+    'Window-start conversion to integer: "round" (half away from zero) or '
+    '"truncate" (toward zero). Reference crop_attr.cc `rounding`.', "round"
 )
+
+
+def _crop_round(v, mode):
+    """Reference crop_attr.cc round_fn_: std::round (half away from zero) or
+    truncation toward zero."""
+    v = float(v)
+    if mode == "truncate":
+        return int(v)
+    return int(np.floor(v + 0.5)) if v >= 0 else int(np.ceil(v - 0.5))
 
 
 class _CropCommon(Operator):
@@ -175,17 +188,18 @@ class _CropCommon(Operator):
 class CropCPU(_CropCommon):
     def run_sample(self, ctx, idx, img):
         ch, cw = self._size()
+        rnd = self.spec.GetArgument("rounding", "round")
         if img.ndim == 4:  # DHWC: crop depth first, then the 2-D path
             d = img.shape[0]
             cd = int(np.asarray(ctx.arg(self, "crop_d", idx, 0.0)) or 0) or d
             pz = float(np.asarray(ctx.arg(self, "crop_pos_z", idx, 0.5)))
-            z = max(int(round(pz * (d - cd))), 0)
+            z = max(_crop_round(pz * (d - cd), rnd), 0)
             img = img[z : z + cd]
         h, w = img.shape[-3:-1]
         py = float(np.asarray(ctx.arg(self, "crop_pos_y", idx, 0.5)))
         px = float(np.asarray(ctx.arg(self, "crop_pos_x", idx, 0.5)))
-        y = int(round(py * (h - ch)))
-        x = int(round(px * (w - cw)))
+        y = _crop_round(py * (h - ch), rnd)
+        x = _crop_round(px * (w - cw), rnd)
         if y < 0 or x < 0 or y + ch > h or x + cw > w:
             policy = self.spec.GetArgument("out_of_bounds_policy", "error")
             if policy == "error":
@@ -218,8 +232,12 @@ class CropGPU(_CropCommon):
 
         py = arg("crop_pos_y", 0.5)
         px = arg("crop_pos_x", 0.5)
-        y = jnp.clip(jnp.round(py * (ext_h - ch)), 0, None).astype(jnp.int32)
-        x = jnp.clip(jnp.round(px * (ext_w - cw)), 0, None).astype(jnp.int32)
+        if self.spec.GetArgument("rounding", "round") == "truncate":
+            _r = jnp.trunc
+        else:  # std::round: half away from zero
+            _r = lambda v: jnp.trunc(v + jnp.copysign(0.5, v))  # noqa: E731
+        y = jnp.clip(_r(py * (ext_h - ch)), 0, None).astype(jnp.int32)
+        x = jnp.clip(_r(px * (ext_w - cw)), 0, None).astype(jnp.int32)
         out = jax.vmap(lambda im, yy, xx: jax.lax.dynamic_slice(im, (yy, xx, 0), (ch, cw, C)))(
             inp.data, y, x
         )

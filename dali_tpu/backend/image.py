@@ -50,7 +50,24 @@ DALI_SCHEMA("Resize").DocStr(
     """Resizes images with per-sample sizes/ROI (reference ``image/resize/resize.cc``,
     ``resize_attr.cc``). Device path: gather-based separable resampler traced into
     the jitted program."""
-).NumInput(1).NumOutput(1).Devices("cpu", "gpu").AllowSequences().AddOptionalArg(
+).NumInput(1).OutputFn(
+    lambda spec: 1 + int(bool(spec.GetArgument("save_attrs", False)))
+).Devices("cpu", "gpu").AllowSequences().AddOptionalArg(
+    "save_attrs", ArgType.BOOL,
+    "Add a second output with each sample's ORIGINAL input shape (int32), "
+    "reference resize.cc `save_attrs` (used by SSD-style recipes).", False
+).AddOptionalArg(
+    "resize_z", ArgType.FLOAT,
+    "Output depth for volumetric (DHWC) inputs; cpu path only.", 0.0,
+    tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "minibatch_size", ArgType.INT,
+    "Reference GPU kernel batching hint; accepted for compatibility (XLA "
+    "handles the whole batch in one program here).", 32
+).AddOptionalArg(
+    "temp_buffer_hint", ArgType.INT,
+    "Reference GPU scratch-size hint; accepted for compatibility.", 0
+).AddOptionalArg(
     "resize_x", ArgType.FLOAT, "Output width (0 = keep aspect).", 0.0, tensor_ok=True, per_sample=True
 ).AddOptionalArg(
     "resize_y", ArgType.FLOAT, "Output height (0 = keep aspect).", 0.0, tensor_ok=True, per_sample=True
@@ -140,22 +157,65 @@ def _cv2_interp(interp, scale_down):
     return table[interp]
 
 
+def _pick_filter(spec, scale_down):
+    """Per-direction filter override (reference ResamplingFilterAttr:
+    min_filter for downscale, mag_filter for upscale; fall back to interp_type)."""
+    f = spec.GetArgument("min_filter" if scale_down else "mag_filter", None)
+    if f is None:
+        f = spec.GetArgument("interp_type", DALIInterpType.INTERP_LINEAR)
+    return f
+
+
 @register_operator("Resize", "cpu")
 class ResizeCPU(Operator):
     def run_sample(self, ctx, idx, img):
         from ..kernels.resample import host_resample
 
         spec = self.spec
-        h, w = img.shape[:2]
+        vol = img.ndim == 4  # DHWC
+        if vol:
+            d, h, w = img.shape[:3]
+        else:
+            h, w = img.shape[:2]
         out_h, out_w = compute_resize_size(h, w, spec, lambda n, d=None: ctx.arg(self, n, idx, d))
-        interp = spec.GetArgument("interp_type", DALIInterpType.INTERP_LINEAR)
+        interp = _pick_filter(spec, out_h < h or out_w < w)
         antialias = spec.GetArgument("antialias", True)
-        # the framework's own resampler (bit-controlled against the device
-        # lowering — same window math), not a cv2 delegate
-        out = host_resample(img, out_h, out_w, interp, antialias)
-        if out.ndim == 2:
-            out = out[:, :, None]
-        return out
+        if vol:
+            # volumetric: 2-D resample per depth slice, then depth zoom
+            # (reference supports full 3-D separable resampling; the depth
+            # pass here is linear/nearest)
+            from scipy import ndimage
+
+            rz = float(np.asarray(ctx.arg(self, "resize_z", idx, 0.0)) or 0.0)
+            out_d = max(1, round(rz)) if rz > 0 else d
+            planes = np.stack([host_resample(img[k], out_h, out_w, interp, antialias)
+                               for k in range(d)])
+            if planes.ndim == 3:
+                planes = planes[..., None]
+            if out_d != d:
+                order = 0 if interp == DALIInterpType.INTERP_NN else 1
+                planes = ndimage.zoom(
+                    planes.astype(np.float32),
+                    (out_d / d, 1, 1, 1), order=order, grid_mode=True, mode="nearest")
+                if np.issubdtype(img.dtype, np.integer):
+                    info = np.iinfo(img.dtype)
+                    planes = np.clip(np.round(planes), info.min, info.max).astype(img.dtype)
+            out = planes
+        else:
+            # the framework's own resampler (bit-controlled against the device
+            # lowering — same window math), not a cv2 delegate
+            out = host_resample(img, out_h, out_w, interp, antialias)
+            if out.ndim == 2:
+                out = out[:, :, None]
+        if spec.GetArgument("save_attrs", False):
+            attrs = np.array([d, h, w] if vol else [h, w], np.int32)
+            return np.ascontiguousarray(out), attrs
+        return np.ascontiguousarray(out)
+
+    def output_layout(self, j, inputs):
+        if j == 1:
+            return ""
+        return inputs[0].layout if inputs else ""
 
 
 @register_operator("Resize", "gpu")
@@ -194,11 +254,34 @@ class ResizeGPU(Operator):
             return int(round(ry)), int(round(rx))
         return None  # one-sided scale depends on input aspect
 
+    def _has_filter_override(self):
+        return (self.spec.GetArgument("mag_filter", None) is not None
+                or self.spec.GetArgument("min_filter", None) is not None)
+
+    def _choose_filter(self, in_shapes, out_sizes):
+        """Batch-level mag/min filter choice (documented TPU adaptation: the
+        whole batch runs as ONE XLA program, so the filter is picked from the
+        majority scaling direction rather than per sample)."""
+        if not self._has_filter_override():
+            return None
+        down = int((out_sizes[:, 0] < in_shapes[:, 0]).sum()
+                   + (out_sizes[:, 1] < in_shapes[:, 1]).sum())
+        up = int((out_sizes[:, 0] > in_shapes[:, 0]).sum()
+                 + (out_sizes[:, 1] > in_shapes[:, 1]).sum())
+        return int(_pick_filter(self.spec, down >= up))
+
     # -- host side -----------------------------------------------------------------
     def host_params(self, ctx, input_shapes):
-        if self._static_size() is not None:
-            return {}
+        if self.spec.GetArgument("resize_z", 0.0) or "resize_z" in self.spec.arg_inputs:
+            raise NotImplementedError(
+                "Resize(gpu): volumetric resize_z is cpu-only; use device='cpu'")
+        static = self._static_size()
         shapes = input_shapes[0]
+        if static is not None:
+            self._filter = (self._choose_filter(
+                np.asarray(shapes)[:, :2], np.tile(np.array([static], np.int32), (len(shapes), 1)))
+                if shapes is not None and self._has_filter_override() else None)
+            return {}
         if shapes is None:
             raise RuntimeError(
                 "Resize(gpu) with per-sample sizes requires its input to come "
@@ -210,15 +293,17 @@ class ResizeGPU(Operator):
             h, w = int(shapes[i][0]), int(shapes[i][1])
             out[i] = compute_resize_size(h, w, self.spec, lambda nm, d=None: ctx.arg(self, nm, i, d))
         self._last_out_sizes = out
+        self._filter = self._choose_filter(np.asarray(shapes)[:, :2], out)
         align = 32
         self._grow_canvas[0] = max(self._grow_canvas[0], int(-(-out[:, 0].max() // align) * align))
         self._grow_canvas[1] = max(self._grow_canvas[1], int(-(-out[:, 1].max() // align) * align))
         return {"out_sizes": out}
 
     def device_statics(self, ctx, input_shapes):
+        filt = getattr(self, "_filter", None)
         if self._static_size() is not None:
-            return None
-        return (self._grow_canvas[0], self._grow_canvas[1])
+            return None if filt is None else ("filt", filt)
+        return (self._grow_canvas[0], self._grow_canvas[1], filt)
 
     # -- device side -----------------------------------------------------------------
     def lower(self, dctx, inp: DeviceBatch):
@@ -227,23 +312,44 @@ class ResizeGPU(Operator):
         folded, unfold = _fold_frames(inp)
         if unfold is not None:
             outs = self.lower(dctx, folded)
-            return [unfold(outs[0])]
+            ret = [unfold(outs[0])]
+            if len(outs) > 1:  # save_attrs: per-sequence, not per-frame
+                n, f = inp.data.shape[0], inp.data.shape[1]
+                ret.append(DeviceBatch(outs[1].data.reshape(n, f, -1)[:, 0, :], None, ""))
+            return ret
 
         spec = self.spec
         interp = spec.GetArgument("interp_type", DALIInterpType.INTERP_LINEAR)
         antialias = bool(spec.GetArgument("antialias", True))
         dtype_arg = spec.GetArgument("dtype", None)
         out_dtype = to_jnp_type(dtype_arg) if dtype_arg is not None else inp.data.dtype
+        save_attrs = bool(spec.GetArgument("save_attrs", False))
 
+        def attrs_out():
+            if inp.shapes is not None:
+                a = inp.shapes[:, :2].astype(jnp.int32)
+            else:
+                a = jnp.tile(jnp.array([[inp.data.shape[1], inp.data.shape[2]]], jnp.int32),
+                             (inp.data.shape[0], 1))
+            return DeviceBatch(a, None, "")
+
+        st = dctx.static(self)
         static = self._static_size()
         if static is not None:
+            if isinstance(st, tuple) and len(st) == 2 and st[0] == "filt":
+                interp = DALIInterpType(st[1])
             out_h, out_w = static
             data = resample_kernel.resample_batch(
                 inp.data, inp.shapes, None, None, out_h, out_w, interp, antialias, out_dtype
             )
-            return [DeviceBatch(data, None, inp.layout or "HWC")]
+            outs = [DeviceBatch(data, None, inp.layout or "HWC")]
+            if save_attrs:
+                outs.append(attrs_out())
+            return outs
         # per-sample sizes on a grow-policy canvas
-        max_h, max_w = dctx.static(self)
+        max_h, max_w, filt = st
+        if filt is not None:
+            interp = DALIInterpType(filt)
         sizes = dctx.param(self, "out_sizes")
         ext = inp.shapes if inp.shapes is not None else jnp.tile(
             jnp.array([[inp.data.shape[1], inp.data.shape[2]]], jnp.int32), (inp.data.shape[0], 1)
@@ -259,7 +365,10 @@ class ResizeGPU(Operator):
         out_shapes = jnp.concatenate(
             [sizes, jnp.full((sizes.shape[0], 1), inp.data.shape[3], jnp.int32)], axis=1
         )
-        return [DeviceBatch(data, out_shapes, inp.layout or "HWC")]
+        outs = [DeviceBatch(data, out_shapes, inp.layout or "HWC")]
+        if save_attrs:
+            outs.append(attrs_out())
+        return outs
 
 
 # ============================== RandomResizedCrop ===============================================
@@ -283,6 +392,16 @@ DALI_SCHEMA("RandomResizedCrop").DocStr(
     "antialias", ArgType.BOOL, "Antialiasing when downscaling.", True
 ).AddOptionalArg(
     "dtype", ArgType.DATA_TYPE, "Output dtype.", None
+).AddOptionalArg(
+    "mag_filter", ArgType.INTERP_TYPE, "Filter for upscaling.", None
+).AddOptionalArg(
+    "min_filter", ArgType.INTERP_TYPE, "Filter for downscaling.", None
+).AddOptionalArg(
+    "minibatch_size", ArgType.INT,
+    "Reference GPU kernel batching hint; accepted for compatibility.", 32
+).AddOptionalArg(
+    "temp_buffer_hint", ArgType.INT,
+    "Reference GPU scratch-size hint; accepted for compatibility.", 0
 )
 
 
@@ -306,13 +425,28 @@ class RandomResizedCropGPU(Operator, _RRCWindows):
         shapes = input_shapes[0]
         if shapes is None:
             raise RuntimeError("RandomResizedCrop(gpu) requires direct boundary input shapes")
-        return {"windows": self._windows(ctx, shapes)}
+        wins = self._windows(ctx, shapes)
+        size = self.spec.GetArgument("size")
+        oh, ow = (int(size[0]), int(size[-1])) if len(size) > 1 else (int(size[0]), int(size[0]))
+        if (self.spec.GetArgument("mag_filter", None) is not None
+                or self.spec.GetArgument("min_filter", None) is not None):
+            down = int((wins[:, 2] > oh).sum() + (wins[:, 3] > ow).sum())
+            up = int((wins[:, 2] < oh).sum() + (wins[:, 3] < ow).sum())
+            self._filter = int(_pick_filter(self.spec, down >= up))
+        else:
+            self._filter = None
+        return {"windows": wins}
+
+    def device_statics(self, ctx, input_shapes):
+        return getattr(self, "_filter", None)
 
     def lower(self, dctx, inp: DeviceBatch):
         spec = self.spec
         size = spec.GetArgument("size")
         out_h, out_w = (int(size[0]), int(size[-1])) if len(size) > 1 else (int(size[0]), int(size[0]))
-        interp = spec.GetArgument("interp_type", DALIInterpType.INTERP_LINEAR)
+        filt = dctx.static(self)
+        interp = (DALIInterpType(filt) if filt is not None
+                  else spec.GetArgument("interp_type", DALIInterpType.INTERP_LINEAR))
         antialias = bool(spec.GetArgument("antialias", True))
         dtype_arg = spec.GetArgument("dtype", None)
         out_dtype = to_jnp_type(dtype_arg) if dtype_arg is not None else inp.data.dtype
@@ -334,13 +468,13 @@ class RandomResizedCropCPU(Operator, _RRCWindows):
         size = spec.GetArgument("size")
         out_h, out_w = (int(size[0]), int(size[-1])) if len(size) > 1 else (int(size[0]), int(size[0]))
         wins = self._windows(ctx, inp.shapes())
-        interp = spec.GetArgument("interp_type", DALIInterpType.INTERP_LINEAR)
         antialias = spec.GetArgument("antialias", True)
 
         def one(i):
             img = inp.samples[i]
             y, x, h, w = (int(v) for v in wins[i])
             crop = img[y : y + h, x : x + w]
+            interp = _pick_filter(spec, out_h < h or out_w < w)
             out = host_resample(crop, out_h, out_w, interp, antialias)
             return out[:, :, None] if out.ndim == 2 else out
 
@@ -401,6 +535,10 @@ DALI_SCHEMA("CropMirrorNormalize").DocStr(
 ).AddOptionalArg(
     "crop_pos_z", ArgType.FLOAT, "Volumetric window z in [0,1] (cpu).", 0.5,
     tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "rounding", ArgType.STRING,
+    'Window-start conversion to integer: "round" (half away from zero) or '
+    '"truncate" (toward zero). Reference crop_attr.cc `rounding`.', "round"
 )
 
 
@@ -446,8 +584,12 @@ class CropMirrorNormalizeGPU(Operator, _CMNCommon):
         if px.shape[0] == 1:
             px = jnp.broadcast_to(px, (n,))
         policy = spec.GetArgument("out_of_bounds_policy", "error")
-        crop_y = jnp.round(py * (ext_h - crop_h).astype(jnp.float32)).astype(jnp.int32)
-        crop_x = jnp.round(px * (ext_w - crop_w).astype(jnp.float32)).astype(jnp.int32)
+        if spec.GetArgument("rounding", "round") == "truncate":
+            _r = jnp.trunc
+        else:  # reference std::round: half away from zero
+            _r = lambda v: jnp.trunc(v + jnp.copysign(0.5, v))  # noqa: E731
+        crop_y = _r(py * (ext_h - crop_h).astype(jnp.float32)).astype(jnp.int32)
+        crop_x = _r(px * (ext_w - crop_w).astype(jnp.float32)).astype(jnp.int32)
         if policy != "pad":
             # error/trim: window clamped into the image ("error" raises on the
             # host in host_output_shapes, where per-sample extents are numpy)
@@ -529,12 +671,15 @@ class CropMirrorNormalizeCPU(Operator, _CMNCommon):
         fill = np.asarray(spec.GetArgument("fill_values", [0.0]), np.float32)
         py = float(ctx.arg(self, "crop_pos_y", idx, 0.5))
         px = float(ctx.arg(self, "crop_pos_x", idx, 0.5))
-        y = int(round(py * (h - crop_h)))
-        x = int(round(px * (w - crop_w)))
+        from .generic2 import _crop_round
+
+        rnd = spec.GetArgument("rounding", "round")
+        y = _crop_round(py * (h - crop_h), rnd)
+        x = _crop_round(px * (w - crop_w), rnd)
         if vol:
             crop_d = int(ctx.arg(self, "crop_d", idx, 0.0) or 0) or d
             pz = float(ctx.arg(self, "crop_pos_z", idx, 0.5))
-            z = int(round(pz * (d - crop_d)))
+            z = _crop_round(pz * (d - crop_d), rnd)
         oob = y < 0 or x < 0 or y + crop_h > h or x + crop_w > w or (
             vol and (z < 0 or z + crop_d > d))
         if oob and policy == "error":

@@ -84,7 +84,47 @@ DALI_SCHEMA("MultiPaste").DocStr(
     "out_anchors", ArgType.INT_VEC, "Flattened [k, 2] destination anchors.", None, tensor_ok=True, per_sample=True
 ).AddOptionalArg(
     "output_size", ArgType.INT_VEC, "Output canvas (H, W).", None, tensor_ok=True, per_sample=True
-).AddOptionalArg("dtype", ArgType.DATA_TYPE, "Output dtype.", None)
+).AddOptionalArg(
+    "dtype", ArgType.DATA_TYPE, "Output dtype.", None
+).AddOptionalArg(
+    "in_anchors_rel", ArgType.FLOAT_VEC,
+    "Flattened [k, 2] source anchors relative to each source sample's extent "
+    "(reference multipaste.cc `in_anchors_rel`).", None,
+    tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "shapes_rel", ArgType.FLOAT_VEC,
+    "Flattened [k, 2] region shapes relative to each source sample's extent.",
+    None, tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "out_anchors_rel", ArgType.FLOAT_VEC,
+    "Flattened [k, 2] destination anchors relative to the output canvas.",
+    None, tensor_ok=True, per_sample=True)
+
+
+def resolve_mp_regions(op, ctx, i, ids, src_hw, out_hw):
+    """Resolve MultiPaste anchors/shapes from absolute or *_rel arguments.
+
+    Returns (in_anchors[k,2] int, out_anchors[k,2] int, shapes[k,2] int or
+    None). Relative values scale by the source sample extents (in_anchors,
+    shapes) or the output canvas (out_anchors), reference multipaste.cc."""
+    k = len(ids)
+
+    def get(name, scale):
+        v = ctx.arg(op, name, i, None)
+        if v is not None:
+            return np.asarray(v, np.float64).reshape(k, 2).round().astype(np.int64)
+        rv = ctx.arg(op, name + "_rel", i, None)
+        if rv is not None:
+            rv = np.asarray(rv, np.float64).reshape(k, 2) * scale
+            return rv.round().astype(np.int64)
+        return None
+
+    src_hw = np.asarray(src_hw, np.float64).reshape(k, 2)
+    ia = get("in_anchors", src_hw)
+    oa = get("out_anchors", np.asarray(out_hw, np.float64)[None].repeat(k, 0))
+    sh = get("shapes", src_hw)
+    z = np.zeros((k, 2), np.int64)
+    return (ia if ia is not None else z), (oa if oa is not None else z), sh
 
 
 @register_operator("MultiPaste", "cpu")
@@ -98,17 +138,13 @@ class MultiPaste(Operator):
             ref = inp.samples[i]
             oh, ow = (int(osz[0]), int(osz[1])) if osz is not None else ref.shape[:2]
             canvas = np.zeros((oh, ow, ref.shape[2]), ref.dtype)
-            in_anchors = np.asarray(
-                ctx.arg(self, "in_anchors", i, np.zeros(2 * k)), np.int64
-            ).reshape(k, 2)
-            out_anchors = np.asarray(
-                ctx.arg(self, "out_anchors", i, np.zeros(2 * k)), np.int64
-            ).reshape(k, 2)
-            shapes_arg = ctx.arg(self, "shapes", i, None)
+            src_hw = [inp.samples[int(s)].shape[:2] for s in ids]
+            in_anchors, out_anchors, shapes_arg = resolve_mp_regions(
+                self, ctx, i, ids, src_hw, (oh, ow))
             for j, sid in enumerate(ids):
                 src = inp.samples[int(sid)]
                 if shapes_arg is not None:
-                    rh, rw = np.asarray(shapes_arg, np.int64).reshape(k, 2)[j]
+                    rh, rw = shapes_arg[j]
                 else:
                     rh, rw = src.shape[0], src.shape[1]
                 iy, ix = in_anchors[j]

@@ -201,20 +201,44 @@ DALI_SCHEMA("decoders.ImageSlice").DocStr(
     "normalized_shape", ArgType.BOOL, "Shape input is relative.", True
 ).AddOptionalArg(
     "axes", ArgType.INT_VEC, "Sliced axes.", [1, 0]
+).AddOptionalArg(
+    "axis_names", ArgType.TENSOR_LAYOUT,
+    'Sliced axes by layout letter (takes precedence over `axes`; reference '
+    'slice_attr.h default "WH").', None
+).AddOptionalArg(
+    "adjust_orientation", ArgType.BOOL, "Apply EXIF orientation.", True
+).AddOptionalArg(
+    "dtype", ArgType.DATA_TYPE, "Output dtype (uint8).", None
+).AddOptionalArg(
+    "jpeg_fancy_upsampling", ArgType.BOOL,
+    "Triangular chroma upsampling for subsampled JPEGs.", True
+).AddOptionalArg(
+    "device_memory_padding_jpeg2k", ArgType.INT, "Compatibility no-op.", 0
+).AddOptionalArg(
+    "host_memory_padding_jpeg2k", ArgType.INT, "Compatibility no-op.", 0
 )
 
 
 class _ImageSliceBase(Operator):
     def run_sample(self, ctx, idx, encoded, *pos):
-        from ..types import DALIImageType
+        from ..types import DALIImageType, to_numpy_type
 
         out_type = self.spec.GetArgument("output_type", None) or DALIImageType.RGB
-        img = imgcodec.decode(np.ascontiguousarray(encoded).tobytes(), output_type=out_type)
+        img = imgcodec.decode(
+            np.ascontiguousarray(encoded).tobytes(), output_type=out_type,
+            adjust_orientation=self.spec.GetArgument("adjust_orientation", True),
+            fancy_upsampling=self.spec.GetArgument("jpeg_fancy_upsampling", True))
+        dt = self.spec.GetArgument("dtype", None)
+        if dt is not None:
+            img = img.astype(to_numpy_type(dt))
         if not pos:
             return img
         anchor = np.asarray(pos[0], np.float64).reshape(-1)
         shape = np.asarray(pos[1], np.float64).reshape(-1) if len(pos) > 1 else None
         axes = self.spec.GetArgument("axes", [1, 0])
+        names = self.spec.GetArgument("axis_names", None)
+        if names:  # letters refer to the decoded HWC layout
+            axes = ["HWC".index(ch) for ch in names]
         dims = np.array([img.shape[a] for a in axes], np.float64)
         if self.spec.GetArgument("normalized_anchor", True):
             anchor = anchor * dims

@@ -165,7 +165,7 @@ class VideoDecoder(Operator):
             if length <= 0:
                 length = max((vf.num_frames - start + stride - 1) // stride, 1)
                 requested = 0  # "all available": never pad
-            frames = vf.read(start, length, stride)
+            frames = vf.read(start, length, stride, pad=False)
             vf.close()
             if requested and frames.shape[0] < requested:
                 frames = self._pad_sequence(frames, requested)
@@ -175,35 +175,12 @@ class VideoDecoder(Operator):
 
     def _pad_sequence(self, frames, want):
         """Short-video padding (reference pad_mode semantics)."""
-        mode = self.spec.GetArgument("pad_mode", "constant")
-        got = frames.shape[0]
-        extra = want - got
-        if mode == "none" or got == 0:
-            return frames
-        if mode == "constant":
-            fv = self.spec.GetArgument("fill_value", None)
-            if fv is None:
-                fv = self.spec.GetArgument("pad_value", 0.0)
-            pad = np.full((extra,) + frames.shape[1:], fv, frames.dtype)
-        elif mode in ("edge", "repeat"):
-            pad = np.repeat(frames[-1:], extra, axis=0)
-        elif mode in ("reflect_1001", "symmetric"):
-            idx = [(got - 1) - (i % got) if (i // got) % 2 == 0 else i % got
-                   for i in range(extra)]
-            pad = frames[idx]
-        elif mode in ("reflect_101", "reflect"):
-            if got == 1:
-                pad = np.repeat(frames[-1:], extra, axis=0)
-            else:
-                period = 2 * (got - 1)
-                idx = []
-                for i in range(extra):
-                    p = (got - 2 - i) % period
-                    idx.append(p if p < got else period - p)
-                pad = frames[idx]
-        else:
-            raise ValueError(f"Unknown pad_mode {mode!r}")
-        return np.concatenate([frames, pad], axis=0)
+        from .video import pad_frames
+
+        fv = self.spec.GetArgument("fill_value", None)
+        if fv is None:
+            fv = self.spec.GetArgument("pad_value", 0.0)
+        return pad_frames(frames, want, self.spec.GetArgument("pad_mode", "constant"), fv)
 
     def output_layout(self, j, inputs):
         return "FHWC"
@@ -421,6 +398,26 @@ def _video_resize_schema():
     s.AddOptionalArg("resize_x", ArgType.FLOAT, "Output width.", 0.0)
     s.AddOptionalArg("resize_y", ArgType.FLOAT, "Output height.", 0.0)
     s.AddOptionalArg("resize_shorter", ArgType.FLOAT, "Resize shorter edge.", 0.0)
+    s.AddOptionalArg("resize_longer", ArgType.FLOAT, "Resize longer edge.", 0.0)
+    s.AddOptionalArg("size", ArgType.FLOAT_VEC, "Output size (H, W).", None)
+    s.AddOptionalArg("mode", ArgType.STRING,
+                     '"default", "stretch", "not_larger", "not_smaller".', "default")
+    s.AddOptionalArg("interp_type", ArgType.INTERP_TYPE, "Interpolation.",
+                     DALIInterpType.INTERP_LINEAR)
+    s.AddOptionalArg("antialias", ArgType.BOOL, "Antialias on downscale.", True)
+    s.AddOptionalArg("mag_filter", ArgType.INTERP_TYPE, "Filter for upscaling.", None)
+    s.AddOptionalArg("min_filter", ArgType.INTERP_TYPE, "Filter for downscaling.", None)
+    s.AddOptionalArg("roi_relative", ArgType.BOOL, "ROI in relative coords.", False)
+    s.AddOptionalArg("roi_start", ArgType.FLOAT_VEC, "Input ROI origin.", None)
+    s.AddOptionalArg("roi_end", ArgType.FLOAT_VEC, "Input ROI end.", None)
+    s.AddOptionalArg("subpixel_scale", ArgType.BOOL,
+                     "Adjust scale for fractional sizes.", True)
+    s.AddOptionalArg("resize_z", ArgType.FLOAT,
+                     "Volumetric depth (n/a for video frames).", 0.0)
+    s.AddOptionalArg("minibatch_size", ArgType.INT,
+                     "Reference GPU kernel batching hint (compat).", 32)
+    s.AddOptionalArg("temp_buffer_hint", ArgType.INT,
+                     "Reference GPU scratch hint (compat).", 0)
     return s
 
 
@@ -433,26 +430,44 @@ class VideoResizeReader(_VideoReaderImpl):
     def _read_payload(self, index: int):
         import cv2
 
+        from .image import compute_resize_size
+
         out = super()._read_payload(index)
         frames = out[0] if isinstance(out, tuple) else out
-        rx = self.spec.GetArgument("resize_x", 0.0)
-        ry = self.spec.GetArgument("resize_y", 0.0)
-        rs = self.spec.GetArgument("resize_shorter", 0.0)
+        spec = self.spec
         f, h, w, c = frames.shape
-        if rs:
-            scale = rs / min(h, w)
-            ow, oh = int(round(w * scale)), int(round(h * scale))
-        elif rx and not ry:  # one extent: preserve aspect (reference Resize)
-            ow = int(rx)
-            oh = int(round(h * rx / w))
-        elif ry and not rx:
-            oh = int(ry)
-            ow = int(round(w * ry / h))
-        else:
-            ow = int(rx) or w
-            oh = int(ry) or h
+        # optional input ROI (reference ResizeAttr roi_start/roi_end)
+        rs0 = spec.GetArgument("roi_start", None)
+        re0 = spec.GetArgument("roi_end", None)
+        if rs0 is not None or re0 is not None:
+            rel = spec.GetArgument("roi_relative", False)
+            s0 = np.asarray(rs0 if rs0 is not None else ([0.0, 0.0] if rel else [0, 0]), np.float64)
+            e0 = np.asarray(re0 if re0 is not None else ([1.0, 1.0] if rel else [h, w]), np.float64)
+            if rel:
+                s0, e0 = s0 * [h, w], e0 * [h, w]
+            y0, x0 = int(round(s0[0])), int(round(s0[1]))
+            y1, x1 = int(round(e0[0])), int(round(e0[1]))
+            frames = frames[:, max(y0, 0):max(y1, y0 + 1), max(x0, 0):max(x1, x0 + 1)]
+            h, w = frames.shape[1:3]
+        try:
+            oh, ow = compute_resize_size(h, w, spec,
+                                         lambda n, d=None: spec.GetArgument(n, d))
+        except ValueError:  # no resize extents given: pass through
+            oh, ow = h, w
         if (oh, ow) != (h, w):
-            frames = np.stack([cv2.resize(fr, (ow, oh), interpolation=cv2.INTER_LINEAR)
+            interp = spec.GetArgument(
+                "min_filter" if (oh < h or ow < w) else "mag_filter", None)
+            if interp is None:
+                interp = spec.GetArgument("interp_type", DALIInterpType.INTERP_LINEAR)
+            cv_interp = {DALIInterpType.INTERP_NN: cv2.INTER_NEAREST,
+                         DALIInterpType.INTERP_CUBIC: cv2.INTER_CUBIC,
+                         DALIInterpType.INTERP_LANCZOS3: cv2.INTER_LANCZOS4,
+                         DALIInterpType.INTERP_TRIANGULAR: cv2.INTER_AREA}.get(
+                             interp, cv2.INTER_LINEAR)
+            if (oh < h or ow < w) and spec.GetArgument("antialias", True) \
+                    and cv_interp == cv2.INTER_LINEAR:
+                cv_interp = cv2.INTER_AREA
+            frames = np.stack([cv2.resize(fr, (ow, oh), interpolation=cv_interp)
                                for fr in frames])
         return (frames,) + tuple(out[1:]) if isinstance(out, tuple) else frames
 
@@ -506,6 +521,12 @@ DALI_SCHEMA("TensorResize").DocStr(
     "mag_filter", ArgType.INTERP_TYPE, "Filter for upscaling.", None
 ).AddOptionalArg(
     "min_filter", ArgType.INTERP_TYPE, "Filter for downscaling.", None
+).AddOptionalArg(
+    "minibatch_size", ArgType.INT,
+    "Reference GPU kernel batching hint; accepted for compatibility.", 32
+).AddOptionalArg(
+    "temp_buffer_hint", ArgType.INT,
+    "Reference GPU scratch-size hint; accepted for compatibility.", 0
 )
 
 
@@ -602,7 +623,22 @@ DALI_SCHEMA("BBoxRotate").DocStr(
     "bbox_layout", ArgType.TENSOR_LAYOUT, "'xyXY' or 'xyWH'.", "xyXY"
 ).AddOptionalArg(
     "bbox_normalized", ArgType.BOOL, "Boxes are in [0,1] coords.", True
-).AddOptionalArg("keep_size", ArgType.BOOL, "Canvas keeps the input size.", False)
+).AddOptionalArg(
+    "keep_size", ArgType.BOOL, "Canvas keeps the input size.", False
+).AddOptionalArg(
+    "size", ArgType.FLOAT_VEC,
+    "Output canvas size override — the `size` given to the paired fn.rotate "
+    "(reference bbox_rotate.cc).", None, tensor_ok=True, per_sample=True
+).AddOptionalArg(
+    "mode", ArgType.STRING,
+    'Box transform mode: "expand" (axis-aligned hull of the rotated corners), '
+    '"fixed" (keep original box extents, recentered), "halfway" (midpoint of '
+    "the two). Reference bbox_rotate.cc.", "expand"
+).AddOptionalArg(
+    "remove_threshold", ArgType.FLOAT,
+    "Remove boxes whose remaining area fraction after clipping to the canvas "
+    "falls below this threshold (0 = never remove, 1 = remove if any part is "
+    "outside).", 0.1)
 
 
 @register_operator("BBoxRotate", "cpu")
@@ -630,7 +666,11 @@ class BBoxRotate(Operator):
             a = np.deg2rad(angle)
             c, s = np.cos(a), np.sin(a)
             # fn.rotate convention: output canvas of the rotated image
-            if keep:
+            size_arg = ctx.arg(self, "size", i, None)
+            if size_arg is not None:
+                sz = np.asarray(size_arg, np.float64).reshape(-1)
+                oh, ow = (float(sz[0]), float(sz[-1])) if sz.size > 1 else (float(sz[0]),) * 2
+            elif keep:
                 ow, oh = w, h
             else:
                 ow = abs(w * c) + abs(h * s)
@@ -646,9 +686,29 @@ class BBoxRotate(Operator):
             rx = rel[..., 0] * c + rel[..., 1] * s + ocx
             ry = -rel[..., 0] * s + rel[..., 1] * c + ocy
             nb = np.stack([rx.min(1), ry.min(1), rx.max(1), ry.max(1)], axis=1)
+            mode = self.spec.GetArgument("mode", "expand")
+            if mode in ("fixed", "halfway"):
+                # "fixed": original box extents around the rotated center;
+                # "halfway": midpoint between fixed and expanded extents
+                # (reference bbox_rotate.cc Mode)
+                mid = np.stack([(nb[:, 0] + nb[:, 2]) / 2, (nb[:, 1] + nb[:, 3]) / 2], axis=1)
+                ow0 = bb[:, 2] - bb[:, 0]
+                oh0 = bb[:, 3] - bb[:, 1]
+                if mode == "halfway":
+                    ow0 = (ow0 + (nb[:, 2] - nb[:, 0])) / 2
+                    oh0 = (oh0 + (nb[:, 3] - nb[:, 1])) / 2
+                nb = np.stack([mid[:, 0] - ow0 / 2, mid[:, 1] - oh0 / 2,
+                               mid[:, 0] + ow0 / 2, mid[:, 1] + oh0 / 2], axis=1)
+            area0 = np.maximum((nb[:, 2] - nb[:, 0]) * (nb[:, 3] - nb[:, 1]), 1e-9)
             nb[:, [0, 2]] = np.clip(nb[:, [0, 2]], 0, ow)
             nb[:, [1, 3]] = np.clip(nb[:, [1, 3]], 0, oh)
-            valid = (nb[:, 2] > nb[:, 0]) & (nb[:, 3] > nb[:, 1])
+            area1 = (nb[:, 2] - nb[:, 0]) * (nb[:, 3] - nb[:, 1])
+            # remove_threshold: fraction of the box surviving the canvas clip
+            # (0 keeps everything, 1 keeps only fully-inside boxes)
+            thresh = float(self.spec.GetArgument("remove_threshold", 0.1))
+            valid = (area1 / area0) >= thresh
+            if thresh > 0:
+                valid &= (nb[:, 2] > nb[:, 0]) & (nb[:, 3] > nb[:, 1])
             nb = nb[valid]
             if norm:
                 nb /= [ow, oh, ow, oh]

@@ -128,7 +128,12 @@ DALI_SCHEMA("readers.Webdataset").DocStr(
     "ext", ArgType.STRING_VEC, "Component extensions, one output each.", ["jpg"]
 ).AddOptionalArg(
     "missing_component_behavior", ArgType.STRING, "'error'|'skip'|'empty'.", "empty"
-).AddOptionalArg("dtypes", ArgType.PYTHON_OBJECT, "Output dtypes.", None)
+).AddOptionalArg(
+    "dtypes", ArgType.PYTHON_OBJECT, "Output dtypes.", None
+).AddOptionalArg(
+    "case_sensitive_extensions", ArgType.BOOL,
+    "Match component extensions case-sensitively (reference "
+    "webdataset_loader.cc; False matches JPG/jpg alike).", True)
 
 
 @register_operator("readers.Webdataset", "cpu")
@@ -182,6 +187,10 @@ class WebdatasetReader(BaseReader):
                             groups[base] = {}
                             order.append(base)
                         groups[base][ext] = (m.offset_data, m.size)
+            if not self.spec.GetArgument("case_sensitive_extensions", True):
+                groups = {base: {e.lower(): v for e, v in comp.items()}
+                          for base, comp in groups.items()}
+                exts = [e.lower() for e in exts]
             for base in order:
                 comp = groups[base]
                 if behavior == "skip" and any(e not in comp for e in exts):
@@ -196,6 +205,8 @@ class WebdatasetReader(BaseReader):
     def _read_payload(self, index: int):
         fi, comp = self._samples[index]
         exts = self.spec.GetArgument("ext")
+        if not self.spec.GetArgument("case_sensitive_extensions", True):
+            exts = [e.lower() for e in exts]
         path = self._paths[fi]
         outs = []
         if path.startswith("s3://"):

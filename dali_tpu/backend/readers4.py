@@ -175,11 +175,52 @@ _lmdb_schema(
     "readers.Caffe",
     "Reads (image, label) from a Caffe LMDB (reference caffe_reader_op.cc). "
     "Encoded datums yield the undecoded image bytes — pair with fn.decoders.image.",
+).OutputFn(
+    lambda spec: (int(spec.GetArgument("image_available", True))
+                  + int(spec.GetArgument("label_available", True)))
+).AddOptionalArg(
+    "image_available", ArgType.BOOL,
+    "The LMDB datums contain image data (reference caffe_reader_op.cc).", True
+).AddOptionalArg(
+    "label_available", ArgType.BOOL, "The LMDB datums contain labels.", True
 )
+
+
+def _caffe2_output_fn(spec):
+    """Reference Caffe2ReaderOutputFn (caffe2_reader_op.cc:22): image +
+    label (2 outputs for the sparse label types: dense vector + raw indices) +
+    additional_inputs + bbox."""
+    lt = spec.GetArgument("label_type", 0)
+    n = int(spec.GetArgument("image_available", True))
+    n += (0 if lt == 4 else 1) + (1 if lt in (1, 3) else 0)
+    n += int(spec.GetArgument("additional_inputs", 0))
+    n += int(spec.GetArgument("bbox", False))
+    return n
+
+
 _lmdb_schema(
     "readers.Caffe2",
     "Reads (image, label) from a Caffe2 LMDB of TensorProtos "
     "(reference caffe2_reader_op.cc).",
+).OutputFn(_caffe2_output_fn).AddOptionalArg(
+    "image_available", ArgType.BOOL,
+    "The first TensorProto of each sample is image data.", True
+).AddOptionalArg(
+    "label_type", ArgType.INT,
+    "0 = SINGLE_LABEL, 1 = MULTI_LABEL_SPARSE (dense one-hot of num_labels + "
+    "raw indices output), 2 = MULTI_LABEL_DENSE, 3 = MULTI_LABEL_WEIGHTED_SPARSE "
+    "(dense weights of num_labels + raw indices output), 4 = NO_LABEL "
+    "(reference caffe2_reader_op.cc).", 0
+).AddOptionalArg(
+    "num_labels", ArgType.INT,
+    "Number of classes (required for the sparse label types).", 1
+).AddOptionalArg(
+    "additional_inputs", ArgType.INT,
+    "Number of auxiliary TensorProtos per sample emitted as extra outputs.", 0
+).AddOptionalArg(
+    "bbox", ArgType.BOOL,
+    "The final TensorProto is a 4-element int32 bounding box (extra output).",
+    False
 )
 
 
@@ -210,24 +251,79 @@ class _LMDBReaderBase(BaseReader):
 class CaffeReader(_LMDBReaderBase):
     def _read_payload(self, index: int):
         d = parse_datum(self._raw_value(index))
-        label = np.int32(d["label"])
-        if d["float_data"]:
-            data = np.asarray(d["float_data"], np.float32)
-            if d["channels"] and d["height"] and d["width"]:
-                data = data.reshape(d["channels"], d["height"], d["width"])
-        else:
-            data = np.frombuffer(d["data"], np.uint8)
-            if not d["encoded"] and d["channels"] and d["height"] and d["width"]:
-                data = data.reshape(d["channels"], d["height"], d["width"])
-        return data, label
+        outs = []
+        if self.spec.GetArgument("image_available", True):
+            if d["float_data"]:
+                data = np.asarray(d["float_data"], np.float32)
+                if d["channels"] and d["height"] and d["width"]:
+                    data = data.reshape(d["channels"], d["height"], d["width"])
+            else:
+                data = np.frombuffer(d["data"], np.uint8)
+                if not d["encoded"] and d["channels"] and d["height"] and d["width"]:
+                    data = data.reshape(d["channels"], d["height"], d["width"])
+            outs.append(data)
+        if self.spec.GetArgument("label_available", True):
+            outs.append(np.int32(d["label"]))
+        return tuple(outs) if len(outs) != 1 else outs[0]
 
 
 @register_operator("readers.Caffe2", "cpu")
 class Caffe2Reader(_LMDBReaderBase):
     def _read_payload(self, index: int):
+        """Proto layout (reference caffe2_parser.h Parse): [image][label
+        indices][weights (weighted-sparse)][additional...][bbox]."""
+        spec = self.spec
         protos = parse_tensor_protos(self._raw_value(index))
-        data = protos[0] if protos else np.zeros(0, np.uint8)
-        label = protos[1] if len(protos) > 1 else np.zeros((), np.int32)
-        if label.ndim and label.size == 1:
-            label = label.reshape(())
-        return data, np.asarray(label)
+        outs = []
+        k = 0
+        if spec.GetArgument("image_available", True):
+            data = protos[k] if k < len(protos) else np.zeros(0, np.uint8)
+            outs.append(data)
+            k += 1
+        lt = spec.GetArgument("label_type", 0)
+        num_labels = spec.GetArgument("num_labels", 1)
+        if lt != 4:
+            lab = np.asarray(protos[k]) if k < len(protos) else np.zeros((), np.int32)
+            if lt == 0:  # SINGLE_LABEL
+                if lab.ndim and lab.size == 1:
+                    lab = lab.reshape(())
+                outs.append(lab)
+                k += 1
+            elif lt == 1:  # MULTI_LABEL_SPARSE -> dense one-hot + raw indices
+                idx = lab.reshape(-1).astype(np.int64)
+                if idx.size and (idx.min() < 0 or idx.max() >= num_labels):
+                    raise ValueError(
+                        f"readers.Caffe2: label index out of bounds "
+                        f"(num_labels={num_labels})")
+                dense = np.zeros((num_labels,), lab.dtype if lab.dtype.kind == "f"
+                                 else np.int32)
+                dense[idx] = 1
+                outs += [dense, idx.astype(np.int32)]
+                k += 1
+            elif lt == 2:  # MULTI_LABEL_DENSE
+                outs.append(lab.reshape(-1))
+                k += 1
+            elif lt == 3:  # MULTI_LABEL_WEIGHTED_SPARSE
+                idx = lab.reshape(-1).astype(np.int64)
+                wts = (np.asarray(protos[k + 1], np.float32).reshape(-1)
+                       if k + 1 < len(protos) else np.zeros_like(idx, np.float32))
+                if idx.size and (idx.min() < 0 or idx.max() >= num_labels):
+                    raise ValueError(
+                        f"readers.Caffe2: label index out of bounds "
+                        f"(num_labels={num_labels})")
+                dense = np.zeros((num_labels,), np.float32)
+                dense[idx] = wts[: idx.size]
+                outs += [dense, idx.astype(np.int32)]
+                k += 2
+            else:
+                raise ValueError(f"readers.Caffe2: unsupported label_type {lt}")
+        for _ in range(spec.GetArgument("additional_inputs", 0)):
+            outs.append(np.asarray(protos[k]) if k < len(protos) else np.zeros(0, np.float32))
+            k += 1
+        if spec.GetArgument("bbox", False):
+            bb = np.asarray(protos[k], np.int32).reshape(-1) if k < len(protos) \
+                else np.zeros((4,), np.int32)
+            if bb.size != 4:
+                raise ValueError("readers.Caffe2: bbox proto must have 4 int32 values")
+            outs.append(bb)
+        return tuple(outs) if len(outs) != 1 else outs[0]

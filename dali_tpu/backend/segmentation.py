@@ -56,19 +56,96 @@ DALI_SCHEMA("segmentation.RandomObjectBBox").DocStr(
     "foreground_prob", ArgType.FLOAT, "Probability of picking foreground.", 1.0, tensor_ok=True, per_sample=True
 ).AddOptionalArg(
     "by_instance", ArgType.BOOL, "Treat connected components as instances.", False
-).AddOptionalArg("output_class", ArgType.BOOL, "Also output the selected class label.", False)
+).AddOptionalArg(
+    "output_class", ArgType.BOOL, "Also output the selected class label.", False
+).AddOptionalArg(
+    "ignore_class", ArgType.BOOL,
+    "Pick among ALL foreground blobs with equal probability instead of "
+    "class-first (incompatible with classes/output_class; reference "
+    "random_object_bbox.cc).", False
+).AddOptionalArg(
+    "k_largest", ArgType.INT,
+    "Consider only the k largest boxes (by volume) — of all blobs with "
+    "ignore_class, else of the selected class.", None
+).AddOptionalArg(
+    "cache_objects", ArgType.BOOL,
+    "Cache blob boxes keyed by a content hash of the input mask (reference "
+    "cache_objects).", False)
 
 
 @register_operator("segmentation.RandomObjectBBox", "cpu")
 class RandomObjectBBox(Operator):
+    _box_cache = None  # content-hash -> blob boxes (cache_objects)
+
+    def _blob_boxes(self, mask, bg, ignore_class):
+        """All blob (start, end) boxes — per connected component across the
+        whole foreground (ignore_class) or keyed by class label. Cached by a
+        content hash when cache_objects=True (reference random_object_bbox.cc
+        256-bit hash cache)."""
+        from scipy import ndimage
+
+        use_cache = self.spec.GetArgument("cache_objects", False)
+        key = None
+        if use_cache:
+            import hashlib
+
+            if self._box_cache is None:
+                self._box_cache = {}
+            key = (hashlib.sha256(np.ascontiguousarray(mask).tobytes()).digest(),
+                   bg, ignore_class, bool(self.spec.GetArgument("by_instance", False)))
+            hit = self._box_cache.get(key)
+            if hit is not None:
+                return hit
+        result = {}
+        if ignore_class:
+            comp, n = ndimage.label(mask != bg)
+            sl = ndimage.find_objects(comp)
+            result[None] = [
+                (np.array([s.start for s in box], np.int32),
+                 np.array([s.stop for s in box], np.int32))
+                for box in sl if box is not None]
+        else:
+            labels = np.unique(mask)
+            for cls in labels[labels != bg]:
+                bin_mask = mask == cls
+                if self.spec.GetArgument("by_instance", False):
+                    comp, n = ndimage.label(bin_mask)
+                    sl = ndimage.find_objects(comp)
+                    result[int(cls)] = [
+                        (np.array([s.start for s in box], np.int32),
+                         np.array([s.stop for s in box], np.int32))
+                        for box in sl if box is not None]
+                else:
+                    idxs = np.argwhere(bin_mask)
+                    result[int(cls)] = [(idxs.min(axis=0).astype(np.int32),
+                                         (idxs.max(axis=0) + 1).astype(np.int32))]
+        if use_cache:
+            self._box_cache[key] = result
+        return result
+
+    @staticmethod
+    def _k_largest(boxes, k):
+        if k is None or len(boxes) <= k:
+            return boxes
+        vols = [float(np.prod((e - s).astype(np.int64))) for s, e in boxes]
+        order = np.argsort(vols)[::-1][:k]
+        return [boxes[j] for j in sorted(order)]
+
     def run_sample(self, ctx, idx, mask):
         from scipy import ndimage
 
         rng = ctx.rng(self, idx)
+        spec = self.spec
         bg = int(np.asarray(ctx.arg(self, "background", idx, 0)))
         fg_prob = float(np.asarray(ctx.arg(self, "foreground_prob", idx, 1.0)))
-        fmt = self.spec.GetArgument("format", "anchor_shape")
-        out_class = self.spec.GetArgument("output_class", False)
+        fmt = spec.GetArgument("format", "anchor_shape")
+        out_class = spec.GetArgument("output_class", False)
+        ignore_class = spec.GetArgument("ignore_class", False)
+        if ignore_class and (spec.GetArgument("classes", None) or out_class):
+            raise ValueError(
+                "segmentation.RandomObjectBBox: ignore_class is incompatible "
+                "with classes/output_class")
+        k_largest = spec.GetArgument("k_largest", None)
         nd = mask.ndim
 
         def full_box():
@@ -78,8 +155,15 @@ class RandomObjectBBox(Operator):
 
         if rng.random() > fg_prob:
             start, end, cls = full_box()
+        elif ignore_class:
+            boxes = self._k_largest(self._blob_boxes(mask, bg, True)[None], k_largest)
+            if not boxes:
+                start, end, cls = full_box()
+            else:
+                start, end = boxes[int(rng.integers(0, len(boxes)))]
+                cls = bg
         else:
-            classes = self.spec.GetArgument("classes", None)
+            classes = spec.GetArgument("classes", None)
             labels = np.unique(mask)
             labels = labels[labels != bg]
             if classes:
@@ -88,14 +172,24 @@ class RandomObjectBBox(Operator):
                 start, end, cls = full_box()
             else:
                 cls = int(labels[int(rng.integers(0, len(labels)))])
-                bin_mask = mask == cls
-                if self.spec.GetArgument("by_instance", False):
-                    comp, n = ndimage.label(bin_mask)
-                    pick = int(rng.integers(1, n + 1)) if n > 0 else 0
-                    bin_mask = comp == pick
-                idxs = np.argwhere(bin_mask)
-                start = idxs.min(axis=0).astype(np.int32)
-                end = (idxs.max(axis=0) + 1).astype(np.int32)
+                needs_boxes = (self.spec.GetArgument("by_instance", False)
+                               or k_largest is not None
+                               or spec.GetArgument("cache_objects", False))
+                if needs_boxes:
+                    boxes = self._k_largest(
+                        self._blob_boxes(mask, bg, False).get(cls, []), k_largest)
+                    if not boxes:
+                        start, end, cls = full_box()
+                    elif self.spec.GetArgument("by_instance", False):
+                        # keep the historical draw: integers(1, n+1)
+                        pick = int(rng.integers(1, len(boxes) + 1)) - 1
+                        start, end = boxes[pick]
+                    else:
+                        start, end = boxes[0]
+                else:
+                    idxs = np.argwhere(mask == cls)
+                    start = idxs.min(axis=0).astype(np.int32)
+                    end = (idxs.max(axis=0) + 1).astype(np.int32)
         outs = []
         if fmt == "anchor_shape":
             outs = [start, (end - start).astype(np.int32)]

@@ -367,19 +367,19 @@ class MultiPasteGPU(Operator):
         ia = np.zeros((n, kmax, 2), np.int32)
         oa = np.zeros((n, kmax, 2), np.int32)
         rs = np.zeros((n, kmax, 2), np.int32)  # region sizes (clipped)
+        from .misc import resolve_mp_regions
+
         for i in range(n):
             v = np.asarray(ctx.arg(self, "in_ids", i), np.int64).reshape(-1)
             k = len(v)
             ids[i, :k] = v
-            ia_i = np.asarray(ctx.arg(self, "in_anchors", i, np.zeros(2 * k)),
-                              np.int64).reshape(k, 2)
-            oa_i = np.asarray(ctx.arg(self, "out_anchors", i, np.zeros(2 * k)),
-                              np.int64).reshape(k, 2)
-            sh_arg = ctx.arg(self, "shapes", i, None)
+            src_hw = [(shapes[int(s), 0], shapes[int(s), 1]) for s in v]
+            ia_i, oa_i, sh_arg = resolve_mp_regions(
+                self, ctx, i, v, src_hw, (outs[i, 0], outs[i, 1]))
             for j in range(k):
                 sid = int(v[j])
                 if sh_arg is not None:
-                    rh, rw = np.asarray(sh_arg, np.int64).reshape(k, 2)[j]
+                    rh, rw = sh_arg[j]
                 else:
                     rh, rw = shapes[sid, 0], shapes[sid, 1]
                 rh = int(min(rh, shapes[sid, 0] - ia_i[j, 0], outs[i, 0] - oa_i[j, 0]))

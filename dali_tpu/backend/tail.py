@@ -264,7 +264,17 @@ def _resize_crop_mirror_schema(name):
     ).AddOptionalArg(
         "crop_pos_z", ArgType.FLOAT, "Volumetric z pos.", 0.5
     ).AddOptionalArg(
-        "resize_z", ArgType.FLOAT, "Volumetric resize depth (unsupported here).", 0.0)
+        "resize_z", ArgType.FLOAT, "Volumetric resize depth (unsupported here).", 0.0
+    ).AddOptionalArg(
+        "rounding", ArgType.STRING,
+        'Crop-start integer conversion: "round" or "truncate" (crop_attr.cc).',
+        "round"
+    ).AddOptionalArg(
+        "minibatch_size", ArgType.INT,
+        "Reference GPU kernel batching hint; accepted for compatibility.", 32
+    ).AddOptionalArg(
+        "temp_buffer_hint", ArgType.INT,
+        "Reference GPU scratch-size hint; accepted for compatibility.", 0)
     return s
 
 
@@ -318,11 +328,14 @@ class _RCMBase(Operator):
             if ch_ and cw_:
                 crop = [ch_, cw_]
         if crop:
+            from .generic2 import _crop_round
+
             ch, cw = int(crop[0]), int(crop[1])
             py = float(np.asarray(ctx.arg(self, "crop_pos_y", idx, 0.5)))
             px = float(np.asarray(ctx.arg(self, "crop_pos_x", idx, 0.5)))
-            y = int(round(py * (out_h - ch)))
-            x = int(round(px * (out_w - cw)))
+            rnd = self.spec.GetArgument("rounding", "round")
+            y = _crop_round(py * (out_h - ch), rnd)
+            x = _crop_round(px * (out_w - cw), rnd)
             resized = resized[y : y + ch, x : x + cw]
         if int(np.asarray(ctx.arg(self, "mirror", idx, 0))):
             resized = resized[:, ::-1]
@@ -373,7 +386,11 @@ DALI_SCHEMA("readers.NemoAsr").DocStr(
 ).AddOptionalArg(
     "max_duration", ArgType.FLOAT, "Skip longer clips (0 = inf).", 0.0
 ).AddOptionalArg(
-    "quality", ArgType.FLOAT, "Resampling quality (0..100; hint).", 50.0)
+    "quality", ArgType.FLOAT, "Resampling quality (0..100; hint).", 50.0
+).AddOptionalArg(
+    "dtype", ArgType.DATA_TYPE,
+    "Audio output dtype: FLOAT (default) or INT16 (reference "
+    "nemo_asr_reader_op.cc `dtype`).", DALIDataType.FLOAT)
 
 
 @register_operator("readers.NemoAsr", "cpu")
@@ -425,7 +442,13 @@ class NemoAsrReader(BaseReader):
         if target and target > 0:
             audio = _resample_audio(audio, rate, target)
             rate = target
-        outs = (audio.astype(np.float32),)
+        dt = self.spec.GetArgument("dtype", DALIDataType.FLOAT)
+        if dt == DALIDataType.INT16:
+            audio = np.clip(np.round(np.asarray(audio, np.float32) * 32767.0),
+                            -32768, 32767).astype(np.int16)
+            outs = (audio,)
+        else:
+            outs = (audio.astype(to_numpy_type(dt)),)
         if self.spec.GetArgument("read_sample_rate", True):
             outs += (np.float32(rate),)
         if self.spec.GetArgument("read_text", True):

@@ -18,6 +18,38 @@ from ..batch import HostBatch
 from .base import Operator
 from .readers import BaseReader
 
+
+def pad_frames(frames: np.ndarray, want: int, mode: str, fill=0.0) -> np.ndarray:
+    """Pad a short [F, H, W, C] sequence to ``want`` frames (reference
+    video pad_mode semantics: none/constant/edge/repeat/reflect variants)."""
+    got = frames.shape[0]
+    extra = want - got
+    if extra <= 0 or mode == "none" or got == 0:
+        return frames
+    if mode == "constant":
+        fv = np.asarray(fill, np.float64).reshape(-1)
+        pad = np.empty((extra,) + frames.shape[1:], frames.dtype)
+        pad[...] = fv if fv.size == frames.shape[-1] else fv[0]
+    elif mode in ("edge", "repeat"):
+        pad = np.repeat(frames[-1:], extra, axis=0)
+    elif mode in ("reflect_1001", "symmetric"):
+        idx = [(got - 1) - (i % got) if (i // got) % 2 == 0 else i % got
+               for i in range(extra)]
+        pad = frames[idx]
+    elif mode in ("reflect_101", "reflect"):
+        if got == 1:
+            pad = np.repeat(frames[-1:], extra, axis=0)
+        else:
+            period = 2 * (got - 1)
+            idx = []
+            for i in range(extra):
+                p = (got - 2 - i) % period
+                idx.append(p if p < got else period - p)
+            pad = frames[idx]
+    else:
+        raise ValueError(f"Unknown pad_mode {mode!r}")
+    return np.concatenate([frames, pad], axis=0)
+
 DALI_SCHEMA("readers.Video").DocStr(
     """Reads fixed-length frame sequences from video files (reference
     ``readers__Video``). Outputs [F, H, W, C] uint8 (+ label when
@@ -73,7 +105,34 @@ DALI_SCHEMA("readers.Video").DocStr(
 ).AddOptionalArg(
     "file_list_include_preceding_frame", ArgType.BOOL,
     "Seconds-based ranges include the frame straddling the start time.",
-    False)
+    False
+).AddOptionalArg(
+    "file_list_format", ArgType.STRING,
+    'Experimental-reader form of the file_list range columns: "frames" or '
+    '"timestamps" (reference experimental readers__Video '
+    "`file_list_format`; overrides file_list_frame_num when set).", None
+).AddOptionalArg(
+    "file_list_rounding", ArgType.STRING,
+    'Non-exact frame-match rounding: "start_down_end_up" (default), '
+    '"start_up_end_down", "all_up", "all_down".', "start_down_end_up"
+).AddOptionalArg(
+    "file_list_include_end", ArgType.BOOL,
+    "Include the end frame in the range.", True
+).AddOptionalArg(
+    "uniform_sample", ArgType.BOOL,
+    "One sequence per video: sequence_length frames spread evenly over the "
+    "video (linspace rounded half away from zero; repeats when the video is "
+    "shorter). stride/step/pad_mode are ignored.", False
+).AddOptionalArg(
+    "pad_mode", ArgType.STRING,
+    'Short-sequence handling: "none" (emit shorter tails), "constant" '
+    '(fill_value), "edge"/"repeat", "reflect_101", "reflect_1001". When set, '
+    "tail sequences past the video end are emitted (like pad_sequences).",
+    None
+).AddOptionalArg(
+    "fill_value", ArgType.INT_VEC,
+    "Pad value(s) 0..255 for pad_mode='constant' (per channel when several).",
+    [0])
 
 
 class _VideoReaderImpl(BaseReader):
@@ -129,10 +188,25 @@ class _VideoReaderImpl(BaseReader):
             step = L
         self._sequences = []
         self._fps = {}
+        self._spans = {}  # uniform_sample: fi -> (lo, hi)
         span = (L - 1) * stride + 1
-        pad_seq = spec.GetArgument("pad_sequences", False)
-        by_frame = spec.GetArgument("file_list_frame_num", False)
+        pad_mode = spec.GetArgument("pad_mode", None)
+        pad_seq = spec.GetArgument("pad_sequences", False) or (
+            pad_mode is not None and pad_mode != "none")
+        uniform = spec.GetArgument("uniform_sample", False)
+        fmt = spec.GetArgument("file_list_format", None)
+        by_frame = (fmt == "frames" if fmt is not None
+                    else spec.GetArgument("file_list_frame_num", False))
         incl_prev = spec.GetArgument("file_list_include_preceding_frame", False)
+        rounding = spec.GetArgument("file_list_rounding", "start_down_end_up")
+        lo_fn, hi_fn = {
+            "start_down_end_up": (np.floor, np.ceil),
+            "start_up_end_down": (np.ceil, np.floor),
+            "all_up": (np.ceil, np.ceil),
+            "all_down": (np.floor, np.floor),
+        }[rounding]
+        if fmt is None and not incl_prev:
+            lo_fn = np.ceil  # legacy reader: next frame at/after the start time
         for fi, path in enumerate(files):
             v = native.VideoFile(path)
             n = v.num_frames
@@ -144,11 +218,21 @@ class _VideoReaderImpl(BaseReader):
             if rng is not None:
                 a, b = rng
                 if by_frame:
-                    lo, hi = int(a), int(b) if b > 0 else n
+                    lo = int(a) if a >= 0 else n + int(a)
+                    hi = (int(b) if b >= 0 else n + int(b)) if b != 0 else n
+                    if fmt is not None and spec.GetArgument("file_list_include_end", True):
+                        hi += 1
                 else:  # seconds
-                    lo = int(np.floor(a * fps)) if incl_prev else int(np.ceil(a * fps))
-                    hi = int(np.ceil(b * fps)) if b > 0 else n
+                    lo = int(lo_fn(a * fps))
+                    hi = int(hi_fn(b * fps)) if b > 0 else n
+                    if fmt is not None and spec.GetArgument("file_list_include_end", True):
+                        hi += 1
                 lo, hi = max(lo, 0), min(max(hi, lo), n)
+            if uniform:
+                if lo < hi:
+                    self._spans[fi] = (lo, hi)
+                    self._sequences.append((fi, lo, labels[fi]))
+                continue
             start = lo
             limit = hi if not pad_seq else hi - 1 + span  # allow padded tails
             while start + (1 if pad_seq else span) <= hi and start + span <= limit:
@@ -185,12 +269,26 @@ class _VideoReaderImpl(BaseReader):
         L = spec.GetArgument("sequence_length")
         stride = spec.GetArgument("stride", 1)
         h = self._handle(fi)
-        # the decoder handle is stateful: serialize reads per file
-        with h._lock:
-            frames = h.read(start, L, stride)
-        if frames.shape[0] < L:  # pad_sequences tail: repeat the last frame
-            frames = np.concatenate(
-                [frames, np.repeat(frames[-1:], L - frames.shape[0], axis=0)], axis=0)
+        if spec.GetArgument("uniform_sample", False):
+            # L frames spread evenly over [lo, hi); round half away from zero
+            # like std::round (reference experimental readers__Video)
+            lo, hi = self._spans[fi]
+            t = (np.arange(L) / (L - 1)) if L > 1 else np.zeros(1)
+            idxs = lo + np.floor(t * (hi - lo - 1) + 0.5).astype(np.int64)
+            with h._lock:
+                frames = h.read(lo, hi - lo, 1)
+            frames = frames[idxs - lo]
+        else:
+            # the decoder handle is stateful: serialize reads per file
+            with h._lock:
+                frames = h.read(start, L, stride,
+                                pad=spec.GetArgument("pad_mode", None) is None)
+        if frames.shape[0] < L:
+            # legacy default (pad_mode unset): repeat the last frame, as
+            # pad_sequences always did; "none" leaves the tail short
+            mode = spec.GetArgument("pad_mode", None) or "edge"
+            frames = pad_frames(frames, L, mode,
+                                spec.GetArgument("fill_value", [0]))
         if spec.GetArgument("channels", 3) == 1:
             luma = (0.299 * frames[..., 0] + 0.587 * frames[..., 1]
                     + 0.114 * frames[..., 2])

@@ -114,25 +114,30 @@ def apply_orientation(img: np.ndarray, orientation: int) -> np.ndarray:
 
 
 def decode(data: bytes, output_type=DALIImageType.RGB, denom: int = 1,
-           adjust_orientation: bool = True) -> np.ndarray:
+           adjust_orientation: bool = True, fancy_upsampling: bool = True) -> np.ndarray:
     """Decode an encoded image to HWC uint8 in the requested color space.
 
     ``denom`` (JPEG only): decode at 1/denom DCT scale (libjpeg scaled decode).
     ``adjust_orientation`` applies the EXIF orientation tag (reference
     default) — rotated-camera JPEGs come out upright.
+    ``fancy_upsampling`` (JPEG only): libjpeg triangular chroma upsampling
+    (reference ``jpeg_fancy_upsampling``); False = cheaper box replication.
     """
     if adjust_orientation and is_jpeg(data):
         o = exif_orientation(data)
         if o != 1:
-            img = decode(data, output_type, denom, adjust_orientation=False)
+            img = decode(data, output_type, denom, adjust_orientation=False,
+                         fancy_upsampling=fancy_upsampling)
             return np.ascontiguousarray(apply_orientation(img, o))
     native, cv2 = _backends()
     if native is not None and is_jpeg(data):
         if output_type == DALIImageType.GRAY:
-            img = native.decode_jpeg(data, denom=denom, gray=True)
+            img = native.decode_jpeg(data, denom=denom, gray=True,
+                                     fancy_upsampling=fancy_upsampling)
             if img is not None:
                 return img
-        img = native.decode_jpeg(data, denom=denom)  # RGB HWC uint8
+        img = native.decode_jpeg(data, denom=denom,
+                                 fancy_upsampling=fancy_upsampling)  # RGB HWC uint8
         if img is not None:
             return _convert_from_rgb(img, output_type)
     if cv2 is not None:

@@ -353,7 +353,10 @@ class VideoFile:
         self.num_frames = nf.value
         self.fps = fps.value
 
-    def read(self, start: int, count: int, stride: int = 1) -> np.ndarray:
+    def read(self, start: int, count: int, stride: int = 1,
+             pad: bool = True) -> np.ndarray:
+        """Read ``count`` frames; ``pad=False`` returns only the frames that
+        exist (short at EOF) so callers can apply their own pad_mode."""
         out = np.empty((count, self.height, self.width, 3), np.uint8)
         got = self._lib.dali_tpu_video_read_frames(
             self._h, start, count, stride, out.ctypes.data_as(ctypes.c_void_p)
@@ -361,6 +364,8 @@ class VideoFile:
         if got < count:
             if got <= 0:
                 raise ValueError(f"Failed to read frames [{start}, +{count})")
+            if not pad:
+                return np.ascontiguousarray(out[:got])
             out[got:] = out[got - 1]  # pad with last frame at EOF
         return out
 
