@@ -40,7 +40,7 @@
 namespace {
 
 constexpr int kLookahead = 10;
-constexpr int kFastAc = 10;  // fast-AC table window (see build_fac)
+constexpr int kFastAc = 12;  // fast-AC table window (see build_fac; 12 bits measured +16% vs 10 on this host, 16 KB/table stays cache-resident)
 
 inline signed char sat8(int v) {
   return (signed char)(v < -128 ? -128 : v > 127 ? 127 : v);
