@@ -147,6 +147,36 @@ void build_fdc(const uint8_t* counts, const uint8_t* vals, FastDc* f) {
   }
 }
 
+// Content-keyed fast-table cache: JPEGs from one encoder ship identical DHT
+// segments, so the expanded 16 KB fast tables are reused across images on
+// each worker thread instead of being rebuilt per image. Keyed by the raw
+// (counts, vals) bytes (memcmp-verified — no hash-collision exposure).
+template <typename T, void (*Build)(const uint8_t*, const uint8_t*, T*)>
+struct TblCache {
+  struct Slot {
+    int len = -1;               // counts[1..16] + vals byte count; -1 = empty
+    uint8_t spec[16 + 256];
+    T tbl;
+  };
+  Slot slots[4];
+  int clock = 0;
+  const T* get(const uint8_t* counts, const uint8_t* vals, int total) {
+    uint8_t spec[16 + 256];
+    std::memcpy(spec, counts + 1, 16);
+    std::memcpy(spec + 16, vals, total);
+    const int len = 16 + total;
+    for (auto& s : slots)
+      if (s.len == len && std::memcmp(s.spec, spec, len) == 0) return &s.tbl;
+    Slot& s = slots[(clock++) & 3];
+    Build(counts, vals, &s.tbl);
+    s.len = len;
+    std::memcpy(s.spec, spec, len);
+    return &s.tbl;
+  }
+};
+thread_local TblCache<FastAc, build_fac> g_fac_cache;
+thread_local TblCache<FastDc, build_fdc> g_fdc_cache;
+
 bool build_huff(const uint8_t* counts /*[1..16]*/, const uint8_t* vals,
                 int nvals, HuffTbl* t) {
   int code = 0, k = 0;
@@ -267,8 +297,8 @@ struct Parser {
   uint16_t qt[4][64];
   bool qok[4] = {false, false, false, false};
   HuffTbl htdc[4], htac[4];
-  FastAc fac[4];
-  FastDc fdc[4];
+  const FastAc* fac[4] = {nullptr, nullptr, nullptr, nullptr};
+  const FastDc* fdc[4] = {nullptr, nullptr, nullptr, nullptr};
   int ri = 0;
   const uint8_t* scan_start = nullptr;
   bool sof_seen = false;
@@ -386,8 +416,8 @@ struct Parser {
       if (total > 256 || pos + (size_t)total > seg_end) return -1;
       HuffTbl* t = tc ? &htac[th] : &htdc[th];
       if (!build_huff(counts, d + pos, total, t)) return -1;
-      if (tc) build_fac(counts, d + pos, &fac[th]);
-      else build_fdc(counts, d + pos, &fdc[th]);
+      if (tc) fac[th] = g_fac_cache.get(counts, d + pos, total);
+      else fdc[th] = g_fdc_cache.get(counts, d + pos, total);
       pos += total;
     }
     return 0;
@@ -453,6 +483,7 @@ struct Parser {
         if (scan_comp[s] == i) slot = s;
       if (slot < 0) return 1;
       if (!htdc[scan_td[slot]].valid || !htac[scan_ta[slot]].valid) return 1;
+      if (!fdc[scan_td[slot]] || !fac[scan_ta[slot]]) return 1;
       if (!qok[comp[i].tq]) return 1;
     }
     return 0;
@@ -793,8 +824,8 @@ int dali_tpu_jpeg_huff_read_coeffs_split_crop(
              i == 0 ? zmap_y : zmap_c,
              &ps.htdc[ps.scan_td[slot]],
              &ps.htac[ps.scan_ta[slot]],
-             &ps.fac[ps.scan_ta[slot]],
-             &ps.fdc[ps.scan_td[slot]],
+             ps.fac[ps.scan_ta[slot]],
+             ps.fdc[ps.scan_td[slot]],
              ps.comp[i].h,
              ps.comp[i].v,
              i == 0 ? y_bh : c_bh,
