@@ -236,7 +236,7 @@ class RandomBBoxCrop(Operator):
         boxes = boxes.astype(np.float32)
         all_idx = np.arange(boxes.shape[0], dtype=np.int32)
         total = 0
-        best = None  # (min_iou, result) fallback when the attempt budget runs out
+        best = None  # (metric, result) fallback when the attempt budget runs out
         while True:
             thr = thresholds[int(rng.integers(0, len(thresholds)))]
             if thr is None:
@@ -269,7 +269,14 @@ class RandomBBoxCrop(Operator):
                 if boxes.shape[0]:
                     inside = self._filter(boxes, window)
                     ious = _iou(boxes, window)
-                    min_iou = float(ious[inside].min()) if inside.any() else -1.0
+                    # acceptance metric (reference bbox_crop.cc: min over
+                    # boxes when all_boxes_above_threshold, else max)
+                    all_above = spec.GetArgument("all_boxes_above_threshold", True)
+                    if inside.any():
+                        metric = float(ious[inside].min() if all_above
+                                       else ious[inside].max())
+                    else:
+                        metric = -1.0
                     kept = boxes[inside].copy()
                     # clip to window + rebase to window coords
                     kept[:, 0] = np.clip(kept[:, 0], window[0], window[2])
@@ -283,9 +290,9 @@ class RandomBBoxCrop(Operator):
                     )
                     result = (anchor_abs, shape_abs, kept, new_labels,
                               all_idx[inside])
-                    if best is None or min_iou > best[0]:
-                        best = (min_iou, result)
-                    if not inside.any() or (ious[inside] < thr).any():
+                    if best is None or metric > best[0]:
+                        best = (metric, result)
+                    if metric < thr:
                         continue
                 else:
                     new_labels = labels.astype(np.int32) if labels is not None else None

@@ -261,14 +261,21 @@ class ResizeGPU(Operator):
     def _choose_filter(self, in_shapes, out_sizes):
         """Batch-level mag/min filter choice (documented TPU adaptation: the
         whole batch runs as ONE XLA program, so the filter is picked from the
-        majority scaling direction rather than per sample)."""
+        majority scaling direction rather than per sample). The choice LATCHES
+        on the first batch — device_statics participates in the jit program
+        cache key, and a per-batch flip would recompile the whole device
+        program (20-60 s) every time the majority direction changed."""
         if not self._has_filter_override():
             return None
+        latched = getattr(self, "_filter_latched", None)
+        if latched is not None:
+            return latched
         down = int((out_sizes[:, 0] < in_shapes[:, 0]).sum()
                    + (out_sizes[:, 1] < in_shapes[:, 1]).sum())
         up = int((out_sizes[:, 0] > in_shapes[:, 0]).sum()
                  + (out_sizes[:, 1] > in_shapes[:, 1]).sum())
-        return int(_pick_filter(self.spec, down >= up))
+        self._filter_latched = int(_pick_filter(self.spec, down >= up))
+        return self._filter_latched
 
     # -- host side -----------------------------------------------------------------
     def host_params(self, ctx, input_shapes):
@@ -430,9 +437,12 @@ class RandomResizedCropGPU(Operator, _RRCWindows):
         oh, ow = (int(size[0]), int(size[-1])) if len(size) > 1 else (int(size[0]), int(size[0]))
         if (self.spec.GetArgument("mag_filter", None) is not None
                 or self.spec.GetArgument("min_filter", None) is not None):
-            down = int((wins[:, 2] > oh).sum() + (wins[:, 3] > ow).sum())
-            up = int((wins[:, 2] < oh).sum() + (wins[:, 3] < ow).sum())
-            self._filter = int(_pick_filter(self.spec, down >= up))
+            # latched on the first batch — see Resize._choose_filter (the
+            # choice is part of the jit cache key; flips would recompile)
+            if getattr(self, "_filter", None) is None:
+                down = int((wins[:, 2] > oh).sum() + (wins[:, 3] > ow).sum())
+                up = int((wins[:, 2] < oh).sum() + (wins[:, 3] < ow).sum())
+                self._filter = int(_pick_filter(self.spec, down >= up))
         else:
             self._filter = None
         return {"windows": wins}

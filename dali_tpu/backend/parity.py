@@ -455,16 +455,11 @@ class VideoResizeReader(_VideoReaderImpl):
         except ValueError:  # no resize extents given: pass through
             oh, ow = h, w
         if (oh, ow) != (h, w):
-            interp = spec.GetArgument(
-                "min_filter" if (oh < h or ow < w) else "mag_filter", None)
-            if interp is None:
-                interp = spec.GetArgument("interp_type", DALIInterpType.INTERP_LINEAR)
-            cv_interp = {DALIInterpType.INTERP_NN: cv2.INTER_NEAREST,
-                         DALIInterpType.INTERP_CUBIC: cv2.INTER_CUBIC,
-                         DALIInterpType.INTERP_LANCZOS3: cv2.INTER_LANCZOS4,
-                         DALIInterpType.INTERP_TRIANGULAR: cv2.INTER_AREA}.get(
-                             interp, cv2.INTER_LINEAR)
-            if (oh < h or ow < w) and spec.GetArgument("antialias", True) \
+            from .image import _cv2_interp, _pick_filter
+
+            scale_down = oh < h or ow < w
+            cv_interp = _cv2_interp(_pick_filter(spec, scale_down), scale_down)
+            if scale_down and spec.GetArgument("antialias", True) \
                     and cv_interp == cv2.INTER_LINEAR:
                 cv_interp = cv2.INTER_AREA
             frames = np.stack([cv2.resize(fr, (ow, oh), interpolation=cv_interp)
@@ -568,7 +563,10 @@ class TensorResize(Operator):
             for k, a in enumerate(axes):
                 sl[a] = slice(int(round(s0[k])), max(int(round(e0[k])), int(round(s0[k])) + 1))
             x = x[tuple(sl)]
-        rounding = {"round": round, "truncate": int,
+        # "round" = half away from zero (reference std::round), NOT Python's
+        # banker's rounding
+        rounding = {"round": lambda v: int(np.floor(v + 0.5)) if v >= 0 else int(np.ceil(v - 0.5)),
+                    "truncate": int,
                     "ceil": lambda v: int(-(-v // 1))}[spec.GetArgument("size_rounding", "round")]
         sizes = ctx.arg(self, "sizes", idx, None)
         scales = ctx.arg(self, "scales", idx, None)

@@ -385,7 +385,7 @@ class NumpyReader(BaseReader):
 
 def _coco_outputs(spec):
     n = 3
-    if spec.GetArgument("polygon_masks", False):
+    if spec.GetArgument("polygon_masks", False) or spec.GetArgument("masks", False):
         n += 2  # polygons [m, 3], vertices [v, 2]
     if spec.GetArgument("pixelwise_masks", False):
         n += 1  # mask [H, W, 1]
@@ -532,13 +532,17 @@ class CocoReader(BaseReader):
         if ratio:
             bb = bb / np.array([w, h, w, h], np.float32)
         out = [data, bb, labels]
-        if self.spec.GetArgument("polygon_masks", False):
+        legacy_masks = self.spec.GetArgument("masks", False)
+        if self.spec.GetArgument("polygon_masks", False) or legacy_masks:
+            # legacy `masks` rows count scalar COORDS (2x the vertex index),
+            # reference DeprecateArg('masks', '0.28') note
+            mult = 2 if legacy_masks else 1
             rows, verts = [], []
             for mi, b in enumerate(boxes):
                 for poly in b[5]:
                     start = len(verts)
                     verts.extend(poly)
-                    rows.append((mi, start, start + len(poly)))
+                    rows.append((mi, mult * start, mult * (start + len(poly))))
             polygons = (np.asarray(rows, np.int32).reshape(-1, 3)
                         if rows else np.zeros((0, 3), np.int32))
             vertices = (np.stack(verts).astype(np.float32)

@@ -306,16 +306,11 @@ class _RCMBase(Operator):
             img = img[max(y0, 0) : max(y1, y0 + 1), max(x0, 0) : max(x1, x0 + 1)]
             h, w = img.shape[:2]
         out_h, out_w = compute_resize_size(h, w, self.spec, lambda n, d=None: ctx.arg(self, n, idx, d))
-        interp = self.spec.GetArgument("interp_type", DALIInterpType.INTERP_LINEAR)
+        from .image import _cv2_interp, _pick_filter
+
         scale_down = out_h < h or out_w < w
-        f = self.spec.GetArgument("min_filter" if scale_down else "mag_filter", None)
-        if f is not None:
-            interp = f
-        cv_interp = {DALIInterpType.INTERP_NN: cv2.INTER_NEAREST,
-                     DALIInterpType.INTERP_CUBIC: cv2.INTER_CUBIC,
-                     DALIInterpType.INTERP_LANCZOS3: cv2.INTER_LANCZOS4,
-                     DALIInterpType.INTERP_TRIANGULAR: cv2.INTER_AREA}.get(
-                         interp, cv2.INTER_LINEAR)
+        interp = _pick_filter(self.spec, scale_down)
+        cv_interp = _cv2_interp(interp, scale_down)
         if scale_down and self.spec.GetArgument("antialias", True) and cv_interp == cv2.INTER_LINEAR:
             cv_interp = cv2.INTER_AREA
         resized = cv2.resize(img, (out_w, out_h), interpolation=cv_interp)
@@ -323,8 +318,8 @@ class _RCMBase(Operator):
             resized = resized[:, :, None]
         crop = self.spec.GetArgument("crop", None)
         if not crop:
-            ch_ = int(self.spec.GetArgument("crop_h", 0.0) or 0)
-            cw_ = int(self.spec.GetArgument("crop_w", 0.0) or 0)
+            ch_ = int(np.asarray(ctx.arg(self, "crop_h", idx, 0.0)) or 0)
+            cw_ = int(np.asarray(ctx.arg(self, "crop_w", idx, 0.0)) or 0)
             if ch_ and cw_:
                 crop = [ch_, cw_]
         if crop:

@@ -188,7 +188,8 @@ class _VideoReaderImpl(BaseReader):
             step = L
         self._sequences = []
         self._fps = {}
-        self._spans = {}  # uniform_sample: fi -> (lo, hi)
+        self._spans = {}   # uniform_sample: fi -> (lo, hi)
+        self._limits = {}  # fi -> range end (pad instead of reading past it)
         span = (L - 1) * stride + 1
         pad_mode = spec.GetArgument("pad_mode", None)
         pad_seq = spec.GetArgument("pad_sequences", False) or (
@@ -228,6 +229,7 @@ class _VideoReaderImpl(BaseReader):
                     if fmt is not None and spec.GetArgument("file_list_include_end", True):
                         hi += 1
                 lo, hi = max(lo, 0), min(max(hi, lo), n)
+            self._limits[fi] = hi
             if uniform:
                 if lo < hi:
                     self._spans[fi] = (lo, hi)
@@ -269,6 +271,7 @@ class _VideoReaderImpl(BaseReader):
         L = spec.GetArgument("sequence_length")
         stride = spec.GetArgument("stride", 1)
         h = self._handle(fi)
+        frame_idxs = None  # actual source-frame index per emitted frame
         if spec.GetArgument("uniform_sample", False):
             # L frames spread evenly over [lo, hi); round half away from zero
             # like std::round (reference experimental readers__Video)
@@ -278,17 +281,36 @@ class _VideoReaderImpl(BaseReader):
             with h._lock:
                 frames = h.read(lo, hi - lo, 1)
             frames = frames[idxs - lo]
+            frame_idxs = idxs
         else:
+            # clamp the read to the file_list range end: frames past `hi` are
+            # excluded by the range and must be PADDED, not read
+            hi = self._limits.get(fi)
+            want = L
+            if hi is not None:
+                want = max(min(L, -(-(hi - start) // stride)), 0)
             # the decoder handle is stateful: serialize reads per file
             with h._lock:
-                frames = h.read(start, L, stride,
-                                pad=spec.GetArgument("pad_mode", None) is None)
-        if frames.shape[0] < L:
+                frames = h.read(start, want, stride,
+                                pad=spec.GetArgument("pad_mode", None) is None
+                                and want == L)
+        got = frames.shape[0]
+        if got < L:
             # legacy default (pad_mode unset): repeat the last frame, as
             # pad_sequences always did; "none" leaves the tail short
             mode = spec.GetArgument("pad_mode", None) or "edge"
             frames = pad_frames(frames, L, mode,
                                 spec.GetArgument("fill_value", [0]))
+        if frame_idxs is None:
+            # real frame index per emitted frame; padded slots report the
+            # repeated source index, or -1 for constant padding (reference
+            # experimental readers__Video frame-num semantics)
+            frame_idxs = start + np.arange(frames.shape[0], dtype=np.int64) * stride
+            if got < frames.shape[0]:
+                if spec.GetArgument("pad_mode", None) == "constant":
+                    frame_idxs[got:] = -1
+                elif got > 0:
+                    frame_idxs[got:] = frame_idxs[got - 1]
         if spec.GetArgument("channels", 3) == 1:
             luma = (0.299 * frames[..., 0] + 0.587 * frames[..., 1]
                     + 0.114 * frames[..., 2])
@@ -304,10 +326,10 @@ class _VideoReaderImpl(BaseReader):
         if self._has_labels():
             outs.append(np.array([label], np.int32))
         if spec.GetArgument("enable_frame_num", False):
-            outs.append(np.array([start], np.int32))
+            outs.append(np.array([int(frame_idxs[0])], np.int32))
         if spec.GetArgument("enable_timestamps", False):
             fps = self._fps.get(fi, 25.0)
-            ts = (start + np.arange(L) * stride) / fps
+            ts = np.where(frame_idxs >= 0, frame_idxs / fps, -1.0)
             outs.append(ts.astype(np.float64))
         return tuple(outs) if len(outs) > 1 else outs[0]
 

@@ -406,7 +406,14 @@ def _eager_call(schema_name: str, *inputs, device=None, batch_size=None, **kwarg
             for d in dev_inputs
         ]
         params = impl.host_params(ctx, in_shapes) if type(impl).host_params.__qualname__ != "Operator.host_params" else {}
-        statics = impl.device_statics(ctx, in_shapes)
+        # ops whose statics need batch metadata (e.g. Pad axis_names reads the
+        # layout) declare a 4-arg device_statics — same dispatch as executor.py
+        import inspect
+
+        if len(inspect.signature(type(impl).device_statics).parameters) >= 4:
+            statics = impl.device_statics(ctx, in_shapes, batches)
+        else:
+            statics = impl.device_statics(ctx, in_shapes)
         key = jax.random.fold_in(jax.random.PRNGKey(ectx.seed), ectx.counter)
         arg_arrays = {
             impl.op_id: {k: np.stack([np.asarray(s) for s in v.samples]) for k, v in arg_batches.items()}

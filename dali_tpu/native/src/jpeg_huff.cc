@@ -155,23 +155,33 @@ template <typename T, void (*Build)(const uint8_t*, const uint8_t*, T*)>
 struct TblCache {
   struct Slot {
     int len = -1;               // counts[1..16] + vals byte count; -1 = empty
+    uint64_t stamp = 0;         // LRU recency, refreshed on HIT too
     uint8_t spec[16 + 256];
     T tbl;
   };
   Slot slots[4];
-  int clock = 0;
+  uint64_t clock = 0;
   const T* get(const uint8_t* counts, const uint8_t* vals, int total) {
     uint8_t spec[16 + 256];
     std::memcpy(spec, counts + 1, 16);
     std::memcpy(spec + 16, vals, total);
     const int len = 16 + total;
     for (auto& s : slots)
-      if (s.len == len && std::memcmp(s.spec, spec, len) == 0) return &s.tbl;
-    Slot& s = slots[(clock++) & 3];
-    Build(counts, vals, &s.tbl);
-    s.len = len;
-    std::memcpy(s.spec, spec, len);
-    return &s.tbl;
+      if (s.len == len && std::memcmp(s.spec, spec, len) == 0) {
+        // refreshing on hit pins every table the current image referenced:
+        // an image defines at most 4 tables of each class, so the 4 most
+        // recent gets — hits included — always survive eviction
+        s.stamp = ++clock;
+        return &s.tbl;
+      }
+    Slot* victim = &slots[0];
+    for (auto& s : slots)
+      if (s.stamp < victim->stamp) victim = &s;
+    Build(counts, vals, &victim->tbl);
+    victim->len = len;
+    victim->stamp = ++clock;
+    std::memcpy(victim->spec, spec, len);
+    return &victim->tbl;
   }
 };
 thread_local TblCache<FastAc, build_fac> g_fac_cache;

@@ -1,0 +1,175 @@
+"""Regression tests for the round-2c review findings: Huffman table-cache
+eviction under mixed encoders, video range-end padding, RandomBBoxCrop
+any-box acceptance, COCO legacy masks outputs, ResizeCropMirror tensor crop
+args, uniform_sample timestamps."""
+
+import io
+import json
+
+import cv2
+import numpy as np
+import pytest
+
+from dali_tpu import fn, imgcodec, pipeline_def, types
+
+
+def test_hybrid_decode_mixed_huffman_tables():
+    """5+ distinct optimized Huffman specs interleaved must not corrupt the
+    table cache (LRU refresh-on-hit pins the current image's tables)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(3)
+    jpegs, refs = [], []
+    for i in range(10):
+        img = rng.integers(0, 255, (48 + 8 * i, 64, 3), np.uint8)
+        buf = io.BytesIO()
+        # optimize=True emits per-image custom DHT segments -> distinct specs
+        Image.fromarray(img).save(buf, format="JPEG", quality=70 + i,
+                                  optimize=True)
+        jpegs.append(buf.getvalue())
+        refs.append(cv2.imdecode(np.frombuffer(buf.getvalue(), np.uint8),
+                                 cv2.IMREAD_COLOR)[:, :, ::-1])
+    # interleave twice so later tables evict earlier ones and hits recur
+    for data, ref in zip(jpegs * 2, refs * 2):
+        out = imgcodec.decode(data)
+        assert out.shape == ref.shape
+        # same libjpeg-family decode: must agree to the LSB-ish level
+        assert np.abs(out.astype(int) - ref.astype(int)).max() <= 2
+
+
+def _write_video(path, num_frames=20, fps=10, w=64, h=48):
+    wr = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    assert wr.isOpened()
+    for i in range(num_frames):
+        wr.write(np.full((h, w, 3), i * 10, np.uint8))
+    wr.release()
+
+
+def test_video_file_list_range_pads_not_reads(tmp_path):
+    vid = tmp_path / "v.mp4"
+    _write_video(vid, num_frames=100)
+    fl = tmp_path / "list.txt"
+    fl.write_text(f"{vid} 0 0 10\n")  # frames [0, 10)
+
+    @pipeline_def(batch_size=1, num_threads=1, seed=5)
+    def pipe():
+        f = fn.readers.video(file_list=str(fl), sequence_length=8, step=8,
+                             file_list_format="frames",
+                             file_list_include_end=False,
+                             pad_mode="constant", fill_value=[255], name="R")
+        return f[0]
+
+    p = pipe()
+    p.build()
+    p.run()  # frames 0..7
+    (f,) = p.run()  # tail: frames 8, 9 + 6 PADDED (not real frames 10..15)
+    v = f.as_array()[0]
+    assert (v[2:] == 255).all(), "frames past the range end must be padding"
+    assert not (v[:2] == 255).any()
+
+
+def test_random_bbox_crop_any_box_above_threshold():
+    # one high-IoU box, one tiny box: all_boxes_above_threshold=False accepts
+    # windows where ANY box passes (reference max-metric), True requires all
+    boxes = np.array([[0.05, 0.05, 0.95, 0.95], [0.0, 0.0, 0.02, 0.02]],
+                     np.float32)
+
+    def run(all_above):
+        @pipeline_def(batch_size=1, num_threads=1, seed=21)
+        def pipe():
+            bb = fn.external_source(source=lambda: [boxes], batch=True, cycle=True)
+            a, s, b, l_ = fn.random_bbox_crop(
+                bb, scaling=[0.9, 0.9], aspect_ratio=[1.0, 1.0],
+                thresholds=[0.6], allow_no_crop=False, num_attempts=20,
+                total_num_attempts=200, quiet=True,
+                bbox_prune_threshold=0.0,
+                all_boxes_above_threshold=all_above)
+            return a, s, b, l_
+
+        p = pipe()
+        p.build()
+        anchor, shape, out_boxes, _ = p.run()
+        return out_boxes.as_array()[0]
+
+    # ANY mode finds a window (the big box passes 0.6 easily at 0.9 scale);
+    # both boxes overlap the window under prune 0.0 in most draws — the key
+    # assertion is that ANY mode accepts despite the tiny box's low IoU
+    kept = run(False)
+    assert kept.shape[0] >= 1
+
+
+def test_coco_legacy_masks_output(tmp_path):
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    cv2.imwrite(str(img_dir / "i0.jpg"), np.zeros((10, 10, 3), np.uint8))
+    ann = {
+        "images": [{"id": 1, "file_name": "i0.jpg", "width": 10, "height": 10}],
+        "categories": [{"id": 1, "name": "c"}],
+        "annotations": [
+            {"id": 1, "image_id": 1, "category_id": 1, "bbox": [1, 1, 6, 6],
+             "area": 36, "iscrowd": 0,
+             "segmentation": [[1.0, 1.0, 7.0, 1.0, 7.0, 7.0]]},
+        ],
+    }
+    ann_file = tmp_path / "ann.json"
+    ann_file.write_text(json.dumps(ann))
+
+    def build(**kw):
+        @pipeline_def(batch_size=1, num_threads=1, seed=1)
+        def pipe():
+            outs = fn.readers.coco(file_root=str(img_dir),
+                                   annotations_file=str(ann_file), **kw)
+            return tuple(outs)
+
+        p = pipe()
+        p.build()
+        return p.run()
+
+    # modern format: vertex indices
+    _, _, _, polys_new, verts_new = build(polygon_masks=True)
+    np.testing.assert_array_equal(polys_new.at(0), [[0, 0, 3]])
+    assert verts_new.at(0).shape == (3, 2)
+    # legacy format: COORD indices (2x)
+    _, _, _, polys_old, verts_old = build(masks=True)
+    np.testing.assert_array_equal(polys_old.at(0), [[0, 0, 6]])
+    np.testing.assert_array_equal(verts_old.at(0), verts_new.at(0))
+
+
+def test_rcm_tensor_crop_args(tmp_path):
+    d = tmp_path / "c"
+    d.mkdir()
+    cv2.imwrite(str(d / "0.jpg"), np.zeros((64, 64, 3), np.uint8))
+
+    @pipeline_def(batch_size=1, num_threads=1, seed=3)
+    def pipe():
+        buf, _ = fn.readers.file(file_root=str(tmp_path))
+        img = fn.decoders.image(buf, device="cpu")
+        ch = fn.external_source(source=lambda: [np.float32(24)], batch=True, cycle=True)
+        cw = fn.external_source(source=lambda: [np.float32(16)], batch=True, cycle=True)
+        return fn.resize_crop_mirror(img, resize_x=48, resize_y=48,
+                                     crop_h=ch, crop_w=cw)
+
+    p = pipe()
+    p.build()
+    (out,) = p.run()
+    assert out.as_array().shape == (1, 24, 16, 3)
+
+
+def test_video_uniform_sample_timestamps(tmp_path):
+    vid = tmp_path / "v.mp4"
+    _write_video(vid, num_frames=100, fps=10)
+
+    @pipeline_def(batch_size=1, num_threads=1, seed=5)
+    def pipe():
+        f, fnum, ts = fn.readers.video(
+            filenames=[str(vid)], labels=[], sequence_length=5,
+            uniform_sample=True, enable_frame_num=True, enable_timestamps=True)
+        return f, fnum, ts
+
+    p = pipe()
+    p.build()
+    f, fnum, ts = p.run()
+    t = ts.as_array()[0]
+    # linspace(0, 99, 5) = [0, 24.75->25, 49.5->50, 74.25->74, 99] / fps 10
+    np.testing.assert_allclose(t, [0.0, 2.5, 5.0, 7.4, 9.9], atol=1e-6)
+    assert int(fnum.as_array()[0][0]) == 0
