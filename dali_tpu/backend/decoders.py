@@ -920,6 +920,27 @@ class JpegCoeffsSplit(JpegCoeffs):
             ring = self._ring = native.StagingRing(depth)
         return ring
 
+    def _cached_infos(self, inp, datas):
+        """Header info (dims/blocks/sampling) is immutable per file: cache it
+        by source_info so epoch 2+ skips the per-image marker parse."""
+        from .. import native
+
+        ikeys = inp.source_info
+        n = len(datas)
+        icache = getattr(self, "_info_cache", None)
+        if icache is None:
+            icache = self._info_cache = {}
+        if ikeys and len(ikeys) == n and all(k and k in icache for k in ikeys):
+            return np.stack([icache[k] for k in ikeys])
+        infos = native.jpeg_coef_info_batch(datas, num_threads=self.pipeline.num_threads)
+        if infos is not None and ikeys and len(ikeys) == n:
+            if len(icache) > 4_000_000:  # bound the key+row footprint
+                icache.clear()
+            for k, row in zip(ikeys, infos):
+                if k:
+                    icache[k] = row.copy()
+        return infos
+
     def stage_batch_multi(self, ctx, inputs, canvases):
         """Fused path: ONE native call reads every sample's coefficient planes
         straight into the padded boundary canvases (batch entry in
@@ -933,7 +954,7 @@ class JpegCoeffsSplit(JpegCoeffs):
         inp = inputs[0]
         datas = [np.ascontiguousarray(e) for e in inp.samples]
         n = len(datas)
-        infos = native.jpeg_coef_info_batch(datas, num_threads=self.pipeline.num_threads)
+        infos = self._cached_infos(inp, datas)
         if infos is None:
             return None
         self._check_modes(infos[:, 6])
@@ -1180,7 +1201,7 @@ class JpegCoeffsSplitRRC(JpegCoeffsSplit):
         inp = inputs[0]
         datas = [np.ascontiguousarray(e) for e in inp.samples]
         n = len(datas)
-        infos = native.jpeg_coef_info_batch(datas, num_threads=self.pipeline.num_threads)
+        infos = self._cached_infos(inp, datas)
         if infos is None:
             return None
         self._check_modes(infos[:, 6])
