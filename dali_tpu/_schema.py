@@ -341,10 +341,17 @@ class OpSpec:
         self._extra: Dict[str, Any] = {}  # non-serializable implementation payloads
 
         if device not in self.schema.devices:
-            raise ValueError(
-                f"Operator '{schema_name}' does not support device '{device}' "
-                f"(supported: {self.schema.devices})"
-            )
+            # reference compatibility: readers the reference registers as
+            # device='gpu' (video, numpy/GDS) are host producers of
+            # device-resident batches here — that is what 'mixed' means
+            if (device == "gpu" and "mixed" in self.schema.devices
+                    and self.schema.is_reader):
+                device = self.device = "mixed"
+            else:
+                raise ValueError(
+                    f"Operator '{schema_name}' does not support device '{device}' "
+                    f"(supported: {self.schema.devices})"
+                )
 
         from .data_node import DataNode
 

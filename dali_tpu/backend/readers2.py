@@ -237,8 +237,10 @@ class WebdatasetReader(BaseReader):
 # ====================================== readers.Numpy ==============================================
 
 DALI_SCHEMA("readers.Numpy").DocStr(
-    "Reads .npy files (reference ``readers__Numpy``, ``numpy_loader.cc``)."
-).NumInput(0).NumOutput(1).Devices("cpu").MakeReader().AddOptionalArg(
+    "Reads .npy files (reference ``readers__Numpy``, ``numpy_loader.cc``). "
+    "device='gpu'/'mixed' is the GDS analogue: host read, device-resident "
+    "output staged across the padded boundary."
+).NumInput(0).NumOutput(1).Devices("cpu", "mixed").MakeReader().AddOptionalArg(
     "file_root", ArgType.STRING, "Directory with .npy files.", None
 ).AddOptionalArg(
     "files", ArgType.STRING_VEC, "Explicit file list.", None
@@ -276,6 +278,7 @@ DALI_SCHEMA("readers.Numpy").DocStr(
 
 
 @register_operator("readers.Numpy", "cpu")
+@register_operator("readers.Numpy", "mixed")
 class NumpyReader(BaseReader):
     def __init__(self, spec, op_id):
         super().__init__(spec, op_id)

@@ -178,7 +178,7 @@ class SSDRandomCrop(Operator):
 DALI_SCHEMA("Reinterpret").DocStr(
     "Reinterprets the underlying bytes with a new dtype and/or shape "
     "(reference generic/reshape.cc Reinterpret)."
-).NumInput(1, 2).NumOutput(1).Devices("cpu").AddOptionalArg(
+).NumInput(1, 2).NumOutput(1).Devices("cpu", "gpu").AddOptionalArg(
     "dtype", ArgType.DATA_TYPE, "New dtype (bit reinterpret).", None
 ).AddOptionalArg(
     "shape", ArgType.FLOAT_VEC, "New shape (-1 infers).", None, tensor_ok=True, per_sample=True
@@ -209,6 +209,59 @@ class Reinterpret(Operator):
         return self.spec.GetArgument("layout", None) or ""
 
 
+@register_operator("Reinterpret", "gpu")
+class ReinterpretGPU(Operator):
+    """Device lowering (reference reshape.cc GPU registration): a dtype
+    reinterpret is a bitcast on the LAST canvas axis (narrower dtypes widen
+    it by the itemsize ratio, wider dtypes require divisibility and shrink
+    it); a static `shape` reshapes uniform batches. Per-sample shape inputs
+    are cpu-only (a padded canvas cannot hold per-sample reshapes)."""
+
+    def lower(self, dctx, inp: DeviceBatch, *shape_in):
+        import jax
+        import jax.numpy as jnp
+
+        if shape_in:
+            raise ValueError(
+                "Reinterpret(gpu): per-sample shape inputs are cpu-only")
+        data = inp.data
+        shapes = inp.shapes
+        dt = self.spec.GetArgument("dtype", None)
+        if dt is not None:
+            new = to_jnp_type(dt)
+            old_sz = jnp.dtype(data.dtype).itemsize
+            new_sz = jnp.dtype(new).itemsize
+            if new_sz == old_sz:
+                data = jax.lax.bitcast_convert_type(data, new)
+            elif new_sz < old_sz:
+                r = old_sz // new_sz
+                d2 = jax.lax.bitcast_convert_type(data, new)  # [..., W, r]
+                data = d2.reshape(d2.shape[:-2] + (d2.shape[-2] * r,))
+            else:
+                r = new_sz // old_sz
+                if data.shape[-1] % r:
+                    raise ValueError(
+                        "Reinterpret(gpu): last extent not divisible by the "
+                        "itemsize ratio")
+                d2 = data.reshape(data.shape[:-1] + (data.shape[-1] // r, r))
+                data = jax.lax.bitcast_convert_type(d2, new)
+            if shapes is not None:
+                scale = old_sz / new_sz
+                last = (shapes[:, -1].astype(jnp.float32) * scale).astype(shapes.dtype)
+                shapes = jnp.concatenate([shapes[:, :-1], last[:, None]], axis=1)
+        req = self.spec.GetArgument("shape", None)
+        if req is not None:
+            shape = [int(round(v)) for v in req]
+            total = int(np.prod(data.shape[1:]))
+            if -1 in shape:
+                known = int(np.prod([v for v in shape if v != -1]))
+                shape[shape.index(-1)] = total // max(known, 1)
+            data = data.reshape((data.shape[0],) + tuple(shape))
+            shapes = None  # uniform static shape
+        return [DeviceBatch(data, shapes,
+                            self.spec.GetArgument("layout", None) or "")]
+
+
 # ====================================== ResizeCropMirror ==============================================
 
 
@@ -217,7 +270,7 @@ def _resize_crop_mirror_schema(name):
 
     s = DALI_SCHEMA(name).DocStr(
         "Fused resize + crop + mirror (reference image/resize/resize_crop_mirror.h)."
-    ).NumInput(1).NumOutput(1).Devices("cpu").AddOptionalArg(
+    ).NumInput(1).NumOutput(1).Devices("cpu", "gpu").AddOptionalArg(
         "resize_x", ArgType.FLOAT, "Output width.", 0.0, tensor_ok=True, per_sample=True
     ).AddOptionalArg(
         "resize_y", ArgType.FLOAT, "Output height.", 0.0, tensor_ok=True, per_sample=True
@@ -347,6 +400,126 @@ class _RCMBase(Operator):
 
 register_operator("ResizeCropMirror", "cpu")(type("ResizeCropMirror", (_RCMBase,), {}))
 register_operator("FastResizeCropMirror", "cpu")(type("FastResizeCropMirror", (_RCMBase,), {}))
+
+
+class _RCMGPU(Operator):
+    """Device RCM: resize→crop→mirror collapses into ONE resample with a
+    per-sample input ROI (the crop window mapped back through the resize
+    scale), so the fused kernel the reference implements by hand
+    (resize_crop_mirror.h) falls out of the existing gather resampler. The
+    crop extent must be batch-static (it fixes the output canvas); per-sample
+    tensor crop sizes need the cpu backend."""
+
+    def _crop_size(self):
+        crop = self.spec.GetArgument("crop", None)
+        if crop:
+            return int(crop[0]), int(crop[1])
+        for nm in ("crop_h", "crop_w"):
+            if nm in self.spec.arg_inputs:
+                raise ValueError(
+                    f"{self.spec.schema_name}(gpu): per-sample tensor {nm} is "
+                    "cpu-only (the crop extent fixes the device output shape)")
+        ch = int(self.spec.GetArgument("crop_h", 0.0) or 0)
+        cw = int(self.spec.GetArgument("crop_w", 0.0) or 0)
+        if ch and cw:
+            return ch, cw
+        return None  # no crop: pure resize
+
+    def host_params(self, ctx, input_shapes):
+        from .generic2 import _crop_round
+        from .image import compute_resize_size
+
+        shapes = input_shapes[0]
+        if shapes is None:
+            raise RuntimeError(
+                f"{self.spec.schema_name}(gpu) requires direct boundary input shapes")
+        cs = self._crop_size()
+        n = shapes.shape[0]
+        roi = np.zeros((n, 4), np.float32)  # y0, x0, h, w in input pixels
+        rnd = self.spec.GetArgument("rounding", "round")
+        rel = self.spec.GetArgument("roi_relative", False)
+        for i in range(n):
+            h, w = int(shapes[i][0]), int(shapes[i][1])
+            iy0, ix0 = 0.0, 0.0
+            rs = ctx.arg(self, "roi_start", i, None)
+            re_ = ctx.arg(self, "roi_end", i, None)
+            if rs is not None or re_ is not None:
+                s0 = np.asarray(rs if rs is not None else ([0.0, 0.0] if rel else [0, 0]), np.float64)
+                e0 = np.asarray(re_ if re_ is not None else ([1.0, 1.0] if rel else [h, w]), np.float64)
+                if rel:
+                    s0, e0 = s0 * [h, w], e0 * [h, w]
+                iy0, ix0 = float(s0[0]), float(s0[1])
+                h = max(int(round(e0[0])) - int(round(s0[0])), 1)
+                w = max(int(round(e0[1])) - int(round(s0[1])), 1)
+            oh, ow = compute_resize_size(h, w, self.spec,
+                                         lambda nm, d=None: ctx.arg(self, nm, i, d))
+            if cs is None:
+                roi[i] = (iy0, ix0, h, w)
+                continue
+            ch, cw = cs
+            py = float(np.asarray(ctx.arg(self, "crop_pos_y", i, 0.5)))
+            px = float(np.asarray(ctx.arg(self, "crop_pos_x", i, 0.5)))
+            y = max(_crop_round(py * (oh - ch), rnd), 0)
+            x = max(_crop_round(px * (ow - cw), rnd), 0)
+            sy, sx = h / oh, w / ow
+            roi[i] = (iy0 + y * sy, ix0 + x * sx, ch * sy, cw * sx)
+        if cs is None:
+            # pure resize: batch-uniform output only (per-sample sizes need
+            # the grow-canvas machinery of fn.resize)
+            ohw = {(int(r[2]), int(r[3])) for r in roi}
+            if len(ohw) > 1:
+                raise ValueError(
+                    f"{self.spec.schema_name}(gpu) without `crop` needs a "
+                    "batch-uniform output size; use fn.resize for per-sample "
+                    "sizes")
+        return {"rcm_roi": roi}
+
+    def device_statics(self, ctx, input_shapes):
+        cs = self._crop_size()
+        if cs is not None:
+            return cs
+        # no crop: static output = resized extent of the first sample
+        shapes = np.asarray(input_shapes[0])
+        from .image import compute_resize_size
+
+        h, w = int(shapes[0][0]), int(shapes[0][1])
+        return compute_resize_size(h, w, self.spec,
+                                   lambda nm, d=None: self.spec.GetArgument(nm, d))
+
+    def lower(self, dctx, inp: DeviceBatch):
+        import jax.numpy as jnp
+
+        from ..kernels import resample as resample_kernel
+
+        out_h, out_w = dctx.static(self)
+        spec = self.spec
+        interp = spec.GetArgument("interp_type", DALIInterpType.INTERP_LINEAR)
+        antialias = bool(spec.GetArgument("antialias", True))
+        dtype_arg = spec.GetArgument("dtype", None)
+        out_dtype = to_jnp_type(dtype_arg) if dtype_arg is not None else inp.data.dtype
+        roi = dctx.param(self, "rcm_roi")
+        ext = inp.shapes
+        if ext is None:
+            ext = jnp.tile(jnp.array([[inp.data.shape[1], inp.data.shape[2]]], jnp.int32),
+                           (inp.data.shape[0], 1))
+        data = resample_kernel.resample_batch(
+            inp.data, ext, roi[:, 0:2], roi[:, 2:4], out_h, out_w,
+            interp, antialias, out_dtype)
+        n = data.shape[0]
+        mirror = dctx.arg(self, "mirror", 0)
+        if dctx.has_tensor_arg(self, "mirror"):
+            m = jnp.asarray(mirror).reshape(-1).astype(bool)
+            data = jnp.where(m[:, None, None, None], data[:, :, ::-1, :], data)
+        elif int(np.asarray(mirror)):
+            data = data[:, :, ::-1, :]
+        return [DeviceBatch(data, None, inp.layout or "HWC")]
+
+    def output_layout(self, j, inputs):
+        return "HWC"
+
+
+register_operator("ResizeCropMirror", "gpu")(type("ResizeCropMirrorGPU", (_RCMGPU,), {}))
+register_operator("FastResizeCropMirror", "gpu")(type("FastResizeCropMirrorGPU", (_RCMGPU,), {}))
 
 
 # ====================================== readers.NemoAsr ==============================================

@@ -401,7 +401,7 @@ class CoordFlip(Operator):
 
 DALI_SCHEMA("CoordTransform").DocStr(
     "Applies an affine transform to point coordinates (reference coord_transform.cc)."
-).NumInput(1, 2).NumOutput(1).Devices("cpu").AddOptionalArg(
+).NumInput(1, 2).NumOutput(1).Devices("cpu", "gpu").AddOptionalArg(
     "M", ArgType.FLOAT_VEC, "Row-major matrix.", None, tensor_ok=True, per_sample=True
 ).AddOptionalArg(
     "T", ArgType.FLOAT_VEC, "Translation.", None, tensor_ok=True, per_sample=True
@@ -430,3 +430,46 @@ class CoordTransform(Operator):
             t = np.asarray(T, np.float32).reshape(-1) if T is not None else t0
         out = pts @ mat.T + t
         return out.astype(to_numpy_type(self.spec.GetArgument("dtype", DALIDataType.FLOAT)))
+
+
+@register_operator("CoordTransform", "gpu")
+class CoordTransformGPU(Operator):
+    """Device lowering (reference coord_transform.cu): points [N, P, D] on
+    the padded canvas, out = pts @ M^T + T via one batched einsum (MXU).
+    The matrix comes from the M/T keyword arguments (constant or per-sample
+    tensor arguments); a positional matrix INPUT is cpu-only."""
+
+    def lower(self, dctx, coords, *mt):
+        import jax.numpy as jnp
+
+        if mt:
+            raise ValueError(
+                "CoordTransform(gpu): pass the matrix via the M/T keyword "
+                "arguments (a positional matrix input is cpu-only)")
+        pts = coords.data.astype(jnp.float32)  # [N, P, D]
+        n, _, d = pts.shape
+        M = dctx.arg(self, "M", None)
+        T = dctx.arg(self, "T", None)
+        if M is not None:
+            m = jnp.asarray(M, jnp.float32).reshape(n if dctx.has_tensor_arg(self, "M") else 1, -1)
+            cols = m.shape[1] // d
+            m = m.reshape(-1, d, cols)
+            if cols == d + 1:
+                mat, t0 = m[:, :, :d], m[:, :, d]
+            else:
+                mat, t0 = m, jnp.zeros((m.shape[0], d), jnp.float32)
+        else:
+            mat = jnp.eye(d, dtype=jnp.float32)[None]
+            t0 = jnp.zeros((1, d), jnp.float32)
+        if T is not None:
+            t = jnp.asarray(T, jnp.float32).reshape(
+                n if dctx.has_tensor_arg(self, "T") else 1, -1)
+        else:
+            t = t0
+        if mat.shape[0] == 1:
+            mat = jnp.broadcast_to(mat, (n,) + mat.shape[1:])
+        if t.shape[0] == 1:
+            t = jnp.broadcast_to(t, (n, t.shape[1]))
+        out = jnp.einsum("npd,nkd->npk", pts, mat) + t[:, None, :]
+        dt = self.spec.GetArgument("dtype", DALIDataType.FLOAT)
+        return [coords.with_data(out.astype(to_jnp_type(dt)), shapes=coords.shapes)]
