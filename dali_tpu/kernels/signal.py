@@ -185,16 +185,22 @@ def to_decibels(xp, x, multiplier: float = 10.0, s_ref=None, cutoff_db: float = 
 
 
 def preemphasis(xp, x, coeff: float, border: str = "clamp"):
-    """y[0] = x[0] - coeff*border_value; y[t] = x[t] - coeff*x[t-1]
-    (reference operators/audio/preemphasis_filter.cc)."""
+    """y[0] = x[0] - coeff*border_value; y[t] = x[t] - coeff*x[t-1].
+    border_value: 0 ('zero'), x[0] ('clamp'), x[1] ('reflect') — reference
+    operators/audio/preemphasis_filter_op.cc:35-37."""
     x = x.astype(xp.float32)
     prev = xp.concatenate([x[:1], x[:-1]])
     if border == "zero":
-        if xp is np:
-            prev = prev.copy()
-            prev[0] = 0
-        else:
-            prev = prev.at[0].set(0.0)
+        first = xp.zeros((), xp.float32)
+    elif border == "reflect":
+        first = x[1] if x.shape[-1] > 1 else x[0]
+    else:  # clamp
+        first = x[0]
+    if xp is np:
+        prev = prev.copy()
+        prev[0] = first
+    else:
+        prev = prev.at[0].set(first)
     y = x - coeff * prev
     return y
 
