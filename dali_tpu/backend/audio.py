@@ -247,6 +247,8 @@ class PreemphasisGPU(Operator):
         prev = jnp.concatenate([x[:, :1], x[:, :-1]], axis=1)
         if border == "zero":
             prev = prev.at[:, 0].set(0.0)
+        elif border == "reflect":  # y[0] = x[0] - coeff*x[1] (ref op.cc:37)
+            prev = prev.at[:, 0].set(x[:, 1] if x.shape[1] > 1 else x[:, 0])
         if hasattr(coeff, "ndim") and getattr(coeff, "ndim", 0) >= 1:
             coeff = coeff.reshape(-1, *([1] * (x.ndim - 1)))
         out = x - coeff * prev

@@ -934,8 +934,11 @@ class JpegCoeffsSplit(JpegCoeffs):
             return np.stack([icache[k] for k in ikeys])
         infos = native.jpeg_coef_info_batch(datas, num_threads=self.pipeline.num_threads)
         if infos is not None and ikeys and len(ikeys) == n:
-            if len(icache) > 4_000_000:  # bound the key+row footprint
-                icache.clear()
+            if len(icache) > 1_000_000:  # ~200 MB of keys+rows: trim the
+                # oldest half (dict preserves insertion order) instead of a
+                # wholesale clear that would force a full re-parse epoch
+                for k in list(icache.keys())[: len(icache) // 2]:
+                    del icache[k]
             for k, row in zip(ikeys, infos):
                 if k:
                     icache[k] = row.copy()

@@ -237,27 +237,35 @@ class ReinterpretGPU(Operator):
                 r = old_sz // new_sz
                 d2 = jax.lax.bitcast_convert_type(data, new)  # [..., W, r]
                 data = d2.reshape(d2.shape[:-2] + (d2.shape[-2] * r,))
+                if shapes is not None:  # ragged extents scale exactly
+                    last = shapes[:, -1] * r
+                    shapes = jnp.concatenate([shapes[:, :-1], last[:, None]], axis=1)
             else:
                 r = new_sz // old_sz
+                if shapes is not None:
+                    # per-sample divisibility cannot be checked at trace time
+                    raise ValueError(
+                        "Reinterpret(gpu): widening dtype reinterpret of a "
+                        "ragged batch is cpu-only (per-sample extents must "
+                        "divide by the itemsize ratio)")
                 if data.shape[-1] % r:
                     raise ValueError(
                         "Reinterpret(gpu): last extent not divisible by the "
                         "itemsize ratio")
                 d2 = data.reshape(data.shape[:-1] + (data.shape[-1] // r, r))
                 data = jax.lax.bitcast_convert_type(d2, new)
-            if shapes is not None:
-                scale = old_sz / new_sz
-                last = (shapes[:, -1].astype(jnp.float32) * scale).astype(shapes.dtype)
-                shapes = jnp.concatenate([shapes[:, :-1], last[:, None]], axis=1)
         req = self.spec.GetArgument("shape", None)
         if req is not None:
+            if shapes is not None:
+                raise ValueError(
+                    "Reinterpret(gpu): static `shape` on a ragged batch is "
+                    "cpu-only (the padded canvas cannot reshape per sample)")
             shape = [int(round(v)) for v in req]
             total = int(np.prod(data.shape[1:]))
             if -1 in shape:
                 known = int(np.prod([v for v in shape if v != -1]))
                 shape[shape.index(-1)] = total // max(known, 1)
             data = data.reshape((data.shape[0],) + tuple(shape))
-            shapes = None  # uniform static shape
         return [DeviceBatch(data, shapes,
                             self.spec.GetArgument("layout", None) or "")]
 
@@ -436,6 +444,7 @@ class _RCMGPU(Operator):
         cs = self._crop_size()
         n = shapes.shape[0]
         roi = np.zeros((n, 4), np.float32)  # y0, x0, h, w in input pixels
+        out_sizes = np.zeros((n, 2), np.int32)
         rnd = self.spec.GetArgument("rounding", "round")
         rel = self.spec.GetArgument("roi_relative", False)
         for i in range(n):
@@ -453,6 +462,7 @@ class _RCMGPU(Operator):
                 w = max(int(round(e0[1])) - int(round(s0[1])), 1)
             oh, ow = compute_resize_size(h, w, self.spec,
                                          lambda nm, d=None: ctx.arg(self, nm, i, d))
+            out_sizes[i] = (oh, ow)
             if cs is None:
                 roi[i] = (iy0, ix0, h, w)
                 continue
@@ -464,27 +474,24 @@ class _RCMGPU(Operator):
             sy, sx = h / oh, w / ow
             roi[i] = (iy0 + y * sy, ix0 + x * sx, ch * sy, cw * sx)
         if cs is None:
-            # pure resize: batch-uniform output only (per-sample sizes need
-            # the grow-canvas machinery of fn.resize)
-            ohw = {(int(r[2]), int(r[3])) for r in roi}
+            # pure resize: batch-uniform OUTPUT size only (per-sample sizes
+            # need the grow-canvas machinery of fn.resize)
+            ohw = {(int(r[0]), int(r[1])) for r in out_sizes}
             if len(ohw) > 1:
                 raise ValueError(
                     f"{self.spec.schema_name}(gpu) without `crop` needs a "
                     "batch-uniform output size; use fn.resize for per-sample "
                     "sizes")
+            self._nocrop_ohw = next(iter(ohw))
         return {"rcm_roi": roi}
 
     def device_statics(self, ctx, input_shapes):
         cs = self._crop_size()
         if cs is not None:
             return cs
-        # no crop: static output = resized extent of the first sample
-        shapes = np.asarray(input_shapes[0])
-        from .image import compute_resize_size
-
-        h, w = int(shapes[0][0]), int(shapes[0][1])
-        return compute_resize_size(h, w, self.spec,
-                                   lambda nm, d=None: self.spec.GetArgument(nm, d))
+        # no crop: the uniform output size computed (and validated) by
+        # host_params, which the executor runs first
+        return self._nocrop_ohw
 
     def lower(self, dctx, inp: DeviceBatch):
         import jax.numpy as jnp

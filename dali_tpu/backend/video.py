@@ -19,35 +19,42 @@ from .base import Operator
 from .readers import BaseReader
 
 
+def pad_indices(got: int, want: int, mode: str) -> np.ndarray:
+    """Source index per padded slot [got, want) (reference pad_mode
+    semantics); -1 for constant padding."""
+    extra = want - got
+    if mode == "constant":
+        return np.full(extra, -1, np.int64)
+    if mode in ("edge", "repeat"):
+        return np.full(extra, got - 1, np.int64)
+    if mode in ("reflect_1001", "symmetric"):
+        return np.array([(got - 1) - (i % got) if (i // got) % 2 == 0 else i % got
+                         for i in range(extra)], np.int64)
+    if mode in ("reflect_101", "reflect"):
+        if got == 1:
+            return np.full(extra, 0, np.int64)
+        period = 2 * (got - 1)
+        idx = []
+        for i in range(extra):
+            p = (got - 2 - i) % period
+            idx.append(p if p < got else period - p)
+        return np.asarray(idx, np.int64)
+    raise ValueError(f"Unknown pad_mode {mode!r}")
+
+
 def pad_frames(frames: np.ndarray, want: int, mode: str, fill=0.0) -> np.ndarray:
     """Pad a short [F, H, W, C] sequence to ``want`` frames (reference
     video pad_mode semantics: none/constant/edge/repeat/reflect variants)."""
     got = frames.shape[0]
-    extra = want - got
-    if extra <= 0 or mode == "none" or got == 0:
+    if want - got <= 0 or mode == "none" or got == 0:
         return frames
+    idx = pad_indices(got, want, mode)
     if mode == "constant":
         fv = np.asarray(fill, np.float64).reshape(-1)
-        pad = np.empty((extra,) + frames.shape[1:], frames.dtype)
+        pad = np.empty((len(idx),) + frames.shape[1:], frames.dtype)
         pad[...] = fv if fv.size == frames.shape[-1] else fv[0]
-    elif mode in ("edge", "repeat"):
-        pad = np.repeat(frames[-1:], extra, axis=0)
-    elif mode in ("reflect_1001", "symmetric"):
-        idx = [(got - 1) - (i % got) if (i // got) % 2 == 0 else i % got
-               for i in range(extra)]
-        pad = frames[idx]
-    elif mode in ("reflect_101", "reflect"):
-        if got == 1:
-            pad = np.repeat(frames[-1:], extra, axis=0)
-        else:
-            period = 2 * (got - 1)
-            idx = []
-            for i in range(extra):
-                p = (got - 2 - i) % period
-                idx.append(p if p < got else period - p)
-            pad = frames[idx]
     else:
-        raise ValueError(f"Unknown pad_mode {mode!r}")
+        pad = frames[idx]
     return np.concatenate([frames, pad], axis=0)
 
 DALI_SCHEMA("readers.Video").DocStr(
@@ -303,14 +310,14 @@ class _VideoReaderImpl(BaseReader):
                                 spec.GetArgument("fill_value", [0]))
         if frame_idxs is None:
             # real frame index per emitted frame; padded slots report the
-            # repeated source index, or -1 for constant padding (reference
-            # experimental readers__Video frame-num semantics)
+            # SOURCE frame index of their pad content (edge/reflect), or -1
+            # for constant padding (reference readers__Video frame-num
+            # semantics)
             frame_idxs = start + np.arange(frames.shape[0], dtype=np.int64) * stride
-            if got < frames.shape[0]:
-                if spec.GetArgument("pad_mode", None) == "constant":
-                    frame_idxs[got:] = -1
-                elif got > 0:
-                    frame_idxs[got:] = frame_idxs[got - 1]
+            if got < frames.shape[0] and got > 0:
+                mode = spec.GetArgument("pad_mode", None) or "edge"
+                src = pad_indices(got, frames.shape[0], mode)
+                frame_idxs[got:] = np.where(src >= 0, frame_idxs[np.maximum(src, 0)], -1)
         if spec.GetArgument("channels", 3) == 1:
             luma = (0.299 * frames[..., 0] + 0.587 * frames[..., 1]
                     + 0.114 * frames[..., 2])

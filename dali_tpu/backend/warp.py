@@ -451,25 +451,26 @@ class CoordTransformGPU(Operator):
         M = dctx.arg(self, "M", None)
         T = dctx.arg(self, "T", None)
         if M is not None:
+            # cpu semantics: row-major with d COLUMNS (out_dim = len // d)
             m = jnp.asarray(M, jnp.float32).reshape(n if dctx.has_tensor_arg(self, "M") else 1, -1)
-            cols = m.shape[1] // d
-            m = m.reshape(-1, d, cols)
-            if cols == d + 1:
-                mat, t0 = m[:, :, :d], m[:, :, d]
-            else:
-                mat, t0 = m, jnp.zeros((m.shape[0], d), jnp.float32)
+            out_dim = m.shape[1] // d
+            mat = m.reshape(-1, out_dim, d)
         else:
+            out_dim = d
             mat = jnp.eye(d, dtype=jnp.float32)[None]
-            t0 = jnp.zeros((1, d), jnp.float32)
         if T is not None:
             t = jnp.asarray(T, jnp.float32).reshape(
                 n if dctx.has_tensor_arg(self, "T") else 1, -1)
         else:
-            t = t0
+            t = jnp.zeros((1, out_dim), jnp.float32)
         if mat.shape[0] == 1:
             mat = jnp.broadcast_to(mat, (n,) + mat.shape[1:])
         if t.shape[0] == 1:
             t = jnp.broadcast_to(t, (n, t.shape[1]))
         out = jnp.einsum("npd,nkd->npk", pts, mat) + t[:, None, :]
         dt = self.spec.GetArgument("dtype", DALIDataType.FLOAT)
-        return [coords.with_data(out.astype(to_jnp_type(dt)), shapes=coords.shapes)]
+        shapes = coords.shapes
+        if shapes is not None and out_dim != d:  # dim-raising/lowering M
+            shapes = jnp.concatenate(
+                [shapes[:, :-1], jnp.full((n, 1), out_dim, shapes.dtype)], axis=1)
+        return [coords.with_data(out.astype(to_jnp_type(dt)), shapes=shapes)]

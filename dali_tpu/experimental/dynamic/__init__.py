@@ -407,10 +407,15 @@ def _eager_call(schema_name: str, *inputs, device=None, batch_size=None, **kwarg
         ]
         params = impl.host_params(ctx, in_shapes) if type(impl).host_params.__qualname__ != "Operator.host_params" else {}
         # ops whose statics need batch metadata (e.g. Pad axis_names reads the
-        # layout) declare a 4-arg device_statics — same dispatch as executor.py
-        import inspect
+        # layout) declare a 4-arg device_statics — same dispatch as
+        # executor.py; the arity is resolved once per impl instance
+        takes_batches = getattr(impl, "_statics_takes_batches", None)
+        if takes_batches is None:
+            import inspect
 
-        if len(inspect.signature(type(impl).device_statics).parameters) >= 4:
+            takes_batches = impl._statics_takes_batches = (
+                len(inspect.signature(type(impl).device_statics).parameters) >= 4)
+        if takes_batches:
             statics = impl.device_statics(ctx, in_shapes, batches)
         else:
             statics = impl.device_statics(ctx, in_shapes)

@@ -193,7 +193,7 @@ def preemphasis(xp, x, coeff: float, border: str = "clamp"):
     if border == "zero":
         first = xp.zeros((), xp.float32)
     elif border == "reflect":
-        first = x[1] if x.shape[-1] > 1 else x[0]
+        first = x[1] if x.shape[0] > 1 else x[0]
     else:  # clamp
         first = x[0]
     if xp is np:

@@ -173,3 +173,95 @@ def test_video_uniform_sample_timestamps(tmp_path):
     # linspace(0, 99, 5) = [0, 24.75->25, 49.5->50, 74.25->74, 99] / fps 10
     np.testing.assert_allclose(t, [0.0, 2.5, 5.0, 7.4, 9.9], atol=1e-6)
     assert int(fnum.as_array()[0][0]) == 0
+
+
+def test_preemphasis_reflect_cpu_gpu_parity():
+    x = np.linspace(-1, 1, 64).astype(np.float32)
+
+    @pipeline_def(batch_size=1, num_threads=1, seed=1)
+    def pipe():
+        s = fn.external_source(source=lambda: [x], batch=True, cycle=True)
+        c = fn.preemphasis_filter(s, preemph_coeff=0.97, border="reflect")
+        g = fn.preemphasis_filter(s.gpu(), preemph_coeff=0.97, border="reflect")
+        return c, g
+
+    p = pipe()
+    p.build()
+    c, g = p.run()
+    ref0 = x[0] - 0.97 * x[1]
+    assert abs(c.at(0)[0] - ref0) < 1e-6
+    np.testing.assert_allclose(np.asarray(g.as_tensor())[0], c.at(0),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_coord_transform_dim_raising_cpu_gpu():
+    pts = np.array([[1.0, 2.0], [3.0, 4.0]], np.float32)
+    M = [1.0, 0.0, 0.0, 1.0, 1.0, 1.0]  # 3x2: raises 2-D points to 3-D
+
+    @pipeline_def(batch_size=1, num_threads=1, seed=1)
+    def pipe():
+        x = fn.external_source(source=lambda: [pts], batch=True, cycle=True)
+        c = fn.coord_transform(x, M=M)
+        g = fn.coord_transform(x.gpu(), M=M)
+        return c, g
+
+    p = pipe()
+    p.build()
+    c, g = p.run()
+    expect = np.stack([pts[:, 0], pts[:, 1], pts.sum(1)], axis=1)
+    np.testing.assert_allclose(c.at(0), expect)
+    np.testing.assert_allclose(np.asarray(g.as_tensor())[0], expect)
+
+
+def test_rcm_gpu_no_crop_uniform_resize(tmp_path):
+    d = tmp_path / "c"
+    d.mkdir()
+    rng = np.random.default_rng(1)
+    for i in range(3):  # differently-sized inputs, uniform output
+        cv2.imwrite(str(d / f"{i}.jpg"),
+                    rng.integers(0, 255, (50 + 16 * i, 70, 3), np.uint8))
+
+    @pipeline_def(batch_size=3, num_threads=1, seed=3)
+    def pipe():
+        buf, _ = fn.readers.file(file_root=str(tmp_path))
+        img = fn.decoders.image(buf, device="mixed")
+        return fn.resize_crop_mirror(img, resize_x=40, resize_y=40)
+
+    p = pipe()
+    p.build()
+    (out,) = p.run()
+    assert np.asarray(out.as_tensor()).shape == (3, 40, 40, 3)
+
+
+def test_reinterpret_gpu_ragged_guards():
+    a = np.arange(8, dtype=np.int32)
+    b = np.arange(6, dtype=np.int32)
+
+    @pipeline_def(batch_size=2, num_threads=1, seed=1)
+    def pipe():
+        x = fn.external_source(source=lambda: [a, b], batch=True, cycle=True)
+        return fn.reinterpret(x.gpu(), shape=[2, -1])
+
+    p = pipe()
+    p.build()
+    with pytest.raises(Exception, match="cpu-only"):
+        p.run()
+
+
+def test_video_reflect_pad_frame_idxs(tmp_path):
+    vid = tmp_path / "v.mp4"
+    _write_video(vid, num_frames=7, fps=10)
+
+    @pipeline_def(batch_size=1, num_threads=1, seed=5)
+    def pipe():
+        f, ts = fn.readers.video(
+            filenames=[str(vid)], labels=None, sequence_length=4, step=4,
+            pad_mode="reflect_101", enable_timestamps=True)
+        return f, ts
+
+    p = pipe()
+    p.build()
+    p.run()  # frames 0..3
+    f, ts = p.run()  # tail: frames 4,5,6 + 1 reflect-101 pad (frame 5)
+    t = ts.as_array()[0]
+    np.testing.assert_allclose(t, [0.4, 0.5, 0.6, 0.5], atol=1e-6)
