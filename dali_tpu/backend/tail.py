@@ -483,24 +483,37 @@ class _RCMGPU(Operator):
                     "batch-uniform output size; use fn.resize for per-sample "
                     "sizes")
             self._nocrop_ohw = next(iter(ohw))
+        # mag/min filter choice latches on the first batch (jit cache key),
+        # like Resize._choose_filter
+        if getattr(self, "_filter", None) is None and (
+                self.spec.GetArgument("mag_filter", None) is not None
+                or self.spec.GetArgument("min_filter", None) is not None):
+            from .image import _pick_filter
+
+            down = int((roi[:, 2] > (cs[0] if cs else out_sizes[:, 0].max())).sum()
+                       + (roi[:, 3] > (cs[1] if cs else out_sizes[:, 1].max())).sum())
+            up = 2 * n - down
+            self._filter = int(_pick_filter(self.spec, down >= up))
         return {"rcm_roi": roi}
 
     def device_statics(self, ctx, input_shapes):
         cs = self._crop_size()
+        filt = getattr(self, "_filter", None)
         if cs is not None:
-            return cs
+            return (*cs, filt)
         # no crop: the uniform output size computed (and validated) by
         # host_params, which the executor runs first
-        return self._nocrop_ohw
+        return (*self._nocrop_ohw, filt)
 
     def lower(self, dctx, inp: DeviceBatch):
         import jax.numpy as jnp
 
         from ..kernels import resample as resample_kernel
 
-        out_h, out_w = dctx.static(self)
+        out_h, out_w, filt = dctx.static(self)
         spec = self.spec
-        interp = spec.GetArgument("interp_type", DALIInterpType.INTERP_LINEAR)
+        interp = (DALIInterpType(filt) if filt is not None
+                  else spec.GetArgument("interp_type", DALIInterpType.INTERP_LINEAR))
         antialias = bool(spec.GetArgument("antialias", True))
         dtype_arg = spec.GetArgument("dtype", None)
         out_dtype = to_jnp_type(dtype_arg) if dtype_arg is not None else inp.data.dtype

@@ -5,7 +5,10 @@ chain running as one jitted XLA program on the TPU.
 Usage: python docs/examples/asr_frontend.py <dir with .flac/.wav files>
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
 from dali_tpu import fn, pipeline_def, types
 
@@ -24,8 +27,27 @@ def asr_frontend(data_dir):
     return fn.normalize(db, axes=[1])
 
 
+def synth_dataset(root, n=16):
+    import numpy as np
+
+    from dali_tpu import native
+
+    sub = os.path.join(root, "clips")  # readers.file labels by subdir
+    os.makedirs(sub, exist_ok=True)
+    rng = np.random.default_rng(3)
+    for i in range(n):
+        dur = float(rng.uniform(2.0, 5.0))
+        t = np.arange(int(dur * 16000), dtype=np.float32) / 16000
+        x = (0.3 * np.sin(2 * np.pi * (180 + 40 * i) * t)).astype(np.float32)
+        with open(os.path.join(sub, f"c{i:03d}.flac"), "wb") as f:
+            f.write(native.audio_encode(x, 16000, "flac"))
+    return root
+
+
 if __name__ == "__main__":
-    pipe = asr_frontend(sys.argv[1])
+    data_dir = sys.argv[1] if len(sys.argv) > 1 else synth_dataset(
+        "/tmp/dali_tpu_asr_example")
+    pipe = asr_frontend(data_dir)
     pipe.build()
     feats = pipe.run()[0]
     print("mel features:", feats.shape()[:4], "...")

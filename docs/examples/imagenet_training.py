@@ -101,9 +101,10 @@ def main():
     t0 = time.perf_counter()
     for step, batch in zip(range(args.steps), it):
         loss, params = train_step(params, batch["images"], batch["labels"])
-    loss.block_until_ready()
+    last = float(loss)  # fetch the value: forces completion even on
+    # transports where block_until_ready only awaits enqueue
     dt = time.perf_counter() - t0
-    print(f"{args.steps} steps, last loss {float(loss):.3f}, "
+    print(f"{args.steps} steps, last loss {last:.3f}, "
           f"{args.steps * args.batch_size / dt:.0f} img/s end-to-end")
 
 

@@ -5,7 +5,10 @@ lives) and its outputs are substituted into the collated batches.
 Usage: python docs/examples/pytorch_proxy_training.py <imagenet-style dir>
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
 import numpy as np
 import torch
@@ -48,9 +51,24 @@ class JpegFolder(torch.utils.data.Dataset):
         return self.transform(data), label
 
 
+def synth_dataset(root, n=64):
+    import os
+
+    import cv2
+
+    os.makedirs(os.path.join(root, "class0"), exist_ok=True)
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        img = rng.integers(0, 255, (375, 500, 3), np.uint8)
+        cv2.imwrite(os.path.join(root, "class0", f"{i}.jpg"), img)
+    return root
+
+
 if __name__ == "__main__":
+    data_dir = sys.argv[1] if len(sys.argv) > 1 else synth_dataset(
+        "/tmp/dali_tpu_proxy_example")
     with dali_proxy.DALIServer(train_pipe()) as server:
-        ds = JpegFolder(sys.argv[1], transform=server.proxy)
+        ds = JpegFolder(data_dir, transform=server.proxy)
         loader = dali_proxy.DataLoader(server, ds, batch_size=64, num_workers=4,
                                        shuffle=True)
         for images, labels in loader:
