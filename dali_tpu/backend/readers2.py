@@ -136,6 +136,16 @@ DALI_SCHEMA("readers.Webdataset").DocStr(
     "webdataset_loader.cc; False matches JPG/jpg alike).", True)
 
 
+def _resolve_wds_ext(comp, entry):
+    """An `ext` entry is a ';'-delimited set of acceptable extensions
+    (reference webdataset_loader.cc kExtDelim); the first present
+    alternative wins."""
+    for alt in entry.split(";"):
+        if alt in comp:
+            return alt
+    return None
+
+
 @register_operator("readers.Webdataset", "cpu")
 class WebdatasetReader(BaseReader):
     def __init__(self, spec, op_id):
@@ -193,9 +203,10 @@ class WebdatasetReader(BaseReader):
                 exts = [e.lower() for e in exts]
             for base in order:
                 comp = groups[base]
-                if behavior == "skip" and any(e not in comp for e in exts):
+                missing = any(_resolve_wds_ext(comp, e) is None for e in exts)
+                if behavior == "skip" and missing:
                     continue
-                if behavior == "error" and any(e not in comp for e in exts):
+                if behavior == "error" and missing:
                     raise ValueError(f"Sample '{base}' missing components in {p}")
                 self._samples.append((fi, comp))
 
@@ -216,8 +227,9 @@ class WebdatasetReader(BaseReader):
             bucket, key = _s3.parse_uri(path)
             cl = _s3.client()
             for e in exts:
-                if e in comp:
-                    off, size = comp[e]
+                k = _resolve_wds_ext(comp, e)
+                if k is not None:
+                    off, size = comp[k]
                     blob = cl.get_object(bucket, key, byte_range=(off, off + size))
                     outs.append(np.frombuffer(blob, np.uint8).copy())
                 else:
@@ -225,8 +237,9 @@ class WebdatasetReader(BaseReader):
             return tuple(outs)
         with open(path, "rb") as f:
             for e in exts:
-                if e in comp:
-                    off, size = comp[e]
+                k = _resolve_wds_ext(comp, e)
+                if k is not None:
+                    off, size = comp[k]
                     f.seek(off)
                     outs.append(np.frombuffer(f.read(size), np.uint8).copy())
                 else:

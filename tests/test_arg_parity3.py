@@ -331,3 +331,28 @@ def test_jpeg_fancy_upsampling_arg(tmp_path):
     a, b = run(True), run(False)
     assert a.shape == b.shape
     assert (a != b).any()
+
+
+def test_webdataset_ext_alternatives(tmp_path):
+    # an `ext` entry is a ';'-set of acceptable extensions (webdataset_loader
+    # kExtDelim): "jpg;jpeg" matches either spelling per sample
+    tar_path = tmp_path / "a.tar"
+    with tarfile.open(tar_path, "w") as tar:
+        for name, data in (("s0.jpeg", b"first"), ("s1.jpg", b"second"),
+                           ("s0.cls", b"0"), ("s1.cls", b"1")):
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tar.addfile(info, io.BytesIO(data))
+
+    @pipeline_def(batch_size=2, num_threads=1, seed=1)
+    def pipe():
+        img, cls = fn.readers.webdataset(paths=[str(tar_path)],
+                                         ext=["jpg;jpeg", "cls"],
+                                         missing_component_behavior="error")
+        return img, cls
+
+    p = pipe()
+    p.build()
+    img, cls = p.run()
+    assert {bytes(img.at(0)), bytes(img.at(1))} == {b"first", b"second"}
+    assert {bytes(cls.at(0)), bytes(cls.at(1))} == {b"0", b"1"}
