@@ -172,6 +172,15 @@ def _crop_round(v, mode):
     return int(np.floor(v + 0.5)) if v >= 0 else int(np.ceil(v - 0.5))
 
 
+def crop_round_jnp(mode):
+    """Traced variant of _crop_round for device lowerings."""
+    import jax.numpy as jnp
+
+    if mode == "truncate":
+        return jnp.trunc
+    return lambda v: jnp.trunc(v + jnp.copysign(0.5, v))  # std::round
+
+
 class _CropCommon(Operator):
     def _size(self):
         crop = self.spec.GetArgument("crop", None)
@@ -232,10 +241,7 @@ class CropGPU(_CropCommon):
 
         py = arg("crop_pos_y", 0.5)
         px = arg("crop_pos_x", 0.5)
-        if self.spec.GetArgument("rounding", "round") == "truncate":
-            _r = jnp.trunc
-        else:  # std::round: half away from zero
-            _r = lambda v: jnp.trunc(v + jnp.copysign(0.5, v))  # noqa: E731
+        _r = crop_round_jnp(self.spec.GetArgument("rounding", "round"))
         y = jnp.clip(_r(py * (ext_h - ch)), 0, None).astype(jnp.int32)
         x = jnp.clip(_r(px * (ext_w - cw)), 0, None).astype(jnp.int32)
         out = jax.vmap(lambda im, yy, xx: jax.lax.dynamic_slice(im, (yy, xx, 0), (ch, cw, C)))(

@@ -594,10 +594,9 @@ class CropMirrorNormalizeGPU(Operator, _CMNCommon):
         if px.shape[0] == 1:
             px = jnp.broadcast_to(px, (n,))
         policy = spec.GetArgument("out_of_bounds_policy", "error")
-        if spec.GetArgument("rounding", "round") == "truncate":
-            _r = jnp.trunc
-        else:  # reference std::round: half away from zero
-            _r = lambda v: jnp.trunc(v + jnp.copysign(0.5, v))  # noqa: E731
+        from .generic2 import crop_round_jnp
+
+        _r = crop_round_jnp(spec.GetArgument("rounding", "round"))
         crop_y = _r(py * (ext_h - crop_h).astype(jnp.float32)).astype(jnp.int32)
         crop_x = _r(px * (ext_w - crop_w).astype(jnp.float32)).astype(jnp.int32)
         if policy != "pad":

@@ -563,9 +563,11 @@ class TensorResize(Operator):
             for k, a in enumerate(axes):
                 sl[a] = slice(int(round(s0[k])), max(int(round(e0[k])), int(round(s0[k])) + 1))
             x = x[tuple(sl)]
+        from .generic2 import _crop_round
+
         # "round" = half away from zero (reference std::round), NOT Python's
         # banker's rounding
-        rounding = {"round": lambda v: int(np.floor(v + 0.5)) if v >= 0 else int(np.ceil(v - 0.5)),
+        rounding = {"round": lambda v: _crop_round(v, "round"),
                     "truncate": int,
                     "ceil": lambda v: int(-(-v // 1))}[spec.GetArgument("size_rounding", "round")]
         sizes = ctx.arg(self, "sizes", idx, None)

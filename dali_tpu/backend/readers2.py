@@ -346,9 +346,13 @@ class NumpyReader(BaseReader):
         return self._apply_roi(arr)
 
     def _has_roi(self):
-        return any(self.spec.GetArgument(a, None) is not None for a in (
-            "roi_start", "rel_roi_start", "roi_end", "rel_roi_end",
-            "roi_shape", "rel_roi_shape"))
+        flag = getattr(self, "_roi_flag", None)
+        if flag is None:  # resolved once; read on every sample
+            flag = self._roi_flag = any(
+                self.spec.GetArgument(a, None) is not None for a in (
+                    "roi_start", "rel_roi_start", "roi_end", "rel_roi_end",
+                    "roi_shape", "rel_roi_shape"))
+        return flag
 
     def _apply_roi(self, arr):
         """ROI read (reference numpy_loader roi support: start/end/shape in

@@ -349,8 +349,6 @@ class _RCMBase(Operator):
 
         from .image import compute_resize_size
 
-        from ..types import to_numpy_type
-
         h, w = img.shape[:2]
         # optional input ROI (reference ResizeAttr roi_start/roi_end)
         rs = ctx.arg(self, "roi_start", idx, None)
@@ -397,9 +395,7 @@ class _RCMBase(Operator):
             resized = resized[:, ::-1]
         dt = self.spec.GetArgument("dtype", None)
         if dt is not None:
-            from ..types import to_numpy_type as _tnt
-
-            resized = resized.astype(_tnt(dt))
+            resized = resized.astype(to_numpy_type(dt))
         return np.ascontiguousarray(resized)
 
     def output_layout(self, j, inputs):
