@@ -1216,37 +1216,29 @@ class JpegCoeffsSplitRRC(JpegCoeffsSplit):
         area = self.spec.GetArgument("random_area")
         ar = self.spec.GetArgument("random_aspect_ratio")
         attempts = self.spec.GetArgument("num_attempts", 10)
-        blocks = np.zeros((n, 4), np.int32)  # cropped ybh, ybw, cbh, cbw
-        brc0 = np.zeros((n, 2), np.int32)  # luma block offsets
-        dims = np.zeros((n, 3), np.int32)  # decoded-region pixel size + mode
-        roi = np.zeros((n, 4), np.int32)  # residual y, x, ch, cw within region
         wins = sample_rrc_windows_batch(ctx.rng(self), infos[:, :2], area, ar, attempts)
-        for i in range(n):
-            h, w = int(infos[i, 0]), int(infos[i, 1])
-            y, x, ch, cw = (int(v) for v in wins[i])
-            y0 = max((y // mcu_h) * mcu_h - mcu_h, 0)
-            x0 = max((x // mcu_w) * mcu_w - mcu_w, 0)
-            y1 = -(-(y + ch) // mcu_h) * mcu_h + mcu_h
-            x1 = -(-(x + cw) // mcu_w) * mcu_w + mcu_w
-            y1 = min(y1, int(infos[i, 2]) * 8)  # full luma block extent
-            x1 = min(x1, int(infos[i, 3]) * 8)
-            # region must stay MCU-aligned (full extent may be odd-block)
-            if (y1 - y0) % mcu_h:
-                y1 += mcu_h - (y1 - y0) % mcu_h
-            if (x1 - x0) % mcu_w:
-                x1 += mcu_w - (x1 - x0) % mcu_w
-            cbh = (y1 - y0) // 8 if mode != 0 else (y1 - y0) // 16
-            cbw = (x1 - x0) // 8 if mode == 1 else (x1 - x0) // 16
-            blocks[i] = ((y1 - y0) // 8, (x1 - x0) // 8, cbh, cbw)
-            brc0[i] = (y0 // 8, x0 // 8)
-            dims[i] = (y1 - y0, x1 - x0, mode)
-            roi[i] = (y - y0, x - x0, ch, cw)
-        c_brc0 = np.stack([
-            np.asarray([self._chroma_origin(mode, int(r), int(c))[0]
-                        for r, c in brc0], np.int32),
-            np.asarray([self._chroma_origin(mode, int(r), int(c))[1]
-                        for r, c in brc0], np.int32),
-        ], 1)
+        # vectorized MCU-grid snap of all n windows (was a python loop —
+        # measurable at batch 256 on the 1-core host)
+        y, x = wins[:, 0].astype(np.int64), wins[:, 1].astype(np.int64)
+        ch, cw = wins[:, 2].astype(np.int64), wins[:, 3].astype(np.int64)
+        y0 = np.maximum((y // mcu_h) * mcu_h - mcu_h, 0)
+        x0 = np.maximum((x // mcu_w) * mcu_w - mcu_w, 0)
+        y1 = -(-(y + ch) // mcu_h) * mcu_h + mcu_h
+        x1 = -(-(x + cw) // mcu_w) * mcu_w + mcu_w
+        y1 = np.minimum(y1, infos[:, 2].astype(np.int64) * 8)  # full luma extent
+        x1 = np.minimum(x1, infos[:, 3].astype(np.int64) * 8)
+        # region must stay MCU-aligned (full extent may be odd-block)
+        y1 += (-(y1 - y0)) % mcu_h
+        x1 += (-(x1 - x0)) % mcu_w
+        cbh = (y1 - y0) // (8 if mode != 0 else 16)
+        cbw = (x1 - x0) // (8 if mode == 1 else 16)
+        blocks = np.stack([(y1 - y0) // 8, (x1 - x0) // 8, cbh, cbw], 1).astype(np.int32)
+        brc0 = np.stack([y0 // 8, x0 // 8], 1).astype(np.int32)
+        dims = np.stack([y1 - y0, x1 - x0, np.full(n, mode)], 1).astype(np.int32)
+        roi = np.stack([y - y0, x - x0, ch, cw], 1).astype(np.int32)
+        cdiv_r = 2 if mode == 0 else 1
+        cdiv_c = 1 if mode == 1 else 2
+        c_brc0 = np.stack([brc0[:, 0] // cdiv_r, brc0[:, 1] // cdiv_c], 1)
 
         def grow(cur, want, align):
             want = int(-(-int(want) // align) * align)
