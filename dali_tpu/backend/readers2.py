@@ -125,7 +125,10 @@ DALI_SCHEMA("readers.Webdataset").DocStr(
 ).AddOptionalArg(
     "index_paths", ArgType.STRING_VEC, "Index files (wds2idx).", None
 ).AddOptionalArg(
-    "ext", ArgType.STRING_VEC, "Component extensions, one output each.", ["jpg"]
+    "ext", ArgType.STRING_VEC,
+    "Component extensions, one output each; an entry may be a "
+    "';'-delimited set of acceptable alternatives (e.g. 'jpg;jpeg'), "
+    "resolved to the first matching component in tar order.", ["jpg"]
 ).AddOptionalArg(
     "missing_component_behavior", ArgType.STRING, "'error'|'skip'|'empty'.", "empty"
 ).AddOptionalArg(
@@ -138,11 +141,13 @@ DALI_SCHEMA("readers.Webdataset").DocStr(
 
 def _resolve_wds_ext(comp, entry):
     """An `ext` entry is a ';'-delimited set of acceptable extensions
-    (reference webdataset_loader.cc kExtDelim); the first present
-    alternative wins."""
-    for alt in entry.split(";"):
-        if alt in comp:
-            return alt
+    (reference webdataset_loader.cc kExtDelim); the first matching component
+    IN TAR ORDER wins (component dicts preserve archive order), matching the
+    reference's was_output_set loop."""
+    alts = set(entry.split(";"))
+    for k in comp:
+        if k in alts:
+            return k
     return None
 
 

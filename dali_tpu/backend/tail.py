@@ -486,9 +486,10 @@ class _RCMGPU(Operator):
                 or self.spec.GetArgument("min_filter", None) is not None):
             from .image import _pick_filter
 
-            down = int((roi[:, 2] > (cs[0] if cs else out_sizes[:, 0].max())).sum()
-                       + (roi[:, 3] > (cs[1] if cs else out_sizes[:, 1].max())).sum())
-            up = 2 * n - down
+            ohw = (np.tile(np.array([cs], np.float32), (n, 1)) if cs
+                   else out_sizes.astype(np.float32))
+            down = int((roi[:, 2] > ohw[:, 0]).sum() + (roi[:, 3] > ohw[:, 1]).sum())
+            up = int((roi[:, 2] < ohw[:, 0]).sum() + (roi[:, 3] < ohw[:, 1]).sum())
             self._filter = int(_pick_filter(self.spec, down >= up))
         return {"rcm_roi": roi}
 

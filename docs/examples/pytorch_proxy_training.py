@@ -52,8 +52,6 @@ class JpegFolder(torch.utils.data.Dataset):
 
 
 def synth_dataset(root, n=64):
-    import os
-
     import cv2
 
     os.makedirs(os.path.join(root, "class0"), exist_ok=True)
