@@ -139,12 +139,29 @@ DALI_SCHEMA("ExpandDims").DocStr("Insert size-1 dims.").NumInput(1).NumOutput(1)
 )
 
 
+def _expand_layout(layout, axes, names):
+    """Insert new_axis_names into the layout at the expanded positions
+    (reference expand_dims.cc layout handling)."""
+    if not layout:
+        return ""
+    names = names or ""
+    out = list(layout)
+    for k, ax in enumerate(sorted(axes)):
+        out.insert(ax, names[k] if k < len(names) else "?")
+    return "".join(out) if "?" not in out else ""
+
+
 @register_operator("ExpandDims", "cpu")
 class ExpandDimsCPU(Operator):
     def run_sample(self, ctx, idx, x):
         for ax in sorted(self.spec.GetArgument("axes")):
             x = np.expand_dims(x, ax)
         return x
+
+    def output_layout(self, j, inputs):
+        return _expand_layout(inputs[0].layout if inputs else "",
+                              self.spec.GetArgument("axes"),
+                              self.spec.GetArgument("new_axis_names", None))
 
 
 @register_operator("ExpandDims", "gpu")
@@ -153,9 +170,17 @@ class ExpandDimsGPU(Operator):
         import jax.numpy as jnp
 
         x = inp.data
+        shapes = inp.shapes
         for ax in sorted(self.spec.GetArgument("axes")):
             x = jnp.expand_dims(x, ax + 1)  # +1 for batch dim
-        return [DeviceBatch(x, None, "")]
+            if shapes is not None:  # ragged extents gain a 1-column
+                shapes = jnp.concatenate(
+                    [shapes[:, :ax],
+                     jnp.ones((shapes.shape[0], 1), shapes.dtype),
+                     shapes[:, ax:]], axis=1)
+        layout = _expand_layout(inp.layout, self.spec.GetArgument("axes"),
+                                self.spec.GetArgument("new_axis_names", None))
+        return [DeviceBatch(x, shapes, layout)]
 
 
 DALI_SCHEMA("Squeeze").DocStr("Remove size-1 dims.").NumInput(1).NumOutput(1).Devices("cpu", "gpu").AddOptionalArg(
@@ -163,11 +188,34 @@ DALI_SCHEMA("Squeeze").DocStr("Remove size-1 dims.").NumInput(1).NumOutput(1).De
 ).AddOptionalArg("axis_names", ArgType.TENSOR_LAYOUT, "Layout names of dims to remove.", None)
 
 
+def _squeeze_axes(spec, layout, ndim):
+    names = spec.GetArgument("axis_names", None)
+    if names:
+        if not layout:
+            raise ValueError("Squeeze: axis_names requires a layout on the input")
+        return [layout.index(ch) for ch in names]
+    axes = spec.GetArgument("axes", None)
+    return [a % ndim for a in axes] if axes else None
+
+
 @register_operator("Squeeze", "cpu")
 class SqueezeCPU(Operator):
+    def run_batch(self, ctx, inp):
+        self._in_layout = inp.layout or ""
+        return super().run_batch(ctx, inp)
+
     def run_sample(self, ctx, idx, x):
-        axes = self.spec.GetArgument("axes", None)
+        axes = _squeeze_axes(self.spec, getattr(self, "_in_layout", ""), x.ndim)
         return np.squeeze(x, axis=tuple(axes) if axes else None)
+
+    def output_layout(self, j, inputs):
+        layout = inputs[0].layout if inputs else ""
+        if not layout:
+            return ""
+        axes = _squeeze_axes(self.spec, layout, len(layout))
+        if axes is None:
+            return ""  # squeeze-all: removed dims depend on per-sample shape
+        return "".join(ch for i, ch in enumerate(layout) if i not in set(axes))
 
 
 @register_operator("Squeeze", "gpu")
@@ -175,12 +223,20 @@ class SqueezeGPU(Operator):
     def lower(self, dctx, inp: DeviceBatch):
         import jax.numpy as jnp
 
-        axes = self.spec.GetArgument("axes", None)
-        if axes:
-            x = jnp.squeeze(inp.data, axis=tuple(a + 1 for a in axes))
-        else:
-            x = jnp.squeeze(inp.data, axis=tuple(i + 1 for i, s in enumerate(inp.data.shape[1:]) if s == 1))
-        return [DeviceBatch(x, None, "")]
+        ndim = inp.data.ndim - 1
+        axes = _squeeze_axes(self.spec, inp.layout, ndim)
+        if axes is None:
+            axes = [i for i, s in enumerate(inp.data.shape[1:]) if s == 1]
+        x = jnp.squeeze(inp.data, axis=tuple(a + 1 for a in axes))
+        shapes = inp.shapes
+        layout = ""
+        if shapes is not None:
+            keep = [i for i in range(ndim) if i not in set(axes)]
+            shapes = shapes[:, keep]
+        if inp.layout:
+            layout = "".join(ch for i, ch in enumerate(inp.layout)
+                             if i not in set(axes))
+        return [DeviceBatch(x, shapes, layout)]
 
 
 # ==================================== Transpose ======================================================
