@@ -227,3 +227,71 @@ def test_iterator_checkpoint_roundtrip(image_root):
     for e, g in zip(expected, got):
         ea, ga = e[0]["label"], g[0]["label"]
         np.testing.assert_array_equal(np.asarray(ea.as_array()), np.asarray(ga.as_array()))
+
+
+def test_cross_process_resume_bit_identical(image_root, tmp_path):
+    """The strongest resume contract: checkpoint in one PROCESS, resume in a
+    fresh one, outputs bit-identical to the uninterrupted run (reference
+    checkpointing docs promise exactly this)."""
+    import json
+    import subprocess
+    import sys
+    import textwrap
+
+    script = tmp_path / "resume.py"
+    script.write_text(textwrap.dedent(f"""
+        import sys
+        sys.path.insert(0, {repr(str(__import__('os').path.dirname(__import__('os').path.dirname(__file__))))})
+        import json
+        import numpy as np
+        import jax
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
+        from dali_tpu import fn, pipeline_def, types
+
+        mode, ckpt_file, out_file = sys.argv[1], sys.argv[2], sys.argv[3]
+        ckpt = open(ckpt_file).read() if mode == "resume" else None
+
+        @pipeline_def(batch_size=4, num_threads=1, seed=77,
+                      enable_checkpointing=True, checkpoint=ckpt)
+        def p():
+            data, labels = fn.readers.file(file_root={repr(image_root)},
+                                           random_shuffle=True, name="R")
+            img = fn.decoders.image(data, device="cpu")
+            img = fn.random_resized_crop(img, size=[24, 24])
+            coin = fn.random.coin_flip(probability=0.5, shape=[4])
+            return img, labels, coin
+
+        pipe = p()
+        pipe.build()
+        outs = []
+        if mode == "full":
+            for _ in range(3):
+                pipe.run()
+            open(ckpt_file, "w").write("unused")
+            for _ in range(2):
+                o = pipe.run()
+                outs.append([np.asarray(t.as_array()).tolist() for t in o])
+        elif mode == "head":
+            for _ in range(3):
+                pipe.run()
+            open(ckpt_file, "w").write(pipe.checkpoint())
+        else:  # resume
+            for _ in range(2):
+                o = pipe.run()
+                outs.append([np.asarray(t.as_array()).tolist() for t in o])
+        open(out_file, "w").write(json.dumps(outs))
+    """))
+
+    def run(mode, ckpt, out):
+        r = subprocess.run([sys.executable, str(script), mode, str(ckpt), str(out)],
+                           capture_output=True, text=True, timeout=300)
+        assert r.returncode == 0, r.stderr[-2000:]
+
+    full_out = tmp_path / "full.json"
+    run("full", tmp_path / "ck_unused.txt", full_out)
+    run("head", tmp_path / "ck.txt", tmp_path / "head_out.json")
+    resume_out = tmp_path / "resume.json"
+    run("resume", tmp_path / "ck.txt", resume_out)
+    a = json.loads(full_out.read_text())
+    b = json.loads(resume_out.read_text())
+    assert a == b  # bit-identical continuation across processes
