@@ -137,3 +137,20 @@ def test_ndd_checkpoint_resumes_reader_and_stream(tmp_path):
     np.testing.assert_array_equal(after_a.as_array(), after_b.as_array())
     np.testing.assert_allclose(np.asarray(rand_a.as_array()),
                                np.asarray(rand_b.as_array()), rtol=1e-6)
+
+
+def test_ndd_pad_gpu_axis_names():
+    """Dynamic mode resolves 4-arg device_statics with batch metadata
+    (Pad axis_names reads the layout) — regression for the eager-path
+    statics dispatch."""
+    import numpy as np
+
+    from dali_tpu.experimental import dynamic as ndd
+
+    a = ndd.Batch([np.zeros((3, 5), np.float32), np.zeros((4, 2), np.float32)],
+                  layout="HW")
+    out = ndd.pad(a.gpu(), axis_names="W", fill_value=7.0)
+    assert np.asarray(out.at(0)).shape == (3, 5)
+    s1 = np.asarray(out.at(1))
+    assert s1.shape == (4, 5)
+    assert (s1[:, 2:] == 7.0).all()
