@@ -132,7 +132,10 @@ DALI_SCHEMA("readers.Webdataset").DocStr(
 ).AddOptionalArg(
     "missing_component_behavior", ArgType.STRING, "'error'|'skip'|'empty'.", "empty"
 ).AddOptionalArg(
-    "dtypes", ArgType.PYTHON_OBJECT, "Output dtypes.", None
+    "dtypes", ArgType.PYTHON_OBJECT,
+    "Output dtype per ext entry (DALIDataType or numpy dtype); component "
+    "bytes are REINTERPRETED as that type (reference webdataset_loader.cc "
+    "resizes by size/itemsize), default UINT8.", None
 ).AddOptionalArg(
     "case_sensitive_extensions", ArgType.BOOL,
     "Match component extensions case-sensitively (reference "
@@ -218,11 +221,39 @@ class WebdatasetReader(BaseReader):
     def _num_samples(self):
         return len(self._samples)
 
+    def _out_dtypes(self, n_out):
+        dts = self.spec.GetArgument("dtypes", None)
+        if not dts:
+            return [np.uint8] * n_out
+        from ..types import DALIDataType, to_numpy_type
+
+        out = []
+        for d in dts:
+            if isinstance(d, DALIDataType) or isinstance(d, int):
+                out.append(to_numpy_type(DALIDataType(d)))
+            else:
+                out.append(np.dtype(d).type)
+        if len(out) != n_out:
+            raise ValueError(
+                "readers.Webdataset: len(dtypes) must match len(ext)")
+        return out
+
+    @staticmethod
+    def _as_dtype(blob, dt):
+        if dt is np.uint8:
+            return blob
+        if blob.nbytes % np.dtype(dt).itemsize:
+            raise ValueError(
+                f"readers.Webdataset: component size {blob.nbytes} not "
+                f"divisible by itemsize of {np.dtype(dt)}")
+        return blob.view(dt)
+
     def _read_payload(self, index: int):
         fi, comp = self._samples[index]
         exts = self.spec.GetArgument("ext")
         if not self.spec.GetArgument("case_sensitive_extensions", True):
             exts = [e.lower() for e in exts]
+        dts = self._out_dtypes(len(exts))
         path = self._paths[fi]
         outs = []
         if path.startswith("s3://"):
@@ -231,24 +262,24 @@ class WebdatasetReader(BaseReader):
 
             bucket, key = _s3.parse_uri(path)
             cl = _s3.client()
-            for e in exts:
+            for e, dt in zip(exts, dts):
                 k = _resolve_wds_ext(comp, e)
                 if k is not None:
                     off, size = comp[k]
                     blob = cl.get_object(bucket, key, byte_range=(off, off + size))
-                    outs.append(np.frombuffer(blob, np.uint8).copy())
+                    outs.append(self._as_dtype(np.frombuffer(blob, np.uint8).copy(), dt))
                 else:
-                    outs.append(np.zeros((0,), np.uint8))
+                    outs.append(np.zeros((0,), dt))
             return tuple(outs)
         with open(path, "rb") as f:
-            for e in exts:
+            for e, dt in zip(exts, dts):
                 k = _resolve_wds_ext(comp, e)
                 if k is not None:
                     off, size = comp[k]
                     f.seek(off)
-                    outs.append(np.frombuffer(f.read(size), np.uint8).copy())
+                    outs.append(self._as_dtype(np.frombuffer(f.read(size), np.uint8).copy(), dt))
                 else:
-                    outs.append(np.zeros((0,), np.uint8))
+                    outs.append(np.zeros((0,), dt))
         return tuple(outs)
 
 

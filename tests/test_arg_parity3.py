@@ -356,3 +356,26 @@ def test_webdataset_ext_alternatives(tmp_path):
     img, cls = p.run()
     assert {bytes(img.at(0)), bytes(img.at(1))} == {b"first", b"second"}
     assert {bytes(cls.at(0)), bytes(cls.at(1))} == {b"0", b"1"}
+
+
+def test_webdataset_dtypes_reinterpret(tmp_path):
+    # dtypes REINTERPRET the component bytes (reference webdataset_loader.cc
+    # resizes by size/itemsize), not a value cast
+    payload = np.array([1.5, -2.5, 3.25], np.float32).tobytes()
+    tar_path = tmp_path / "a.tar"
+    with tarfile.open(tar_path, "w") as tar:
+        info = tarfile.TarInfo("s0.bin")
+        info.size = len(payload)
+        tar.addfile(info, io.BytesIO(payload))
+
+    @pipeline_def(batch_size=1, num_threads=1, seed=1)
+    def pipe():
+        return fn.readers.webdataset(paths=[str(tar_path)], ext=["bin"],
+                                     dtypes=[types.FLOAT])
+
+    p = pipe()
+    p.build()
+    (out,) = p.run()
+    got = out.at(0)
+    assert got.dtype == np.float32
+    np.testing.assert_allclose(got, [1.5, -2.5, 3.25])
