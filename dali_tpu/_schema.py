@@ -214,7 +214,7 @@ class OpSchema:
         self.AddOptionalArg("pad_last_batch", ArgType.BOOL, "Pad final batch by repeating the last sample.", False)
         self.AddOptionalArg("lazy_init", ArgType.BOOL, "Defer dataset scan to first run.", False)
         self.AddOptionalArg("read_ahead", ArgType.BOOL, "Read ahead (hint).", False)
-        self.AddOptionalArg("prefetch_queue_depth", ArgType.INT, "Reader-side prefetch depth.", 1)
+        self.AddOptionalArg("prefetch_queue_depth", ArgType.INT, "Reader-side prefetch depth (hint: prefetch happens in the executor's bounded stage queues here).", 1)
         self.AddOptionalArg("skip_cached_images", ArgType.BOOL, "Compatibility no-op.", False)
         self.AddOptionalArg("dont_use_mmap", ArgType.BOOL, "Use plain reads instead of mmap.", False)
         self.AddOptionalArg(

@@ -138,13 +138,22 @@ def laplacian_windows(size: int):
     return deriv, smooth
 
 
+def _laplacian_scale(spec, size, ndim=2):
+    """Effective scale: `scale`, or 2^(-s + n + 2) when normalized_kernel=True
+    (reference laplacian.cc:62 — s = sum of window sizes per partial
+    derivative, n = number of axes)."""
+    if spec.GetArgument("normalized_kernel", False):
+        return 2.0 ** (-(size * ndim) + ndim + 2)
+    return float(spec.GetArgument("scale", [1.0])[0])
+
+
 @register_operator("Laplacian", "cpu")
 class LaplacianCPU(Operator):
     def run_sample(self, ctx, idx, img):
         import cv2
 
         size = int(self.spec.GetArgument("window_size", [3])[0])
-        scale = float(self.spec.GetArgument("scale", [1.0])[0])
+        scale = _laplacian_scale(self.spec, size)
         out = cv2.Laplacian(img.astype(np.float32), cv2.CV_32F, ksize=size, scale=scale,
                             borderType=cv2.BORDER_REFLECT_101)
         out = out[:, :, None] if out.ndim == 2 and img.ndim == 3 else out
@@ -162,7 +171,7 @@ class LaplacianGPU(Operator):
         import jax.numpy as jnp
 
         size = int(self.spec.GetArgument("window_size", [3])[0])
-        scale = float(self.spec.GetArgument("scale", [1.0])[0])
+        scale = _laplacian_scale(self.spec, size)
         deriv, smooth = laplacian_windows(size)
         # Laplacian = d²/dy² (smoothed in x) + d²/dx² (smoothed in y)
         dyy = _separable_conv2d(inp.data, deriv, smooth)

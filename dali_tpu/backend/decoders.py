@@ -90,10 +90,11 @@ class _DecoderCache:
     'threshold' caches anything <= cache_threshold while space remains;
     'largest' evicts the smallest entries to admit larger images."""
 
-    def __init__(self, size_mb: int, policy: str, threshold: int):
+    def __init__(self, size_mb: int, policy: str, threshold: int, debug: bool = False):
         self.capacity = size_mb << 20
         self.policy = policy
         self.threshold = threshold
+        self.debug = debug
         self.used = 0
         self.map = {}
         self.hits = 0
@@ -105,6 +106,9 @@ class _DecoderCache:
             self.misses += 1
         else:
             self.hits += 1
+        if self.debug:
+            print(f"[dali_tpu] decoder cache {'hit' if v is not None else 'miss'}: "
+                  f"{key} ({self.hits} hits / {self.misses} misses)")
         return v
 
     def insert(self, key, img):
@@ -178,6 +182,7 @@ class ImageDecoderMixed(_ImageDecoderBase):
                 size,
                 self.spec.GetArgument("cache_type", "threshold"),
                 self.spec.GetArgument("cache_threshold", 0) or (size << 20),
+                debug=self.spec.GetArgument("cache_debug", False),
             )
         return self._img_cache
 

@@ -98,13 +98,28 @@ DALI_SCHEMA("Resize").DocStr(
 ).AddOptionalArg(
     "roi_relative", ArgType.BOOL, "ROI given in relative [0,1] coords.", False
 ).AddOptionalArg(
-    "subpixel_scale", ArgType.BOOL, "Adjust scale for fractional sizes.", True
+    "subpixel_scale", ArgType.BOOL, "Adjust scale for fractional sizes (output extents are integral here, making this the default behavior; accepted for compatibility).", True
 )
+
+
+def _apply_max_size(spec, oh, ow):
+    """Cap keep-aspect outputs at `max_size` (reference resize_attr.cc:
+    scalar or (H, W) bound; scales down preserving aspect)."""
+    ms = spec.GetArgument("max_size", None)
+    if not ms:
+        return oh, ow
+    ms = np.asarray(ms, np.float64).reshape(-1)
+    mh, mw = (float(ms[0]), float(ms[-1])) if ms.size > 1 else (float(ms[0]),) * 2
+    r = min((mh / oh) if mh > 0 else 1.0, (mw / ow) if mw > 0 else 1.0, 1.0)
+    if r < 1.0:
+        return max(1, round(oh * r)), max(1, round(ow * r))
+    return oh, ow
 
 
 def compute_resize_size(in_h, in_w, spec, sample_arg, mode=None):
     """Output (h, w) from the Resize argument set — mirrors the reference
-    ``ResizeAttr`` logic (``resize_attr.cc``)."""
+    ``ResizeAttr`` logic (``resize_attr.cc``), including `max_size` caps on
+    the keep-aspect modes."""
     rx = float(sample_arg("resize_x", 0.0) or 0.0)
     ry = float(sample_arg("resize_y", 0.0) or 0.0)
     rs = float(sample_arg("resize_shorter", 0.0) or 0.0)
@@ -119,24 +134,24 @@ def compute_resize_size(in_h, in_w, spec, sample_arg, mode=None):
             ry, rx = float(sz[0]), float(sz[1])
     if rs > 0:
         scale = rs / min(in_h, in_w)
-        return max(1, round(in_h * scale)), max(1, round(in_w * scale))
+        return _apply_max_size(spec, max(1, round(in_h * scale)), max(1, round(in_w * scale)))
     if rl > 0:
         scale = rl / max(in_h, in_w)
-        return max(1, round(in_h * scale)), max(1, round(in_w * scale))
+        return _apply_max_size(spec, max(1, round(in_h * scale)), max(1, round(in_w * scale)))
     if rx > 0 and ry > 0:
         if mode == "not_larger":
             scale = min(rx / in_w, ry / in_h)
-            return max(1, round(in_h * scale)), max(1, round(in_w * scale))
+            return _apply_max_size(spec, max(1, round(in_h * scale)), max(1, round(in_w * scale)))
         if mode == "not_smaller":
             scale = max(rx / in_w, ry / in_h)
-            return max(1, round(in_h * scale)), max(1, round(in_w * scale))
+            return _apply_max_size(spec, max(1, round(in_h * scale)), max(1, round(in_w * scale)))
         return max(1, round(ry)), max(1, round(rx))
     if rx > 0:
         scale = rx / in_w
-        return max(1, round(in_h * scale)), max(1, round(rx))
+        return _apply_max_size(spec, max(1, round(in_h * scale)), max(1, round(rx)))
     if ry > 0:
         scale = ry / in_h
-        return max(1, round(ry)), max(1, round(in_w * scale))
+        return _apply_max_size(spec, max(1, round(ry)), max(1, round(in_w * scale)))
     raise ValueError("Resize requires one of: size, resize_x/y, resize_shorter/longer")
 
 

@@ -173,7 +173,10 @@ class DumpImage(Operator):
         import cv2
 
         suffix = self.spec.GetArgument("suffix", "")
+        layout = inp.layout or self.spec.GetArgument("input_layout", "HWC")
         for i, s in enumerate(inp.samples):
+            if layout == "CHW" and s.ndim == 3:
+                s = np.transpose(s, (1, 2, 0))
             if s.ndim == 3 and s.shape[-1] in (1, 3):
                 img = s[:, :, ::-1] if s.shape[-1] == 3 else s
                 cv2.imwrite(f"dump_{ctx.iteration}_{i}{('_' + suffix) if suffix else ''}.png", img)

@@ -61,47 +61,97 @@ class Inflate(Operator):
 _FITS_DTYPES = {8: np.uint8, 16: ">i2", 32: ">i4", 64: ">i8", -32: ">f4", -64: ">f8"}
 
 
-def read_fits_image(path: str) -> np.ndarray:
-    """Minimal FITS primary-HDU image reader (reference fits_loader.cc uses
-    cfitsio; 2880-byte header blocks of 80-char cards, big-endian data)."""
+def _read_fits_header(f):
+    """One HDU header: dict of cards, or None at EOF."""
+    cards = {}
+    end = False
+    first = True
+    while not end:
+        block = f.read(2880)
+        if not block and first:
+            return None
+        if len(block) < 2880:
+            raise ValueError("Truncated FITS header")
+        first = False
+        for i in range(0, 2880, 80):
+            card = block[i : i + 80].decode("ascii", "replace")
+            key = card[:8].strip()
+            if key == "END":
+                end = True
+                break
+            if "=" in card:
+                val = card[card.index("=") + 1 :].split("/")[0].strip()
+                cards[key] = val
+    return cards
+
+
+def _fits_data(cards, f, skip: bool):
+    bitpix = int(cards["BITPIX"])
+    naxis = int(cards["NAXIS"])
+    shape = [int(cards[f"NAXIS{i}"]) for i in range(naxis, 0, -1)]
+    count = int(np.prod(shape)) if shape else 0
+    dt = np.dtype(_FITS_DTYPES[bitpix])
+    nbytes = count * dt.itemsize
+    padded = -(-nbytes // 2880) * 2880 if nbytes else 0
+    if skip:
+        f.seek(padded, 1)
+        return None
+    data = np.frombuffer(f.read(nbytes), dt, count=count)
+    f.seek(padded - nbytes, 1)
+    arr = data.reshape(shape)
+    bscale = float(cards.get("BSCALE", "1.0"))
+    bzero = float(cards.get("BZERO", "0.0"))
+    if bscale != 1.0 or bzero != 0.0:
+        arr = arr * bscale + bzero
+    return np.ascontiguousarray(arr.astype(arr.dtype.newbyteorder("=")))
+
+
+def read_fits_hdus(path: str, indices) -> list:
+    """Minimal FITS reader over 1-based HDU indices (reference fits_loader.cc
+    uses cfitsio; 2880-byte header blocks of 80-char cards, big-endian data,
+    data sections padded to the block size). Requesting the reference default
+    HDU 2 on an extension-less file falls back to the primary HDU."""
+    want = {int(i) for i in indices}
+    out = {}
+    max_hdu = 0
     with open(path, "rb") as f:
-        cards = {}
-        end = False
-        while not end:
-            block = f.read(2880)
-            if len(block) < 2880:
-                raise ValueError("Truncated FITS header")
-            for i in range(0, 2880, 80):
-                card = block[i : i + 80].decode("ascii", "replace")
-                key = card[:8].strip()
-                if key == "END":
-                    end = True
-                    break
-                if "=" in card:
-                    val = card[card.index("=") + 1 :].split("/")[0].strip()
-                    cards[key] = val
-        bitpix = int(cards["BITPIX"])
-        naxis = int(cards["NAXIS"])
-        shape = [int(cards[f"NAXIS{i}"]) for i in range(naxis, 0, -1)]
-        count = int(np.prod(shape)) if shape else 0
-        dt = np.dtype(_FITS_DTYPES[bitpix])
-        data = np.frombuffer(f.read(count * dt.itemsize), dt, count=count)
-        arr = data.reshape(shape)
-        bscale = float(cards.get("BSCALE", "1.0"))
-        bzero = float(cards.get("BZERO", "0.0"))
-        if bscale != 1.0 or bzero != 0.0:
-            arr = arr * bscale + bzero
-        return np.ascontiguousarray(arr.astype(arr.dtype.newbyteorder("=")))
+        hdu = 0
+        while len(out) < len(want):
+            hdu += 1
+            cards = _read_fits_header(f)
+            if cards is None:
+                break
+            max_hdu = hdu
+            arr = _fits_data(cards, f, skip=hdu not in want)
+            if hdu in want:
+                out[hdu] = arr
+    missing = sorted(want - set(out))
+    if missing == [2] and max_hdu == 1 and 1 not in want:
+        # primary-only file asked for the default first extension
+        return [read_fits_hdus(path, [1])[0]]
+    if missing:
+        raise ValueError(f"{path}: FITS HDU(s) {missing} not present")
+    return [out[int(i)] for i in indices]
+
+
+def read_fits_image(path: str) -> np.ndarray:
+    """Primary-HDU convenience wrapper around read_fits_hdus."""
+    return read_fits_hdus(path, [1])[0]
 
 
 DALI_SCHEMA("readers.Fits").DocStr(
-    "Reads FITS image files (reference ``readers__Fits``, ``fits_loader.cc``)."
-).NumInput(0).NumOutput(1).Devices("cpu").MakeReader().AddOptionalArg(
+    "Reads FITS image files (reference ``readers__Fits``, ``fits_loader.cc``); "
+    "one output per entry of ``hdu_indices``."
+).NumInput(0).OutputFn(
+    lambda spec: len(spec.GetArgument("hdu_indices") or [2])
+).Devices("cpu").MakeReader().AddOptionalArg(
     "file_root", ArgType.STRING, "Directory with FITS files.", None
 ).AddOptionalArg(
     "files", ArgType.STRING_VEC, "Explicit file list.", None
 ).AddOptionalArg("file_filter", ArgType.STRING, "Glob filter.", "*.fits").AddOptionalArg(
-    "hdu_indices", ArgType.INT_VEC, "HDUs to read (primary only supported).", [1]
+    "hdu_indices", ArgType.INT_VEC,
+    "1-based HDU indices to read, one output each (reference default [2] = "
+    "first extension; extension-less files fall back to the primary).", [2]
 ).AddOptionalArg(
     "file_list", ArgType.STRING, "Path to a file with one FITS path per line.", None
 ).AddOptionalArg(
@@ -145,13 +195,15 @@ class FitsReader(BaseReader):
         return len(self._files)
 
     def _read_payload(self, index: int):
-        arr = read_fits_image(self._files[index])
+        hdus = self.spec.GetArgument("hdu_indices", None) or [2]
+        arrs = read_fits_hdus(self._files[index], hdus)
         dtypes = self.spec.GetArgument("dtypes", None)
         if dtypes:
             from ..types import DALIDataType, to_numpy_type
 
-            arr = arr.astype(to_numpy_type(DALIDataType(int(dtypes[0]))))
-        return arr
+            arrs = [a.astype(to_numpy_type(DALIDataType(int(dt))))
+                    for a, dt in zip(arrs, list(dtypes) + [dtypes[-1]] * len(arrs))]
+        return tuple(arrs) if len(arrs) > 1 else arrs[0]
 
 
 # ====================================== experimental.Remap =========================================
@@ -164,13 +216,20 @@ DALI_SCHEMA("experimental.Remap").DocStr(
 ).AddOptionalArg("pixel_origin", ArgType.STRING, "'corner' or 'center'.", "corner")
 
 
+def _remap_is_nn(spec):
+    from ..types import DALIInterpType
+
+    return spec.GetArgument("interp", None) == DALIInterpType.INTERP_NN
+
+
 @register_operator("experimental.Remap", "cpu")
 class RemapCPU(Operator):
     def run_sample(self, ctx, idx, img, mapx, mapy):
         import cv2
 
         return cv2.remap(
-            img, mapx.astype(np.float32), mapy.astype(np.float32), cv2.INTER_LINEAR
+            img, mapx.astype(np.float32), mapy.astype(np.float32),
+            cv2.INTER_NEAREST if _remap_is_nn(self.spec) else cv2.INTER_LINEAR
         )
 
 
@@ -182,8 +241,13 @@ class RemapGPU(Operator):
         from .distortion import _bilinear_gather, _to_dtype
         import jax.numpy as jnp
 
-        out = jax.vmap(lambda im, mx, my: _bilinear_gather(jnp, im, mx, my, 0.0))(
-            img_b.data, mapx_b.data.astype(jnp.float32), mapy_b.data.astype(jnp.float32)
+        mx = mapx_b.data.astype(jnp.float32)
+        my = mapy_b.data.astype(jnp.float32)
+        if _remap_is_nn(self.spec):  # nearest: snap map coords to pixel centers
+            mx = jnp.round(mx)
+            my = jnp.round(my)
+        out = jax.vmap(lambda im, x, y: _bilinear_gather(jnp, im, x, y, 0.0))(
+            img_b.data, mx, my
         )
         return [img_b.with_data(_to_dtype(jnp, out, img_b.data.dtype), shapes=None)]
 

@@ -486,7 +486,7 @@ DALI_SCHEMA("TensorResize").DocStr(
 ).AddOptionalArg(
     "axes", ArgType.INT_VEC, "Axes the sizes/scales refer to.", None
 ).AddOptionalArg(
-    "alignment", ArgType.FLOAT, "ROI alignment for rounded extents (0..1).", 0.5
+    "alignment", ArgType.FLOAT, "ROI alignment for rounded extents (0..1); accepted for compatibility (extents are rounded per size_rounding).", 0.5
 ).AddOptionalArg(
     "interp_type", ArgType.INTERP_TYPE, "Interpolation.", DALIInterpType.INTERP_LINEAR
 ).AddOptionalArg(

@@ -375,10 +375,28 @@ class NumpyReader(BaseReader):
 
             arr = np.load(io.BytesIO(_s3.read_bytes(path)), allow_pickle=False)
         else:
-            # mmap: an ROI read then touches only the region's pages (the
-            # spirit of the reference's GDS/O_DIRECT partial reads)
-            arr = np.load(path, allow_pickle=False,
-                          mmap_mode="r" if self._has_roi() else None)
+            hdr = None
+            if self.spec.GetArgument("cache_header_information", False):
+                # header cache (reference numpy_loader cache_header_information):
+                # (shape, dtype, payload offset) per file, parsed once
+                cache = getattr(self, "_hdr_cache", None)
+                if cache is None:
+                    cache = self._hdr_cache = {}
+                hdr = cache.get(path)
+                if hdr is None:
+                    with open(path, "rb") as f:
+                        version = np.lib.format.read_magic(f)
+                        shape, fortran, dtype = np.lib.format._read_array_header(f, version)
+                        hdr = cache[path] = (shape, fortran, dtype, f.tell())
+            if hdr is not None and not hdr[1]:
+                shape, _, dtype, off = hdr
+                arr = np.memmap(path, dtype=dtype, mode="r", offset=off,
+                                shape=shape) if self._has_roi() else                     np.fromfile(path, dtype=dtype, offset=off).reshape(shape)
+            else:
+                # mmap: an ROI read then touches only the region's pages (the
+                # spirit of the reference's GDS/O_DIRECT partial reads)
+                arr = np.load(path, allow_pickle=False,
+                              mmap_mode="r" if self._has_roi() else None)
         return self._apply_roi(arr)
 
     def _has_roi(self):

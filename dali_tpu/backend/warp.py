@@ -342,6 +342,10 @@ class TCrop(_TransformBase):
         fe = np.asarray(ctx.arg(self, "from_end", idx, [1.0, 1.0]), np.float32).reshape(-1)
         ts = np.asarray(self.spec.GetArgument("to_start", None) or [0.0, 0.0], np.float32)
         te = np.asarray(self.spec.GetArgument("to_end", None) or [1.0, 1.0], np.float32)
+        if self.spec.GetArgument("absolute", False):
+            # reference transform_crop.cc: swap start/end where start > end
+            fs, fe = np.minimum(fs, fe), np.maximum(fs, fe)
+            ts, te = np.minimum(ts, te), np.maximum(ts, te)
         scale = (te - ts) / np.where(fe - fs == 0, 1, fe - fs)
         m = np.diag(scale[:2]).astype(np.float32)
         t = ts[:2] - m @ fs[:2]

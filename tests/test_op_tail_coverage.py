@@ -283,3 +283,81 @@ def test_reductions_root_mean_square(device):
     (out,) = run(lambda x: fn.reductions.root_mean_square(x, axes=[1]), data, device)
     ref = np.sqrt((data[0].astype(np.float64) ** 2).mean(1))
     np.testing.assert_allclose(np.asarray(out[0]).reshape(-1), ref, rtol=2e-5, atol=1e-5)
+
+
+def test_resize_max_size_caps_keep_aspect():
+    img = np.zeros((100, 200, 3), np.uint8)
+    (out,) = run(lambda x: fn.resize(x, resize_shorter=400, max_size=500), [img])
+    # shorter 400 would give 400x800; max_size 500 caps to 250x500
+    assert np.asarray(out[0]).shape[:2] == (250, 500)
+
+
+def test_fits_multi_hdu(tmp_path):
+    def hdu(cards, arr):
+        hdr = b"".join(c.ljust(80) for c in cards).ljust(2880)
+        data = arr.tobytes()
+        return hdr + data + b"\0" * ((-len(data)) % 2880)
+
+    primary = hdu([b"SIMPLE  =                    T", b"BITPIX  =                   16",
+                   b"NAXIS   =                    0", b"END"], np.zeros(0, ">i2"))
+    ext1 = hdu([b"XTENSION= 'IMAGE   '", b"BITPIX  =                   16",
+                b"NAXIS   =                    2", b"NAXIS1  =                    4",
+                b"NAXIS2  =                    2", b"END"],
+               np.arange(8, dtype=">i2"))
+    ext2 = hdu([b"XTENSION= 'IMAGE   '", b"BITPIX  =                  -32",
+                b"NAXIS   =                    1", b"NAXIS1  =                    3",
+                b"END"], np.array([1.5, 2.5, 3.5], ">f4"))
+    (tmp_path / "m.fits").write_bytes(primary + ext1 + ext2)
+
+    @pipeline_def(batch_size=1, num_threads=1, seed=1)
+    def pipe():
+        a, b = fn.readers.fits(files=[str(tmp_path / "m.fits")],
+                               hdu_indices=[2, 3], name="F")
+        return a, b
+
+    p = pipe()
+    p.build()
+    a, b = p.run()
+    np.testing.assert_array_equal(a.at(0), np.arange(8, dtype=np.int16).reshape(2, 4))
+    np.testing.assert_allclose(b.at(0), [1.5, 2.5, 3.5])
+
+
+def test_laplacian_normalized_kernel():
+    img = np.zeros((16, 16, 1), np.float32)
+    img[8, 8] = 1.0
+    (plain,) = run(lambda x: fn.laplacian(x, window_size=5), [img])
+    (norm,) = run(lambda x: fn.laplacian(x, window_size=5, normalized_kernel=True), [img])
+    # normalized = plain * 2^(-s + n + 2), s = 2*5, n = 2 -> 2^-6
+    np.testing.assert_allclose(np.asarray(norm[0]),
+                               np.asarray(plain[0]) * 2.0 ** -6, rtol=1e-5)
+
+
+def test_numpy_reader_header_cache(tmp_path):
+    ref = np.arange(24, dtype=np.float64).reshape(4, 6)
+    np.save(tmp_path / "a.npy", ref)
+
+    @pipeline_def(batch_size=1, num_threads=1, seed=1)
+    def pipe():
+        return fn.readers.numpy(file_root=str(tmp_path),
+                                cache_header_information=True)
+
+    p = pipe()
+    p.build()
+    for _ in range(2):  # second epoch reads through the cached header
+        (out,) = p.run()
+        np.testing.assert_array_equal(out.at(0), ref)
+
+
+def test_transform_crop_absolute():
+    @pipeline_def(batch_size=1, num_threads=1, seed=1)
+    def pipe():
+        # swapped start/end: absolute=True reorders them
+        return fn.transforms.crop(from_start=[1.0, 1.0], from_end=[0.0, 0.0],
+                                  to_start=[0.0, 0.0], to_end=[1.0, 1.0],
+                                  absolute=True)
+
+    p = pipe()
+    p.build()
+    (out,) = p.run()
+    m = out.at(0)
+    np.testing.assert_allclose(m, [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], atol=1e-6)
