@@ -196,26 +196,27 @@ class ResizeCPU(Operator):
         interp = _pick_filter(spec, out_h < h or out_w < w)
         antialias = spec.GetArgument("antialias", True)
         if vol:
-            # volumetric: 2-D resample per depth slice, then depth zoom
-            # (reference supports full 3-D separable resampling; the depth
-            # pass here is linear/nearest)
-            from scipy import ndimage
+            # volumetric: 2-D resample per depth slice + a depth pass with
+            # the SAME tap-plan math (bit-controlled against the device's
+            # three-matmul lowering)
+            from ..kernels.resample import _host_tap_plan
 
             rz = float(np.asarray(ctx.arg(self, "resize_z", idx, 0.0)) or 0.0)
             out_d = max(1, round(rz)) if rz > 0 else d
-            planes = np.stack([host_resample(img[k], out_h, out_w, interp, antialias)
+            # stay in float through ALL passes — one final quantization, like
+            # the device's three-matmul lowering
+            planes = np.stack([host_resample(img[k].astype(np.float32),
+                                             out_h, out_w, interp, antialias)
                                for k in range(d)])
             if planes.ndim == 3:
                 planes = planes[..., None]
             if out_d != d:
-                order = 0 if interp == DALIInterpType.INTERP_NN else 1
-                planes = ndimage.zoom(
-                    planes.astype(np.float32),
-                    (out_d / d, 1, 1, 1), order=order, grid_mode=True, mode="nearest")
-                if np.issubdtype(img.dtype, np.integer):
-                    info = np.iinfo(img.dtype)
-                    planes = np.clip(np.round(planes), info.min, info.max).astype(img.dtype)
-            out = planes
+                idx_z, w_z = _host_tap_plan(out_d, 0.0, float(d), d, interp, antialias)
+                planes = np.einsum("tq,tqhwc->qhwc", w_z, planes[idx_z])
+            if np.issubdtype(img.dtype, np.integer):
+                info = np.iinfo(img.dtype)
+                planes = np.clip(np.round(planes), info.min, info.max)
+            out = planes.astype(img.dtype)
         else:
             # the framework's own resampler (bit-controlled against the device
             # lowering — same window math), not a cv2 delegate
@@ -292,11 +293,36 @@ class ResizeGPU(Operator):
         self._filter_latched = int(_pick_filter(self.spec, down >= up))
         return self._filter_latched
 
+    def _volumetric_out(self, shapes):
+        """(out_d, out_h, out_w) for DHWC inputs — batch-static only (the
+        device canvas is fixed); per-sample volumetric sizes are cpu-only."""
+        spec = self.spec
+        for nm in ("resize_x", "resize_y", "resize_z", "resize_shorter",
+                   "resize_longer", "size"):
+            if nm in spec.arg_inputs:
+                raise NotImplementedError(
+                    "Resize(gpu): per-sample sizes on volumetric (DHWC) "
+                    "inputs are cpu-only")
+        rz = float(spec.GetArgument("resize_z", 0.0) or 0.0)
+        outs = set()
+        for row in np.asarray(shapes):
+            d, h, w = int(row[0]), int(row[1]), int(row[2])
+            oh, ow = compute_resize_size(max(h, 1), max(w, 1), spec,
+                                         lambda nm, dv=None: spec.GetArgument(nm, dv))
+            od = max(1, round(rz)) if rz > 0 else max(d, 1)
+            outs.add((od, oh, ow))
+        if len(outs) != 1:
+            raise NotImplementedError(
+                "Resize(gpu): volumetric inputs need a batch-uniform output "
+                "size (keep-aspect modes over ragged volumes are cpu-only)")
+        return next(iter(outs))
+
     # -- host side -----------------------------------------------------------------
     def host_params(self, ctx, input_shapes):
-        if self.spec.GetArgument("resize_z", 0.0) or "resize_z" in self.spec.arg_inputs:
-            raise NotImplementedError(
-                "Resize(gpu): volumetric resize_z is cpu-only; use device='cpu'")
+        shapes0 = input_shapes[0]
+        if shapes0 is not None and np.asarray(shapes0).shape[1] >= 4:
+            self._vol_out = self._volumetric_out(np.asarray(shapes0))
+            return {}
         static = self._static_size()
         shapes = input_shapes[0]
         if static is not None:
@@ -322,6 +348,10 @@ class ResizeGPU(Operator):
         return {"out_sizes": out}
 
     def device_statics(self, ctx, input_shapes):
+        vol = getattr(self, "_vol_out", None)
+        shapes0 = input_shapes[0]
+        if shapes0 is not None and np.asarray(shapes0).shape[1] >= 4 and vol:
+            return ("vol",) + vol
         filt = getattr(self, "_filter", None)
         if self._static_size() is not None:
             return None if filt is None else ("filt", filt)
@@ -330,6 +360,31 @@ class ResizeGPU(Operator):
     # -- device side -----------------------------------------------------------------
     def lower(self, dctx, inp: DeviceBatch):
         import jax.numpy as jnp
+
+        if inp.data.ndim == 5 and (inp.layout or "").startswith("D"):
+            # volumetric DHWC: three separable interpolation matmuls
+            st = dctx.static(self)
+            if not (isinstance(st, tuple) and st and st[0] == "vol"):
+                raise NotImplementedError(
+                    "Resize(gpu): volumetric inputs need host-boundary shapes")
+            _, od, oh, ow = st
+            spec = self.spec
+            interp = spec.GetArgument("interp_type", DALIInterpType.INTERP_LINEAR)
+            dt_arg = spec.GetArgument("dtype", None)
+            out_dtype = to_jnp_type(dt_arg) if dt_arg is not None else inp.data.dtype
+            data = resample_kernel.resample_volume_batch(
+                inp.data, inp.shapes[:, :3] if inp.shapes is not None else None,
+                od, oh, ow, interp, bool(spec.GetArgument("antialias", True)),
+                out_dtype)
+            outs = [DeviceBatch(data, None, inp.layout or "DHWC")]
+            if spec.GetArgument("save_attrs", False):
+                import jax.numpy as jnp2
+
+                a = (inp.shapes[:, :3].astype(jnp2.int32) if inp.shapes is not None
+                     else jnp2.tile(jnp2.asarray([list(inp.data.shape[1:4])], jnp2.int32),
+                                    (inp.data.shape[0], 1)))
+                outs.append(DeviceBatch(a, None, ""))
+            return outs
 
         folded, unfold = _fold_frames(inp)
         if unfold is not None:

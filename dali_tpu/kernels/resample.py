@@ -190,6 +190,54 @@ def resample_sample(img, extent_hw, roi_start, roi_size, out_h, out_w, interp, t
     return out
 
 
+def resample_volume_sample(img, extent_dhw, out_d, out_h, out_w, interp,
+                           taps_z, taps_y, taps_x, antialias):
+    """Volumetric resample of one padded [D, H, W, C] sample — three
+    separable interpolation matmuls (reference 3D separable resampling,
+    resampling_impl_cpu.cc generalized; SupportVolumetric ops)."""
+    img = img.astype(jnp.float32)
+    D, H, W, C = img.shape
+    zero = jnp.zeros((), jnp.float32)
+
+    def axis_matrix(out_size, ext, taps, extent_static):
+        if interp == DALIInterpType.INTERP_NN:
+            idx, w = _tap_plan(out_size, zero, ext.astype(jnp.float32), ext,
+                               interp, taps, antialias)
+            return _interp_matrix(idx, w, extent_static)
+        return _interp_matrix_dense(out_size, zero, ext.astype(jnp.float32),
+                                    ext, interp, taps, antialias, extent_static)
+
+    Az = axis_matrix(out_d, extent_dhw[0], taps_z, D)
+    Ay = axis_matrix(out_h, extent_dhw[1], taps_y, H)
+    Ax = axis_matrix(out_w, extent_dhw[2], taps_x, W)
+    t1 = jnp.einsum("qd,dhwc->qhwc", Az, img, precision=jax.lax.Precision.HIGHEST)
+    t2 = jnp.einsum("oh,qhwc->qowc", Ay, t1, precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("pw,qowc->qopc", Ax, t2, precision=jax.lax.Precision.HIGHEST)
+
+
+def resample_volume_batch(data, extents, out_d, out_h, out_w,
+                          interp=DALIInterpType.INTERP_LINEAR, antialias=True,
+                          out_dtype=None):
+    """Batched volumetric resize of padded [N, D, H, W, C] → fixed
+    [N, out_d, out_h, out_w, C]."""
+    n, D, H, W, C = data.shape
+    if extents is None:
+        extents = jnp.tile(jnp.array([[D, H, W]], jnp.int32), (n, 1))
+    taps_z = max_taps(interp, D / out_d, antialias)
+    taps_y = max_taps(interp, H / out_h, antialias)
+    taps_x = max_taps(interp, W / out_w, antialias)
+    fn = partial(resample_volume_sample, out_d=out_d, out_h=out_h, out_w=out_w,
+                 interp=interp, taps_z=taps_z, taps_y=taps_y, taps_x=taps_x,
+                 antialias=antialias)
+    out = jax.vmap(fn)(data, extents)
+    if out_dtype is not None and out_dtype != jnp.float32:
+        if jnp.issubdtype(out_dtype, jnp.integer):
+            info = jnp.iinfo(out_dtype)
+            out = jnp.clip(jnp.round(out), info.min, info.max)
+        out = out.astype(out_dtype)
+    return out
+
+
 def resample_batch(
     data,
     extents,  # [N, 2] int32 valid (H, W); None → full canvas

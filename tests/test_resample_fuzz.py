@@ -54,3 +54,29 @@ def test_resample_device_matches_host_fuzz():
                 # after the uint8 round, on a tiny fraction of pixels
                 assert diff.max() <= 1, (interp, antialias, i, diff.max())
                 assert (diff > 0).mean() < 0.02, (interp, antialias, i)
+
+
+def test_volumetric_resize_cpu_gpu_parity():
+    from dali_tpu import fn, pipeline_def
+
+    rng = np.random.default_rng(5)
+    vols = [rng.integers(0, 255, (10, 24, 20, 1), np.uint8),
+            rng.integers(0, 255, (10, 24, 20, 1), np.uint8)]
+
+    @pipeline_def(batch_size=2, num_threads=1, seed=1)
+    def pipe():
+        x = fn.external_source(source=lambda: vols, batch=True, cycle=True,
+                               layout="DHWC")
+        c = fn.resize(x, resize_x=10, resize_y=12, resize_z=5)
+        g = fn.resize(x.gpu(), resize_x=10, resize_y=12, resize_z=5)
+        return c, g
+
+    p = pipe()
+    p.build()
+    c, g = p.run()
+    for i in range(2):
+        ca = np.asarray(c.at(i))
+        ga = np.asarray(g.as_tensor())[i]
+        assert ca.shape == (5, 12, 10, 1)
+        diff = np.abs(ca.astype(int) - ga.astype(int))
+        assert diff.max() <= 1 and (diff > 0).mean() < 0.02, diff.max()
