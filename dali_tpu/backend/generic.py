@@ -140,14 +140,21 @@ DALI_SCHEMA("ExpandDims").DocStr("Insert size-1 dims.").NumInput(1).NumOutput(1)
 
 
 def _expand_layout(layout, axes, names):
-    """Insert new_axis_names into the layout at the expanded positions
-    (reference expand_dims.cc layout handling)."""
+    """Insert new_axis_names into the layout at the expanded positions.
+    The reference sorts (axis, name) PAIRS together (expand_dims.cc:110-112),
+    so names follow their axes under reordering; a non-empty names string of
+    the wrong length is an error there too."""
     if not layout:
         return ""
     names = names or ""
+    if names and len(names) != len(axes):
+        raise ValueError(
+            "ExpandDims: new_axis_names must have one name per entry of "
+            f"`axes` (got {len(names)} names for {len(axes)} axes)")
+    pairs = sorted(zip(axes, names or "?" * len(axes)))
     out = list(layout)
-    for k, ax in enumerate(sorted(axes)):
-        out.insert(ax, names[k] if k < len(names) else "?")
+    for ax, ch in pairs:
+        out.insert(ax, ch)
     return "".join(out) if "?" not in out else ""
 
 

@@ -116,6 +116,31 @@ def _apply_max_size(spec, oh, ow):
     return oh, ow
 
 
+def compute_volumetric_sizes(spec, sample_arg, d, h, w):
+    """(out_d, out_h, out_w) for DHWC inputs: `size` must carry 3 values
+    (D, H, W, reference resize docs — one per spatial dim), or use explicit
+    resize_x/resize_y/resize_z; keep-aspect modes ignore depth and are
+    rejected rather than silently mishandled."""
+    size = sample_arg("size", None)
+    if size is not None:
+        sz = np.asarray(size, np.float64).reshape(-1)
+        if sz.size != 3:
+            raise ValueError(
+                "Resize: volumetric (DHWC) inputs need a 3-element `size` "
+                "(D, H, W)")
+        return (max(1, round(float(sz[0]))), max(1, round(float(sz[1]))),
+                max(1, round(float(sz[2]))))
+    if float(sample_arg("resize_shorter", 0.0) or 0.0) or \
+            float(sample_arg("resize_longer", 0.0) or 0.0):
+        raise NotImplementedError(
+            "Resize: resize_shorter/resize_longer are 2-D modes; volumetric "
+            "inputs need `size` (D, H, W) or resize_x/resize_y/resize_z")
+    oh, ow = compute_resize_size(h, w, spec, sample_arg)
+    rz = float(sample_arg("resize_z", 0.0) or 0.0)
+    od = max(1, round(rz)) if rz > 0 else d
+    return od, oh, ow
+
+
 def compute_resize_size(in_h, in_w, spec, sample_arg, mode=None):
     """Output (h, w) from the Resize argument set — mirrors the reference
     ``ResizeAttr`` logic (``resize_attr.cc``), including `max_size` caps on
@@ -188,21 +213,17 @@ class ResizeCPU(Operator):
 
         spec = self.spec
         vol = img.ndim == 4  # DHWC
-        if vol:
-            d, h, w = img.shape[:3]
-        else:
-            h, w = img.shape[:2]
-        out_h, out_w = compute_resize_size(h, w, spec, lambda n, d=None: ctx.arg(self, n, idx, d))
-        interp = _pick_filter(spec, out_h < h or out_w < w)
         antialias = spec.GetArgument("antialias", True)
         if vol:
+            d, h, w = img.shape[:3]
             # volumetric: 2-D resample per depth slice + a depth pass with
             # the SAME tap-plan math (bit-controlled against the device's
             # three-matmul lowering)
             from ..kernels.resample import _host_tap_plan
 
-            rz = float(np.asarray(ctx.arg(self, "resize_z", idx, 0.0)) or 0.0)
-            out_d = max(1, round(rz)) if rz > 0 else d
+            out_d, out_h, out_w = compute_volumetric_sizes(
+                spec, lambda n, dv=None: ctx.arg(self, n, idx, dv), d, h, w)
+            interp = _pick_filter(spec, out_d * out_h * out_w < d * h * w)
             # stay in float through ALL passes — one final quantization, like
             # the device's three-matmul lowering
             planes = np.stack([host_resample(img[k].astype(np.float32),
@@ -218,6 +239,10 @@ class ResizeCPU(Operator):
                 planes = np.clip(np.round(planes), info.min, info.max)
             out = planes.astype(img.dtype)
         else:
+            h, w = img.shape[:2]
+            out_h, out_w = compute_resize_size(
+                h, w, spec, lambda n, d=None: ctx.arg(self, n, idx, d))
+            interp = _pick_filter(spec, out_h < h or out_w < w)
             # the framework's own resampler (bit-controlled against the device
             # lowering — same window math), not a cv2 delegate
             out = host_resample(img, out_h, out_w, interp, antialias)
@@ -294,8 +319,9 @@ class ResizeGPU(Operator):
         return self._filter_latched
 
     def _volumetric_out(self, shapes):
-        """(out_d, out_h, out_w) for DHWC inputs — batch-static only (the
-        device canvas is fixed); per-sample volumetric sizes are cpu-only."""
+        """(out_d, out_h, out_w, filt) for DHWC inputs — batch-static only
+        (the device canvas is fixed); per-sample volumetric sizes are
+        cpu-only."""
         spec = self.spec
         for nm in ("resize_x", "resize_y", "resize_z", "resize_shorter",
                    "resize_longer", "size"):
@@ -303,26 +329,36 @@ class ResizeGPU(Operator):
                 raise NotImplementedError(
                     "Resize(gpu): per-sample sizes on volumetric (DHWC) "
                     "inputs are cpu-only")
-        rz = float(spec.GetArgument("resize_z", 0.0) or 0.0)
         outs = set()
         for row in np.asarray(shapes):
             d, h, w = int(row[0]), int(row[1]), int(row[2])
-            oh, ow = compute_resize_size(max(h, 1), max(w, 1), spec,
-                                         lambda nm, dv=None: spec.GetArgument(nm, dv))
-            od = max(1, round(rz)) if rz > 0 else max(d, 1)
-            outs.add((od, oh, ow))
+            outs.add(compute_volumetric_sizes(
+                spec, lambda nm, dv=None: spec.GetArgument(nm, dv),
+                max(d, 1), max(h, 1), max(w, 1)))
         if len(outs) != 1:
             raise NotImplementedError(
                 "Resize(gpu): volumetric inputs need a batch-uniform output "
-                "size (keep-aspect modes over ragged volumes are cpu-only)")
-        return next(iter(outs))
+                "size; per-sample outputs are cpu-only")
+        od, oh, ow = next(iter(outs))
+        filt = None
+        if self._has_filter_override():
+            sh = np.asarray(shapes)
+            vox_in = float(np.median(sh[:, 0].astype(np.float64)
+                                     * sh[:, 1] * sh[:, 2]))
+            filt = int(_pick_filter(spec, od * oh * ow < vox_in))
+        return od, oh, ow, filt
 
     # -- host side -----------------------------------------------------------------
     def host_params(self, ctx, input_shapes):
         shapes0 = input_shapes[0]
         if shapes0 is not None and np.asarray(shapes0).shape[1] >= 4:
-            self._vol_out = self._volumetric_out(np.asarray(shapes0))
+            # DHWC volume or FHWC sequence — device_statics disambiguates by
+            # the boundary batch's layout; both need batch-static sizes
+            self._maybe_vol_shapes = np.asarray(shapes0)
             return {}
+        if self.spec.GetArgument("resize_z", 0.0) or "resize_z" in self.spec.arg_inputs:
+            raise NotImplementedError(
+                "Resize(gpu): resize_z applies to volumetric (DHWC) inputs")
         static = self._static_size()
         shapes = input_shapes[0]
         if static is not None:
@@ -347,11 +383,20 @@ class ResizeGPU(Operator):
         self._grow_canvas[1] = max(self._grow_canvas[1], int(-(-out[:, 1].max() // align) * align))
         return {"out_sizes": out}
 
-    def device_statics(self, ctx, input_shapes):
-        vol = getattr(self, "_vol_out", None)
+    def device_statics(self, ctx, input_shapes, input_batches=None):
         shapes0 = input_shapes[0]
-        if shapes0 is not None and np.asarray(shapes0).shape[1] >= 4 and vol:
-            return ("vol",) + vol
+        if shapes0 is not None and np.asarray(shapes0).shape[1] >= 4:
+            b = input_batches[0] if input_batches else None
+            layout = getattr(b, "layout", "") or ""
+            if layout.startswith("D"):
+                return ("vol",) + self._volumetric_out(np.asarray(shapes0))
+            # FHWC sequence: the fold-frames path needs a batch-static size
+            if self._static_size() is None:
+                raise NotImplementedError(
+                    "Resize(gpu): per-sample sizes on sequence inputs are "
+                    "cpu-only")
+            filt = getattr(self, "_filter", None)
+            return None if filt is None else ("filt", filt)
         filt = getattr(self, "_filter", None)
         if self._static_size() is not None:
             return None if filt is None else ("filt", filt)
@@ -367,9 +412,10 @@ class ResizeGPU(Operator):
             if not (isinstance(st, tuple) and st and st[0] == "vol"):
                 raise NotImplementedError(
                     "Resize(gpu): volumetric inputs need host-boundary shapes")
-            _, od, oh, ow = st
+            _, od, oh, ow, filt = st
             spec = self.spec
-            interp = spec.GetArgument("interp_type", DALIInterpType.INTERP_LINEAR)
+            interp = (DALIInterpType(filt) if filt is not None
+                      else spec.GetArgument("interp_type", DALIInterpType.INTERP_LINEAR))
             dt_arg = spec.GetArgument("dtype", None)
             out_dtype = to_jnp_type(dt_arg) if dt_arg is not None else inp.data.dtype
             data = resample_kernel.resample_volume_batch(
@@ -378,11 +424,9 @@ class ResizeGPU(Operator):
                 out_dtype)
             outs = [DeviceBatch(data, None, inp.layout or "DHWC")]
             if spec.GetArgument("save_attrs", False):
-                import jax.numpy as jnp2
-
-                a = (inp.shapes[:, :3].astype(jnp2.int32) if inp.shapes is not None
-                     else jnp2.tile(jnp2.asarray([list(inp.data.shape[1:4])], jnp2.int32),
-                                    (inp.data.shape[0], 1)))
+                a = (inp.shapes[:, :3].astype(jnp.int32) if inp.shapes is not None
+                     else jnp.tile(jnp.asarray([list(inp.data.shape[1:4])], jnp.int32),
+                                   (inp.data.shape[0], 1)))
                 outs.append(DeviceBatch(a, None, ""))
             return outs
 

@@ -91,13 +91,22 @@ def _fits_data(cards, f, skip: bool):
     shape = [int(cards[f"NAXIS{i}"]) for i in range(naxis, 0, -1)]
     count = int(np.prod(shape)) if shape else 0
     dt = np.dtype(_FITS_DTYPES[bitpix])
-    nbytes = count * dt.itemsize
+    # FITS standard data size: |BITPIX|/8 * GCOUNT * (PCOUNT + prod(NAXIS))
+    # — PCOUNT carries the variable-length heap of table extensions
+    gcount = int(cards.get("GCOUNT", "1") or 1)
+    pcount = int(cards.get("PCOUNT", "0") or 0)
+    nbytes = dt.itemsize * gcount * (pcount + count)
     padded = -(-nbytes // 2880) * 2880 if nbytes else 0
     if skip:
         f.seek(padded, 1)
         return None
-    data = np.frombuffer(f.read(nbytes), dt, count=count)
-    f.seek(padded - nbytes, 1)
+    xt = cards.get("XTENSION", "'IMAGE'").strip().strip("'").strip()
+    if xt not in ("IMAGE", ""):
+        raise ValueError(
+            f"FITS HDU is a {xt} extension, not an image; pick an image HDU "
+            "via hdu_indices (reference fits reader loads image HDUs)")
+    data = np.frombuffer(f.read(count * dt.itemsize), dt, count=count)
+    f.seek(padded - count * dt.itemsize, 1)
     arr = data.reshape(shape)
     bscale = float(cards.get("BSCALE", "1.0"))
     bzero = float(cards.get("BZERO", "0.0"))
@@ -127,8 +136,10 @@ def read_fits_hdus(path: str, indices) -> list:
                 out[hdu] = arr
     missing = sorted(want - set(out))
     if missing == [2] and max_hdu == 1 and 1 not in want:
-        # primary-only file asked for the default first extension
-        return [read_fits_hdus(path, [1])[0]]
+        # primary-only file asked for the default first extension: serve the
+        # primary in every requested slot
+        primary = read_fits_hdus(path, [1])[0]
+        return [primary for _ in indices]
     if missing:
         raise ValueError(f"{path}: FITS HDU(s) {missing} not present")
     return [out[int(i)] for i in indices]
@@ -201,8 +212,11 @@ class FitsReader(BaseReader):
         if dtypes:
             from ..types import DALIDataType, to_numpy_type
 
+            if len(dtypes) != len(arrs):
+                raise ValueError(
+                    "readers.Fits: len(dtypes) must match len(hdu_indices)")
             arrs = [a.astype(to_numpy_type(DALIDataType(int(dt))))
-                    for a, dt in zip(arrs, list(dtypes) + [dtypes[-1]] * len(arrs))]
+                    for a, dt in zip(arrs, dtypes)]
         return tuple(arrs) if len(arrs) > 1 else arrs[0]
 
 

@@ -386,12 +386,20 @@ class NumpyReader(BaseReader):
                 if hdr is None:
                     with open(path, "rb") as f:
                         version = np.lib.format.read_magic(f)
-                        shape, fortran, dtype = np.lib.format._read_array_header(f, version)
+                        read_hdr = (np.lib.format.read_array_header_1_0
+                                    if version == (1, 0)
+                                    else np.lib.format.read_array_header_2_0)
+                        shape, fortran, dtype = read_hdr(f)
                         hdr = cache[path] = (shape, fortran, dtype, f.tell())
             if hdr is not None and not hdr[1]:
                 shape, _, dtype, off = hdr
-                arr = np.memmap(path, dtype=dtype, mode="r", offset=off,
-                                shape=shape) if self._has_roi() else                     np.fromfile(path, dtype=dtype, offset=off).reshape(shape)
+                if self._has_roi():
+                    arr = np.memmap(path, dtype=dtype, mode="r", offset=off,
+                                    shape=shape)
+                else:
+                    count = int(np.prod(shape)) if shape else 1
+                    arr = np.fromfile(path, dtype=dtype, offset=off,
+                                      count=count).reshape(shape)
             else:
                 # mmap: an ROI read then touches only the region's pages (the
                 # spirit of the reference's GDS/O_DIRECT partial reads)

@@ -212,7 +212,7 @@ def test_displacement_warps(op):
     img = np.tile(np.arange(48, dtype=np.uint8)[None, :, None], (48, 1, 3))
     body = {"sphere": lambda x: fn.sphere(x),
             "water": lambda x: fn.water(x, ampl_x=2.0, ampl_y=2.0)}[op]
-    cpu = run(body, [img], "cpu")[0][0] if False else run(body, [img], "cpu")[0]
+    cpu = run(body, [img], "cpu")[0]
     gpu = run(body, [img], "gpu")[0]
     cpu = np.asarray(cpu[0]) if cpu.ndim == 4 else np.asarray(cpu)
     gpu = np.asarray(gpu)[0] if np.asarray(gpu).ndim == 4 else np.asarray(gpu)
@@ -361,3 +361,68 @@ def test_transform_crop_absolute():
     (out,) = p.run()
     m = out.at(0)
     np.testing.assert_allclose(m, [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], atol=1e-6)
+
+
+def test_resize_volumetric_3elem_size():
+    vol = np.zeros((8, 16, 12, 1), np.uint8)
+    (out,) = run(lambda x: fn.resize(x, size=[4.0, 8.0, 6.0]), [vol])
+    assert np.asarray(out[0]).shape == (4, 8, 6, 1)
+    with pytest.raises(Exception, match="3-element"):
+        run(lambda x: fn.resize(x, size=[8.0, 6.0]), [vol])
+
+
+def test_expand_dims_unsorted_axes_names():
+    a = np.zeros((4, 5), np.float32)
+
+    @pipeline_def(batch_size=1, num_threads=1, seed=1)
+    def pipe():
+        x = fn.external_source(source=lambda: [a], batch=True, cycle=True,
+                               layout="HW")
+        return fn.expand_dims(x, axes=[2, 0], new_axis_names="CN")
+
+    p = pipe()
+    p.build()
+    (out,) = p.run()
+    # (axis, name) pairs sort together: N at axis 0, C at axis 2 -> "NHCW"?
+    # insertion order: (0,'N') then (2,'C') into "HW" -> N H C W
+    assert out.at(0).shape == (1, 4, 1, 5)
+    assert out.layout() == "NHCW"
+
+
+def test_fits_skips_bintable_heap(tmp_path):
+    def hdu(cards, data):
+        hdr = b"".join(c.ljust(80) for c in cards).ljust(2880)
+        return hdr + data + b"\0" * ((-len(data)) % 2880)
+
+    primary = hdu([b"SIMPLE  =                    T", b"BITPIX  =                   16",
+                   b"NAXIS   =                    0", b"END"], b"")
+    # a BINTABLE with PCOUNT heap bytes that a naive skip would miss
+    table = hdu([b"XTENSION= 'BINTABLE'", b"BITPIX  =                    8",
+                 b"NAXIS   =                    2", b"NAXIS1  =                    4",
+                 b"NAXIS2  =                    2", b"PCOUNT  =                  100",
+                 b"GCOUNT  =                    1", b"END"], b"\x01" * 108)
+    img = hdu([b"XTENSION= 'IMAGE   '", b"BITPIX  =                   16",
+               b"NAXIS   =                    2", b"NAXIS1  =                    3",
+               b"NAXIS2  =                    2", b"END"],
+              np.arange(6, dtype=">i2").tobytes())
+    (tmp_path / "t.fits").write_bytes(primary + table + img)
+
+    @pipeline_def(batch_size=1, num_threads=1, seed=1)
+    def pipe():
+        return fn.readers.fits(files=[str(tmp_path / "t.fits")],
+                               hdu_indices=[3], name="F")
+
+    p = pipe()
+    p.build()
+    (out,) = p.run()
+    np.testing.assert_array_equal(out.at(0), np.arange(6, dtype=np.int16).reshape(2, 3))
+    # asking for the BINTABLE itself is a clear error, not garbage
+    @pipeline_def(batch_size=1, num_threads=1, seed=1)
+    def pipe2():
+        return fn.readers.fits(files=[str(tmp_path / "t.fits")],
+                               hdu_indices=[2], name="F2")
+
+    p2 = pipe2()
+    p2.build()
+    with pytest.raises(Exception, match="BINTABLE"):
+        p2.run()
