@@ -213,10 +213,13 @@ class CropCPU(_CropCommon):
             policy = self.spec.GetArgument("out_of_bounds_policy", "error")
             if policy == "error":
                 raise ValueError(f"Crop window {ch}x{cw} out of bounds for {h}x{w}")
-        out = img[max(y, 0) : y + ch, max(x, 0) : x + cw]
-        if out.shape[0] != ch or out.shape[1] != cw:
+        # H/W are the trailing spatial axes (..., H, W, C) — 4-D DHWC inputs
+        # keep their (already-cropped) leading depth axis
+        out = img[..., max(y, 0) : y + ch, max(x, 0) : x + cw, :]
+        if out.shape[-3] != ch or out.shape[-2] != cw:
             fill = self.spec.GetArgument("fill_values", [0.0])[0]
-            pad = [(0, ch - out.shape[0]), (0, cw - out.shape[1])] + [(0, 0)] * (img.ndim - 2)
+            pad = ([(0, 0)] * (img.ndim - 3)
+                   + [(0, ch - out.shape[-3]), (0, cw - out.shape[-2]), (0, 0)])
             out = np.pad(out, pad, constant_values=fill)
         dt = self.spec.GetArgument("dtype", None)
         return np.ascontiguousarray(out.astype(to_numpy_type(dt)) if dt is not None else out)
@@ -229,9 +232,9 @@ class CropGPU(_CropCommon):
         import jax.numpy as jnp
 
         ch, cw = self._size()
-        n, H, W, C = inp.data.shape
-        ext_h = inp.extent(0)
-        ext_w = inp.extent(1)
+        vol = inp.data.ndim == 5 and (inp.layout or "").startswith("D")
+        n = inp.data.shape[0]
+        C = inp.data.shape[-1]
 
         def arg(name, default):
             v = dctx.arg(self, name, default)
@@ -239,14 +242,30 @@ class CropGPU(_CropCommon):
                 return jnp.asarray(v, jnp.float32).reshape(-1)
             return jnp.full((n,), float(v), jnp.float32)
 
+        _r = crop_round_jnp(self.spec.GetArgument("rounding", "round"))
         py = arg("crop_pos_y", 0.5)
         px = arg("crop_pos_x", 0.5)
-        _r = crop_round_jnp(self.spec.GetArgument("rounding", "round"))
-        y = jnp.clip(_r(py * (ext_h - ch)), 0, None).astype(jnp.int32)
-        x = jnp.clip(_r(px * (ext_w - cw)), 0, None).astype(jnp.int32)
-        out = jax.vmap(lambda im, yy, xx: jax.lax.dynamic_slice(im, (yy, xx, 0), (ch, cw, C)))(
-            inp.data, y, x
-        )
+        if vol:
+            # DHWC: slice depth too (cpu path semantics; reference
+            # SupportVolumetric crop)
+            D = inp.data.shape[1]
+            ext_d = inp.extent(0)
+            ext_h = inp.extent(1)
+            ext_w = inp.extent(2)
+            cd = int(self.spec.GetArgument("crop_d", 0.0) or 0) or D
+            pz = arg("crop_pos_z", 0.5)
+            z = jnp.clip(_r(pz * (ext_d - cd)), 0, None).astype(jnp.int32)
+            y = jnp.clip(_r(py * (ext_h - ch)), 0, None).astype(jnp.int32)
+            x = jnp.clip(_r(px * (ext_w - cw)), 0, None).astype(jnp.int32)
+            out = jax.vmap(lambda im, zz, yy, xx: jax.lax.dynamic_slice(
+                im, (zz, yy, xx, 0), (cd, ch, cw, C)))(inp.data, z, y, x)
+        else:
+            ext_h = inp.extent(0)
+            ext_w = inp.extent(1)
+            y = jnp.clip(_r(py * (ext_h - ch)), 0, None).astype(jnp.int32)
+            x = jnp.clip(_r(px * (ext_w - cw)), 0, None).astype(jnp.int32)
+            out = jax.vmap(lambda im, yy, xx: jax.lax.dynamic_slice(
+                im, (yy, xx, 0), (ch, cw, C)))(inp.data, y, x)
         dt = self.spec.GetArgument("dtype", None)
         if dt is not None:
             out = out.astype(to_jnp_type(dt))

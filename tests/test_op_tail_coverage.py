@@ -426,3 +426,26 @@ def test_fits_skips_bintable_heap(tmp_path):
     p2.build()
     with pytest.raises(Exception, match="BINTABLE"):
         p2.run()
+
+
+def test_crop_volumetric_cpu_gpu():
+    rng = np.random.default_rng(9)
+    vol = rng.integers(0, 255, (8, 16, 12, 3), np.uint8)
+
+    @pipeline_def(batch_size=1, num_threads=1, seed=1)
+    def pipe():
+        x = fn.external_source(source=lambda: [vol], batch=True, cycle=True,
+                               layout="DHWC")
+        c = fn.crop(x, crop=[6, 8], crop_d=4, crop_pos_x=0.0, crop_pos_y=1.0,
+                    crop_pos_z=0.5)
+        g = fn.crop(x.gpu(), crop=[6, 8], crop_d=4, crop_pos_x=0.0,
+                    crop_pos_y=1.0, crop_pos_z=0.5)
+        return c, g
+
+    p = pipe()
+    p.build()
+    c, g = p.run()
+    ca = np.asarray(c.at(0))
+    ga = np.asarray(g.as_tensor())[0]
+    assert ca.shape == (4, 6, 8, 3)
+    np.testing.assert_array_equal(ca, ga)
