@@ -58,7 +58,7 @@ DALI_SCHEMA("Resize").DocStr(
     "reference resize.cc `save_attrs` (used by SSD-style recipes).", False
 ).AddOptionalArg(
     "resize_z", ArgType.FLOAT,
-    "Output depth for volumetric (DHWC) inputs; cpu path only.", 0.0,
+    "Output depth for volumetric (DHWC) inputs.", 0.0,
     tensor_ok=True, per_sample=True
 ).AddOptionalArg(
     "minibatch_size", ArgType.INT,
@@ -654,10 +654,10 @@ DALI_SCHEMA("CropMirrorNormalize").DocStr(
     "image_type", ArgType.IMAGE_TYPE, "Compatibility arg (deprecated in the "
     "reference; ignored).", DALIImageType.RGB
 ).AddOptionalArg(
-    "crop_d", ArgType.FLOAT, "Volumetric crop depth (DHWC inputs; cpu).", 0.0,
+    "crop_d", ArgType.FLOAT, "Volumetric crop depth (DHWC inputs).", 0.0,
     tensor_ok=True, per_sample=True
 ).AddOptionalArg(
-    "crop_pos_z", ArgType.FLOAT, "Volumetric window z in [0,1] (cpu).", 0.5,
+    "crop_pos_z", ArgType.FLOAT, "Volumetric window z in [0,1].", 0.5,
     tensor_ok=True, per_sample=True
 ).AddOptionalArg(
     "rounding", ArgType.STRING,
@@ -682,6 +682,35 @@ class _CMNCommon:
 class CropMirrorNormalizeGPU(Operator, _CMNCommon):
     def lower(self, dctx, inp: DeviceBatch):
         import jax.numpy as jnp
+
+        if inp.data.ndim == 5 and (inp.layout or "").startswith("D"):
+            # volumetric DHWC: depth-crop with dynamic_slice, fold the depth
+            # axis into the batch, run the 2-D CMN path per slice, unfold
+            # (cpu path semantics: depth layout leads the output, e.g. DCHW)
+            import jax
+
+            spec = self.spec
+            n, D, H, W, C = inp.data.shape
+            cd = int(spec.GetArgument("crop_d", 0.0) or 0) or D
+            ext_d = inp.extent(0) if inp.shapes is not None else jnp.full((n,), D, jnp.int32)
+            pz = dctx.arg(self, "crop_pos_z", 0.5)
+            pz = jnp.asarray(pz, jnp.float32).reshape(-1)
+            if pz.shape[0] == 1:
+                pz = jnp.broadcast_to(pz, (n,))
+            from .generic2 import crop_round_jnp
+
+            _rz = crop_round_jnp(spec.GetArgument("rounding", "round"))
+            z = jnp.clip(_rz(pz * (ext_d - cd).astype(jnp.float32)), 0, None).astype(jnp.int32)
+            data5 = jax.vmap(lambda im, zz: jax.lax.dynamic_slice(
+                im, (zz, 0, 0, 0), (cd, H, W, C)))(inp.data, z)
+            fold_shapes = (jnp.repeat(inp.shapes[:, 1:3], cd, axis=0)
+                           if inp.shapes is not None else None)
+            folded = DeviceBatch(data5.reshape(n * cd, H, W, C), fold_shapes, "HWC")
+            sub = _SequenceDctx(dctx, cd)
+            out = self.lower(sub, folded)[0]
+            layout = "D" + out.layout
+            return [DeviceBatch(out.data.reshape(n, cd, *out.data.shape[1:]),
+                                None, layout)]
 
         folded, unfold = _fold_frames(inp)
         if unfold is not None:

@@ -449,3 +449,25 @@ def test_crop_volumetric_cpu_gpu():
     ga = np.asarray(g.as_tensor())[0]
     assert ca.shape == (4, 6, 8, 3)
     np.testing.assert_array_equal(ca, ga)
+
+
+def test_cmn_volumetric_cpu_gpu():
+    rng = np.random.default_rng(3)
+    vol = rng.integers(0, 255, (8, 16, 12, 3), np.uint8)
+
+    @pipeline_def(batch_size=1, num_threads=1, seed=1)
+    def pipe():
+        x = fn.external_source(source=lambda: [vol], batch=True, cycle=True,
+                               layout="DHWC")
+        kw = dict(crop=(8, 8), crop_d=4, crop_pos_z=0.5, mean=[100.0] * 3,
+                  std=[50.0] * 3, dtype=types.FLOAT, output_layout="CHW")
+        return fn.crop_mirror_normalize(x, **kw), \
+            fn.crop_mirror_normalize(x.gpu(), **kw)
+
+    p = pipe()
+    p.build()
+    c, g = p.run()
+    ca = np.asarray(c.at(0))
+    ga = np.asarray(g.as_tensor())[0]
+    assert ca.shape == (4, 3, 8, 8)  # DCHW
+    np.testing.assert_allclose(ca, ga, rtol=1e-5, atol=1e-5)
