@@ -923,19 +923,31 @@ class FlipGPU(Operator):
         import jax.numpy as jnp
 
         n = inp.data.shape[0]
-        h = dctx.arg(self, "horizontal", 1)
-        v = dctx.arg(self, "vertical", 0)
-        h = jnp.asarray(h).reshape(-1)
-        v = jnp.asarray(v).reshape(-1)
-        if h.shape[0] == 1:
-            h = jnp.broadcast_to(h, (n,))
-        if v.shape[0] == 1:
-            v = jnp.broadcast_to(v, (n,))
+
+        def flag(name, default):
+            f = jnp.asarray(dctx.arg(self, name, default)).reshape(-1)
+            return jnp.broadcast_to(f, (n,)) if f.shape[0] == 1 else f
+
+        h = flag("horizontal", 1)
+        v = flag("vertical", 0)
         data = inp.data
+        vol = data.ndim == 5 and (inp.layout or "").startswith("D")
         if inp.shapes is None:
-            out = jnp.where(h[:, None, None, None] != 0, data[:, :, ::-1], data)
-            out = jnp.where(v[:, None, None, None] != 0, out[:, ::-1], out)
+            # axes by layout: DHWC flips W/H/D at 3/2/1, HWC at 2/1
+            ax_v = 2 if vol else 1
+            bcast = (n,) + (1,) * (data.ndim - 1)
+            out = jnp.where(h.reshape(bcast) != 0,
+                            jnp.flip(data, axis=ax_v + 1), data)
+            out = jnp.where(v.reshape(bcast) != 0,
+                            jnp.flip(out, axis=ax_v), out)
+            if vol:
+                d_f = flag("depthwise", 0)
+                out = jnp.where(d_f.reshape(bcast) != 0,
+                                jnp.flip(out, axis=1), out)
             return [inp.with_data(out)]
+        if vol:
+            raise NotImplementedError(
+                "Flip(gpu): ragged volumetric batches are cpu-only")
         # ragged: flip within the valid extent via index arithmetic
         H, W = data.shape[1], data.shape[2]
         ext_h = inp.extent(0)

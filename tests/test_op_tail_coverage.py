@@ -471,3 +471,22 @@ def test_cmn_volumetric_cpu_gpu():
     ga = np.asarray(g.as_tensor())[0]
     assert ca.shape == (4, 3, 8, 8)  # DCHW
     np.testing.assert_allclose(ca, ga, rtol=1e-5, atol=1e-5)
+
+
+def test_flip_volumetric_cpu_gpu():
+    rng = np.random.default_rng(1)
+    vol = rng.integers(0, 255, (4, 6, 5, 3), np.uint8)
+
+    @pipeline_def(batch_size=1, num_threads=1, seed=1)
+    def pipe():
+        x = fn.external_source(source=lambda: [vol], batch=True, cycle=True,
+                               layout="DHWC")
+        return (fn.flip(x, horizontal=1, vertical=1, depthwise=1),
+                fn.flip(x.gpu(), horizontal=1, vertical=1, depthwise=1))
+
+    p = pipe()
+    p.build()
+    c, g = p.run()
+    expect = vol[::-1, ::-1, ::-1]
+    np.testing.assert_array_equal(np.asarray(c.at(0)), expect)
+    np.testing.assert_array_equal(np.asarray(g.as_tensor())[0], expect)
