@@ -490,3 +490,22 @@ def test_flip_volumetric_cpu_gpu():
     expect = vol[::-1, ::-1, ::-1]
     np.testing.assert_array_equal(np.asarray(c.at(0)), expect)
     np.testing.assert_array_equal(np.asarray(g.as_tensor())[0], expect)
+
+
+def test_slice_volumetric_cpu_gpu():
+    vol = np.arange(4 * 6 * 5 * 2, dtype=np.uint8).reshape(4, 6, 5, 2)
+
+    @pipeline_def(batch_size=1, num_threads=1, seed=1)
+    def pipe():
+        x = fn.external_source(source=lambda: [vol], batch=True, cycle=True,
+                               layout="DHWC")
+        kw = dict(start=[1, 2, 1], shape=[2, 3, 3], axes=[0, 1, 2])
+        return fn.slice(x, **kw), fn.slice(x.gpu(), **kw)
+
+    p = pipe()
+    p.build()
+    c, g = p.run()
+    expect = vol[1:3, 2:5, 1:4]
+    np.testing.assert_array_equal(np.asarray(c.at(0)), expect)
+    # ragged gpu outputs crop back through at() (padded canvas + extents)
+    np.testing.assert_array_equal(np.asarray(g.at(0)), expect)
