@@ -364,12 +364,13 @@ class OpSpec:
             arg = self.schema.args.get(k)
             if arg is None:
                 raise TypeError(f"Operator '{schema_name}' got unexpected argument '{k}'")
-            if arg.deprecated_in_favor_of:
+            if arg.deprecated_in_favor_of or arg.deprecation_msg is not None:
                 import warnings
 
                 warnings.warn(
                     f"Argument '{k}' of '{schema_name}' is deprecated"
-                    + (f"; use '{arg.deprecated_in_favor_of}'" if arg.deprecated_in_favor_of else ""),
+                    + (f"; use '{arg.deprecated_in_favor_of}'" if arg.deprecated_in_favor_of
+                       else (f": {arg.deprecation_msg}" if arg.deprecation_msg else "")),
                     DeprecationWarning,
                     stacklevel=3,
                 )

@@ -653,6 +653,8 @@ DALI_SCHEMA("CropMirrorNormalize").DocStr(
 ).AddOptionalArg(
     "image_type", ArgType.IMAGE_TYPE, "Compatibility arg (deprecated in the "
     "reference; ignored).", DALIImageType.RGB
+).DeprecateArg(
+    "image_type", None, "the reference removed it in 0.25 (ignored here)"
 ).AddOptionalArg(
     "crop_d", ArgType.FLOAT, "Volumetric crop depth (DHWC inputs).", 0.0,
     tensor_ok=True, per_sample=True
