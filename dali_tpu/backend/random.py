@@ -149,7 +149,10 @@ class ChoiceCPU(Operator):
                 p = p / p.sum()
             src = inputs[0].samples[i]
             if src.ndim == 0 or src.size == 1:
+                # range mode: output keeps the scalar input's dtype
+                # (reference choice.cc output type = input type)
                 v = rng.choice(int(np.asarray(src).reshape(-1)[0]), size=shape, p=p)
+                v = np.asarray(v).astype(src.dtype)
             else:
                 v = rng.choice(src, size=shape, p=p)
             samples.append(np.asarray(v))
