@@ -930,7 +930,18 @@ class JpegCoeffsSplit(JpegCoeffs):
         by source_info so epoch 2+ skips the per-image marker parse."""
         from .. import native
 
-        ikeys = inp.source_info
+        # Key by source_info PLUS a cheap content fingerprint (length and
+        # first/last 8 bytes) so re-used source_info keys or files whose
+        # bytes change across epochs cannot serve stale geometry.
+        def _fp(k, d):
+            if not k:
+                return None
+            n = len(d)
+            head = d[:8].tobytes() if hasattr(d, "tobytes") else bytes(d[:8])
+            tail = d[-8:].tobytes() if hasattr(d, "tobytes") else bytes(d[-8:])
+            return (k, n, head, tail)
+
+        ikeys = [_fp(k, d) for k, d in zip(inp.source_info or [], datas)]
         n = len(datas)
         icache = getattr(self, "_info_cache", None)
         if icache is None:

@@ -206,8 +206,16 @@ class WebdatasetReader(BaseReader):
                             order.append(base)
                         groups[base][ext] = (m.offset_data, m.size)
             if not self.spec.GetArgument("case_sensitive_extensions", True):
-                groups = {base: {e.lower(): v for e, v in comp.items()}
-                          for base, comp in groups.items()}
+                # Keep the FIRST occurrence when case folding collapses keys
+                # (reference webdataset_loader.cc picks the first matching
+                # component in tar order).
+                folded = {}
+                for base, comp in groups.items():
+                    fcomp = {}
+                    for e, v in comp.items():
+                        fcomp.setdefault(e.lower(), v)
+                    folded[base] = fcomp
+                groups = folded
                 exts = [e.lower() for e in exts]
             for base in order:
                 comp = groups[base]

@@ -521,9 +521,11 @@ struct CompState {
 // (the unstuff pass removed them; see the structure note at the top).
 // The largest per-step consumption is code(16) + magnitude(11) = 27 bits,
 // so one refill (>= 56 bits) covers symbol + value. The byte cursor is
-// validated once per block; the buffer's 256-byte zero tail covers a
-// block's worst-case consumption (~210 bytes) plus refill slack between
-// checks, so reads stay in bounds and truncated streams terminate.
+// validated once per block; the buffer's 512-byte zero tail (the single
+// padding constant lives in unstuff_scan — see the worst-case derivation
+// at the Unstuffed struct, ~249 bytes/block) covers a block's worst-case
+// consumption plus refill slack between checks, so reads stay in bounds
+// and truncated streams terminate.
 #define REFILL()                         \
   {                                      \
     uint64_t x_;                         \
@@ -612,7 +614,12 @@ int decode_scan(const Parser& ps, const CompState* cs, const uint8_t* pend,
                 k += 16;                       // ZRL
                 continue;
               }
-              k += (((fe >> 8) & 15) + 1);
+              // Overrun semantics must MATCH the store-mode loop below so a
+              // corrupt-but-decodable stream yields crop-position-independent
+              // output: run+value past 63 aborts, ZRL past 63 is tolerated.
+              k += (fe >> 8) & 15;
+              if (k > 63) return 0;
+              k++;
               continue;
             }
             int l = 0, rs;
@@ -632,9 +639,10 @@ int decode_scan(const Parser& ps, const CompState* cs, const uint8_t* pend,
               k += 16;             // ZRL
               continue;
             }
-            k += r + 1;
+            k += r;
+            if (k > 63) return 0;  // run past block end: corrupt (as store mode)
+            k++;
           }
-          if (k > 64) return 0;  // run past block end: corrupt
         }
       }
       if (ri) togo--;

@@ -2,14 +2,20 @@
 """Performance gate (reference qa/TL1_decoder_perf/test.sh:52-68): runs the
 headline benchmarks and FAILS (exit 1) below the thresholds.
 
-Thresholds live in qa/thresholds.json, calibrated per host class (this dev
-box has 1 CPU core and a bandwidth-constrained TPU tunnel; a production v5e
-host would carry much higher gates — see docs/performance.md). Set to 0.9x
-the measured steady-state numbers at calibration time.
+Thresholds live in qa/thresholds.json. The gate is MONOTONIC: each metric
+records `best` (best steady-state measurement ever seen) alongside `min`,
+and the effective gate is max(min, 0.9 * best). `best` may only go UP —
+`--record` raises it after an improvement and refuses to lower it, so the
+gate can never be recalibrated downward to follow a regression (the
+reference keeps fixed hard gates the same way, TL1_decoder_perf/test.sh:64-66).
+
+This dev box has 1 CPU core and a bandwidth-constrained TPU tunnel; a
+production v5e host would carry much higher numbers — see docs/performance.md.
 
 Usage:
   python qa/perf_gate.py                # run bench.py, check thresholds
   python qa/perf_gate.py --from FILE    # check pre-recorded bench JSON lines
+  python qa/perf_gate.py --record --from FILE   # also ratchet `best` upward
 """
 
 import json
@@ -27,8 +33,8 @@ def load_thresholds():
 
 
 def collect_metrics(args):
-    if len(args) >= 2 and args[0] == "--from":
-        lines = open(args[1]).read().splitlines()
+    if "--from" in args:
+        lines = open(args[args.index("--from") + 1]).read().splitlines()
     else:
         out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                              capture_output=True, text=True, timeout=1800)
@@ -50,20 +56,40 @@ def collect_metrics(args):
 
 
 def main():
+    argv = [a for a in sys.argv[1:]]
+    record = "--record" in argv
     thresholds = load_thresholds()
-    metrics = collect_metrics(sys.argv[1:])
+    metrics = collect_metrics(argv)
     failed = False
+    dirty = False
     for name, spec in thresholds.items():
-        gate = float(spec["min"])
+        floor = float(spec["min"])
+        best = float(spec.get("best", floor))
+        gate = max(floor, 0.9 * best)
         got = metrics.get(name)
         if got is None:
             print(f"FAIL: metric '{name}' missing from bench output")
             failed = True
             continue
         status = "OK" if got >= gate else "FAIL"
-        print(f"{status}: {name} = {got:.1f} (gate >= {gate:.1f} {spec.get('unit', '')})")
+        print(f"{status}: {name} = {got:.1f} (gate >= {gate:.1f} "
+              f"{spec.get('unit', '')}; best-ever {best:.1f})")
         if got < gate:
             failed = True
+        elif got > best:
+            if record:
+                spec["best"] = round(got, 1)
+                dirty = True
+                print(f"  ratchet: best {best:.1f} -> {got:.1f} (gate is now "
+                      f"{max(floor, 0.9 * got):.1f})")
+            else:
+                print(f"  note: beats best-ever {best:.1f}; run with --record "
+                      "to ratchet the gate up")
+    if dirty:
+        path = os.path.join(HERE, "thresholds.json")
+        with open(path, "w") as f:
+            json.dump(thresholds, f, indent=2)
+            f.write("\n")
     sys.exit(1 if failed else 0)
 
 

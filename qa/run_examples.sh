@@ -1,0 +1,35 @@
+#!/usr/bin/env bash
+# Examples gate (reference qa/TL0_jupyter runs all docs/examples notebooks):
+# every script in docs/examples/ must execute end-to-end with its synthetic
+# fallback on tiny configs. Runs on the CPU backend so the gate is hermetic
+# (no TPU tunnel dependency) and under `timeout` per CLAUDE.md.
+set -u
+cd "$(dirname "$0")/.."
+
+export JAX_PLATFORMS=cpu
+export XLA_FLAGS="--xla_force_host_platform_device_count=2 ${XLA_FLAGS:-}"
+
+fail=0
+run() {
+  local name="$1"; shift
+  echo "== example: $name"
+  if timeout 420 python "docs/examples/$name" "$@" >/tmp/example_"$name".log 2>&1; then
+    echo "   OK"
+  else
+    echo "   FAIL (tail of log):"
+    tail -15 /tmp/example_"$name".log
+    fail=1
+  fi
+}
+
+run imagenet_training.py --batch-size 8 --steps 2
+run asr_frontend.py
+run ssd_detection.py --batch-size 4 --iters 2
+run video_training.py --batch-size 2 --iters 2
+run pytorch_proxy_training.py
+
+if [ "$fail" -ne 0 ]; then
+  echo "EXAMPLES GATE: FAIL"
+  exit 1
+fi
+echo "EXAMPLES GATE: OK"
