@@ -1212,7 +1212,7 @@ DALI_SCHEMA("_JpegIdctSplitRRC").DocStr(
 @register_operator("_JpegCoeffsSplitRRC", "mixed")
 class JpegCoeffsSplitRRC(JpegCoeffsSplit):
     def stage_batch_multi(self, ctx, inputs, canvases):
-        from .. import native
+        from .. import _prof, native
 
         if not native.available():
             return None
@@ -1220,7 +1220,8 @@ class JpegCoeffsSplitRRC(JpegCoeffsSplit):
         inp = inputs[0]
         datas = [np.ascontiguousarray(e) for e in inp.samples]
         n = len(datas)
-        infos = self._cached_infos(inp, datas)
+        with _prof.section("host.decode.header_info"):
+            infos = self._cached_infos(inp, datas)
         if infos is None:
             return None
         self._check_modes(infos[:, 6])
@@ -1232,6 +1233,7 @@ class JpegCoeffsSplitRRC(JpegCoeffsSplit):
         area = self.spec.GetArgument("random_area")
         ar = self.spec.GetArgument("random_aspect_ratio")
         attempts = self.spec.GetArgument("num_attempts", 10)
+        _t_rrc = __import__("time").perf_counter()
         wins = sample_rrc_windows_batch(ctx.rng(self), infos[:, :2], area, ar, attempts)
         # vectorized MCU-grid snap of all n windows (was a python loop —
         # measurable at batch 256 on the 1-core host)
@@ -1285,18 +1287,20 @@ class JpegCoeffsSplitRRC(JpegCoeffsSplit):
             want = need[j] if self._flat_lens[j] else int(need[j] * 1.25)
             self._flat_lens[j] = max(self._flat_lens[j], -(-want // chunk) * chunk)
 
+        _prof.add("host.decode.rrc_windows", __import__("time").perf_counter() - _t_rrc)
         cache = self._coef_cache()
         keys = inp.source_info
-        if cache is not None and keys:
-            packed = self._stage_via_cache(cache, datas, keys, infos, blocks,
-                                           brc0, ky, kc)
-            r = None if packed is None else (*packed, [True] * n)
-        else:
-            r = native.jpeg_coeffs_split_flat_crop_batch(
-                datas, ky, kc, blocks, brc0, self._flat_lens,
-                num_threads=self.pipeline.num_threads, ring=self._wire_ring(),
-                c_brc0=c_brc0,
-            )
+        with _prof.section("host.decode.entropy"):
+            if cache is not None and keys:
+                packed = self._stage_via_cache(cache, datas, keys, infos, blocks,
+                                               brc0, ky, kc)
+                r = None if packed is None else (*packed, [True] * n)
+            else:
+                r = native.jpeg_coeffs_split_flat_crop_batch(
+                    datas, ky, kc, blocks, brc0, self._flat_lens,
+                    num_threads=self.pipeline.num_threads, ring=self._wire_ring(),
+                    c_brc0=c_brc0,
+                )
         if r is None:
             return None
         y_dc, y_ac, c_dc, c_ac, q, offs, oks = r
@@ -1307,15 +1311,16 @@ class JpegCoeffsSplitRRC(JpegCoeffsSplit):
         two = np.full((n, 1), 2, np.int32)
         y_shapes = np.concatenate([yb, np.full((n, 1), ky * ky - 1, np.int32)], 1)
         c_shapes = np.concatenate([two, cb, np.full((n, 1), kc * kc - 1, np.int32)], 1)
-        y_ac_st, c_ac_st = self._stage_ac_planes(
-            y_ac, c_ac, offs, y_shapes, c_shapes,
-            (BH, BW, ky * ky - 1), (2, CBH, CBW, kc * kc - 1),
-            int(y_n.sum()), int(2 * c_n.sum()), ky, kc,
-        )
-        y_dc_st, c_dc_st = self._stage_dc_planes(
-            y_dc, c_dc, offs, yb.copy(), np.concatenate([two, cb], 1),
-            (BH, BW), (2, CBH, CBW), int(y_n.sum()), int(2 * c_n.sum()), ky, kc,
-        )
+        with _prof.section("host.decode.sparse_pack"):
+            y_ac_st, c_ac_st = self._stage_ac_planes(
+                y_ac, c_ac, offs, y_shapes, c_shapes,
+                (BH, BW, ky * ky - 1), (2, CBH, CBW, kc * kc - 1),
+                int(y_n.sum()), int(2 * c_n.sum()), ky, kc,
+            )
+            y_dc_st, c_dc_st = self._stage_dc_planes(
+                y_dc, c_dc, offs, yb.copy(), np.concatenate([two, cb], 1),
+                (BH, BW), (2, CBH, CBW), int(y_n.sum()), int(2 * c_n.sum()), ky, kc,
+            )
         return [
             y_dc_st,
             y_ac_st,

@@ -410,18 +410,27 @@ class Executor:
     def statistics(self) -> dict:
         """Executor observability (reference Pipeline.executor_statistics,
         pipeline.py:621 / ExecutorMetaMap)."""
+        from . import _prof
+
         out = dict(self._stats)
         out["canvases"] = {str(k): list(v) for k, v in self._canvas.items()}
         cache = self._jit_device_program or {}
         out["device_program_variants"] = len(cache)
+        # itemized host time (seconds, cumulative): host.ops_total contains
+        # the host.decode.* subsections; boundary_staging/param_prep are the
+        # post-op staging work. See docs/performance.md "Host time budget".
+        out["host_breakdown_seconds"] = _prof.snapshot()
         return out
 
     # -- one iteration --------------------------------------------------------------------
     def _host_phase(self, iteration: int):
+        from . import _prof
+
         ctx = HostCtx(self.pipeline, iteration, self._epoch, pool=self.sample_pool)
         env: Dict[Tuple[int, int], HostBatch] = {}
 
         # 1. host program
+        _t_ops = time.perf_counter()
         for node in self.host_ops:
             impl = self.impls[node.id]
             arg_batches = {k: env[_edge_key(v)] for k, v in node.spec.arg_inputs.items()}
@@ -470,12 +479,14 @@ class Executor:
                 outs = [outs]
             for j, out in enumerate(outs):
                 env[(node.id, j)] = out
+        _prof.add("host.ops_total", time.perf_counter() - _t_ops)
 
         # 2. boundary staging: ragged host batches → padded canvases, transferred
         # in chunks. The chunking matters: host→device bandwidth degrades badly on
         # large single transfers (and chunked device_puts are async, overlapping
         # the next iteration's host work) — the TPU analogue of DALI's pinned
         # staging + async H2D copies.
+        _t_stage = time.perf_counter()
         padded_arrays, shape_arrays, ragged_flags, boundary_layouts = [], [], [], []
         flat_meta, flat_offsets = [], []
         for edge in self.boundary_edges:
@@ -539,7 +550,10 @@ class Executor:
             ragged_flags.append(ragged)
             boundary_layouts.append(layout)
 
+        _prof.add("host.boundary_staging", time.perf_counter() - _t_stage)
+
         # 3. stacked argument arrays for device ops
+        _t_prep = time.perf_counter()
         arg_arrays = []
         for op_id, name, edge in self.device_arg_edges:
             hb = env[_edge_key(edge)]
@@ -581,6 +595,7 @@ class Executor:
                     if sh is not None:
                         shape_env[(node.id, j)] = np.asarray(sh)
         self._params_struct = params_struct
+        _prof.add("host.param_prep", time.perf_counter() - _t_prep)
 
         cpu_outputs = {}
         for out in self.graph.outputs:

@@ -603,46 +603,56 @@ int decode_scan(const Parser& ps, const CompState* cs, const uint8_t* pend,
             cnt -= l + s;
           }
           int k = 1;
+          // Two symbols per refill (see the store-mode loop for the bit
+          // budget); overrun semantics MATCH the store-mode loop so a
+          // corrupt-but-decodable stream yields crop-position-independent
+          // output: run+value past 63 aborts, ZRL past 63 is tolerated.
           while (k <= 63) {
             REFILL();
-            int fe = C.fac->e[(unsigned)(acc >> (64 - kFastAc))];
-            if (fe) {
-              acc <<= (fe & 63);
-              cnt -= (fe & 63);
-              if (fe & (1 << 24)) {
-                if ((fe & 0xF00) == 0) break;  // EOB
-                k += 16;                       // ZRL
-                continue;
-              }
-              // Overrun semantics must MATCH the store-mode loop below so a
-              // corrupt-but-decodable stream yields crop-position-independent
-              // output: run+value past 63 aborts, ZRL past 63 is tolerated.
-              k += (fe >> 8) & 15;
-              if (k > 63) return 0;
-              k++;
-              continue;
+#define AC_SKIP_SYM(BLOCK_DONE)                                         \
+            {                                                           \
+              int fe = C.fac->e[(unsigned)(acc >> (64 - kFastAc))];     \
+              if (fe) {                                                 \
+                acc <<= (fe & 63);                                      \
+                cnt -= (fe & 63);                                       \
+                if (fe & (1 << 24)) {                                   \
+                  if ((fe & 0xF00) == 0) goto BLOCK_DONE; /* EOB */     \
+                  k += 16; /* ZRL */                                    \
+                } else {                                                \
+                  k += (fe >> 8) & 15;                                  \
+                  if (k > 63) return 0;                                 \
+                  k++;                                                  \
+                }                                                       \
+              } else {                                                  \
+                int l = 0, rs;                                          \
+                int e = C.act->lut[(unsigned)(acc >> (64 - kLookahead))]; \
+                if (e >= 0) {                                           \
+                  l = e >> 8;                                           \
+                  rs = e & 0xFF;                                        \
+                } else {                                                \
+                  rs = huff_decode_slow(acc, C.act, &l);                \
+                  if (rs < 0) return 0;                                 \
+                }                                                       \
+                int r = rs >> 4, sz = rs & 15;                          \
+                acc <<= l + sz;                                         \
+                cnt -= l + sz;                                          \
+                if (cnt < 0) return 0; /* corrupt: sz>10 underflow */   \
+                if (sz == 0) {                                          \
+                  if (r != 15) goto BLOCK_DONE; /* EOB */               \
+                  k += 16; /* ZRL */                                    \
+                } else {                                                \
+                  k += r;                                               \
+                  if (k > 63) return 0;                                 \
+                  k++;                                                  \
+                }                                                       \
+              }                                                         \
             }
-            int l = 0, rs;
-            int e = C.act->lut[(unsigned)(acc >> (64 - kLookahead))];
-            if (e >= 0) {
-              l = e >> 8;
-              rs = e & 0xFF;
-            } else {
-              rs = huff_decode_slow(acc, C.act, &l);
-              if (rs < 0) return 0;
-            }
-            int r = rs >> 4, sz = rs & 15;
-            acc <<= l + sz;
-            cnt -= l + sz;
-            if (sz == 0) {
-              if (r != 15) break;  // EOB
-              k += 16;             // ZRL
-              continue;
-            }
-            k += r;
-            if (k > 63) return 0;  // run past block end: corrupt (as store mode)
-            k++;
+            AC_SKIP_SYM(skip_blk_done);
+            if (k > 63) break;
+            AC_SKIP_SYM(skip_blk_done);
+#undef AC_SKIP_SYM
           }
+        skip_blk_done:;
         }
       }
       if (ri) togo--;
@@ -728,56 +738,70 @@ int decode_scan(const Parser& ps, const CompState* cs, const uint8_t* pend,
             }
             *dcp = (short)pred;
             int k = 1;
+            // AC loop, TWO symbols per refill: a refill leaves >= 56 valid
+            // bits and one symbol consumes at most code(16) + magnitude(10)
+            // = 26 bits, so two symbols (52) always fit — halves the
+            // refill's load+bswap+or chain links per symbol. The FIRST AC
+            // symbol rides the DC refill (DC <= 27 bits + AC <= 26 <= 56).
+            // Measured faster; see docs/performance.md.
+#define AC_SYM(BLOCK_DONE)                                              \
+              {                                                         \
+                int fe = C.fac->e[(unsigned)(acc >> (64 - kFastAc))];   \
+                if (fe) { /* symbol+magnitude in one lookup */          \
+                  acc <<= (fe & 63);                                    \
+                  cnt -= (fe & 63);                                     \
+                  if (fe & (1 << 24)) { /* control symbol */            \
+                    if ((fe & 0xF00) == 0) goto BLOCK_DONE; /* EOB */   \
+                    k += 16; /* ZRL */                                  \
+                  } else {                                              \
+                    k += (fe >> 8) & 15;                                \
+                    if (k > 63) return 0;                               \
+                    int slot = zmap[k];                                 \
+                    /* cmov to sink for out-of-selection coefficients */ \
+                    signed char* dst = slot >= 0 ? acp + slot : ac_sink; \
+                    *dst = (signed char)(fe >> 16);                     \
+                    k++;                                                \
+                  }                                                     \
+                } else {                                                \
+                  int l = 0, rs;                                        \
+                  int e = C.act->lut[(unsigned)(acc >> (64 - kLookahead))]; \
+                  if (e >= 0) {                                         \
+                    l = e >> 8;                                         \
+                    rs = e & 0xFF;                                      \
+                  } else {                                              \
+                    rs = huff_decode_slow(acc, C.act, &l);              \
+                    if (rs < 0) return 0;                               \
+                  }                                                     \
+                  int r = rs >> 4, sz = rs & 15;                        \
+                  if (sz == 0) {                                        \
+                    acc <<= l;                                          \
+                    cnt -= l;                                           \
+                    if (r != 15) goto BLOCK_DONE; /* EOB */             \
+                    k += 16; /* ZRL */                                  \
+                  } else {                                              \
+                    k += r;                                             \
+                    if (k > 63) return 0;                               \
+                    int mv = (int)((acc << l) >> (64 - sz));            \
+                    acc <<= l + sz;                                     \
+                    cnt -= l + sz;                                      \
+                    if (cnt < 0) return 0; /* corrupt: sz>10 underflow */ \
+                    int val = mv < (1 << (sz - 1)) ? mv - (1 << sz) + 1 : mv; \
+                    int slot = zmap[k];                                 \
+                    signed char* dst = slot >= 0 ? acp + slot : ac_sink; \
+                    *dst = sat8(val);                                   \
+                    k++;                                                \
+                  }                                                     \
+                }                                                       \
+              }
+            AC_SYM(blk_done);  // first symbol rides the DC refill
             while (k <= 63) {
               REFILL();
-              int fe = C.fac->e[(unsigned)(acc >> (64 - kFastAc))];
-              if (fe) {  // symbol+magnitude in one pre-saturated lookup
-                acc <<= (fe & 63);
-                cnt -= (fe & 63);
-                if (fe & (1 << 24)) {            // control symbol, code-only
-                  if ((fe & 0xF00) == 0) break;  // EOB
-                  k += 16;                       // ZRL
-                  continue;
-                }
-                k += (fe >> 8) & 15;
-                if (k > 63) return 0;
-                int slot = zmap[k];
-                // out-of-selection coefficients land in the sink via a
-                // conditional move — the select pattern is data-dependent
-                // and would mispredict as a branch
-                signed char* dst = slot >= 0 ? acp + slot : ac_sink;
-                *dst = (signed char)(fe >> 16);
-                k++;
-                continue;
-              }
-              int l = 0, rs;
-              int e = C.act->lut[(unsigned)(acc >> (64 - kLookahead))];
-              if (e >= 0) {
-                l = e >> 8;
-                rs = e & 0xFF;
-              } else {
-                rs = huff_decode_slow(acc, C.act, &l);
-                if (rs < 0) return 0;
-              }
-              int r = rs >> 4, sz = rs & 15;
-              if (sz == 0) {
-                acc <<= l;
-                cnt -= l;
-                if (r != 15) break;  // EOB
-                k += 16;             // ZRL
-                continue;
-              }
-              k += r;
-              if (k > 63) return 0;
-              int mv = (int)((acc << l) >> (64 - sz));
-              acc <<= l + sz;
-              cnt -= l + sz;
-              int val = mv < (1 << (sz - 1)) ? mv - (1 << sz) + 1 : mv;
-              int slot = zmap[k];
-              signed char* dst = slot >= 0 ? acp + slot : ac_sink;
-              *dst = sat8(val);
-              k++;
+              AC_SYM(blk_done);
+              if (k > 63) break;
+              AC_SYM(blk_done);
             }
+          blk_done:;
+#undef AC_SYM
           }
         }
       }
@@ -786,7 +810,324 @@ int decode_scan(const Parser& ps, const CompState* cs, const uint8_t* pend,
   }
   return 0;
 }
+
 #undef REFILL
+
+// ----------------------------------------------------------------------------
+// Interleaved pair decode (ILP): the sequential decoder is latency-bound on
+// the refill→lookup→shift dependency chain (~18 cy/symbol measured). Two
+// INDEPENDENT images' chains can overlap in the out-of-order window, so the
+// pair driver below alternates block decodes between two cursors — each
+// cursor is the decode_scan state machine flattened into a struct whose
+// step() decodes one 8x8 block and advances the (my, mx, ci, bi) cursor.
+// Output and overrun semantics are IDENTICAL to decode_scan (validated by
+// checksum parity in tools/bench_huff.cc and the hybrid golden tests).
+struct ScanCursor {
+  CompState cs[3];
+  const uint8_t* buf0 = nullptr;
+  const uint8_t* p = nullptr;
+  uint64_t acc = 0;
+  int cnt = 0;
+  long bits_len = 0;
+  size_t n_rst = 0;
+  const size_t* rst_off = nullptr;
+  const uint8_t* rst_base = nullptr;
+  int ri = 0, togo = 0;
+  size_t next_rst = 0;
+  int pred0 = 0, pred1 = 0, pred2 = 0;
+  int mcus_x = 0, stop_my = 0, skip_my = 0;
+  int my = 0, mx = 0, ci = 0, bi = 0;  // bi < cs[ci].v * cs[ci].h
+  bool done = false;
+  // store-mode row state (recomputed when my advances)
+  struct Row {
+    short* dc_row;
+    signed char* ac_row;
+    bool row_ok;
+  } rows[3][4];
+  signed char zskip[64];
+  short dc_sink;
+  signed char ac_sink[4];
+
+  void init(const Parser& ps, const CompState* cstates, Unstuffed* us,
+            int mcusx, int stopmy) {
+    for (int i = 0; i < 3; i++) cs[i] = cstates[i];
+    buf0 = us->buf.data();
+    p = buf0;
+    bits_len = (long)us->len << 3;
+    rst_off = us->rst_off.data();
+    n_rst = us->rst_off.size();
+    rst_base = us->buf.data();
+    ri = ps.ri;
+    togo = ri;
+    mcus_x = mcusx;
+    stop_my = stopmy;
+    skip_my = stop_my;
+    for (int i = 0; i < 3; i++) {
+      int s = cs[i].br0 > 0 ? cs[i].br0 / cs[i].v : 0;
+      if (s < skip_my) skip_my = s;
+    }
+    std::memset(zskip, -1, sizeof(zskip));
+    if (stop_my <= 0) done = true;
+    else refresh_rows();
+  }
+
+  void refresh_rows() {
+    if (my < skip_my) return;  // skip mode doesn't use row state
+    for (int c = 0; c < 3; c++) {
+      const CompState& C = cs[c];
+      for (int v = 0; v < C.v; v++) {
+        const int brow = my * C.v + v;
+        const int wr = brow - C.br0;
+        Row& R = rows[c][v];
+        R.row_ok = (unsigned)wr < (unsigned)C.bh && brow < C.real_bh;
+        if (R.row_ok) {
+          R.dc_row = C.dc + (long)wr * C.bw;
+          R.ac_row = C.ac + (long)wr * C.bw * C.nac;
+        }
+      }
+    }
+  }
+
+#define REFILL()                         \
+  {                                      \
+    uint64_t x_;                         \
+    std::memcpy(&x_, p, 8);              \
+    acc |= __builtin_bswap64(x_) >> cnt; \
+    p += (63 - cnt) >> 3;                \
+    cnt |= 56;                           \
+  }
+
+  // Per-block transient state for the split begin/ac_step/advance protocol
+  // (symbol-level interleave needs the AC loop broken out so two cursors'
+  // loops can be fused in the driver).
+  int k = 1;
+  signed char* acp_cur = nullptr;
+  const signed char* zmap_cur = nullptr;
+  const FastAc* fac_cur = nullptr;
+  const HuffTbl* act_cur = nullptr;
+
+  // Restart check + window pointers + DC decode for the block at the
+  // cursor. Returns true if the block's AC loop should run; false when the
+  // cursor is done/corrupt (sets done).
+  inline bool begin_block() {
+    if (done) return false;
+    if (ci == 0 && bi == 0 && ri && togo == 0) {
+      if (next_rst >= n_rst) { done = true; return false; }
+      p = rst_base + rst_off[next_rst++];
+      acc = 0;
+      cnt = 0;
+      pred0 = pred1 = pred2 = 0;
+      togo = ri;
+    }
+    const CompState& C = cs[ci];
+    int& pred = ci == 0 ? pred0 : ci == 1 ? pred1 : pred2;
+    if (((p - buf0) << 3) - cnt > bits_len) { done = true; return false; }
+    short* dcp = &dc_sink;
+    acp_cur = ac_sink;
+    zmap_cur = zskip;
+    if (my >= skip_my) {
+      const int v = bi / C.h, h = bi % C.h;
+      const Row& R = rows[ci][v];
+      const int bcol = mx * C.h + h;
+      const int wc = bcol - C.bc0;
+      if (R.row_ok && (unsigned)wc < (unsigned)C.bw && bcol < C.real_bw) {
+        dcp = R.dc_row + wc;
+        acp_cur = R.ac_row + (long)wc * C.nac;
+        zmap_cur = C.zmap;
+      }
+    }
+    fac_cur = C.fac;
+    act_cur = C.act;
+    REFILL();
+    int de = C.fdc->e[(unsigned)(acc >> (64 - kFastAc))];
+    if (de) {
+      pred += (int)(int16_t)(de >> 16);
+      acc <<= (de & 63);
+      cnt -= (de & 63);
+    } else {
+      int l = 0, s;
+      int e = C.dct->lut[(unsigned)(acc >> (64 - kLookahead))];
+      if (e >= 0) {
+        l = e >> 8;
+        s = e & 0xFF;
+      } else {
+        s = huff_decode_slow(acc, C.dct, &l);
+      }
+      if (s < 0 || s > 15) { done = true; return false; }
+      if (s) {
+        int mv = (int)((acc << l) >> (64 - s));
+        pred += mv < (1 << (s - 1)) ? mv - (1 << s) + 1 : mv;
+      }
+      acc <<= l + s;
+      cnt -= l + s;
+    }
+    *dcp = (short)pred;
+    k = 1;
+    return true;
+  }
+
+  // One AC symbol. Returns true while the block has more symbols; false at
+  // EOB / block end (caller must then advance()) or corrupt (done set).
+  inline bool ac_step() {
+    if (k > 63) return false;
+    REFILL();
+    int fe = fac_cur->e[(unsigned)(acc >> (64 - kFastAc))];
+    if (fe) {
+      acc <<= (fe & 63);
+      cnt -= (fe & 63);
+      if (fe & (1 << 24)) {
+        if ((fe & 0xF00) == 0) return false;  // EOB
+        k += 16;                              // ZRL
+        return k <= 63;
+      }
+      k += (fe >> 8) & 15;
+      if (k > 63) { done = true; return false; }
+      int slot = zmap_cur[k];
+      signed char* dst = slot >= 0 ? acp_cur + slot : ac_sink;
+      *dst = (signed char)(fe >> 16);
+      k++;
+      return k <= 63;
+    }
+    int l = 0, rs;
+    int e = act_cur->lut[(unsigned)(acc >> (64 - kLookahead))];
+    if (e >= 0) {
+      l = e >> 8;
+      rs = e & 0xFF;
+    } else {
+      rs = huff_decode_slow(acc, act_cur, &l);
+      if (rs < 0) { done = true; return false; }
+    }
+    int r = rs >> 4, sz = rs & 15;
+    if (sz == 0) {
+      acc <<= l;
+      cnt -= l;
+      if (r != 15) return false;  // EOB
+      k += 16;                    // ZRL
+      return k <= 63;
+    }
+    k += r;
+    if (k > 63) { done = true; return false; }
+    int mv = (int)((acc << l) >> (64 - sz));
+    acc <<= l + sz;
+    cnt -= l + sz;
+    int val = mv < (1 << (sz - 1)) ? mv - (1 << sz) + 1 : mv;
+    int slot = zmap_cur[k];
+    signed char* dst = slot >= 0 ? acp_cur + slot : ac_sink;
+    *dst = sat8(val);
+    k++;
+    return k <= 63;
+  }
+
+  // Decode ONE block at the cursor, then advance (solo-tail path).
+  inline void step() {
+    if (!begin_block()) return;
+    while (ac_step()) {
+    }
+    if (!done) advance();
+  }
+
+  inline void advance() {
+    if (++bi >= cs[ci].v * cs[ci].h) {
+      bi = 0;
+      if (++ci >= 3) {
+        ci = 0;
+        if (ri) togo--;
+        if (++mx >= mcus_x) {
+          mx = 0;
+          if (++my >= stop_my) { done = true; return; }
+          refresh_rows();
+        }
+      }
+    }
+  }
+#undef REFILL
+};
+
+// Drive two cursors in lockstep at SYMBOL granularity: both blocks' DC
+// decodes run back to back, then the two AC loops are fused so every
+// iteration advances one symbol of each stream — the two refill→lookup→
+// shift dependency chains are independent and overlap in the out-of-order
+// window. Tail (one stream finished) runs solo via step().
+void decode_pair(ScanCursor& a, ScanCursor& b) {
+  while (!a.done && !b.done) {
+    bool la = a.begin_block();
+    bool lb = b.begin_block();
+    while (la | lb) {
+      if (la) la = a.ac_step();
+      if (lb) lb = b.ac_step();
+    }
+    if (!a.done) a.advance();
+    if (!b.done) b.advance();
+  }
+  while (!a.done) a.step();
+  while (!b.done) b.step();
+}
+
+// Single-image setup shared by the pair entry: parse, windows, memset,
+// returns 0 and fills the cursor (us must outlive the decode).
+int setup_cursor(const uint8_t* data, size_t len, int ky, int kc, short* y_dc,
+                 signed char* y_ac, short* cb_dc, signed char* cb_ac,
+                 short* cr_dc, signed char* cr_ac, unsigned short* q_out,
+                 int y_bh, int y_bw, int c_bh, int c_bw, int y_br0, int y_bc0,
+                 int c_br0, int c_bc0, Parser* ps_out, ScanCursor* cur,
+                 Unstuffed* us, signed char* zmap_y, signed char* zmap_c) {
+  Parser& ps = *ps_out;
+  int rc = ps.parse();
+  if (rc != 0) return rc;
+  if (ky < 1 || ky > 8 || kc < 1 || kc > 8) return 1;
+  for (int z = 1; z < 64; z++) {
+    int r = kZZ.nat[z] >> 3, c = kZZ.nat[z] & 7;
+    zmap_y[z] = (r < ky && c < ky) ? (signed char)(r * ky + c - 1) : -1;
+    zmap_c[z] = (r < kc && c < kc) ? (signed char)(r * kc + c - 1) : -1;
+  }
+  zmap_y[0] = zmap_c[0] = -1;
+  for (int comp = 0; comp < 2; comp++) {
+    int k = comp == 0 ? ky : kc;
+    const uint16_t* src = ps.qt[ps.comp[comp].tq];
+    unsigned short* qdst = comp == 0 ? q_out : q_out + ky * ky;
+    for (int r = 0; r < k; r++)
+      for (int c = 0; c < k; c++) qdst[r * k + c] = src[r * 8 + c];
+  }
+  const int hmax = ps.comp[0].h, vmax = ps.comp[0].v;
+  const int mcus_x = (ps.W + 8 * hmax - 1) / (8 * hmax);
+  const int mcus_y = (ps.H + 8 * vmax - 1) / (8 * vmax);
+  CompState cs[3];
+  short* dcs[3] = {y_dc, cb_dc, cr_dc};
+  signed char* acs[3] = {y_ac, cb_ac, cr_ac};
+  for (int i = 0; i < 3; i++) {
+    int slot = 0;
+    for (int s = 0; s < ps.ns; s++)
+      if (ps.scan_comp[s] == i) slot = s;
+    const int k = i == 0 ? ky : kc;
+    cs[i] = {dcs[i],
+             acs[i],
+             i == 0 ? zmap_y : zmap_c,
+             &ps.htdc[ps.scan_td[slot]],
+             &ps.htac[ps.scan_ta[slot]],
+             ps.fac[ps.scan_ta[slot]],
+             ps.fdc[ps.scan_td[slot]],
+             ps.comp[i].h,
+             ps.comp[i].v,
+             i == 0 ? y_bh : c_bh,
+             i == 0 ? y_bw : c_bw,
+             i == 0 ? y_br0 : c_br0,
+             i == 0 ? y_bc0 : c_bc0,
+             k * k - 1,
+             (ps.H * ps.comp[i].v + 8 * vmax - 1) / (8 * vmax),
+             (ps.W * ps.comp[i].h + 8 * hmax - 1) / (8 * hmax)};
+    std::memset(cs[i].dc, 0, sizeof(short) * (size_t)cs[i].bh * cs[i].bw);
+    std::memset(cs[i].ac, 0, (size_t)cs[i].bh * cs[i].bw * cs[i].nac);
+  }
+  int stop_my = 0;
+  for (int i = 0; i < 3; i++) {
+    int need = (cs[i].br0 + cs[i].bh + cs[i].v - 1) / cs[i].v;
+    if (need > stop_my) stop_my = need;
+  }
+  if (stop_my > mcus_y) stop_my = mcus_y;
+  unstuff_scan(ps.scan_start, data + len, us);
+  cur->init(ps, cs, us, mcus_x, stop_my);
+  return 0;
+}
 
 }  // namespace
 
@@ -867,6 +1208,40 @@ int dali_tpu_jpeg_huff_read_coeffs_split_crop(
   if (stop_my > mcus_y) stop_my = mcus_y;
 
   return decode_scan(ps, cs, data + len, mcus_x, stop_my);
+}
+
+// Pair entry: decode TWO images with their entropy loops interleaved at
+// block granularity (see ScanCursor). rc_a/rc_b get the per-image status
+// with the same contract as the single entry. Used by the batch driver
+// (jpeg_coeffs_split.cc) to pair each worker's queue of images.
+void dali_tpu_jpeg_huff_read_coeffs_split_crop_pair(
+    const char* a_data, size_t a_len, const char* b_data, size_t b_len,
+    int ky, int kc,
+    short* a_y_dc, signed char* a_y_ac, short* a_cb_dc, signed char* a_cb_ac,
+    short* a_cr_dc, signed char* a_cr_ac, unsigned short* a_q,
+    int a_y_bh, int a_y_bw, int a_c_bh, int a_c_bw,
+    int a_y_br0, int a_y_bc0, int a_c_br0, int a_c_bc0,
+    short* b_y_dc, signed char* b_y_ac, short* b_cb_dc, signed char* b_cb_ac,
+    short* b_cr_dc, signed char* b_cr_ac, unsigned short* b_q,
+    int b_y_bh, int b_y_bw, int b_c_bh, int b_c_bw,
+    int b_y_br0, int b_y_bc0, int b_c_br0, int b_c_bc0,
+    int* rc_a, int* rc_b) {
+  thread_local Unstuffed tl_us_a, tl_us_b;
+  Parser psa(reinterpret_cast<const uint8_t*>(a_data), a_len);
+  Parser psb(reinterpret_cast<const uint8_t*>(b_data), b_len);
+  ScanCursor ca, cb;
+  signed char zya[64], zca[64], zyb[64], zcb[64];
+  *rc_a = setup_cursor(reinterpret_cast<const uint8_t*>(a_data), a_len, ky,
+                       kc, a_y_dc, a_y_ac, a_cb_dc, a_cb_ac, a_cr_dc, a_cr_ac,
+                       a_q, a_y_bh, a_y_bw, a_c_bh, a_c_bw, a_y_br0, a_y_bc0,
+                       a_c_br0, a_c_bc0, &psa, &ca, &tl_us_a, zya, zca);
+  *rc_b = setup_cursor(reinterpret_cast<const uint8_t*>(b_data), b_len, ky,
+                       kc, b_y_dc, b_y_ac, b_cb_dc, b_cb_ac, b_cr_dc, b_cr_ac,
+                       b_q, b_y_bh, b_y_bw, b_c_bh, b_c_bw, b_y_br0, b_y_bc0,
+                       b_c_br0, b_c_bc0, &psb, &cb, &tl_us_b, zyb, zcb);
+  if (*rc_a != 0) ca.done = true;
+  if (*rc_b != 0) cb.done = true;
+  decode_pair(ca, cb);
 }
 
 }  // extern "C"
