@@ -123,8 +123,20 @@ class IndexedLoader:
         return int(order[idx]) if order is not None else idx
 
     def _advance(self):
-        """Next (epoch, index) in sequential shard order, wrapping epochs."""
-        limit = self.shard_size_padded if self.pad_last_batch else self.shard_size
+        """Next (epoch, index) in sequential shard order, wrapping epochs.
+
+        The per-epoch limit is the size of the shard ACTUALLY read this epoch
+        (the rotated shard without ``stick_to_shard``) — uneven shards have
+        different sizes, and using the reader's own shard size would bleed
+        reads across shard boundaries (reference Loader::Reset recomputes
+        bounds for the virtual shard, loader.h:84-103)."""
+        shard = self._virtual_shard if self.stick_to_shard else (
+            (self.shard_id + self._epoch) % self.num_shards)
+        if self.pad_last_batch:
+            limit = self.shard_size_padded  # uniform across shards (max shard)
+        else:
+            start, end = self.shard_bounds(shard)
+            limit = end - start
         if self._pos >= limit:
             self._pos = 0
             self._epoch += 1

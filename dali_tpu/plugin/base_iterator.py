@@ -49,19 +49,29 @@ class DALIGenericIterator:
 
         if reader_name is not None:
             metas = [p.reader_meta(reader_name) for p in self._pipes]
-            # aggregate shard sizes across the pipelines we drive
+            # aggregate shard sizes across the pipelines we drive. Reference
+            # sizing rules (base_iterator.py:349-361): DROP rounds DOWN to the
+            # global floor regardless of padding; padded shards are uniform;
+            # otherwise the exact floor-formula shard size. PARTIAL trimming
+            # always measures against the UNPADDED size (":374-390").
             total = 0
+            total_no_pad = 0
             for m in metas:
-                if m["pad_last_batch"]:
-                    shard = m["epoch_size_padded"] // m["number_of_shards"]
+                es, ns, sid = m["epoch_size"], m["number_of_shards"], m["shard_id"]
+                exact = (sid + 1) * es // ns - sid * es // ns
+                total_no_pad += exact
+                if last_batch_policy == LastBatchPolicy.DROP:
+                    total += es // ns
+                elif m["pad_last_batch"]:
+                    total += m["epoch_size_padded"] // ns
                 else:
-                    es, ns, sid = m["epoch_size"], m["number_of_shards"], m["shard_id"]
-                    shard = (sid + 1) * es // ns - sid * es // ns
-                total += shard
+                    total += exact
             self._size = total
+            self._size_no_pad = total_no_pad
             self._last_batch_padded = bool(metas[0]["pad_last_batch"])
         else:
             self._size = size * len(self._pipes) if size > 0 else size
+            self._size_no_pad = self._size
 
         self._counter = 0
         self._ever_consumed = False
@@ -97,7 +107,9 @@ class DALIGenericIterator:
                     self.reset()
                 raise StopIteration
         self._ever_consumed = True
-        left = self._size - self._counter if self._size > 0 else None
+        # PARTIAL validity counts real (unpadded) samples — padding filler at
+        # the shard tail is trimmed (reference base_iterator.py:386-388)
+        left = self._size_no_pad - self._counter if self._size > 0 else None
         batches = []
         for p in self._pipes:
             outs = p.outputs()
