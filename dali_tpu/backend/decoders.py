@@ -802,32 +802,6 @@ class JpegCoeffsSplit(JpegCoeffs):
             return False
         return native.has_sparse_pack() and nac_y <= 16 and nac_c <= 16
 
-    def _ac_to_sparse(self, name, ac_flat, n_blocks, nac, dc_offsets, shapes,
-                      canvas, mask_len, ac_cap):
-        """Pack a dense flat AC plane into the sparse wire (_SparseStaged).
-
-        The dense plane stays host-side; only ~(2 + nnz) bytes per block are
-        transferred. ``mask_len`` rides the DC plane's ratcheted length so the
-        mask's wire shape is jit-stable; the packed-values length follows its
-        own 1 MB grow policy."""
-        from .. import native
-        from ..executor import _SparseStaged
-
-        ring = self._wire_ring()
-        mask = ring.take(name + "_mask", int(mask_len), np.uint16)
-        vals = ring.take(name + "_vals", int(ac_cap) + 16, np.int8)
-        nnz = native.sparse_pack_i8(ac_flat, int(n_blocks), int(nac), mask, vals)
-        # second stage: nibble-pack the value stream (4-bit codes + escape
-        # bytes for |v|>7) — another ~15% off the wire on photo content.
-        # Only the nnz real values are packed; the nibble wire length rides
-        # its own ratchet (positions past nnz are never read on device).
-        nib_len = self._wire_ratchet(name + "_nibs", (nnz + 1) // 2)
-        nibs = ring.take(name + "_nibs", nib_len, np.uint8)
-        esc = ring.take(name + "_esc", self._esc_cap(name + "_esc", nnz), np.int8)
-        n_esc = native.nib_pack_i8(vals, int(nnz), nibs, esc)
-        e_want = self._wire_ratchet(name + "_esc", n_esc)  # <= cap by _esc_cap
-        return _SparseStaged(mask, nibs, esc[:e_want], dc_offsets, shapes, canvas)
-
     def _esc_cap(self, name: str, worst: int) -> int:
         """Escape-buffer capacity: covers both the worst-case escape count of
         THIS batch (every value escapes) and any already-ratcheted wire
@@ -854,63 +828,132 @@ class JpegCoeffsSplit(JpegCoeffs):
         self._sparse_lens[name] = want
         return want
 
-    def _dc_to_esc8(self, name, dc_flat, n_blocks, offsets, shapes, canvas,
-                    dc_len):
-        """Escape-pack a flat int16 DC plane to int8 + rare int16 escapes
-        (_Esc16Staged) — halves the DC wire. ``dc_len`` is the plane's
-        ratcheted length (shape-stable wire); the tail past ``n_blocks`` is
-        zeroed so stale ring bytes can't masquerade as escape markers."""
+    def _use_pack_batch(self, ky, kc, cache, keys):
+        """The pack-emit decode path (ONE native call file-bytes -> sparse
+        wire) applies when the sparse wire is on, the native entry exists,
+        and the coefficient cache is off (the cache stores dense planes).
+        Kill switch: DALI_TPU_DISABLE_PACK_EMIT=1 (A/B + escape hatch)."""
+        import os
+
         from .. import native
-        from ..executor import _Esc16Staged
+
+        if os.environ.get("DALI_TPU_DISABLE_PACK_EMIT", "0") not in ("", "0"):
+            return False
+        return (self._sparse_wire_enabled(ky * ky - 1, kc * kc - 1)
+                and native.has_pack_batch()
+                and not (cache is not None and keys))
+
+    def _stage_wire_packed(self, y_dc, y_mask, y_vals, y_tot, c_dc, c_mask,
+                           c_vals, c_tot, offs, y_ac_shapes, c_ac_shapes,
+                           y_dc_shapes, c_dc_shapes, y_ac_canvas, c_ac_canvas,
+                           y_dc_canvas, c_dc_canvas, n_y_blocks, n_c_blocks):
+        """Stage the pack-emit decoder's output: masks + contiguous value
+        streams already exist, so the only remaining native work is
+        nibble-packing the AC streams and escape-packing the DC planes
+        (pack_wire2, one call)."""
+        from .. import native
+        from ..executor import _Esc16Staged, _SparseStaged
 
         ring = self._wire_ring()
-        n_blocks = int(n_blocks)
-        dc_len = int(dc_len)
-        dc8 = ring.take(name + "_8", dc_len, np.int8)
-        esc = ring.take(name + "_esc16", self._esc_cap(name + "_esc", n_blocks),
-                        np.int16)
-        n_esc = native.esc_pack_i16(dc_flat[:n_blocks], n_blocks, dc8, esc)
-        dc8[n_blocks:dc_len] = 0
-        e_want = self._wire_ratchet(name + "_esc", n_esc)  # <= cap by _esc_cap
-        return _Esc16Staged(dc8, esc[:e_want], offsets, shapes, canvas)
-
-    def _stage_ac_planes(self, y_ac, c_ac, offs, y_shapes, c_shapes, y_canvas,
-                         c_canvas, n_y_blocks, n_c_blocks, ky, kc):
-        """The two AC boundary entries: sparse wire when available, dense
-        flat otherwise."""
-        from ..executor import _FlatStaged
-
-        nac_y, nac_c = ky * ky - 1, kc * kc - 1
-        if self._sparse_wire_enabled(nac_y, nac_c):
-            return (
-                self._ac_to_sparse("y_ac", y_ac, n_y_blocks, nac_y,
-                                   offs["y_dc"], y_shapes, y_canvas,
-                                   self._flat_lens[0], self._flat_lens[1]),
-                self._ac_to_sparse("c_ac", c_ac, n_c_blocks, nac_c,
-                                   offs["c_dc"], c_shapes, c_canvas,
-                                   self._flat_lens[2], self._flat_lens[3]),
-            )
+        n_y_blocks = int(n_y_blocks)
+        n_c_blocks = int(n_c_blocks)
+        y_dc_len, y_ac_cap = int(self._flat_lens[0]), int(self._flat_lens[1])
+        c_dc_len, c_ac_cap = int(self._flat_lens[2]), int(self._flat_lens[3])
+        y_nibs = ring.take("y_ac_nibs", (y_ac_cap + 1) // 2 + 8, np.uint8)
+        c_nibs = ring.take("c_ac_nibs", (c_ac_cap + 1) // 2 + 8, np.uint8)
+        y_dc8 = ring.take("y_dc_8", y_dc_len, np.int8)
+        c_dc8 = ring.take("c_dc_8", c_dc_len, np.int8)
+        y_esc16 = ring.take("y_dc_esc16",
+                            self._esc_cap("y_dc_esc", n_y_blocks), np.int16)
+        c_esc16 = ring.take("c_dc_esc16",
+                            self._esc_cap("c_dc_esc", n_c_blocks), np.int16)
+        y_ve, c_ve, y_de, c_de = native.pack_wire2(
+            y_vals, y_tot, c_vals, c_tot, y_dc, c_dc,
+            n_y_blocks, n_c_blocks, y_dc_len, c_dc_len,
+            y_nibs, c_nibs, y_dc8, y_esc16, c_dc8, c_esc16,
+            num_threads=self.pipeline.num_threads,
+        )
+        y_nib_len = self._wire_ratchet("y_ac_nibs", (y_tot + 1) // 2)
+        c_nib_len = self._wire_ratchet("c_ac_nibs", (c_tot + 1) // 2)
+        y_ve_w = min(self._wire_ratchet("y_ac_esc", y_ve), y_vals.shape[0])
+        c_ve_w = min(self._wire_ratchet("c_ac_esc", c_ve), c_vals.shape[0])
+        y_de_w = min(self._wire_ratchet("y_dc_esc", y_de), y_esc16.shape[0])
+        c_de_w = min(self._wire_ratchet("c_dc_esc", c_de), c_esc16.shape[0])
         return (
-            _FlatStaged(y_ac, offs["y_ac"], y_shapes, y_canvas),
-            _FlatStaged(c_ac, offs["c_ac"], c_shapes, c_canvas),
+            _Esc16Staged(y_dc8, y_esc16[:y_de_w], offs["y_dc"], y_dc_shapes,
+                         y_dc_canvas),
+            _SparseStaged(y_mask, y_nibs[:y_nib_len], y_vals[:y_ve_w],
+                          offs["y_dc"], y_ac_shapes, y_ac_canvas),
+            _Esc16Staged(c_dc8, c_esc16[:c_de_w], offs["c_dc"], c_dc_shapes,
+                         c_dc_canvas),
+            _SparseStaged(c_mask, c_nibs[:c_nib_len], c_vals[:c_ve_w],
+                          offs["c_dc"], c_ac_shapes, c_ac_canvas),
         )
 
-    def _stage_dc_planes(self, y_dc, c_dc, offs, y_shapes, c_shapes, y_canvas,
-                         c_canvas, n_y_blocks, n_c_blocks, ky, kc):
-        """The two DC boundary entries: escape-packed int8 wire when
-        available, dense int16 flat otherwise."""
-        from ..executor import _FlatStaged
+    def _stage_wire(self, y_dc, y_ac, c_dc, c_ac, offs, y_ac_shapes,
+                    c_ac_shapes, y_dc_shapes, c_dc_shapes, y_ac_canvas,
+                    c_ac_canvas, y_dc_canvas, c_dc_canvas, n_y_blocks,
+                    n_c_blocks, ky, kc):
+        """Stage all four planes. Sparse wire: ONE native call packs both AC
+        planes (mask + nibbles, escapes in-place into the vals temp) and both
+        DC planes (int8 + in-place int16 escapes) — the six per-primitive
+        ctypes round-trips this replaces cost more than the packing itself
+        (docs/performance.md r3). Dense fallback: flat-packed planes."""
+        from .. import _prof, native
+        from ..executor import _Esc16Staged, _FlatStaged, _SparseStaged
 
-        if self._sparse_wire_enabled(ky * ky - 1, kc * kc - 1):
+        nac_y, nac_c = ky * ky - 1, kc * kc - 1
+        if not self._sparse_wire_enabled(nac_y, nac_c) or not hasattr(
+                native._load(), "dali_tpu_pack_wire"):
             return (
-                self._dc_to_esc8("y_dc", y_dc, n_y_blocks, offs["y_dc"],
-                                 y_shapes, y_canvas, self._flat_lens[0]),
-                self._dc_to_esc8("c_dc", c_dc, n_c_blocks, offs["c_dc"],
-                                 c_shapes, c_canvas, self._flat_lens[2]),
+                _FlatStaged(y_dc, offs["y_dc"], y_dc_shapes, y_dc_canvas),
+                _FlatStaged(y_ac, offs["y_ac"], y_ac_shapes, y_ac_canvas),
+                _FlatStaged(c_dc, offs["c_dc"], c_dc_shapes, c_dc_canvas),
+                _FlatStaged(c_ac, offs["c_ac"], c_ac_shapes, c_ac_canvas),
             )
+        ring = self._wire_ring()
+        n_y_blocks = int(n_y_blocks)
+        n_c_blocks = int(n_c_blocks)
+        y_dc_len, y_ac_cap = int(self._flat_lens[0]), int(self._flat_lens[1])
+        c_dc_len, c_ac_cap = int(self._flat_lens[2]), int(self._flat_lens[3])
+        y_mask = ring.take("y_ac_mask", y_dc_len, np.uint16)
+        c_mask = ring.take("c_ac_mask", c_dc_len, np.uint16)
+        y_nibs = ring.take("y_ac_nibs", (y_ac_cap + 1) // 2 + 8, np.uint8)
+        c_nibs = ring.take("c_ac_nibs", (c_ac_cap + 1) // 2 + 8, np.uint8)
+        y_vals = ring.take("y_ac_vals", y_ac_cap + 16, np.int8)
+        c_vals = ring.take("c_ac_vals", c_ac_cap + 16, np.int8)
+        y_dc8 = ring.take("y_dc_8", y_dc_len, np.int8)
+        c_dc8 = ring.take("c_dc_8", c_dc_len, np.int8)
+        y_esc16 = ring.take("y_dc_esc16",
+                            self._esc_cap("y_dc_esc", n_y_blocks), np.int16)
+        c_esc16 = ring.take("c_dc_esc16",
+                            self._esc_cap("c_dc_esc", n_c_blocks), np.int16)
+        y_nnz, y_ve, c_nnz, c_ve, y_de, c_de = native.pack_wire(
+            y_ac, n_y_blocks, nac_y, c_ac, n_c_blocks, nac_c,
+            y_dc, c_dc, y_dc_len, c_dc_len,
+            y_mask, y_nibs, y_vals, c_mask, c_nibs, c_vals,
+            y_dc8, y_esc16, c_dc8, c_esc16,
+            num_threads=self.pipeline.num_threads,
+        )
+        # wire-length ratchets (shape-stable jit): nibble streams ride their
+        # grow policy; escape slices ride the small-chunk policy, clamped to
+        # the buffer they view into (the AC escapes live IN-PLACE in the
+        # front of the vals temp)
+        y_nib_len = self._wire_ratchet("y_ac_nibs", (y_nnz + 1) // 2)
+        c_nib_len = self._wire_ratchet("c_ac_nibs", (c_nnz + 1) // 2)
+        y_ve_w = min(self._wire_ratchet("y_ac_esc", y_ve), y_vals.shape[0])
+        c_ve_w = min(self._wire_ratchet("c_ac_esc", c_ve), c_vals.shape[0])
+        y_de_w = min(self._wire_ratchet("y_dc_esc", y_de), y_esc16.shape[0])
+        c_de_w = min(self._wire_ratchet("c_dc_esc", c_de), c_esc16.shape[0])
         return (
-            _FlatStaged(y_dc, offs["y_dc"], y_shapes, y_canvas),
-            _FlatStaged(c_dc, offs["c_dc"], c_shapes, c_canvas),
+            _Esc16Staged(y_dc8, y_esc16[:y_de_w], offs["y_dc"], y_dc_shapes,
+                         y_dc_canvas),
+            _SparseStaged(y_mask, y_nibs[:y_nib_len], y_vals[:y_ve_w],
+                          offs["y_dc"], y_ac_shapes, y_ac_canvas),
+            _Esc16Staged(c_dc8, c_esc16[:c_de_w], offs["c_dc"], c_dc_shapes,
+                         c_dc_canvas),
+            _SparseStaged(c_mask, c_nibs[:c_nib_len], c_vals[:c_ve_w],
+                          offs["c_dc"], c_ac_shapes, c_ac_canvas),
         )
 
     def _wire_ring(self):
@@ -1019,34 +1062,55 @@ class JpegCoeffsSplit(JpegCoeffs):
 
         cache = self._coef_cache()
         keys = inputs[0].source_info
-        if cache is not None and keys:
-            packed = self._stage_via_cache(cache, datas, keys, infos, blocks,
-                                           np.zeros((n, 2), np.int32), ky, kc)
-            r = None if packed is None else (*packed, [True] * n)
-        else:
-            r = native.jpeg_coeffs_split_flat_batch(
-                datas, ky, kc, blocks, self._flat_lens,
+        pack_mode = self._use_pack_batch(ky, kc, cache, keys)
+        zero_brc0 = np.zeros((n, 2), np.int32)
+        if pack_mode:
+            r = native.jpeg_coeffs_split_flat_crop_pack_batch(
+                datas, ky, kc, blocks, zero_brc0, self._flat_lens,
                 num_threads=self.pipeline.num_threads, ring=self._wire_ring(),
+                c_brc0=zero_brc0,
             )
+            pack_mode = r is not None
+        if not pack_mode:
+            if cache is not None and keys:
+                packed = self._stage_via_cache(cache, datas, keys, infos,
+                                               blocks, zero_brc0, ky, kc)
+                r = None if packed is None else (*packed, [True] * n)
+            else:
+                r = native.jpeg_coeffs_split_flat_batch(
+                    datas, ky, kc, blocks, self._flat_lens,
+                    num_threads=self.pipeline.num_threads,
+                    ring=self._wire_ring(),
+                )
         if r is None:
             return None
-        y_dc, y_ac, c_dc, c_ac, q, offs, oks = r
-        if not all(oks):
-            raise ValueError("JPEG coefficient read failed (corrupt sample in hybrid path)")
         yb = blocks[:, :2]
         cb = blocks[:, 2:]
         two = np.full((n, 1), 2, np.int32)
         y_shapes = np.concatenate([yb, np.full((n, 1), ky * ky - 1, np.int32)], 1)
         c_shapes = np.concatenate([two, cb, np.full((n, 1), kc * kc - 1, np.int32)], 1)
-        y_ac_st, c_ac_st = self._stage_ac_planes(
-            y_ac, c_ac, offs, y_shapes, c_shapes,
-            (BH, BW, ky * ky - 1), (2, CBH, CBW, kc * kc - 1),
-            int(y_n.sum()), int(2 * c_n.sum()), ky, kc,
-        )
-        y_dc_st, c_dc_st = self._stage_dc_planes(
-            y_dc, c_dc, offs, yb.copy(), np.concatenate([two, cb], 1),
-            (BH, BW), (2, CBH, CBW), int(y_n.sum()), int(2 * c_n.sum()), ky, kc,
-        )
+        stage_args = (y_shapes, c_shapes, yb.copy(), np.concatenate([two, cb], 1),
+                      (BH, BW, ky * ky - 1), (2, CBH, CBW, kc * kc - 1),
+                      (BH, BW), (2, CBH, CBW))
+        if pack_mode:
+            (y_dc, y_mask, y_vals, y_tot, c_dc, c_mask, c_vals, c_tot, q,
+             offs, oks) = r
+            if not all(oks):
+                raise ValueError(
+                    "JPEG coefficient read failed (corrupt sample in hybrid path)")
+            y_dc_st, y_ac_st, c_dc_st, c_ac_st = self._stage_wire_packed(
+                y_dc, y_mask, y_vals, y_tot, c_dc, c_mask, c_vals, c_tot,
+                offs, *stage_args, int(y_n.sum()), int(2 * c_n.sum()),
+            )
+        else:
+            y_dc, y_ac, c_dc, c_ac, q, offs, oks = r
+            if not all(oks):
+                raise ValueError(
+                    "JPEG coefficient read failed (corrupt sample in hybrid path)")
+            y_dc_st, y_ac_st, c_dc_st, c_ac_st = self._stage_wire(
+                y_dc, y_ac, c_dc, c_ac, offs, *stage_args,
+                int(y_n.sum()), int(2 * c_n.sum()), ky, kc,
+            )
         out = [
             y_dc_st,
             y_ac_st,
@@ -1290,37 +1354,57 @@ class JpegCoeffsSplitRRC(JpegCoeffsSplit):
         _prof.add("host.decode.rrc_windows", __import__("time").perf_counter() - _t_rrc)
         cache = self._coef_cache()
         keys = inp.source_info
+        pack_mode = self._use_pack_batch(ky, kc, cache, keys)
         with _prof.section("host.decode.entropy"):
-            if cache is not None and keys:
-                packed = self._stage_via_cache(cache, datas, keys, infos, blocks,
-                                               brc0, ky, kc)
-                r = None if packed is None else (*packed, [True] * n)
-            else:
-                r = native.jpeg_coeffs_split_flat_crop_batch(
+            if pack_mode:
+                r = native.jpeg_coeffs_split_flat_crop_pack_batch(
                     datas, ky, kc, blocks, brc0, self._flat_lens,
-                    num_threads=self.pipeline.num_threads, ring=self._wire_ring(),
-                    c_brc0=c_brc0,
+                    num_threads=self.pipeline.num_threads,
+                    ring=self._wire_ring(), c_brc0=c_brc0,
                 )
+                pack_mode = r is not None
+            if not pack_mode:
+                if cache is not None and keys:
+                    packed = self._stage_via_cache(cache, datas, keys, infos,
+                                                   blocks, brc0, ky, kc)
+                    r = None if packed is None else (*packed, [True] * n)
+                else:
+                    r = native.jpeg_coeffs_split_flat_crop_batch(
+                        datas, ky, kc, blocks, brc0, self._flat_lens,
+                        num_threads=self.pipeline.num_threads,
+                        ring=self._wire_ring(), c_brc0=c_brc0,
+                    )
         if r is None:
             return None
-        y_dc, y_ac, c_dc, c_ac, q, offs, oks = r
-        if not all(oks):
-            raise ValueError("JPEG coefficient read failed (corrupt sample in hybrid path)")
         yb = blocks[:, :2]
         cb = blocks[:, 2:]
         two = np.full((n, 1), 2, np.int32)
         y_shapes = np.concatenate([yb, np.full((n, 1), ky * ky - 1, np.int32)], 1)
         c_shapes = np.concatenate([two, cb, np.full((n, 1), kc * kc - 1, np.int32)], 1)
-        with _prof.section("host.decode.sparse_pack"):
-            y_ac_st, c_ac_st = self._stage_ac_planes(
-                y_ac, c_ac, offs, y_shapes, c_shapes,
-                (BH, BW, ky * ky - 1), (2, CBH, CBW, kc * kc - 1),
-                int(y_n.sum()), int(2 * c_n.sum()), ky, kc,
-            )
-            y_dc_st, c_dc_st = self._stage_dc_planes(
-                y_dc, c_dc, offs, yb.copy(), np.concatenate([two, cb], 1),
-                (BH, BW), (2, CBH, CBW), int(y_n.sum()), int(2 * c_n.sum()), ky, kc,
-            )
+        stage_args = (y_shapes, c_shapes, yb.copy(), np.concatenate([two, cb], 1),
+                      (BH, BW, ky * ky - 1), (2, CBH, CBW, kc * kc - 1),
+                      (BH, BW), (2, CBH, CBW))
+        if pack_mode:
+            (y_dc, y_mask, y_vals, y_tot, c_dc, c_mask, c_vals, c_tot, q,
+             offs, oks) = r
+            if not all(oks):
+                raise ValueError(
+                    "JPEG coefficient read failed (corrupt sample in hybrid path)")
+            with _prof.section("host.decode.sparse_pack"):
+                y_dc_st, y_ac_st, c_dc_st, c_ac_st = self._stage_wire_packed(
+                    y_dc, y_mask, y_vals, y_tot, c_dc, c_mask, c_vals, c_tot,
+                    offs, *stage_args, int(y_n.sum()), int(2 * c_n.sum()),
+                )
+        else:
+            y_dc, y_ac, c_dc, c_ac, q, offs, oks = r
+            if not all(oks):
+                raise ValueError(
+                    "JPEG coefficient read failed (corrupt sample in hybrid path)")
+            with _prof.section("host.decode.sparse_pack"):
+                y_dc_st, y_ac_st, c_dc_st, c_ac_st = self._stage_wire(
+                    y_dc, y_ac, c_dc, c_ac, offs, *stage_args,
+                    int(y_n.sum()), int(2 * c_n.sum()), ky, kc,
+                )
         return [
             y_dc_st,
             y_ac_st,

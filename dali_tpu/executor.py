@@ -932,15 +932,46 @@ def _decode_esc16_stream(jnp, dc8, esc):
     return jnp.where(is_esc, ev.astype(jnp.int32), v).astype(jnp.int16)
 
 
+def _zz_sel_perm(nac):
+    """Mask-bit b -> slot (r*k+c-1) for the k*k-1 zigzag-ordered selection
+    (the wire convention the pack-emit decoder produces; jpeg_huff.cc
+    ..._crop_pack / sparse_pack.cc zz_sel_perm)."""
+    k = 1
+    while k * k - 1 < nac:
+        k += 1
+    perm, r, c = [], 0, 0
+    for z in range(64):
+        if z > 0 and r < k and c < k:
+            perm.append(r * k + c - 1)
+        if (r + c) % 2 == 0:
+            if c == 7:
+                r += 1
+            elif r == 0:
+                c += 1
+            else:
+                r, c = r - 1, c + 1
+        else:
+            if r == 7:
+                c += 1
+            elif c == 0:
+                r += 1
+            else:
+                r, c = r + 1, c - 1
+    return perm  # len == nac
+
+
 def _unsparse_boundary(jnp, mask, vals, offsets, shapes, canvas):
     """Rebuild a dense padded AC canvas from the sparse wire (_SparseStaged).
 
-    mask [Tb] uint16 — per-block nonzero bitmaps, flat in block order;
+    mask [Tb] uint16 — per-block nonzero bitmaps, flat in block order, bit b
+    = b-th ZIGZAG-selected coefficient (see _zz_sel_perm — the pack-emit
+    decoder appends values in decode order, which is zigzag order);
     vals [Tv] int8 — packed nonzero values in that same global order;
     offsets [N] — per-sample BLOCK offsets into mask (the DC plane's offsets);
     shapes [N, nd] — per-sample dense dims, last = nac; canvas — dense canvas
     dims, last = nac. Positions are self-describing: value p of block b lives
-    at cumsum(popcount(mask))[b] + p. Two gathers; everything else is
+    at cumsum(popcount(mask))[b] + p. Two big gathers + one constant
+    nac-permutation at the end (slot order for the IDCT); everything else is
     elementwise — negligible next to the IDCT that consumes the result."""
     import jax
 
@@ -976,4 +1007,10 @@ def _unsparse_boundary(jnp, mask, vals, offsets, shapes, canvas):
     pos = s_c[..., None] + prefix
     v = jnp.take(vals, jnp.clip(pos, 0, vals.shape[0] - 1))
     keep = (has == 1) & valid[..., None]
-    return jnp.where(keep, v, jnp.zeros((), vals.dtype))
+    out_zz = jnp.where(keep, v, jnp.zeros((), vals.dtype))
+    # zigzag-bit order -> slot order: final[..., slot] = out_zz[..., b(slot)]
+    perm = _zz_sel_perm(nac)
+    import numpy as _np
+
+    b_of_slot = _np.argsort(_np.asarray(perm))
+    return jnp.take(out_zz, jnp.asarray(b_of_slot), axis=-1)

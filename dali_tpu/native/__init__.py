@@ -792,6 +792,207 @@ def esc_pack_i16(vals: np.ndarray, n: int, out8: np.ndarray,
     ))
 
 
+def pack_wire(y_ac, ny_blocks, nac_y, c_ac, nc_blocks, nac_c,
+              y_dc, c_dc, y_dc_len, c_dc_len,
+              y_mask, y_nibs, y_vals, c_mask, c_nibs, c_vals,
+              y_dc8, y_esc16, c_dc8, c_esc16, num_threads: int = 0):
+    """ONE-call wire pack for the hybrid decoder (sparse_pack.cc
+    dali_tpu_pack_wire): both AC planes -> mask + nibble stream and both DC
+    planes -> int8 + escapes in a single native entry (the six per-primitive
+    ctypes round-trips this replaces dominate the cost on 1-core hosts).
+    The AC value escapes are written IN-PLACE into the front of
+    ``{y,c}_vals`` after nibble-packing consumes them. Returns
+    (y_nnz, y_val_esc, c_nnz, c_val_esc, y_dc_esc, c_dc_esc)."""
+    lib = _load()
+    fn = lib.dali_tpu_pack_wire
+    if fn.argtypes is None:
+        ll, vp, ci = ctypes.c_longlong, ctypes.c_void_p, ctypes.c_int
+        fn.restype = None
+        fn.argtypes = [vp, vp, ll, ci, vp, ll, ci, vp, vp, ll, ll,
+                       vp, vp, vp, vp, vp, vp, vp, vp, vp, vp,
+                       ctypes.POINTER(ctypes.c_longlong)]
+    assert y_ac.dtype == np.int8 and c_ac.dtype == np.int8
+    assert y_dc.dtype == np.int16 and c_dc.dtype == np.int16
+    assert y_mask.dtype == np.uint16 and c_mask.dtype == np.uint16
+    assert y_nibs.dtype == np.uint8 and c_nibs.dtype == np.uint8
+    assert y_vals.dtype == np.int8 and c_vals.dtype == np.int8
+    assert y_dc8.dtype == np.int8 and c_dc8.dtype == np.int8
+    assert y_esc16.dtype == np.int16 and c_esc16.dtype == np.int16
+    assert y_vals.shape[0] >= ny_blocks * nac_y + 16
+    assert c_vals.shape[0] >= nc_blocks * nac_c + 16
+    assert y_nibs.shape[0] >= (ny_blocks * nac_y + 1) // 2
+    assert c_nibs.shape[0] >= (nc_blocks * nac_c + 1) // 2
+    assert y_mask.shape[0] >= ny_blocks and c_mask.shape[0] >= nc_blocks
+    assert y_dc8.shape[0] >= y_dc_len and c_dc8.shape[0] >= c_dc_len
+    assert y_dc.shape[0] >= ny_blocks and c_dc.shape[0] >= nc_blocks
+    assert y_esc16.shape[0] >= ny_blocks and c_esc16.shape[0] >= nc_blocks
+    counts = (ctypes.c_longlong * 6)()
+    pool = shared_pool(num_threads)
+    fn(
+        pool._h,
+        y_ac.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_longlong(int(ny_blocks)), int(nac_y),
+        c_ac.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_longlong(int(nc_blocks)), int(nac_c),
+        y_dc.ctypes.data_as(ctypes.c_void_p),
+        c_dc.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_longlong(int(y_dc_len)), ctypes.c_longlong(int(c_dc_len)),
+        y_mask.ctypes.data_as(ctypes.c_void_p),
+        y_nibs.ctypes.data_as(ctypes.c_void_p),
+        y_vals.ctypes.data_as(ctypes.c_void_p),
+        c_mask.ctypes.data_as(ctypes.c_void_p),
+        c_nibs.ctypes.data_as(ctypes.c_void_p),
+        c_vals.ctypes.data_as(ctypes.c_void_p),
+        y_dc8.ctypes.data_as(ctypes.c_void_p),
+        y_esc16.ctypes.data_as(ctypes.c_void_p),
+        c_dc8.ctypes.data_as(ctypes.c_void_p),
+        c_esc16.ctypes.data_as(ctypes.c_void_p),
+        counts,
+    )
+    return tuple(int(c) for c in counts)
+
+
+def has_pack_batch() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(
+        lib, "dali_tpu_jpeg_coeffs_split_flat_crop_pack_batch")
+
+
+def jpeg_coeffs_split_flat_crop_pack_batch(datas, ky, kc, blocks, brc0,
+                                           flat_lens, num_threads: int = 0,
+                                           ring=None, c_brc0=None):
+    """ONE native call from file bytes to the sparse wire (VERDICT r3 #1):
+    per-sample Huffman decode emits zigzag-convention masks + contiguous
+    value streams directly (no dense AC planes anywhere); DC planes stay
+    dense int16. Returns (y_dc, y_mask, y_vals, y_total, c_dc, c_mask,
+    c_vals, c_total, q, offs, oks); masks live at the dc offsets, the value
+    streams are contiguous from 0 after the driver's compaction pass."""
+    lib = _load()
+    if lib is None or not hasattr(
+            lib, "dali_tpu_jpeg_coeffs_split_flat_crop_pack_batch"):
+        return None
+    fn = lib.dali_tpu_jpeg_coeffs_split_flat_crop_pack_batch
+    if fn.argtypes is None:
+        vp, ip = ctypes.c_void_p, ctypes.POINTER(ctypes.c_int)
+        lp = ctypes.POINTER(ctypes.c_long)
+        llp = ctypes.POINTER(ctypes.c_longlong)
+        fn.restype = ctypes.c_int
+        fn.argtypes = [vp, ctypes.POINTER(ctypes.c_char_p),
+                       ctypes.POINTER(ctypes.c_size_t), ctypes.c_int,
+                       ctypes.c_int, ctypes.c_int,
+                       ip, ip, ip, ip, ip, ip, ip, ip,
+                       lp, lp, lp, lp,
+                       vp, vp, vp, vp, vp, vp, vp, ip, llp, llp]
+    n = len(datas)
+    arrs = [np.ascontiguousarray(np.frombuffer(d, np.uint8)) if isinstance(d, (bytes, bytearray))
+            else np.ascontiguousarray(d).view(np.uint8).reshape(-1) for d in datas]
+    ybh, ybw, cbh, cbw = (np.ascontiguousarray(blocks[:, j], np.int32) for j in range(4))
+    br0 = np.ascontiguousarray(brc0[:, 0], np.int32)
+    bc0 = np.ascontiguousarray(brc0[:, 1], np.int32)
+    if c_brc0 is None:
+        c_brc0 = np.stack([brc0[:, 0] // 2, brc0[:, 1] // 2], 1)  # 4:2:0
+    cbr0 = np.ascontiguousarray(c_brc0[:, 0], np.int32)
+    cbc0 = np.ascontiguousarray(c_brc0[:, 1], np.int32)
+    y_n = ybh.astype(np.int64) * ybw
+    c_n = cbh.astype(np.int64) * cbw
+    offs = {
+        "y_dc": np.concatenate([[0], np.cumsum(y_n)[:-1]]),
+        "y_ac": np.concatenate([[0], np.cumsum(y_n * (ky * ky - 1))[:-1]]),
+        "c_dc": np.concatenate([[0], np.cumsum(2 * c_n)[:-1]]),
+        "c_ac": np.concatenate([[0], np.cumsum(2 * c_n * (kc * kc - 1))[:-1]]),
+    }
+    if ring is not None:
+        y_dc = ring.take("y_dc", flat_lens[0], np.int16)
+        y_mask = ring.take("y_ac_mask", flat_lens[0], np.uint16)
+        y_vals = ring.take("y_ac_vals", flat_lens[1] + 16, np.int8)
+        c_dc = ring.take("c_dc", flat_lens[2], np.int16)
+        c_mask = ring.take("c_ac_mask", flat_lens[2], np.uint16)
+        c_vals = ring.take("c_ac_vals", flat_lens[3] + 16, np.int8)
+    else:
+        y_dc = np.empty((flat_lens[0],), np.int16)
+        y_mask = np.empty((flat_lens[0],), np.uint16)
+        y_vals = np.empty((flat_lens[1] + 16,), np.int8)
+        c_dc = np.empty((flat_lens[2],), np.int16)
+        c_mask = np.empty((flat_lens[2],), np.uint16)
+        c_vals = np.empty((flat_lens[3] + 16,), np.int8)
+    q = np.empty((n, ky * ky + kc * kc), np.uint16)
+    oks = (ctypes.c_int * n)()
+    y_total = ctypes.c_longlong(0)
+    c_total = ctypes.c_longlong(0)
+    holds = [np.ascontiguousarray(offs[k], np.int64)
+             for k in ("y_dc", "y_ac", "c_dc", "c_ac")]
+    fn(
+        shared_pool(num_threads)._h,
+        ctypes.cast((ctypes.c_void_p * n)(*[a.ctypes.data for a in arrs]),
+                    ctypes.POINTER(ctypes.c_char_p)),
+        (ctypes.c_size_t * n)(*[a.nbytes for a in arrs]), n, ky, kc,
+        ybh.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        ybw.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        cbh.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        cbw.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        br0.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        bc0.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        cbr0.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        cbc0.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        holds[0].ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        holds[1].ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        holds[2].ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        holds[3].ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        y_dc.ctypes.data_as(ctypes.c_void_p),
+        y_mask.ctypes.data_as(ctypes.c_void_p),
+        y_vals.ctypes.data_as(ctypes.c_void_p),
+        c_dc.ctypes.data_as(ctypes.c_void_p),
+        c_mask.ctypes.data_as(ctypes.c_void_p),
+        c_vals.ctypes.data_as(ctypes.c_void_p),
+        q.ctypes.data_as(ctypes.c_void_p), oks,
+        ctypes.byref(y_total), ctypes.byref(c_total),
+    )
+    return (y_dc, y_mask, y_vals, int(y_total.value), c_dc, c_mask, c_vals,
+            int(c_total.value), q.astype(np.int32), offs,
+            [bool(v) for v in oks])
+
+
+def pack_wire2(y_vals, y_nnz, c_vals, c_nnz, y_dc, c_dc, ny_blocks,
+               nc_blocks, y_dc_len, c_dc_len, y_nibs, c_nibs,
+               y_dc8, y_esc16, c_dc8, c_esc16, num_threads: int = 0):
+    """Wire pack for PRE-COMPACTED value streams (pack-emit decoder output):
+    nibble-pack both AC streams (escapes in-place into the vals front) +
+    escape-pack both DC planes. Returns (y_val_esc, c_val_esc, y_dc_esc,
+    c_dc_esc)."""
+    lib = _load()
+    fn = lib.dali_tpu_pack_wire2
+    if fn.argtypes is None:
+        ll, vp = ctypes.c_longlong, ctypes.c_void_p
+        fn.restype = None
+        fn.argtypes = [vp, vp, ll, vp, ll, vp, vp, ll, ll, ll, ll,
+                       vp, vp, vp, vp, vp, vp,
+                       ctypes.POINTER(ctypes.c_longlong)]
+    assert y_vals.dtype == np.int8 and c_vals.dtype == np.int8
+    assert y_dc.dtype == np.int16 and c_dc.dtype == np.int16
+    assert y_nibs.shape[0] >= (y_nnz + 1) // 2
+    assert c_nibs.shape[0] >= (c_nnz + 1) // 2
+    assert y_dc8.shape[0] >= y_dc_len and c_dc8.shape[0] >= c_dc_len
+    assert y_esc16.shape[0] >= ny_blocks and c_esc16.shape[0] >= nc_blocks
+    counts = (ctypes.c_longlong * 4)()
+    fn(
+        shared_pool(num_threads)._h,
+        y_vals.ctypes.data_as(ctypes.c_void_p), ctypes.c_longlong(int(y_nnz)),
+        c_vals.ctypes.data_as(ctypes.c_void_p), ctypes.c_longlong(int(c_nnz)),
+        y_dc.ctypes.data_as(ctypes.c_void_p),
+        c_dc.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_longlong(int(ny_blocks)), ctypes.c_longlong(int(nc_blocks)),
+        ctypes.c_longlong(int(y_dc_len)), ctypes.c_longlong(int(c_dc_len)),
+        y_nibs.ctypes.data_as(ctypes.c_void_p),
+        c_nibs.ctypes.data_as(ctypes.c_void_p),
+        y_dc8.ctypes.data_as(ctypes.c_void_p),
+        y_esc16.ctypes.data_as(ctypes.c_void_p),
+        c_dc8.ctypes.data_as(ctypes.c_void_p),
+        c_esc16.ctypes.data_as(ctypes.c_void_p),
+        counts,
+    )
+    return tuple(int(c) for c in counts)
+
+
 def jpeg_coef_info_batch(datas, num_threads: int = 0):
     """Header scan for a whole batch: [n, 7] int32 (h, w, y_bh, y_bw, c_bh,
     c_bw, mode); mode -1 = unsupported stream."""

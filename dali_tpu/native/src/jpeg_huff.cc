@@ -535,8 +535,25 @@ struct CompState {
     cnt |= 56;                           \
   }
 
+// Pack-emit state (PACK=true instantiation): the decoder emits the sparse
+// wire DIRECTLY — per-block uint16 masks in ZIGZAG-bit convention (bit b =
+// b-th selected coefficient in zigzag order; the device applies a constant
+// nac-permutation, executor._unsparse_boundary) and the nonzero values
+// appended to per-plane-row cursors in a slack-strided thread-local arena.
+// This deletes the dense AC planes entirely: no zero-fill memset, no dense
+// stores, no separate compaction pass over 13 MB/batch (VERDICT r3 #1:
+// "fold sparse-pack into the decode fan-out").
+struct PackComp {
+  unsigned short* mask;   // planar window mask plane (bh*bw entries)
+  const uint16_t* zbit;   // zigzag index -> mask bit (0 = unselected)
+  signed char* arena;     // per-row value arena (bh rows of `stride`)
+  long stride;            // bw*nac + slack
+  int* row_len;           // per window-row value counts (size bh)
+};
+
+template <bool PACK>
 int decode_scan(const Parser& ps, const CompState* cs, const uint8_t* pend,
-                int mcus_x, int stop_my) {
+                int mcus_x, int stop_my, PackComp* pk) {
   thread_local Unstuffed tl_us;
   Unstuffed& us = tl_us;
   unstuff_scan(ps.scan_start, pend, &us);
@@ -553,6 +570,9 @@ int decode_scan(const Parser& ps, const CompState* cs, const uint8_t* pend,
   std::memset(zmap_skip, -1, sizeof(zmap_skip));
   short dc_sink;
   signed char ac_sink[4];  // branchless out-of-selection store target
+  unsigned short mask_sink;
+  signed char cur_sink[32];          // out-of-window rows: cursor parks here
+  static const uint16_t zbit_zero[64] = {0};
   const int ri = ps.ri;
   int togo = ri;
 
@@ -666,8 +686,14 @@ int decode_scan(const Parser& ps, const CompState* cs, const uint8_t* pend,
     short* dc_row;
     signed char* ac_row;
     bool row_ok;
+    // pack mode: value cursor + its row base + mask row + length slot
+    signed char* cur;
+    signed char* cur_base;
+    unsigned short* mask_row;
+    int* len_slot;
   } rows[3][4];
 
+  int len_sink;
   for (int my = skip_my; my < stop_my; my++) {
     for (int ci = 0; ci < 3; ci++) {
       const CompState& C = cs[ci];
@@ -678,7 +704,19 @@ int decode_scan(const Parser& ps, const CompState* cs, const uint8_t* pend,
         R.row_ok = (unsigned)wr < (unsigned)C.bh && brow < C.real_bh;
         if (R.row_ok) {
           R.dc_row = C.dc + (long)wr * C.bw;
-          R.ac_row = C.ac + (long)wr * C.bw * C.nac;
+          if (!PACK) R.ac_row = C.ac + (long)wr * C.bw * C.nac;
+        }
+        if (PACK) {
+          const PackComp& P = pk[ci];
+          if (R.row_ok) {
+            R.cur = R.cur_base = P.arena + (long)wr * P.stride;
+            R.mask_row = P.mask + (long)wr * C.bw;
+            R.len_slot = &P.row_len[wr];
+          } else {
+            R.cur = R.cur_base = cur_sink;
+            R.mask_row = nullptr;
+            R.len_slot = &len_sink;
+          }
         }
       }
     }
@@ -695,7 +733,7 @@ int decode_scan(const Parser& ps, const CompState* cs, const uint8_t* pend,
         const CompState& C = cs[ci];
         int& pred = ci == 0 ? pred0 : ci == 1 ? pred1 : pred2;
         for (int v = 0; v < C.v; v++) {
-          const RowState& R = rows[ci][v];
+          RowState& R = rows[ci][v];
           for (int h = 0; h < C.h; h++) {
             // Truncation check on the CONSUMED position (p runs up to 7
             // bytes ahead of it — refill lookahead): stop once decode has
@@ -706,11 +744,20 @@ int decode_scan(const Parser& ps, const CompState* cs, const uint8_t* pend,
             short* dcp = &dc_sink;
             signed char* acp = ac_sink;
             const signed char* zmap = zmap_skip;
-            if (R.row_ok && (unsigned)wc < (unsigned)C.bw &&
-                bcol < C.real_bw) {
+            const uint16_t* zb = zbit_zero;
+            unsigned short* mp = &mask_sink;
+            signed char* cur = PACK ? R.cur : nullptr;
+            unsigned mreg = 0;
+            const bool in_win = R.row_ok && (unsigned)wc < (unsigned)C.bw &&
+                                bcol < C.real_bw;
+            if (in_win) {
               dcp = R.dc_row + wc;
-              acp = R.ac_row + (long)wc * C.nac;
+              if (!PACK) acp = R.ac_row + (long)wc * C.nac;
               zmap = C.zmap;
+            }
+            if (PACK && in_win) {
+              zb = pk[ci].zbit;
+              mp = R.mask_row + wc;
             }
             // --- one 8x8 block ---
             REFILL();
@@ -756,10 +803,17 @@ int decode_scan(const Parser& ps, const CompState* cs, const uint8_t* pend,
                   } else {                                              \
                     k += (fe >> 8) & 15;                                \
                     if (k > 63) return 0;                               \
-                    int slot = zmap[k];                                 \
-                    /* cmov to sink for out-of-selection coefficients */ \
-                    signed char* dst = slot >= 0 ? acp + slot : ac_sink; \
-                    *dst = (signed char)(fe >> 16);                     \
+                    if (PACK) {                                         \
+                      unsigned mb = zb[k];                              \
+                      mreg |= mb;                                       \
+                      *cur = (signed char)(fe >> 16);                   \
+                      cur += (mb != 0);                                 \
+                    } else {                                            \
+                      int slot = zmap[k];                               \
+                      /* cmov to sink when out of selection */          \
+                      signed char* dst = slot >= 0 ? acp + slot : ac_sink; \
+                      *dst = (signed char)(fe >> 16);                   \
+                    }                                                   \
                     k++;                                                \
                   }                                                     \
                 } else {                                                \
@@ -786,9 +840,16 @@ int decode_scan(const Parser& ps, const CompState* cs, const uint8_t* pend,
                     cnt -= l + sz;                                      \
                     if (cnt < 0) return 0; /* corrupt: sz>10 underflow */ \
                     int val = mv < (1 << (sz - 1)) ? mv - (1 << sz) + 1 : mv; \
-                    int slot = zmap[k];                                 \
-                    signed char* dst = slot >= 0 ? acp + slot : ac_sink; \
-                    *dst = sat8(val);                                   \
+                    if (PACK) {                                         \
+                      unsigned mb = zb[k];                              \
+                      mreg |= mb;                                       \
+                      *cur = sat8(val);                                 \
+                      cur += (mb != 0);                                 \
+                    } else {                                            \
+                      int slot = zmap[k];                               \
+                      signed char* dst = slot >= 0 ? acp + slot : ac_sink; \
+                      *dst = sat8(val);                                 \
+                    }                                                   \
                     k++;                                                \
                   }                                                     \
                 }                                                       \
@@ -802,6 +863,11 @@ int decode_scan(const Parser& ps, const CompState* cs, const uint8_t* pend,
             }
           blk_done:;
 #undef AC_SYM
+            if (PACK) {
+              *mp = (unsigned short)mreg;
+              R.cur = cur;
+              *R.len_slot = (int)(cur - R.cur_base);
+            }
           }
         }
       }
@@ -1207,7 +1273,131 @@ int dali_tpu_jpeg_huff_read_coeffs_split_crop(
   }
   if (stop_my > mcus_y) stop_my = mcus_y;
 
-  return decode_scan(ps, cs, data + len, mcus_x, stop_my);
+  return decode_scan<false>(ps, cs, data + len, mcus_x, stop_my, nullptr);
+}
+
+// Pack-emit entry: like the crop entry, but the AC output is the sparse
+// wire itself — zigzag-convention per-block uint16 masks (y_mask[bh*bw],
+// c_mask[2*c_bh*c_bw] as Cb plane then Cr plane) and the nonzero int8
+// values compacted CONTIGUOUSLY per image into y_vals / c_vals (counts out
+// via y_nnz / c_nnz; c stream is Cb rows then Cr rows). DC planes are dense
+// int16 as before. Requires the k*k-1 selection to fit a uint16 bitmap
+// (ky, kc <= 4); larger selections return 1 (caller falls back).
+int dali_tpu_jpeg_huff_read_coeffs_split_crop_pack(
+    const char* data_, size_t len, int ky, int kc, short* y_dc,
+    unsigned short* y_mask, signed char* y_vals, long long* y_nnz,
+    short* cb_dc, short* cr_dc, unsigned short* c_mask, signed char* c_vals,
+    long long* c_nnz, unsigned short* q_out, int y_bh, int y_bw, int c_bh,
+    int c_bw, int y_br0, int y_bc0, int c_br0, int c_bc0) {
+  *y_nnz = 0;
+  *c_nnz = 0;
+  if (ky < 1 || ky > 4 || kc < 1 || kc > 4) return 1;  // mask is uint16
+  const uint8_t* data = reinterpret_cast<const uint8_t*>(data_);
+  Parser ps(data, len);
+  int rc = ps.parse();
+  if (rc != 0) return rc;
+
+  // zigzag index -> mask bit (bit b = b-th SELECTED coefficient in zigzag
+  // order); the device permutes bit order -> slot order with a constant
+  // nac-gather (executor._unsparse_boundary).
+  uint16_t zbit_y[64], zbit_c[64];
+  {
+    int by = 0, bc_ = 0;
+    for (int z = 0; z < 64; z++) {
+      int r = kZZ.nat[z] >> 3, c = kZZ.nat[z] & 7;
+      zbit_y[z] = (z > 0 && r < ky && c < ky) ? (uint16_t)(1u << by++) : 0;
+      zbit_c[z] = (z > 0 && r < kc && c < kc) ? (uint16_t)(1u << bc_++) : 0;
+    }
+  }
+  for (int comp = 0; comp < 2; comp++) {
+    int k = comp == 0 ? ky : kc;
+    const uint16_t* srcq = ps.qt[ps.comp[comp].tq];
+    unsigned short* qdst = comp == 0 ? q_out : q_out + ky * ky;
+    for (int r = 0; r < k; r++)
+      for (int c = 0; c < k; c++) qdst[r * k + c] = srcq[r * 8 + c];
+  }
+  const int hmax = ps.comp[0].h, vmax = ps.comp[0].v;
+  const int mcus_x = (ps.W + 8 * hmax - 1) / (8 * hmax);
+  const int mcus_y = (ps.H + 8 * vmax - 1) / (8 * vmax);
+  const int nac_y = ky * ky - 1, nac_c = kc * kc - 1;
+
+  CompState cs[3];
+  short* dcs[3] = {y_dc, cb_dc, cr_dc};
+  for (int i = 0; i < 3; i++) {
+    int slot = 0;
+    for (int s = 0; s < ps.ns; s++)
+      if (ps.scan_comp[s] == i) slot = s;
+    const int k = i == 0 ? ky : kc;
+    cs[i] = {dcs[i],
+             nullptr,  // no dense AC planes in pack mode
+             nullptr,
+             &ps.htdc[ps.scan_td[slot]],
+             &ps.htac[ps.scan_ta[slot]],
+             ps.fac[ps.scan_ta[slot]],
+             ps.fdc[ps.scan_td[slot]],
+             ps.comp[i].h,
+             ps.comp[i].v,
+             i == 0 ? y_bh : c_bh,
+             i == 0 ? y_bw : c_bw,
+             i == 0 ? y_br0 : c_br0,
+             i == 0 ? y_bc0 : c_bc0,
+             k * k - 1,
+             (ps.H * ps.comp[i].v + 8 * vmax - 1) / (8 * vmax),
+             (ps.W * ps.comp[i].h + 8 * hmax - 1) / (8 * hmax)};
+    std::memset(cs[i].dc, 0, sizeof(short) * (size_t)cs[i].bh * cs[i].bw);
+  }
+  std::memset(y_mask, 0, sizeof(unsigned short) * (size_t)y_bh * y_bw);
+  std::memset(c_mask, 0, sizeof(unsigned short) * 2 * (size_t)c_bh * c_bw);
+
+  // per-row value arena (slack-strided; rows compact into the caller's
+  // contiguous vals buffers afterwards) + per-row length bookkeeping
+  const long y_stride = (long)y_bw * nac_y + 16;
+  const long c_stride = (long)c_bw * nac_c + 16;
+  thread_local std::vector<signed char> tl_arena;
+  thread_local std::vector<int> tl_lens;
+  size_t need = (size_t)y_bh * y_stride + 2 * (size_t)c_bh * c_stride;
+  if (tl_arena.size() < need) tl_arena.resize(need);
+  if (tl_lens.size() < (size_t)(y_bh + 2 * c_bh)) tl_lens.resize(y_bh + 2 * c_bh);
+  std::fill(tl_lens.begin(), tl_lens.begin() + y_bh + 2 * c_bh, 0);
+  signed char* y_arena = tl_arena.data();
+  signed char* cb_arena = y_arena + (size_t)y_bh * y_stride;
+  signed char* cr_arena = cb_arena + (size_t)c_bh * c_stride;
+  int* y_lens = tl_lens.data();
+  int* cb_lens = y_lens + y_bh;
+  int* cr_lens = cb_lens + c_bh;
+  PackComp pk[3] = {
+      {y_mask, zbit_y, y_arena, y_stride, y_lens},
+      {c_mask, zbit_c, cb_arena, c_stride, cb_lens},
+      {c_mask + (size_t)c_bh * c_bw, zbit_c, cr_arena, c_stride, cr_lens},
+  };
+
+  int stop_my = 0;
+  for (int i = 0; i < 3; i++) {
+    int nd = (cs[i].br0 + cs[i].bh + cs[i].v - 1) / cs[i].v;
+    if (nd > stop_my) stop_my = nd;
+  }
+  if (stop_my > mcus_y) stop_my = mcus_y;
+
+  decode_scan<true>(ps, cs, data + len, mcus_x, stop_my, pk);
+
+  // compact per-row streams into the contiguous per-image value buffers
+  long long yt = 0;
+  for (int r = 0; r < y_bh; r++) {
+    std::memcpy(y_vals + yt, y_arena + (size_t)r * y_stride, y_lens[r]);
+    yt += y_lens[r];
+  }
+  long long ct = 0;
+  for (int r = 0; r < c_bh; r++) {
+    std::memcpy(c_vals + ct, cb_arena + (size_t)r * c_stride, cb_lens[r]);
+    ct += cb_lens[r];
+  }
+  for (int r = 0; r < c_bh; r++) {
+    std::memcpy(c_vals + ct, cr_arena + (size_t)r * c_stride, cr_lens[r]);
+    ct += cr_lens[r];
+  }
+  *y_nnz = yt;
+  *c_nnz = ct;
+  return 0;
 }
 
 // Pair entry: decode TWO images with their entropy loops interleaved at

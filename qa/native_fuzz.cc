@@ -17,6 +17,10 @@ int dali_tpu_jpeg_huff_read_coeffs_split_crop(const char*, size_t, int, int,
                                               signed char*, unsigned short*,
                                               int, int, int, int, int, int,
                                               int, int);
+int dali_tpu_jpeg_huff_read_coeffs_split_crop_pack(
+    const char*, size_t, int, int, short*, unsigned short*, signed char*,
+    long long*, short*, short*, unsigned short*, signed char*, long long*,
+    unsigned short*, int, int, int, int, int, int, int, int);
 int dali_tpu_jpeg_read_coeffs_split_crop(const char*, size_t, int, int, short*,
                                          signed char*, short*, signed char*,
                                          short*, signed char*, unsigned short*,
@@ -88,6 +92,15 @@ int main() {
         (const char*)mut.data(), mut.size(), 4, 4, ydc.data(), yac.data(),
         cbdc.data(), cbac.data(), crdc.data(), crac.data(), q.data(), ybh, ybw,
         cbh, cbw, 2, 2, 1, 1);
+    if (i % 3 == 0) {  // pack-emit entry (zigzag masks + value streams)
+      std::vector<unsigned short> ym(ybh * ybw), cm(2 * cbh * cbw);
+      std::vector<signed char> yv(ybh * ybw * 15 + 16), cv(2 * cbh * cbw * 15 + 16);
+      long long ynnz = 0, cnnz = 0;
+      dali_tpu_jpeg_huff_read_coeffs_split_crop_pack(
+          (const char*)mut.data(), mut.size(), 4, 4, ydc.data(), ym.data(),
+          yv.data(), &ynnz, cbdc.data(), crdc.data(), cm.data(), cv.data(),
+          &cnnz, q.data(), ybh, ybw, cbh, cbw, 2, 2, 1, 1);
+    }
     if (i % 5 == 0) {
       dali_tpu_jpeg_read_coeffs_split_crop(
           (const char*)mut.data(), mut.size(), 4, 4, ydc.data(), yac.data(),
