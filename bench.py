@@ -177,14 +177,17 @@ def bench_audio():
         return
     pipe = build_audio_pipeline()
     pipe.build()
+    pipe._prefetch()  # iterator-style driving (see bench_image)
     for _ in range(3):
-        out = pipe.run()
+        out = pipe.outputs()
+        pipe.schedule_run()
         out[0].as_tensor().block_until_ready()
     iters = 12
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = pipe.run()
+        out = pipe.outputs()
+        pipe.schedule_run()
         out[0].as_tensor().block_until_ready()
         times.append(time.perf_counter() - t0)
     # steady-state: median per-batch latency (robust to transient tunnel
@@ -214,15 +217,21 @@ def bench_image() -> str:
     ensure_dataset()
     pipe = build_pipeline()
     pipe.build()
+    # drive like the framework iterators do (share_outputs -> schedule_run,
+    # reference base_iterator.py / hw_decoder_bench.py): keep the prefetch
+    # queue full so the host stage never idles between batches
+    pipe._prefetch()
     # warmup (includes XLA compilation of the device stage)
     for _ in range(WARMUP):
-        out = pipe.run()
+        out = pipe.outputs()
+        pipe.schedule_run()
         out[0].as_tensor().block_until_ready()
     times = []
     for _ in range(ITERS):
         # consume each batch as a training step would
         t0 = time.perf_counter()
-        out = pipe.run()
+        out = pipe.outputs()
+        pipe.schedule_run()
         out[0].as_tensor().block_until_ready()
         times.append(time.perf_counter() - t0)
     # steady-state throughput: median per-batch latency (robust to transient
