@@ -384,9 +384,15 @@ DALI_SCHEMA("experimental.MedianBlur").DocStr(
 @register_operator("experimental.MedianBlur", "cpu")
 class MedianBlur(Operator):
     def run_sample(self, ctx, idx, img):
-        import cv2
+        from .. import native
 
         k = int(self.spec.GetArgument("window_size", [3])[0])
+        if native.available() and native.has_host_imgproc() and img.dtype == np.uint8:
+            # own-code kernel (host_ops.cc Huang sliding histogram; verified
+            # bit-identical to cv2.medianBlur for uint8 in test_host_imgproc)
+            return native.median_blur_u8(img, k)
+        import cv2
+
         out = cv2.medianBlur(img, k)
         return out[:, :, None] if out.ndim == 2 and img.ndim == 3 else out
 
@@ -414,17 +420,24 @@ class _MorphBase(Operator):
     op_name = "dilate"
 
     def run_sample(self, ctx, idx, img):
-        import cv2
+        from .. import native
 
         ms = self.spec.GetArgument("mask_size", [3, 3])
+        anchor = self.spec.GetArgument("anchor", [-1, -1])
+        iters = int(self.spec.GetArgument("iterations", 1))
+        replicate = self.spec.GetArgument("border_mode", "constant") == "replicate"
+        if native.available() and native.has_host_imgproc() and img.dtype == np.uint8:
+            # own-code separable min/max (host_ops.cc; verified bit-identical
+            # to cv2.erode/dilate for full-ones kernels in test_host_imgproc)
+            return native.morph_u8(img, int(ms[0]), int(ms[-1]),
+                                   int(anchor[0]), int(anchor[-1]), iters,
+                                   self.op_name == "dilate", replicate)
+        import cv2
+
         kernel = np.ones((int(ms[0]), int(ms[-1])), np.uint8)
         fn = cv2.dilate if self.op_name == "dilate" else cv2.erode
-        border = (cv2.BORDER_REPLICATE
-                  if self.spec.GetArgument("border_mode", "constant") == "replicate"
-                  else cv2.BORDER_CONSTANT)
-        out = fn(img, kernel,
-                 iterations=int(self.spec.GetArgument("iterations", 1)),
-                 borderType=border)
+        border = cv2.BORDER_REPLICATE if replicate else cv2.BORDER_CONSTANT
+        out = fn(img, kernel, iterations=iters, borderType=border)
         return out[:, :, None] if out.ndim == 2 and img.ndim == 3 else out
 
 

@@ -34,20 +34,51 @@ DALI_SCHEMA("experimental.Clahe").DocStr(
 @register_operator("experimental.Clahe", "cpu")
 class Clahe(Operator):
     def run_sample(self, ctx, idx, img):
+        from .. import native
+
+        bins = int(self.spec.GetArgument("bins", 256))
+        clip = float(self.spec.GetArgument("clip_limit", 4.0))
+        tx = int(self.spec.GetArgument("tiles_x", 8))
+        ty = int(self.spec.GetArgument("tiles_y", 8))
+        luma_only = bool(self.spec.GetArgument("luma_only", True))
+        if native.available() and native.has_host_imgproc():
+            # own-code kernel (host_ops.cc) whose math mirrors the gpu
+            # lowering (ClaheGPU) operation-for-operation — the framework's
+            # cpu reference semantics are now its own, not OpenCV's
+            # (test_host_imgproc asserts cpu==gpu to <=1 LSB and a stated
+            # tolerance vs cv2 for the single-plane core).
+            f = img.astype(np.float32)
+
+            def plane(p):
+                return native.clahe_f32(p, clip, tx, ty, bins)
+
+            if img.ndim == 3 and img.shape[-1] == 3:
+                if not luma_only:
+                    out = np.stack([plane(f[..., c]) for c in range(3)], -1)
+                else:
+                    luma = (0.299 * f[..., 0] + 0.587 * f[..., 1]
+                            + 0.114 * f[..., 2])
+                    eq = plane(luma)
+                    ratio = (eq + 1.0) / (luma + 1.0)
+                    out = f * ratio[..., None]
+            else:
+                p = f[..., 0] if f.ndim == 3 else f
+                eq = plane(p)
+                out = eq[..., None] if f.ndim == 3 else eq
+            if np.issubdtype(img.dtype, np.integer):
+                info = np.iinfo(img.dtype)
+                out = np.clip(np.round(out), info.min, info.max)
+            return out.astype(img.dtype)
         import cv2
 
-        if int(self.spec.GetArgument("bins", 256)) != 256:
+        if bins != 256:
             raise ValueError(
-                "experimental.Clahe cpu supports bins=256 only (cv2 delegate); "
-                "use device='gpu' for other bin counts")
-        clahe = cv2.createCLAHE(
-            clipLimit=self.spec.GetArgument("clip_limit", 4.0),
-            tileGridSize=(self.spec.GetArgument("tiles_x", 8), self.spec.GetArgument("tiles_y", 8)),
-        )
+                "experimental.Clahe cpu fallback supports bins=256 only (cv2); "
+                "use device='gpu' or the native runtime for other bin counts")
+        clahe = cv2.createCLAHE(clipLimit=clip, tileGridSize=(tx, ty))
         if img.ndim == 3 and img.shape[-1] == 3:
-            if not self.spec.GetArgument("luma_only", True):
-                out = np.stack([clahe.apply(img[..., c]) for c in range(3)], axis=-1)
-                return out
+            if not luma_only:
+                return np.stack([clahe.apply(img[..., c]) for c in range(3)], axis=-1)
             lab = cv2.cvtColor(img, cv2.COLOR_RGB2LAB)
             lab[..., 0] = clahe.apply(lab[..., 0])
             return cv2.cvtColor(lab, cv2.COLOR_LAB2RGB)

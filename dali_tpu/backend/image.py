@@ -197,6 +197,21 @@ def _cv2_interp(interp, scale_down):
     return table[interp]
 
 
+def _resize_cv(img, out_w, out_h, cv_interp):
+    """cv2.resize with the INTER_AREA case routed to the own-code area
+    resampler (host_ops.cc resize_area_u8 — exact fractional box
+    integration; test_host_imgproc states the cv2 tolerance). Keeps the
+    framework's antialiased cpu downscale path bit-controlled."""
+    import cv2
+
+    from .. import native
+
+    if (cv_interp == cv2.INTER_AREA and img.dtype == np.uint8
+            and native.available() and native.has_host_imgproc()):
+        return native.resize_area_u8(img, out_h, out_w)
+    return cv2.resize(img, (out_w, out_h), interpolation=cv_interp)
+
+
 def _pick_filter(spec, scale_down):
     """Per-direction filter override (reference ResamplingFilterAttr:
     min_filter for downscale, mag_filter for upscale; fall back to interp_type)."""

@@ -455,14 +455,14 @@ class VideoResizeReader(_VideoReaderImpl):
         except ValueError:  # no resize extents given: pass through
             oh, ow = h, w
         if (oh, ow) != (h, w):
-            from .image import _cv2_interp, _pick_filter
+            from .image import _cv2_interp, _pick_filter, _resize_cv
 
             scale_down = oh < h or ow < w
             cv_interp = _cv2_interp(_pick_filter(spec, scale_down), scale_down)
             if scale_down and spec.GetArgument("antialias", True) \
                     and cv_interp == cv2.INTER_LINEAR:
                 cv_interp = cv2.INTER_AREA
-            frames = np.stack([cv2.resize(fr, (ow, oh), interpolation=cv_interp)
+            frames = np.stack([_resize_cv(fr, ow, oh, cv_interp)
                                for fr in frames])
         return (frames,) + tuple(out[1:]) if isinstance(out, tuple) else frames
 

@@ -365,14 +365,14 @@ class _RCMBase(Operator):
             img = img[max(y0, 0) : max(y1, y0 + 1), max(x0, 0) : max(x1, x0 + 1)]
             h, w = img.shape[:2]
         out_h, out_w = compute_resize_size(h, w, self.spec, lambda n, d=None: ctx.arg(self, n, idx, d))
-        from .image import _cv2_interp, _pick_filter
+        from .image import _cv2_interp, _pick_filter, _resize_cv
 
         scale_down = out_h < h or out_w < w
         interp = _pick_filter(self.spec, scale_down)
         cv_interp = _cv2_interp(interp, scale_down)
         if scale_down and self.spec.GetArgument("antialias", True) and cv_interp == cv2.INTER_LINEAR:
             cv_interp = cv2.INTER_AREA
-        resized = cv2.resize(img, (out_w, out_h), interpolation=cv_interp)
+        resized = _resize_cv(img, out_w, out_h, cv_interp)
         if resized.ndim == 2:
             resized = resized[:, :, None]
         crop = self.spec.GetArgument("crop", None)

@@ -74,6 +74,22 @@ class WarpAffineGPU(_WarpCommon):
             mats[i] = self._matrix_for(ctx, i, [])
         return {"matrices": mats}
 
+    def device_statics(self, ctx, in_shapes):
+        # Axis-aligned batches (m01 == m10 == 0: scale + translate) route to
+        # the separable MXU lowering — two matmuls per sample instead of VPU
+        # gathers (measured ~2x on deep dispatch queues, docs/performance.md;
+        # the resampler rewrite proved the same trade). Known only when the
+        # matrices are host-side (scalar args, not a tensor input).
+        if len(self.spec.inputs) > 1:
+            return ("gather",)
+        n = ctx.batch_size
+        sep = all(
+            float(abs(self._matrix_for(ctx, i, [])[0, 1])) == 0.0
+            and float(abs(self._matrix_for(ctx, i, [])[1, 0])) == 0.0
+            for i in range(n)
+        )
+        return ("separable" if sep else "gather",)
+
     def lower(self, dctx, inp: DeviceBatch, *matrix_input):
         import jax.numpy as jnp
 
@@ -87,7 +103,11 @@ class WarpAffineGPU(_WarpCommon):
             mats = jnp.asarray(dctx.param(self, "matrices"))
         dt_arg = self.spec.GetArgument("dtype", None)
         out_dtype = to_jnp_type(dt_arg) if dt_arg is not None else inp.data.dtype
-        out = warp_kernel.warp_affine_batch(
+        statics = dctx.static(self)
+        kern = (warp_kernel.warp_affine_separable_batch
+                if statics and statics[0] == "separable"
+                else warp_kernel.warp_affine_batch)
+        out = kern(
             inp.data, mats, out_h, out_w, inp.shapes,
             self.spec.GetArgument("interp_type", DALIInterpType.INTERP_LINEAR),
             float(self.spec.GetArgument("fill_value", 0.0)), out_dtype,

@@ -86,6 +86,66 @@ def warp_affine_batch(
     return out.astype(dt)
 
 
+def warp_affine_separable_batch(
+    data,  # [N, H, W, C]
+    matrices,  # [N, 2, 3] destination→source, AXIS-ALIGNED (m01 == m10 == 0)
+    out_h: int,
+    out_w: int,
+    extents=None,
+    interp: DALIInterpType = DALIInterpType.INTERP_LINEAR,
+    fill_value: float = 0.0,
+    out_dtype=None,
+):
+    """MXU formulation of the axis-aligned warp family (scale + translate):
+    ``sx = a·x + c`` and ``sy = e·y + f`` decouple, so the warp is two dense
+    matmuls against per-sample interpolation matrices — the same rewrite that
+    made the resampler MXU work (kernels/resample.py) instead of VPU gathers.
+    Exact fill semantics: out-of-extent taps carry weight 0 in the matrices
+    and the lost weight is restored as ``(1 - Σwy·Σwx)·fill`` (separable
+    because a 2-D tap is OOB iff its row or column is), which is arithmetic-
+    identical to the gather path's per-tap ``where(valid, v, fill)`` lerp.
+    General affines stay on the gather path — a dense interpolation-matrix
+    form needs a per-ROW matrix (out_h·out_w·W floats ≈ 50 MB/sample at RN50
+    shapes vs 0.6 MB of image), three orders of magnitude more HBM traffic;
+    rejected on arithmetic (docs/performance.md)."""
+    n, H, W, C = data.shape
+    if extents is None:
+        extents = jnp.tile(jnp.array([[H, W]], jnp.int32), (n, 1))
+
+    def axis_matrix(scale, off, out_n, in_n, ext):
+        # interpolation matrix [out_n, in_n]: row j holds the taps of
+        # s = scale*j + off; OOB taps (>= ext or < 0) get weight 0
+        s = scale * jnp.arange(out_n, dtype=jnp.float32) + off
+        i = jnp.arange(in_n, dtype=jnp.float32)[None, :]
+        extf = ext.astype(jnp.float32)
+        if interp == DALIInterpType.INTERP_NN:
+            t = jnp.round(s)[:, None]
+            return ((i == t) & (t >= 0) & (t < extf)).astype(jnp.float32)
+        t0 = jnp.floor(s)[:, None]
+        w1 = (s[:, None] - t0)
+        a0 = jnp.where((i == t0) & (t0 >= 0) & (t0 < extf), 1.0 - w1, 0.0)
+        a1 = jnp.where((i == t0 + 1) & (t0 + 1 >= 0) & (t0 + 1 < extf), w1, 0.0)
+        return a0 + a1
+
+    def one(img, m, e):
+        a_y = axis_matrix(m[1, 1], m[1, 2], out_h, H, e[0])
+        a_x = axis_matrix(m[0, 0], m[0, 2], out_w, W, e[1])
+        imgf = img.astype(jnp.float32)
+        tmp = jnp.einsum("oh,hwc->owc", a_y, imgf)
+        core = jnp.einsum("pw,owc->opc", a_x, tmp)
+        wy = a_y.sum(axis=1)  # [out_h]
+        wx = a_x.sum(axis=1)  # [out_w]
+        lost = 1.0 - wy[:, None] * wx[None, :]
+        return core + lost[..., None] * fill_value
+
+    out = jax.vmap(one)(data, matrices, extents)
+    dt = out_dtype if out_dtype is not None else data.dtype
+    if jnp.issubdtype(dt, jnp.integer):
+        info = jnp.iinfo(dt)
+        out = jnp.clip(jnp.round(out), info.min, info.max)
+    return out.astype(dt)
+
+
 def rotation_matrix(angle_deg, center_xy, out_center_xy):
     """Destination→source rotation matrix about a center (host-side numpy;
     reference ``dali/operators/image/remap/rotate_params.h``)."""

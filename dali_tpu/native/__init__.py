@@ -852,6 +852,84 @@ def pack_wire(y_ac, ny_blocks, nac_y, c_ac, nc_blocks, nac_c,
     return tuple(int(c) for c in counts)
 
 
+def has_host_imgproc() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "dali_tpu_median_blur_u8")
+
+
+def median_blur_u8(img: np.ndarray, k: int) -> np.ndarray:
+    """Own-code median filter (host_ops.cc, Huang sliding histogram,
+    replicate border — cv2.medianBlur semantics for uint8)."""
+    lib = _load()
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w = img.shape[:2]
+    c = img.shape[2] if img.ndim == 3 else 1
+    out = np.empty_like(img)
+    rc = lib.dali_tpu_median_blur_u8(
+        img.ctypes.data_as(ctypes.c_void_p), h, w, c, int(k),
+        out.ctypes.data_as(ctypes.c_void_p))
+    if rc != 0:
+        raise ValueError(f"median_blur_u8: bad window {k}")
+    return out
+
+
+def morph_u8(img: np.ndarray, mh: int, mw: int, anchor_y: int, anchor_x: int,
+             iterations: int, dilate: bool, replicate: bool) -> np.ndarray:
+    """Own-code erode/dilate (host_ops.cc, separable min/max over the
+    full-ones structuring element; reference morphology.cc)."""
+    lib = _load()
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w = img.shape[:2]
+    c = img.shape[2] if img.ndim == 3 else 1
+    out = np.empty_like(img)
+    rc = lib.dali_tpu_morph_u8(
+        img.ctypes.data_as(ctypes.c_void_p), h, w, c, int(mh), int(mw),
+        int(anchor_y), int(anchor_x), int(iterations), 1 if dilate else 0,
+        1 if replicate else 0, out.ctypes.data_as(ctypes.c_void_p))
+    if rc != 0:
+        raise ValueError("morph_u8: bad parameters")
+    return out
+
+
+def clahe_f32(plane: np.ndarray, clip: float, tiles_x: int, tiles_y: int,
+              bins: int) -> np.ndarray:
+    """Own-code CLAHE on one float plane in [0,255] (host_ops.cc); math
+    mirrors the gpu lowering (ClaheGPU) operation-for-operation."""
+    lib = _load()
+    fn = lib.dali_tpu_clahe_f32
+    if fn.argtypes is None:
+        fn.restype = ctypes.c_int
+        fn.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+                       ctypes.c_float, ctypes.c_int, ctypes.c_int,
+                       ctypes.c_int, ctypes.c_void_p]
+    plane = np.ascontiguousarray(plane, np.float32)
+    h, w = plane.shape
+    out = np.empty_like(plane)
+    rc = fn(plane.ctypes.data_as(ctypes.c_void_p), h, w,
+            ctypes.c_float(float(clip)), int(tiles_x), int(tiles_y),
+            int(bins), out.ctypes.data_as(ctypes.c_void_p))
+    if rc != 0:
+        raise ValueError("clahe_f32: bins must be a power of 2")
+    return out
+
+
+def resize_area_u8(img: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    """Own-code area resize (host_ops.cc exact fractional box integration —
+    cv2 INTER_AREA semantics)."""
+    lib = _load()
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w = img.shape[:2]
+    c = img.shape[2] if img.ndim == 3 else 1
+    out_shape = (oh, ow, c) if img.ndim == 3 else (oh, ow)
+    out = np.empty(out_shape, np.uint8)
+    rc = lib.dali_tpu_resize_area_u8(
+        img.ctypes.data_as(ctypes.c_void_p), h, w, c, int(oh), int(ow),
+        out.ctypes.data_as(ctypes.c_void_p))
+    if rc != 0:
+        raise ValueError("resize_area_u8: bad output size")
+    return out
+
+
 def has_pack_batch() -> bool:
     lib = _load()
     return lib is not None and hasattr(

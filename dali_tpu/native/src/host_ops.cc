@@ -4,6 +4,7 @@
 // staging canvas.
 
 #include <algorithm>
+#include <cmath>
 #include <atomic>
 #include <cstring>
 #include <thread>
@@ -56,6 +57,263 @@ int dali_tpu_pad_stack_u8(void** samples, const long* shapes, int n,
   }
   for (auto& th : threads) th.join();
   return bad.load() ? -1 : 0;
+}
+
+// ---------------------------------------------------------------------------
+// Own-code cpu image kernels (VERDICT r3 #6): the cpu reference semantics of
+// MedianBlur / Erode / Dilate / CLAHE / area resize previously delegated to
+// OpenCV; these from-scratch implementations make the framework's own cpu
+// path bit-controlled. References:
+//   median:  reference dali/operators/image/morphology (CV-CUDA MedianBlur);
+//            classic Huang sliding-histogram, BORDER_REPLICATE like cv2.
+//   morph:   reference dali/operators/image/morphology/morphology.cc;
+//            separable min/max over the rectangular structuring element.
+//   clahe:   reference dali/operators/image/clahe; math mirrors the gpu
+//            lowering (backend/straggler_gpu.py ClaheGPU) exactly.
+//   area:    reference resampling_impl_cpu.cc triangular-down path /
+//            cv2 INTER_AREA: exact fractional box integration.
+
+// Median filter, uint8, odd k, replicate border, any channel count.
+// Huang's algorithm: per (row, channel) a 256-bin histogram slides along x.
+int dali_tpu_median_blur_u8(const unsigned char* src, int h, int w, int c,
+                            int k, unsigned char* dst) {
+  if (k < 1 || (k & 1) == 0) return -1;
+  const int r = k / 2;
+  const int need = (k * k) / 2 + 1;  // rank of the median (1-based)
+  std::vector<int> hist(256);
+  for (int ch = 0; ch < c; ch++) {
+    for (int y = 0; y < h; y++) {
+      std::fill(hist.begin(), hist.end(), 0);
+      // window at x = 0
+      for (int dy = -r; dy <= r; dy++) {
+        int yy = dy + y;
+        yy = yy < 0 ? 0 : yy >= h ? h - 1 : yy;
+        const unsigned char* row = src + ((size_t)yy * w) * c + ch;
+        for (int dx = -r; dx <= r; dx++) {
+          int xx = dx < 0 ? 0 : dx;  // x=0 window, replicate left
+          xx = xx >= w ? w - 1 : xx;
+          hist[row[(size_t)xx * c]]++;
+        }
+      }
+      for (int x = 0; x < w; x++) {
+        // median = smallest value whose cumulative count reaches `need`
+        int cnt = 0, m = 0;
+        for (; m < 256; m++) {
+          cnt += hist[m];
+          if (cnt >= need) break;
+        }
+        dst[((size_t)y * w + x) * c + ch] = (unsigned char)m;
+        if (x + 1 < w) {  // slide: remove column x-r, add column x+1+r
+          int xo = x - r;
+          xo = xo < 0 ? 0 : xo;
+          int xi = x + 1 + r;
+          xi = xi >= w ? w - 1 : xi;
+          for (int dy = -r; dy <= r; dy++) {
+            int yy = dy + y;
+            yy = yy < 0 ? 0 : yy >= h ? h - 1 : yy;
+            const unsigned char* row = src + ((size_t)yy * w) * c + ch;
+            hist[row[(size_t)xo * c]]--;
+            hist[row[(size_t)xi * c]]++;
+          }
+        }
+      }
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"
+
+namespace {
+// one separable min/max pass along x (stride cs between pixels of a row)
+template <bool kDilate>
+void morph_pass_1d(const unsigned char* src, unsigned char* dst, int n,
+                   int stride, int win, int anchor, bool replicate) {
+  const int lo_off = -anchor, hi_off = win - 1 - anchor;
+  for (int i = 0; i < n; i++) {
+    int lo = i + lo_off, hi = i + hi_off;
+    if (replicate) {
+      lo = lo < 0 ? 0 : lo;
+      hi = hi >= n ? n - 1 : hi;
+    } else {  // constant border = reduction identity: just skip outside
+      lo = lo < 0 ? 0 : lo;
+      hi = hi >= n ? n - 1 : hi;
+    }
+    unsigned char best = src[(size_t)lo * stride];
+    for (int j = lo + 1; j <= hi; j++) {
+      unsigned char v = src[(size_t)j * stride];
+      if (kDilate ? (v > best) : (v < best)) best = v;
+    }
+    dst[(size_t)i * stride] = best;
+  }
+}
+}  // namespace
+
+extern "C" {
+
+// Erode/dilate with a full-ones mh x mw structuring element (separable),
+// `iterations` applications. border: 0 = constant-identity (outside pixels
+// ignored, CV-CUDA default), 1 = replicate (same result for full kernels).
+int dali_tpu_morph_u8(const unsigned char* src, int h, int w, int c, int mh,
+                      int mw, int anchor_y, int anchor_x, int iterations,
+                      int dilate, int replicate, unsigned char* dst) {
+  if (mh < 1 || mw < 1 || iterations < 1) return -1;
+  if (anchor_y < 0) anchor_y = mh / 2;
+  if (anchor_x < 0) anchor_x = mw / 2;
+  size_t total = (size_t)h * w * c;
+  std::vector<unsigned char> tmp(total);
+  const unsigned char* cur = src;
+  unsigned char* a = dst;
+  unsigned char* b = tmp.data();
+  for (int it = 0; it < iterations; it++) {
+    // rows: x pass into b
+    for (int ch = 0; ch < c; ch++)
+      for (int y = 0; y < h; y++) {
+        const unsigned char* srow = cur + ((size_t)y * w) * c + ch;
+        unsigned char* drow = b + ((size_t)y * w) * c + ch;
+        if (dilate)
+          morph_pass_1d<true>(srow, drow, w, c, mw, anchor_x, replicate != 0);
+        else
+          morph_pass_1d<false>(srow, drow, w, c, mw, anchor_x, replicate != 0);
+      }
+    // cols: y pass into a
+    for (int ch = 0; ch < c; ch++)
+      for (int x = 0; x < w; x++) {
+        const unsigned char* scol = b + (size_t)x * c + ch;
+        unsigned char* dcol = a + (size_t)x * c + ch;
+        if (dilate)
+          morph_pass_1d<true>(scol, dcol, h, w * c, mh, anchor_y,
+                              replicate != 0);
+        else
+          morph_pass_1d<false>(scol, dcol, h, w * c, mh, anchor_y,
+                               replicate != 0);
+      }
+    cur = a;  // iterate in place over dst
+  }
+  return 0;
+}
+
+// CLAHE on one float plane in [0, 255]; math mirrors the gpu lowering
+// (ClaheGPU) operation-for-operation so cpu and gpu agree to float rounding.
+int dali_tpu_clahe_f32(const float* src, int h, int w, float clip,
+                       int tiles_x, int tiles_y, int bins, float* dst) {
+  if (bins < 2 || (bins & (bins - 1)) != 0) return -1;
+  const float th = (float)h / tiles_y, tw = (float)w / tiles_x;
+  const int nt = tiles_x * tiles_y;
+  std::vector<float> hist((size_t)nt * bins, 0.0f);
+  const float q = (bins - 1) / 255.0f;
+  for (int y = 0; y < h; y++) {
+    int ty = (int)(y / th);
+    ty = ty >= tiles_y ? tiles_y - 1 : ty;
+    for (int x = 0; x < w; x++) {
+      int tx = (int)(x / tw);
+      tx = tx >= tiles_x ? tiles_x - 1 : tx;
+      float pv = src[(size_t)y * w + x];
+      int v = (int)std::nearbyintf(pv * q);
+      v = v < 0 ? 0 : v >= bins ? bins - 1 : v;
+      hist[((size_t)ty * tiles_x + tx) * bins + v] += 1.0f;
+    }
+  }
+  const float area = th * tw;
+  float lim = clip * area / bins;
+  if (lim < 1.0f) lim = 1.0f;
+  std::vector<float> luts((size_t)nt * bins);
+  const float scale = 255.0f / (area > 1.0f ? area : 1.0f);
+  for (int t = 0; t < nt; t++) {
+    float* hb = hist.data() + (size_t)t * bins;
+    float excess = 0.0f;
+    for (int b = 0; b < bins; b++)
+      if (hb[b] > lim) excess += hb[b] - lim;
+    const float add = excess / bins;
+    float cdf = 0.0f, cdf0 = 0.0f;
+    for (int b = 0; b < bins; b++) {
+      float hv = (hb[b] < lim ? hb[b] : lim) + add;
+      cdf += hv;
+      if (b == 0) cdf0 = cdf;
+      float lv = std::nearbyintf((cdf - cdf0) * scale);
+      luts[(size_t)t * bins + b] = lv < 0 ? 0 : lv > 255 ? 255 : lv;
+    }
+  }
+  for (int y = 0; y < h; y++) {
+    float fy = y / th - 0.5f;
+    fy = fy < 0 ? 0 : fy > tiles_y - 1.0f ? tiles_y - 1.0f : fy;
+    int y0 = (int)fy;
+    float wy = fy - y0;
+    int y1 = y0 + 1 >= tiles_y ? tiles_y - 1 : y0 + 1;
+    for (int x = 0; x < w; x++) {
+      float fx = x / tw - 0.5f;
+      fx = fx < 0 ? 0 : fx > tiles_x - 1.0f ? tiles_x - 1.0f : fx;
+      int x0 = (int)fx;
+      float wx = fx - x0;
+      int x1 = x0 + 1 >= tiles_x ? tiles_x - 1 : x0 + 1;
+      float pv = src[(size_t)y * w + x];
+      int v = (int)std::nearbyintf(pv * q);
+      v = v < 0 ? 0 : v >= bins ? bins - 1 : v;
+      float l00 = luts[((size_t)y0 * tiles_x + x0) * bins + v];
+      float l01 = luts[((size_t)y0 * tiles_x + x1) * bins + v];
+      float l10 = luts[((size_t)y1 * tiles_x + x0) * bins + v];
+      float l11 = luts[((size_t)y1 * tiles_x + x1) * bins + v];
+      dst[(size_t)y * w + x] = (1 - wy) * (1 - wx) * l00 + (1 - wy) * wx * l01 +
+                               wy * (1 - wx) * l10 + wy * wx * l11;
+    }
+  }
+  return 0;
+}
+
+// Area (box-integral) resize, uint8 -> uint8: each output pixel averages the
+// exact fractional source rectangle (cv2 INTER_AREA semantics for arbitrary
+// downscale factors).
+int dali_tpu_resize_area_u8(const unsigned char* src, int h, int w, int c,
+                            int oh, int ow, unsigned char* dst) {
+  if (oh < 1 || ow < 1) return -1;
+  const double sy = (double)h / oh, sx = (double)w / ow;
+  // per-axis tap tables: start index, count, first/last fractional weights
+  struct Tap {
+    int i0, n;
+    double w0, w1;
+  };
+  std::vector<Tap> ty(oh), tx(ow);
+  auto build = [](std::vector<Tap>& t, int on, double s, int in_n) {
+    for (int o = 0; o < on; o++) {
+      double a = o * s, b = (o + 1) * s;
+      int i0 = (int)a, i1 = (int)std::ceil(b);
+      if (i1 > in_n) i1 = in_n;
+      double w0 = (i0 + 1) - a;          // partial first cell
+      double w1 = b - (i1 - 1);          // partial last cell
+      int n = i1 - i0;
+      if (n == 1) w0 = b - a, w1 = 0;    // window inside one cell
+      t[o] = {i0, n, w0, w1};
+    }
+  };
+  build(ty, oh, sy, h);
+  build(tx, ow, sx, w);
+  for (int oy = 0; oy < oh; oy++) {
+    const Tap& Y = ty[oy];
+    for (int ox = 0; ox < ow; ox++) {
+      const Tap& X = tx[ox];
+      for (int ch = 0; ch < c; ch++) {
+        double acc = 0.0, wsum = 0.0;
+        for (int iy = 0; iy < Y.n; iy++) {
+          double wy = iy == 0 ? Y.w0 : (iy == Y.n - 1 && Y.n > 1) ? Y.w1 : 1.0;
+          const unsigned char* row =
+              src + ((size_t)(Y.i0 + iy) * w) * c + ch;
+          double racc = 0.0, rws = 0.0;
+          for (int ix = 0; ix < X.n; ix++) {
+            double wx = ix == 0 ? X.w0 : (ix == X.n - 1 && X.n > 1) ? X.w1 : 1.0;
+            racc += wx * row[(size_t)(X.i0 + ix) * c];
+            rws += wx;
+          }
+          acc += wy * racc;
+          wsum += wy * rws;
+        }
+        double v = acc / (wsum > 0 ? wsum : 1.0);
+        int iv = (int)std::lround(v);
+        dst[((size_t)oy * ow + ox) * c + ch] =
+            (unsigned char)(iv < 0 ? 0 : iv > 255 ? 255 : iv);
+      }
+    }
+  }
+  return 0;
 }
 
 }  // extern "C"
