@@ -355,6 +355,11 @@ class Executor:
         if isinstance(item, BaseException):
             self._error = item
             raise item
+        if isinstance(item, tuple) and len(item) == 2 and isinstance(item[1], dict) \
+                and "ops" in item[1]:
+            # consumed-batch-aligned checkpoint (enable_checkpointing)
+            result, self._consumed_ckpt = item
+            return result
         return item
 
     def _host_loop(self):
@@ -371,6 +376,15 @@ class Executor:
                 t0 = time.perf_counter()
                 with jax.profiler.TraceAnnotation("dali_tpu.host_phase"):
                     staged = self._host_phase(it)
+                if self.pipeline.enable_checkpointing:
+                    # Post-host-phase snapshot = the state that REPRODUCES
+                    # iteration it+1 on restore. Attached to this iteration's
+                    # outputs so checkpoint() aligns with what the consumer
+                    # actually saw, independent of prefetch depth (reference:
+                    # per-iteration OpCheckpoints + iterator external context).
+                    st = self.checkpoint_state()
+                    st["iteration"] = it + 1
+                    staged["ckpt"] = st
                 t1 = time.perf_counter()
                 self._device_q.put(staged)  # blocks when the device stage lags
                 t2 = time.perf_counter()
@@ -402,7 +416,8 @@ class Executor:
                     result = self._device_phase(staged)
                 self._stats["device_phase_seconds"] += time.perf_counter() - t1
                 self._stats["iterations_completed"] += 1
-                self._out_q.put(result)
+                ck = staged.get("ckpt")
+                self._out_q.put(result if ck is None else (result, ck))
             except BaseException as e:
                 self._out_q.put(e)
                 return
@@ -865,6 +880,14 @@ class Executor:
             if st is not None:
                 states[node.instance_name] = st
         return {"iteration": self._iteration, "epoch": self._epoch, "ops": states}
+
+    def consumed_checkpoint_state(self) -> dict:
+        """The state aligned with the LAST CONSUMED batch (correct under
+        prefetch: live reader cursors run prefetch_queue_depth iterations
+        ahead of what the consumer has seen). Falls back to the live state
+        when nothing was consumed yet or checkpointing is off."""
+        ck = getattr(self, "_consumed_ckpt", None)
+        return ck if ck is not None else self.checkpoint_state()
 
     def restore_checkpoint(self, state: dict):
         self._iteration = int(state.get("iteration", 0))

@@ -319,7 +319,12 @@ class Pipeline:
     # -- checkpointing (reference pipeline.py:1878) --------------------------------------------
     def checkpoint(self, filename: Optional[str] = None) -> str:
         self._require_built()
-        state = {"format": "dali_tpu.checkpoint.v1", "executor": self._executor.checkpoint_state()}
+        # consumed-batch-aligned: correct even when the consumer (framework
+        # iterator / tf.data prefetch) runs the pipeline several iterations
+        # ahead of what it has actually yielded (executor attaches the
+        # per-iteration snapshot to each batch when enable_checkpointing)
+        state = {"format": "dali_tpu.checkpoint.v1",
+                 "executor": self._executor.consumed_checkpoint_state()}
         payload = json.dumps(state)
         if filename:
             with open(filename, "w") as f:

@@ -76,6 +76,54 @@ def DALIDataset(
     return ds
 
 
+def checkpointable(pipeline):
+    """A ``tf.train.Checkpoint``-trackable wrapping the pipeline's state —
+    the analogue of the reference TF plugin's checkpoint integration
+    (``dali_tf_plugin/dali_dataset_op.cc:98`` SaveInternal): saving a
+    ``tf.train.Checkpoint(dali=checkpointable(pipe))`` snapshots reader
+    cursors/RNG/external-source state, and restoring resumes the pipeline
+    deterministically inside tf.data.
+
+    Usage::
+
+        ds = dali_tf.DALIDataset(pipe, output_dtypes=(tf.uint8,),
+                                 prefetch_queue_depth=0)
+        ckpt = tf.train.Checkpoint(dali=dali_tf.checkpointable(pipe))
+        ckpt.save(path)          # pipeline state rides the TF checkpoint
+        ...
+        ckpt.restore(latest)     # pipeline resumes where it left off
+
+    Resume contract: **no batch the training loop consumed is ever
+    repeated**, and the restored pipeline continues deterministically from
+    the generator's position. The pipeline's own ``prefetch_queue_depth``
+    look-ahead is exactly accounted for (per-iteration snapshots ride each
+    consumed batch), but ``tf.data`` pulls the Python generator a couple of
+    elements ahead internally (and more with ``.prefetch()``) and those
+    buffered-but-unconsumed batches are invisible to Python, so they are
+    SKIPPED on resume rather than replayed. The reference's C++ dataset op
+    instead participates in TF's iterator checkpointing, which serializes
+    its buffers — not expressible for ``from_generator`` datasets (TF
+    itself refuses to checkpoint them).
+    """
+    import tensorflow as tf
+
+    class _DALIPythonState(tf.train.experimental.PythonState):
+        def __init__(self, pipe):
+            self._pipe = pipe
+
+        def serialize(self):
+            return self._pipe.checkpoint()
+
+        def deserialize(self, string_value):
+            if isinstance(string_value, bytes):
+                string_value = string_value.decode("utf-8")
+            # a restart mid-iteration must not leave stale in-flight batches
+            self._pipe.reset()
+            self._pipe.restore_checkpoint(string_value)
+
+    return _DALIPythonState(pipeline)
+
+
 def DALIIterator():
     """Legacy session-style iterator factory (reference plugin/tf.py
     ``DALIIterator`` / ``DALIRawIterator``): returns a callable with the
