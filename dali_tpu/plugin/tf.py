@@ -18,11 +18,32 @@ from ..tensors import TensorListCPU, TensorListGPU
 from .base_iterator import LastBatchPolicy  # noqa: F401 (re-export)
 
 
+_warned_readback = False
+
+
 def _to_numpy(tl):
     if isinstance(tl, TensorListGPU):
+        # Device->host readback is semantically required to hand data to a
+        # host-side framework, but on bandwidth-degraded transports (e.g.
+        # the axon dev tunnel, where ANY readback drops the client into a
+        # slow synchronous mode) pipelines that only need cpu outputs
+        # should keep them on cpu. Warn once so the cost is visible.
+        global _warned_readback
+        if not _warned_readback:
+            import jax
+
+            if jax.default_backend() not in ("cpu", "gpu", "tpu"):
+                import warnings
+
+                warnings.warn(
+                    "DALIDataset is reading a device output back to the host "
+                    "every batch; on this backend readbacks degrade transfer "
+                    "performance — keep outputs on cpu (drop .gpu()) if the "
+                    "consumer is host-side.", RuntimeWarning, stacklevel=3)
+            _warned_readback = True
         return np.asarray(tl.as_tensor())
     if isinstance(tl, TensorListCPU):
-        return tl.as_array()
+        return tl.as_array()  # host data: no device interaction at all
     return np.asarray(tl)
 
 
