@@ -37,19 +37,39 @@ DALI_SCHEMA("GaussianBlur").DocStr(
 ).AddOptionalArg("dtype", ArgType.DATA_TYPE, "Output dtype.", None)
 
 
-def _blur_params(spec, ctx, op, idx):
+def _blur_params(spec, ctx, op, idx, naxes=1):
+    """Per-axis (sigma, window) pairs; scalars broadcast across axes
+    (reference gaussian_blur_params.h per-axis windows)."""
     sigma = ctx.arg(op, "sigma", idx, None)
     win = ctx.arg(op, "window_size", idx, None)
-    s = float(np.asarray(sigma).reshape(-1)[0]) if sigma is not None else 0.0
-    w = int(np.asarray(win).reshape(-1)[0]) if win is not None else 0
-    if s <= 0 and w <= 0:
-        w = 3
-    return s, w
+    sv = np.asarray(sigma, np.float64).reshape(-1) if sigma is not None else np.zeros(1)
+    wv = np.asarray(win, np.int64).reshape(-1) if win is not None else np.zeros(1, np.int64)
+    out = []
+    for a in range(naxes):
+        s = float(sv[a % len(sv)])
+        w = int(wv[a % len(wv)])
+        if s <= 0 and w <= 0:
+            w = 3
+        out.append((s, w))
+    return out if naxes > 1 else out[0]
 
 
 @register_operator("GaussianBlur", "cpu")
 class GaussianBlurCPU(Operator):
     def run_sample(self, ctx, idx, img):
+        if img.ndim == 4:  # DHWC volumetric (2-D images arrive as HWC)
+            # volumetric (DHWC): own separable conv, reflect-101 on D/H/W
+            params = _blur_params(self.spec, ctx, self, idx, naxes=3)
+            out = img
+            for axis, (s, w) in enumerate(params):
+                kernel, _, _ = gaussian_window(w, s)
+                out = _conv1d_reflect_np(out, kernel, axis)
+            dt_arg = self.spec.GetArgument("dtype", None)
+            dt = to_numpy_type(dt_arg) if dt_arg is not None else img.dtype
+            if np.issubdtype(dt, np.integer):
+                info = np.iinfo(dt)
+                out = np.clip(np.round(out), info.min, info.max)
+            return out.astype(dt)
         import cv2
 
         s, w = _blur_params(self.spec, ctx, self, idx)
@@ -58,6 +78,39 @@ class GaussianBlurCPU(Operator):
         out = out[:, :, None] if out.ndim == 2 and img.ndim == 3 else out
         dt = self.spec.GetArgument("dtype", None)
         return out.astype(to_numpy_type(dt)) if dt is not None else out
+
+
+def _conv1d_reflect_np(x, k, axis):
+    """Own-code 1-D correlation along ``axis`` with reflect-101 border
+    (numpy; volumetric cpu path — no cv2 3-D analogue exists)."""
+    r = len(k) // 2
+    pads = [(r, r) if a == axis else (0, 0) for a in range(x.ndim)]
+    xp = np.pad(x.astype(np.float32), pads, mode="reflect")
+    out = np.zeros(x.shape, np.float32)
+    sl = [slice(None)] * x.ndim
+    for t, kv in enumerate(np.asarray(k, np.float32)):
+        sl[axis] = slice(t, t + x.shape[axis])
+        out += kv * xp[tuple(sl)]
+    return out
+
+
+def _conv1d_reflect_jnp(x, k, axis):
+    """1-D depthwise correlation along a spatial ``axis`` of [N, ..., C]
+    with reflect-101 border (shifted-slice accumulation: XLA fuses the adds;
+    for the short Gaussian/Laplacian windows this beats reshaping volumes
+    through conv_general_dilated)."""
+    import jax.numpy as jnp
+
+    r = len(k) // 2
+    pads = [(r, r) if a == axis else (0, 0) for a in range(x.ndim)]
+    xp = jnp.pad(x.astype(jnp.float32), pads, mode="reflect")
+    out = None
+    for t, kv in enumerate(np.asarray(k, np.float32)):
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(t, t + x.shape[axis])
+        term = float(kv) * xp[tuple(sl)]
+        out = term if out is None else out + term
+    return out
 
 
 def _separable_conv2d(data, ky, kx):
@@ -104,8 +157,20 @@ class GaussianBlurGPU(Operator):
         w = int(np.asarray(win).reshape(-1)[0]) if win else 0
         if s <= 0 and w <= 0:
             w = 3
-        kernel, size, sig = gaussian_window(w, s)
-        out = _separable_conv2d(inp.data, kernel, kernel)
+        if inp.data.ndim == 5:  # [N, D, H, W, C] volumetric
+            sigma_v = np.asarray(sigma, np.float64).reshape(-1) if sigma else np.zeros(1)
+            win_v = np.asarray(win, np.int64).reshape(-1) if win else np.zeros(1, np.int64)
+            out = inp.data
+            for axis in range(3):
+                sa = float(sigma_v[axis % len(sigma_v)])
+                wa = int(win_v[axis % len(win_v)])
+                if sa <= 0 and wa <= 0:
+                    wa = 3
+                kernel, _, _ = gaussian_window(wa, sa)
+                out = _conv1d_reflect_jnp(out, kernel, axis + 1)
+        else:
+            kernel, size, sig = gaussian_window(w, s)
+            out = _separable_conv2d(inp.data, kernel, kernel)
         dt_arg = self.spec.GetArgument("dtype", None)
         dt = to_jnp_type(dt_arg) if dt_arg is not None else inp.data.dtype
         return [inp.with_data(_saturate(jnp, out, dt))]
@@ -150,9 +215,26 @@ def _laplacian_scale(spec, size, ndim=2):
 @register_operator("Laplacian", "cpu")
 class LaplacianCPU(Operator):
     def run_sample(self, ctx, idx, img):
+        size = int(self.spec.GetArgument("window_size", [3])[0])
+        if img.ndim == 4:  # DHWC volumetric: sum of 3 second derivatives
+            scale = _laplacian_scale(self.spec, size, ndim=3)
+            deriv, smooth = laplacian_windows(size)
+            out = np.zeros(img.shape, np.float32)
+            for d_axis in range(3):
+                part = img.astype(np.float32)
+                for axis in range(3):
+                    part = _conv1d_reflect_np(
+                        part, deriv if axis == d_axis else smooth, axis)
+                out += part
+            out *= scale
+            dt_arg = self.spec.GetArgument("dtype", None)
+            dt = to_numpy_type(dt_arg) if dt_arg is not None else np.dtype(np.float32)
+            if np.issubdtype(dt, np.integer):
+                info = np.iinfo(dt)
+                out = np.clip(np.round(out), info.min, info.max)
+            return out.astype(dt)
         import cv2
 
-        size = int(self.spec.GetArgument("window_size", [3])[0])
         scale = _laplacian_scale(self.spec, size)
         out = cv2.Laplacian(img.astype(np.float32), cv2.CV_32F, ksize=size, scale=scale,
                             borderType=cv2.BORDER_REFLECT_101)
@@ -171,12 +253,23 @@ class LaplacianGPU(Operator):
         import jax.numpy as jnp
 
         size = int(self.spec.GetArgument("window_size", [3])[0])
-        scale = _laplacian_scale(self.spec, size)
         deriv, smooth = laplacian_windows(size)
-        # Laplacian = d²/dy² (smoothed in x) + d²/dx² (smoothed in y)
-        dyy = _separable_conv2d(inp.data, deriv, smooth)
-        dxx = _separable_conv2d(inp.data, smooth, deriv)
-        out = (dyy + dxx) * scale
+        if inp.data.ndim == 5:  # [N, D, H, W, C] volumetric
+            scale = _laplacian_scale(self.spec, size, ndim=3)
+            out = None
+            for d_axis in range(3):
+                part = inp.data
+                for axis in range(3):
+                    part = _conv1d_reflect_jnp(
+                        part, deriv if axis == d_axis else smooth, axis + 1)
+                out = part if out is None else out + part
+            out = out * scale
+        else:
+            scale = _laplacian_scale(self.spec, size)
+            # Laplacian = d²/dy² (smoothed in x) + d²/dx² (smoothed in y)
+            dyy = _separable_conv2d(inp.data, deriv, smooth)
+            dxx = _separable_conv2d(inp.data, smooth, deriv)
+            out = (dyy + dxx) * scale
         dt_arg = self.spec.GetArgument("dtype", None)
         dt = to_jnp_type(dt_arg) if dt_arg is not None else jnp.float32
         return [inp.with_data(_saturate(jnp, out, dt))]

@@ -20,11 +20,12 @@ from .base import Operator
 # ===================================== WarpAffine ==============================================
 
 DALI_SCHEMA("WarpAffine").DocStr(
-    """Affine warp (reference image/remap/warp_affine.cc). The 2x3 ``matrix`` maps
-    destination (x, y) to source coordinates (inverse_map=True, the reference
-    default)."""
-).NumInput(1, 2).NumOutput(1).Devices("cpu", "gpu").AllowSequences().AddOptionalArg(
-    "matrix", ArgType.FLOAT_VEC, "Row-major 2x3 transform.", None, tensor_ok=True, per_sample=True
+    """Affine warp (reference image/remap/warp_affine.cc). The ``matrix`` maps
+    destination to source coordinates (inverse_map=True, the reference
+    default): 2x3 (x, y) for images, 3x4 (x, y, z) for DHWC volumes
+    (reference warp.h SupportVolumetric)."""
+).NumInput(1, 2).NumOutput(1).Devices("cpu", "gpu").AllowSequences().SupportVolumetric().AddOptionalArg(
+    "matrix", ArgType.FLOAT_VEC, "Row-major 2x3 (or 3x4 volumetric) transform.", None, tensor_ok=True, per_sample=True
 ).AddOptionalArg(
     "size", ArgType.FLOAT_VEC, "Output size (H, W); default input size.", None
 ).AddOptionalArg(
@@ -37,21 +38,32 @@ DALI_SCHEMA("WarpAffine").DocStr(
 
 
 def _invert_affine(m):
-    a = m[:, :2]
-    t = m[:, 2]
+    nd = m.shape[0]  # 2 (images) or 3 (volumes)
+    a = m[:, :nd]
+    t = m[:, nd]
     ai = np.linalg.inv(a)
     return np.concatenate([ai, (-ai @ t)[:, None]], axis=1).astype(np.float32)
 
 
 class _WarpCommon(Operator):
-    def _matrix_for(self, ctx, idx, extra_inputs):
+    @staticmethod
+    def _reshape_matrix(m):
+        m = np.asarray(m, np.float32)
+        if m.size == 6:
+            return m.reshape(2, 3)
+        if m.size == 12:
+            return m.reshape(3, 4)  # volumetric (x, y, z)
+        raise ValueError(f"warp matrix must have 6 (2x3) or 12 (3x4) values, got {m.size}")
+
+    def _matrix_for(self, ctx, idx, extra_inputs, vol=False):
         if extra_inputs:
-            m = np.asarray(extra_inputs[0], np.float32).reshape(2, 3)
+            m = self._reshape_matrix(extra_inputs[0])
         else:
             m = ctx.arg(self, "matrix", idx, None)
             if m is None:
-                m = np.array([[1, 0, 0], [0, 1, 0]], np.float32)
-            m = np.asarray(m, np.float32).reshape(2, 3)
+                m = (np.eye(3, 4, dtype=np.float32) if vol
+                     else np.array([[1, 0, 0], [0, 1, 0]], np.float32))
+            m = self._reshape_matrix(m)
         if not self.spec.GetArgument("inverse_map", True):
             m = _invert_affine(m)
         return m
@@ -69,9 +81,12 @@ class WarpAffineGPU(_WarpCommon):
         if len(self.spec.inputs) > 1:
             return {}  # matrices arrive as a device input
         n = ctx.batch_size
-        mats = np.zeros((n, 2, 3), np.float32)
-        for i in range(n):
-            mats[i] = self._matrix_for(ctx, i, [])
+        vol = input_shapes[0] is not None and input_shapes[0].shape[1] >= 4
+        first = self._matrix_for(ctx, 0, [], vol=vol)
+        mats = np.zeros((n,) + first.shape, np.float32)
+        mats[0] = first
+        for i in range(1, n):
+            mats[i] = self._matrix_for(ctx, i, [], vol=vol)
         return {"matrices": mats}
 
     def device_statics(self, ctx, in_shapes):
@@ -83,16 +98,36 @@ class WarpAffineGPU(_WarpCommon):
         if len(self.spec.inputs) > 1:
             return ("gather",)
         n = ctx.batch_size
-        sep = all(
-            float(abs(self._matrix_for(ctx, i, [])[0, 1])) == 0.0
-            and float(abs(self._matrix_for(ctx, i, [])[1, 0])) == 0.0
-            for i in range(n)
-        )
+        try:
+            mats = [self._matrix_for(ctx, i, []) for i in range(n)]
+        except ValueError:
+            return ("gather",)
+        if any(m.shape != (2, 3) for m in mats):
+            return ("gather",)  # volumetric path
+        sep = all(float(abs(m[0, 1])) == 0.0 and float(abs(m[1, 0])) == 0.0
+                  for m in mats)
         return ("separable" if sep else "gather",)
 
     def lower(self, dctx, inp: DeviceBatch, *matrix_input):
         import jax.numpy as jnp
 
+        if inp.data.ndim == 5:  # [N, D, H, W, C] volumetric
+            n, D, H, W, C = inp.data.shape
+            size = self.spec.GetArgument("size", None)
+            out_d, out_h, out_w = ((int(round(size[0])), int(round(size[1])),
+                                    int(round(size[2]))) if size else (D, H, W))
+            if matrix_input:
+                mats = matrix_input[0].data.astype(jnp.float32).reshape(n, 3, 4)
+            else:
+                mats = jnp.asarray(dctx.param(self, "matrices"))
+            dt_arg = self.spec.GetArgument("dtype", None)
+            out_dtype = to_jnp_type(dt_arg) if dt_arg is not None else inp.data.dtype
+            out = warp_kernel.warp_affine_volumetric_batch(
+                inp.data, mats, out_d, out_h, out_w, inp.shapes,
+                self.spec.GetArgument("interp_type", DALIInterpType.INTERP_LINEAR),
+                float(self.spec.GetArgument("fill_value", 0.0)), out_dtype,
+            )
+            return [DeviceBatch(out, None, inp.layout or "DHWC")]
         n, H, W, C = inp.data.shape
         out_h, out_w = self._out_size(H, W)
         if matrix_input:
@@ -118,6 +153,19 @@ class WarpAffineGPU(_WarpCommon):
 @register_operator("WarpAffine", "cpu")
 class WarpAffineCPU(_WarpCommon):
     def run_sample(self, ctx, idx, img, *matrix_input):
+        if img.ndim == 4:  # DHWC volumetric: own trilinear kernel
+            m = self._matrix_for(ctx, idx, matrix_input, vol=True)
+            size = self.spec.GetArgument("size", None)
+            D, H, W = img.shape[:3]
+            od, oh, ow = ((int(round(size[0])), int(round(size[1])),
+                           int(round(size[2]))) if size else (D, H, W))
+            interp = self.spec.GetArgument("interp_type", DALIInterpType.INTERP_LINEAR)
+            fill = float(self.spec.GetArgument("fill_value", 0.0))
+            out = warp_kernel.warp_affine_volumetric_np(img, m, od, oh, ow, interp, fill)
+            if np.issubdtype(img.dtype, np.integer):
+                info = np.iinfo(img.dtype)
+                out = np.clip(np.round(out), info.min, info.max)
+            return out.astype(img.dtype)
         import cv2
 
         m = self._matrix_for(ctx, idx, matrix_input)
@@ -136,9 +184,15 @@ class WarpAffineCPU(_WarpCommon):
 # ======================================= Rotate ===================================================
 
 DALI_SCHEMA("Rotate").DocStr(
-    """Rotation with auto-grown canvas (reference image/remap/rotate.cc)."""
-).NumInput(1).NumOutput(1).Devices("cpu", "gpu").AllowSequences().AddArg(
+    """Rotation with auto-grown canvas (reference image/remap/rotate.cc).
+    DHWC volumes rotate about ``axis`` (reference rotate_params.h 3-D
+    branch, Rodrigues rotation)."""
+).NumInput(1).NumOutput(1).Devices("cpu", "gpu").AllowSequences().SupportVolumetric().AddArg(
     "angle", ArgType.FLOAT, "Rotation angle (degrees, counter-clockwise).", per_sample=True, tensor_ok=True
+).AddOptionalArg(
+    "axis", ArgType.FLOAT_VEC,
+    "Rotation axis (x, y, z) for volumetric inputs (reference rotate.cc "
+    "`axis`; ignored for 2-D images).", [0.0, 0.0, 1.0], tensor_ok=True, per_sample=True
 ).AddOptionalArg(
     "keep_size", ArgType.BOOL, "Keep input size instead of growing the canvas.", False
 ).AddOptionalArg(
@@ -167,6 +221,26 @@ class RotateGPU(Operator):
     def host_params(self, ctx, input_shapes):
         shapes = input_shapes[0]
         n = ctx.batch_size
+        vol = shapes is not None and shapes.shape[1] >= 4
+        if vol:  # DHWC: rotate about `axis` through the volume center
+            mats = np.zeros((n, 3, 4), np.float32)
+            size = self.spec.GetArgument("size", None)
+            for i in range(n):
+                d, h, w = (int(shapes[i][0]), int(shapes[i][1]), int(shapes[i][2]))
+                if size and len(size) == 3:
+                    od, oh, ow = (int(size[0]), int(size[1]), int(size[2]))
+                else:
+                    od, oh, ow = d, h, w
+                angle = float(np.asarray(ctx.arg(self, "angle", i, 0.0)))
+                axis = np.asarray(ctx.arg(self, "axis", i, [0.0, 0.0, 1.0]),
+                                  np.float64).reshape(-1)
+                mats[i] = warp_kernel.rotation_matrix_3d(
+                    angle, axis,
+                    ((w - 1) * 0.5, (h - 1) * 0.5, (d - 1) * 0.5),
+                    ((ow - 1) * 0.5, (oh - 1) * 0.5, (od - 1) * 0.5))
+            self._uniform = True
+            self._fixed = None
+            return {"matrices": mats}
         mats = np.zeros((n, 2, 3), np.float32)
         sizes = np.zeros((n, 2), np.int32)
         for i in range(n):
@@ -185,6 +259,8 @@ class RotateGPU(Operator):
         return {"matrices": mats, "out_sizes": sizes}
 
     def device_statics(self, ctx, input_shapes):
+        if self._fixed is None and self._uniform:
+            return ("v",)  # volumetric: sizes are trace-time shapes
         if self._uniform:
             return ("u", int(self._fixed[0]), int(self._fixed[1]))
         return ("r", self._grow[0], self._grow[1])
@@ -192,6 +268,22 @@ class RotateGPU(Operator):
     def lower(self, dctx, inp: DeviceBatch):
         import jax.numpy as jnp
 
+        if inp.data.ndim == 5:  # DHWC volumetric
+            n, D, H, W, C = inp.data.shape
+            size = self.spec.GetArgument("size", None)
+            if size and len(size) == 3:
+                od, oh, ow = (int(size[0]), int(size[1]), int(size[2]))
+            else:
+                od, oh, ow = D, H, W  # keep_size semantics on device
+            mats = jnp.asarray(dctx.param(self, "matrices"))
+            dt_arg = self.spec.GetArgument("dtype", None)
+            out_dtype = to_jnp_type(dt_arg) if dt_arg is not None else inp.data.dtype
+            out = warp_kernel.warp_affine_volumetric_batch(
+                inp.data, mats, od, oh, ow, inp.shapes,
+                self.spec.GetArgument("interp_type", DALIInterpType.INTERP_LINEAR),
+                float(self.spec.GetArgument("fill_value", 0.0)), out_dtype,
+            )
+            return [DeviceBatch(out, None, inp.layout or "DHWC")]
         mats = jnp.asarray(dctx.param(self, "matrices"))
         kind, out_h, out_w = dctx.static(self)
         dt_arg = self.spec.GetArgument("dtype", None)
@@ -213,11 +305,29 @@ class RotateGPU(Operator):
 @register_operator("Rotate", "cpu")
 class RotateCPU(Operator):
     def run_sample(self, ctx, idx, img):
+        angle = float(np.asarray(ctx.arg(self, "angle", idx, 0.0)))
+        size = self.spec.GetArgument("size", None)
+        if img.ndim == 4:  # DHWC volumetric: Rodrigues rotation about `axis`
+            d, h, w = img.shape[:3]
+            if size and len(size) == 3:
+                od, oh, ow = int(size[0]), int(size[1]), int(size[2])
+            else:
+                od, oh, ow = d, h, w
+            axis = np.asarray(ctx.arg(self, "axis", idx, [0.0, 0.0, 1.0]),
+                              np.float64).reshape(-1)
+            m = warp_kernel.rotation_matrix_3d(
+                angle, axis, ((w - 1) * 0.5, (h - 1) * 0.5, (d - 1) * 0.5),
+                ((ow - 1) * 0.5, (oh - 1) * 0.5, (od - 1) * 0.5))
+            interp = self.spec.GetArgument("interp_type", DALIInterpType.INTERP_LINEAR)
+            fill = float(self.spec.GetArgument("fill_value", 0.0))
+            out = warp_kernel.warp_affine_volumetric_np(img, m, od, oh, ow, interp, fill)
+            if np.issubdtype(img.dtype, np.integer):
+                info = np.iinfo(img.dtype)
+                out = np.clip(np.round(out), info.min, info.max)
+            return out.astype(img.dtype)
         import cv2
 
         h, w = img.shape[:2]
-        angle = float(np.asarray(ctx.arg(self, "angle", idx, 0.0)))
-        size = self.spec.GetArgument("size", None)
         if size:
             oh, ow = int(size[0]), int(size[1])
         elif self.spec.GetArgument("keep_size", False):

@@ -86,6 +86,131 @@ def warp_affine_batch(
     return out.astype(dt)
 
 
+def warp_affine_volumetric_batch(
+    data,  # [N, D, H, W, C]
+    matrices,  # [N, 3, 4] destination→source, (x, y, z) row order
+    out_d: int,
+    out_h: int,
+    out_w: int,
+    extents=None,  # [N, 3] valid (d, h, w)
+    interp: DALIInterpType = DALIInterpType.INTERP_LINEAR,
+    fill_value: float = 0.0,
+    out_dtype=None,
+):
+    """Volumetric affine warp (reference ``image/remap/warp.h``
+    SupportVolumetric): dst (x, y, z) samples src at M @ (x, y, z, 1) with
+    NN or trilinear filtering, constant fill outside the valid extent."""
+    n, D, H, W, C = data.shape
+    if extents is None:
+        extents = jnp.tile(jnp.array([[D, H, W]], jnp.int32), (n, 1))
+
+    def one(img, m, e):
+        zs = jnp.arange(out_d, dtype=jnp.float32)
+        ys = jnp.arange(out_h, dtype=jnp.float32)
+        xs = jnp.arange(out_w, dtype=jnp.float32)
+        gz, gy, gx = jnp.meshgrid(zs, ys, xs, indexing="ij")
+        sx = m[0, 0] * gx + m[0, 1] * gy + m[0, 2] * gz + m[0, 3]
+        sy = m[1, 0] * gx + m[1, 1] * gy + m[1, 2] * gz + m[1, 3]
+        sz = m[2, 0] * gx + m[2, 1] * gy + m[2, 2] * gz + m[2, 3]
+        ed = e[0].astype(jnp.float32)
+        eh = e[1].astype(jnp.float32)
+        ew = e[2].astype(jnp.float32)
+        imgf = img.astype(jnp.float32)
+
+        def tap(iz, iy, ix):
+            valid = ((ix >= 0) & (ix < ew) & (iy >= 0) & (iy < eh)
+                     & (iz >= 0) & (iz < ed))
+            v = imgf[jnp.clip(iz, 0, D - 1), jnp.clip(iy, 0, H - 1),
+                     jnp.clip(ix, 0, W - 1)]
+            return jnp.where(valid[..., None], v, fill_value)
+
+        if interp == DALIInterpType.INTERP_NN:
+            return tap(jnp.round(sz).astype(jnp.int32),
+                       jnp.round(sy).astype(jnp.int32),
+                       jnp.round(sx).astype(jnp.int32))
+        z0 = jnp.floor(sz)
+        y0 = jnp.floor(sy)
+        x0 = jnp.floor(sx)
+        wz, wy, wx = sz - z0, sy - y0, sx - x0
+        iz0 = z0.astype(jnp.int32)
+        iy0 = y0.astype(jnp.int32)
+        ix0 = x0.astype(jnp.int32)
+        wze = wz[..., None]
+        wye = wy[..., None]
+        wxe = wx[..., None]
+
+        def bilin(iz):
+            v00 = tap(iz, iy0, ix0)
+            v01 = tap(iz, iy0, ix0 + 1)
+            v10 = tap(iz, iy0 + 1, ix0)
+            v11 = tap(iz, iy0 + 1, ix0 + 1)
+            return ((v00 * (1 - wxe) + v01 * wxe) * (1 - wye)
+                    + (v10 * (1 - wxe) + v11 * wxe) * wye)
+
+        return bilin(iz0) * (1 - wze) + bilin(iz0 + 1) * wze
+
+    out = jax.vmap(one)(data, matrices, extents)
+    dt = out_dtype if out_dtype is not None else data.dtype
+    if jnp.issubdtype(dt, jnp.integer):
+        info = jnp.iinfo(dt)
+        out = jnp.clip(jnp.round(out), info.min, info.max)
+    return out.astype(dt)
+
+
+def warp_affine_volumetric_np(img, m, out_d, out_h, out_w, interp, fill):
+    """Host (numpy) trilinear volumetric warp — same tap math as the device
+    kernel (cv2 has no 3-D warp; this is the own-code cpu reference)."""
+    D, H, W, C = img.shape
+    gz, gy, gx = np.meshgrid(np.arange(out_d, dtype=np.float32),
+                             np.arange(out_h, dtype=np.float32),
+                             np.arange(out_w, dtype=np.float32), indexing="ij")
+    sx = m[0, 0] * gx + m[0, 1] * gy + m[0, 2] * gz + m[0, 3]
+    sy = m[1, 0] * gx + m[1, 1] * gy + m[1, 2] * gz + m[1, 3]
+    sz = m[2, 0] * gx + m[2, 1] * gy + m[2, 2] * gz + m[2, 3]
+    imgf = img.astype(np.float32)
+
+    def tap(iz, iy, ix):
+        valid = ((ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
+                 & (iz >= 0) & (iz < D))
+        v = imgf[np.clip(iz, 0, D - 1), np.clip(iy, 0, H - 1),
+                 np.clip(ix, 0, W - 1)]
+        return np.where(valid[..., None], v, np.float32(fill))
+
+    if interp == DALIInterpType.INTERP_NN:
+        return tap(np.round(sz).astype(np.int32), np.round(sy).astype(np.int32),
+                   np.round(sx).astype(np.int32))
+    z0, y0, x0 = np.floor(sz), np.floor(sy), np.floor(sx)
+    wz, wy, wx = (sz - z0)[..., None], (sy - y0)[..., None], (sx - x0)[..., None]
+    iz0, iy0, ix0 = z0.astype(np.int32), y0.astype(np.int32), x0.astype(np.int32)
+
+    def bilin(iz):
+        v00 = tap(iz, iy0, ix0)
+        v01 = tap(iz, iy0, ix0 + 1)
+        v10 = tap(iz, iy0 + 1, ix0)
+        v11 = tap(iz, iy0 + 1, ix0 + 1)
+        return (v00 * (1 - wx) + v01 * wx) * (1 - wy) + (v10 * (1 - wx) + v11 * wx) * wy
+
+    return bilin(iz0) * (1 - wz) + bilin(iz0 + 1) * wz
+
+
+def rotation_matrix_3d(angle_deg, axis, center_xyz, out_center_xyz):
+    """Destination→source 3-D rotation about ``axis`` through a center
+    (reference ``rotate_params.h`` 3-D branch: Rodrigues rotation)."""
+    a = np.deg2rad(angle_deg)
+    u = np.asarray(axis, np.float64)
+    nrm = np.linalg.norm(u)
+    u = u / (nrm if nrm > 0 else 1.0)
+    c, s = np.cos(a), np.sin(a)
+    ux, uy, uz = u
+    K = np.array([[0, -uz, uy], [uz, 0, -ux], [-uy, ux, 0]])
+    # Rodrigues form used DIRECTLY as the dst→src map: about +z this yields
+    # [[c,-s],[s,c]] — identical to the 2-D rotation_matrix convention, so
+    # angle=90, axis=(0,0,1) on a volume equals the 2-D rotate per slice.
+    m = np.eye(3) + s * K + (1 - c) * (K @ K)
+    t = np.asarray(center_xyz, np.float64) - m @ np.asarray(out_center_xyz, np.float64)
+    return np.concatenate([m, t[:, None]], axis=1).astype(np.float32)  # [3,4] (x,y,z)
+
+
 def warp_affine_separable_batch(
     data,  # [N, H, W, C]
     matrices,  # [N, 2, 3] destination→source, AXIS-ALIGNED (m01 == m10 == 0)
