@@ -2,8 +2,9 @@
 
 1. LibriSpeech-style mel frontend (BASELINE.json config 3): FLAC decode →
    preemphasis → spectrogram → mel → dB → normalize, clips/sec. vs_baseline
-   is measured against a NumPy implementation of the same frontend in the
-   same process (no published reference number exists — BASELINE.md).
+   is measured against a torch-cpu implementation of the same frontend on
+   this host (the reference publishes no absolute — BASELINE.md "Audio
+   absolute target" records the derivation).
 2. ImageNet-style JPEG → train-ready images/sec/chip. Mirrors the reference
    methodology (``internal_tools/hw_decoder_bench.py -p rn50``: warmup then
    steady-state frames/sec; reference gate 19k fps on H100 with 70 CPU

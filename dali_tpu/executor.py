@@ -332,6 +332,7 @@ class Executor:
             self._device_thread = None
         self._shutdown = False
         self._error = None
+        self._consumed_ckpt = None  # pre-reset snapshots are stale
         self._work_q = queue.Queue()
         self._out_q = queue.Queue(maxsize=self.pipeline.gpu_queue_depth)
         for impl in self.impls.values():

@@ -75,3 +75,63 @@ def test_video_input_outline(tmp_path):
     tail = to_samples(p2.run()[0])
     assert tail[1].shape[0] == 4
     assert (tail[1][2:] == 0).all()  # padded frames are zeros
+
+
+def test_video_reader_stride_and_step(tmp_path):
+    """stride skips frames WITHIN a sequence; step spaces sequence STARTS
+    (reference readers__Video args)."""
+    path = _write_video(tmp_path / "c.mp4", num_frames=30)
+
+    @pipeline_def(batch_size=2, num_threads=1, seed=1)
+    def pipe():
+        return fn.readers.video(filenames=[path], sequence_length=3,
+                                stride=2, step=6, name="v")
+
+    p = pipe()
+    p.build()
+    (seqs,) = p.run()
+    s = to_samples(seqs)
+    # frames are flat fills of (i*8 % 256): recover indices from brightness
+    def idx(frame):
+        return int(round(frame.mean() / 8.0))
+
+    first = [idx(f) for f in s[0]]
+    second = [idx(f) for f in s[1]]
+    assert first == [0, 2, 4]       # stride 2 inside the sequence
+    assert second == [6, 8, 10]     # next start = step 6
+
+
+def test_video_reader_labels_and_shuffle(tmp_path):
+    a = _write_video(tmp_path / "a.mp4", num_frames=12)
+    b = _write_video(tmp_path / "b.mp4", num_frames=12)
+
+    @pipeline_def(batch_size=4, num_threads=1, seed=9)
+    def pipe():
+        seqs, labels = fn.readers.video(filenames=[a, b], labels=[7, 9],
+                                        sequence_length=4, random_shuffle=True,
+                                        name="v")
+        return seqs, labels
+
+    p = pipe()
+    p.build()
+    seen = set()
+    for _ in range(3):
+        _, labels = p.run()
+        for lab in to_samples(labels):
+            seen.add(int(np.asarray(lab).reshape(-1)[0]))
+    assert seen == {7, 9}
+
+
+def test_video_resize_reader(tmp_path):
+    path = _write_video(tmp_path / "d.mp4", num_frames=10, w=64, h=48)
+
+    @pipeline_def(batch_size=1, num_threads=1, seed=2)
+    def pipe():
+        return fn.readers.video_resize(filenames=[path], sequence_length=4,
+                                       resize_x=32, resize_y=24, name="v")
+
+    p = pipe()
+    p.build()
+    (seqs,) = p.run()
+    s = to_samples(seqs)
+    assert s[0].shape == (4, 24, 32, 3)
