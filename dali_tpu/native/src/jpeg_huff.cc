@@ -860,6 +860,11 @@ int decode_scan(const Parser& ps, const CompState* cs, const uint8_t* pend,
               AC_SYM(blk_done);
               if (k > 63) break;
               AC_SYM(blk_done);
+              // opportunistic third symbol: when the first two took fast
+              // paths the accumulator still holds >= 31 valid bits — enough
+              // for any one symbol (code 16 + magnitude 15)
+              if (k > 63) break;
+              if (cnt >= 31) AC_SYM(blk_done);
             }
           blk_done:;
 #undef AC_SYM
