@@ -48,6 +48,12 @@ static int run_basic(const char* payload, long n) {
     fprintf(stderr, "expected error for bad sample index\n"); return 1;
   }
   printf("bad-index error: %s\n", daliTpuGetLastError());
+  /* reader_size: this pipeline has no reader -> must error, not crash */
+  int64_t rsz = -1;
+  if (daliTpuReaderSize(p, "NoSuchReader", &rsz) == DALI_TPU_OK) {
+    fprintf(stderr, "expected error for unknown reader\n"); return 1;
+  }
+  printf("unknown-reader error: %s\n", daliTpuGetLastError());
   daliTpuDestroyPipeline(p);
   printf("C API OK\n");
   return 0;
