@@ -544,3 +544,52 @@ def test_sparse_wire_matches_dense_rrc(tmp_path, monkeypatch):
     sparse = run3("0")
     for a, b in zip(dense, sparse):
         np.testing.assert_array_equal(a, b)
+
+
+def test_pack_path_restart_markers_and_444(tmp_path):
+    """The pack-emit decoder (sparse wire straight from Huffman) must stay
+    bit-identical to the dense wire on restart-interval streams and 4:4:4
+    sampling — the cursor restart/reset logic is distinct from the plain
+    decode loop's."""
+    import os
+
+    from dali_tpu import fn, native, pipeline_def
+
+    if not native.has_pack_batch():
+        pytest.skip("pack batch entry unavailable")
+    rng = np.random.default_rng(5)
+    # batches must be sampling-homogeneous (jit-static): one dir per mode
+    cases = {"c420": [(2, 0), (5, 0)], "c444": [(0, 1), (3, 1)]}
+    for name, specs in cases.items():
+        d = tmp_path / name
+        d.mkdir()
+        for i, (ri, sub) in enumerate(specs):
+            img = rng.integers(0, 255, (80, 96, 3), np.uint8)
+            data = native.jpeg_encode_rgb(img, quality=85, subsamp=sub,
+                                          restart_interval=ri)
+            (d / f"{i}.jpg").write_bytes(data)
+
+    def run(root, disable_sparse):
+        os.environ["DALI_TPU_DISABLE_SPARSE_WIRE"] = "1" if disable_sparse else "0"
+        flist = sorted(str(f) for f in root.glob("*.jpg"))
+
+        @pipeline_def(batch_size=2, num_threads=1, seed=2)
+        def p():
+            j, _ = fn.readers.file(files=flist, name="R")
+            return fn.decoders.image(j, device="mixed", hybrid_device_decode=True,
+                                     hybrid_scale=2, hybrid_wire="int8")
+
+        pipe = p()
+        pipe.build()
+        out = pipe.run()[0]
+        return [np.asarray(out.at(i)) for i in range(2)]
+
+    try:
+        for name in cases:
+            sparse = run(tmp_path / name, False)
+            dense = run(tmp_path / name, True)
+            for i, (a, b) in enumerate(zip(sparse, dense)):
+                assert a.shape == b.shape
+                np.testing.assert_array_equal(a, b, err_msg=f"{name} sample {i}")
+    finally:
+        os.environ.pop("DALI_TPU_DISABLE_SPARSE_WIRE", None)
