@@ -179,33 +179,6 @@ def torch_frontend_reference(paths):
     return feats
 
 
-def numpy_frontend_reference(paths):
-    """Same frontend in plain NumPy (secondary yardstick)."""
-    from dali_tpu import native
-    from dali_tpu.backend.audio import decode_audio
-
-    feats = []
-    for p in paths:
-        with open(p, "rb") as f:
-            x, rate = decode_audio(f.read())
-        x = np.concatenate([x[:1], x[1:] - 0.97 * x[:-1]])
-        win, hop, nfft = 320, 160, 512
-        n_frames = len(x) // hop + 1
-        pad = np.pad(x, (win // 2, win))
-        frames = np.stack([pad[i * hop : i * hop + win] for i in range(n_frames)])
-        frames = frames * np.hanning(win)
-        spec = np.abs(np.fft.rfft(frames, nfft, axis=1)) ** 2
-        # mel weights (Slaney) — reuse the library's own matrix for parity
-        from dali_tpu.kernels.signal import mel_filter_bank_matrix
-
-        w = mel_filter_bank_matrix(80, nfft, float(AUDIO_RATE))  # [80, 257]
-        mel = spec @ w.T
-        db = 10.0 * np.log10(np.maximum(mel, 1e-20))
-        db = np.maximum(db, db.max() - 80.0)
-        feats.append((db - db.mean(0)) / (db.std(0) + 1e-8))
-    return feats
-
-
 def bench_audio():
     if not ensure_audio_dataset():
         return
