@@ -40,6 +40,49 @@ def _edge_key(edge) -> Tuple[int, int]:
     return (edge.source.id, edge.source_idx)
 
 
+# Interpreter-exit discipline: the stage threads are daemons (a wedged device
+# transport must not hang process exit forever), but dying MID-XLA-COMPILE
+# aborts the process ("FATAL: exception not rethrown" out of the C++ runtime).
+# One atexit hook stops every live executor and joins its device thread long
+# enough for an in-flight compile to finish (bounded — a first compile of a
+# large program runs tens of seconds).
+_live_executors = None
+
+
+def _register_atexit_shutdown(executor):
+    global _live_executors
+    if _live_executors is None:
+        import atexit
+        import weakref
+
+        _live_executors = weakref.WeakSet()
+
+        def _drain_all():
+            for ex in list(_live_executors):
+                try:
+                    ex._shutdown = True
+                    ex._work_q.put(None)
+                    dt = ex._device_thread
+                    if dt is not None and dt.is_alive():
+                        deadline = time.monotonic() + 120  # compile bound
+                        while dt.is_alive() and time.monotonic() < deadline:
+                            # keep freeing queue slots so the thread can exit
+                            for q in (ex._device_q, ex._out_q):
+                                if q is None:
+                                    continue
+                                try:
+                                    while True:
+                                        q.get_nowait()
+                                except queue.Empty:
+                                    pass
+                            dt.join(timeout=0.25)
+                except Exception:
+                    pass
+
+        atexit.register(_drain_all)
+    _live_executors.add(executor)
+
+
 class _Staged:
     """A boundary batch already staged into its padded canvas (fused decode)."""
 
@@ -270,6 +313,7 @@ class Executor:
                 target=self._device_loop, name="dali-tpu-device-stage", daemon=True
             )
             self._device_thread.start()
+            _register_atexit_shutdown(self)
 
     def shutdown(self):
         self._shutdown = True

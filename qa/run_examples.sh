@@ -26,6 +26,7 @@ run imagenet_training.py --batch-size 8 --steps 2
 run asr_frontend.py
 run ssd_detection.py --batch-size 4 --iters 2
 run video_training.py --batch-size 2 --iters 2
+run efficientnet_autoaugment.py --batch-size 4 --image-size 64 --steps 2 --augment auto
 run pytorch_proxy_training.py
 
 if [ "$fail" -ne 0 ]; then
