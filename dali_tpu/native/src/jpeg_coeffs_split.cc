@@ -137,6 +137,10 @@ extern "C" int dali_tpu_jpeg_huff_read_coeffs_split_crop(
     const char*, size_t, int, int, short*, signed char*, short*, signed char*,
     short*, signed char*, unsigned short*, int, int, int, int, int, int, int,
     int);
+extern "C" int dali_tpu_jpeg_huff_progressive_read_coeffs_split_crop(
+    const char*, size_t, int, int, short*, signed char*, short*, signed char*,
+    short*, signed char*, unsigned short*, int, int, int, int, int, int, int,
+    int);
 
 namespace {
 
@@ -170,6 +174,12 @@ void run_coef_split_job(void* p) {
         j->data, j->len, j->ky, j->kc, j->y_dc, j->y_ac, j->cb_dc, j->cb_ac,
         j->cr_dc, j->cr_ac, j->q, j->bh, j->bw, j->cbh, j->cbw, j->y_br0,
         j->y_bc0, j->c_br0, j->c_bc0);
+    if (rc != 0) {  // SOF2 streams: from-scratch progressive decoder
+      rc = dali_tpu_jpeg_huff_progressive_read_coeffs_split_crop(
+          j->data, j->len, j->ky, j->kc, j->y_dc, j->y_ac, j->cb_dc, j->cb_ac,
+          j->cr_dc, j->cr_ac, j->q, j->bh, j->bw, j->cbh, j->cbw, j->y_br0,
+          j->y_bc0, j->c_br0, j->c_bc0);
+    }
   }
   if (rc != 0) {
     rc = dali_tpu_jpeg_read_coeffs_split_crop(
@@ -383,10 +393,19 @@ void run_coef_pack_job(void* p) {
     if ((long)y_s.size() < y_n * nac_y + 16) y_s.resize(y_n * nac_y + 16);
     if ((long)cb_s.size() < c_n * nac_c + 16) cb_s.resize(c_n * nac_c + 16);
     if ((long)cr_s.size() < c_n * nac_c + 16) cr_s.resize(c_n * nac_c + 16);
-    rc = dali_tpu_jpeg_read_coeffs_split_crop(
-        j->data, j->len, j->ky, j->kc, j->y_dc, y_s.data(), j->cb_dc,
-        cb_s.data(), j->cr_dc, cr_s.data(), j->q, j->bh, j->bw, j->cbh,
-        j->cbw, j->y_br0, j->y_bc0, j->c_br0, j->c_bc0);
+    rc = 1;
+    if (fast_huff_enabled()) {
+      rc = dali_tpu_jpeg_huff_progressive_read_coeffs_split_crop(
+          j->data, j->len, j->ky, j->kc, j->y_dc, y_s.data(), j->cb_dc,
+          cb_s.data(), j->cr_dc, cr_s.data(), j->q, j->bh, j->bw, j->cbh,
+          j->cbw, j->y_br0, j->y_bc0, j->c_br0, j->c_bc0);
+    }
+    if (rc != 0) {
+      rc = dali_tpu_jpeg_read_coeffs_split_crop(
+          j->data, j->len, j->ky, j->kc, j->y_dc, y_s.data(), j->cb_dc,
+          cb_s.data(), j->cr_dc, cr_s.data(), j->q, j->bh, j->bw, j->cbh,
+          j->cbw, j->y_br0, j->y_bc0, j->c_br0, j->c_bc0);
+    }
     if (rc == 0) {
       *j->y_nnz = dali_tpu_sparse_pack_i8_perm(y_s.data(), y_n, nac_y,
                                                j->perm_y, j->y_mask,

@@ -235,10 +235,12 @@ struct Unstuffed {
   std::vector<uint8_t> buf;     // reused across calls (thread-local)
   std::vector<size_t> rst_off;  // unstuffed offset just AFTER each RSTn
   size_t len = 0;               // unstuffed payload length (pre-padding)
+  const uint8_t* in_end = nullptr;  // input position of the terminating marker
 };
 
 void unstuff_scan(const uint8_t* p, const uint8_t* pend, Unstuffed* u) {
   u->rst_off.clear();
+  u->in_end = pend;
   size_t cap = (size_t)(pend - p) + 512;
   if (u->buf.size() < cap) u->buf.resize(cap);
   uint8_t* o = u->buf.data();
@@ -264,7 +266,8 @@ void unstuff_scan(const uint8_t* p, const uint8_t* pend, Unstuffed* u) {
       u->rst_off.push_back((size_t)(o - u->buf.data()));
       p += 2;
     } else {
-      break;  // EOI or other marker: end of scan
+      u->in_end = p;  // EOI or other marker: end of scan
+      break;
     }
   }
   u->len = (size_t)(o - u->buf.data());
@@ -312,6 +315,9 @@ struct Parser {
   int ri = 0;
   const uint8_t* scan_start = nullptr;
   bool sof_seen = false;
+  bool progressive = false;        // SOF2 stream (set when allow_progressive)
+  bool allow_progressive = false;  // keep parsing instead of rc=1 on SOF2
+  bool saw_eoi = false;
 
   Parser(const uint8_t* data, size_t len) : d(data), n(len) {}
 
@@ -366,9 +372,15 @@ struct Parser {
           rc = parse_sos(seg_end);
           if (rc) return rc;
           scan_start = d + pos;
-          return check_fast();
+          return progressive ? 0 : check_fast();
         }
         case 0xC2:  // progressive
+          if (allow_progressive) {
+            rc = parse_sof(seg_end);
+            progressive = true;
+            break;
+          }
+          return 1;
         case 0xC3:  // lossless
         case 0xC5:
         case 0xC6:
@@ -383,6 +395,55 @@ struct Parser {
           return 1;
         default:
           break;  // APPn / COM / others: skip payload
+      }
+      if (rc) return rc;
+      pos = seg_end;
+    }
+  }
+
+  // Resume the marker walk at input position `from` (just after a scan's
+  // entropy data): handles DHT/DQT/DRI between scans, stops at the next
+  // SOS (returns 0, scan_start set) or EOI (returns 0, saw_eoi).
+  int parse_next_scan(const uint8_t* from) {
+    pos = (size_t)(from - d);
+    for (;;) {
+      int b;
+      if (!u8(&b)) return -1;
+      if (b != 0xFF) continue;
+      int m;
+      do {
+        if (!u8(&m)) return -1;
+      } while (m == 0xFF);
+      if (m == 0x00 || m == 0x01 || (m >= 0xD0 && m <= 0xD7)) continue;
+      if (m == 0xD9) {
+        saw_eoi = true;
+        return 0;
+      }
+      int L;
+      if (!u16(&L) || L < 2) return -1;
+      size_t seg_end = pos + (size_t)L - 2;
+      if (seg_end > n) return -1;
+      int rc = 0;
+      switch (m) {
+        case 0xC4:
+          rc = parse_dht(seg_end);
+          break;
+        case 0xDB:
+          rc = parse_dqt(seg_end);
+          break;
+        case 0xDD: {
+          int v;
+          if (L != 4 || !u16(&v)) return -1;
+          ri = v;
+          break;
+        }
+        case 0xDA:
+          rc = parse_sos(seg_end);
+          if (rc) return rc;
+          scan_start = d + pos;
+          return 0;
+        default:
+          break;  // APPn/COM: skip
       }
       if (rc) return rc;
       pos = seg_end;
@@ -1200,6 +1261,261 @@ int setup_cursor(const uint8_t* data, size_t len, int ky, int kc, short* y_dc,
   return 0;
 }
 
+
+// ============================================================================
+// Progressive JPEG (SOF2) decode — ITU T.81 Annex G.2. Scans accumulate
+// coefficients via spectral selection (ss..se bands) and successive
+// approximation (ah/al bit planes). Each scan's entropy segment is
+// independently decodable, which gives the hybrid path a structural bonus:
+// scans whose band lies entirely ABOVE the k*k low-frequency selection are
+// skipped without decoding, and every scan stops after the crop window's
+// last block row. Output contract matches the baseline crop entry
+// (libjpeg-parity tested bit-exactly in tests/test_jpeg_huff.py).
+
+struct BitRd {
+  const uint8_t* buf0;
+  const uint8_t* p;
+  uint64_t acc = 0;
+  int cnt = 0;
+  long bits_len = 0;
+
+  void init(const Unstuffed& us, size_t off) {
+    buf0 = us.buf.data();
+    p = us.buf.data() + off;
+    acc = 0;
+    cnt = 0;
+    bits_len = (long)us.len << 3;
+  }
+  inline void refill() {
+    uint64_t x_;
+    std::memcpy(&x_, p, 8);
+    acc |= __builtin_bswap64(x_) >> cnt;
+    p += (63 - cnt) >> 3;
+    cnt |= 56;
+  }
+  inline bool exhausted() const {
+    return ((p - buf0) << 3) - cnt > bits_len;
+  }
+  // n <= 16
+  inline int bits(int n) {
+    if (n == 0) return 0;
+    refill();
+    int v = (int)(acc >> (64 - n));
+    acc <<= n;
+    cnt -= n;
+    return v;
+  }
+  inline int bit() { return bits(1); }
+  // returns symbol or -1
+  inline int huff(const HuffTbl* t) {
+    refill();
+    int e = t->lut[(unsigned)(acc >> (64 - kLookahead))];
+    int l, s;
+    if (e >= 0) {
+      l = e >> 8;
+      s = e & 0xFF;
+    } else {
+      s = huff_decode_slow(acc, t, &l);
+      if (s < 0) return -1;
+    }
+    acc <<= l;
+    cnt -= l;
+    return s;
+  }
+};
+
+inline int extend_recv(BitRd& br, int s) {
+  if (s == 0) return 0;
+  int v = br.bits(s);
+  return v < (1 << (s - 1)) ? v - (1 << s) + 1 : v;
+}
+
+struct ProgComp {
+  std::vector<short>* coef;  // [rows_alloc * full_bw * 64], natural... zigzag order
+  int full_bw;               // MCU-padded block width (interleaved DC scans)
+  int real_bw, real_bh;      // component's true block dims (AC scans)
+  int rows_dec;              // rows [0, rows_dec) are decoded/stored
+  int h, v;                  // sampling factors
+  int last_dc;               // DC predictor (reset per scan / restart)
+};
+
+// DC first/refine scan (interleaved over the scan's components, or single).
+// Returns 0 ok, -1 corrupt.
+int prog_dc_scan(const Parser& ps, ProgComp* pc, const int* scan_idx, int nsc,
+                 const Unstuffed& us, int mcus_x, int stop_my) {
+  BitRd br;
+  br.init(us, 0);
+  size_t next_rst = 0;
+  int ri = ps.ri, togo = ri;
+  const int ah = ps.ah, al = ps.al;
+  for (int i = 0; i < nsc; i++) pc[scan_idx[i]].last_dc = 0;
+  const bool single = nsc == 1;
+  const int my_end = single ? stop_my : stop_my;  // rows bound (caller maps)
+  const int nx = single ? pc[scan_idx[0]].real_bw : mcus_x;
+  for (int my = 0; my < my_end; my++) {
+    for (int mx = 0; mx < nx; mx++) {
+      if (ri && togo == 0) {
+        if (next_rst >= us.rst_off.size()) return -1;
+        br.init(us, us.rst_off[next_rst++]);
+        for (int i = 0; i < nsc; i++) pc[scan_idx[i]].last_dc = 0;
+        togo = ri;
+      }
+      if (br.exhausted()) return -1;
+      for (int i = 0; i < nsc; i++) {
+        ProgComp& C = pc[scan_idx[i]];
+        const HuffTbl* dct = &ps.htdc[ps.scan_td[i]];
+        const int bh_span = single ? 1 : C.v;
+        const int bw_span = single ? 1 : C.h;
+        for (int by = 0; by < bh_span; by++) {
+          for (int bx = 0; bx < bw_span; bx++) {
+            const int brow = single ? my : my * C.v + by;
+            const int bcol = single ? mx : mx * C.h + bx;
+            short dummy[64];
+            short* blk = dummy;
+            if (brow < C.rows_dec && bcol < C.full_bw)
+              blk = C.coef->data() + ((size_t)brow * C.full_bw + bcol) * 64;
+            if (ah == 0) {  // first scan: diff-coded DC, scaled by 2^al
+              int s = br.huff(dct);
+              if (s < 0 || s > 15) return -1;
+              C.last_dc += extend_recv(br, s);
+              blk[0] = (short)(C.last_dc * (1 << al));  // mul: dc may be negative
+            } else {  // refinement: one correction bit
+              if (br.bit()) blk[0] |= (short)(1 << al);
+            }
+          }
+        }
+      }
+      if (ri) togo--;
+    }
+  }
+  return 0;
+}
+
+// AC first scan (ah == 0), single component, band [ss, se].
+int prog_ac_first(const Parser& ps, ProgComp& C, int scan_slot,
+                  const Unstuffed& us, int row_end) {
+  BitRd br;
+  br.init(us, 0);
+  size_t next_rst = 0;
+  int ri = ps.ri, togo = ri;
+  const HuffTbl* act = &ps.htac[ps.scan_ta[scan_slot]];
+  const int ss = ps.ss, se = ps.se, al = ps.al;
+  long eobrun = 0;
+  for (int brow = 0; brow < row_end; brow++) {
+    for (int bcol = 0; bcol < C.real_bw; bcol++) {
+      if (ri && togo == 0) {
+        if (next_rst >= us.rst_off.size()) return -1;
+        br.init(us, us.rst_off[next_rst++]);
+        eobrun = 0;
+        togo = ri;
+      }
+      short* blk = C.coef->data() + ((size_t)brow * C.full_bw + bcol) * 64;
+      if (eobrun > 0) {
+        eobrun--;
+      } else {
+        if (br.exhausted()) return -1;
+        int k = ss;
+        while (k <= se) {
+          int rs = br.huff(act);
+          if (rs < 0) return -1;
+          int r = rs >> 4, s = rs & 15;
+          if (s == 0) {
+            if (r != 15) {  // EOBn
+              eobrun = (1L << r);
+              if (r) eobrun += br.bits(r);
+              eobrun--;
+              break;
+            }
+            k += 16;  // ZRL
+            continue;
+          }
+          k += r;
+          if (k > se) return -1;
+          blk[k] = (short)(extend_recv(br, s) * (1 << al));
+          k++;
+        }
+      }
+      if (ri) togo--;
+    }
+  }
+  return 0;
+}
+
+// AC refinement scan (ah > 0), single component, band [ss, se].
+// Mirrors T.81 G.2 / the classic decode_mcu_AC_refine control flow.
+int prog_ac_refine(const Parser& ps, ProgComp& C, int scan_slot,
+                   const Unstuffed& us, int row_end) {
+  BitRd br;
+  br.init(us, 0);
+  size_t next_rst = 0;
+  int ri = ps.ri, togo = ri;
+  const HuffTbl* act = &ps.htac[ps.scan_ta[scan_slot]];
+  const int ss = ps.ss, se = ps.se, al = ps.al;
+  const short p1 = (short)(1 << al), m1 = (short)(-(1 << al));
+  long eobrun = 0;
+  for (int brow = 0; brow < row_end; brow++) {
+    for (int bcol = 0; bcol < C.real_bw; bcol++) {
+      if (ri && togo == 0) {
+        if (next_rst >= us.rst_off.size()) return -1;
+        br.init(us, us.rst_off[next_rst++]);
+        eobrun = 0;
+        togo = ri;
+      }
+      short* blk = C.coef->data() + ((size_t)brow * C.full_bw + bcol) * 64;
+      int k = ss;
+      if (eobrun == 0) {
+        if (br.exhausted()) return -1;
+        while (k <= se) {
+          int rs = br.huff(act);
+          if (rs < 0) return -1;
+          int r = rs >> 4, s = rs & 15;
+          short newval = 0;
+          if (s == 0) {
+            if (r != 15) {  // EOBn: refine the rest of the band below
+              eobrun = (1L << r);
+              if (r) eobrun += br.bits(r);
+              break;
+            }
+            // ZRL: skip 16 zero-history positions (with corrections)
+          } else {
+            if (s != 1) return -1;  // refinement only creates +-1<<al
+            newval = br.bit() ? p1 : m1;
+          }
+          // advance past `r` zero-history coefficients, refining nonzeros
+          while (k <= se) {
+            short* cp = blk + k;
+            if (*cp != 0) {
+              if (br.bit() && ((*cp & p1) == 0))
+                *cp += (short)(*cp >= 0 ? p1 : m1);
+            } else {
+              if (r == 0) {
+                if (newval) *cp = newval;
+                k++;
+                break;
+              }
+              r--;
+            }
+            k++;
+          }
+        }
+      }
+      if (eobrun > 0) {
+        // end-of-band: refine every remaining nonzero coefficient
+        for (; k <= se; k++) {
+          short* cp = blk + k;
+          if (*cp != 0) {
+            if (br.bit() && ((*cp & p1) == 0))
+              *cp += (short)(*cp >= 0 ? p1 : m1);
+          }
+        }
+        eobrun--;
+      }
+      if (ri) togo--;
+    }
+  }
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -1279,6 +1595,207 @@ int dali_tpu_jpeg_huff_read_coeffs_split_crop(
   if (stop_my > mcus_y) stop_my = mcus_y;
 
   return decode_scan<false>(ps, cs, data + len, mcus_x, stop_my, nullptr);
+}
+
+// Progressive (SOF2) entry: same contract as the baseline crop entry.
+// Scans whose spectral band lies entirely above the k*k selection's highest
+// zigzag index are skipped without decoding; every scan stops after the
+// window's last needed block row. Returns 0 ok; nonzero = unsupported or
+// corrupt (caller falls back to libjpeg).
+int dali_tpu_jpeg_huff_progressive_read_coeffs_split_crop(
+    const char* data_, size_t len, int ky, int kc, short* y_dc,
+    signed char* y_ac, short* cb_dc, signed char* cb_ac, short* cr_dc,
+    signed char* cr_ac, unsigned short* q_out, int y_bh, int y_bw, int c_bh,
+    int c_bw, int y_br0, int y_bc0, int c_br0, int c_bc0) {
+  const uint8_t* data = reinterpret_cast<const uint8_t*>(data_);
+  Parser ps(data, len);
+  ps.allow_progressive = true;
+  int rc = ps.parse();
+  if (rc != 0) return rc;
+  if (!ps.progressive) return 1;  // baseline: use the fast path instead
+  if (ky < 1 || ky > 8 || kc < 1 || kc > 8) return 1;
+  if (ps.prec != 8 || ps.ncomp != 3) return 1;
+  bool c420 = ps.comp[0].h == 2 && ps.comp[0].v == 2 && ps.comp[1].h == 1 &&
+              ps.comp[1].v == 1 && ps.comp[2].h == 1 && ps.comp[2].v == 1;
+  bool c444 = ps.comp[0].h == 1 && ps.comp[0].v == 1 && ps.comp[1].h == 1 &&
+              ps.comp[1].v == 1 && ps.comp[2].h == 1 && ps.comp[2].v == 1;
+  bool c422 = ps.comp[0].h == 2 && ps.comp[0].v == 1 && ps.comp[1].h == 1 &&
+              ps.comp[1].v == 1 && ps.comp[2].h == 1 && ps.comp[2].v == 1;
+  if (!c420 && !c444 && !c422) return 1;
+  if (ps.comp[1].tq != ps.comp[2].tq) return 1;
+
+  const int hmax = ps.comp[0].h, vmax = ps.comp[0].v;
+  const int mcus_x = (ps.W + 8 * hmax - 1) / (8 * hmax);
+  const int mcus_y = (ps.H + 8 * vmax - 1) / (8 * vmax);
+
+  // zigzag coverage of the k*k selection: the highest zigzag index any
+  // selected coefficient occupies (scan-skip bound)
+  int zmax_y = 0, zmax_c = 0;
+  for (int z = 1; z < 64; z++) {
+    int r = kZZ.nat[z] >> 3, c = kZZ.nat[z] & 7;
+    if (r < ky && c < ky) zmax_y = z;
+    if (r < kc && c < kc) zmax_c = z;
+  }
+
+  // window geometry per component (coefficients stored in ZIGZAG order)
+  ProgComp pc[3];
+  thread_local std::vector<short> tl_coef[3];
+  int want_bh[3] = {y_bh, c_bh, c_bh};
+  int want_bw[3] = {y_bw, c_bw, c_bw};
+  int want_br0[3] = {y_br0, c_br0, c_br0};
+  int want_bc0[3] = {y_bc0, c_bc0, c_bc0};
+  int stop_my = 0;
+  for (int i = 0; i < 3; i++) {
+    ProgComp& C = pc[i];
+    C.h = ps.comp[i].h;
+    C.v = ps.comp[i].v;
+    C.full_bw = mcus_x * C.h;
+    C.real_bh = (ps.H * C.v + 8 * vmax - 1) / (8 * vmax);
+    C.real_bw = (ps.W * C.h + 8 * hmax - 1) / (8 * hmax);
+    // rows we must DECODE: everything above + inside the window (refinement
+    // scans consume bits per prior nonzero, so earlier rows need true state)
+    int need_rows = want_br0[i] + want_bh[i];
+    if (need_rows > C.real_bh) need_rows = C.real_bh;
+    int mcu_rows_full = mcus_y * C.v;  // interleaved DC may touch padded rows
+    C.rows_dec = need_rows;
+    // DC scan row coverage in MCU rows:
+    int need_my = (need_rows + C.v - 1) / C.v;
+    if (need_my > stop_my) stop_my = need_my;
+    (void)mcu_rows_full;
+    size_t cells = (size_t)C.rows_dec * C.full_bw * 64;
+    if (tl_coef[i].size() < cells) tl_coef[i].resize(cells);
+    std::fill(tl_coef[i].begin(), tl_coef[i].begin() + cells, (short)0);
+    C.coef = &tl_coef[i];
+    C.last_dc = 0;
+  }
+  if (stop_my > mcus_y) stop_my = mcus_y;
+
+  // Pass 1: record every scan's (component, band) WITHOUT decoding, to
+  // compute which scans the selection actually needs. A scan can only be
+  // skipped if no DECODED scan of the same component has an overlapping
+  // band — successive-approximation refinements consume one bit per prior
+  // NONZERO coefficient, so skipping a first-pass scan that a decoded
+  // refinement overlaps would desynchronize the refinement's bitstream
+  // (fixpoint below; the standard libjpeg script refines 1..63, which
+  // pulls in the 6..63 first pass even for small selections).
+  struct ScanHead {
+    int ci, ss, se;  // ci = -1 for (interleaved) DC scans
+  };
+  std::vector<ScanHead> heads;
+  thread_local Unstuffed tl_pus;
+  {
+    Parser p1(data, len);
+    p1.allow_progressive = true;
+    if (p1.parse() != 0 || !p1.progressive) return 1;
+    const uint8_t* cur = p1.scan_start;
+    for (;;) {
+      unstuff_scan(cur, data + len, &tl_pus);
+      heads.push_back({p1.ss == 0 ? -1 : p1.scan_comp[0], p1.ss, p1.se});
+      if (p1.ss == 0 && p1.se != 0) return 1;  // mixed DC+AC band
+      if (p1.ss != 0 && p1.ns != 1) return 1;  // AC must be single-comp
+      if (tl_pus.in_end >= data + len) break;
+      if (p1.parse_next_scan(tl_pus.in_end) != 0) return 1;
+      if (p1.saw_eoi || p1.scan_start == nullptr) break;
+      if (p1.scan_start <= cur) return 1;  // no forward progress
+      cur = p1.scan_start;
+    }
+  }
+  std::vector<char> keep(heads.size(), 0);
+  for (size_t i = 0; i < heads.size(); i++) {
+    if (heads[i].ci < 0) keep[i] = 1;  // DC scans always needed
+    else {
+      int zmax = heads[i].ci == 0 ? zmax_y : zmax_c;
+      if (heads[i].ss <= zmax) keep[i] = 1;
+    }
+  }
+  for (bool changed = true; changed;) {
+    changed = false;
+    for (size_t i = 0; i < heads.size(); i++) {
+      if (keep[i] || heads[i].ci < 0) continue;
+      for (size_t jx = 0; jx < heads.size(); jx++) {
+        if (!keep[jx] || heads[jx].ci != heads[i].ci) continue;
+        if (heads[i].ss <= heads[jx].se && heads[jx].ss <= heads[i].se) {
+          keep[i] = 1;
+          changed = true;
+          break;
+        }
+      }
+    }
+  }
+
+  // Pass 2: decode the kept scans in order
+  const uint8_t* cursor = ps.scan_start;
+  size_t si = 0;
+  for (;;) {
+    unstuff_scan(cursor, data + len, &tl_pus);
+    if (si >= heads.size()) return 1;
+    const bool decode_this = keep[si];
+    si++;
+    int idx[4];
+    for (int s = 0; s < ps.ns; s++) idx[s] = ps.scan_comp[s];
+    if (decode_this) {
+      if (ps.ss == 0) {
+        int my_end = ps.ns == 1 ? pc[idx[0]].rows_dec : stop_my;
+        if (prog_dc_scan(ps, pc, idx, ps.ns, tl_pus, mcus_x, my_end) != 0)
+          return 1;
+      } else {
+        ProgComp& C = pc[idx[0]];
+        int r2 = (ps.ah == 0)
+                     ? prog_ac_first(ps, C, 0, tl_pus, C.rows_dec)
+                     : prog_ac_refine(ps, C, 0, tl_pus, C.rows_dec);
+        if (r2 != 0) return 1;
+      }
+    }
+    if (tl_pus.in_end >= data + len) break;
+    if (ps.parse_next_scan(tl_pus.in_end) != 0) return 1;
+    if (ps.saw_eoi || ps.scan_start == nullptr) break;
+    if (ps.scan_start <= cursor) return 1;  // no forward progress: corrupt
+    cursor = ps.scan_start;
+  }
+
+  // quant tables (same layout as the baseline entry)
+  for (int comp = 0; comp < 2; comp++) {
+    int k = comp == 0 ? ky : kc;
+    if (!ps.qok[ps.comp[comp].tq]) return 1;
+    const uint16_t* srcq = ps.qt[ps.comp[comp].tq];
+    unsigned short* qdst = comp == 0 ? q_out : q_out + ky * ky;
+    for (int r = 0; r < k; r++)
+      for (int c = 0; c < k; c++) qdst[r * k + c] = srcq[r * 8 + c];
+  }
+
+  // emit the window: zigzag-stored coefficients -> split DC/AC selection
+  short* dcs[3] = {y_dc, cb_dc, cr_dc};
+  signed char* acs[3] = {y_ac, cb_ac, cr_ac};
+  for (int i = 0; i < 3; i++) {
+    const ProgComp& C = pc[i];
+    const int k = i == 0 ? ky : kc;
+    const int nac = k * k - 1;
+    signed char zmap[64];
+    for (int z = 0; z < 64; z++) {
+      int r = kZZ.nat[z] >> 3, c = kZZ.nat[z] & 7;
+      zmap[z] = (z > 0 && r < k && c < k) ? (signed char)(r * k + c - 1) : -1;
+    }
+    for (int br = 0; br < want_bh[i]; br++) {
+      const int srow = br + want_br0[i];
+      for (int bc = 0; bc < want_bw[i]; bc++) {
+        const int scol = bc + want_bc0[i];
+        long bidx = (long)br * want_bw[i] + bc;
+        short* dcp = dcs[i] + bidx;
+        signed char* acp = acs[i] + bidx * nac;
+        if (srow < C.rows_dec && scol < C.real_bw) {
+          const short* blk =
+              C.coef->data() + ((size_t)srow * C.full_bw + scol) * 64;
+          *dcp = blk[0];
+          for (int z = 1; z < 64; z++)
+            if (zmap[z] >= 0) acp[zmap[z]] = sat8(blk[z]);
+        } else {
+          *dcp = 0;
+          std::memset(acp, 0, nac);
+        }
+      }
+    }
+  }
+  return 0;
 }
 
 // Pack-emit entry: like the crop entry, but the AC output is the sparse

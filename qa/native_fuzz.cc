@@ -11,6 +11,10 @@
 extern "C" {
 long dali_tpu_jpeg_encode_rgb(const unsigned char*, int, int, int, int, int,
                               int, unsigned char*, long);
+int dali_tpu_jpeg_huff_progressive_read_coeffs_split_crop(
+    const char*, size_t, int, int, short*, signed char*, short*, signed char*,
+    short*, signed char*, unsigned short*, int, int, int, int, int, int, int,
+    int);
 int dali_tpu_jpeg_huff_read_coeffs_split_crop(const char*, size_t, int, int,
                                               short*, signed char*, short*,
                                               signed char*, short*,
@@ -109,6 +113,22 @@ int main() {
     }
   }
   printf("jpeg fuzz: %d mutations OK\n", N);
+
+  // progressive (SOF2) base: the multi-scan walker + AC refine state machine
+  std::vector<unsigned char> pjpg(H * W * 3 + 65536);
+  long pn = dali_tpu_jpeg_encode_rgb(img.data(), H, W, 85, 0, 4, 1,
+                                     pjpg.data(), (long)pjpg.size());
+  if (pn > 0) {
+    pjpg.resize(pn);
+    for (int i = 0; i < 2000; i++) {
+      mutate(mut, pjpg, i);
+      dali_tpu_jpeg_huff_progressive_read_coeffs_split_crop(
+          (const char*)mut.data(), mut.size(), 4, 4, ydc.data(), yac.data(),
+          cbdc.data(), cbac.data(), crdc.data(), crac.data(), q.data(), ybh,
+          ybw, cbh, cbw, 2, 2, 1, 1);
+    }
+    printf("progressive fuzz: 2000 mutations OK\n");
+  }
 
 #ifdef HAVE_AUDIO
   std::vector<float> pcm(16000);

@@ -168,3 +168,134 @@ def test_huff_parity_cropped_windows_other_samplings(subsamp, cdiv):
     dr, dc = cdiv
     crop = (wbh, wbw, br0, bc0, wbh // dr, wbw // dc, br0 // dr, bc0 // dc)
     _compare(data, crop=crop)
+
+
+# ===================== progressive (SOF2) decoder =====================
+
+def _call_coeffs(fn_name, data, ky, kc, ybh, ybw, cbh, cbw,
+                 ybr0=0, ybc0=0, cbr0=0, cbc0=0):
+    import ctypes
+
+    lib = native._load()
+    fn = getattr(lib, fn_name)
+    if fn.argtypes is None:
+        fn.restype = ctypes.c_int
+        fn.argtypes = ([ctypes.c_char_p, ctypes.c_size_t]
+                       + [ctypes.c_int] * 2 + [ctypes.c_void_p] * 7
+                       + [ctypes.c_int] * 8)
+    y_dc = np.zeros(ybh * ybw, np.int16)
+    y_ac = np.zeros(ybh * ybw * (ky * ky - 1), np.int8)
+    cb_dc = np.zeros(cbh * cbw, np.int16)
+    cb_ac = np.zeros(cbh * cbw * (kc * kc - 1), np.int8)
+    cr_dc = np.zeros(cbh * cbw, np.int16)
+    cr_ac = np.zeros(cbh * cbw * (kc * kc - 1), np.int8)
+    q = np.zeros(128, np.uint16)
+    import ctypes as ct
+    rc = fn(data, len(data), ky, kc,
+            *[a.ctypes.data_as(ct.c_void_p)
+              for a in (y_dc, y_ac, cb_dc, cb_ac, cr_dc, cr_ac, q)],
+            ybh, ybw, cbh, cbw, ybr0, ybc0, cbr0, cbc0)
+    return rc, (y_dc, y_ac, cb_dc, cb_ac, cr_dc, cr_ac, q)
+
+
+def _compare_progressive(data, ky, kc, ybh, ybw, cbh, cbw, **win):
+    rc1, ours = _call_coeffs(
+        "dali_tpu_jpeg_huff_progressive_read_coeffs_split_crop",
+        data, ky, kc, ybh, ybw, cbh, cbw, **win)
+    rc2, ref = _call_coeffs(
+        "dali_tpu_jpeg_read_coeffs_split_crop",
+        data, ky, kc, ybh, ybw, cbh, cbw, **win)
+    assert rc1 == 0 and rc2 == 0, (rc1, rc2)
+    for name, a, b in zip(["y_dc", "y_ac", "cb_dc", "cb_ac", "cr_dc",
+                           "cr_ac", "q"], ours, ref):
+        np.testing.assert_array_equal(a, b, err_msg=f"{name} mismatch")
+
+
+@pytest.mark.parametrize("h,w", [(96, 128), (37, 61), (17, 23), (200, 160)])
+@pytest.mark.parametrize("quality", [50, 85, 98])
+def test_progressive_parity_420(h, w, quality):
+    data = native.jpeg_encode_rgb(_img(h, w, h * w + quality),
+                                  quality=quality, progressive=True)
+    _compare_progressive(data, 4, 4, -(-h // 8), -(-w // 8),
+                         -(-h // 16), -(-w // 16))
+
+
+@pytest.mark.parametrize("ky", [2, 4, 8])
+def test_progressive_parity_selections(ky):
+    """Small selections exercise the scan keep-set fixpoint: the standard
+    script's full-band refinements pull in first-pass scans a naive
+    band-vs-selection skip would drop (bit-desync bug class)."""
+    h, w = 88, 104
+    data = native.jpeg_encode_rgb(_img(h, w, 5), quality=85, progressive=True)
+    _compare_progressive(data, ky, ky, -(-h // 8), -(-w // 8),
+                         -(-h // 16), -(-w // 16))
+
+
+@pytest.mark.parametrize("sub", [0, 1])
+@pytest.mark.parametrize("ri", [0, 3])
+def test_progressive_parity_sampling_restart(sub, ri):
+    h, w = 120, 136
+    data = native.jpeg_encode_rgb(_img(h, w, sub * 10 + ri), quality=85,
+                                  subsamp=sub, restart_interval=ri,
+                                  progressive=True)
+    if sub == 0:
+        cbh, cbw = -(-h // 16), -(-w // 16)
+    else:
+        cbh, cbw = -(-h // 8), -(-w // 8)
+    _compare_progressive(data, 4, 4, -(-h // 8), -(-w // 8), cbh, cbw)
+
+
+def test_progressive_parity_crop_windows():
+    rng = np.random.default_rng(3)
+    h, w = 280, 312
+    data = native.jpeg_encode_rgb(_img(h, w, 9), quality=85, progressive=True)
+    for _ in range(6):
+        y0 = int(rng.integers(0, 12)) * 2
+        x0 = int(rng.integers(0, 14)) * 2
+        bh = int(rng.integers(2, 10)) * 2
+        bw = int(rng.integers(2, 10)) * 2
+        _compare_progressive(data, 4, 4, bh, bw, bh // 2, bw // 2,
+                             ybr0=y0, ybc0=x0, cbr0=y0 // 2, cbc0=x0 // 2)
+
+
+def test_progressive_through_pipeline_sparse_vs_dense(tmp_path):
+    """Progressive streams ride the hybrid pipeline via the fallback chain
+    (fast-baseline -> progressive -> libjpeg); sparse and dense wires must
+    agree bit-exactly."""
+    import os
+
+    from dali_tpu import fn, pipeline_def
+
+    d = tmp_path / "p"
+    d.mkdir()
+    rng = np.random.default_rng(4)
+    files = []
+    for i in range(4):
+        img = rng.integers(0, 255, (90, 110, 3), np.uint8)
+        data = native.jpeg_encode_rgb(img, quality=85, progressive=True)
+        f = d / f"{i}.jpg"
+        f.write_bytes(data)
+        files.append(str(f))
+
+    def run(disable_sparse):
+        os.environ["DALI_TPU_DISABLE_SPARSE_WIRE"] = "1" if disable_sparse else "0"
+
+        @pipeline_def(batch_size=4, num_threads=1, seed=2)
+        def p():
+            j, _ = fn.readers.file(files=files, name="R")
+            return fn.decoders.image(j, device="mixed",
+                                     hybrid_device_decode=True,
+                                     hybrid_scale=2, hybrid_wire="int8")
+
+        pipe = p()
+        pipe.build()
+        out = pipe.run()[0]
+        return [np.asarray(out.at(i)) for i in range(4)]
+
+    try:
+        a = run(False)
+        b = run(True)
+    finally:
+        os.environ.pop("DALI_TPU_DISABLE_SPARSE_WIRE", None)
+    for i, (x, y) in enumerate(zip(a, b)):
+        np.testing.assert_array_equal(x, y, err_msg=f"sample {i}")
