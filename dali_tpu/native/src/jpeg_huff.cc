@@ -1350,9 +1350,9 @@ int prog_dc_scan(const Parser& ps, ProgComp* pc, const int* scan_idx, int nsc,
   const int ah = ps.ah, al = ps.al;
   for (int i = 0; i < nsc; i++) pc[scan_idx[i]].last_dc = 0;
   const bool single = nsc == 1;
-  const int my_end = single ? stop_my : stop_my;  // rows bound (caller maps)
+  // rows bound: MCU rows when interleaved, component block rows when single
   const int nx = single ? pc[scan_idx[0]].real_bw : mcus_x;
-  for (int my = 0; my < my_end; my++) {
+  for (int my = 0; my < stop_my; my++) {
     for (int mx = 0; mx < nx; mx++) {
       if (ri && togo == 0) {
         if (next_rst >= us.rst_off.size()) return -1;
