@@ -646,7 +646,7 @@ class JpegCoeffs(Operator):
         modes = np.asarray(modes)
         if (modes < 0).any() or (modes > 2).any():
             raise ValueError(
-                "hybrid_device_decode requires 3-component YCbCr "
+                "hybrid_device_decode requires grayscale or 3-component YCbCr "
                 "4:2:0/4:2:2/4:4:4 JPEGs"
             )
         if (modes != modes[0]).any():
@@ -1131,7 +1131,7 @@ class JpegCoeffsSplit(JpegCoeffs):
             info = native.jpeg_coef_info(d)
             if info is None:
                 raise ValueError(
-                    "hybrid_device_decode requires 3-component YCbCr 4:2:0/4:2:2/4:4:4 JPEGs"
+                    "hybrid_device_decode requires grayscale or 3-component YCbCr 4:2:0/4:2:2/4:4:4 JPEGs"
                 )
             infos.append(info)
         self._check_modes(np.asarray([i[6] for i in infos]))

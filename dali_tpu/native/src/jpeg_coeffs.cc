@@ -45,6 +45,20 @@ int dali_tpu_jpeg_coef_info(const char* data, size_t len, int* h, int* w,
     return -1;
   }
   int rc = -2;
+  if (cinfo.num_components == 1) {
+    // grayscale: treated as 4:4:4 with synthetic ZERO chroma planes —
+    // Cb=Cr=128 after IDCT bias makes R=G=B=Y exactly, matching libjpeg's
+    // gray->RGB replication bit-for-bit (mode 1 on the wire)
+    *h = cinfo.image_height;
+    *w = cinfo.image_width;
+    *y_bh = (cinfo.image_height + 7) / 8;
+    *y_bw = (cinfo.image_width + 7) / 8;
+    *c_bh = *y_bh;
+    *c_bw = *y_bw;
+    *mode = 1;
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+  }
   if (cinfo.num_components == 3 && cinfo.jpeg_color_space == JCS_YCbCr) {
     jpeg_component_info* y = &cinfo.comp_info[0];
     jpeg_component_info* cb = &cinfo.comp_info[1];
@@ -128,7 +142,16 @@ int dali_tpu_jpeg_read_coeffs(const char* data, size_t len, int ky, int kc,
     int bh, bw, k;
   } planes[3] = {{y_out, y_bh, y_bw, ky}, {cb_out, c_bh, c_bw, kc}, {cr_out, c_bh, c_bw, kc}};
 
-  for (int comp = 0; comp < 3; comp++) {
+  // grayscale: Y from the stream, zero chroma + unit chroma quant (the
+  // IDCT bias then yields Cb=Cr=128 -> R=G=B=Y exactly)
+  const int ncomp_real = cinfo.num_components == 1 ? 1 : 3;
+  if (ncomp_real == 1) {
+    std::memset(cb_out, 0, sizeof(short) * (size_t)c_bh * c_bw * kc * kc);
+    std::memset(cr_out, 0, sizeof(short) * (size_t)c_bh * c_bw * kc * kc);
+    for (int i = 0; i < kc * kc; i++) q_out[ky * ky + i] = 1;
+  }
+
+  for (int comp = 0; comp < ncomp_real; comp++) {
     jpeg_component_info* ci = &cinfo.comp_info[comp];
     Plane& p = planes[comp];
     const int k = p.k;

@@ -63,7 +63,18 @@ int dali_tpu_jpeg_read_coeffs_split_crop(const char* data, size_t len, int ky,
                  {cb_dc, cb_ac, c_bh, c_bw, kc, c_br0, c_bc0},
                  {cr_dc, cr_ac, c_bh, c_bw, kc, c_br0, c_bc0}};
 
-  for (int comp = 0; comp < 3; comp++) {
+  // grayscale: Y from the stream, ZERO chroma planes (Cb=Cr=128 after the
+  // IDCT bias -> R=G=B=Y exactly; wire mode 1 / 4:4:4 geometry)
+  const int ncomp_real = cinfo.num_components == 1 ? 1 : 3;
+  if (ncomp_real == 1) {
+    std::memset(cb_dc, 0, sizeof(short) * (size_t)c_bh * c_bw);
+    std::memset(cr_dc, 0, sizeof(short) * (size_t)c_bh * c_bw);
+    std::memset(cb_ac, 0, (size_t)c_bh * c_bw * (kc * kc - 1));
+    std::memset(cr_ac, 0, (size_t)c_bh * c_bw * (kc * kc - 1));
+    for (int i = 0; i < kc * kc; i++) q_out[ky * ky + i] = 1;
+  }
+
+  for (int comp = 0; comp < ncomp_real; comp++) {
     jpeg_component_info* ci = &cinfo.comp_info[comp];
     Plane& p = planes[comp];
     const int k = p.k;

@@ -537,8 +537,16 @@ struct Parser {
   }
 
   int check_fast() const {
-    if (prec != 8 || ncomp != 3 || ns != 3) return 1;
+    if (prec != 8) return 1;
     if (H <= 0 || W <= 0) return 1;  // DNL-deferred height etc.
+    if (ncomp == 1) {  // grayscale: single-component scan, 8x8 MCUs
+      if (ns != 1 || comp[0].h != 1 || comp[0].v != 1) return 1;
+      if (!htdc[scan_td[0]].valid || !htac[scan_ta[0]].valid) return 1;
+      if (!fdc[scan_td[0]] || !fac[scan_ta[0]]) return 1;
+      if (!qok[comp[0].tq]) return 1;
+      return 0;
+    }
+    if (ncomp != 3 || ns != 3) return 1;
     if (ss != 0 || se != 63 || ah != 0 || al != 0) return 1;
     bool c420 = comp[0].h == 2 && comp[0].v == 2 && comp[1].h == 1 &&
                 comp[1].v == 1 && comp[2].h == 1 && comp[2].v == 1;
@@ -614,7 +622,7 @@ struct PackComp {
 
 template <bool PACK>
 int decode_scan(const Parser& ps, const CompState* cs, const uint8_t* pend,
-                int mcus_x, int stop_my, PackComp* pk) {
+                int mcus_x, int stop_my, PackComp* pk, int nc = 3) {
   thread_local Unstuffed tl_us;
   Unstuffed& us = tl_us;
   unstuff_scan(ps.scan_start, pend, &us);
@@ -641,7 +649,7 @@ int decode_scan(const Parser& ps, const CompState* cs, const uint8_t* pend,
   // Huffman state and DC predictors advance, but no values are extended and
   // nothing is stored (rows below the window are never reached at all).
   int skip_my = stop_my;
-  for (int i = 0; i < 3; i++) {
+  for (int i = 0; i < nc; i++) {
     int s = cs[i].br0 > 0 ? cs[i].br0 / cs[i].v : 0;
     if (s < skip_my) skip_my = s;
   }
@@ -655,7 +663,7 @@ int decode_scan(const Parser& ps, const CompState* cs, const uint8_t* pend,
         pred0 = pred1 = pred2 = 0;
         togo = ri;
       }
-      for (int ci = 0; ci < 3; ci++) {
+      for (int ci = 0; ci < nc; ci++) {
         const CompState& C = cs[ci];
         int& pred = ci == 0 ? pred0 : ci == 1 ? pred1 : pred2;
         for (int nb = C.v * C.h; nb > 0; nb--) {
@@ -756,7 +764,7 @@ int decode_scan(const Parser& ps, const CompState* cs, const uint8_t* pend,
 
   int len_sink;
   for (int my = skip_my; my < stop_my; my++) {
-    for (int ci = 0; ci < 3; ci++) {
+    for (int ci = 0; ci < nc; ci++) {
       const CompState& C = cs[ci];
       for (int v = 0; v < C.v; v++) {
         const int brow = my * C.v + v;
@@ -790,7 +798,7 @@ int decode_scan(const Parser& ps, const CompState* cs, const uint8_t* pend,
         pred0 = pred1 = pred2 = 0;
         togo = ri;
       }
-      for (int ci = 0; ci < 3; ci++) {
+      for (int ci = 0; ci < nc; ci++) {
         const CompState& C = cs[ci];
         int& pred = ci == 0 ? pred0 : ci == 1 ? pred1 : pred2;
         for (int v = 0; v < C.v; v++) {
@@ -1206,6 +1214,7 @@ int setup_cursor(const uint8_t* data, size_t len, int ky, int kc, short* y_dc,
   Parser& ps = *ps_out;
   int rc = ps.parse();
   if (rc != 0) return rc;
+  if (ps.ncomp != 3) return 1;  // pair cursors assume 3 components
   if (ky < 1 || ky > 8 || kc < 1 || kc > 8) return 1;
   for (int z = 1; z < 64; z++) {
     int r = kZZ.nat[z] >> 3, c = kZZ.nat[z] & 7;
@@ -1544,11 +1553,17 @@ int dali_tpu_jpeg_huff_read_coeffs_split_crop(
   }
 
   // quant tables (natural order, k*k selection) — written regardless of how
-  // far the scan decodes, like the libjpeg path.
+  // far the scan decodes, like the libjpeg path. Grayscale: chroma table 1s
+  // (its coefficients are all zero).
+  const int nc = ps.ncomp == 1 ? 1 : 3;
   for (int comp = 0; comp < 2; comp++) {
     int k = comp == 0 ? ky : kc;
-    const uint16_t* src = ps.qt[ps.comp[comp].tq];
     unsigned short* qdst = comp == 0 ? q_out : q_out + ky * ky;
+    if (comp == 1 && nc == 1) {
+      for (int i = 0; i < k * k; i++) qdst[i] = 1;
+      continue;
+    }
+    const uint16_t* src = ps.qt[ps.comp[comp].tq];
     for (int r = 0; r < k; r++)
       for (int c = 0; c < k; c++) qdst[r * k + c] = src[r * 8 + c];
   }
@@ -1560,7 +1575,13 @@ int dali_tpu_jpeg_huff_read_coeffs_split_crop(
   CompState cs[3];
   short* dcs[3] = {y_dc, cb_dc, cr_dc};
   signed char* acs[3] = {y_ac, cb_ac, cr_ac};
-  for (int i = 0; i < 3; i++) {
+  if (nc == 1) {  // grayscale: zero chroma planes (Cb=Cr=128 => R=G=B=Y)
+    std::memset(cb_dc, 0, sizeof(short) * (size_t)c_bh * c_bw);
+    std::memset(cr_dc, 0, sizeof(short) * (size_t)c_bh * c_bw);
+    std::memset(cb_ac, 0, (size_t)c_bh * c_bw * (kc * kc - 1));
+    std::memset(cr_ac, 0, (size_t)c_bh * c_bw * (kc * kc - 1));
+  }
+  for (int i = 0; i < nc; i++) {
     int slot = 0;
     for (int s = 0; s < ps.ns; s++)
       if (ps.scan_comp[s] == i) slot = s;
@@ -1588,13 +1609,13 @@ int dali_tpu_jpeg_huff_read_coeffs_split_crop(
   // Early stop: last MCU row any window needs (decode everything above it —
   // sequential Huffman is stateful — but nothing below it).
   int stop_my = 0;
-  for (int i = 0; i < 3; i++) {
+  for (int i = 0; i < nc; i++) {
     int need = (cs[i].br0 + cs[i].bh + cs[i].v - 1) / cs[i].v;
     if (need > stop_my) stop_my = need;
   }
   if (stop_my > mcus_y) stop_my = mcus_y;
 
-  return decode_scan<false>(ps, cs, data + len, mcus_x, stop_my, nullptr);
+  return decode_scan<false>(ps, cs, data + len, mcus_x, stop_my, nullptr, nc);
 }
 
 // Progressive (SOF2) entry: same contract as the baseline crop entry.
@@ -1818,6 +1839,7 @@ int dali_tpu_jpeg_huff_read_coeffs_split_crop_pack(
   Parser ps(data, len);
   int rc = ps.parse();
   if (rc != 0) return rc;
+  if (ps.ncomp != 3) return 1;  // grayscale rides the dense fallback
 
   // zigzag index -> mask bit (bit b = b-th SELECTED coefficient in zigzag
   // order); the device permutes bit order -> slot order with a constant

@@ -593,3 +593,82 @@ def test_pack_path_restart_markers_and_444(tmp_path):
                 np.testing.assert_array_equal(a, b, err_msg=f"{name} sample {i}")
     finally:
         os.environ.pop("DALI_TPU_DISABLE_SPARSE_WIRE", None)
+
+
+def test_grayscale_hybrid_decode(tmp_path):
+    """1-component (grayscale) JPEGs ride the hybrid path as 4:4:4 with
+    synthetic zero chroma (Cb=Cr=128 after the IDCT bias -> R=G=B=Y, the
+    exact gray->RGB replication libjpeg performs). ~2% of ImageNet is
+    grayscale; previously these errored in hybrid pipelines."""
+    import cv2
+
+    from dali_tpu import fn, pipeline_def
+
+    rng = np.random.default_rng(2)
+    small = rng.integers(0, 255, (9, 12), np.uint8)
+    gray = cv2.resize(small, (90, 70), interpolation=cv2.INTER_CUBIC)
+    ok, enc = cv2.imencode(".jpg", gray, [cv2.IMWRITE_JPEG_QUALITY, 88])
+    data = enc.tobytes()
+    f = tmp_path / "g.jpg"
+    f.write_bytes(data)
+
+    info = native.jpeg_coef_info(data)
+    assert info is not None and info[6] == 1  # reported as mode 1 (4:4:4)
+
+    for wire, scale in (("int16", 1), ("int8", 2)):
+        @pipeline_def(batch_size=1, num_threads=1, seed=1)
+        def p():
+            j, _ = fn.readers.file(files=[str(f)], name="R")
+            return fn.decoders.image(j, device="mixed",
+                                     hybrid_device_decode=True,
+                                     hybrid_wire=wire, hybrid_scale=scale)
+
+        pipe = p()
+        pipe.build()
+        out = np.asarray(pipe.run()[0].at(0))
+        # channels exactly replicated (zero chroma)
+        assert (out[..., 0] == out[..., 1]).all()
+        assert (out[..., 1] == out[..., 2]).all()
+        if scale == 1:
+            ref = cv2.imdecode(np.frombuffer(data, np.uint8),
+                               cv2.IMREAD_COLOR)[..., ::-1]
+            d = np.abs(out.astype(int) - ref.astype(int))
+            assert d.max() <= 4 and d.mean() < 1.0, (d.max(), d.mean())
+
+
+def test_grayscale_coefficients_fast_vs_libjpeg(tmp_path):
+    import ctypes
+
+    import cv2
+
+    gray = np.random.default_rng(5).integers(0, 255, (41, 53), np.uint8)
+    ok, enc = cv2.imencode(".jpg", gray, [cv2.IMWRITE_JPEG_QUALITY, 90])
+    data = enc.tobytes()
+    info = native.jpeg_coef_info(data)
+    ybh, ybw = info[2], info[3]
+    lib = native._load()
+    out = {}
+    for fname in ("dali_tpu_jpeg_huff_read_coeffs_split_crop",
+                  "dali_tpu_jpeg_read_coeffs_split_crop"):
+        g = getattr(lib, fname)
+        if g.argtypes is None:
+            g.restype = ctypes.c_int
+            g.argtypes = ([ctypes.c_char_p, ctypes.c_size_t]
+                          + [ctypes.c_int] * 2 + [ctypes.c_void_p] * 7
+                          + [ctypes.c_int] * 8)
+        bufs = [np.full(ybh * ybw, -9, np.int16),
+                np.full(ybh * ybw * 15, -9, np.int8),
+                np.full(ybh * ybw, -9, np.int16),
+                np.full(ybh * ybw * 15, -9, np.int8),
+                np.full(ybh * ybw, -9, np.int16),
+                np.full(ybh * ybw * 15, -9, np.int8),
+                np.zeros(128, np.uint16)]
+        rc = g(data, len(data), 4, 4,
+               *[b.ctypes.data_as(ctypes.c_void_p) for b in bufs],
+               ybh, ybw, ybh, ybw, 0, 0, 0, 0)
+        assert rc == 0
+        out[fname] = bufs
+    a, b = out.values()
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    assert (a[2] == 0).all() and (a[3] == 0).all()  # chroma planes zero
