@@ -113,11 +113,12 @@ def _decoders_image_fn(*inputs, device=None, hybrid_device_decode=False, hybrid_
         raise ValueError(f"hybrid_wire must be 'int16' or 'int8' (got {hybrid_wire!r})")
     name = kwargs.pop("name", None)
     cache_mb = int(kwargs.pop("cache_size", 0) or 0)
+    adj = bool(kwargs.pop("adjust_orientation", True))
     if hybrid_wire == "int8":
         ydc, yac, cdc, cac, q, dims = _op_call(
             "_JpegCoeffsSplit", device="mixed", inputs=inputs, name=name,
             hybrid_scale=hybrid_scale, chroma_full=hybrid_chroma_full,
-            cache_size=cache_mb,
+            cache_size=cache_mb, adjust_orientation=adj,
         )
         return _op_call(
             "_JpegIdctSplit", device="gpu", inputs=[ydc, yac, cdc, cac, q, dims],
@@ -126,6 +127,7 @@ def _decoders_image_fn(*inputs, device=None, hybrid_device_decode=False, hybrid_
     y, c, q, dims = _op_call(
         "_JpegCoeffs", device="mixed", inputs=inputs, name=name, hybrid_scale=hybrid_scale,
         chroma_full=hybrid_chroma_full, cache_size=cache_mb,
+        adjust_orientation=adj,
     )
     return _op_call(
         "_JpegIdct", device="gpu", inputs=[y, c, q, dims], hybrid_scale=hybrid_scale,
@@ -185,6 +187,7 @@ def _decoders_image_random_crop_fn(*inputs, device=None, hybrid_device_decode=Fa
         random_area=list(random_area), random_aspect_ratio=list(random_aspect_ratio),
         num_attempts=num_attempts, seed=seed,
         cache_size=int(kwargs.pop("cache_size", 0) or 0),
+        adjust_orientation=bool(kwargs.pop("adjust_orientation", True)),
     )
     return _op_call(
         "_JpegIdctSplitRRC", device="gpu", inputs=list(outs),

@@ -477,6 +477,13 @@ DALI_SCHEMA("_JpegCoeffs").DocStr(
 ).NumInput(1).NumOutput(4).Devices("mixed").MakeInternal().AddOptionalArg(
     "cache_size", ArgType.INT, "Coefficient cache budget in MB (0 = off).", 0
 ).AddOptionalArg(
+    "adjust_orientation", ArgType.BOOL,
+    "Reference default True: EXIF-rotated JPEGs cannot ride the hybrid "
+    "coefficient wire (rotation happens in pixel space), so orientation "
+    "tags != 1 raise with guidance; pass False to decode ignoring the tag "
+    "(reference imgcodec applies the tag — use the generic decoder for "
+    "rotated corpora).", True
+).AddOptionalArg(
     "hybrid_scale", ArgType.INT, "Decode scale denominator (1, 2, or 4).", 1
 ).AddOptionalArg("chroma_full", ArgType.BOOL, "Full-spectrum chroma (2x traffic).", False)
 
@@ -491,6 +498,32 @@ DALI_SCHEMA("_JpegIdct").DocStr(
 
 @register_operator("_JpegCoeffs", "mixed")
 class JpegCoeffs(Operator):
+    def _check_exif(self, datas, keys=None):
+        """EXIF orientation tags can't ride the coefficient wire (rotation
+        happens in pixel space after IDCT); raise with guidance unless
+        adjust_orientation=False. Cached by source_info so epoch 2+ skips
+        the APP1 scan."""
+        if not self.spec.GetArgument("adjust_orientation", True):
+            return
+        cache = getattr(self, "_exif_ok_cache", None)
+        if cache is None:
+            cache = self._exif_ok_cache = set()
+        for i, d in enumerate(datas):
+            k = keys[i] if keys and i < len(keys) else None
+            if k and k in cache:
+                continue
+            b = d if isinstance(d, (bytes, bytearray)) else (
+                d.tobytes() if hasattr(d, "tobytes") else bytes(d))
+            if imgcodec.exif_orientation(b) != 1:
+                raise ValueError(
+                    "hybrid_device_decode: sample carries an EXIF orientation "
+                    "tag; the coefficient wire cannot rotate. Use the generic "
+                    "decoder (hybrid_device_decode=False) for rotated corpora "
+                    "or pass adjust_orientation=False to decode ignoring the "
+                    "tag.")
+            if k:
+                cache.add(k)
+
     def _coef_cache(self):
         """Coefficient cache (reference decoder cache applied to the hybrid
         wire): entropy-decoded full-image planes keyed by source_info, so
@@ -672,6 +705,7 @@ class JpegCoeffs(Operator):
 
         ky, kc = self._ks()
         datas = [np.ascontiguousarray(e).tobytes() for e in inp.samples]
+        self._check_exif(datas, inp.source_info)
         infos = []
         for d in datas:
             info = native.jpeg_coef_info(d)
@@ -777,6 +811,13 @@ DALI_SCHEMA("_JpegCoeffsSplit").DocStr(
     (native/src/jpeg_coeffs_split.cc). Outputs: (y_dc, y_ac, c_dc, c_ac, q, dims)."""
 ).NumInput(1).NumOutput(6).Devices("mixed").MakeInternal().AddOptionalArg(
     "cache_size", ArgType.INT, "Coefficient cache budget in MB (0 = off).", 0
+).AddOptionalArg(
+    "adjust_orientation", ArgType.BOOL,
+    "Reference default True: EXIF-rotated JPEGs cannot ride the hybrid "
+    "coefficient wire (rotation happens in pixel space), so orientation "
+    "tags != 1 raise with guidance; pass False to decode ignoring the tag "
+    "(reference imgcodec applies the tag — use the generic decoder for "
+    "rotated corpora).", True
 ).AddOptionalArg(
     "hybrid_scale", ArgType.INT, "Decode scale denominator (1, 2, or 4).", 1
 ).AddOptionalArg("chroma_full", ArgType.BOOL, "Full-spectrum chroma.", False)
@@ -1016,6 +1057,7 @@ class JpegCoeffsSplit(JpegCoeffs):
         inp = inputs[0]
         datas = [np.ascontiguousarray(e) for e in inp.samples]
         n = len(datas)
+        self._check_exif(datas, inp.source_info)
         infos = self._cached_infos(inp, datas)
         if infos is None:
             return None
@@ -1126,6 +1168,7 @@ class JpegCoeffsSplit(JpegCoeffs):
 
         ky, kc = self._ks()
         datas = [np.ascontiguousarray(e).tobytes() for e in inp.samples]
+        self._check_exif(datas, inp.source_info)
         infos = []
         for d in datas:
             info = native.jpeg_coef_info(d)
@@ -1256,6 +1299,13 @@ DALI_SCHEMA("_JpegCoeffsSplitRRC").DocStr(
 ).NumInput(1).NumOutput(7).Devices("mixed").MakeInternal().AddRandomSeedArg().AddOptionalArg(
     "cache_size", ArgType.INT, "Coefficient cache budget in MB (0 = off).", 0
 ).AddOptionalArg(
+    "adjust_orientation", ArgType.BOOL,
+    "Reference default True: EXIF-rotated JPEGs cannot ride the hybrid "
+    "coefficient wire (rotation happens in pixel space), so orientation "
+    "tags != 1 raise with guidance; pass False to decode ignoring the tag "
+    "(reference imgcodec applies the tag — use the generic decoder for "
+    "rotated corpora).", True
+).AddOptionalArg(
     "hybrid_scale", ArgType.INT, "Decode scale denominator (1, 2, or 4).", 1
 ).AddOptionalArg(
     "chroma_full", ArgType.BOOL, "Full-spectrum chroma.", False
@@ -1284,6 +1334,7 @@ class JpegCoeffsSplitRRC(JpegCoeffsSplit):
         inp = inputs[0]
         datas = [np.ascontiguousarray(e) for e in inp.samples]
         n = len(datas)
+        self._check_exif(datas, inp.source_info)
         with _prof.section("host.decode.header_info"):
             infos = self._cached_infos(inp, datas)
         if infos is None:

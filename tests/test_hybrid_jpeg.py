@@ -672,3 +672,51 @@ def test_grayscale_coefficients_fast_vs_libjpeg(tmp_path):
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x, y)
     assert (a[2] == 0).all() and (a[3] == 0).all()  # chroma planes zero
+
+
+def test_exif_orientation_guard(tmp_path):
+    """EXIF-rotated JPEGs can't ride the coefficient wire (rotation is a
+    pixel-space op): the hybrid decoder raises with guidance instead of
+    silently emitting unrotated output; adjust_orientation=False opts out;
+    the generic decoder applies the tag (reference imgcodec default)."""
+    import struct
+
+    import cv2
+
+    from dali_tpu import fn, imgcodec, pipeline_def
+
+    rng = np.random.default_rng(0)
+    img = cv2.resize(rng.integers(0, 255, (8, 10, 3), np.uint8), (80, 64))
+    ok, enc = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, 90])
+    j = enc.tobytes()
+    tiff = (b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", 1)
+            + struct.pack("<HHI", 0x0112, 3, 1) + struct.pack("<HH", 6, 0)
+            + struct.pack("<I", 0))
+    exif = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", len(exif) + 2) + exif
+    data = j[:2] + app1 + j[2:]
+    assert imgcodec.exif_orientation(data) == 6
+    f = tmp_path / "e.jpg"
+    f.write_bytes(data)
+
+    def make(adj, hybrid):
+        @pipeline_def(batch_size=1, num_threads=1, seed=1)
+        def p():
+            jp, _ = fn.readers.file(files=[str(f)], name="R")
+            if hybrid:
+                return fn.decoders.image(jp, device="mixed",
+                                         hybrid_device_decode=True,
+                                         hybrid_wire="int8", hybrid_scale=2,
+                                         adjust_orientation=adj)
+            return fn.decoders.image(jp, device="mixed")
+
+        pipe = p()
+        pipe.build()
+        return pipe
+
+    with pytest.raises(Exception, match="EXIF orientation"):
+        make(True, True).run()
+    out = np.asarray(make(False, True).run()[0].at(0))
+    assert out.shape == (32, 40, 3)  # unrotated, scale 2
+    o2 = np.asarray(make(True, False).run()[0].at(0))
+    assert o2.shape[:2] == (80, 64)  # generic path rotated (dims swapped)
