@@ -720,3 +720,60 @@ def test_exif_orientation_guard(tmp_path):
     assert out.shape == (32, 40, 3)  # unrotated, scale 2
     o2 = np.asarray(make(True, False).run()[0].at(0))
     assert o2.shape[:2] == (80, 64)  # generic path rotated (dims swapped)
+
+
+def test_pack_wire_property_fuzz(tmp_path):
+    """Randomized geometry sweep: sparse (pack-emit) and dense wires must be
+    bit-identical through the public decoder API across sizes, samplings,
+    qualities, restart intervals, scales and grayscale (the property-fuzz
+    analogue of test_resample_fuzz for the wire)."""
+    import os
+
+    from dali_tpu import fn, pipeline_def
+
+    rng = np.random.default_rng(77)
+    cases = []
+    for t in range(10):
+        h = int(rng.integers(24, 260))
+        w = int(rng.integers(24, 260))
+        sub = int(rng.integers(0, 2))
+        gray = t % 5 == 4
+        q = int(rng.choice([50, 85, 95]))
+        ri = int(rng.choice([0, 0, 0, 2, 5]))
+        scale = int(rng.choice([1, 2, 2, 4]))
+        if gray:
+            import cv2
+
+            img = rng.integers(0, 255, (h, w), np.uint8)
+            ok, enc = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, q])
+            data = enc.tobytes()
+        else:
+            img = rng.integers(0, 255, (h, w, 3), np.uint8)
+            data = native.jpeg_encode_rgb(img, quality=q, subsamp=sub,
+                                          restart_interval=ri)
+        f = tmp_path / f"{t}.jpg"
+        f.write_bytes(data)
+        cases.append((str(f), scale))
+
+    def run(path, scale, disable_sparse):
+        os.environ["DALI_TPU_DISABLE_SPARSE_WIRE"] = "1" if disable_sparse else "0"
+
+        @pipeline_def(batch_size=1, num_threads=1, seed=3)
+        def p():
+            j, _ = fn.readers.file(files=[path], name="R")
+            return fn.decoders.image(j, device="mixed",
+                                     hybrid_device_decode=True,
+                                     hybrid_scale=scale, hybrid_wire="int8")
+
+        pipe = p()
+        pipe.build()
+        return np.asarray(pipe.run()[0].at(0))
+
+    try:
+        for path, scale in cases:
+            a = run(path, scale, False)
+            b = run(path, scale, True)
+            assert a.shape == b.shape, (path, scale)
+            np.testing.assert_array_equal(a, b, err_msg=f"{path} scale{scale}")
+    finally:
+        os.environ.pop("DALI_TPU_DISABLE_SPARSE_WIRE", None)
