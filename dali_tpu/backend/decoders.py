@@ -11,6 +11,8 @@ falls back to OpenCV.
 
 from __future__ import annotations
 
+import time
+
 import numpy as np
 
 from .._schema import DALI_SCHEMA, ArgType, register_operator
@@ -1348,7 +1350,7 @@ class JpegCoeffsSplitRRC(JpegCoeffsSplit):
         area = self.spec.GetArgument("random_area")
         ar = self.spec.GetArgument("random_aspect_ratio")
         attempts = self.spec.GetArgument("num_attempts", 10)
-        _t_rrc = __import__("time").perf_counter()
+        _t_rrc = time.perf_counter()
         wins = sample_rrc_windows_batch(ctx.rng(self), infos[:, :2], area, ar, attempts)
         # vectorized MCU-grid snap of all n windows (was a python loop —
         # measurable at batch 256 on the 1-core host)
@@ -1402,7 +1404,7 @@ class JpegCoeffsSplitRRC(JpegCoeffsSplit):
             want = need[j] if self._flat_lens[j] else int(need[j] * 1.25)
             self._flat_lens[j] = max(self._flat_lens[j], -(-want // chunk) * chunk)
 
-        _prof.add("host.decode.rrc_windows", __import__("time").perf_counter() - _t_rrc)
+        _prof.add("host.decode.rrc_windows", time.perf_counter() - _t_rrc)
         cache = self._coef_cache()
         keys = inp.source_info
         pack_mode = self._use_pack_batch(ky, kc, cache, keys)
