@@ -13,7 +13,7 @@ fail=0
 run() {
   local name="$1"; shift
   echo "== example: $name"
-  if timeout 600 python "docs/examples/$name" "$@" >/tmp/example_"$name".log 2>&1; then
+  if timeout 900 python "docs/examples/$name" "$@" >/tmp/example_"$name".log 2>&1; then
     echo "   OK"
   else
     echo "   FAIL (tail of log):"
