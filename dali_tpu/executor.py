@@ -480,6 +480,9 @@ class Executor:
         # the host.decode.* subsections; boundary_staging/param_prep are the
         # post-op staging work. See docs/performance.md "Host time budget".
         out["host_breakdown_seconds"] = _prof.snapshot()
+        from . import native
+
+        out["staging_arena"] = native.arena_stats()
         return out
 
     # -- one iteration --------------------------------------------------------------------

@@ -198,6 +198,17 @@ def _load():
             ctypes.c_void_p, ctypes.c_long, ctypes.c_long, ctypes.c_long,
             ctypes.c_int, ctypes.c_int,
         ]
+        lib.dali_tpu_arena_create.restype = ctypes.c_void_p
+        lib.dali_tpu_arena_create.argtypes = [ctypes.c_longlong, ctypes.c_int]
+        lib.dali_tpu_arena_destroy.argtypes = [ctypes.c_void_p]
+        lib.dali_tpu_arena_alloc.restype = ctypes.c_void_p
+        lib.dali_tpu_arena_alloc.argtypes = [ctypes.c_void_p, ctypes.c_longlong]
+        lib.dali_tpu_arena_free.restype = ctypes.c_int
+        lib.dali_tpu_arena_free.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        lib.dali_tpu_arena_trim.argtypes = [ctypes.c_void_p, ctypes.c_longlong]
+        lib.dali_tpu_arena_stats.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_longlong)
+        ]
         _LIB = lib
     except OSError:
         _LIB = None
@@ -381,20 +392,111 @@ class VideoFile:
             pass
 
 
-class StagingRing:
-    """Reusable wire-buffer ring — the host staging arena (SURVEY §2.1
-    memory-manager row; reference mm::* pinned staging pools). np.empty per
-    batch costs ~17 MB of fresh-page faults at this batch size; a ring reuses
-    warm pages. SAFETY: a slot may be rewritten only after its iteration's
-    device transfer completed, so the ring must be owned by ONE pipeline's
-    decoder op and sized >= that pipeline's in-flight staged iterations
-    (cpu_queue_depth + 2: one being built, one in transfer). Callers that
-    can't guarantee a depth pass ring=None and get fresh allocations."""
+class HostArena:
+    """Native size-classed host staging arena (src/arena.cc) — the mm::*
+    analogue (reference include/dali/core/mm/memory_resource.h pinned kinds +
+    mm/pool_resource.h free-list pooling; mm::alloc_raw_unique's deleter
+    pattern is mirrored by the weakref finalizer on each block).
 
-    def __init__(self, depth: int):
+    ``alloc(n, dtype)`` returns a numpy array whose storage is an arena block;
+    the block returns to the pool when the LAST reference to that array drops
+    (finalizer), so in-flight staged buffers can never dangle — lifetime
+    semantics are identical to plain ``np.empty``, minus the mmap/page-fault
+    churn. ``pin=True`` additionally best-effort mlocks blocks so pages stay
+    resident under an async H2D writer."""
+
+    def __init__(self, max_pooled_bytes: int = 512 << 20, pin: bool = True):
+        self._lib = _load()
+        self._h = None
+        if self._lib is not None:
+            self._h = self._lib.dali_tpu_arena_create(
+                ctypes.c_longlong(int(max_pooled_bytes)), 1 if pin else 0
+            )
+
+    @property
+    def available(self) -> bool:
+        return self._h is not None
+
+    def alloc(self, n: int, dtype) -> np.ndarray:
+        """A 1-D writable array of n elements backed by a pooled block."""
+        import weakref
+
+        dt = np.dtype(dtype)
+        nbytes = max(int(n) * dt.itemsize, 1)
+        if self._h is None:
+            return np.empty((int(n),), dt)
+        ptr = self._lib.dali_tpu_arena_alloc(self._h, ctypes.c_longlong(nbytes))
+        if not ptr:
+            return np.empty((int(n),), dt)
+        cbuf = (ctypes.c_uint8 * nbytes).from_address(ptr)
+        # Passing `self` keeps the arena (and its C handle) alive until every
+        # outstanding block's finalizer has run.
+        weakref.finalize(cbuf, self._free_ptr, ptr)
+        return np.frombuffer(cbuf, dtype=dt, count=int(n))
+
+    def _free_ptr(self, ptr: int) -> None:
+        if self._h is not None:
+            self._lib.dali_tpu_arena_free(self._h, ctypes.c_void_p(ptr))
+
+    def trim(self, keep_bytes: int = 0) -> None:
+        if self._h is not None:
+            self._lib.dali_tpu_arena_trim(self._h, ctypes.c_longlong(int(keep_bytes)))
+
+    def stats(self) -> dict:
+        if self._h is None:
+            return {}
+        out = (ctypes.c_longlong * 9)()
+        self._lib.dali_tpu_arena_stats(self._h, out)
+        keys = ("in_use_bytes", "in_use_blocks", "pooled_bytes", "pinned_bytes",
+                "alloc_calls", "reuse_hits", "os_allocs", "os_frees",
+                "max_pooled_bytes")
+        return dict(zip(keys, [int(v) for v in out]))
+
+    def __del__(self):
+        try:
+            if self._h is not None:
+                self._lib.dali_tpu_arena_destroy(self._h)
+                self._h = None
+        except Exception:
+            pass
+
+
+_DEFAULT_ARENA = None
+
+
+def default_arena() -> HostArena:
+    """Process-wide staging arena shared by every pipeline's wire buffers.
+    One pool matches the reference's GetDefaultResource(mm::memory_kind)."""
+    global _DEFAULT_ARENA
+    if _DEFAULT_ARENA is None:
+        _DEFAULT_ARENA = HostArena()
+    return _DEFAULT_ARENA
+
+
+def arena_stats() -> dict:
+    """Counters for executor_statistics()["staging_arena"]; {} if no native lib."""
+    return _DEFAULT_ARENA.stats() if _DEFAULT_ARENA is not None else {}
+
+
+class StagingRing:
+    """Reusable wire-buffer ring — the host staging arena's lifetime policy
+    (SURVEY §2.1 memory-manager row; reference mm::* pinned staging pools).
+    np.empty per batch costs ~17 MB of fresh-page faults at this batch size; a
+    ring reuses warm pages. Slots draw their storage from the process
+    HostArena (native size-class pool, optionally mlocked) when the native
+    lib is present. SAFETY: a slot may be rewritten only after its
+    iteration's device transfer completed, so the ring must be owned by ONE
+    pipeline's decoder op and sized >= that pipeline's in-flight staged
+    iterations (cpu_queue_depth + 2: one being built, one in transfer).
+    Replaced (outgrown) slots are returned to the arena pool only when the
+    last in-flight reference drops. Callers that can't guarantee a depth
+    pass ring=None and get fresh allocations."""
+
+    def __init__(self, depth: int, arena: HostArena | None = None):
         self.depth = max(int(depth), 2)
         self._slots = {}
         self._idx = {}
+        self._arena = default_arena() if arena is None else arena
 
     def take(self, kind: str, n: int, dtype) -> np.ndarray:
         key = (kind, np.dtype(dtype).str)
@@ -403,7 +505,7 @@ class StagingRing:
         self._idx[key] = (i + 1) % self.depth
         buf = ring[i]
         if buf is None or buf.shape[0] < n:
-            buf = np.empty((n,), dtype)
+            buf = self._arena.alloc(n, dtype)
             ring[i] = buf
         return buf[:n]
 
