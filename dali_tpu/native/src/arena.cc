@@ -86,7 +86,9 @@ struct Arena {
       pooled_bytes -= (long long)cls;
       reuse_hits++;
     } else {
-      base = std::aligned_alloc(kMinClass, kHeader + cls);
+      // C11: size must be a multiple of alignment — kHeader (64) + cls
+      // (multiple of 4 KiB) is a multiple of 64, the alignment we promise.
+      base = std::aligned_alloc(kHeader, kHeader + cls);
       if (!base) return nullptr;
       os_allocs++;
 #ifdef DALI_TPU_HAVE_MLOCK

@@ -8,7 +8,7 @@ SRC=dali_tpu/native/src
 OUT=/tmp/dali_tpu_asan_fuzz
 FLAGS="-O1 -g -fsanitize=address,undefined -fno-sanitize-recover=all -std=c++17"
 LIBS="-ljpeg -lpthread"
-SRCS="$SRC/jpeg_huff.cc $SRC/jpeg_coeffs_split.cc $SRC/jpeg_encode.cc $SRC/tasking.cc $SRC/sparse_pack.cc"
+SRCS="$SRC/arena.cc $SRC/jpeg_huff.cc $SRC/jpeg_coeffs_split.cc $SRC/jpeg_encode.cc $SRC/tasking.cc $SRC/sparse_pack.cc"
 if ldconfig -p | grep -q libswresample; then
   SRCS="$SRCS $SRC/audio_decode.cc"
   LIBS="$LIBS -lavformat -lavcodec -lavutil -lswresample"

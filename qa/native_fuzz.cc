@@ -30,6 +30,12 @@ int dali_tpu_jpeg_read_coeffs_split_crop(const char*, size_t, int, int, short*,
                                          short*, signed char*, unsigned short*,
                                          int, int, int, int, int, int, int,
                                          int);
+void* dali_tpu_arena_create(long long, int);
+void dali_tpu_arena_destroy(void*);
+void* dali_tpu_arena_alloc(void*, long long);
+int dali_tpu_arena_free(void*, void*);
+void dali_tpu_arena_trim(void*, long long);
+void dali_tpu_arena_stats(void*, long long*);
 #ifdef HAVE_AUDIO
 long dali_tpu_audio_encode(const float*, long, int, int, const char*,
                            unsigned char*, long);
@@ -128,6 +134,38 @@ int main() {
           ybw, cbh, cbw, 2, 2, 1, 1);
     }
     printf("progressive fuzz: 2000 mutations OK\n");
+  }
+
+  // arena torture: randomized alloc/free/trim interleave across size classes,
+  // full-block writes (ASan redzones catch header/bounds bugs), leak check via
+  // detect_leaks=1 at exit plus the arena's own in_use counter.
+  {
+    void* arena = dali_tpu_arena_create(1 << 20 /* tight cap forces OS frees */, 1);
+    std::vector<void*> live;
+    for (int i = 0; i < 20000; i++) {
+      uint64_t r = xrand();
+      if ((r % 3) != 0 || live.empty()) {
+        long long sz = (long long)(1 + (r >> 8) % 300000);
+        void* p = dali_tpu_arena_alloc(arena, sz);
+        if (p) {
+          std::memset(p, (int)(r & 0xFF), (size_t)sz);
+          live.push_back(p);
+        }
+      } else {
+        size_t k = (size_t)(r >> 16) % live.size();
+        if (dali_tpu_arena_free(arena, live[k])) { printf("arena free failed\n"); return 1; }
+        live[k] = live.back();
+        live.pop_back();
+      }
+      if (i % 4096 == 0) dali_tpu_arena_trim(arena, (long long)(r % 65536));
+    }
+    for (void* p : live) dali_tpu_arena_free(arena, p);
+    long long st[9];
+    dali_tpu_arena_stats(arena, st);
+    if (st[0] != 0 || st[1] != 0) { printf("arena leak: %lld bytes\n", st[0]); return 1; }
+    dali_tpu_arena_trim(arena, 0);
+    dali_tpu_arena_destroy(arena);
+    printf("arena fuzz: 20000 ops OK\n");
   }
 
 #ifdef HAVE_AUDIO
