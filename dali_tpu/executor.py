@@ -191,6 +191,21 @@ class Executor:
                 self.device_ops.append(node)
         self._validate_placement()
 
+        # Batch-size providers (reference InitIteration's batch-size inference
+        # task, executor2/exec_graph.h:403): ExternalSource and reader outputs
+        # define each iteration's batch size, and every other op — including
+        # 0-input sources like fn.random.* and Constant — must follow it.
+        # Hoist providers to the front of the host program (they consume no
+        # graph edges, so this is topologically safe) so the size is known
+        # before anything that asks ctx.batch_size runs.
+        def _is_provider(n):
+            return ((n.spec.schema.is_reader
+                     or n.spec.schema_name == "ExternalSource")
+                    and not n.spec.inputs and not n.spec.arg_inputs)
+
+        self._provider_ids = {n.id for n in self.host_ops if _is_provider(n)}
+        self.host_ops.sort(key=lambda n: 0 if n.id in self._provider_ids else 1)
+
         # -- boundary edges ------------------------------------------------------
         # host-produced edges that the device program (or gpu pipeline outputs) need.
         self.boundary_edges: List = []
@@ -492,6 +507,26 @@ class Executor:
         ctx = HostCtx(self.pipeline, iteration, self._epoch, pool=self.sample_pool)
         env: Dict[Tuple[int, int], HostBatch] = {}
 
+        # Iteration batch size = what the batch-size providers produced
+        # (reference InitIteration batch-size inference). Providers run first
+        # (hoisted at build); all must agree, and everything downstream —
+        # including 0-input ops asking ctx.batch_size — follows.
+        inferred = [None]
+
+        def _note_provider(node):
+            out = env[(node.id, 0)]
+            # HostBatch defines __len__; staged wire containers carry a
+            # per-sample `shapes` array instead.
+            n = len(out) if isinstance(out, HostBatch) else len(out.shapes)
+            if inferred[0] is None:
+                inferred[0] = n
+                ctx.batch_size = n
+            elif inferred[0] != n:
+                raise ValueError(
+                    f"Batch size providers disagree this iteration: "
+                    f"'{node.instance_name}' produced {n} samples, a previous "
+                    f"provider produced {inferred[0]}")
+
         # 1. host program
         _t_ops = time.perf_counter()
         for node in self.host_ops:
@@ -508,6 +543,8 @@ class Executor:
                     arr, shapes, layout = staged
                     self._canvas[k] = list(arr.shape[1:])
                     env[k] = _Staged(arr, shapes, layout)
+                    if node.id in self._provider_ids:
+                        _note_provider(node)
                     continue
             # multi-output variant: each element is a (arr, shapes, layout)
             # staged canvas or a plain HostBatch (small host-side outputs)
@@ -526,6 +563,8 @@ class Executor:
                             arr, shapes, layout = item
                             self._canvas[k] = list(arr.shape[1:])
                             env[k] = _Staged(arr, shapes, layout)
+                    if node.id in self._provider_ids:
+                        _note_provider(node)
                     continue
             try:
                 outs = impl.run_batch(ctx, *ins)
@@ -542,6 +581,8 @@ class Executor:
                 outs = [outs]
             for j, out in enumerate(outs):
                 env[(node.id, j)] = out
+            if node.id in self._provider_ids:
+                _note_provider(node)
         _prof.add("host.ops_total", time.perf_counter() - _t_ops)
 
         # 2. boundary staging: ragged host batches → padded canvases, transferred

@@ -31,6 +31,8 @@ run ssd_detection.py --batch-size 4 --iters 2
 run video_training.py --batch-size 2 --iters 2
 run efficientnet_autoaugment.py --batch-size 4 --image-size 64 --steps 2 --augment auto
 run pytorch_proxy_training.py
+run webdataset_ingest.py --batch-size 4 --iters 2
+run dynamic_mode.py
 
 if [ "$fail" -ne 0 ]; then
   echo "EXAMPLES GATE: FAIL"
