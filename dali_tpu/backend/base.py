@@ -38,6 +38,13 @@ class HostCtx:
         self.epoch = epoch
         self._pool = pool
         self._arg_batches: Dict[int, Dict[str, HostBatch]] = {}
+        # statically-propagated input layouts per device op (set by the
+        # executor's Setup pass; lets device_statics/host_output_shapes
+        # resolve layout-named axes on device-to-device edges)
+        self.op_in_layouts: Dict[int, List[str]] = {}
+
+    def in_layouts(self, op: "Operator") -> List[str]:
+        return self.op_in_layouts.get(op.op_id, [])
 
     # -- RNG: counter-based, checkpoint == (seed, iteration) -------------------
     def rng(self, op: "Operator", sample_idx: Optional[int] = None) -> np.random.Generator:
@@ -196,6 +203,14 @@ class Operator:
         shapes through chains of device ops (the analogue of the reference's
         Setup() shape-inference pass, operator.h:88)."""
         return None
+
+    def host_output_layouts(self, in_layouts: List[str]) -> List[str]:
+        """Static layout inference for a device op (the layout leg of the
+        Setup() pass). Default: pass through the first input's layout. Ops
+        that permute or rename axes on the device (CMN, Transpose, Reshape,
+        decoders) override this so downstream ``axis_names`` resolution works
+        across device-to-device edges."""
+        return [in_layouts[0] if in_layouts else ""]
 
     # -- padding hints ---------------------------------------------------------------
     def boundary_fill(self, output_idx: int = 0):

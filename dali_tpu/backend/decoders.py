@@ -767,6 +767,9 @@ class JpegCoeffs(Operator):
 
 @register_operator("_JpegIdct", "gpu")
 class JpegIdct(Operator):
+    def host_output_layouts(self, in_layouts):
+        return ["HWC"]  # coefficient wires carry no layout; output is RGB HWC
+
     def device_statics(self, ctx, in_shapes, in_batches=None):
         # chroma sampling mode (col 2 of the dims batch); jit-static
         if in_batches is None or in_batches[3] is None:
@@ -1206,6 +1209,9 @@ class JpegCoeffsSplit(JpegCoeffs):
 
 @register_operator("_JpegIdctSplit", "gpu")
 class JpegIdctSplit(Operator):
+    def host_output_layouts(self, in_layouts):
+        return ["HWC"]  # coefficient wires carry no layout; output is RGB HWC
+
     def device_statics(self, ctx, in_shapes, in_batches=None):
         # chroma sampling mode (0=4:2:0, 1=4:4:4, 2=4:2:2) rides the dims
         # batch (col 2); it's a jit-static of the device program (the batch

@@ -64,6 +64,9 @@ class ShapesCPU(Operator):
 
 @register_operator("Shapes", "gpu")
 class ShapesGPU(Operator):
+    def host_output_layouts(self, in_layouts):
+        return [""]
+
     def lower(self, dctx, inp: DeviceBatch):
         import jax.numpy as jnp
 
@@ -120,6 +123,14 @@ class ReshapeCPU(Operator):
 
 @register_operator("Reshape", "gpu")
 class ReshapeGPU(Operator):
+    def host_output_layouts(self, in_layouts):
+        layout = self.spec.GetArgument("layout", None)
+        if layout is not None:
+            return [layout]
+        if self.spec.GetArgument("shape", None) is None:
+            return [in_layouts[0] if in_layouts else ""]
+        return [""]
+
     def lower(self, dctx, inp: DeviceBatch, *shape_in):
         if inp.shapes is not None:
             raise NotImplementedError("Reshape on ragged device batches is not supported")
@@ -173,6 +184,11 @@ class ExpandDimsCPU(Operator):
 
 @register_operator("ExpandDims", "gpu")
 class ExpandDimsGPU(Operator):
+    def host_output_layouts(self, in_layouts):
+        return [_expand_layout(in_layouts[0] if in_layouts else "",
+                               self.spec.GetArgument("axes"),
+                               self.spec.GetArgument("new_axis_names", None))]
+
     def lower(self, dctx, inp: DeviceBatch):
         import jax.numpy as jnp
 
@@ -227,6 +243,15 @@ class SqueezeCPU(Operator):
 
 @register_operator("Squeeze", "gpu")
 class SqueezeGPU(Operator):
+    def host_output_layouts(self, in_layouts):
+        layout = in_layouts[0] if in_layouts else ""
+        if not layout:
+            return [""]
+        axes = _squeeze_axes(self.spec, layout, len(layout))
+        if axes is None:
+            return [""]  # squeeze-all depends on per-sample shape
+        return ["".join(ch for i, ch in enumerate(layout) if i not in set(axes))]
+
     def lower(self, dctx, inp: DeviceBatch):
         import jax.numpy as jnp
 
@@ -283,6 +308,9 @@ class TransposeCPU(Operator):
 
 @register_operator("Transpose", "gpu")
 class TransposeGPU(Operator):
+    def host_output_layouts(self, in_layouts):
+        return [_transpose_layout(self.spec, in_layouts[0] if in_layouts else "")]
+
     def lower(self, dctx, inp: DeviceBatch):
         import jax.numpy as jnp
 
@@ -350,6 +378,11 @@ class OneHotCPU(Operator):
 
 @register_operator("OneHot", "gpu")
 class OneHotGPU(Operator):
+    def host_output_layouts(self, in_layouts):
+        class _L:  # _one_hot_layout consumes objects with a .layout attribute
+            layout = in_layouts[0] if in_layouts else ""
+        return [_one_hot_layout(self.spec, [_L])]
+
     def lower(self, dctx, inp: DeviceBatch):
         import jax
         import jax.numpy as jnp
@@ -435,8 +468,8 @@ class PadGPU(Operator):
         ndim = shapes.shape[1]
         if self.spec.GetArgument("axis_names", None) and not layout:
             raise ValueError(
-                "Pad(gpu): axis_names requires a layout-carrying host-boundary "
-                "input; pass `axes` instead for device-to-device edges")
+                "Pad(gpu): axis_names requires an input with a known layout; "
+                "pass `axes` instead")
         axes = _pad_axes(self.spec, layout, ndim)
         align = self.spec.GetArgument("align", None)
         req_shape = self.spec.GetArgument("shape", None)
@@ -453,17 +486,22 @@ class PadGPU(Operator):
                 target[d] = ((target[d] + a - 1) // a) * a
         return axes, target
 
-    @staticmethod
-    def _batch_layout(input_batches):
+    def _in_layout(self, ctx, input_batches):
         b = input_batches[0] if input_batches else None
-        return getattr(b, "layout", "") or ""
+        layout = getattr(b, "layout", "") or ""
+        if not layout:
+            # statically-propagated layout (executor Setup pass) covers
+            # device-to-device edges, e.g. pad after mixed decode
+            lays = ctx.in_layouts(self)
+            layout = lays[0] if lays else ""
+        return layout
 
     def host_output_shapes(self, ctx, input_shapes, input_batches):
         shapes = input_shapes[0]
         if shapes is None:
             return None
         shapes = np.asarray(shapes)
-        axes, target = self._targets(shapes, self._batch_layout(input_batches))
+        axes, target = self._targets(shapes, self._in_layout(ctx, input_batches))
         out = shapes.copy()
         for d in axes:
             out[:, d] = target[d]
@@ -471,7 +509,7 @@ class PadGPU(Operator):
 
     def device_statics(self, ctx, input_shapes, input_batches=None):
         shapes = np.asarray(input_shapes[0])
-        axes, target = self._targets(shapes, self._batch_layout(input_batches))
+        axes, target = self._targets(shapes, self._in_layout(ctx, input_batches))
         return (tuple(axes), tuple(int(t) for t in target))
 
     def lower(self, dctx, inp: DeviceBatch):
@@ -502,6 +540,17 @@ class PadGPU(Operator):
             out_shapes = jnp.where(cols[None], tgt[None], inp.shapes)
         else:
             out_shapes = None
+        # The staging canvas may be quantized well past the pad target (grow
+        # policy rounds spatial dims up); slice padded axes down to the exact
+        # target so `as_tensor()` extents match the cpu path. `target` is a
+        # trace-time static (device_statics), so this adds no recompiles.
+        crop = tuple(
+            slice(0, int(target[d])) if d in axes and int(target[d]) < data.shape[1 + d]
+            else slice(None)
+            for d in range(ndim)
+        )
+        if any(s != slice(None) for s in crop):
+            data = data[(slice(None),) + crop]
         return [DeviceBatch(data, out_shapes, inp.layout)]
 
 

@@ -697,6 +697,15 @@ class _CMNCommon:
 
 @register_operator("CropMirrorNormalize", "gpu")
 class CropMirrorNormalizeGPU(Operator, _CMNCommon):
+    def host_output_layouts(self, in_layouts):
+        base = self.spec.GetArgument("output_layout", "CHW")
+        il = in_layouts[0] if in_layouts else ""
+        if il.startswith("D"):
+            return ["D" + base]
+        if il.startswith("F"):
+            return [base if base.startswith("F") else "F" + base]
+        return [base]
+
     def lower(self, dctx, inp: DeviceBatch):
         import jax.numpy as jnp
 

@@ -670,13 +670,20 @@ class Executor:
         statics = {}
         shape_env: Dict[Tuple[int, int], np.ndarray] = {}
         boundary_by_key = {(_edge_key(e)): i for i, e in enumerate(self.boundary_edges)}
+        layout_env: Dict[Tuple[int, int], str] = {}
         for k, bi in boundary_by_key.items():
             shape_env[k] = shape_arrays[bi]
+            layout_env[k] = boundary_layouts[bi] or ""
 
         param_op_ids = {n.id for n in self.param_ops}
         for node in self.device_ops:
             impl = self.impls[node.id]
             in_shapes = [shape_env.get(_edge_key(e)) for e in node.spec.inputs]
+            in_layouts = [layout_env.get(_edge_key(e), "") for e in node.spec.inputs]
+            ctx.op_in_layouts[node.id] = in_layouts
+            louts = impl.host_output_layouts(in_layouts) or [""]
+            for j in range(node.spec.num_outputs()):
+                layout_env[(node.id, j)] = louts[min(j, len(louts) - 1)] or ""
             in_batches = [env.get(_edge_key(e)) for e in node.spec.inputs]
             in_batches = [b if isinstance(b, HostBatch) else None for b in in_batches]
             if node.id in param_op_ids:

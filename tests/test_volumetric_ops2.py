@@ -86,6 +86,72 @@ def test_rotate_volumetric_z_quarter_turn_matches_rot90():
                                       np.rot90(vol[z, ..., 0], k=1))
 
 
+def test_pad_volumetric_ragged_cpu_gpu():
+    # ragged DHWC batch, all-axis pad with align: device output must crop the
+    # quantized staging canvas down to the pad target (reference pad.cc:
+    # output extents are the batch max rounded to `align`)
+    rng = np.random.default_rng(11)
+    vols = [rng.integers(0, 255, s, np.uint8)
+            for s in [(4, 6, 8, 1), (6, 5, 7, 1)]]
+
+    def run(device):
+        @pipeline_def(batch_size=2, num_threads=1, seed=1)
+        def p():
+            x = fn.external_source(source=lambda: vols, batch=True, layout="DHWC")
+            if device == "gpu":
+                x = x.gpu()
+            return fn.pad(x, device=device, fill_value=7.0, align=[4, 4, 4],
+                          axis_names="DHW")
+        pipe = p()
+        pipe.build()
+        (out,) = pipe.run()
+        return out
+
+    cpu = run("cpu")
+    gpu = run("gpu")
+    dense = np.asarray(gpu.as_tensor())
+    assert dense.shape == (2, 8, 8, 8, 1), dense.shape  # not the 64^3 canvas
+    for i in range(2):
+        np.testing.assert_array_equal(np.asarray(cpu.at(i)), gpu.at(i))
+
+
+def test_pad_gpu_as_tensor_extent_matches_cpu_2d():
+    # 2-D regression for the same canvas-crop: HWC ragged batch padded to the
+    # batch max must not leak staging-canvas quantization into as_tensor()
+    rng = np.random.default_rng(12)
+    imgs = [rng.integers(0, 255, (17, 23, 3), np.uint8),
+            rng.integers(0, 255, (21, 19, 3), np.uint8)]
+
+    @pipeline_def(batch_size=2, num_threads=1, seed=1)
+    def p():
+        x = fn.external_source(source=lambda: imgs, batch=True, layout="HWC")
+        return fn.pad(x.gpu(), device="gpu")
+
+    pipe = p()
+    pipe.build()
+    (out,) = pipe.run()
+    assert np.asarray(out.as_tensor()).shape == (2, 21, 23, 3)
+
+
+def test_pad_axis_names_after_mixed_decode(jpeg_dataset):
+    # layout propagation through device-op chains: the decode output carries
+    # HWC statically, so axis_names resolves on a device-to-device edge
+    @pipeline_def(batch_size=4, num_threads=2, seed=7)
+    def p():
+        files, labels = fn.readers.file(file_root=jpeg_dataset,
+                                        random_shuffle=True, seed=5)
+        img = fn.decoders.image(files, device="mixed")
+        return fn.pad(img, device="gpu", align=[16, 16], axis_names="HW"), labels
+
+    pipe = p()
+    pipe.build()
+    padded, _ = pipe.run()
+    dense = np.asarray(padded.as_tensor())
+    shp = {padded.at(i).shape for i in range(4)}
+    assert shp == {dense.shape[1:]}, (shp, dense.shape)
+    assert dense.shape[1] % 16 == 0 and dense.shape[2] % 16 == 0
+
+
 def test_rotate_volumetric_x_axis_mixes_depth():
     vol = np.zeros((7, 7, 5, 1), np.uint8)
     vol[1, 3, 2, 0] = 200
