@@ -244,6 +244,16 @@ class TensorResizeGPU(Operator):
         shapes = np.asarray(in_shapes[0])
         n, nd = shapes.shape
         axes = self.spec.GetArgument("axes", None)
+        if not axes:
+            names = self.spec.GetArgument("axis_names", None)
+            if names:
+                lays = ctx.in_layouts(self)
+                layout = lays[0] if lays else ""
+                if not layout:
+                    raise ValueError(
+                        "TensorResize(gpu): axis_names requires an input with "
+                        "a known layout; pass `axes` instead")
+                axes = [layout.index(ch) for ch in names]
         axes = list(range(nd)) if not axes else [a % nd for a in axes]
         out = shapes.astype(np.float64).copy()
         for i in range(n):

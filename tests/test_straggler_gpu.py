@@ -111,6 +111,30 @@ def test_tensor_resize_parity():
         vols, atol=2e-2)
 
 
+def test_tensor_resize_axis_names_gpu():
+    # axis_names resolves via the statically-propagated layout on device edges
+    rng = np.random.default_rng(9)
+    imgs = [rng.integers(0, 255, (10, 12, 3), np.uint8),
+            rng.integers(0, 255, (8, 14, 3), np.uint8)]
+    outs = {}
+    for device in ("cpu", "gpu"):
+        @pipeline_def(batch_size=2, num_threads=1, seed=1)
+        def p():
+            x = fn.external_source(source=lambda: imgs, batch=True,
+                                   cycle=True, layout="HWC")
+            if device == "gpu":
+                x = x.gpu()
+            return fn.tensor_resize(x, device=device, sizes=[20.0],
+                                    axis_names="W")
+        pipe = p()
+        pipe.build()
+        outs[device] = to_samples(pipe.run()[0])
+    for a, b in zip(outs["cpu"], outs["gpu"]):
+        assert a.shape == b.shape == (a.shape[0], 20, 3)
+        np.testing.assert_allclose(a.astype(np.float64), b.astype(np.float64),
+                                   atol=1.0)
+
+
 def test_multi_paste_parity():
     srcs = [np.full((20, 20, 3), v, np.uint8) for v in (10, 90, 200)]
     in_ids = [[1, 2], [0, 2], [0, 1]]
