@@ -108,12 +108,83 @@ static int run_feed(const char* payload, long n) {
   return 0;
 }
 
+/* mode 3: checkpoint-resume determinism through the C surface — a fresh
+ * pipeline restored from a checkpoint must produce the bit-identical
+ * continuation (Pipeline.checkpoint contract, exercised without Python). */
+static int run_resume(const char* payload, long n) {
+  daliTpuPipeline p1;
+  if (daliTpuCreatePipeline(&p1, payload, n) != DALI_TPU_OK) {
+    fprintf(stderr, "create: %s\n", daliTpuGetLastError()); return 1;
+  }
+  for (int i = 0; i < 2; i++)
+    if (daliTpuRun(p1) != DALI_TPU_OK) { fprintf(stderr, "run: %s\n", daliTpuGetLastError()); return 1; }
+  size_t need = 0;
+  if (daliTpuCheckpoint(p1, NULL, 0, &need) != DALI_TPU_OK) {
+    fprintf(stderr, "ckpt size: %s\n", daliTpuGetLastError()); return 1;
+  }
+  char* ck = malloc(need);
+  if (daliTpuCheckpoint(p1, ck, need, NULL) != DALI_TPU_OK) {
+    fprintf(stderr, "ckpt: %s\n", daliTpuGetLastError()); return 1;
+  }
+  /* continuation on the original */
+  if (daliTpuRun(p1) != DALI_TPU_OK) { fprintf(stderr, "run3: %s\n", daliTpuGetLastError()); return 1; }
+  daliTpuTensorInfo ia;
+  const void* va;
+  if (daliTpuOutputSampleData(p1, 0, 0, &va, &ia) != DALI_TPU_OK) {
+    fprintf(stderr, "view1: %s\n", daliTpuGetLastError()); return 1;
+  }
+  char* expect = malloc(ia.nbytes);
+  memcpy(expect, va, ia.nbytes);
+
+  /* fresh pipeline restored from the snapshot */
+  daliTpuPipeline p2;
+  if (daliTpuCreatePipeline(&p2, payload, n) != DALI_TPU_OK) {
+    fprintf(stderr, "create2: %s\n", daliTpuGetLastError()); return 1;
+  }
+  if (daliTpuRestoreCheckpoint(p2, ck, need - 1) != DALI_TPU_OK) {
+    fprintf(stderr, "restore: %s\n", daliTpuGetLastError()); return 1;
+  }
+  if (daliTpuRun(p2) != DALI_TPU_OK) { fprintf(stderr, "run-restored: %s\n", daliTpuGetLastError()); return 1; }
+  daliTpuTensorInfo ib;
+  const void* vb;
+  if (daliTpuOutputSampleData(p2, 0, 0, &vb, &ib) != DALI_TPU_OK) {
+    fprintf(stderr, "view2: %s\n", daliTpuGetLastError()); return 1;
+  }
+  if (ia.nbytes != ib.nbytes || memcmp(expect, vb, ia.nbytes) != 0) {
+    fprintf(stderr, "restored continuation differs (%lld vs %lld bytes)\n",
+            (long long)ia.nbytes, (long long)ib.nbytes);
+    return 1;
+  }
+  printf("resume bytes=%lld identical\n", (long long)ia.nbytes);
+
+  /* error-contract probes: buffer too small, invalid handle, bad JSON */
+  char tiny[1];
+  if (daliTpuCopyOutputSample(p2, 0, 0, tiny, sizeof(tiny)) != DALI_TPU_BUFFER_TOO_SMALL) {
+    fprintf(stderr, "expected BUFFER_TOO_SMALL\n"); return 1;
+  }
+  if (daliTpuRun(NULL) != DALI_TPU_INVALID_HANDLE) {
+    fprintf(stderr, "expected INVALID_HANDLE\n"); return 1;
+  }
+  daliTpuPipeline bad;
+  if (daliTpuCreatePipeline(&bad, "{not json", 9) == DALI_TPU_OK) {
+    fprintf(stderr, "expected error for bad JSON\n"); return 1;
+  }
+  printf("bad-json error: %s\n", daliTpuGetLastError());
+
+  free(expect); free(ck);
+  daliTpuDestroyPipeline(p1);
+  daliTpuDestroyPipeline(p2);
+  printf("C API RESUME OK\n");
+  return 0;
+}
+
 int main(int argc, char** argv) {
-  if (argc < 2) { fprintf(stderr, "usage: %s <serialized.json> [--feed]\n", argv[0]); return 2; }
+  if (argc < 2) { fprintf(stderr, "usage: %s <serialized.json> [--feed|--resume]\n", argv[0]); return 2; }
   long n;
   char* payload = read_file(argv[1], &n);
   if (!payload) return 2;
   if (daliTpuInit() != DALI_TPU_OK) { fprintf(stderr, "init: %s\n", daliTpuGetLastError()); return 1; }
   if (argc >= 3 && strcmp(argv[2], "--feed") == 0) return run_feed(payload, n);
+  if (argc >= 3 && strcmp(argv[2], "--resume") == 0) return run_resume(payload, n);
   return run_basic(payload, n);
 }

@@ -58,3 +58,25 @@ def test_c_api_end_to_end(tmp_path):
                                    timeout=240)
     assert "feed+zero-copy OK" in out2
     assert "C API FEED OK" in out2
+
+    # checkpoint-resume determinism purely through the C surface: a fresh
+    # handle restored from a snapshot continues the identical RNG stream;
+    # plus the error contracts (BUFFER_TOO_SMALL, INVALID_HANDLE, bad JSON)
+    code3 = (
+        "import jax; jax.config.update('jax_default_device', jax.devices('cpu')[0])\n"
+        "from dali_tpu import pipeline_def, fn\n"
+        "@pipeline_def(batch_size=3, num_threads=1, seed=7,\n"
+        "              enable_checkpointing=True)\n"
+        "def p():\n"
+        "    u = fn.random.uniform(range=[0.0, 1.0], shape=[4, 4])\n"
+        "    return u + fn.random.normal(mean=0.0, stddev=2.0, shape=[4, 4])\n"
+        "pp = p(); pp.build()\n"
+        f"open({str(tmp_path / 'pipe_rng.json')!r}, 'w').write(pp.serialize())\n"
+    )
+    subprocess.check_call([sys.executable, "-c", code3], cwd=REPO)
+    out3 = subprocess.check_output([exe, str(tmp_path / "pipe_rng.json"), "--resume"],
+                                   env=env, text=True, stderr=subprocess.DEVNULL,
+                                   timeout=240)
+    assert "identical" in out3
+    assert "bad-json error" in out3
+    assert "C API RESUME OK" in out3
