@@ -50,6 +50,15 @@ DALI_SCHEMA("Slice").DocStr(
 def _slice_axes(spec, layout, ndim):
     names = spec.GetArgument("axis_names", None)
     if names:
+        if not layout:
+            raise ValueError(
+                f"{spec.schema.name}: axis_names={names!r} requires a layout "
+                "on the input; pass `axes` (by index) instead")
+        missing = [c for c in names if c not in layout]
+        if missing:
+            raise ValueError(
+                f"{spec.schema.name}: axis name(s) {missing} not in input "
+                f"layout {layout!r}")
         return [layout.index(c) for c in names]
     axes = spec.GetArgument("axes", None)
     if axes is not None and len(axes):
@@ -59,9 +68,14 @@ def _slice_axes(spec, layout, ndim):
 
 @register_operator("Slice", "cpu")
 class SliceCPU(Operator):
+    def run_batch(self, ctx, *inputs):
+        # axis_names resolves against the data input's layout
+        self._in_layout = inputs[0].layout if inputs else ""
+        return super().run_batch(ctx, *inputs)
+
     def run_sample(self, ctx, idx, data, *pos):
         spec = self.spec
-        layout = ""  # layout known at batch level; axis_names resolved there if needed
+        layout = getattr(self, "_in_layout", "")
         ndim = data.ndim
         axes = _slice_axes(spec, layout, ndim)
 
@@ -299,13 +313,27 @@ DALI_SCHEMA("Erase").DocStr(
 
 @register_operator("Erase", "cpu")
 class EraseCPU(Operator):
+    def run_batch(self, ctx, *inputs):
+        # axis_names resolves against the data input's layout
+        self._in_layout = inputs[0].layout if inputs else ""
+        return super().run_batch(ctx, *inputs)
+
     def run_sample(self, ctx, idx, img):
         spec = self.spec
-        layout = ""
+        layout = getattr(self, "_in_layout", "")
         axes = spec.GetArgument("axes", None)
         names = spec.GetArgument("axis_names", None)
         if names and not axes:
-            axes = None  # resolved against layout at batch level; default spatial
+            if not layout:
+                raise ValueError(
+                    f"Erase: axis_names={names!r} requires a layout on the "
+                    "input; pass `axes` (by index) instead")
+            missing = [c for c in names if c not in layout]
+            if missing:
+                raise ValueError(
+                    f"Erase: axis name(s) {missing} not in input layout "
+                    f"{layout!r}")
+            axes = [layout.index(c) for c in names]
         if not axes:
             axes = list(range(min(2, img.ndim)))
         nd = len(axes)

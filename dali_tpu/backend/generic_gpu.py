@@ -66,11 +66,8 @@ class SliceGPU(_GrowCanvasOp):
     def _resolve_windows(self, ctx, shapes):
         spec = self.spec
         n, ndim = shapes.shape
-        axes = _slice_axes(spec, "", ndim)
-        if spec.GetArgument("axis_names", None):
-            raise NotImplementedError(
-                "Slice(gpu): use `axes` (by index) — axis_names needs a host layout"
-            )
+        lays = ctx.in_layouts(self)
+        axes = _slice_axes(spec, lays[0] if lays else "", ndim)
         na = len(axes)
         dims = shapes[:, axes].astype(np.float64)  # [n, na]
 
@@ -285,8 +282,13 @@ class EraseGPU(Operator):
         spec = self.spec
         ndim = len(inp.canvas)
         axes = spec.GetArgument("axes", None)
-        if spec.GetArgument("axis_names", None) and inp.layout:
-            axes = [inp.layout.index(c) for c in spec.GetArgument("axis_names")]
+        names = spec.GetArgument("axis_names", None)
+        if names and not axes:
+            if not inp.layout:
+                raise ValueError(
+                    f"Erase: axis_names={names!r} requires a layout on the "
+                    "input; pass `axes` (by index) instead")
+            axes = [inp.layout.index(c) for c in names]
         if not axes:
             axes = list(range(min(2, ndim)))
         axes = sorted(a % ndim for a in axes)

@@ -43,7 +43,16 @@ _reduce_schema("Variance", "Variance w.r.t. provided mean.", has_ddof=True)
 
 def _axes_of(spec, ndim, layout=""):
     names = spec.GetArgument("axis_names", None)
-    if names and layout:
+    if names:
+        if not layout:
+            raise ValueError(
+                f"{spec.schema.name}: axis_names={names!r} requires a layout "
+                "on the input")
+        missing = [c for c in names if c not in layout]
+        if missing:
+            raise ValueError(
+                f"{spec.schema.name}: axis name(s) {missing} not in input "
+                f"layout {layout!r}")
         return tuple(layout.index(c) for c in names)
     axes = spec.GetArgument("axes", None)
     if axes is not None and len(axes):
@@ -86,9 +95,14 @@ def _reduce(xp, kind, x, axes, keep, ddof=0, mean=None):
 def _register(kind):
     @register_operator(f"reductions.{kind}", "cpu")
     class RedCPU(Operator):
+        def run_batch(self, ctx, *inputs):
+            # axis_names resolves against the data input's layout
+            self._in_layout = inputs[0].layout if inputs else ""
+            return super().run_batch(ctx, *inputs)
+
         def run_sample(self, ctx, idx, x, *mean_in):
             spec = self.spec
-            axes = _axes_of(spec, x.ndim)
+            axes = _axes_of(spec, x.ndim, getattr(self, "_in_layout", ""))
             keep = spec.GetArgument("keep_dims", False)
             ddof = spec.GetArgument("ddof", 0) if "ddof" in spec.schema.args else 0
             mean = np.asarray(mean_in[0], np.float32) if mean_in else None
