@@ -88,6 +88,24 @@ class MergeCPU(_Op):
 
 @register_operator("_conditional.Merge", "gpu")
 class MergeGPU(_Op):
+    def host_output_shapes(self, ctx, input_shapes, input_batches):
+        # Per-sample shape select so host-side shape inference flows through
+        # conditionals (without this, a device Rotate after a Merge has no
+        # extents for its canvas math). The predicate reaches the host intact:
+        # pred.gpu() inserts _CopyToDevice, a host-stage op whose output batch
+        # is the boundary HostBatch.
+        ts, fs = input_shapes[0], input_shapes[1]
+        if ts is None or fs is None:
+            return None
+        ts, fs = np.asarray(ts), np.asarray(fs)
+        if ts.shape != fs.shape:
+            return None
+        pred = input_batches[2] if len(input_batches) > 2 else None
+        if pred is None:
+            return None
+        sel = np.array([bool(np.asarray(s).reshape(-1)[0]) for s in pred.samples])
+        return [np.where(sel[:, None], ts, fs)]
+
     def lower(self, dctx, true_b: DeviceBatch, false_b: DeviceBatch, pred_b: DeviceBatch):
         import jax.numpy as jnp
 

@@ -330,7 +330,8 @@ class OpSpec:
     Reference: ``dali/pipeline/operator/op_spec.h:49``.
     """
 
-    def __init__(self, schema_name: str, device: str = "cpu", name: Optional[str] = None, **kwargs):
+    def __init__(self, schema_name: str, device: str = "cpu", name: Optional[str] = None,
+                 _defer_required: bool = False, **kwargs):
         self.schema = GetSchema(schema_name)
         self.schema_name = schema_name
         self.device = device
@@ -382,9 +383,19 @@ class OpSpec:
             else:
                 self.args[k] = arg.coerce(v)
 
+        if not _defer_required:
+            self.validate_required()
+
+    def validate_required(self):
+        """Check required args are present (as values or tensor arg inputs).
+
+        ``Graph.deserialize`` constructs specs with ``_defer_required=True``
+        because required args supplied as arg INPUTS (DataNodes) are rewired
+        after construction, then calls this."""
         for k, arg in self.schema.args.items():
             if arg.required and k not in self.args and k not in self.arg_inputs:
-                raise TypeError(f"Operator '{schema_name}' missing required argument '{k}'")
+                raise TypeError(
+                    f"Operator '{self.schema_name}' missing required argument '{k}'")
 
     _NO_DEFAULT = object()
 

@@ -136,6 +136,25 @@ class ArithmGPU(Operator):
         super().__init__(spec, op_id)
         self._op, self._tokens = _parse(spec.GetArgument("expression_desc"))
 
+    def host_output_shapes(self, ctx, input_shapes, input_batches):
+        # broadcast shape inference: the output's per-sample extents are the
+        # elementwise max over the inputs' (right-aligned, numpy broadcasting);
+        # requires every tensor input's shape to be host-known — an unknown
+        # input could dominate the broadcast
+        known = [s for s in input_shapes if s is not None]
+        if not known or len(known) != len(input_shapes):
+            return None
+        known = [np.asarray(s) for s in known]
+        nd = max(s.shape[1] for s in known)
+        n = known[0].shape[0]
+        out = np.ones((n, nd), np.int64)
+        for s in known:
+            pad = nd - s.shape[1]
+            aligned = np.concatenate(
+                [np.ones((n, pad), np.int64), s.astype(np.int64)], axis=1)
+            out = np.maximum(out, aligned)
+        return [out]
+
     def lower(self, dctx, *inputs: DeviceBatch):
         import jax.numpy as jnp
 

@@ -228,6 +228,30 @@ class Operator:
         return f"<{type(self).__name__} op_id={self.op_id} name={self.spec.name!r}>"
 
 
+# Device ops whose per-sample LOGICAL extents always equal their first input's
+# (elementwise / value-only transforms). The executor propagates host-side
+# shapes through these automatically so downstream ops with host canvas math
+# (Rotate keep_size, Crop bounds checks) keep working mid-chain — the
+# reference gets this for free from every operator's Setup() shape pass
+# (operator.h:88); here only shape-CHANGING device ops implement
+# host_output_shapes by hand. Keep this list strictly value-only: anything
+# that can alter extents, channel count, or dimensionality must not be here.
+SHAPE_PRESERVING_SCHEMAS = frozenset({
+    "Brightness", "BrightnessContrast", "Contrast",
+    "Hsv", "Hue", "Saturation", "ColorTwist",
+    "Equalize", "experimental.Equalize",
+    "Cast", "CastLike", "Copy",
+    "Flip", "GridMask", "Jitter", "Sphere", "Water",
+    "JpegCompressionDistortion", "LookupTable", "Normalize",
+    "noise.Gaussian", "noise.SaltAndPepper", "noise.Shot",
+    "GaussianBlur", "Laplacian",
+    "experimental.Clahe", "experimental.MedianBlur",
+    "experimental.Erode", "experimental.Dilate",
+    "PreemphasisFilter", "ToDecibels", "PerFrame", "BbFlip",
+    "_conditional.LogicalNot",
+})
+
+
 class ReaderOperator(Operator):
     """Base for readers: owns a Loader, exposes reader metadata
     (reference ``dali/operators/reader/reader_op.h:57``)."""

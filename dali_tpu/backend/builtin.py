@@ -126,6 +126,11 @@ class ExternalSource(Operator):
     def _classify(src):
         if src is None:
             return "fed"
+        if inspect.isgeneratorfunction(src):
+            # a generator FUNCTION (reference SourceKind.GENERATOR_FUNC,
+            # external_source_impl.py:38): call it to obtain the iterator;
+            # cycle=True re-invokes it at exhaustion
+            return "gen_func"
         if callable(src):
             return "callable"
         return "iterable"
@@ -227,14 +232,17 @@ class ExternalSource(Operator):
                     samples.append(self._source(info) if self._accepts_arg else self._source())
                 data = _transpose_samples(samples)
             return data, self._layout
-        # iterable / generator
+        # iterable / generator object / generator function
+        def fresh_iter():
+            return self._source() if self._source_kind == "gen_func" else iter(self._source)
+
         if self._iter is None:
-            self._iter = iter(self._source)
+            self._iter = fresh_iter()
         try:
             data = next(self._iter)
         except StopIteration:
             if self._cycle in ("quiet", "raise") or self._cycle is True:
-                self._iter = iter(self._source)
+                self._iter = fresh_iter()
                 self._epoch += 1
                 if self._cycle == "raise":
                     raise StopIteration
@@ -279,7 +287,7 @@ class ExternalSource(Operator):
     def reset_epoch(self):
         """Restart an exhausted source (reference ExternalSource reset): iterables
         re-iterate; callables restart idx_in_epoch at 0 with epoch_idx + 1."""
-        if self._source_kind == "iterable":
+        if self._source_kind in ("iterable", "gen_func"):
             self._iter = None
             self._epoch += 1
         elif self._source_kind == "callable":

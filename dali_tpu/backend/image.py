@@ -398,6 +398,29 @@ class ResizeGPU(Operator):
         self._grow_canvas[1] = max(self._grow_canvas[1], int(-(-out[:, 1].max() // align) * align))
         return {"out_sizes": out}
 
+    def host_output_shapes(self, ctx, input_shapes, input_batches):
+        # Propagate output extents to downstream device ops whose canvas math
+        # runs on the host (Rotate/WarpAffine keep_size, Crop window checks).
+        shapes0 = input_shapes[0] if input_shapes else None
+        if shapes0 is None:
+            return None
+        sh = np.asarray(shapes0)
+        if sh.shape[1] != 3:
+            return None  # volumetric / sequence canvases resolve in statics
+        n = sh.shape[0]
+        static = self._static_size()
+        if static is not None:
+            oh, ow = static
+            hw = np.tile(np.array([[oh, ow]], np.int64), (n, 1))
+        elif getattr(self, "_last_out_sizes", None) is not None:
+            hw = np.asarray(self._last_out_sizes, np.int64)
+        else:
+            return None
+        out = np.concatenate([hw, sh[:, 2:3].astype(np.int64)], axis=1)
+        if self.spec.GetArgument("save_attrs", False):
+            return [out, sh[:, :2].astype(np.int64)]
+        return [out]
+
     def device_statics(self, ctx, input_shapes, input_batches=None):
         shapes0 = input_shapes[0]
         if shapes0 is not None and np.asarray(shapes0).shape[1] >= 4:
@@ -578,6 +601,19 @@ class RandomResizedCropGPU(Operator, _RRCWindows):
 
     def device_statics(self, ctx, input_shapes):
         return getattr(self, "_filter", None)
+
+    def host_output_shapes(self, ctx, input_shapes, input_batches):
+        shapes0 = input_shapes[0] if input_shapes else None
+        if shapes0 is None:
+            return None
+        sh = np.asarray(shapes0)
+        if sh.shape[1] != 3:
+            return None
+        size = self.spec.GetArgument("size")
+        oh, ow = (int(size[0]), int(size[-1])) if len(size) > 1 else (int(size[0]), int(size[0]))
+        n = sh.shape[0]
+        hw = np.tile(np.array([[oh, ow]], np.int64), (n, 1))
+        return [np.concatenate([hw, sh[:, 2:3].astype(np.int64)], axis=1)]
 
     def lower(self, dctx, inp: DeviceBatch):
         spec = self.spec

@@ -116,6 +116,21 @@ def _register(kind):
 
     @register_operator(f"reductions.{kind}", "gpu")
     class RedGPU(Operator):
+        def host_output_shapes(self, ctx, input_shapes, input_batches):
+            shapes0 = input_shapes[0] if input_shapes else None
+            if shapes0 is None:
+                return None
+            sh = np.asarray(shapes0)
+            lays = ctx.in_layouts(self)
+            axes = _axes_of(self.spec, sh.shape[1], lays[0] if lays else "")
+            keep = self.spec.GetArgument("keep_dims", False)
+            if keep:
+                out = sh.copy()
+                out[:, list(axes)] = 1
+                return [out]
+            kept = [a for a in range(sh.shape[1]) if a not in set(axes)]
+            return [sh[:, kept]]
+
         def lower(self, dctx, inp: DeviceBatch, *mean_in):
             import jax.numpy as jnp
 

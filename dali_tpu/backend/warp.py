@@ -77,6 +77,20 @@ class _WarpCommon(Operator):
 
 @register_operator("WarpAffine", "gpu")
 class WarpAffineGPU(_WarpCommon):
+    def host_output_shapes(self, ctx, input_shapes, input_batches):
+        # extents pass through unless `size` overrides them
+        shapes0 = input_shapes[0] if input_shapes else None
+        if shapes0 is None:
+            return None
+        sh = np.asarray(shapes0)
+        size = self.spec.GetArgument("size", None)
+        if not size:
+            return [sh]
+        out = sh.copy()
+        for k, v in enumerate(size):
+            out[:, k] = int(round(v))
+        return [out]
+
     def host_params(self, ctx, input_shapes):
         if len(self.spec.inputs) > 1:
             return {}  # matrices arrive as a device input
@@ -241,10 +255,15 @@ class RotateGPU(Operator):
             self._uniform = True
             self._fixed = None
             return {"matrices": mats}
+        if shapes is None:
+            raise RuntimeError(
+                "Rotate(gpu) needs host-known input shapes (its canvas math "
+                "runs on the host); the producing op must implement "
+                "host_output_shapes")
         mats = np.zeros((n, 2, 3), np.float32)
         sizes = np.zeros((n, 2), np.int32)
         for i in range(n):
-            h, w = (int(shapes[i][0]), int(shapes[i][1])) if shapes is not None else (0, 0)
+            h, w = int(shapes[i][0]), int(shapes[i][1])
             angle = float(np.asarray(ctx.arg(self, "angle", i, 0.0)))
             oh, ow = self._out_size_for(h, w, angle)
             sizes[i] = (oh, ow)
@@ -256,7 +275,18 @@ class RotateGPU(Operator):
         self._grow[1] = max(self._grow[1], int(-(-sizes[:, 1].max() // align) * align))
         self._uniform = bool((sizes == sizes[0]).all())
         self._fixed = sizes[0] if self._uniform else None
+        self._last_sizes = sizes
+        self._last_channels = shapes[:, 2].astype(np.int64) if shapes.shape[1] >= 3 else None
         return {"matrices": mats, "out_sizes": sizes}
+
+    def host_output_shapes(self, ctx, input_shapes, input_batches):
+        # propagate the canvas math's per-sample output extents (computed in
+        # host_params, which the executor runs first) to downstream device ops
+        sizes = getattr(self, "_last_sizes", None)
+        if sizes is None or self._last_channels is None:
+            return None
+        return [np.concatenate(
+            [sizes.astype(np.int64), self._last_channels[:, None]], axis=1)]
 
     def device_statics(self, ctx, input_shapes):
         if self._fixed is None and self._uniform:

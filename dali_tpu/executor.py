@@ -30,7 +30,8 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from ._schema import get_operator_impl
-from .backend.base import DeviceCtx, HostCtx, Operator, ReaderOperator
+from .backend.base import (SHAPE_PRESERVING_SCHEMAS, DeviceCtx, HostCtx,
+                           Operator, ReaderOperator)
 from .batch import DeviceBatch, HostBatch, pad_and_stack, round_up
 from .graph import Graph
 from .tensors import TensorListCPU, TensorListGPU
@@ -701,6 +702,11 @@ class Executor:
                 if st is not None:
                     statics[node.id] = st
             out_shapes = impl.host_output_shapes(ctx, in_shapes, in_batches)
+            if (out_shapes is None
+                    and node.spec.schema_name in SHAPE_PRESERVING_SCHEMAS
+                    and in_shapes and in_shapes[0] is not None):
+                # elementwise device op: logical extents pass through
+                out_shapes = [in_shapes[0]] * node.spec.num_outputs()
             if out_shapes is not None:
                 for j, sh in enumerate(out_shapes):
                     if sh is not None:

@@ -170,7 +170,8 @@ class Graph:
         nodes: Dict[str, OpNode] = {}
         ops: List[OpNode] = []
         for i, entry in enumerate(doc["ops"]):
-            spec = OpSpec(entry["schema"], device=entry["device"], name=entry["name"], **entry["args"])
+            spec = OpSpec(entry["schema"], device=entry["device"], name=entry["name"],
+                          _defer_required=True, **entry["args"])
             for k, blob in entry.get("pickled_extra", {}).items():
                 import base64
 
@@ -181,6 +182,7 @@ class Graph:
                 spec.AddInput(nodes[src_name].outputs[idx])
             for k, (src_name, idx) in entry.get("arg_inputs", {}).items():
                 spec.arg_inputs[k] = nodes[src_name].outputs[idx]
+            spec.validate_required()
             node = OpNode(i, spec)
             n_out = spec.num_outputs()
             node.outputs = [

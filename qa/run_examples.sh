@@ -33,6 +33,12 @@ run efficientnet_autoaugment.py --batch-size 4 --image-size 64 --steps 2 --augme
 run pytorch_proxy_training.py
 run webdataset_ingest.py --batch-size 4 --iters 2
 run dynamic_mode.py
+run conditionals.py
+run expressions.py
+run reductions_join.py
+run checkpointing.py
+run serialization.py
+run external_input.py
 
 if [ "$fail" -ne 0 ]; then
   echo "EXAMPLES GATE: FAIL"

@@ -101,3 +101,50 @@ def test_erase_axis_names_without_layout_raises():
     with pytest.raises(Exception, match="axis_names"):
         run_one(lambda x: fn.erase(x, anchor=[1], shape=[2], axis_names="W",
                                    fill_value=0.0), layout="")
+
+
+# -- host shape propagation through device-op chains (round-3 regression:
+# Resize/RandomResizedCrop did not implement host_output_shapes, so a
+# downstream Rotate(gpu) keep_size=True silently produced 0x0 canvases) --
+
+def _gpu_chain(build, imgs):
+    @pipeline_def(batch_size=len(imgs), num_threads=1, seed=2)
+    def pipe():
+        x = fn.external_source(source=lambda: imgs, batch=True, cycle=True,
+                               layout="HWC").gpu()
+        return build(x)
+
+    p = pipe()
+    p.build()
+    (o,) = p.run()
+    return np.asarray(o.as_tensor())
+
+
+def test_rotate_after_device_resize_has_extent():
+    imgs = [np.random.default_rng(0).integers(0, 255, (48, 64, 3), np.uint8)
+            for _ in range(2)]
+    out = _gpu_chain(
+        lambda x: fn.rotate(fn.resize(x, resize_x=32, resize_y=32),
+                            angle=15.0, fill_value=0.0, keep_size=True), imgs)
+    assert out.shape == (2, 32, 32, 3)
+    assert out.mean() > 0
+
+
+def test_rotate_after_device_rrc_has_extent():
+    imgs = [np.random.default_rng(1).integers(0, 255, (48, 64, 3), np.uint8)
+            for _ in range(2)]
+    out = _gpu_chain(
+        lambda x: fn.rotate(fn.random_resized_crop(x, size=[24, 24], seed=3),
+                            angle=-20.0, fill_value=0.0, keep_size=True), imgs)
+    assert out.shape == (2, 24, 24, 3)
+    assert out.mean() > 0
+
+
+def test_rotate_after_per_sample_resize_shorter():
+    imgs = [np.random.default_rng(2).integers(0, 255, (48, 64, 3), np.uint8)
+            for _ in range(2)]
+    out = _gpu_chain(
+        lambda x: fn.rotate(fn.resize(x, resize_shorter=36),
+                            angle=10.0, fill_value=0.0, keep_size=True), imgs)
+    assert out.shape == (2, 36, 48, 3)
+    assert out.mean() > 0

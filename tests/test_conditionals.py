@@ -131,3 +131,42 @@ def test_plain_python_condition_still_works():
     p = pipe()
     out = p.run()[0]
     assert (out.as_array() >= 5.0).all()
+
+
+def test_rotate_inside_conditional_preserves_content():
+    """Round-3 regression: a device Rotate after a conditional Merge had no
+    host-known input shapes, silently produced a 0x0 canvas, and the merge
+    padded it back — every sample that took the rotate branch came out BLACK
+    (this is the auto_aug rotate path). Shapes now flow through Merge and the
+    elementwise fallback, and Rotate raises instead of emitting empty
+    canvases."""
+    rng = np.random.default_rng(3)
+    imgs = [rng.integers(100, 200, (32, 32, 3), np.uint8) for _ in range(8)]
+
+    @pipeline_def(batch_size=8, num_threads=1, seed=7,
+                  enable_conditionals=True)
+    def pipe():
+        x = fn.external_source(source=lambda: imgs, batch=True, cycle=True,
+                               layout="HWC").gpu()
+        take = fn.random.coin_flip(probability=0.5, dtype=types.BOOL, seed=9)
+        if take:
+            out = fn.rotate(x, angle=30.0, keep_size=True, fill_value=0.0)
+        else:
+            out = x
+        return out, take
+
+    p = pipe()
+    p.build()
+    out, took = p.run()
+    taken = [bool(np.asarray(took.at(i))) for i in range(8)]
+    assert any(taken) and not all(taken)
+    for i in range(8):
+        got = np.asarray(out.at(i))
+        assert got.shape == (32, 32, 3)
+        if taken[i]:
+            # rotated content survives: interior pixels are source-valued, not
+            # fill (a black output means the canvas collapsed)
+            assert got.mean() > 50, f"sample {i} lost its content: mean {got.mean()}"
+            assert not np.array_equal(got, imgs[i])
+        else:
+            np.testing.assert_array_equal(got, imgs[i])

@@ -226,3 +226,41 @@ def test_fn_stub_coverage():
         if key not in stubs:
             missing.append(name)
     assert not missing, f"schemas without fn stubs: {missing[:10]} (+{len(missing)})"
+
+
+def test_external_source_generator_function():
+    """A generator FUNCTION source (reference SourceKind.GENERATOR_FUNC,
+    _utils/external_source_impl.py:38): called to obtain the iterator;
+    cycle=True re-invokes it on exhaustion (round-3 regression — was
+    misclassified as a plain callable)."""
+
+    def gen():
+        for e in range(2):
+            yield [np.full((3,), 10 * e + i, np.int32) for i in range(2)]
+
+    @pipeline_def(batch_size=2, num_threads=1, seed=1)
+    def pipe():
+        return fn.external_source(source=gen, batch=True, cycle=True)
+
+    p = pipe()
+    p.build()
+    firsts = []
+    for _ in range(4):
+        (out,) = p.run()
+        firsts.append(int(np.asarray(out.at(0)).reshape(-1)[0]))
+    assert firsts == [0, 10, 0, 10]
+
+
+def test_external_source_generator_function_no_cycle_raises():
+    def gen():
+        yield [np.zeros((2,), np.float32)]
+
+    @pipeline_def(batch_size=1, num_threads=1, seed=1)
+    def pipe():
+        return fn.external_source(source=gen, batch=True)
+
+    p = pipe()
+    p.build()
+    p.run()
+    with pytest.raises(StopIteration):
+        p.run()

@@ -22,7 +22,8 @@ def imgs(n=3, seed=0):
 def pipeline_run(body, samples, device):
     @pipeline_def(batch_size=len(samples), num_threads=1, seed=7)
     def p():
-        x = fn.external_source(source=lambda: samples, batch=True, cycle=True)
+        x = fn.external_source(source=lambda: samples, batch=True, cycle=True,
+                               layout="HWC" if samples[0].ndim == 3 else "")
         if device == "gpu":
             x = x.gpu()
         return body(fn, x)

@@ -93,3 +93,30 @@ def test_all_simple_ops_graph_roundtrip():
         tested.append(name)
     # the harness must exercise a substantial slice of the registry
     assert len(tested) >= 60, (len(tested), skipped[:10])
+
+
+def test_required_arg_as_tensor_input_roundtrip():
+    """A REQUIRED schema arg supplied as a DataNode (arg input) must survive
+    serialize -> deserialize -> run (round-3 regression: OpSpec validated
+    required args at construction, before arg_inputs were rewired)."""
+    import dali_tpu.types as types
+    from dali_tpu import Pipeline
+
+    samples = [np.full((16, 16, 3), 64, np.uint8)]
+
+    @pipeline_def(batch_size=1, num_threads=1, seed=3)
+    def pipe():
+        x = fn.external_source(source=lambda: samples, batch=True, cycle=True,
+                               layout="HWC", name="inp")
+        # Rotate.angle is required and here tensor-valued
+        return fn.rotate(x, angle=fn.random.uniform(range=[10.0, 30.0], seed=5),
+                         fill_value=0.0, keep_size=True)
+
+    p1 = pipe()
+    p1.build()
+    p2 = Pipeline.deserialize(p1.serialize())
+    p2.build()
+    p2.feed_input("inp", samples, layout="HWC")
+    (a,) = p1.run()
+    (b,) = p2.run()
+    np.testing.assert_array_equal(np.asarray(a.at(0)), np.asarray(b.at(0)))
