@@ -39,6 +39,12 @@ run reductions_join.py
 run checkpointing.py
 run serialization.py
 run external_input.py
+run augmentation_gallery.py
+run transforms_3d.py
+run custom_operators.py
+run debug_and_optical_flow.py
+XLA_FLAGS="--xla_force_host_platform_device_count=2" \
+  run framework_iterators.py
 
 if [ "$fail" -ne 0 ]; then
   echo "EXAMPLES GATE: FAIL"
