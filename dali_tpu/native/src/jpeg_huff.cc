@@ -147,6 +147,107 @@ void build_fdc(const uint8_t* counts, const uint8_t* vals, FastDc* f) {
   }
 }
 
+// Fast-SKIP table: skip-mode rows (above the crop window) advance the
+// Huffman state without extending or storing values, so a symbol only needs
+// its LENGTHS — code bits + magnitude bit count — never the magnitude bits
+// themselves. That changes the coverage math vs FastAc in two ways:
+//   * a single value symbol is coverable whenever its CODE fits the window
+//     (l <= kFastAc), regardless of magnitude size (FastAc needs l+sz <= w
+//     to precompute the extended value), so slow-path hits nearly vanish;
+//   * when code1+sz1 ends early enough in the window for the SECOND code to
+//     be resolved too, both symbols fuse into ONE table load — halving the
+//     load->index->load serial chain that binds this decoder (~18 cy/sym).
+// Entry layout (0 = not covered -> slow path):
+//   bits  0-4  n1      bits to consume for symbol 1 (code+magnitude, <= 27)
+//   bits  5-10 kadv1   zigzag advance (value: run+1; ZRL: 16; EOB: 0)
+//   bit   11   ABORT1  symbol 1 is a value: k overrun past 63 aborts
+//   bits 12-16 n2      symbol 2 bits (0 = single-symbol entry)
+//   bits 17-22 kadv2
+//   bit   23   ABORT2
+//   bit   30   DONE2   symbol 2 is EOB
+//   bit   31   DONE1   symbol 1 is EOB (sign bit: one test)
+// Pairs are emitted only when n1+n2 <= 26 so a step never consumes more
+// than the store-mode per-symbol worst case (budget: refill >= 56 covers
+// two steps; the opportunistic third step requires cnt >= 31 >= 27).
+// The overrun/exit semantics exactly mirror the store-mode loop: a value
+// symbol whose run passes 63 aborts the image (k+kadv > 64), landing
+// exactly ON 64 exits the block loop, ZRL past the end is tolerated —
+// so corrupt-stream output stays crop-position-independent.
+constexpr int kFastSkip = 12;
+struct FastSkip {
+  int32_t e[1 << kFastSkip];
+};
+
+void build_fsk(const uint8_t* counts, const uint8_t* vals, FastSkip* f) {
+  std::memset(f->e, 0, sizeof(f->e));
+  // canonical decode tables for window-time symbol resolution
+  int mincode[17], maxcode[17], valptr[17];
+  {
+    int code = 0, k = 0;
+    for (int l = 1; l <= 16; l++) {
+      valptr[l] = k;
+      mincode[l] = code;
+      code += counts[l];
+      k += counts[l];
+      maxcode[l] = code - 1;  // valid only if counts[l] > 0
+      code <<= 1;
+    }
+  }
+  // decode one symbol from the top of a kFastSkip-bit window; returns false
+  // when the code does not fully fit in `avail` bits
+  auto decode1 = [&](unsigned w, int avail, int* len, int* rs) {
+    for (int l = 1; l <= avail; l++) {
+      if (!counts[l]) continue;
+      int cd = (int)(w >> (kFastSkip - l));
+      if (cd >= mincode[l] && cd <= maxcode[l]) {
+        *len = l;
+        *rs = vals[valptr[l] + cd - mincode[l]];
+        return true;
+      }
+    }
+    return false;
+  };
+  for (unsigned i = 0; i < (1u << kFastSkip); i++) {
+    int l1, rs1;
+    if (!decode1(i, kFastSkip, &l1, &rs1)) continue;
+    int r1 = rs1 >> 4, sz1 = rs1 & 15;
+    int32_t e;
+    int n1;
+    if (sz1 == 0) {
+      if (r1 == 0) {  // EOB
+        f->e[i] = (int32_t)((1u << 31) | (unsigned)l1);
+        continue;
+      }
+      // ZRL — and bogus run/0 symbols, which the store-mode FAST path also
+      // advances by 16 (semantics must match per crop-independence)
+      n1 = l1;
+      e = n1 | (16 << 5);
+    } else {
+      n1 = l1 + sz1;  // value: only the BIT COUNT matters in skip mode
+      e = n1 | ((r1 + 1) << 5) | (1 << 11);
+    }
+    if (n1 < kFastSkip) {
+      // try to fuse the second symbol: its code must resolve within the
+      // remaining window bits
+      int l2, rs2;
+      if (decode1((i << n1) & ((1u << kFastSkip) - 1), kFastSkip - n1, &l2, &rs2)) {
+        int r2 = rs2 >> 4, sz2 = rs2 & 15;
+        if (sz2 == 0) {
+          if (r2 == 0) {  // EOB second
+            if (n1 + l2 <= 26)
+              e |= (l2 << 12) | (1 << 30);
+          } else if (n1 + l2 <= 26) {  // ZRL second (incl. bogus run/0)
+            e |= (l2 << 12) | (16 << 17);
+          }
+        } else if (n1 + l2 + sz2 <= 26) {
+          e |= ((l2 + sz2) << 12) | ((r2 + 1) << 17) | (1 << 23);
+        }
+      }
+    }
+    f->e[i] = e;
+  }
+}
+
 // Content-keyed fast-table cache: JPEGs from one encoder ship identical DHT
 // segments, so the expanded 16 KB fast tables are reused across images on
 // each worker thread instead of being rebuilt per image. Keyed by the raw
@@ -186,6 +287,7 @@ struct TblCache {
 };
 thread_local TblCache<FastAc, build_fac> g_fac_cache;
 thread_local TblCache<FastDc, build_fdc> g_fdc_cache;
+thread_local TblCache<FastSkip, build_fsk> g_fsk_cache;
 
 bool build_huff(const uint8_t* counts /*[1..16]*/, const uint8_t* vals,
                 int nvals, HuffTbl* t) {
@@ -312,6 +414,7 @@ struct Parser {
   HuffTbl htdc[4], htac[4];
   const FastAc* fac[4] = {nullptr, nullptr, nullptr, nullptr};
   const FastDc* fdc[4] = {nullptr, nullptr, nullptr, nullptr};
+  const FastSkip* fsk[4] = {nullptr, nullptr, nullptr, nullptr};
   int ri = 0;
   const uint8_t* scan_start = nullptr;
   bool sof_seen = false;
@@ -487,8 +590,12 @@ struct Parser {
       if (total > 256 || pos + (size_t)total > seg_end) return -1;
       HuffTbl* t = tc ? &htac[th] : &htdc[th];
       if (!build_huff(counts, d + pos, total, t)) return -1;
-      if (tc) fac[th] = g_fac_cache.get(counts, d + pos, total);
-      else fdc[th] = g_fdc_cache.get(counts, d + pos, total);
+      if (tc) {
+        fac[th] = g_fac_cache.get(counts, d + pos, total);
+        fsk[th] = g_fsk_cache.get(counts, d + pos, total);
+      } else {
+        fdc[th] = g_fdc_cache.get(counts, d + pos, total);
+      }
       pos += total;
     }
     return 0;
@@ -578,6 +685,7 @@ struct CompState {
   const FastAc* fac;
   const FastDc* fdc;
   int h, v, bh, bw, br0, bc0, nac, real_bh, real_bw;
+  const FastSkip* fsk = nullptr;  // skip-mode pair table (set by the drivers)
 };
 
 // Decode the (single, interleaved) scan into the component windows.
@@ -692,36 +800,44 @@ int decode_scan(const Parser& ps, const CompState* cs, const uint8_t* pend,
             cnt -= l + s;
           }
           int k = 1;
-          // Two symbols per refill (see the store-mode loop for the bit
-          // budget); overrun semantics MATCH the store-mode loop so a
+          // Skip-mode AC loop over the FastSkip table (see build_fsk): one
+          // lookup resolves the LENGTHS of one symbol (any magnitude size —
+          // only the code must fit the window) or a fused PAIR of symbols,
+          // then the second half of the entry applies branchlessly (zeros
+          // for singles). Overrun semantics MATCH the store-mode loop so a
           // corrupt-but-decodable stream yields crop-position-independent
-          // output: run+value past 63 aborts, ZRL past 63 is tolerated.
+          // output: run+value past 63 aborts (k lands > 64), landing ON 64
+          // exits the block, ZRL past 63 is tolerated. Bit budget: a step
+          // consumes <= 27 (single, corrupt sz<=15) / <= 26 (pair), so two
+          // steps fit one refill and the third needs cnt >= 31 > 27.
           while (k <= 63) {
             REFILL();
-#define AC_SKIP_SYM(BLOCK_DONE)                                         \
+#define AC_SKIP_STEP(BLOCK_DONE)                                        \
             {                                                           \
-              int fe = C.fac->e[(unsigned)(acc >> (64 - kFastAc))];     \
+              int fe = C.fsk->e[(unsigned)(acc >> (64 - kFastSkip))];     \
               if (fe) {                                                 \
-                acc <<= (fe & 63);                                      \
-                cnt -= (fe & 63);                                       \
-                if (fe & (1 << 24)) {                                   \
-                  if ((fe & 0xF00) == 0) goto BLOCK_DONE; /* EOB */     \
-                  k += 16; /* ZRL */                                    \
-                } else {                                                \
-                  k += (fe >> 8) & 15;                                  \
-                  if (k > 63) return 0;                                 \
-                  k++;                                                  \
+                int n1 = fe & 31;                                       \
+                acc <<= n1;                                             \
+                cnt -= n1;                                              \
+                k += (fe >> 5) & 63;                                    \
+                if (fe < 0) goto BLOCK_DONE; /* EOB (sym1) */           \
+                if (k > 63) {                                           \
+                  if ((fe & (1 << 11)) && k > 64) return 0;             \
+                  goto BLOCK_DONE; /* block exhausted / ZRL tail */     \
                 }                                                       \
-              } else {                                                  \
+                int n2 = (fe >> 12) & 31; /* 0 for single entries */    \
+                acc <<= n2;                                             \
+                cnt -= n2;                                              \
+                k += (fe >> 17) & 63;                                   \
+                if (fe & (1 << 30)) goto BLOCK_DONE; /* EOB (sym2) */   \
+                if (k > 63) {                                           \
+                  if ((fe & (1 << 23)) && k > 64) return 0;             \
+                  goto BLOCK_DONE;                                      \
+                }                                                       \
+              } else { /* code longer than kFastAc bits */              \
                 int l = 0, rs;                                          \
-                int e = C.act->lut[(unsigned)(acc >> (64 - kLookahead))]; \
-                if (e >= 0) {                                           \
-                  l = e >> 8;                                           \
-                  rs = e & 0xFF;                                        \
-                } else {                                                \
-                  rs = huff_decode_slow(acc, C.act, &l);                \
-                  if (rs < 0) return 0;                                 \
-                }                                                       \
+                rs = huff_decode_slow(acc, C.act, &l);                  \
+                if (rs < 0) return 0;                                   \
                 int r = rs >> 4, sz = rs & 15;                          \
                 acc <<= l + sz;                                         \
                 cnt -= l + sz;                                          \
@@ -736,10 +852,13 @@ int decode_scan(const Parser& ps, const CompState* cs, const uint8_t* pend,
                 }                                                       \
               }                                                         \
             }
-            AC_SKIP_SYM(skip_blk_done);
+            AC_SKIP_STEP(skip_blk_done);
             if (k > 63) break;
-            AC_SKIP_SYM(skip_blk_done);
-#undef AC_SKIP_SYM
+            AC_SKIP_STEP(skip_blk_done);
+            // opportunistic third step (mirrors the store-mode loop)
+            if (k > 63) break;
+            if (cnt >= 31) AC_SKIP_STEP(skip_blk_done);
+#undef AC_SKIP_STEP
           }
         skip_blk_done:;
         }
@@ -1256,6 +1375,7 @@ int setup_cursor(const uint8_t* data, size_t len, int ky, int kc, short* y_dc,
              k * k - 1,
              (ps.H * ps.comp[i].v + 8 * vmax - 1) / (8 * vmax),
              (ps.W * ps.comp[i].h + 8 * hmax - 1) / (8 * hmax)};
+    cs[i].fsk = ps.fsk[ps.scan_ta[slot]];
     std::memset(cs[i].dc, 0, sizeof(short) * (size_t)cs[i].bh * cs[i].bw);
     std::memset(cs[i].ac, 0, (size_t)cs[i].bh * cs[i].bw * cs[i].nac);
   }
@@ -1602,6 +1722,7 @@ int dali_tpu_jpeg_huff_read_coeffs_split_crop(
              k * k - 1,
              (ps.H * ps.comp[i].v + 8 * vmax - 1) / (8 * vmax),
              (ps.W * ps.comp[i].h + 8 * hmax - 1) / (8 * hmax)};
+    cs[i].fsk = ps.fsk[ps.scan_ta[slot]];
     std::memset(cs[i].dc, 0, sizeof(short) * (size_t)cs[i].bh * cs[i].bw);
     std::memset(cs[i].ac, 0, (size_t)cs[i].bh * cs[i].bw * cs[i].nac);
   }
@@ -1888,6 +2009,7 @@ int dali_tpu_jpeg_huff_read_coeffs_split_crop_pack(
              k * k - 1,
              (ps.H * ps.comp[i].v + 8 * vmax - 1) / (8 * vmax),
              (ps.W * ps.comp[i].h + 8 * hmax - 1) / (8 * hmax)};
+    cs[i].fsk = ps.fsk[ps.scan_ta[slot]];
     std::memset(cs[i].dc, 0, sizeof(short) * (size_t)cs[i].bh * cs[i].bw);
   }
   std::memset(y_mask, 0, sizeof(unsigned short) * (size_t)y_bh * y_bw);
