@@ -43,6 +43,7 @@ run augmentation_gallery.py
 run transforms_3d.py
 run custom_operators.py
 run debug_and_optical_flow.py
+run audio_processing.py
 XLA_FLAGS="--xla_force_host_platform_device_count=2" \
   run framework_iterators.py
 
