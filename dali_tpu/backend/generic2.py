@@ -506,34 +506,167 @@ DALI_SCHEMA("Stack").DocStr("Stack samples along a new axis (reference generic/j
 
 @register_operator("Cat", "cpu")
 class CatCPU(Operator):
+    def run_batch(self, ctx, *inputs):
+        # axis_name resolves against the data input's layout (join.cc:201-206)
+        self._in_layout = inputs[0].layout if inputs else ""
+        return super().run_batch(ctx, *inputs)
+
     def run_sample(self, ctx, idx, *inputs):
         axis = self.spec.GetArgument("axis", 0)
+        name = self.spec.GetArgument("axis_name", None)
+        if name:
+            layout = getattr(self, "_in_layout", "")
+            axis = layout.find(name)
+            if axis < 0:
+                raise ValueError(
+                    f"Cat: axis_name={name!r} not found in input layout "
+                    f"{layout!r}")
         return np.concatenate(inputs, axis=axis)
 
 
 @register_operator("Stack", "cpu")
 class StackCPU(Operator):
+    def run_batch(self, ctx, *inputs):
+        self._in_layout = inputs[0].layout if inputs else ""
+        return super().run_batch(ctx, *inputs)
+
     def run_sample(self, ctx, idx, *inputs):
         axis = self.spec.GetArgument("axis", 0)
         return np.stack(inputs, axis=axis)
 
+    def output_layout(self, output_idx, inputs):
+        return _stack_layout(self.spec, getattr(self, "_in_layout", ""))
+
+
+class _JoinAxisMixin:
+    def _join_axis(self, ctx, ndim):
+        axis = self.spec.GetArgument("axis", 0)
+        name = self.spec.GetArgument("axis_name", None)
+        if name:
+            il = (ctx.in_layouts(self) or [""])[0]
+            i = il.find(name)
+            if i < 0:
+                raise ValueError(
+                    f"{self.spec.schema.name}: axis_name={name!r} not found in "
+                    f"input layout {il!r}")
+            axis = i
+        if axis < 0:
+            axis += ndim
+        return axis
+
 
 @register_operator("Cat", "gpu")
-class CatGPU(Operator):
+class CatGPU(_JoinAxisMixin, Operator):
+    def host_output_shapes(self, ctx, input_shapes, input_batches):
+        if not input_shapes or any(s is None for s in input_shapes):
+            return None
+        shs = [np.asarray(s).astype(np.int64) for s in input_shapes]
+        axis = self._join_axis(ctx, shs[0].shape[1])
+        out = shs[0].copy()
+        out[:, axis] = np.sum([s[:, axis] for s in shs], axis=0)
+        return [out]
+
+    def host_params(self, ctx, input_shapes):
+        if any(s is None for s in input_shapes):
+            self._mode = ("concat", self._join_axis(ctx, None))
+            return {}
+        shs = [np.asarray(s) for s in input_shapes]
+        axis = self._join_axis(ctx, shs[0].shape[1])
+        self._mode = ("place", axis)
+        n = shs[0].shape[0]
+        # running per-sample start offset of each input along the join axis
+        offsets = np.zeros((n, len(shs)), np.int32)
+        acc = np.zeros((n,), np.int64)
+        for k, s in enumerate(shs):
+            offsets[:, k] = acc
+            acc = acc + s[:, axis]
+        return {"cat_offsets": offsets}
+
+    def _join_axis(self, ctx, ndim):
+        ax = self.spec.GetArgument("axis", 0)
+        if ndim is None and (ax < 0 or self.spec.GetArgument("axis_name", None)):
+            raise RuntimeError(
+                "Cat(gpu): negative axis / axis_name need host-known input "
+                "shapes; the producing op must implement host_output_shapes")
+        return super()._join_axis(ctx, ndim)
+
+    def device_statics(self, ctx, input_shapes):
+        return self._mode
+
     def lower(self, dctx, *inputs: DeviceBatch):
+        import jax
         import jax.numpy as jnp
 
-        axis = self.spec.GetArgument("axis", 0) + 1
-        return [DeviceBatch(jnp.concatenate([i.data for i in inputs], axis=axis), None, inputs[0].layout)]
+        mode, axis0 = dctx.static(self)
+        axis = axis0 + 1
+        if len(inputs) == 1:
+            return [inputs[0]]
+        if mode == "concat":
+            return [DeviceBatch(
+                jnp.concatenate([i.data for i in inputs], axis=axis), None,
+                inputs[0].layout)]
+        # Placement-exact join: each input's true rows start where the previous
+        # input's true rows END — not at its padded-canvas end — so write each
+        # canvas with dynamic_update_slice at the per-sample running offset.
+        # Later writes overwrite earlier inputs' canvas padding; the final
+        # input's padding tail lies past the logical extent and is trimmed by
+        # the propagated host shapes. (reference generic/join.cc joins true
+        # sample extents on the host; here placement happens on-device.)
+        offsets = jnp.asarray(dctx.param(self, "cat_offsets"))  # [n, k]
+        ndim = inputs[0].data.ndim
+        out_shape = list(inputs[0].data.shape)
+        out_shape[axis] = sum(i.data.shape[axis] for i in inputs)
+        for d in range(1, ndim):
+            if d != axis:
+                out_shape[d] = max(i.data.shape[d] for i in inputs)
+        out = jnp.zeros(out_shape, inputs[0].data.dtype)
+
+        def place(dst, src, o, _axis=axis, _nd=ndim):
+            starts = [jnp.int32(0)] * (_nd - 1)
+            starts[_axis - 1] = o
+            return jax.lax.dynamic_update_slice(dst, src, tuple(starts))
+
+        for k, inp in enumerate(inputs):
+            out = jax.vmap(place)(out, inp.data, offsets[:, k])
+        return [DeviceBatch(out, None, inputs[0].layout)]
+
+
+def _stack_layout(spec, in_layout):
+    """reference join.cc:54-87 — Stack's axis_name NAMES the new axis; it is
+    inserted into the input layout at `axis` (empty when unset)."""
+    name = spec.GetArgument("axis_name", None)
+    if not name or not in_layout:
+        return ""
+    axis = spec.GetArgument("axis", 0)
+    if axis < 0:
+        axis += len(in_layout) + 1
+    return in_layout[:axis] + name + in_layout[axis:]
 
 
 @register_operator("Stack", "gpu")
 class StackGPU(Operator):
+    def _stack_axis(self, ndim_in):
+        axis = self.spec.GetArgument("axis", 0)
+        return axis + ndim_in + 1 if axis < 0 else axis
+
+    def host_output_layouts(self, in_layouts):
+        return [_stack_layout(self.spec, in_layouts[0] if in_layouts else "")]
+
+    def host_output_shapes(self, ctx, input_shapes, input_batches):
+        if not input_shapes or input_shapes[0] is None:
+            return None
+        sh = np.asarray(input_shapes[0]).astype(np.int64)
+        axis = self._stack_axis(sh.shape[1])
+        n_in = len(self.spec.inputs)
+        new_col = np.full((sh.shape[0], 1), n_in, np.int64)
+        return [np.concatenate([sh[:, :axis], new_col, sh[:, axis:]], axis=1)]
+
     def lower(self, dctx, *inputs: DeviceBatch):
         import jax.numpy as jnp
 
-        axis = self.spec.GetArgument("axis", 0) + 1
-        return [DeviceBatch(jnp.stack([i.data for i in inputs], axis=axis), None, "")]
+        axis = self._stack_axis(inputs[0].data.ndim - 1) + 1
+        layout = _stack_layout(self.spec, inputs[0].layout)
+        return [DeviceBatch(jnp.stack([i.data for i in inputs], axis=axis), None, layout)]
 
 
 # ======================================== PermuteBatch ==============================================

@@ -847,27 +847,63 @@ class CropMirrorNormalizeGPU(Operator, _CMNCommon):
         return [DeviceBatch(out, None, layout)]
 
     def host_output_shapes(self, ctx, input_shapes, input_batches):
-        # "error" policy contract: raise on the host when a window falls out
-        # of a sample's extent (reference OutOfBoundsPolicy::Error)
-        if self.spec.GetArgument("out_of_bounds_policy", "error") != "error":
-            return None
+        # Computes per-sample output extents (crop window / passthrough, channel
+        # padding, CHW<->HWC permutation) and enforces the "error" policy on
+        # the host (reference OutOfBoundsPolicy::Error).
+        spec = self.spec
+        policy = spec.GetArgument("out_of_bounds_policy", "error")
         shapes = input_shapes[0] if input_shapes else None
         if shapes is None:
             return None
+        sh = np.asarray(shapes).astype(np.int64)
+        il = (ctx.in_layouts(self) or [""])[0]
+        ncol = sh.shape[1]
+        if ncol == 3:
+            lead = None
+        elif ncol == 4 and il[:1] in ("F", "D"):
+            lead = il[0]
+        else:
+            return None  # ambiguous rank: don't guess
+        h = sh[:, -3]
+        w = sh[:, -2]
+        c = sh[:, -1]
         cs = self._crop_size(None)
-        if cs is None:
+        if cs is not None:
+            ch, cw = int(cs[0]), int(cs[1])
+            if policy == "error":
+                bad = (h < ch) | (w < cw)
+                if bad.any():
+                    i = int(np.argmax(bad))
+                    raise ValueError(
+                        f"CropMirrorNormalize: crop window {ch}x{cw} out of bounds for "
+                        f"sample {i} of extent {int(h[i])}x{int(w[i])} "
+                        f"(out_of_bounds_policy='error'; use 'pad' or 'trim_to_shape')")
+                oh = np.full_like(h, ch)
+                ow = np.full_like(w, cw)
+            elif policy == "trim_to_shape":
+                oh = np.minimum(h, ch)
+                ow = np.minimum(w, cw)
+            else:  # pad
+                oh = np.full_like(h, ch)
+                ow = np.full_like(w, cw)
+        else:
+            oh, ow = h, w
+        oc = np.full_like(c, 4) if spec.GetArgument("pad_output", False) else c
+        base = spec.GetArgument("output_layout", "CHW").lstrip("FD")
+        if base == "CHW":
+            cols = [oc, oh, ow]
+        elif base == "HWC":
+            cols = [oh, ow, oc]
+        else:
             return None
-        ch, cw = cs
-        sh = np.asarray(shapes)
-        hw = sh[:, -3:-1] if sh.shape[1] >= 3 else sh[:, :2]
-        bad = (hw[:, 0] < ch) | (hw[:, 1] < cw)
-        if bad.any():
-            i = int(np.argmax(bad))
-            raise ValueError(
-                f"CropMirrorNormalize: crop window {ch}x{cw} out of bounds for "
-                f"sample {i} of extent {int(hw[i,0])}x{int(hw[i,1])} "
-                f"(out_of_bounds_policy='error'; use 'pad' or 'trim_to_shape')")
-        return None
+        if lead is not None:
+            lead_ext = sh[:, 0].copy()
+            if lead == "D":
+                cd = int(spec.GetArgument("crop_d", 0.0) or 0)
+                if cd:
+                    lead_ext = np.full_like(lead_ext, cd)
+            cols = [lead_ext] + cols
+        return [np.stack(cols, axis=1)]
 
 
 @register_operator("CropMirrorNormalize", "cpu")

@@ -603,6 +603,24 @@ class CoordTransformGPU(Operator):
     The matrix comes from the M/T keyword arguments (constant or per-sample
     tensor arguments); a positional matrix INPUT is cpu-only."""
 
+    def host_output_shapes(self, ctx, input_shapes, input_batches):
+        sh = input_shapes[0] if input_shapes else None
+        if sh is None:
+            return None
+        sh = np.asarray(sh)
+        if "M" in self.spec.arg_inputs:
+            # per-sample tensor M may change the coord dim; the device shapes
+            # path carries the truth, so don't override it with a host guess
+            return None
+        M = self.spec.GetArgument("M", None)
+        if M is None:
+            return [sh]
+        d = int(sh[0, -1])
+        out_dim = len(np.asarray(M).reshape(-1)) // d
+        out = sh.copy()
+        out[:, -1] = out_dim
+        return [out]
+
     def lower(self, dctx, coords, *mt):
         import jax.numpy as jnp
 
@@ -610,8 +628,10 @@ class CoordTransformGPU(Operator):
             raise ValueError(
                 "CoordTransform(gpu): pass the matrix via the M/T keyword "
                 "arguments (a positional matrix input is cpu-only)")
-        pts = coords.data.astype(jnp.float32)  # [N, P, D]
-        n, _, d = pts.shape
+        pts = coords.data.astype(jnp.float32)  # [N, ..., D]
+        n, d = pts.shape[0], pts.shape[-1]
+        mid = pts.shape[1:-1]
+        pts = pts.reshape(n, -1, d)  # cpu semantics: transform the last axis
         M = dctx.arg(self, "M", None)
         T = dctx.arg(self, "T", None)
         if M is not None:
@@ -632,6 +652,7 @@ class CoordTransformGPU(Operator):
         if t.shape[0] == 1:
             t = jnp.broadcast_to(t, (n, t.shape[1]))
         out = jnp.einsum("npd,nkd->npk", pts, mat) + t[:, None, :]
+        out = out.reshape((n,) + mid + (out_dim,))
         dt = self.spec.GetArgument("dtype", DALIDataType.FLOAT)
         shapes = coords.shapes
         if shapes is not None and out_dim != d:  # dim-raising/lowering M

@@ -770,16 +770,19 @@ class Executor:
             k = _edge_key(out)
             if out.device == "gpu":
                 data, shapes, layout = gpu_outputs[k]
-                if shapes is None:
-                    shapes_np = None
+                # prefer host-propagated shapes — reading the device shapes
+                # array back is a D2H round-trip (and on the axon tunnel it
+                # permanently degrades the client). With no host shapes,
+                # hand the DEVICE array to the TensorList, which fetches
+                # lazily only if the user inspects per-sample shapes. This
+                # must apply even when the device program carried no shapes
+                # (shapes is None): otherwise a host-known ragged output
+                # reads back as the padded canvas.
+                host = staged["out_shapes_host"].get(k)
+                if host is not None:
+                    shapes_np = np.asarray(host)
                 else:
-                    # prefer host-propagated shapes — reading the device shapes
-                    # array back is a D2H round-trip (and on the axon tunnel it
-                    # permanently degrades the client). With no host shapes,
-                    # hand the DEVICE array to the TensorList, which fetches
-                    # lazily only if the user inspects per-sample shapes.
-                    host = staged["out_shapes_host"].get(k)
-                    shapes_np = np.asarray(host) if host is not None else shapes
+                    shapes_np = shapes
                 results.append(TensorListGPU(data, shapes_np, layout))
             else:
                 hb = staged["cpu_outputs"][k]

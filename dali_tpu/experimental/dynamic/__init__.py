@@ -383,6 +383,7 @@ def _eager_call(schema_name: str, *inputs, device=None, batch_size=None, **kwarg
     ctx.epoch = 0
     ctx._pool = None
     ctx._arg_batches = {impl.op_id: arg_batches}
+    ctx.op_in_layouts = {}
 
     if device in ("cpu", "mixed"):
         ins = [HostBatch(b.cpu()._samples, b.layout) for b in batches]
@@ -399,6 +400,7 @@ def _eager_call(schema_name: str, *inputs, device=None, batch_size=None, **kwarg
         for b in batches:
             g = b.gpu()
             dev_inputs.append(DeviceBatch(g._device_data, g._shapes, g.layout))
+        ctx.op_in_layouts[impl.op_id] = [d.layout or "" for d in dev_inputs]
         # host params (e.g. RRC windows) from input shapes
         in_shapes = [
             np.asarray(d.shapes) if d.shapes is not None else
@@ -423,11 +425,22 @@ def _eager_call(schema_name: str, *inputs, device=None, batch_size=None, **kwarg
         arg_arrays = {
             impl.op_id: {k: np.stack([np.asarray(s) for s in v.samples]) for k, v in arg_batches.items()}
         }
+        # host-known per-sample output shapes BEFORE lowering (executor order:
+        # error-policy checks raise here; padded-canvas outputs get their
+        # logical extents from the host instead of leaking the canvas)
+        host_shapes = impl.host_output_shapes(
+            ctx, in_shapes, [None] * len(dev_inputs))
         dctx = DeviceCtx(n, key, {impl.op_id: params}, arg_arrays, {impl.op_id: statics} if statics else {})
         outs = impl.lower(dctx, *dev_inputs)
         if not isinstance(outs, (list, tuple)):
             outs = [outs]
-        result = [Batch(device_data=o.data, shapes=o.shapes, layout=o.layout) for o in outs]
+        result = []
+        for j, o in enumerate(outs):
+            sh = o.shapes
+            if (host_shapes is not None and j < len(host_shapes)
+                    and host_shapes[j] is not None):
+                sh = np.asarray(host_shapes[j])
+            result.append(Batch(device_data=o.data, shapes=sh, layout=o.layout))
     return result[0] if len(result) == 1 else tuple(result)
 
 

@@ -102,7 +102,17 @@ class TensorListGPU:
         return self._data.dtype
 
     def is_dense_tensor(self) -> bool:
-        return self._shapes is None
+        if self._shapes is None:
+            return True
+        # dense iff every sample's logical shape fills the buffer exactly —
+        # uniform logical shapes over a PADDED canvas are still ragged for
+        # zero-copy purposes (the pad bytes would leak into the export)
+        sh = self._shapes_np()
+        if sh.shape[1] != self._data.ndim - 1:
+            return False
+        first = sh[0]
+        return bool((sh == first).all()) and tuple(
+            int(x) for x in first) == tuple(self._data.shape[1:])
 
     def shape(self):
         if self._shapes is None:
