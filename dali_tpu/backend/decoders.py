@@ -295,7 +295,7 @@ _decoder_schema("decoders.ImageRandomCrop").DocStr(
     "random_aspect_ratio", ArgType.FLOAT_VEC, "Aspect-ratio range.", [3 / 4, 4 / 3]
 ).AddOptionalArg(
     "num_attempts", ArgType.INT, "Sampling attempts before fallback.", 10
-)
+).AddRandomSeedArg()
 
 
 def sample_rrc_windows_batch(rng, hw, random_area, random_aspect_ratio, num_attempts):

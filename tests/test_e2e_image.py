@@ -203,3 +203,29 @@ def test_decoder_cache(tmp_path):
         np.testing.assert_array_equal(a[:, :48, :64], b[:, :48, :64])
     impl = next(i for i in pc._executor.impls.values() if hasattr(i, "_img_cache"))
     assert impl._img_cache.hits >= 8  # iterations 2 and 3 fully cached
+
+
+def test_image_random_crop_non_hybrid(jpeg_dataset):
+    """Regression: fn.decoders.image_random_crop WITHOUT hybrid_device_decode —
+    the wrapper forwards `seed` to decoders.ImageRandomCrop, whose schema must
+    declare it (reference RandomCropAttr adds the seed arg; a missing
+    declaration made every non-hybrid call raise TypeError)."""
+    def build(device, seed):
+        @pipeline_def(batch_size=4, num_threads=1, seed=3)
+        def pipe():
+            jpegs, _ = fn.readers.file(file_root=jpeg_dataset, name="R")
+            img = fn.decoders.image_random_crop(
+                jpegs, device=device, seed=seed,
+                random_area=[0.3, 0.8], random_aspect_ratio=[0.8, 1.25])
+            return fn.resize(img, resize_x=32, resize_y=32)
+        p = pipe()
+        p.build()
+        (out,) = p.run()
+        return np.stack([np.asarray(out.at(i)) for i in range(4)])
+
+    a = build("cpu", 7)
+    b = build("cpu", 7)
+    np.testing.assert_array_equal(a, b)  # explicit seed => deterministic
+    assert a.shape == (4, 32, 32, 3)
+    m = build("mixed", 7)
+    assert m.shape == (4, 32, 32, 3)
