@@ -28,6 +28,7 @@ fi
 if [ "$MAX" -ge 3 ]; then
   echo "=== TL3: multichip dry-run ==="
   XLA_FLAGS="--xla_force_host_platform_device_count=8" JAX_PLATFORMS=cpu \
+    PALLAS_AXON_POOL_IPS= \
     python -c "import __graft_entry__ as g; g.dryrun_multichip(8); print('multichip ok')"
   echo "=== TL3: perf gate ==="
   python qa/perf_gate.py

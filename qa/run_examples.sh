@@ -7,6 +7,9 @@ set -u
 cd "$(dirname "$0")/.."
 
 export JAX_PLATFORMS=cpu
+# Skip axon TPU plugin registration in every spawned interpreter: plugin init
+# dials the shared tunnel, which is a hard hang when the tunnel is wedged.
+export PALLAS_AXON_POOL_IPS=
 # NOTE: virtual multi-device CPU (xla_force_host_platform_device_count) makes
 # some XLA compiles pathologically slow (video resize: 33s -> 433s at n=2 on
 # this box), so only the example that actually uses a mesh gets it.
