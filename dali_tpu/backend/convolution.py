@@ -146,31 +146,116 @@ def _saturate(xp, out, dtype):
     return out.astype(dtype)
 
 
+def _blur_axis_jnp(img, w, ext, axis):
+    """1-D correlation along ``axis`` of one sample with reflect-101 border
+    bounded by the per-sample ``ext`` (NOT the canvas edge — ragged batches
+    must never blur canvas padding into the image). ``w`` is a traced [K]
+    center-aligned kernel (zero-padded taps contribute nothing)."""
+    import jax.numpy as jnp
+
+    K = w.shape[0]
+    c = (K - 1) // 2
+    L = img.shape[axis]
+    h = jnp.arange(L, dtype=jnp.int32)
+    m = jnp.maximum(ext - 1, 0)
+    out = None
+    for t in range(K):
+        p = h + (t - c)
+        p = jnp.where(p < 0, -p, p)  # reflect_101 at 0
+        p = jnp.where(p > m, 2 * m - p, p)  # reflect_101 at ext-1
+        p = jnp.clip(p, 0, m)  # multi-bounce clamp (kernel wider than image)
+        term = w[t] * jnp.take(img, p, axis=axis)
+        out = term if out is None else out + term
+    return out
+
+
 @register_operator("GaussianBlur", "gpu")
 class GaussianBlurGPU(Operator):
+    def _naxes_for(self, layout: str) -> int:
+        return 3 if (layout or "").startswith("D") else 1
+
+    def host_params(self, ctx, input_shapes):
+        """Per-sample separable kernels, built on the host: sigma/window_size
+        may be per-sample tensor args, and the kernel LENGTH is data-dependent
+        (2*ceil(3*sigma)+1). Kernels are zero-padded into a grow-latched
+        common length so the device program shape stays stable."""
+        layout = (ctx.in_layouts(self) or [""])[0]
+        naxes = self._naxes_for(layout)
+        batches = ctx._arg_batches.get(self.op_id, {})
+        n = 1
+        for nm in ("sigma", "window_size"):
+            if nm in batches:
+                n = len(batches[nm].samples)
+                break
+        rows = []
+        for i in range(n):
+            params = _blur_params(self.spec, ctx, self, i, naxes=naxes)
+            if naxes == 1:
+                params = [params]
+            rows.append([gaussian_window(w, s)[0] for (s, w) in params])
+        K = max(3, max(len(k) for row in rows for k in row))
+        if K % 2 == 0:
+            K += 1
+        self._k_latch = max(getattr(self, "_k_latch", 0), K)
+        K = self._k_latch
+        wmat = np.zeros((n, naxes, K), np.float32)
+        C = (K - 1) // 2
+        for i, row in enumerate(rows):
+            for a, k in enumerate(row):
+                c = (len(k) - 1) // 2
+                wmat[i, a, C - c : C - c + len(k)] = k
+        return {"gb_w": wmat}
+
+    def device_statics(self, ctx, input_shapes):
+        return ("K", getattr(self, "_k_latch", 3))
+
     def lower(self, dctx, inp: DeviceBatch):
+        import jax
         import jax.numpy as jnp
 
-        sigma = self.spec.GetArgument("sigma", None)
-        win = self.spec.GetArgument("window_size", None)
-        s = float(np.asarray(sigma).reshape(-1)[0]) if sigma else 0.0
-        w = int(np.asarray(win).reshape(-1)[0]) if win else 0
-        if s <= 0 and w <= 0:
-            w = 3
-        if inp.data.ndim == 5:  # [N, D, H, W, C] volumetric
-            sigma_v = np.asarray(sigma, np.float64).reshape(-1) if sigma else np.zeros(1)
-            win_v = np.asarray(win, np.int64).reshape(-1) if win else np.zeros(1, np.int64)
-            out = inp.data
-            for axis in range(3):
-                sa = float(sigma_v[axis % len(sigma_v)])
-                wa = int(win_v[axis % len(win_v)])
-                if sa <= 0 and wa <= 0:
-                    wa = 3
-                kernel, _, _ = gaussian_window(wa, sa)
-                out = _conv1d_reflect_jnp(out, kernel, axis + 1)
+        w = jnp.asarray(dctx.param(self, "gb_w"))  # [n|1, naxes, K]
+        n = inp.data.shape[0]
+        if w.shape[0] == 1 and n != 1:
+            w = jnp.broadcast_to(w, (n,) + w.shape[1:])
+        layout = inp.layout or ""
+        sh = inp.shapes
+
+        def ext_col(i, full):
+            if sh is None or sh.shape[1] <= i:
+                return jnp.full((n,), full, jnp.int32)
+            return sh[:, i].astype(jnp.int32)
+
+        if inp.data.ndim == 5 and layout.startswith("D"):
+            D, H, W = inp.data.shape[1:4]
+            ed, eh, ew = ext_col(0, D), ext_col(1, H), ext_col(2, W)
+
+            def one(img, wr, d, h, ww):
+                img = img.astype(jnp.float32)
+                img = _blur_axis_jnp(img, wr[0], d, 0)
+                img = _blur_axis_jnp(img, wr[1 % wr.shape[0]], h, 1)
+                return _blur_axis_jnp(img, wr[2 % wr.shape[0]], ww, 2)
+
+            out = jax.vmap(one)(inp.data, w, ed, eh, ew)
+        elif inp.data.ndim == 5:  # FHWC sequence: per-frame 2-D blur
+            H, W = inp.data.shape[2:4]
+            eh, ew = ext_col(1, H), ext_col(2, W)
+
+            def one(img, wr, h, ww):
+                img = img.astype(jnp.float32)
+                img = _blur_axis_jnp(img, wr[0], h, 1)
+                return _blur_axis_jnp(img, wr[0], ww, 2)
+
+            out = jax.vmap(one)(inp.data, w, eh, ew)
         else:
-            kernel, size, sig = gaussian_window(w, s)
-            out = _separable_conv2d(inp.data, kernel, kernel)
+            H, W = inp.data.shape[1:3]
+            eh, ew = ext_col(0, H), ext_col(1, W)
+
+            def one(img, wr, h, ww):
+                img = img.astype(jnp.float32)
+                img = _blur_axis_jnp(img, wr[0], h, 0)
+                return _blur_axis_jnp(img, wr[0], ww, 1)
+
+            out = jax.vmap(one)(inp.data, w, eh, ew)
         dt_arg = self.spec.GetArgument("dtype", None)
         dt = to_jnp_type(dt_arg) if dt_arg is not None else inp.data.dtype
         return [inp.with_data(_saturate(jnp, out, dt))]

@@ -17,9 +17,15 @@ from ..types import DALIInterpType
 from .base import Operator
 
 
-def _bilinear_gather(xp, img, sx, sy, fill_value=0.0):
-    """Sample img [H,W,C] at float coords (sx, sy) [h,w] with border fill."""
+def _bilinear_gather(xp, img, sx, sy, fill_value=0.0, eh=None, ew=None):
+    """Sample img [H,W,C] at float coords (sx, sy) [h,w] with border fill.
+
+    ``eh``/``ew`` bound the VALID extent (per-sample logical size on a padded
+    canvas) — taps past them take ``fill_value`` instead of reading canvas
+    padding."""
     H, W, C = img.shape
+    vh = H if eh is None else eh
+    vw = W if ew is None else ew
     x0 = xp.floor(sx)
     y0 = xp.floor(sy)
     wx = (sx - x0)[..., None]
@@ -28,7 +34,7 @@ def _bilinear_gather(xp, img, sx, sy, fill_value=0.0):
     iy0 = y0.astype(xp.int32)
 
     def tap(iy, ix):
-        valid = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
+        valid = (ix >= 0) & (ix < vw) & (iy >= 0) & (iy < vh)
         v = img[xp.clip(iy, 0, H - 1), xp.clip(ix, 0, W - 1)].astype(xp.float32)
         return xp.where(valid[..., None], v, fill_value)
 
@@ -127,11 +133,14 @@ class WaterGPU(Operator):
         import jax
         import jax.numpy as jnp
 
-        H, W = inp.data.shape[1], inp.data.shape[2]
+        n, H, W = inp.data.shape[:3]
         sx, sy = _water_coords(jnp, H, W, self.spec)
         sx, sy = _maybe_nn(jnp, sx, sy, self.spec)
         fill = self.spec.GetArgument("fill_value", 0.0)
-        out = jax.vmap(lambda im: _bilinear_gather(jnp, im, sx, sy, fill))(inp.data)
+        eh = inp.extent(0) if inp.shapes is not None else jnp.full((n,), H, jnp.int32)
+        ew = inp.extent(1) if inp.shapes is not None else jnp.full((n,), W, jnp.int32)
+        out = jax.vmap(lambda im, h, w: _bilinear_gather(
+            jnp, im, sx, sy, fill, eh=h, ew=w))(inp.data, eh, ew)
         out = _apply_mask(jnp, dctx, self, inp.data, out)
         return [inp.with_data(_to_dtype(jnp, out, inp.data.dtype))]
 
@@ -152,9 +161,11 @@ DALI_SCHEMA("Sphere").DocStr(
     tensor_ok=True, per_sample=True)
 
 
-def _sphere_coords(xp, H, W):
-    # reference displacement: normalized radius warp (sphere.cc)
-    cy, cx = (H - 1) * 0.5, (W - 1) * 0.5
+def _sphere_coords(xp, H, W, eh=None, ew=None):
+    # reference displacement: normalized radius warp (sphere.cc); the center
+    # and normalization use the per-sample extent when given (padded canvas)
+    cy = ((H if eh is None else eh) - 1) * 0.5
+    cx = ((W if ew is None else ew) - 1) * 0.5
     ys = (xp.arange(H, dtype=xp.float32)[:, None] - cy) * xp.ones((1, W), xp.float32)
     xs = (xp.arange(W, dtype=xp.float32)[None, :] - cx) * xp.ones((H, 1), xp.float32)
     nx = xs / cx
@@ -184,11 +195,17 @@ class SphereGPU(Operator):
         import jax
         import jax.numpy as jnp
 
-        H, W = inp.data.shape[1], inp.data.shape[2]
-        sx, sy = _sphere_coords(jnp, H, W)
-        sx, sy = _maybe_nn(jnp, sx, sy, self.spec)
+        n, H, W = inp.data.shape[:3]
         fill = self.spec.GetArgument("fill_value", 0.0)
-        out = jax.vmap(lambda im: _bilinear_gather(jnp, im, sx, sy, fill))(inp.data)
+        eh = inp.extent(0) if inp.shapes is not None else jnp.full((n,), H, jnp.int32)
+        ew = inp.extent(1) if inp.shapes is not None else jnp.full((n,), W, jnp.int32)
+
+        def one(im, h, w):
+            sx, sy = _sphere_coords(jnp, H, W, eh=h, ew=w)
+            sx, sy = _maybe_nn(jnp, sx, sy, self.spec)
+            return _bilinear_gather(jnp, im, sx, sy, fill, eh=h, ew=w)
+
+        out = jax.vmap(one)(inp.data, eh, ew)
         out = _apply_mask(jnp, dctx, self, inp.data, out)
         return [inp.with_data(_to_dtype(jnp, out, inp.data.dtype))]
 
@@ -242,7 +259,10 @@ class JitterGPU(Operator):
         ys = jnp.arange(H, dtype=jnp.float32)[None, :, None] * jnp.ones((1, 1, W)) + disp[..., 1]
         xs, ys = _maybe_nn(jnp, xs, ys, self.spec)
         fill = self.spec.GetArgument("fill_value", 0.0)
-        out = jax.vmap(lambda im, x, y: _bilinear_gather(jnp, im, x, y, fill))(inp.data, xs, ys)
+        eh = inp.extent(0) if inp.shapes is not None else jnp.full((n,), H, jnp.int32)
+        ew = inp.extent(1) if inp.shapes is not None else jnp.full((n,), W, jnp.int32)
+        out = jax.vmap(lambda im, x, y, h, w: _bilinear_gather(
+            jnp, im, x, y, fill, eh=h, ew=w))(inp.data, xs, ys, eh, ew)
         out = _apply_mask(jnp, dctx, self, inp.data, out)
         return [inp.with_data(_to_dtype(jnp, out, inp.data.dtype))]
 
@@ -279,7 +299,11 @@ def _gridmask(xp, img, tile, ratio, angle, sx, sy):
 @register_operator("GridMask", "cpu")
 class GridMaskCPU(Operator):
     def run_sample(self, ctx, idx, img):
-        g = lambda n, d: float(np.asarray(ctx.arg(self, n, idx, d)))
+        # float32 scalars keep the whole computation in float32 — python
+        # floats would promote the boundary compare to float64 and flip
+        # tile-edge pixels vs the float32 gpu path (reference grid_mask.cu
+        # computes in float)
+        g = lambda n, d: np.float32(np.asarray(ctx.arg(self, n, idx, d)))
         return _gridmask(np, img, g("tile", 100), g("ratio", 0.5), g("angle", 0.0),
                          g("shift_x", 0.0), g("shift_y", 0.0))
 

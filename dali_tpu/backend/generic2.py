@@ -63,7 +63,15 @@ def _slice_axes(spec, layout, ndim):
     axes = spec.GetArgument("axes", None)
     if axes is not None and len(axes):
         return [a % ndim for a in axes]
-    return list(range(ndim))
+    # reference SliceAttr defaults (slice_attr.cc:33-38): axis_names="WH"
+    # (resolved against the layout, highest priority), else axes=[1, 0];
+    # 1-D inputs keep the pragmatic [0] (the reference errors there unless
+    # axes is passed explicitly)
+    if layout and "W" in layout and "H" in layout:
+        return [layout.index("W"), layout.index("H")]
+    if ndim >= 2:
+        return [1, 0]
+    return [0]
 
 
 @register_operator("Slice", "cpu")
@@ -208,11 +216,27 @@ class _CropCommon(Operator):
             return ch, cw
         raise ValueError("Crop requires `crop` or crop_h/crop_w")
 
+    def _size_sample(self, ctx, idx):
+        """Per-sample window: crop_h/crop_w may be TENSOR args (reference
+        CropAttr argument inputs)."""
+        crop = self.spec.GetArgument("crop", None)
+        if crop:
+            return int(crop[0]), int(crop[1])
+        ch = int(np.asarray(ctx.arg(self, "crop_h", idx, 0.0)) or 0)
+        cw = int(np.asarray(ctx.arg(self, "crop_w", idx, 0.0)) or 0)
+        if ch and cw:
+            return ch, cw
+        raise ValueError("Crop requires `crop` or crop_h/crop_w")
+
+    def _has_tensor_size(self):
+        return ("crop_h" in self.spec.arg_inputs or
+                "crop_w" in self.spec.arg_inputs)
+
 
 @register_operator("Crop", "cpu")
 class CropCPU(_CropCommon):
     def run_sample(self, ctx, idx, img):
-        ch, cw = self._size()
+        ch, cw = self._size_sample(ctx, idx)
         rnd = self.spec.GetArgument("rounding", "round")
         if img.ndim == 4:  # DHWC: crop depth first, then the 2-D path
             d = img.shape[0]
@@ -243,10 +267,100 @@ class CropCPU(_CropCommon):
 
 @register_operator("Crop", "gpu")
 class CropGPU(_CropCommon):
+    def host_params(self, ctx, input_shapes):
+        if not self._has_tensor_size():
+            self._ps_sizes = None
+            return {}
+        # Per-sample window sizes are HOST data (tensor args): compute them
+        # here, grow-latch the output canvas, and ship the sizes as params.
+        batches = ctx._arg_batches.get(self.op_id, {})
+        n = None
+        for nm in ("crop_h", "crop_w"):
+            if nm in batches:
+                n = len(batches[nm].samples)
+                break
+        sizes = np.zeros((n, 2), np.int32)
+        for i in range(n):
+            sizes[i] = self._size_sample(ctx, i)
+        latch = getattr(self, "_canvas_latch", [0, 0])
+        self._canvas_latch = [max(latch[0], int(sizes[:, 0].max())),
+                              max(latch[1], int(sizes[:, 1].max()))]
+        self._ps_sizes = sizes
+        return {"crop_sizes": sizes}
+
+    def device_statics(self, ctx, input_shapes):
+        if getattr(self, "_ps_sizes", None) is None:
+            return None
+        return ("ps", self._canvas_latch[0], self._canvas_latch[1])
+
+    def host_output_shapes(self, ctx, input_shapes, input_batches):
+        sizes = getattr(self, "_ps_sizes", None)
+        if sizes is None:
+            return None
+        sh = input_shapes[0] if input_shapes else None
+        if sh is None:
+            return None
+        sh = np.asarray(sh)
+        if sh.shape[1] != 3:
+            return None
+        out = sh.astype(np.int64).copy()
+        out[:, 0] = sizes[:, 0]
+        out[:, 1] = sizes[:, 1]
+        return [out]
+
+    def _lower_per_sample_sizes(self, dctx, inp):
+        """Per-sample (crop_h, crop_w) windows: each sample's crop lands in
+        the top-left of a grow-latched canvas; logical extents ride the
+        shapes. Row/col TAKE with clipped indices (dynamic_slice would shift
+        the window when it runs past the canvas edge)."""
+        import jax
+        import jax.numpy as jnp
+
+        st = dctx.static(self)
+        CH, CW = int(st[1]), int(st[2])
+        n = inp.data.shape[0]
+        H, W = inp.data.shape[1], inp.data.shape[2]
+        sizes = jnp.asarray(dctx.param(self, "crop_sizes"))  # [n, 2] int32
+        _r = crop_round_jnp(self.spec.GetArgument("rounding", "round"))
+
+        def arg(name, default):
+            v = dctx.arg(self, name, default)
+            if dctx.has_tensor_arg(self, name):
+                return jnp.asarray(v, jnp.float32).reshape(-1)
+            return jnp.full((n,), float(v), jnp.float32)
+
+        py = arg("crop_pos_y", 0.5)
+        px = arg("crop_pos_x", 0.5)
+        ext_h = inp.extent(0)
+        ext_w = inp.extent(1)
+        y = jnp.clip(_r(py * (ext_h - sizes[:, 0]).astype(jnp.float32)), 0, None).astype(jnp.int32)
+        x = jnp.clip(_r(px * (ext_w - sizes[:, 1]).astype(jnp.float32)), 0, None).astype(jnp.int32)
+
+        def one(im, yy, xx):
+            rows = jnp.clip(yy + jnp.arange(CH, dtype=jnp.int32), 0, H - 1)
+            cols = jnp.clip(xx + jnp.arange(CW, dtype=jnp.int32), 0, W - 1)
+            return jnp.take(jnp.take(im, rows, axis=0), cols, axis=1)
+
+        out = jax.vmap(one)(inp.data, y, x)
+        dt = self.spec.GetArgument("dtype", None)
+        if dt is not None:
+            out = out.astype(to_jnp_type(dt))
+        shapes = jnp.stack(
+            [sizes[:, 0], sizes[:, 1],
+             jnp.full((n,), inp.data.shape[-1], jnp.int32)], axis=1)
+        return [DeviceBatch(out, shapes, inp.layout)]
+
     def lower(self, dctx, inp: DeviceBatch):
         import jax
         import jax.numpy as jnp
 
+        st = dctx.static(self)
+        if isinstance(st, tuple) and st and st[0] == "ps":
+            if inp.data.ndim != 4:
+                raise NotImplementedError(
+                    "Crop(gpu): per-sample crop_h/crop_w tensor args support "
+                    "HWC inputs only (volumetric/sequence: use the cpu path)")
+            return self._lower_per_sample_sizes(dctx, inp)
         ch, cw = self._size()
         vol = inp.data.ndim == 5 and (inp.layout or "").startswith("D")
         n = inp.data.shape[0]

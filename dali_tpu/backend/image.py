@@ -396,6 +396,21 @@ class ResizeGPU(Operator):
         align = 32
         self._grow_canvas[0] = max(self._grow_canvas[0], int(-(-out[:, 0].max() // align) * align))
         self._grow_canvas[1] = max(self._grow_canvas[1], int(-(-out[:, 1].max() // align) * align))
+        # Antialias tap bound must cover the TRUE per-sample scale in_ext/out
+        # (the device packs each sample's grid into a larger canvas by
+        # stretching the ROI, so the canvas ratio under-counts taps for heavy
+        # downscales). Grow-latched like the canvas to avoid recompiles.
+        from ..kernels.resample import max_taps
+
+        interp = (DALIInterpType(self._filter) if self._filter is not None
+                  else self.spec.GetArgument("interp_type", DALIInterpType.INTERP_LINEAR))
+        aa = bool(self.spec.GetArgument("antialias", True))
+        in_hw = np.asarray(shapes)[:, :2].astype(np.float64)
+        sc_y = float((in_hw[:, 0] / np.maximum(out[:, 0], 1)).max())
+        sc_x = float((in_hw[:, 1] / np.maximum(out[:, 1], 1)).max())
+        latch = getattr(self, "_taps_latch", [0, 0])
+        self._taps_latch = [max(latch[0], max_taps(interp, sc_y, aa)),
+                            max(latch[1], max_taps(interp, sc_x, aa))]
         return {"out_sizes": out}
 
     def host_output_shapes(self, ctx, input_shapes, input_batches):
@@ -438,7 +453,8 @@ class ResizeGPU(Operator):
         filt = getattr(self, "_filter", None)
         if self._static_size() is not None:
             return None if filt is None else ("filt", filt)
-        return (self._grow_canvas[0], self._grow_canvas[1], filt)
+        ty, tx = getattr(self, "_taps_latch", [0, 0])
+        return (self._grow_canvas[0], self._grow_canvas[1], filt, ty, tx)
 
     # -- device side -----------------------------------------------------------------
     def lower(self, dctx, inp: DeviceBatch):
@@ -506,11 +522,12 @@ class ResizeGPU(Operator):
                 outs.append(attrs_out())
             return outs
         # per-sample sizes on a grow-policy canvas
-        max_h, max_w, filt = st
+        max_h, max_w, filt, taps_y, taps_x = st
         if filt is not None:
             interp = DALIInterpType(filt)
         sizes = dctx.param(self, "out_sizes")
-        ext = inp.shapes if inp.shapes is not None else jnp.tile(
+        # host-propagated shapes may carry (H, W) or (H, W, C): keep H, W
+        ext = inp.shapes[:, :2] if inp.shapes is not None else jnp.tile(
             jnp.array([[inp.data.shape[1], inp.data.shape[2]]], jnp.int32), (inp.data.shape[0], 1)
         )
         # Sample k's own output grid occupies the first (h_k, w_k) of the canvas:
@@ -519,7 +536,8 @@ class ResizeGPU(Operator):
             [max_h / sizes[:, 0].astype(jnp.float32), max_w / sizes[:, 1].astype(jnp.float32)], axis=1
         )
         data = resample_kernel.resample_batch(
-            inp.data, ext, None, roi_size, max_h, max_w, interp, antialias, out_dtype
+            inp.data, ext, None, roi_size, max_h, max_w, interp, antialias, out_dtype,
+            taps_y=taps_y or None, taps_x=taps_x or None,
         )
         out_shapes = jnp.concatenate(
             [sizes, jnp.full((sizes.shape[0], 1), inp.data.shape[3], jnp.int32)], axis=1
@@ -832,8 +850,8 @@ class CropMirrorNormalizeGPU(Operator, _CMNCommon):
             layout,
             dtype,
             bool(spec.GetArgument("pad_output", False)),
-            ext_h=ext_h if policy == "pad" else None,
-            ext_w=ext_w if policy == "pad" else None,
+            ext_h=ext_h,
+            ext_w=ext_w,
             fill=np.asarray(spec.GetArgument("fill_values", [0.0]), np.float32)
             if policy == "pad" else None,
         )

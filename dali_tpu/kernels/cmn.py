@@ -53,7 +53,19 @@ def crop_mirror_normalize(
             win = jax.lax.dynamic_slice(img, (cy, cx, 0), (crop_h, crop_w, C))
             win = win.astype(jnp.float32)
             if mirror is not None:
-                win = jnp.where(m != 0, win[:, ::-1, :], win)
+                # Mirror the per-sample VALID width, not the window canvas:
+                # with no crop (crop_w = canvas W) or a trimmed window, the
+                # slice tail past `ew - cx` is canvas padding, and a plain
+                # [::-1] would pull that padding to column 0 (ragged batches
+                # came out shifted). Reverse, then realign the valid region
+                # to column 0 via a doubled-window dynamic slice (start is
+                # 0 when the window is fully valid — the uniform fast path).
+                vw = jnp.clip(ew - cx, 0, crop_w)
+                rev = win[:, ::-1, :]
+                rev = jax.lax.dynamic_slice(
+                    jnp.concatenate([rev, rev], axis=1),
+                    (0, crop_w - vw, 0), (crop_h, crop_w, C))
+                win = jnp.where(m != 0, rev, win)
             return win * a + b
         # pad policy: origins may be negative / run past the extent — gather
         # with clipped indices and substitute `fill` (reference SliceBase

@@ -248,8 +248,17 @@ def resample_batch(
     interp: DALIInterpType = DALIInterpType.INTERP_LINEAR,
     antialias: bool = True,
     out_dtype=None,
+    taps_y: int | None = None,
+    taps_x: int | None = None,
 ):
-    """Batched per-sample-ROI resize of padded batch [N, H, W, C] → [N, out_h, out_w, C]."""
+    """Batched per-sample-ROI resize of padded batch [N, H, W, C] → [N, out_h, out_w, C].
+
+    ``taps_y``/``taps_x`` override the default canvas-ratio tap bound. Callers
+    whose per-sample ROI stretch EXCEEDS the canvas ratio (e.g. Resize with
+    per-sample output sizes packing each result into the first rows of a
+    larger canvas) must pass a bound covering the true per-sample scale
+    ``roi/out`` — otherwise heavy downscales get too few antialias taps.
+    """
     n, H, W, C = data.shape
     if extents is None:
         extents = jnp.tile(jnp.array([[H, W]], jnp.int32), (n, 1))
@@ -258,10 +267,10 @@ def resample_batch(
         roi_start = jnp.zeros((n, 2), jnp.float32)
     if roi_size is None:
         roi_size = ext_f
-    max_scale_y = H / out_h
-    max_scale_x = W / out_w
-    taps_y = max_taps(interp, max_scale_y, antialias)
-    taps_x = max_taps(interp, max_scale_x, antialias)
+    if taps_y is None:
+        taps_y = max_taps(interp, H / out_h, antialias)
+    if taps_x is None:
+        taps_x = max_taps(interp, W / out_w, antialias)
 
     fn = partial(
         resample_sample,

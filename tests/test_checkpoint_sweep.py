@@ -61,6 +61,22 @@ SPECS = {
     "random.Choice": dict(inputs=[(np.arange(10, dtype=np.int32), "")]),
 }
 
+
+def _jpeg_bytes():
+    import cv2
+
+    ok, enc = cv2.imencode(".jpg", _IMG[:, :, ::-1])
+    assert ok
+    return enc.reshape(-1)
+
+
+# decode + random crop (the decoder family carries the RandomCropAttr seed)
+_JPEG = _jpeg_bytes()
+for _nm in ("decoders.ImageRandomCrop", "experimental.decoders.ImageRandomCrop",
+            "ImageDecoderRandomCrop"):
+    SPECS[_nm] = dict(inputs=[(_JPEG, "")],
+                      kwargs={"random_area": [0.2, 0.8]})
+
 # Schema name -> reason; an op may only be excluded with an honest reason.
 EXCLUDE = {}
 
