@@ -55,10 +55,17 @@ class HostCtx:
         checkpoint/restore replays from the iteration index.
         """
         seed = op.spec.GetArgument("seed", -1) if op.spec.schema.has_random_seed else -1
-        if seed is None or seed < 0:
+        explicit = seed is not None and seed >= 0
+        if not explicit:
             seed = self.pipeline.seed
-        # Philox takes a 2x64-bit key: word0 = seed ⊕ op, word1 = iteration/sample.
-        k0 = np.uint64(seed) ^ (np.uint64(op.op_id) << np.uint64(32))
+        # Philox takes a 2x64-bit key: word0 = seed [⊕ op], word1 = iteration/
+        # sample. An EXPLICIT per-op seed is position-independent (reference
+        # contract: the same seed yields the same stream wherever the op sits
+        # in the graph — rng_base.h); only implicit pipeline-seeded streams
+        # mix in op_id to decorrelate ops.
+        k0 = np.uint64(seed)
+        if not explicit:
+            k0 = k0 ^ (np.uint64(op.op_id) << np.uint64(32))
         k1 = np.uint64(self.iteration)
         if sample_idx is not None:
             k1 = k1 | (np.uint64(sample_idx) << np.uint64(40))
@@ -103,6 +110,7 @@ class DeviceCtx:
         params: Dict[int, Dict[str, object]],
         arg_arrays,
         statics: Optional[Dict[int, object]] = None,
+        iteration=None,
     ):
         import jax
 
@@ -111,6 +119,7 @@ class DeviceCtx:
         self._params = params
         self._arg_arrays = arg_arrays  # {op_id: {name: jnp array [N,...]}}
         self._statics = statics or {}
+        self._iteration = iteration  # traced scalar (explicit-seed streams)
         self._jax = jax
 
     def static(self, op: "Operator"):
@@ -123,7 +132,17 @@ class DeviceCtx:
         self._env = env
 
     def key(self, op: "Operator"):
-        """Per-op PRNG key derived from the iteration key."""
+        """Per-op PRNG key. An EXPLICIT per-op seed gives a graph-position-
+        independent stream keyed by (seed, iteration) alone (reference
+        contract — rng_base.h: same seed, same stream); implicit streams
+        derive from the pipeline-seeded iteration key ⊕ op_id."""
+        s = -1
+        if op.spec.schema.has_random_seed:
+            v = op.spec.GetArgument("seed", -1)
+            s = -1 if v is None else int(v)
+        if s >= 0 and self._iteration is not None:
+            return self._jax.random.fold_in(self._jax.random.PRNGKey(s),
+                                            self._iteration)
         return self._jax.random.fold_in(self._base_key, op.op_id)
 
     def param(self, op: "Operator", name: str):

@@ -935,7 +935,8 @@ class Executor:
                 params_by_op: Dict[int, Dict[str, object]] = collections.defaultdict(dict)
                 for (op_id, name), arr in zip(params_struct_ref._params_struct, params):
                     params_by_op[op_id][name] = arr
-                dctx = DeviceCtx(pipeline.max_batch_size, key, params_by_op, arg_arrays_by_op, statics)
+                dctx = DeviceCtx(pipeline.max_batch_size, key, params_by_op, arg_arrays_by_op, statics,
+                                 iteration=seed[1])
                 dctx.bind_device_args(self.device_arg_device_edges, env)
                 for node in device_nodes:
                     impl = impls[node.id]

@@ -430,7 +430,9 @@ def _eager_call(schema_name: str, *inputs, device=None, batch_size=None, **kwarg
         # logical extents from the host instead of leaking the canvas)
         host_shapes = impl.host_output_shapes(
             ctx, in_shapes, [None] * len(dev_inputs))
-        dctx = DeviceCtx(n, key, {impl.op_id: params}, arg_arrays, {impl.op_id: statics} if statics else {})
+        dctx = DeviceCtx(n, key, {impl.op_id: params}, arg_arrays,
+                         {impl.op_id: statics} if statics else {},
+                         iteration=ectx.counter)
         outs = impl.lower(dctx, *dev_inputs)
         if not isinstance(outs, (list, tuple)):
             outs = [outs]
