@@ -335,26 +335,53 @@ class LaplacianCPU(Operator):
 @register_operator("Laplacian", "gpu")
 class LaplacianGPU(Operator):
     def lower(self, dctx, inp: DeviceBatch):
+        import jax
         import jax.numpy as jnp
 
         size = int(self.spec.GetArgument("window_size", [3])[0])
         deriv, smooth = laplacian_windows(size)
+        dv = jnp.asarray(deriv, jnp.float32)
+        sm = jnp.asarray(smooth, jnp.float32)
+        n = inp.data.shape[0]
+        sh = inp.shapes
+
+        def ext(i, full):
+            if sh is None or sh.shape[1] <= i:
+                return jnp.full((n,), full, jnp.int32)
+            return sh[:, i].astype(jnp.int32)
+
+        # reflect-101 bounded by per-sample extents, like GaussianBlur — the
+        # canvas-edge conv leaked padding into ragged samples
         if inp.data.ndim == 5:  # [N, D, H, W, C] volumetric
             scale = _laplacian_scale(self.spec, size, ndim=3)
-            out = None
-            for d_axis in range(3):
-                part = inp.data
-                for axis in range(3):
-                    part = _conv1d_reflect_jnp(
-                        part, deriv if axis == d_axis else smooth, axis + 1)
-                out = part if out is None else out + part
-            out = out * scale
+            D, H, W = inp.data.shape[1:4]
+            exts = [ext(0, D), ext(1, H), ext(2, W)]
+
+            def one(img, d, h, w):
+                img = img.astype(jnp.float32)
+                acc = None
+                for d_axis in range(3):
+                    part = img
+                    for axis, e in enumerate((d, h, w)):
+                        part = _blur_axis_jnp(
+                            part, dv if axis == d_axis else sm, e, axis)
+                    acc = part if acc is None else acc + part
+                return acc
+
+            out = jax.vmap(one)(inp.data, *exts) * scale
         else:
             scale = _laplacian_scale(self.spec, size)
+            H, W = inp.data.shape[1:3]
+            eh, ew = ext(0, H), ext(1, W)
+
             # Laplacian = d²/dy² (smoothed in x) + d²/dx² (smoothed in y)
-            dyy = _separable_conv2d(inp.data, deriv, smooth)
-            dxx = _separable_conv2d(inp.data, smooth, deriv)
-            out = (dyy + dxx) * scale
+            def one(img, h, w):
+                img = img.astype(jnp.float32)
+                dyy = _blur_axis_jnp(_blur_axis_jnp(img, dv, h, 0), sm, w, 1)
+                dxx = _blur_axis_jnp(_blur_axis_jnp(img, sm, h, 0), dv, w, 1)
+                return dyy + dxx
+
+            out = jax.vmap(one)(inp.data, eh, ew) * scale
         dt_arg = self.spec.GetArgument("dtype", None)
         dt = to_jnp_type(dt_arg) if dt_arg is not None else jnp.float32
         return [inp.with_data(_saturate(jnp, out, dt))]
