@@ -56,7 +56,15 @@ def _blur_params(spec, ctx, op, idx, naxes=1):
 
 @register_operator("GaussianBlur", "cpu")
 class GaussianBlurCPU(Operator):
+    def run_batch(self, ctx, *inputs):
+        self._in_layout = inputs[0].layout if inputs else ""
+        return super().run_batch(ctx, *inputs)
+
     def run_sample(self, ctx, idx, img):
+        if img.ndim == 4 and getattr(self, "_in_layout", "").startswith("F"):
+            # FHWC sequence: per-frame 2-D blur (reference sequence fold),
+            # NOT a 3-axis volumetric blur across frames
+            return np.stack([self.run_sample(ctx, idx, fr) for fr in img])
         if img.ndim == 4:  # DHWC volumetric (2-D images arrive as HWC)
             # volumetric (DHWC): own separable conv, reflect-101 on D/H/W
             params = _blur_params(self.spec, ctx, self, idx, naxes=3)
@@ -299,8 +307,15 @@ def _laplacian_scale(spec, size, ndim=2):
 
 @register_operator("Laplacian", "cpu")
 class LaplacianCPU(Operator):
+    def run_batch(self, ctx, *inputs):
+        self._in_layout = inputs[0].layout if inputs else ""
+        return super().run_batch(ctx, *inputs)
+
     def run_sample(self, ctx, idx, img):
         size = int(self.spec.GetArgument("window_size", [3])[0])
+        if img.ndim == 4 and getattr(self, "_in_layout", "").startswith("F"):
+            # FHWC sequence: per-frame 2-D Laplacian, not volumetric across F
+            return np.stack([self.run_sample(ctx, idx, fr) for fr in img])
         if img.ndim == 4:  # DHWC volumetric: sum of 3 second derivatives
             scale = _laplacian_scale(self.spec, size, ndim=3)
             deriv, smooth = laplacian_windows(size)
@@ -352,6 +367,22 @@ class LaplacianGPU(Operator):
 
         # reflect-101 bounded by per-sample extents, like GaussianBlur — the
         # canvas-edge conv leaked padding into ragged samples
+        if inp.data.ndim == 5 and not (inp.layout or "D").startswith("D"):
+            # FHWC sequence: per-frame 2-D Laplacian on axes (1, 2)
+            scale = _laplacian_scale(self.spec, size)
+            H, W = inp.data.shape[2:4]
+            eh, ew = ext(1, H), ext(2, W)
+
+            def one_seq(img, h, w):
+                img = img.astype(jnp.float32)
+                dyy = _blur_axis_jnp(_blur_axis_jnp(img, dv, h, 1), sm, w, 2)
+                dxx = _blur_axis_jnp(_blur_axis_jnp(img, sm, h, 1), dv, w, 2)
+                return dyy + dxx
+
+            out = jax.vmap(one_seq)(inp.data, eh, ew) * scale
+            dt_arg = self.spec.GetArgument("dtype", None)
+            dt = to_jnp_type(dt_arg) if dt_arg is not None else jnp.float32
+            return [inp.with_data(_saturate(jnp, out, dt))]
         if inp.data.ndim == 5:  # [N, D, H, W, C] volumetric
             scale = _laplacian_scale(self.spec, size, ndim=3)
             D, H, W = inp.data.shape[1:4]

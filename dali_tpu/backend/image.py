@@ -22,22 +22,35 @@ from .decoders import sample_rrc_window
 
 
 def _fold_frames(inp):
-    """Fold the frame dim of a uniform FHWC DeviceBatch into the batch dim so 2D
-    image kernels apply per frame (AllowSequences support). Returns
-    (folded_batch, unfold) where unfold(data) restores [N, F, ...]."""
+    """Fold the frame dim of an FHWC DeviceBatch into the batch dim so 2D
+    image kernels apply per frame (AllowSequences support). Ragged batches
+    fold their per-sample (H, W, C) extents per frame; canvas-padding frames
+    past a sample's logical F are processed wastefully and trimmed by the
+    restored shapes. Returns (folded_batch, unfold) where unfold(db)
+    restores [N, F, ...]."""
     import jax.numpy as jnp
 
     if not (inp.layout or "").startswith("F"):
         return inp, None
-    if inp.shapes is not None:
-        raise NotImplementedError("sequence ops on ragged device batches are not supported yet")
     n, f = inp.data.shape[0], inp.data.shape[1]
-    folded = DeviceBatch(inp.data.reshape(n * f, *inp.data.shape[2:]), None, inp.layout[1:])
+    fsh = None
+    if inp.shapes is not None:
+        fsh = jnp.repeat(inp.shapes[:, 1:], f, axis=0)
+    folded = DeviceBatch(inp.data.reshape(n * f, *inp.data.shape[2:]), fsh, inp.layout[1:])
 
     def unfold(db):
+        sh = None
+        if db.shapes is not None:
+            per = db.shapes[::f]
+            fcol = (inp.shapes[:, :1] if inp.shapes is not None
+                    else jnp.full((n, 1), f, jnp.int32))
+            sh = jnp.concatenate([fcol.astype(per.dtype), per], axis=1)
+        elif inp.shapes is not None:
+            hw = jnp.tile(jnp.asarray([list(db.data.shape[1:])], jnp.int32), (n, 1))
+            sh = jnp.concatenate([inp.shapes[:, :1].astype(jnp.int32), hw], axis=1)
         return DeviceBatch(
             db.data.reshape(n, f, *db.data.shape[1:]),
-            None,
+            sh,
             "F" + db.layout if db.layout and not db.layout.startswith("F") else ("F" + (inp.layout[1:] or "HWC") if not db.layout else db.layout),
         )
 
@@ -835,7 +848,9 @@ class CropMirrorNormalizeGPU(Operator, _CMNCommon):
         else:
             mirror = None
         dtype = to_jnp_type(spec.GetArgument("dtype", DALIDataType.FLOAT))
-        layout = spec.GetArgument("output_layout", "CHW")
+        # volumetric/sequence callers fold D/F into the batch before this 2-D
+        # path; a leading D/F in the requested layout belongs to the fold
+        layout = spec.GetArgument("output_layout", "CHW").lstrip("FD")
         out = cmn_kernel.crop_mirror_normalize(
             inp.data,
             crop_y,
@@ -1062,12 +1077,29 @@ class FlipGPU(Operator):
                                 jnp.flip(out, axis=1), out)
             return [inp.with_data(out)]
         if vol:
-            raise NotImplementedError(
-                "Flip(gpu): ragged volumetric batches are cpu-only")
-        # ragged: flip within the valid extent via index arithmetic
-        H, W = data.shape[1], data.shape[2]
-        ext_h = inp.extent(0)
-        ext_w = inp.extent(1)
+            # ragged DHWC: flip within per-sample (D, H, W) extents
+            D, H, W = data.shape[1:4]
+            ed, eh, ew = inp.extent(0), inp.extent(1), inp.extent(2)
+            d_f = flag("depthwise", 0)
+            deps = jnp.arange(D)[None, :]
+            rows = jnp.arange(H)[None, :]
+            cols = jnp.arange(W)[None, :]
+            dep_idx = jnp.where(
+                (d_f[:, None] != 0) & (deps < ed[:, None]), ed[:, None] - 1 - deps, deps)
+            row_idx = jnp.where(
+                (v[:, None] != 0) & (rows < eh[:, None]), eh[:, None] - 1 - rows, rows)
+            col_idx = jnp.where(
+                (h[:, None] != 0) & (cols < ew[:, None]), ew[:, None] - 1 - cols, cols)
+            out = jax.vmap(lambda img, di, ri, ci: img[di][:, ri][:, :, ci])(
+                data, dep_idx, row_idx, col_idx)
+            return [inp.with_data(out)]
+        # ragged: flip within the valid extent via index arithmetic; FHWC
+        # sequences flip H/W per frame (shapes columns are (F, H, W, C))
+        seq = data.ndim == 5
+        sp = 1 if seq else 0
+        H, W = data.shape[1 + sp], data.shape[2 + sp]
+        ext_h = inp.extent(0 + sp)
+        ext_w = inp.extent(1 + sp)
         rows = jnp.arange(H)[None, :]  # [1, H]
         cols = jnp.arange(W)[None, :]
         row_idx = jnp.where(
@@ -1076,7 +1108,10 @@ class FlipGPU(Operator):
         col_idx = jnp.where(
             (h[:, None] != 0) & (cols < ext_w[:, None]), ext_w[:, None] - 1 - cols, cols
         )
-        out = jax.vmap(lambda img, ri, ci: img[ri][:, ci])(data, row_idx, col_idx)
+        if seq:
+            out = jax.vmap(lambda img, ri, ci: img[:, ri][:, :, ci])(data, row_idx, col_idx)
+        else:
+            out = jax.vmap(lambda img, ri, ci: img[ri][:, ci])(data, row_idx, col_idx)
         return [inp.with_data(out)]
 
 

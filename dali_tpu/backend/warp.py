@@ -125,6 +125,19 @@ class WarpAffineGPU(_WarpCommon):
     def lower(self, dctx, inp: DeviceBatch, *matrix_input):
         import jax.numpy as jnp
 
+        if inp.data.ndim == 5 and (inp.layout or "").startswith("F"):
+            # FHWC sequence: per-frame 2-D warp, one matrix per sequence
+            # (reference sequence broadcasting) — NOT a volumetric warp
+            from .image import _SequenceDctx, _fold_frames
+
+            folded, unfold = _fold_frames(inp)
+            f = inp.data.shape[1]
+            sub = _SequenceDctx(dctx, f)
+            mi = ()
+            if matrix_input:
+                m = matrix_input[0]
+                mi = (DeviceBatch(jnp.repeat(m.data, f, axis=0), None, m.layout),)
+            return [unfold(self.lower(sub, folded, *mi)[0])]
         if inp.data.ndim == 5:  # [N, D, H, W, C] volumetric
             n, D, H, W, C = inp.data.shape
             size = self.spec.GetArgument("size", None)
@@ -235,7 +248,11 @@ class RotateGPU(Operator):
     def host_params(self, ctx, input_shapes):
         shapes = input_shapes[0]
         n = ctx.batch_size
-        vol = shapes is not None and shapes.shape[1] >= 4
+        lay = (ctx.in_layouts(self) or [""])[0]
+        seq = (shapes is not None and shapes.shape[1] >= 4
+               and lay.startswith("F"))
+        self._seq = seq
+        vol = shapes is not None and shapes.shape[1] >= 4 and not seq
         if vol:  # DHWC: rotate about `axis` through the volume center
             mats = np.zeros((n, 3, 4), np.float32)
             size = self.spec.GetArgument("size", None)
@@ -260,10 +277,11 @@ class RotateGPU(Operator):
                 "Rotate(gpu) needs host-known input shapes (its canvas math "
                 "runs on the host); the producing op must implement "
                 "host_output_shapes")
+        hw0 = 1 if seq else 0  # FHWC shapes: (F, H, W, C)
         mats = np.zeros((n, 2, 3), np.float32)
         sizes = np.zeros((n, 2), np.int32)
         for i in range(n):
-            h, w = int(shapes[i][0]), int(shapes[i][1])
+            h, w = int(shapes[i][hw0]), int(shapes[i][hw0 + 1])
             angle = float(np.asarray(ctx.arg(self, "angle", i, 0.0)))
             oh, ow = self._out_size_for(h, w, angle)
             sizes[i] = (oh, ow)
@@ -276,7 +294,10 @@ class RotateGPU(Operator):
         self._uniform = bool((sizes == sizes[0]).all())
         self._fixed = sizes[0] if self._uniform else None
         self._last_sizes = sizes
-        self._last_channels = shapes[:, 2].astype(np.int64) if shapes.shape[1] >= 3 else None
+        ccol = hw0 + 2
+        self._last_channels = (shapes[:, ccol].astype(np.int64)
+                               if shapes.shape[1] > ccol else None)
+        self._last_frames = shapes[:, 0].astype(np.int64) if seq else None
         return {"matrices": mats, "out_sizes": sizes}
 
     def host_output_shapes(self, ctx, input_shapes, input_batches):
@@ -285,8 +306,10 @@ class RotateGPU(Operator):
         sizes = getattr(self, "_last_sizes", None)
         if sizes is None or self._last_channels is None:
             return None
-        return [np.concatenate(
-            [sizes.astype(np.int64), self._last_channels[:, None]], axis=1)]
+        cols = [sizes.astype(np.int64), self._last_channels[:, None]]
+        if getattr(self, "_last_frames", None) is not None:
+            cols = [self._last_frames[:, None]] + cols
+        return [np.concatenate(cols, axis=1)]
 
     def device_statics(self, ctx, input_shapes):
         if self._fixed is None and self._uniform:
@@ -298,6 +321,13 @@ class RotateGPU(Operator):
     def lower(self, dctx, inp: DeviceBatch):
         import jax.numpy as jnp
 
+        if inp.data.ndim == 5 and (inp.layout or "").startswith("F"):
+            # FHWC sequence: per-frame 2-D rotate (one angle per sequence)
+            from .image import _SequenceDctx, _fold_frames
+
+            folded, unfold = _fold_frames(inp)
+            sub = _SequenceDctx(dctx, inp.data.shape[1])
+            return [unfold(self.lower(sub, folded)[0])]
         if inp.data.ndim == 5:  # DHWC volumetric
             n, D, H, W, C = inp.data.shape
             size = self.spec.GetArgument("size", None)
@@ -334,9 +364,16 @@ class RotateGPU(Operator):
 
 @register_operator("Rotate", "cpu")
 class RotateCPU(Operator):
+    def run_batch(self, ctx, *inputs):
+        self._in_layout = inputs[0].layout if inputs else ""
+        return super().run_batch(ctx, *inputs)
+
     def run_sample(self, ctx, idx, img):
         angle = float(np.asarray(ctx.arg(self, "angle", idx, 0.0)))
         size = self.spec.GetArgument("size", None)
+        if img.ndim == 4 and getattr(self, "_in_layout", "").startswith("F"):
+            # FHWC sequence: per-frame 2-D rotate, NOT a volumetric rotation
+            return np.stack([self.run_sample(ctx, idx, fr) for fr in img])
         if img.ndim == 4:  # DHWC volumetric: Rodrigues rotation about `axis`
             d, h, w = img.shape[:3]
             if size and len(size) == 3:
