@@ -17,20 +17,36 @@ import numpy as np
 
 _LIB = None
 _TRIED = False
+# _load() is called from every pipeline's host-stage thread; two pipelines
+# cold-starting together previously raced it: thread B saw _TRIED=True while
+# thread A was still mid-CDLL and got None back (the hybrid decoder then
+# reported every JPEG as unsupported), and a stale .so could be REBUILT by
+# one thread while the other dlopen'ed the half-written file (observed as
+# heap corruption). One lock; the stampede is per-process-once.
+import threading as _threading  # noqa: E402
+
+_LOAD_LOCK = _threading.Lock()
 _REBUILT = False
 
 
 def _lib_path():
+    # DALI_TPU_NATIVE_LIB points at an alternative build (e.g. a
+    # -fsanitize=address build, loaded under LD_PRELOAD=libasan.so) so full
+    # pipelines can run under sanitizers, not just the fuzz binaries.
+    override = os.environ.get("DALI_TPU_NATIVE_LIB")
+    if override:
+        return override
     return os.path.join(os.path.dirname(__file__), "libdali_tpu.so")
 
 
 def build():
-    from .build import build as _b
+    with _LOAD_LOCK:
+        from .build import build as _b
 
-    _b(verbose=False)
-    global _TRIED, _LIB
-    _TRIED = False
-    _LIB = None
+        _b(verbose=False)
+        global _TRIED, _LIB
+        _TRIED = False
+        _LIB = None
     return _load() is not None
 
 
@@ -38,7 +54,25 @@ def _load():
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
-    _TRIED = True
+    with _LOAD_LOCK:
+        if _TRIED:  # another thread finished while we waited
+            return _LIB
+        return _load_locked()
+
+
+def _load_locked():
+    global _LIB, _TRIED
+    try:
+        return _load_locked_inner()
+    finally:
+        # _TRIED flips only once _LIB holds its FINAL value: the unlocked
+        # fast path in _load() reads (_TRIED, _LIB) without the lock, so
+        # setting _TRIED at entry would hand racing threads a torn None.
+        _TRIED = True
+
+
+def _load_locked_inner():
+    global _LIB
     path = _lib_path()
     if not os.path.exists(path):
         try:
@@ -224,8 +258,7 @@ def _load():
                 from .build import build as _b
 
                 _b(verbose=False)
-                _TRIED = False
-                return _load()
+                return _load_locked_inner()  # lock already held by _load()
             except Exception:
                 _LIB = None
     return _LIB
@@ -469,7 +502,9 @@ def default_arena() -> HostArena:
     One pool matches the reference's GetDefaultResource(mm::memory_kind)."""
     global _DEFAULT_ARENA
     if _DEFAULT_ARENA is None:
-        _DEFAULT_ARENA = HostArena()
+        with _LOAD_LOCK:
+            if _DEFAULT_ARENA is None:
+                _DEFAULT_ARENA = HostArena()
     return _DEFAULT_ARENA
 
 
@@ -692,15 +727,29 @@ class TaskPool:
 
 
 _POOL = None
+_RETIRED_POOLS = []  # outgrown pools: RETAINED, never destroyed mid-flight
 
 
 def shared_pool(num_threads: int = 0):
-    """Process-wide TaskPool (grown to the largest request)."""
+    """Process-wide TaskPool (grown to the largest request).
+
+    Growing must never free the old pool: with two pipelines cold-starting
+    concurrently, pipeline B can be INSIDE a native fan-out on the old pool
+    handle when pipeline A's larger request would otherwise drop the last
+    reference and run pool_destroy under it (observed as batched JPEG header
+    scans transiently failing and as heap corruption). Outgrown pools are
+    retained for the process lifetime — a few idle threads, bounded by the
+    number of distinct sizes ever requested.
+    """
     global _POOL
     if num_threads <= 0:
         num_threads = os.cpu_count() or 1
     if _POOL is None or _POOL.num_threads < num_threads:
-        _POOL = TaskPool(num_threads)
+        with _LOAD_LOCK:
+            if _POOL is None or _POOL.num_threads < num_threads:
+                if _POOL is not None:
+                    _RETIRED_POOLS.append(_POOL)
+                _POOL = TaskPool(num_threads)
     return _POOL
 
 
