@@ -152,6 +152,17 @@ class ArithmGPU(Operator):
             pad = nd - s.shape[1]
             aligned = np.concatenate(
                 [np.ones((n, pad), np.int64), s.astype(np.int64)], axis=1)
+            # numpy/reference broadcasting: each dim must match or be 1 —
+            # the cpu path raises per sample; without this check the device
+            # path silently emitted canvas-max garbage extents
+            bad = (aligned != out) & (aligned != 1) & (out != 1)
+            if bad.any():
+                i = int(np.argmax(bad.any(axis=1)))
+                raise ValueError(
+                    f"{self.spec.schema.name}: per-sample shapes are not "
+                    f"broadcastable (sample {i}: "
+                    f"{tuple(int(v) for v in out[i])} vs "
+                    f"{tuple(int(v) for v in aligned[i])})")
             out = np.maximum(out, aligned)
         return [out]
 

@@ -116,3 +116,53 @@ def test_coord_transform_nd_grid(device):
         expect = samples[i] @ m.T + np.asarray(T, np.float32)
         assert out[i].shape == samples[i].shape
         np.testing.assert_allclose(out[i], expect, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("device", ["cpu", "gpu"])
+def test_arithmetic_non_broadcastable_raises(device):
+    """Both devices must REJECT per-sample shape mismatches (reference
+    expression broadcasting: dims equal or 1) — the gpu path used to emit
+    canvas-max garbage extents silently."""
+    rng = np.random.default_rng(2)
+    a = [rng.integers(0, 100, (10, 12, 3), np.uint8) for _ in range(2)]
+    b = [rng.integers(0, 100, (8, 9, 3), np.uint8) for _ in range(2)]
+
+    @pipeline_def(batch_size=2, num_threads=1, seed=2)
+    def pipe():
+        x = fn.external_source(source=lambda: a, batch=True, cycle=True,
+                               layout="HWC")
+        y = fn.external_source(source=lambda: b, batch=True, cycle=True,
+                               layout="HWC")
+        if device == "gpu":
+            x, y = x.gpu(), y.gpu()
+        return x + y
+
+    with pytest.raises(ValueError):
+        p = pipe()
+        p.build()
+        p.run()
+
+
+def test_arithmetic_broadcast_gpu_matches_cpu():
+    rng = np.random.default_rng(3)
+    a = [rng.integers(0, 100, (10 + 5 * i, 12, 3), np.uint8) for i in range(2)]
+    scale = [rng.integers(1, 4, (1, 1, 3), np.uint8) for _ in range(2)]
+
+    def run(device):
+        @pipeline_def(batch_size=2, num_threads=1, seed=2)
+        def pipe():
+            x = fn.external_source(source=lambda: a, batch=True, cycle=True,
+                                   layout="HWC")
+            s = fn.external_source(source=lambda: scale, batch=True,
+                                   cycle=True, layout="HWC")
+            if device == "gpu":
+                x, s = x.gpu(), s.gpu()
+            return x * s + 1
+        p = pipe()
+        p.build()
+        (o,) = p.run()
+        return [np.asarray(o.at(i)) for i in range(2)]
+
+    cpu, gpu = run("cpu"), run("gpu")
+    for i in range(2):
+        np.testing.assert_array_equal(cpu[i], gpu[i])
