@@ -433,10 +433,20 @@ class ResizeGPU(Operator):
         if shapes0 is None:
             return None
         sh = np.asarray(shapes0)
-        if sh.shape[1] != 3:
-            return None  # volumetric / sequence canvases resolve in statics
         n = sh.shape[0]
         static = self._static_size()
+        lay = (ctx.in_layouts(self) or [""])[0]
+        if sh.shape[1] == 4 and lay.startswith("F"):
+            # FHWC sequence: per-frame resize keeps F, sets (H, W)
+            if static is None:
+                return None  # per-sample sizes on sequences are cpu-only
+            oh, ow = static
+            hw = np.tile(np.array([[oh, ow]], np.int64), (n, 1))
+            return [np.concatenate(
+                [sh[:, :1].astype(np.int64), hw, sh[:, 3:4].astype(np.int64)],
+                axis=1)]
+        if sh.shape[1] != 3:
+            return None  # volumetric canvases resolve in statics
         if static is not None:
             oh, ow = static
             hw = np.tile(np.array([[oh, ow]], np.int64), (n, 1))

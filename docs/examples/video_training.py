@@ -29,8 +29,16 @@ def video_pipe(file_root, sequence_length=8):
         file_root=file_root, sequence_length=sequence_length, stride=2,
         random_shuffle=True, pad_mode="edge", name="Reader")
     frames = fn.resize(frames.gpu(), resize_x=112, resize_y=112)
+    # per-FRAME spatial augmentations with per-SEQUENCE random parameters
+    # (reference sequence broadcasting: one draw applies to every frame of a
+    # clip — temporal consistency): rotate, blur, horizontal flip
+    angle = fn.random.uniform(range=[-8.0, 8.0])
+    frames = fn.rotate(frames, angle=angle, keep_size=True, fill_value=0.0)
+    sigma = fn.random.uniform(range=[0.1, 1.1])
+    frames = fn.gaussian_blur(frames, sigma=sigma)
+    mirror = fn.random.coin_flip(probability=0.5)
     frames = fn.crop_mirror_normalize(
-        frames, dtype=types.FLOAT, output_layout="FCHW",
+        frames, mirror=mirror, dtype=types.FLOAT, output_layout="FCHW",
         mean=[0.45 * 255] * 3, std=[0.225 * 255] * 3)
     return frames, labels
 

@@ -104,3 +104,25 @@ def test_sequence_ragged_parity(case):
         assert a.shape == b.shape, (case, i, a.shape, b.shape)
         d = np.abs(a.astype(np.float64) - b.astype(np.float64)).max()
         assert d <= atol + 1e-6, (case, i, d)
+
+
+def test_sequence_resize_then_rotate_chain():
+    """Resize(gpu) must propagate (F, H, W, C) host shapes on sequences so a
+    downstream Rotate (host canvas math) works — the video_training example's
+    augmentation chain."""
+    samples = _seq_samples()
+
+    def run(device):
+        def build(x):
+            x = fn.resize(x, resize_x=16, resize_y=14)
+            return fn.rotate(x, angle=15.0, keep_size=True, fill_value=0.0,
+                             interp_type=types.INTERP_NN)
+        return _run(build, samples, "FHWC", device)
+
+    cpu = run("cpu")
+    gpu = run("gpu")
+    for i, (a, b) in enumerate(zip(cpu, gpu)):
+        assert a.shape == b.shape == (3, 14, 16, 3), (i, a.shape, b.shape)
+        # resize rounding may differ by 1 LSB; NN rotate copies that pixel
+        np.testing.assert_allclose(a.astype(np.float64), b.astype(np.float64),
+                                   atol=1, rtol=0, err_msg=f"sample {i}")
