@@ -572,12 +572,23 @@ class NormalizeGPU(Operator):
             axes = (0,) + axes
         mean_arg = dctx.arg(self, "mean", None)
         std_arg = dctx.arg(self, "stddev", None)
+
+        def fixed(v, name):
+            """Fixed mean/stddev: per-sample tensor args arrive as [N, ...]
+            and must broadcast RIGHT-ALIGNED over each sample's dims (cpu/
+            numpy semantics); constants broadcast as scalars."""
+            v = jnp.asarray(v, jnp.float32)
+            if not dctx.has_tensor_arg(self, name):
+                return v
+            pad = x.ndim - v.ndim
+            return v.reshape(v.shape[0], *([1] * pad), *v.shape[1:])
+
         if inp.shapes is None:
-            m = x.mean(axis=axes, keepdims=True) if mean_arg is None else jnp.asarray(mean_arg, jnp.float32)
+            m = x.mean(axis=axes, keepdims=True) if mean_arg is None else fixed(mean_arg, "mean")
             if std_arg is None:
                 sd = jnp.sqrt(((x - m) ** 2).mean(axis=axes, keepdims=True) + eps)
             else:
-                sd = jnp.asarray(std_arg, jnp.float32)
+                sd = fixed(std_arg, "stddev")
         else:
             # ragged: masked moments over each sample's valid region only
             mask = jnp.ones(x.shape, bool)
@@ -592,12 +603,12 @@ class NormalizeGPU(Operator):
             if mean_arg is None:
                 m = (x * w).sum(axis=axes, keepdims=True) / count
             else:
-                m = jnp.asarray(mean_arg, jnp.float32)
+                m = fixed(mean_arg, "mean")
             if std_arg is None:
                 var = (((x - m) * w) ** 2).sum(axis=axes, keepdims=True) / count
                 sd = jnp.sqrt(var + eps)
             else:
-                sd = jnp.asarray(std_arg, jnp.float32)
+                sd = fixed(std_arg, "stddev")
         sd = jnp.where(sd == 0, 1.0, sd)
         out = (scale * (x - m) / sd + shift).astype(dt)
         return [inp.with_data(out)]
