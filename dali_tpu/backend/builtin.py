@@ -301,7 +301,19 @@ class ExternalSource(Operator):
             self._pool = None
 
     def save_state(self):
-        return {"iteration": self._iteration, "epoch": self._epoch}
+        st = {"iteration": self._iteration, "epoch": self._epoch}
+        if self._source_kind in ("iterable", "gen_func") and (
+                self._iteration or self._epoch):
+            # reference contract (advanced_topics_checkpointing.rst):
+            # external_source checkpoints only INDEXED callables — a plain
+            # iterator/generator cannot be rewound, so restoring counters
+            # would silently replay a DIFFERENT stream. Mark the snapshot;
+            # Pipeline.checkpoint() refuses to serialize it.
+            st["unresumable_source"] = (
+                "external_source with an iterator/generator source cannot be "
+                "checkpointed mid-stream; use an indexed callable "
+                "(source=lambda sample_info: ...) for resumable pipelines")
+        return st
 
     def restore_state(self, state):
         self._iteration = int(state["iteration"])

@@ -325,6 +325,9 @@ class Pipeline:
         # per-iteration snapshot to each batch when enable_checkpointing)
         state = {"format": "dali_tpu.checkpoint.v1",
                  "executor": self._executor.consumed_checkpoint_state()}
+        for name, st in state["executor"].get("ops", {}).items():
+            if isinstance(st, dict) and st.get("unresumable_source"):
+                raise ValueError(f"{name}: {st['unresumable_source']}")
         payload = json.dumps(state)
         if filename:
             with open(filename, "w") as f:

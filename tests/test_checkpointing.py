@@ -295,3 +295,26 @@ def test_cross_process_resume_bit_identical(image_root, tmp_path):
     a = json.loads(full_out.read_text())
     b = json.loads(resume_out.read_text())
     assert a == b  # bit-identical continuation across processes
+
+
+def test_generator_source_checkpoint_refused():
+    """Reference contract: external_source checkpoints only indexed
+    callables — a consumed iterator/generator source cannot be rewound, so
+    checkpoint() must refuse instead of silently replaying a different
+    stream (advanced_topics_checkpointing.rst)."""
+    def gen():
+        i = 0
+        while True:
+            yield [np.full((2, 2), i, np.int32)]
+            i += 1
+
+    @pipeline_def(batch_size=1, num_threads=1, seed=3,
+                  enable_checkpointing=True)
+    def pipe():
+        return fn.external_source(source=gen, batch=True)
+
+    p = pipe()
+    p.build()
+    p.run()
+    with pytest.raises(ValueError, match="iterator/generator"):
+        p.checkpoint()
