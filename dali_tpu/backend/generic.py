@@ -108,7 +108,11 @@ class ReshapeCPU(Operator):
         if shape_in:
             shape = [int(v) for v in np.asarray(shape_in[0]).reshape(-1)]
         else:
-            shape = self.spec.GetArgument("shape", None)
+            # ctx.arg resolves per-sample TENSOR shapes too (reference
+            # reshape.cc accepts `shape` as an argument input)
+            shape = ctx.arg(self, "shape", idx, None)
+            if shape is not None:
+                shape = [float(v) for v in np.asarray(shape).reshape(-1)]
             if shape is None:
                 rel = self.spec.GetArgument("rel_shape", None)
                 if rel is None:
@@ -127,13 +131,117 @@ class ReshapeGPU(Operator):
         layout = self.spec.GetArgument("layout", None)
         if layout is not None:
             return [layout]
-        if self.spec.GetArgument("shape", None) is None:
+        if (self.spec.GetArgument("shape", None) is None
+                and "shape" not in self.spec.arg_inputs
+                and len(self.spec.inputs) < 2):
             return [in_layouts[0] if in_layouts else ""]
         return [""]
 
-    def lower(self, dctx, inp: DeviceBatch, *shape_in):
+    def _per_sample_shapes(self, ctx, input_shapes):
+        """Per-sample target shapes when `shape` is a tensor ARGUMENT (host
+        data); None for the static paths. A positional shape INPUT is
+        cpu-only (its batch is not visible at host-params time)."""
+        if "shape" not in self.spec.arg_inputs:
+            return None
+        b = ctx._arg_batches.get(self.op_id, {}).get("shape")
+        if b is None:
+            return None
+        vals = [np.asarray(s).reshape(-1) for s in b.samples]
+        ish = input_shapes[0] if input_shapes else None
+        out = []
+        for i, v in enumerate(vals):
+            if ish is not None:
+                cur = [int(x) for x in np.asarray(ish)[i]]
+            else:
+                cur = None  # uniform canvas: resolved against it in lower
+            if cur is None and -1 in [int(round(x)) for x in v]:
+                raise ValueError(
+                    "Reshape(gpu): -1 in a per-sample shape needs host-known "
+                    "input shapes")
+            out.append(_resolve_shape(cur or [0], [float(x) for x in v])
+                       if cur is not None else [int(round(x)) for x in v])
+        k = max(len(s) for s in out)
+        if any(len(s) != k for s in out):
+            raise ValueError("Reshape(gpu): per-sample shapes must share a rank")
+        return np.asarray(out, np.int64)
+
+    def host_params(self, ctx, input_shapes, input_batches=None):
+        ps = self._per_sample_shapes(ctx, input_shapes)
+        self._ps = ps
+        if ps is None:
+            return {}
+        latch = getattr(self, "_canvas_latch", None)
+        mx = ps.max(axis=0)
+        self._canvas_latch = (mx if latch is None
+                              else np.maximum(np.asarray(latch), mx))
+        return {"reshape_shapes": ps.astype(np.int32)}
+
+    def device_statics(self, ctx, input_shapes, input_batches=None):
+        if getattr(self, "_ps", None) is None:
+            return None
+        return ("ps",) + tuple(int(v) for v in self._canvas_latch)
+
+    def host_output_shapes(self, ctx, input_shapes, input_batches):
+        ps = getattr(self, "_ps", None)
+        if ps is None:
+            return None
+        return [ps]
+
+    def _lower_per_sample(self, dctx, inp, oc):
+        """Per-sample target shapes on a padded canvas: each output element's
+        row-major index within ITS sample maps back through the sample's
+        input extents onto the input canvas — one gather per sample."""
+        import jax
+        import jax.numpy as jnp
+
+        n = inp.data.shape[0]
+        ic = inp.data.shape[1:]  # input canvas dims
+        out_ext = jnp.asarray(dctx.param(self, "reshape_shapes"))  # [n, k]
         if inp.shapes is not None:
-            raise NotImplementedError("Reshape on ragged device batches is not supported")
+            in_ext = inp.shapes[:, :len(ic)].astype(jnp.int32)
+        else:
+            in_ext = jnp.tile(jnp.asarray([list(ic)], jnp.int32), (n, 1))
+        M = int(np.prod(oc))
+        coords = np.stack(np.unravel_index(np.arange(M), oc)).astype(np.int32)
+        ic_strides = np.array(
+            [int(np.prod(ic[d + 1:])) for d in range(len(ic))], np.int32)
+
+        def one(flat_in, ie, oe):
+            # j: row-major index within the sample's LOGICAL out shape
+            st = jnp.concatenate(
+                [jnp.cumprod(oe[::-1])[::-1][1:], jnp.ones((1,), oe.dtype)])
+            j = jnp.zeros((M,), jnp.int32)
+            for d in range(len(oc)):
+                j = j + coords[d] * st[d].astype(jnp.int32)
+            # unravel j over the sample's INPUT extents, onto canvas strides
+            rem = j
+            idx = jnp.zeros((M,), jnp.int32)
+            for d in range(len(ic)):
+                p = (jnp.prod(ie[d + 1:].astype(jnp.int32))
+                     if d + 1 < len(ic) else jnp.int32(1))
+                q = rem // p
+                rem = rem - q * p
+                idx = idx + jnp.clip(q, 0, ie[d] - 1).astype(jnp.int32) * ic_strides[d]
+            return jnp.take(flat_in, idx).reshape(oc)
+
+        flat = inp.data.reshape(n, -1)
+        out = jax.vmap(one)(flat, in_ext, out_ext)
+        layout = self.spec.GetArgument("layout", None)
+        return [DeviceBatch(out, out_ext, layout or "")]
+
+    def lower(self, dctx, inp: DeviceBatch, *shape_in):
+        st = dctx.static(self)
+        if isinstance(st, tuple) and st and st[0] == "ps":
+            return self._lower_per_sample(dctx, inp, tuple(st[1:]))
+        if shape_in:
+            raise NotImplementedError(
+                "Reshape(gpu): pass per-sample target shapes via the "
+                "`shape` tensor ARGUMENT (a positional shape input is "
+                "cpu-only)")
+        if inp.shapes is not None:
+            raise NotImplementedError(
+                "Reshape(gpu) on ragged batches needs per-sample target "
+                "shapes (pass `shape` as a tensor argument)")
         shape = self.spec.GetArgument("shape", None)
         layout = self.spec.GetArgument("layout", None)
         if shape is None:

@@ -129,3 +129,29 @@ def test_tensor_arg_values_differ_nonimage(case):
     assert any(a.shape != b.shape or not np.array_equal(a, b)
                for a, b in zip(gpu[1:], gpu_b[1:])), (
         f"{case}: gpu output identical under arg[0] broadcast")
+
+
+def test_reshape_ragged_per_sample_shapes():
+    """Ragged INPUT + per-sample tensor shapes (with -1 inference): the gpu
+    gather path must match the cpu reshape exactly."""
+    data = [np.arange(24 * (i + 1), dtype=np.int32) for i in range(3)]
+    shapes = [np.array(s, np.float32) for s in ([2, 12], [4, -1], [6, 12])]
+
+    def run(device):
+        @pipeline_def(batch_size=3, num_threads=1, seed=5)
+        def p():
+            x = fn.external_source(source=lambda: data, batch=True, cycle=True)
+            s = fn.external_source(source=lambda: shapes, batch=True,
+                                   cycle=True)
+            if device == "gpu":
+                x = x.gpu()
+            return fn.reshape(x, shape=s)
+        q = p()
+        q.build()
+        (o,) = q.run()
+        return [np.asarray(o.at(i)) for i in range(3)]
+
+    cpu, gpu = run("cpu"), run("gpu")
+    for i in range(3):
+        assert cpu[i].shape == gpu[i].shape, (i, cpu[i].shape, gpu[i].shape)
+        np.testing.assert_array_equal(cpu[i], gpu[i])
