@@ -195,8 +195,10 @@ class Reinterpret(Operator):
         shape = None
         if shape_in:
             shape = [int(v) for v in np.asarray(shape_in[0]).reshape(-1)]
-        elif self.spec.GetArgument("shape", None) is not None:
-            shape = [int(round(v)) for v in self.spec.GetArgument("shape")]
+        else:
+            v = ctx.arg(self, "shape", idx, None)  # constant OR tensor arg
+            if v is not None:
+                shape = [int(round(float(s))) for s in np.asarray(v).reshape(-1)]
         if shape is not None:
             total = out.size
             if -1 in shape:
@@ -221,9 +223,10 @@ class ReinterpretGPU(Operator):
         import jax
         import jax.numpy as jnp
 
-        if shape_in:
+        if shape_in or dctx.has_tensor_arg(self, "shape"):
             raise ValueError(
-                "Reinterpret(gpu): per-sample shape inputs are cpu-only")
+                "Reinterpret(gpu): per-sample shapes are cpu-only "
+                "(fn.reshape supports per-sample tensor shapes on gpu)")
         data = inp.data
         shapes = inp.shapes
         dt = self.spec.GetArgument("dtype", None)
