@@ -155,3 +155,29 @@ def test_reshape_ragged_per_sample_shapes():
     for i in range(3):
         assert cpu[i].shape == gpu[i].shape, (i, cpu[i].shape, gpu[i].shape)
         np.testing.assert_array_equal(cpu[i], gpu[i])
+
+
+@pytest.mark.parametrize("op,kw", [
+    ("uniform", {"range": [5.0, 6.0]}),
+    ("normal", {"mean": 2.0, "stddev": 0.1}),
+    ("coin_flip", {"probability": 0.5}),
+])
+def test_rng_per_sample_tensor_shape(op, kw):
+    """Device RNG ops honor per-sample tensor `shape` (reference
+    rng_base.h ShapeGenArg) — the gpu path used to ignore it and emit
+    scalars."""
+    shp = [np.array(s, np.float32) for s in ([2, 3], [4, 2], [3, 3])]
+
+    def run(device):
+        @pipeline_def(batch_size=3, num_threads=1, seed=9)
+        def p():
+            s = fn.external_source(source=lambda: shp, batch=True, cycle=True)
+            return getattr(fn.random, op)(shape=s, device=device, **kw)
+        q = p()
+        q.build()
+        (o,) = q.run()
+        return [np.asarray(o.at(i)) for i in range(3)]
+
+    for device in ("cpu", "gpu"):
+        out = run(device)
+        assert [x.shape for x in out] == [(2, 3), (4, 2), (3, 3)], (device, out)
