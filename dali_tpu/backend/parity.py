@@ -573,6 +573,13 @@ class TensorResize(Operator):
         sizes = ctx.arg(self, "sizes", idx, None)
         scales = ctx.arg(self, "scales", idx, None)
         zoom = [1.0] * nd
+        for nm, v in (("sizes", sizes), ("scales", scales)):
+            if v is not None and np.asarray(v).reshape(-1).size != len(axes):
+                raise ValueError(
+                    f"TensorResize: `{nm}` has "
+                    f"{np.asarray(v).reshape(-1).size} entries but "
+                    f"{len(axes)} axes are being resized (pass `axes`/"
+                    f"`axis_names`, or one entry per input dim)")
         if sizes is not None:
             sizes = np.asarray(sizes, np.float64).reshape(-1)
             mode = spec.GetArgument("mode", "default")

@@ -181,3 +181,49 @@ def test_rng_per_sample_tensor_shape(op, kw):
     for device in ("cpu", "gpu"):
         out = run(device)
         assert [x.shape for x in out] == [(2, 3), (4, 2), (3, 3)], (device, out)
+
+
+def test_tensor_resize_per_sample_sizes():
+    rng = np.random.default_rng(3)
+    imgs = [rng.integers(0, 256, (24 + 6 * i, 20, 3), np.uint8)
+            for i in range(3)]
+    sizes = [np.array(s, np.float32) for s in ([10, 12], [16, 8], [12, 12])]
+
+    def run(device):
+        @pipeline_def(batch_size=3, num_threads=1, seed=3)
+        def p():
+            x = fn.external_source(source=lambda: imgs, batch=True,
+                                   cycle=True, layout="HWC")
+            s = fn.external_source(source=lambda: sizes, batch=True,
+                                   cycle=True)
+            if device == "gpu":
+                x = x.gpu()
+            return fn.tensor_resize(x, sizes=s, axes=[0, 1])
+        q = p()
+        q.build()
+        (o,) = q.run()
+        return [np.asarray(o.at(i)) for i in range(3)]
+
+    cpu, gpu = run("cpu"), run("gpu")
+    for i in range(3):
+        assert cpu[i].shape == gpu[i].shape == (*[int(v) for v in sizes[i]], 3)
+        np.testing.assert_allclose(cpu[i].astype(np.float64),
+                                   gpu[i].astype(np.float64), atol=1, rtol=0)
+
+
+def test_tensor_resize_sizes_axes_mismatch_is_clear():
+    """sizes shorter than the resized axes must raise a clear error, not an
+    IndexError from deep inside the zoom math."""
+    rng = np.random.default_rng(3)
+    imgs = [rng.integers(0, 256, (24, 20, 3), np.uint8)]
+
+    @pipeline_def(batch_size=1, num_threads=1, seed=3)
+    def p():
+        x = fn.external_source(source=lambda: imgs, batch=True, cycle=True,
+                               layout="HWC")
+        return fn.tensor_resize(x, sizes=[10.0, 12.0])  # 2 entries, 3 axes
+
+    with pytest.raises(ValueError, match="entries"):
+        q = p()
+        q.build()
+        q.run()
