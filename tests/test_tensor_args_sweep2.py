@@ -227,3 +227,32 @@ def test_tensor_resize_sizes_axes_mismatch_is_clear():
         q = p()
         q.build()
         q.run()
+
+
+def test_sequence_rearrange_per_sample_order():
+    """Per-sample tensor `new_order` (reference sequence_rearrange.cc
+    argument input), cpu == gpu, including repeated frames."""
+    seqs = [np.stack([np.full((2, 2, 3), 10 * i + f, np.int32)
+                      for f in range(4)]) for i in range(2)]
+    orders = [np.array(o, np.int32) for o in ([3, 2, 1, 0], [1, 1, 0, 2])]
+
+    def run(device):
+        @pipeline_def(batch_size=2, num_threads=1, seed=1)
+        def p():
+            x = fn.external_source(source=lambda: seqs, batch=True,
+                                   cycle=True, layout="FHWC")
+            o = fn.external_source(source=lambda: orders, batch=True,
+                                   cycle=True)
+            if device == "gpu":
+                x = x.gpu()
+            return fn.sequence_rearrange(x, new_order=o)
+        q = p()
+        q.build()
+        (out,) = q.run()
+        return [np.asarray(out.at(i)) for i in range(2)]
+
+    cpu, gpu = run("cpu"), run("gpu")
+    for i, (a, b) in enumerate(zip(cpu, gpu)):
+        np.testing.assert_array_equal(a, b, err_msg=f"sample {i}")
+    np.testing.assert_array_equal(cpu[0][:, 0, 0, 0], [3, 2, 1, 0])
+    np.testing.assert_array_equal(cpu[1][:, 0, 0, 0], [11, 11, 10, 12])
