@@ -47,6 +47,7 @@ run transforms_3d.py
 run custom_operators.py
 run debug_and_optical_flow.py
 run audio_processing.py
+run segmentation_training.py --batch-size 4 --iters 2
 XLA_FLAGS="--xla_force_host_platform_device_count=2" \
   run framework_iterators.py
 

@@ -256,3 +256,39 @@ def test_sequence_rearrange_per_sample_order():
         np.testing.assert_array_equal(a, b, err_msg=f"sample {i}")
     np.testing.assert_array_equal(cpu[0][:, 0, 0, 0], [3, 2, 1, 0])
     np.testing.assert_array_equal(cpu[1][:, 0, 0, 0], [11, 11, 10, 12])
+
+
+def test_multi_paste_tensor_args_parity():
+    """MultiPaste's 4 tensor args (in_ids/in_anchors/shapes/out_anchors):
+    cross-sample pastes must be bit-identical across devices."""
+    rng = np.random.default_rng(4)
+    imgs = [rng.integers(0, 256, (20, 22, 3), np.uint8) for _ in range(3)]
+    in_ids = [np.array([(i + 1) % 3], np.int32) for i in range(3)]
+    in_anchors = [np.array([[0, 0]], np.int32) for _ in range(3)]
+    shapes_ = [np.array([[8, 8]], np.int32) for _ in range(3)]
+    out_anchors = [np.array([[2 + i, 3]], np.int32) for i in range(3)]
+
+    def run(device):
+        @pipeline_def(batch_size=3, num_threads=1, seed=4)
+        def p():
+            x = fn.external_source(source=lambda: imgs, batch=True,
+                                   cycle=True, layout="HWC")
+            if device == "gpu":
+                x = x.gpu()
+            return fn.multi_paste(
+                x,
+                in_ids=fn.external_source(source=lambda: in_ids, batch=True, cycle=True),
+                in_anchors=fn.external_source(source=lambda: in_anchors, batch=True, cycle=True),
+                shapes=fn.external_source(source=lambda: shapes_, batch=True, cycle=True),
+                out_anchors=fn.external_source(source=lambda: out_anchors, batch=True, cycle=True),
+                output_size=[20, 22])
+        q = p()
+        q.build()
+        (o,) = q.run()
+        return [np.asarray(o.at(i)) for i in range(3)]
+
+    cpu, gpu = run("cpu"), run("gpu")
+    for i in range(3):
+        np.testing.assert_array_equal(cpu[i], gpu[i], err_msg=f"sample {i}")
+    # the paste actually happened: region == source sample's top-left block
+    np.testing.assert_array_equal(cpu[0][2:10, 3:11], imgs[1][:8, :8])
