@@ -87,10 +87,16 @@ def _run(name, samples, device, seed=77):
     return [np.asarray(out.at(i)) for i in range(len(samples))]
 
 
-def test_ragged_value_parity_sweep():
+@pytest.mark.parametrize("variant", ["u8c3", "f32c1"])
+def test_ragged_value_parity_sweep(variant):
     rng = np.random.default_rng(17)
-    samples = [rng.integers(0, 256, (26 + 7 * i, 30 - 4 * i, 3), np.uint8)
-               for i in range(3)]
+    if variant == "u8c3":
+        samples = [rng.integers(0, 256, (26 + 7 * i, 30 - 4 * i, 3), np.uint8)
+                   for i in range(3)]
+    else:
+        # float32 single-channel: catches uint8/C=3 assumptions in lowerings
+        samples = [rng.uniform(0, 255, (26 + 7 * i, 30 - 4 * i, 1)).astype(np.float32)
+                   for i in range(3)]
 
     tested, skipped, failures = [], [], []
     for name in _ops():
@@ -130,4 +136,5 @@ def test_ragged_value_parity_sweep():
             tested.append(name)
     assert not failures, failures
     # breadth floor: the sweep must actually exercise a wide op set
-    assert len(tested) >= 30, (len(tested), sorted(skipped))
+    floor = 30 if variant == "u8c3" else 15
+    assert len(tested) >= floor, (len(tested), sorted(skipped))
