@@ -145,6 +145,7 @@ class WorkerPool:
             )
             p.start()
             self._procs.append(p)
+        self._install_finalizer()
 
     def run_batch(self, iteration: int, epoch: int) -> List[List[np.ndarray]]:
         """Compute one batch: returns per-sample lists of output arrays."""
@@ -196,25 +197,35 @@ class WorkerPool:
                 k += n_out
         return samples
 
-    def close(self):
-        for q in self._task_qs:
+    @staticmethod
+    def _cleanup(task_qs, procs, slots):
+        for q in task_qs:
             try:
                 q.put(None)
             except Exception:
                 pass
-        for p in self._procs:
+        for p in procs:
             p.join(timeout=2)
             if p.is_alive():
                 p.terminate()
-        for shm in self._slots.values():
+        for shm in slots.values():
             try:
                 shm.close()
                 shm.unlink()
             except Exception:
                 pass
+        slots.clear()
 
-    def __del__(self):
-        try:
-            self.close()
-        except Exception:
-            pass
+    def close(self):
+        # via the finalizer so close() and interpreter-exit share one path
+        # (and the finalizer becomes a no-op afterwards)
+        self._finalizer()
+
+    def _install_finalizer(self):
+        import weakref
+
+        # __del__ is unreliable at interpreter shutdown (the pool sits in GC
+        # cycles with the executor), which leaked the shm slot rings until
+        # the resource_tracker complained; weakref.finalize runs via atexit.
+        self._finalizer = weakref.finalize(
+            self, WorkerPool._cleanup, self._task_qs, self._procs, self._slots)
