@@ -137,8 +137,7 @@ class WaterGPU(Operator):
         sx, sy = _water_coords(jnp, H, W, self.spec)
         sx, sy = _maybe_nn(jnp, sx, sy, self.spec)
         fill = self.spec.GetArgument("fill_value", 0.0)
-        eh = inp.extent(0) if inp.shapes is not None else jnp.full((n,), H, jnp.int32)
-        ew = inp.extent(1) if inp.shapes is not None else jnp.full((n,), W, jnp.int32)
+        eh, ew = inp.extent(0), inp.extent(1)  # falls back to the canvas
         out = jax.vmap(lambda im, h, w: _bilinear_gather(
             jnp, im, sx, sy, fill, eh=h, ew=w))(inp.data, eh, ew)
         out = _apply_mask(jnp, dctx, self, inp.data, out)
@@ -197,8 +196,7 @@ class SphereGPU(Operator):
 
         n, H, W = inp.data.shape[:3]
         fill = self.spec.GetArgument("fill_value", 0.0)
-        eh = inp.extent(0) if inp.shapes is not None else jnp.full((n,), H, jnp.int32)
-        ew = inp.extent(1) if inp.shapes is not None else jnp.full((n,), W, jnp.int32)
+        eh, ew = inp.extent(0), inp.extent(1)  # falls back to the canvas
 
         def one(im, h, w):
             sx, sy = _sphere_coords(jnp, H, W, eh=h, ew=w)
@@ -259,8 +257,7 @@ class JitterGPU(Operator):
         ys = jnp.arange(H, dtype=jnp.float32)[None, :, None] * jnp.ones((1, 1, W)) + disp[..., 1]
         xs, ys = _maybe_nn(jnp, xs, ys, self.spec)
         fill = self.spec.GetArgument("fill_value", 0.0)
-        eh = inp.extent(0) if inp.shapes is not None else jnp.full((n,), H, jnp.int32)
-        ew = inp.extent(1) if inp.shapes is not None else jnp.full((n,), W, jnp.int32)
+        eh, ew = inp.extent(0), inp.extent(1)  # falls back to the canvas
         out = jax.vmap(lambda im, x, y, h, w: _bilinear_gather(
             jnp, im, x, y, fill, eh=h, ew=w))(inp.data, xs, ys, eh, ew)
         out = _apply_mask(jnp, dctx, self, inp.data, out)

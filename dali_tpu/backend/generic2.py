@@ -279,6 +279,11 @@ class CropGPU(_CropCommon):
             if nm in batches:
                 n = len(batches[nm].samples)
                 break
+        if n is None:
+            # tensor crop sizes riding a DEVICE edge: not host-known
+            raise ValueError(
+                "Crop(gpu): tensor crop_h/crop_w must be cpu tensors (the "
+                "window sizes drive host-side canvas math)")
         sizes = np.zeros((n, 2), np.int32)
         for i in range(n):
             sizes[i] = self._size_sample(ctx, i)

@@ -1074,8 +1074,10 @@ class FlipGPU(Operator):
         data = inp.data
         vol = data.ndim == 5 and (inp.layout or "").startswith("D")
         if inp.shapes is None:
-            # axes by layout: DHWC flips W/H/D at 3/2/1, HWC at 2/1
-            ax_v = 2 if vol else 1
+            # axes by position from the END (matches the cpu path): W = -2,
+            # H = -3 — correct for HWC, DHWC and FHWC alike (a 5-D FHWC
+            # batch previously flipped H/F instead of W/H)
+            ax_v = data.ndim - 3
             bcast = (n,) + (1,) * (data.ndim - 1)
             out = jnp.where(h.reshape(bcast) != 0,
                             jnp.flip(data, axis=ax_v + 1), data)

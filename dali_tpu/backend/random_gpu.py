@@ -33,6 +33,14 @@ class _RngShapeMixin:
     def host_params(self, ctx, input_shapes):
         b = ctx._arg_batches.get(self.op_id, {}).get("shape")
         if b is None:
+            if "shape" in self.spec.arg_inputs:
+                # shape rides a DEVICE edge: extents are not host-known, so
+                # the canvas can't be sized — silent scalar fallback would be
+                # wrong output
+                raise ValueError(
+                    f"{self.spec.schema.name}: a tensor `shape` argument "
+                    "must be a cpu tensor (device-resident shapes cannot "
+                    "size the output canvas)")
             self._ps_shape = None
             return {}
         ps = np.asarray([np.asarray(s).reshape(-1) for s in b.samples],

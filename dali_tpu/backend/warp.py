@@ -87,15 +87,21 @@ class WarpAffineGPU(_WarpCommon):
         if not size:
             return [sh]
         out = sh.copy()
+        # `size` replaces the SPATIAL dims: on FHWC sequences those start at
+        # column 1 (writing columns (0,1) would clobber (F, H))
+        lay = (ctx.in_layouts(self) or [""])[0]
+        off = 1 if lay.startswith("F") and sh.shape[1] == len(size) + 2 else 0
         for k, v in enumerate(size):
-            out[:, k] = int(round(v))
+            out[:, off + k] = int(round(v))
         return [out]
 
     def host_params(self, ctx, input_shapes):
         if len(self.spec.inputs) > 1:
             return {}  # matrices arrive as a device input
         n = ctx.batch_size
-        vol = input_shapes[0] is not None and input_shapes[0].shape[1] >= 4
+        lay = (ctx.in_layouts(self) or [""])[0]
+        vol = (input_shapes[0] is not None and input_shapes[0].shape[1] >= 4
+               and not lay.startswith("F"))
         first = self._matrix_for(ctx, 0, [], vol=vol)
         mats = np.zeros((n,) + first.shape, np.float32)
         mats[0] = first
@@ -179,7 +185,15 @@ class WarpAffineGPU(_WarpCommon):
 
 @register_operator("WarpAffine", "cpu")
 class WarpAffineCPU(_WarpCommon):
+    def run_batch(self, ctx, *inputs):
+        self._in_layout = inputs[0].layout if inputs else ""
+        return super().run_batch(ctx, *inputs)
+
     def run_sample(self, ctx, idx, img, *matrix_input):
+        if img.ndim == 4 and getattr(self, "_in_layout", "").startswith("F"):
+            # FHWC sequence: per-frame 2-D warp, one matrix per sequence
+            return np.stack([self.run_sample(ctx, idx, fr, *matrix_input)
+                             for fr in img])
         if img.ndim == 4:  # DHWC volumetric: own trilinear kernel
             m = self._matrix_for(ctx, idx, matrix_input, vol=True)
             size = self.spec.GetArgument("size", None)

@@ -106,7 +106,12 @@ class TensorListGPU:
             return True
         # dense iff every sample's logical shape fills the buffer exactly —
         # uniform logical shapes over a PADDED canvas are still ragged for
-        # zero-copy purposes (the pad bytes would leak into the export)
+        # zero-copy purposes (the pad bytes would leak into the export).
+        # DEVICE-resident shapes are answered conservatively (False) without
+        # fetching: the D2H readback this would force degrades the tunnel
+        # (CLAUDE.md), and "ragged" only routes callers to the copying path.
+        if not isinstance(self._shapes, np.ndarray):
+            return False
         sh = self._shapes_np()
         if sh.shape[1] != self._data.ndim - 1:
             return False

@@ -126,3 +126,35 @@ def test_sequence_resize_then_rotate_chain():
         # resize rounding may differ by 1 LSB; NN rotate copies that pixel
         np.testing.assert_allclose(a.astype(np.float64), b.astype(np.float64),
                                    atol=1, rtol=0, err_msg=f"sample {i}")
+
+
+def test_uniform_sequence_flip_and_warp_affine():
+    """Review regressions: UNIFORM (shapes-free) FHWC batches — Flip(gpu)
+    must flip W (not the frame axis), and WarpAffine must fold frames on
+    BOTH devices with `size` landing on the spatial shape columns."""
+    rng = np.random.default_rng(7)
+    seqs = [rng.integers(0, 256, (3, 8, 10, 3), np.uint8) for _ in range(2)]
+
+    def run(build, device):
+        @pipeline_def(batch_size=2, num_threads=1, seed=1)
+        def p():
+            x = fn.external_source(source=lambda: seqs, batch=True,
+                                   cycle=True, layout="FHWC")
+            if device == "gpu":
+                x = x.gpu()
+            return build(x)
+        q = p()
+        q.build()
+        (o,) = q.run()
+        return [np.asarray(o.at(i)) for i in range(2)]
+
+    g = run(lambda x: fn.flip(x, horizontal=1), "gpu")
+    np.testing.assert_array_equal(g[0], seqs[0][:, :, ::-1, :])
+
+    wa = lambda x: fn.warp_affine(x, matrix=[1, 0, 2, 0, 1, 1],
+                                  size=(6.0, 7.0),
+                                  interp_type=types.INTERP_NN)
+    c, g = run(wa, "cpu"), run(wa, "gpu")
+    for i in range(2):
+        assert c[i].shape == g[i].shape == (3, 6, 7, 3), (i, c[i].shape, g[i].shape)
+        np.testing.assert_array_equal(c[i], g[i], err_msg=f"sample {i}")
