@@ -27,14 +27,20 @@ def _run(build, samples, layout, device):
     return [np.asarray(out.at(i)) for i in range(len(samples))]
 
 
-def _vol_samples(n=2, seed=11):
+def _vol_samples(n=2, seed=11, uniform=False):
     rng = np.random.default_rng(seed)
+    if uniform:  # shapes-free device batches exercise the OTHER branch
+        return [rng.integers(0, 256, (8, 20, 18, 3), np.uint8)
+                for _ in range(n)]
     return [rng.integers(0, 256, (6 + 2 * i, 20 + 4 * i, 18 - 2 * i, 3),
                          np.uint8) for i in range(n)]
 
 
-def _seq_samples(n=2, seed=12):
+def _seq_samples(n=2, seed=12, uniform=False):
     rng = np.random.default_rng(seed)
+    if uniform:
+        return [rng.integers(0, 256, (3, 24, 20, 3), np.uint8)
+                for _ in range(n)]
     return [rng.integers(0, 256, (3, 24 + 6 * i, 20 - 3 * i, 3), np.uint8)
             for i in range(n)]
 
@@ -70,10 +76,11 @@ SEQ_CASES = {
 }
 
 
+@pytest.mark.parametrize("uniform", [False, True])
 @pytest.mark.parametrize("case", sorted(VOL_CASES))
-def test_volumetric_ragged_parity(case):
+def test_volumetric_ragged_parity(case, uniform):
     build, atol = VOL_CASES[case]
-    samples = _vol_samples()
+    samples = _vol_samples(uniform=uniform)
     try:
         cpu = _run(build, samples, "DHWC", "cpu")
     except Exception as e:
@@ -88,10 +95,11 @@ def test_volumetric_ragged_parity(case):
         assert d <= atol + 1e-6, (case, i, d)
 
 
+@pytest.mark.parametrize("uniform", [False, True])
 @pytest.mark.parametrize("case", sorted(SEQ_CASES))
-def test_sequence_ragged_parity(case):
+def test_sequence_ragged_parity(case, uniform):
     build, atol = SEQ_CASES[case]
-    samples = _seq_samples()
+    samples = _seq_samples(uniform=uniform)
     try:
         cpu = _run(build, samples, "FHWC", "cpu")
     except Exception as e:
