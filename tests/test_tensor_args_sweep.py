@@ -17,8 +17,10 @@ from dali_tpu import fn, pipeline_def, types
 N = 4
 
 
-def _imgs(n=N, seed=0):
+def _imgs(n=N, seed=0, uniform=False):
     rng = np.random.default_rng(seed)
+    if uniform:  # shapes-free device batches take a DIFFERENT code branch
+        return [rng.integers(0, 256, (40, 48, 3), np.uint8) for _ in range(n)]
     # ragged: tensor-arg handling must be per-sample, not canvas-global
     return [rng.integers(0, 256, (40 + 6 * i, 48 - 4 * i, 3), np.uint8)
             for i in range(n)]
@@ -96,9 +98,9 @@ CASES = {
 }
 
 
-def _run(case_key, device, extra_kwargs):
+def _run(case_key, device, extra_kwargs, uniform=False):
     fn_name, targs, _ = CASES[case_key]
-    samples = _imgs()
+    samples = _imgs(uniform=uniform)
     op = getattr(fn, fn_name)
 
     @pipeline_def(batch_size=N, num_threads=1, seed=11)
@@ -130,11 +132,12 @@ EXTRA = {
 }
 
 
+@pytest.mark.parametrize("uniform", [False, True])
 @pytest.mark.parametrize("case", sorted(CASES))
-def test_tensor_arg_cpu_gpu_parity(case):
+def test_tensor_arg_cpu_gpu_parity(case, uniform):
     extra = EXTRA.get(case, {})
-    cpu = _run(case, "cpu", extra)
-    gpu = _run(case, "gpu", extra)
+    cpu = _run(case, "cpu", extra, uniform=uniform)
+    gpu = _run(case, "gpu", extra, uniform=uniform)
     _, targs, cmp = CASES[case]
     for i in range(N):
         assert cpu[i].shape == gpu[i].shape, (
