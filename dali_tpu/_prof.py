@@ -21,21 +21,33 @@ _cnt: Dict[str, int] = {}
 
 
 class section:
-    """Context manager accumulating elapsed seconds under ``name``."""
+    """Context manager accumulating elapsed seconds under ``name``.
 
-    __slots__ = ("name", "t0")
+    Also accumulates this THREAD's cpu seconds under ``name#cpu``
+    (CLOCK_THREAD_CPUTIME_ID): sections that release the GIL (native batch
+    calls) can lose wall time to OTHER stage threads competing for cores —
+    wall−cpu is exactly that theft, which on a 1-core host is the difference
+    between the in-pipeline decode cost and the microbench's (the r3 verdict's
+    "unexplained 80 µs/img").
+    """
+
+    __slots__ = ("name", "t0", "c0")
 
     def __init__(self, name: str):
         self.name = name
 
     def __enter__(self):
         self.t0 = time.perf_counter()
+        self.c0 = time.thread_time()
         return self
 
     def __exit__(self, *exc):
         dt = time.perf_counter() - self.t0
+        dc = time.thread_time() - self.c0
         _acc[self.name] = _acc.get(self.name, 0.0) + dt
         _cnt[self.name] = _cnt.get(self.name, 0) + 1
+        k = self.name + "#cpu"
+        _acc[k] = _acc.get(k, 0.0) + dc
         return False
 
 

@@ -513,6 +513,32 @@ def arena_stats() -> dict:
     return _DEFAULT_ARENA.stats() if _DEFAULT_ARENA is not None else {}
 
 
+def decode_stats(reset: bool = False) -> dict:
+    """Itemization INSIDE the native hybrid-decode batch call (VERDICT r4 #1:
+    reconcile the in-pipeline µs/img against the microbench). Nanosecond
+    totals from `dali_tpu_decode_batch_stats` (jpeg_coeffs_split.cc) and
+    `dali_tpu_huff_stats` (jpeg_huff.cc); {} if no native lib."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "dali_tpu_decode_batch_stats"):
+        return {}
+    b = (ctypes.c_longlong * 7)()
+    h = (ctypes.c_longlong * 7)()
+    lib.dali_tpu_decode_batch_stats(b, 1 if reset else 0)
+    lib.dali_tpu_huff_stats(h, 1 if reset else 0)
+    return {
+        "batch": {
+            "ns_fast": b[0], "ns_fallback": b[1], "ns_compact": b[2],
+            "ns_batch": b[3], "n_fast": b[4], "n_fallback": b[5],
+            "n_batches": b[6],
+        },
+        "huff": {
+            "ns_parse": h[0], "ns_unstuff": h[1], "ns_scan": h[2],
+            "ns_rowcompact": h[3], "tbl_hits": h[4], "tbl_misses": h[5],
+            "n_imgs": h[6],
+        },
+    }
+
+
 class StagingRing:
     """Reusable wire-buffer ring — the host staging arena's lifetime policy
     (SURVEY §2.1 memory-manager row; reference mm::* pinned staging pools).

@@ -153,7 +153,29 @@ extern "C" int dali_tpu_jpeg_huff_progressive_read_coeffs_split_crop(
     short*, signed char*, unsigned short*, int, int, int, int, int, int, int,
     int);
 
+#include <atomic>
+#include <chrono>
+
 namespace {
+
+// Batch-call itemization (VERDICT r4 #1): where the in-pipeline native call
+// spends time, split fast-path vs fallback vs the serial compaction pass.
+struct BatchStats {
+  std::atomic<long long> ns_fast{0};      // jpeg_huff pack decode (ok samples)
+  std::atomic<long long> ns_fallback{0};  // progressive/libjpeg + re-pack
+  std::atomic<long long> ns_compact{0};   // serial value-stream memmove pass
+  std::atomic<long long> ns_batch{0};     // whole batch-call wall
+  std::atomic<long long> n_fast{0};
+  std::atomic<long long> n_fallback{0};
+  std::atomic<long long> n_batches{0};
+};
+BatchStats g_bstats;
+
+inline long long bnow_ns() {
+  return std::chrono::duration_cast<std::chrono::nanoseconds>(
+             std::chrono::steady_clock::now().time_since_epoch())
+      .count();
+}
 
 bool fast_huff_enabled() {
   static const bool on = [] {
@@ -388,11 +410,16 @@ struct CoefPackJob {
 void run_coef_pack_job(void* p) {
   CoefPackJob* j = static_cast<CoefPackJob*>(p);
   int rc = 1;
+  long long t0 = bnow_ns();
   if (fast_huff_enabled()) {
     rc = dali_tpu_jpeg_huff_read_coeffs_split_crop_pack(
         j->data, j->len, j->ky, j->kc, j->y_dc, j->y_mask, j->y_vals,
         j->y_nnz, j->cb_dc, j->cr_dc, j->c_mask, j->c_vals, j->c_nnz, j->q,
         j->bh, j->bw, j->cbh, j->cbw, j->y_br0, j->y_bc0, j->c_br0, j->c_bc0);
+  }
+  if (rc == 0) {
+    g_bstats.ns_fast.fetch_add(bnow_ns() - t0, std::memory_order_relaxed);
+    g_bstats.n_fast.fetch_add(1, std::memory_order_relaxed);
   }
   if (rc != 0) {
     // libjpeg fallback: dense scratch planes, then permuted compaction into
@@ -429,11 +456,34 @@ void run_coef_pack_job(void* p) {
           j->c_vals + cb);
       *j->c_nnz = cb + cr;
     }
+    g_bstats.ns_fallback.fetch_add(bnow_ns() - t0, std::memory_order_relaxed);
+    g_bstats.n_fallback.fetch_add(1, std::memory_order_relaxed);
   }
   *j->ok = rc == 0 ? 1 : 0;
 }
 
 }  // namespace
+
+// Snapshot (and optionally reset) the batch-call itemization. Layout:
+// [ns_fast, ns_fallback, ns_compact, ns_batch, n_fast, n_fallback, n_batches].
+extern "C" void dali_tpu_decode_batch_stats(long long out[7], int reset) {
+  out[0] = g_bstats.ns_fast.load(std::memory_order_relaxed);
+  out[1] = g_bstats.ns_fallback.load(std::memory_order_relaxed);
+  out[2] = g_bstats.ns_compact.load(std::memory_order_relaxed);
+  out[3] = g_bstats.ns_batch.load(std::memory_order_relaxed);
+  out[4] = g_bstats.n_fast.load(std::memory_order_relaxed);
+  out[5] = g_bstats.n_fallback.load(std::memory_order_relaxed);
+  out[6] = g_bstats.n_batches.load(std::memory_order_relaxed);
+  if (reset) {
+    g_bstats.ns_fast.store(0, std::memory_order_relaxed);
+    g_bstats.ns_fallback.store(0, std::memory_order_relaxed);
+    g_bstats.ns_compact.store(0, std::memory_order_relaxed);
+    g_bstats.ns_batch.store(0, std::memory_order_relaxed);
+    g_bstats.n_fast.store(0, std::memory_order_relaxed);
+    g_bstats.n_fallback.store(0, std::memory_order_relaxed);
+    g_bstats.n_batches.store(0, std::memory_order_relaxed);
+  }
+}
 
 extern "C" int dali_tpu_jpeg_coeffs_split_flat_crop_pack_batch(
     void* pool, const char** datas, const size_t* lens, int n, int ky, int kc,
@@ -445,6 +495,7 @@ extern "C" int dali_tpu_jpeg_coeffs_split_flat_crop_pack_batch(
     signed char* c_vals, unsigned short* q, int* oks, long long* y_total,
     long long* c_total) {
   const int qn = ky * ky + kc * kc;
+  long long t_batch0 = bnow_ns();
   unsigned char perm_y[16], perm_c[16];
   zz_perm(ky, perm_y);
   zz_perm(kc, perm_c);
@@ -477,6 +528,7 @@ extern "C" int dali_tpu_jpeg_coeffs_split_flat_crop_pack_batch(
   // compact per-sample value streams (at worst-case offsets) into one
   // contiguous stream per plane; dst <= src throughout, so forward memmove
   // in sample order is safe
+  long long t_cmp0 = bnow_ns();
   long long yt = 0, ct = 0;
   for (int i = 0; i < n; i++) {
     if (y_vals + yt != y_vals + y_ac_off[i])
@@ -488,5 +540,9 @@ extern "C" int dali_tpu_jpeg_coeffs_split_flat_crop_pack_batch(
   }
   *y_total = yt;
   *c_total = ct;
+  long long t_end = bnow_ns();
+  g_bstats.ns_compact.fetch_add(t_end - t_cmp0, std::memory_order_relaxed);
+  g_bstats.ns_batch.fetch_add(t_end - t_batch0, std::memory_order_relaxed);
+  g_bstats.n_batches.fetch_add(1, std::memory_order_relaxed);
   return 0;
 }

@@ -1,14 +1,27 @@
 // Microbenchmark for the from-scratch JPEG Huffman coefficient decoder
-// (native/src/jpeg_huff.cc). Feeds it the bench corpus with RN50-style
-// RandomResizedCrop windows and reports us/img for the crop-bounded
-// coefficient read — the host-side hot loop of the hybrid decode path.
+// (native/src/jpeg_huff.cc). Feeds it the bench corpus and reports us/img
+// for the crop-bounded coefficient read — the host-side hot loop of the
+// hybrid decode path.
+//
+// Lanes (r4: reconcile the in-pipeline cost against the microbench, VERDICT
+// r4 #1 — the pipeline runs the PACK entry on RRC-distributed windows and
+// pays the MEAN, not a best-of-reps midrange number):
+//   dense-mid : legacy lane (r2/r3 continuity) — dense entry, midrange
+//               0.55-0.9 linear windows, no halo
+//   dense-rrc : dense entry on pipeline-identical RRC windows (area
+//               U(0.08,1), log-aspect 3/4..4/3, 10 attempts, center-crop
+//               fallback) with the pipeline's MCU snap + 1-MCU halo
+//   pack-rrc  : the pack-emit entry (what the pipeline actually calls) on
+//               the same RRC windows
+// Each lane prints best and mean us/img over reps.
 //
 // Build+run:
 //   g++ -O3 -march=native -std=c++17 tools/bench_huff.cc \
 //       dali_tpu/native/src/jpeg_huff.cc -o /tmp/bench_huff
-//   /tmp/bench_huff /tmp/dali_tpu_bench_data/class0 256 12
+//   /tmp/bench_huff /tmp/dali_tpu_bench_data/class0 256 12 [--pair]
 #include <algorithm>
 #include <chrono>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -21,6 +34,13 @@ extern "C" int dali_tpu_jpeg_huff_read_coeffs_split_crop(
     const char* data, size_t len, int ky, int kc, short* y_dc,
     signed char* y_ac, short* cb_dc, signed char* cb_ac, short* cr_dc,
     signed char* cr_ac, unsigned short* q_out, int y_bh, int y_bw, int c_bh,
+    int c_bw, int y_br0, int y_bc0, int c_br0, int c_bc0);
+
+extern "C" int dali_tpu_jpeg_huff_read_coeffs_split_crop_pack(
+    const char* data, size_t len, int ky, int kc, short* y_dc,
+    unsigned short* y_mask, signed char* y_vals, long long* y_nnz,
+    short* cb_dc, short* cr_dc, unsigned short* c_mask, signed char* c_vals,
+    long long* c_nnz, unsigned short* q_out, int y_bh, int y_bw, int c_bh,
     int c_bw, int y_br0, int y_bc0, int c_br0, int c_bc0);
 
 extern "C" void dali_tpu_jpeg_huff_read_coeffs_split_crop_pair(
@@ -61,12 +81,73 @@ bool dims(const std::vector<char>& b, int* h, int* w) {
   }
   return false;
 }
+
+struct Win { int ybh, ybw, cbh, cbw, ybr0, ybc0, cbr0, cbc0; };
+
+uint64_t g_seed = 12345;
+uint32_t rnd() {
+  g_seed = g_seed * 6364136223846793005ull + 1442695040888963407ull;
+  return (uint32_t)(g_seed >> 33);
+}
+double rnd01() { return (rnd() % 1000000) / 1000000.0; }
+
+// Midrange window (r2/r3 legacy lane): ~0.55-0.9 linear, 16px-aligned, no halo
+Win midrange_win(const Img& im) {
+  int ch = (int)(im.h * (0.55 + 0.35 * rnd01())) / 16 * 16;
+  int cw = (int)(im.w * (0.55 + 0.35 * rnd01())) / 16 * 16;
+  if (ch < 16) ch = 16;
+  if (cw < 16) cw = 16;
+  int y0 = (int)((im.h - ch) * rnd01()) / 16 * 16;
+  int x0 = (int)((im.w - cw) * rnd01()) / 16 * 16;
+  return {ch / 8, cw / 8, ch / 16, cw / 16, y0 / 8, x0 / 8, y0 / 16, x0 / 16};
+}
+
+// Pipeline-identical RRC window: sample_rrc_windows_batch's rejection
+// semantics (backend/decoders.py:301) + the decoder op's MCU snap with the
+// 1-MCU chroma-upsample halo (decoders.py stage_batch_multi, mode 0).
+Win rrc_win(const Img& im) {
+  const double area = (double)im.h * im.w;
+  long ch = 0, cw = 0;
+  bool ok = false;
+  for (int a = 0; a < 10 && !ok; a++) {
+    double ta = (0.08 + 0.92 * rnd01()) * area;
+    double ar = std::exp(std::log(0.75) + (std::log(4.0 / 3) - std::log(0.75)) * rnd01());
+    cw = lround(std::sqrt(ta * ar));
+    ch = lround(std::sqrt(ta / ar));
+    ok = cw > 0 && cw <= im.w && ch > 0 && ch <= im.h;
+  }
+  if (!ok) { ch = im.h; cw = im.w; }
+  long y = (long)(rnd01() * std::max<long>(im.h - ch + 1, 1));
+  long x = (long)(rnd01() * std::max<long>(im.w - cw + 1, 1));
+  const int mcu = 16;
+  long y0 = std::max((y / mcu) * mcu - mcu, 0l);
+  long x0 = std::max((x / mcu) * mcu - mcu, 0l);
+  long y1 = ((y + ch + mcu - 1) / mcu) * mcu + mcu;
+  long x1 = ((x + cw + mcu - 1) / mcu) * mcu + mcu;
+  y1 = std::min(y1, ((long)(im.h + 7) / 8) * 8);  // full luma extent
+  x1 = std::min(x1, ((long)(im.w + 7) / 8) * 8);
+  y1 += (mcu - (y1 - y0) % mcu) % mcu;
+  x1 += (mcu - (x1 - x0) % mcu) % mcu;
+  return {(int)((y1 - y0) / 8), (int)((x1 - x0) / 8),
+          (int)((y1 - y0) / 16), (int)((x1 - x0) / 16),
+          (int)(y0 / 8), (int)(x0 / 8), (int)(y0 / 16), (int)(x0 / 16)};
+}
+
+struct Stat {
+  double best = 1e30, sum = 0;
+  int n = 0;
+  void add(double us) { if (us < best) best = us; sum += us; n++; }
+  double mean() const { return n ? sum / n : 0; }
+};
 }  // namespace
 
 int main(int argc, char** argv) {
   const char* dir = argc > 1 ? argv[1] : "/tmp/dali_tpu_bench_data/class0";
   int nimg = argc > 2 ? atoi(argv[2]) : 256;
   int reps = argc > 3 ? atoi(argv[3]) : 12;
+  bool run_pair = false;
+  for (int i = 4; i < argc; i++)
+    if (!strcmp(argv[i], "--pair")) run_pair = true;
   std::vector<Img> imgs;
   if (DIR* dp = opendir(dir)) {
     std::vector<std::string> names;
@@ -96,30 +177,14 @@ int main(int argc, char** argv) {
   std::vector<signed char> yac((1 << 16) * (ky * ky - 1)),
       cac((1 << 15) * (kc * kc - 1)), crac((1 << 15) * (kc * kc - 1));
   unsigned short q[128];
-  uint64_t seed = 12345;
-  auto rnd = [&]() { seed = seed * 6364136223846793005ull + 1442695040888963407ull; return (uint32_t)(seed >> 33); };
+  std::vector<unsigned short> ymask(1 << 16), cmask(1 << 16);
+  std::vector<signed char> yvals((1 << 16) * (ky * ky - 1)),
+      cvals((1 << 16) * (kc * kc - 1));
 
-  // per-image pre-sampled windows so both modes decode identical work
-  struct Win { int ybh, ybw, cbh, cbw, ybr0, ybc0, cbr0, cbc0; };
-  std::vector<Win> wins(imgs.size());
-  for (size_t i = 0; i < imgs.size(); i++) {
-    auto& im = imgs[i];
-    // RN50 RRC-ish window: ~0.08-1.0 area, here mid-range 0.5-0.9 linear,
-    // 16px-aligned origin (matches the decoder op's MCU snap)
-    int ch = (int)(im.h * (0.55 + 0.35 * (rnd() % 1000) / 1000.0)) / 16 * 16;
-    int cw = (int)(im.w * (0.55 + 0.35 * (rnd() % 1000) / 1000.0)) / 16 * 16;
-    if (ch < 16) ch = 16;
-    if (cw < 16) cw = 16;
-    int y0 = (int)((im.h - ch) * (rnd() % 1000) / 1000.0) / 16 * 16;
-    int x0 = (int)((im.w - cw) * (rnd() % 1000) / 1000.0) / 16 * 16;
-    wins[i] = {ch / 8, cw / 8, ch / 16, cw / 16,
-               y0 / 8, x0 / 8, y0 / 16, x0 / 16};
-  }
-  // second plane set for the pair path
-  std::vector<short> ydc2(1 << 16), cdc2(1 << 15), crdc2(1 << 15);
-  std::vector<signed char> yac2((1 << 16) * (ky * ky - 1)),
-      cac2((1 << 15) * (kc * kc - 1)), crac2((1 << 15) * (kc * kc - 1));
-  unsigned short q2[128];
+  // per-image pre-sampled windows so every lane decodes identical work
+  std::vector<Win> wins_mid(imgs.size()), wins_rrc(imgs.size());
+  for (size_t i = 0; i < imgs.size(); i++) wins_mid[i] = midrange_win(imgs[i]);
+  for (size_t i = 0; i < imgs.size(); i++) wins_rrc[i] = rrc_win(imgs[i]);
 
   auto chk_planes = [&](const Win& w, const short* dc, const signed char* ac) {
     long long s = 0;
@@ -128,67 +193,105 @@ int main(int argc, char** argv) {
     return s;
   };
 
-  double best_seq = 1e30, best_pair = 1e30;
-  long long chk_seq = 0, chk_pair = 0;
-  for (int r = 0; r < reps; r++) {
-    // sequential
-    long long c1 = 0;
+  auto dense_rep = [&](const std::vector<Win>& wins, long long* chk) {
+    long long c = 0;
     auto t0 = std::chrono::steady_clock::now();
     for (size_t i = 0; i < imgs.size(); i++) {
-      auto& im = imgs[i];
       const Win& w = wins[i];
       int rc = dali_tpu_jpeg_huff_read_coeffs_split_crop(
-          im.bytes.data(), im.bytes.size(), ky, kc, ydc.data(), yac.data(),
-          cdc.data(), cac.data(), crdc.data(), crac.data(), q, w.ybh, w.ybw,
-          w.cbh, w.cbw, w.ybr0, w.ybc0, w.cbr0, w.cbc0);
-      if (rc) { fprintf(stderr, "decode rc=%d\n", rc); return 1; }
-      c1 += chk_planes(w, ydc.data(), yac.data());
-    }
-    double us = std::chrono::duration<double, std::micro>(
-                    std::chrono::steady_clock::now() - t0)
-                    .count() /
-                imgs.size();
-    if (us < best_seq) best_seq = us;
-    chk_seq = c1;
-
-    // pair-interleaved
-    long long c2 = 0;
-    t0 = std::chrono::steady_clock::now();
-    for (size_t i = 0; i + 1 < imgs.size(); i += 2) {
-      auto &ia = imgs[i], &ib = imgs[i + 1];
-      const Win &wa = wins[i], &wb = wins[i + 1];
-      int ra, rb;
-      dali_tpu_jpeg_huff_read_coeffs_split_crop_pair(
-          ia.bytes.data(), ia.bytes.size(), ib.bytes.data(), ib.bytes.size(),
-          ky, kc, ydc.data(), yac.data(), cdc.data(), cac.data(), crdc.data(),
-          crac.data(), q, wa.ybh, wa.ybw, wa.cbh, wa.cbw, wa.ybr0, wa.ybc0,
-          wa.cbr0, wa.cbc0, ydc2.data(), yac2.data(), cdc2.data(), cac2.data(),
-          crdc2.data(), crac2.data(), q2, wb.ybh, wb.ybw, wb.cbh, wb.cbw,
-          wb.ybr0, wb.ybc0, wb.cbr0, wb.cbc0, &ra, &rb);
-      if (ra || rb) { fprintf(stderr, "pair rc=%d,%d\n", ra, rb); return 1; }
-      c2 += chk_planes(wa, ydc.data(), yac.data());
-      c2 += chk_planes(wb, ydc2.data(), yac2.data());
-    }
-    if (imgs.size() & 1) {  // odd tail: single path
-      size_t i = imgs.size() - 1;
-      const Win& w = wins[i];
-      dali_tpu_jpeg_huff_read_coeffs_split_crop(
           imgs[i].bytes.data(), imgs[i].bytes.size(), ky, kc, ydc.data(),
           yac.data(), cdc.data(), cac.data(), crdc.data(), crac.data(), q,
           w.ybh, w.ybw, w.cbh, w.cbw, w.ybr0, w.ybc0, w.cbr0, w.cbc0);
-      c2 += chk_planes(w, ydc.data(), yac.data());
+      if (rc) { fprintf(stderr, "decode rc=%d\n", rc); exit(1); }
+      c += chk_planes(w, ydc.data(), yac.data());
     }
-    us = std::chrono::duration<double, std::micro>(
-             std::chrono::steady_clock::now() - t0)
-             .count() /
-         imgs.size();
-    if (us < best_pair) best_pair = us;
-    chk_pair = c2;
+    *chk = c;
+    return std::chrono::duration<double, std::micro>(
+               std::chrono::steady_clock::now() - t0).count() / imgs.size();
+  };
+
+  auto pack_rep = [&](const std::vector<Win>& wins, long long* chk) {
+    long long c = 0;
+    auto t0 = std::chrono::steady_clock::now();
+    for (size_t i = 0; i < imgs.size(); i++) {
+      const Win& w = wins[i];
+      long long ynnz = 0, cnnz = 0;
+      int rc = dali_tpu_jpeg_huff_read_coeffs_split_crop_pack(
+          imgs[i].bytes.data(), imgs[i].bytes.size(), ky, kc, ydc.data(),
+          ymask.data(), yvals.data(), &ynnz, cdc.data(), crdc.data(),
+          cmask.data(), cvals.data(), &cnnz, q, w.ybh, w.ybw, w.cbh, w.cbw,
+          w.ybr0, w.ybc0, w.cbr0, w.cbc0);
+      if (rc) { fprintf(stderr, "pack rc=%d\n", rc); exit(1); }
+      // dc checksum + value-stream checksum (mask-order values; different
+      // convention than the dense lane so no cross-lane parity on AC)
+      for (long j = 0; j < (long)w.ybh * w.ybw; j++)
+        c += ydc[j] * (j % 31 + 1);
+      for (long long j = 0; j < ynnz; j += 7) c += yvals[j];
+      c += ynnz * 131 + cnnz * 17;
+    }
+    *chk = c;
+    return std::chrono::duration<double, std::micro>(
+               std::chrono::steady_clock::now() - t0).count() / imgs.size();
+  };
+
+  Stat mid, drrc, prrc;
+  long long chk_mid = 0, chk_drrc = 0, chk_prrc = 0, c;
+  for (int r = 0; r < reps; r++) {
+    mid.add(dense_rep(wins_mid, &c));
+    if (r == 0) chk_mid = c; else if (c != chk_mid) { fprintf(stderr, "mid chk drift\n"); return 1; }
+    drrc.add(dense_rep(wins_rrc, &c));
+    if (r == 0) chk_drrc = c; else if (c != chk_drrc) { fprintf(stderr, "drrc chk drift\n"); return 1; }
+    prrc.add(pack_rep(wins_rrc, &c));
+    if (r == 0) chk_prrc = c; else if (c != chk_prrc) { fprintf(stderr, "prrc chk drift\n"); return 1; }
   }
-  printf("%zu imgs, seq  best %.1f us/img (%.0f img/s/core) [chk %lld]\n",
-         imgs.size(), best_seq, 1e6 / best_seq, chk_seq);
-  printf("%zu imgs, pair best %.1f us/img (%.0f img/s/core) [chk %lld]  %s\n",
-         imgs.size(), best_pair, 1e6 / best_pair, chk_pair,
-         chk_seq == chk_pair ? "PARITY" : "MISMATCH");
+  printf("%zu imgs, dense-mid best %.1f mean %.1f us/img (%.0f img/s/core) [chk %lld]\n",
+         imgs.size(), mid.best, mid.mean(), 1e6 / mid.best, chk_mid);
+  printf("%zu imgs, dense-rrc best %.1f mean %.1f us/img (%.0f img/s/core) [chk %lld]\n",
+         imgs.size(), drrc.best, drrc.mean(), 1e6 / drrc.best, chk_drrc);
+  printf("%zu imgs, pack-rrc  best %.1f mean %.1f us/img (%.0f img/s/core) [chk %lld]\n",
+         imgs.size(), prrc.best, prrc.mean(), 1e6 / prrc.best, chk_prrc);
+
+  if (run_pair) {
+    std::vector<short> ydc2(1 << 16), cdc2(1 << 15), crdc2(1 << 15);
+    std::vector<signed char> yac2((1 << 16) * (ky * ky - 1)),
+        cac2((1 << 15) * (kc * kc - 1)), crac2((1 << 15) * (kc * kc - 1));
+    unsigned short q2[128];
+    Stat pair;
+    long long chk_pair = 0, chk_seq_mid = chk_mid;
+    for (int r = 0; r < reps; r++) {
+      long long c2 = 0;
+      auto t0 = std::chrono::steady_clock::now();
+      for (size_t i = 0; i + 1 < imgs.size(); i += 2) {
+        auto &ia = imgs[i], &ib = imgs[i + 1];
+        const Win &wa = wins_mid[i], &wb = wins_mid[i + 1];
+        int ra, rb;
+        dali_tpu_jpeg_huff_read_coeffs_split_crop_pair(
+            ia.bytes.data(), ia.bytes.size(), ib.bytes.data(), ib.bytes.size(),
+            ky, kc, ydc.data(), yac.data(), cdc.data(), cac.data(), crdc.data(),
+            crac.data(), q, wa.ybh, wa.ybw, wa.cbh, wa.cbw, wa.ybr0, wa.ybc0,
+            wa.cbr0, wa.cbc0, ydc2.data(), yac2.data(), cdc2.data(), cac2.data(),
+            crdc2.data(), crac2.data(), q2, wb.ybh, wb.ybw, wb.cbh, wb.cbw,
+            wb.ybr0, wb.ybc0, wb.cbr0, wb.cbc0, &ra, &rb);
+        if (ra || rb) { fprintf(stderr, "pair rc=%d,%d\n", ra, rb); return 1; }
+        c2 += chk_planes(wa, ydc.data(), yac.data());
+        c2 += chk_planes(wb, ydc2.data(), yac2.data());
+      }
+      if (imgs.size() & 1) {
+        size_t i = imgs.size() - 1;
+        const Win& w = wins_mid[i];
+        dali_tpu_jpeg_huff_read_coeffs_split_crop(
+            imgs[i].bytes.data(), imgs[i].bytes.size(), ky, kc, ydc.data(),
+            yac.data(), cdc.data(), cac.data(), crdc.data(), crac.data(), q,
+            w.ybh, w.ybw, w.cbh, w.cbw, w.ybr0, w.ybc0, w.cbr0, w.cbc0);
+        c2 += chk_planes(w, ydc.data(), yac.data());
+      }
+      pair.add(std::chrono::duration<double, std::micro>(
+                   std::chrono::steady_clock::now() - t0).count() / imgs.size());
+      chk_pair = c2;
+    }
+    printf("%zu imgs, pair(mid) best %.1f mean %.1f us/img [chk %lld]  %s\n",
+           imgs.size(), pair.best, pair.mean(), chk_pair,
+           chk_seq_mid == chk_pair ? "PARITY" : "MISMATCH");
+  }
   return 0;
 }

@@ -23,7 +23,7 @@ def main():
     args = ap.parse_args()
 
     import bench
-    from dali_tpu import _prof
+    from dali_tpu import _prof, native
 
     bench.ensure_dataset()
     pipe = bench.build_pipeline()
@@ -33,6 +33,7 @@ def main():
         out[0].as_tensor().block_until_ready()
 
     _prof.reset()
+    native.decode_stats(reset=True)
     ex = pipe._executor
     stats0 = {k: v for k, v in ex._stats.items()}
     t0 = time.perf_counter()
@@ -58,6 +59,8 @@ def main():
     accounted = 0.0
     decode_sub = 0.0
     for name in sorted(bd, key=lambda k: -bd[k]):
+        if name.endswith("#cpu"):
+            continue  # thread-cpu twins printed in the native table below
         sec = bd[name]
         if name.startswith("host.decode."):
             decode_sub += sec
@@ -75,6 +78,31 @@ def main():
     print(f"{'host.unattributed':<32}{resid:>9.3f}{resid / n_img * 1e6:>9.1f}"
           f"{resid / host_total * 100 if host_total else 0:>8.1f}")
     print(f"{'host TOTAL':<32}{host_total:>9.3f}{host_total / n_img * 1e6:>9.1f}{100.0:>8.1f}")
+
+    # -- inside the native decode call (VERDICT r4 #1) ----------------------
+    ent_wall = bd.get("host.decode.entropy", 0.0)
+    ent_cpu = bd.get("host.decode.entropy#cpu", 0.0)
+    ds = native.decode_stats()
+    if ds:
+        b, h = ds["batch"], ds["huff"]
+        print(f"\nentropy section: wall {ent_wall / n_img * 1e6:.1f} us/img, "
+              f"this-thread cpu {ent_cpu / n_img * 1e6:.1f} us/img "
+              f"(wall-cpu = {max(ent_wall - ent_cpu, 0) / n_img * 1e6:.1f} "
+              f"us/img stolen by other stage threads / scheduler)")
+        print(f"{'native item':<32}{'us/img':>9}")
+        for label, ns in (
+            ("decode fast path (pack)", b["ns_fast"]),
+            ("  parse (hdr+tables)", h["ns_parse"]),
+            ("  unstuff", h["ns_unstuff"]),
+            ("  entropy scan (-unstuff)", h["ns_scan"] - h["ns_unstuff"]),
+            ("  row compact", h["ns_rowcompact"]),
+            ("fallback decodes", b["ns_fallback"]),
+            ("serial stream compaction", b["ns_compact"]),
+            ("batch call total", b["ns_batch"]),
+        ):
+            print(f"{label:<32}{ns / 1e3 / max(n_img, 1):>9.1f}")
+        print(f"fast/fallback samples: {b['n_fast']}/{b['n_fallback']}; "
+              f"tbl cache hits/misses: {h['tbl_hits']}/{h['tbl_misses']}")
 
 
 if __name__ == "__main__":
