@@ -889,6 +889,52 @@ class JpegCoeffsSplit(JpegCoeffs):
                 and native.has_pack_batch()
                 and not (cache is not None and keys))
 
+    def _decode_idx_blobs(self, keys, infos, mode, n):
+        """Per-file ROI decode-index blobs (jpeg_huff.cc IdxHeader/IdxEntry):
+        the decoder records the bit-reader state before every MCU on the
+        first decode of a file and SEEKS straight to the crop window on
+        later decodes — epoch 2+ of training pays only for the window's
+        MCUs. ~24 B/MCU (~30 KB per ImageNet-sized file), capped by
+        DALI_TPU_DECODE_IDX_MB (default 256; 0 or DALI_TPU_DISABLE_DECODE_IDX
+        disables). Reference analogue: the decoder caches keyed by source
+        info (dali/operators/decoder/cache/ — pixels there, positions here)."""
+        import os
+
+        from .. import native
+
+        if os.environ.get("DALI_TPU_DISABLE_DECODE_IDX", "0") not in ("", "0"):
+            return None
+        if not keys:
+            return None
+        cache = getattr(self, "_idx_cache", None)
+        if cache is None:
+            cap_mb = int(os.environ.get("DALI_TPU_DECODE_IDX_MB", "256") or 0)
+            if cap_mb <= 0:
+                return None
+            cache = self._idx_cache = {"map": {}, "used": 0,
+                                       "cap": cap_mb << 20}
+        vdiv = 2 if mode == 0 else 1
+        hdiv = 1 if mode == 1 else 2
+        blobs = [None] * n
+        seen = set()
+        for i in range(n):
+            k = keys[i] if i < len(keys) else None
+            if not k or k in seen:
+                continue  # file twice in one batch: one writer only
+            seen.add(k)
+            b = cache["map"].get(k)
+            if b is None:
+                my = -(-int(infos[i, 2]) // vdiv)
+                mx = -(-int(infos[i, 3]) // hdiv)
+                nb = native.decode_idx_blob_bytes(mx, my)
+                if cache["used"] + nb > cache["cap"]:
+                    continue
+                b = np.zeros(nb, np.uint8)
+                cache["map"][k] = b
+                cache["used"] += nb
+            blobs[i] = b
+        return blobs
+
     def _stage_wire_packed(self, y_dc, y_mask, y_vals, y_tot, c_dc, c_mask,
                            c_vals, c_tot, offs, y_ac_shapes, c_ac_shapes,
                            y_dc_shapes, c_dc_shapes, y_ac_canvas, c_ac_canvas,
@@ -1420,6 +1466,7 @@ class JpegCoeffsSplitRRC(JpegCoeffsSplit):
                     datas, ky, kc, blocks, brc0, self._flat_lens,
                     num_threads=self.pipeline.num_threads,
                     ring=self._wire_ring(), c_brc0=c_brc0,
+                    idx_blobs=self._decode_idx_blobs(keys, infos, mode, n),
                 )
                 pack_mode = r is not None
             if not pack_mode:

@@ -1113,15 +1113,28 @@ def has_pack_batch() -> bool:
         lib, "dali_tpu_jpeg_coeffs_split_flat_crop_pack_batch")
 
 
+def decode_idx_blob_bytes(mcus_x: int, mcus_y: int) -> int:
+    """Byte size of a per-file ROI decode-index blob (jpeg_huff.cc IdxHeader
+    16 B + (mcus_x*mcus_y + 1) IdxEntry of 24 B). Allocate zeroed (uint8);
+    the decoder validates/initializes the header itself."""
+    return 16 + (int(mcus_x) * int(mcus_y) + 1) * 24
+
+
 def jpeg_coeffs_split_flat_crop_pack_batch(datas, ky, kc, blocks, brc0,
                                            flat_lens, num_threads: int = 0,
-                                           ring=None, c_brc0=None):
+                                           ring=None, c_brc0=None,
+                                           idx_blobs=None):
     """ONE native call from file bytes to the sparse wire (VERDICT r3 #1):
     per-sample Huffman decode emits zigzag-convention masks + contiguous
     value streams directly (no dense AC planes anywhere); DC planes stay
     dense int16. Returns (y_dc, y_mask, y_vals, y_total, c_dc, c_mask,
     c_vals, c_total, q, offs, oks); masks live at the dc offsets, the value
-    streams are contiguous from 0 after the driver's compaction pass."""
+    streams are contiguous from 0 after the driver's compaction pass.
+
+    idx_blobs: optional per-sample uint8 arrays (None entries allowed) —
+    ROI decode-index side blobs (see decode_idx_blob_bytes); the decoder
+    fills them on first decode of a file and SEEKS on later decodes so only
+    the crop window's MCUs are entropy-decoded (r4 headline optimization)."""
     lib = _load()
     if lib is None or not hasattr(
             lib, "dali_tpu_jpeg_coeffs_split_flat_crop_pack_batch"):
@@ -1137,7 +1150,8 @@ def jpeg_coeffs_split_flat_crop_pack_batch(datas, ky, kc, blocks, brc0,
                        ctypes.c_int, ctypes.c_int,
                        ip, ip, ip, ip, ip, ip, ip, ip,
                        lp, lp, lp, lp,
-                       vp, vp, vp, vp, vp, vp, vp, ip, llp, llp]
+                       vp, vp, vp, vp, vp, vp, vp, ip, llp, llp,
+                       ctypes.POINTER(ctypes.c_void_p), llp]
     n = len(datas)
     arrs = [np.ascontiguousarray(np.frombuffer(d, np.uint8)) if isinstance(d, (bytes, bytearray))
             else np.ascontiguousarray(d).view(np.uint8).reshape(-1) for d in datas]
@@ -1174,6 +1188,14 @@ def jpeg_coeffs_split_flat_crop_pack_batch(datas, ky, kc, blocks, brc0,
     oks = (ctypes.c_int * n)()
     y_total = ctypes.c_longlong(0)
     c_total = ctypes.c_longlong(0)
+    if idx_blobs is not None:
+        idx_ptrs = (ctypes.c_void_p * n)(
+            *[b.ctypes.data if b is not None else None for b in idx_blobs])
+        idx_caps = (ctypes.c_longlong * n)(
+            *[b.nbytes if b is not None else 0 for b in idx_blobs])
+    else:
+        idx_ptrs = ctypes.cast(None, ctypes.POINTER(ctypes.c_void_p))
+        idx_caps = ctypes.cast(None, ctypes.POINTER(ctypes.c_longlong))
     holds = [np.ascontiguousarray(offs[k], np.int64)
              for k in ("y_dc", "y_ac", "c_dc", "c_ac")]
     fn(
@@ -1201,6 +1223,7 @@ def jpeg_coeffs_split_flat_crop_pack_batch(datas, ky, kc, blocks, brc0,
         c_vals.ctypes.data_as(ctypes.c_void_p),
         q.ctypes.data_as(ctypes.c_void_p), oks,
         ctypes.byref(y_total), ctypes.byref(c_total),
+        idx_ptrs, idx_caps,
     )
     return (y_dc, y_mask, y_vals, int(y_total.value), c_dc, c_mask, c_vals,
             int(c_total.value), q.astype(np.int32), offs,

@@ -358,10 +358,11 @@ extern "C" int dali_tpu_jpeg_coeffs_split_flat_crop_batch(
 // convention, and a final serial pass compacts the per-sample value streams
 // (placed at worst-case offsets) into one contiguous stream per plane.
 
-extern "C" int dali_tpu_jpeg_huff_read_coeffs_split_crop_pack(
+extern "C" int dali_tpu_jpeg_huff_read_coeffs_split_crop_pack_idx(
     const char*, size_t, int, int, short*, unsigned short*, signed char*,
     long long*, short*, short*, unsigned short*, signed char*, long long*,
-    unsigned short*, int, int, int, int, int, int, int, int);
+    unsigned short*, int, int, int, int, int, int, int, int, unsigned char*,
+    long long);
 extern "C" long long dali_tpu_sparse_pack_i8_perm(
     const signed char*, long long, int, const unsigned char*, unsigned short*,
     signed char*);
@@ -405,6 +406,8 @@ struct CoefPackJob {
   int* ok;
   const unsigned char* perm_y;
   const unsigned char* perm_c;
+  unsigned char* idx;    // per-file ROI decode index blob (nullable)
+  long long idx_cap;
 };
 
 void run_coef_pack_job(void* p) {
@@ -412,10 +415,11 @@ void run_coef_pack_job(void* p) {
   int rc = 1;
   long long t0 = bnow_ns();
   if (fast_huff_enabled()) {
-    rc = dali_tpu_jpeg_huff_read_coeffs_split_crop_pack(
+    rc = dali_tpu_jpeg_huff_read_coeffs_split_crop_pack_idx(
         j->data, j->len, j->ky, j->kc, j->y_dc, j->y_mask, j->y_vals,
         j->y_nnz, j->cb_dc, j->cr_dc, j->c_mask, j->c_vals, j->c_nnz, j->q,
-        j->bh, j->bw, j->cbh, j->cbw, j->y_br0, j->y_bc0, j->c_br0, j->c_bc0);
+        j->bh, j->bw, j->cbh, j->cbw, j->y_br0, j->y_bc0, j->c_br0, j->c_bc0,
+        j->idx, j->idx_cap);
   }
   if (rc == 0) {
     g_bstats.ns_fast.fetch_add(bnow_ns() - t0, std::memory_order_relaxed);
@@ -493,7 +497,7 @@ extern "C" int dali_tpu_jpeg_coeffs_split_flat_crop_pack_batch(
     const long* c_ac_off, short* y_dc, unsigned short* y_mask,
     signed char* y_vals, short* c_dc, unsigned short* c_mask,
     signed char* c_vals, unsigned short* q, int* oks, long long* y_total,
-    long long* c_total) {
+    long long* c_total, unsigned char** idxs, const long long* idx_caps) {
   const int qn = ky * ky + kc * kc;
   long long t_batch0 = bnow_ns();
   unsigned char perm_y[16], perm_c[16];
@@ -520,7 +524,9 @@ extern "C" int dali_tpu_jpeg_coeffs_split_flat_crop_pack_batch(
                q + (long)i * qn,
                &y_nnz[i],     &c_nnz[i],
                &oks[i],       perm_y,
-               perm_c};
+               perm_c,
+               idxs ? idxs[i] : nullptr,
+               idxs && idx_caps ? idx_caps[i] : 0};
     if (inline_run) run_coef_pack_job(&jobs[i]);
     else dali_tpu_task_submit(pool, run_coef_pack_job, &jobs[i], nullptr, 0);
   }

@@ -31,6 +31,7 @@
 // loop. Out-of-selection coefficient stores go through a conditional-move
 // select to a sink byte instead of a data-dependent branch.
 
+#include <algorithm>
 #include <atomic>
 #include <chrono>
 #include <cstdint>
@@ -752,9 +753,73 @@ struct PackComp {
   int* row_len;           // per window-row value counts (size bh)
 };
 
+// --- ROI decode index (round 4) ---------------------------------------------
+// JPEG entropy coding is serial: a crop-bounded decode still has to Huffman-
+// decode every MCU from the stream start to the window (skip mode) and every
+// column of each window row. The decode index is a per-FILE side blob that
+// records the bit-reader state (consumed bit position, DC predictors,
+// restart bookkeeping) before each MCU on the first decode of a file; later
+// decodes of the same file (epoch 2+ of training — RRC windows move, bytes
+// don't) SEEK straight to the window: rows above it cost nothing and fully
+// indexed rows decode only the window's MCU columns. Multi-epoch training
+// amortizes ~24 B/MCU (~30 KB per ImageNet-sized file) the same way video
+// readers amortize a keyframe index. Out-of-window blocks never store
+// anything (mask bits are 0, DC goes to a sink — see RowState), so a
+// column-restricted decode is output-identical by construction; only the
+// Huffman state at the seek target must match, which the entry guarantees.
+// The reference ships the same idea as decoder caches keyed by source info
+// (dali/operators/decoder/cache/, image_decoder.h cache_* args) — this
+// variant caches positions instead of pixels, so it stays small and exact.
+constexpr uint32_t kIdxMagic = 0x58494431u;  // "1DIX"
+struct IdxHeader {
+  uint32_t magic;
+  uint16_t mcus_x, mcus_y;
+  uint32_t us_len;    // unstuffed scan length: revalidates blob<->content
+  uint32_t n_valid;   // entries [0, n_valid) are valid
+};
+struct IdxEntry {
+  uint32_t bitpos;    // consumed bits into the unstuffed stream
+  int32_t pred[3];    // DC predictors per component
+  uint16_t next_rst;  // next restart-marker slot
+  uint16_t togo;      // MCUs until the next restart (0 when ri == 0)
+  uint32_t pad_;
+};
+static_assert(sizeof(IdxHeader) == 16 && sizeof(IdxEntry) == 24, "abi");
+struct IdxState {
+  IdxEntry* e = nullptr;
+  IdxHeader* hdr = nullptr;
+  bool on = false;
+};
+
+// Validate-or-initialize an index blob for this (file, geometry). A blob
+// whose header doesn't match (fresh zeros, or the keyed file changed on
+// disk) is re-initialized empty; a too-small capacity disables indexing.
+inline void idx_init(unsigned char* buf, long long cap, int mcus_x,
+                     int mcus_y, size_t us_len, IdxState* ix) {
+  const long long need =
+      (long long)sizeof(IdxHeader) +
+      ((long long)mcus_x * mcus_y + 1) * (long long)sizeof(IdxEntry);
+  if (!buf || cap < need) return;
+  IdxHeader* h = reinterpret_cast<IdxHeader*>(buf);
+  if (h->magic != kIdxMagic || h->mcus_x != mcus_x || h->mcus_y != mcus_y ||
+      h->us_len != (uint32_t)us_len ||
+      h->n_valid > (uint32_t)((long long)mcus_x * mcus_y + 1)) {
+    h->magic = kIdxMagic;
+    h->mcus_x = (uint16_t)mcus_x;
+    h->mcus_y = (uint16_t)mcus_y;
+    h->us_len = (uint32_t)us_len;
+    h->n_valid = 0;
+  }
+  ix->hdr = h;
+  ix->e = reinterpret_cast<IdxEntry*>(buf + sizeof(IdxHeader));
+  ix->on = true;
+}
+
 template <bool PACK>
 int decode_scan(const Parser& ps, const CompState* cs, const uint8_t* pend,
-                int mcus_x, int stop_my, PackComp* pk, int nc = 3) {
+                int mcus_x, int stop_my, PackComp* pk, int nc = 3,
+                unsigned char* idx_buf = nullptr, long long idx_cap = 0,
+                int mcus_y = 0) {
   thread_local Unstuffed tl_us;
   Unstuffed& us = tl_us;
   long long t_us0 = now_ns();
@@ -767,6 +832,54 @@ int decode_scan(const Parser& ps, const CompState* cs, const uint8_t* pend,
   int cnt = 0;
   size_t next_rst = 0;
   int pred0 = 0, pred1 = 0, pred2 = 0;
+  const int ri = ps.ri;
+  int togo = ri;
+  IdxState ix;
+  idx_init(idx_buf, idx_cap, mcus_x, mcus_y, us.len, &ix);
+  const size_t n_rst_total = us.rst_off.size();
+  // Record the state BEFORE MCU m (loop top, before the restart check —
+  // seek + replay runs the same check, so the convention is consistent).
+  // Only extends contiguously: entry m is written when m == n_valid.
+  auto idx_record = [&](long long m) {
+    if (!ix.on || m != (long long)ix.hdr->n_valid) return;
+    const long long bp = ((p - buf0) << 3) - cnt;
+    if (bp < 0 || bp > (long long)UINT32_MAX) return;
+    IdxEntry& E = ix.e[m];
+    E.bitpos = (uint32_t)bp;
+    E.pred[0] = pred0;
+    E.pred[1] = pred1;
+    E.pred[2] = pred2;
+    E.next_rst = (uint16_t)next_rst;
+    E.togo = (uint16_t)togo;
+    ix.hdr->n_valid = (uint32_t)(m + 1);
+  };
+  // Restore the reader to entry m's state. The REFILL invariant is
+  // consumed = (p - buf0)*8 - cnt, so seeking to an arbitrary bit position
+  // is exact: load at the byte, then shift off the sub-byte remainder.
+  // Bounds checks are defense-in-depth only (the blob is self-written).
+  auto idx_seek = [&](long long m) -> bool {
+    const IdxEntry& E = ix.e[m];
+    const long long bp = E.bitpos;
+    if (bp > (long long)bits_len || (size_t)E.next_rst > n_rst_total)
+      return false;
+    p = buf0 + (bp >> 3);
+    acc = 0;
+    cnt = 0;
+    uint64_t x_;
+    std::memcpy(&x_, p, 8);
+    acc = __builtin_bswap64(x_);
+    p += 7;
+    cnt = 56;
+    const int r = (int)(bp & 7);
+    acc <<= r;
+    cnt -= r;
+    pred0 = E.pred[0];
+    pred1 = E.pred[1];
+    pred2 = E.pred[2];
+    next_rst = E.next_rst;
+    togo = E.togo;
+    return true;
+  };
   // dummy sinks for out-of-window blocks: zmap of all -1 skips AC stores,
   // dc writes land in a scratch slot (branch-free vs a store/no-store split)
   signed char zmap_skip[64];
@@ -776,19 +889,30 @@ int decode_scan(const Parser& ps, const CompState* cs, const uint8_t* pend,
   unsigned short mask_sink;
   signed char cur_sink[32];          // out-of-window rows: cursor parks here
   static const uint16_t zbit_zero[64] = {0};
-  const int ri = ps.ri;
-  int togo = ri;
 
   // MCU rows entirely above every component's window: decode in SKIP mode —
   // Huffman state and DC predictors advance, but no values are extended and
   // nothing is stored (rows below the window are never reached at all).
+  // With a warm decode index this phase SEEKS to the farthest indexed MCU at
+  // or before the first needed row and skip-decodes only the (usually empty)
+  // remainder, recording new entries along the way.
   int skip_my = stop_my;
   for (int i = 0; i < nc; i++) {
     int s = cs[i].br0 > 0 ? cs[i].br0 / cs[i].v : 0;
     if (s < skip_my) skip_my = s;
   }
-  for (int my = 0; my < skip_my; my++) {
-    for (int mx = 0; mx < mcus_x; mx++) {
+  long long pos = 0;  // linear index of the next MCU in stream order
+  const long long target = (long long)skip_my * mcus_x;
+  if (ix.on && ix.hdr->n_valid > 0) {
+    const long long s =
+        std::min<long long>(target, (long long)ix.hdr->n_valid - 1);
+    if (idx_seek(s))
+      pos = s;
+    else
+      ix.hdr->n_valid = 0;  // corrupt blob: rebuild from scratch
+  }
+  for (; pos < target; pos++) {
+      idx_record(pos);
       if (ri && togo == 0) {
         if (next_rst >= us.rst_off.size()) return 0;  // corrupt: keep zeros
         p = us.buf.data() + us.rst_off[next_rst++];
@@ -805,7 +929,7 @@ int decode_scan(const Parser& ps, const CompState* cs, const uint8_t* pend,
           REFILL();
           int de = C.fdc->e[(unsigned)(acc >> (64 - kFastAc))];
           if (de) {
-            pred += (int)(int16_t)(de >> 16);
+            pred = (int)((unsigned)pred + (unsigned)(int)(int16_t)(de >> 16));
             acc <<= (de & 63);
             cnt -= (de & 63);
           } else {
@@ -820,7 +944,8 @@ int decode_scan(const Parser& ps, const CompState* cs, const uint8_t* pend,
             if (s < 0 || s > 15) return 0;
             if (s) {
               int mv = (int)((acc << l) >> (64 - s));
-              pred += mv < (1 << (s - 1)) ? mv - (1 << s) + 1 : mv;
+              pred = (int)((unsigned)pred +
+                           (unsigned)(mv < (1 << (s - 1)) ? mv - (1 << s) + 1 : mv));
             }
             acc <<= l + s;
             cnt -= l + s;
@@ -890,7 +1015,23 @@ int decode_scan(const Parser& ps, const CompState* cs, const uint8_t* pend,
         }
       }
       if (ri) togo--;
+  }
+
+  // Window MCU-column range: when a row is fully indexed, only these columns
+  // are decoded (out-of-window blocks store nothing — see the sink routing in
+  // RowState/AC_SYM — so the restriction is output-identical by construction)
+  // and the next row is reached by seek instead of decoding the tail columns.
+  int mcu_x0 = 0, mcu_x1 = mcus_x;
+  if (ix.on) {
+    int lo = mcus_x, hi = 0;
+    for (int i = 0; i < nc; i++) {
+      const int c0 = cs[i].bc0 / cs[i].h;
+      const int c1 = (cs[i].bc0 + cs[i].bw + cs[i].h - 1) / cs[i].h;
+      if (c0 < lo) lo = c0;
+      if (c1 > hi) hi = c1;
     }
+    mcu_x0 = lo < 0 ? 0 : (lo > mcus_x ? mcus_x : lo);
+    mcu_x1 = hi < mcu_x0 ? mcu_x0 : (hi > mcus_x ? mcus_x : hi);
   }
 
   // Per-(component, sub-row) state that is constant across an MCU row —
@@ -934,7 +1075,25 @@ int decode_scan(const Parser& ps, const CompState* cs, const uint8_t* pend,
         }
       }
     }
-    for (int mx = 0; mx < mcus_x; mx++) {
+    // Fully indexed rows decode only the window's MCU columns and seek out;
+    // rows past the indexed frontier decode full width (extending the index).
+    const long long row_base = (long long)my * mcus_x;
+    int mx_lo = 0, mx_hi = mcus_x;
+    if (ix.on &&
+        (long long)ix.hdr->n_valid >= row_base + mcus_x + 1) {
+      mx_lo = mcu_x0;
+      mx_hi = mcu_x1;
+    }
+    if (pos != row_base + mx_lo) {
+      // only reachable with a warm index (a column-restricted or seeked
+      // prior row); the target entry is guaranteed inside the valid prefix
+      if (!ix.on || (long long)ix.hdr->n_valid <= row_base + mx_lo ||
+          !idx_seek(row_base + mx_lo))
+        return 0;  // corrupt blob: keep zeros (deterministic, bounded)
+      pos = row_base + mx_lo;
+    }
+    for (int mx = mx_lo; mx < mx_hi; mx++, pos++) {
+      idx_record(pos);
       if (ri && togo == 0) {
         if (next_rst >= us.rst_off.size()) return 0;  // corrupt: keep zeros
         p = us.buf.data() + us.rst_off[next_rst++];   // past pad bits + RSTn
@@ -977,7 +1136,7 @@ int decode_scan(const Parser& ps, const CompState* cs, const uint8_t* pend,
             REFILL();
             int de = C.fdc->e[(unsigned)(acc >> (64 - kFastAc))];
             if (de) {  // size symbol + magnitude in one lookup
-              pred += (int)(int16_t)(de >> 16);
+              pred = (int)((unsigned)pred + (unsigned)(int)(int16_t)(de >> 16));
               acc <<= (de & 63);
               cnt -= (de & 63);
             } else {
@@ -992,7 +1151,8 @@ int decode_scan(const Parser& ps, const CompState* cs, const uint8_t* pend,
               if (s < 0 || s > 15) return 0;  // corrupt: stop, zeros remain
               if (s) {
                 int mv = (int)((acc << l) >> (64 - s));
-                pred += mv < (1 << (s - 1)) ? mv - (1 << s) + 1 : mv;
+                pred = (int)((unsigned)pred +
+                           (unsigned)(mv < (1 << (s - 1)) ? mv - (1 << s) + 1 : mv));
               }
               acc <<= l + s;
               cnt -= l + s;
@@ -1093,6 +1253,9 @@ int decode_scan(const Parser& ps, const CompState* cs, const uint8_t* pend,
       if (ri) togo--;
     }
   }
+  // One-past-the-end entry: lets a later, lower window seek to this decode's
+  // frontier instead of restarting (no-op unless the frontier is contiguous).
+  idx_record(pos);
   return 0;
 }
 
@@ -1226,7 +1389,7 @@ struct ScanCursor {
     REFILL();
     int de = C.fdc->e[(unsigned)(acc >> (64 - kFastAc))];
     if (de) {
-      pred += (int)(int16_t)(de >> 16);
+      pred = (int)((unsigned)pred + (unsigned)(int)(int16_t)(de >> 16));
       acc <<= (de & 63);
       cnt -= (de & 63);
     } else {
@@ -1241,7 +1404,8 @@ struct ScanCursor {
       if (s < 0 || s > 15) { done = true; return false; }
       if (s) {
         int mv = (int)((acc << l) >> (64 - s));
-        pred += mv < (1 << (s - 1)) ? mv - (1 << s) + 1 : mv;
+        pred = (int)((unsigned)pred +
+                           (unsigned)(mv < (1 << (s - 1)) ? mv - (1 << s) + 1 : mv));
       }
       acc <<= l + s;
       cnt -= l + s;
@@ -1532,7 +1696,7 @@ int prog_dc_scan(const Parser& ps, ProgComp* pc, const int* scan_idx, int nsc,
             if (ah == 0) {  // first scan: diff-coded DC, scaled by 2^al
               int s = br.huff(dct);
               if (s < 0 || s > 15) return -1;
-              C.last_dc += extend_recv(br, s);
+              C.last_dc = (int)((unsigned)C.last_dc + (unsigned)extend_recv(br, s));
               blk[0] = (short)(C.last_dc * (1 << al));  // mul: dc may be negative
             } else {  // refinement: one correction bit
               if (br.bit()) blk[0] |= (short)(1 << al);
@@ -1973,12 +2137,13 @@ int dali_tpu_jpeg_huff_progressive_read_coeffs_split_crop(
 // via y_nnz / c_nnz; c stream is Cb rows then Cr rows). DC planes are dense
 // int16 as before. Requires the k*k-1 selection to fit a uint16 bitmap
 // (ky, kc <= 4); larger selections return 1 (caller falls back).
-int dali_tpu_jpeg_huff_read_coeffs_split_crop_pack(
+int dali_tpu_jpeg_huff_read_coeffs_split_crop_pack_idx(
     const char* data_, size_t len, int ky, int kc, short* y_dc,
     unsigned short* y_mask, signed char* y_vals, long long* y_nnz,
     short* cb_dc, short* cr_dc, unsigned short* c_mask, signed char* c_vals,
     long long* c_nnz, unsigned short* q_out, int y_bh, int y_bw, int c_bh,
-    int c_bw, int y_br0, int y_bc0, int c_br0, int c_bc0) {
+    int c_bw, int y_br0, int y_bc0, int c_br0, int c_bc0,
+    unsigned char* idx_buf, long long idx_cap) {
   *y_nnz = 0;
   *c_nnz = 0;
   if (ky < 1 || ky > 4 || kc < 1 || kc > 4) return 1;  // mask is uint16
@@ -2073,7 +2238,8 @@ int dali_tpu_jpeg_huff_read_coeffs_split_crop_pack(
   if (stop_my > mcus_y) stop_my = mcus_y;
 
   long long t_scan0 = now_ns();
-  decode_scan<true>(ps, cs, data + len, mcus_x, stop_my, pk);
+  decode_scan<true>(ps, cs, data + len, mcus_x, stop_my, pk, 3, idx_buf,
+                    idx_cap, mcus_y);
   long long t_scan1 = now_ns();
   g_hstats.ns_scan.fetch_add(t_scan1 - t_scan0, std::memory_order_relaxed);
 
@@ -2098,6 +2264,20 @@ int dali_tpu_jpeg_huff_read_coeffs_split_crop_pack(
   *y_nnz = yt;
   *c_nnz = ct;
   return 0;
+}
+
+// Index-less compatibility entry (microbench legacy lanes, dense-parity
+// tests): identical decode, no seek cache.
+int dali_tpu_jpeg_huff_read_coeffs_split_crop_pack(
+    const char* data_, size_t len, int ky, int kc, short* y_dc,
+    unsigned short* y_mask, signed char* y_vals, long long* y_nnz,
+    short* cb_dc, short* cr_dc, unsigned short* c_mask, signed char* c_vals,
+    long long* c_nnz, unsigned short* q_out, int y_bh, int y_bw, int c_bh,
+    int c_bw, int y_br0, int y_bc0, int c_br0, int c_bc0) {
+  return dali_tpu_jpeg_huff_read_coeffs_split_crop_pack_idx(
+      data_, len, ky, kc, y_dc, y_mask, y_vals, y_nnz, cb_dc, cr_dc, c_mask,
+      c_vals, c_nnz, q_out, y_bh, y_bw, c_bh, c_bw, y_br0, y_bc0, c_br0,
+      c_bc0, nullptr, 0);
 }
 
 // Snapshot (and optionally reset) the decode-phase itemization counters.

@@ -25,6 +25,11 @@ int dali_tpu_jpeg_huff_read_coeffs_split_crop_pack(
     const char*, size_t, int, int, short*, unsigned short*, signed char*,
     long long*, short*, short*, unsigned short*, signed char*, long long*,
     unsigned short*, int, int, int, int, int, int, int, int);
+int dali_tpu_jpeg_huff_read_coeffs_split_crop_pack_idx(
+    const char*, size_t, int, int, short*, unsigned short*, signed char*,
+    long long*, short*, short*, unsigned short*, signed char*, long long*,
+    unsigned short*, int, int, int, int, int, int, int, int, unsigned char*,
+    long long);
 int dali_tpu_jpeg_read_coeffs_split_crop(const char*, size_t, int, int, short*,
                                          signed char*, short*, signed char*,
                                          short*, signed char*, unsigned short*,
@@ -110,6 +115,22 @@ int main() {
           (const char*)mut.data(), mut.size(), 4, 4, ydc.data(), ym.data(),
           yv.data(), &ynnz, cbdc.data(), crdc.data(), cm.data(), cv.data(),
           &cnnz, q.data(), ybh, ybw, cbh, cbw, 2, 2, 1, 1);
+      // ROI decode-index path: decode a mutated stream cold (records index
+      // entries from corrupt data), then again warm (SEEKS through them),
+      // and once with the blob itself stomped — every seek must stay
+      // bounds-checked regardless of blob content.
+      long long mx = (W + 15) / 16, my = (H + 15) / 16;
+      std::vector<unsigned char> blob(16 + (mx * my + 1) * 24, 0);
+      for (int pass = 0; pass < 3; pass++) {
+        if (pass == 2)
+          for (int s = 0; s < 16; s++)
+            blob[xrand() % blob.size()] ^= (unsigned char)(xrand() & 0xFF);
+        dali_tpu_jpeg_huff_read_coeffs_split_crop_pack_idx(
+            (const char*)mut.data(), mut.size(), 4, 4, ydc.data(), ym.data(),
+            yv.data(), &ynnz, cbdc.data(), crdc.data(), cm.data(), cv.data(),
+            &cnnz, q.data(), ybh, ybw, cbh, cbw, 2, 2, 1, 1, blob.data(),
+            (long long)blob.size());
+      }
     }
     if (i % 5 == 0) {
       dali_tpu_jpeg_read_coeffs_split_crop(

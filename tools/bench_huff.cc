@@ -43,6 +43,14 @@ extern "C" int dali_tpu_jpeg_huff_read_coeffs_split_crop_pack(
     long long* c_nnz, unsigned short* q_out, int y_bh, int y_bw, int c_bh,
     int c_bw, int y_br0, int y_bc0, int c_br0, int c_bc0);
 
+extern "C" int dali_tpu_jpeg_huff_read_coeffs_split_crop_pack_idx(
+    const char* data, size_t len, int ky, int kc, short* y_dc,
+    unsigned short* y_mask, signed char* y_vals, long long* y_nnz,
+    short* cb_dc, short* cr_dc, unsigned short* c_mask, signed char* c_vals,
+    long long* c_nnz, unsigned short* q_out, int y_bh, int y_bw, int c_bh,
+    int c_bw, int y_br0, int y_bc0, int c_br0, int c_bc0,
+    unsigned char* idx_buf, long long idx_cap);
+
 extern "C" void dali_tpu_jpeg_huff_read_coeffs_split_crop_pair(
     const char* a_data, size_t a_len, const char* b_data, size_t b_len,
     int ky, int kc,
@@ -210,17 +218,32 @@ int main(int argc, char** argv) {
                std::chrono::steady_clock::now() - t0).count() / imgs.size();
   };
 
-  auto pack_rep = [&](const std::vector<Win>& wins, long long* chk) {
+  // per-image ROI decode-index blobs for the idx lane (filled on first use)
+  std::vector<std::vector<unsigned char>> idx_blobs(imgs.size());
+
+  auto pack_rep = [&](const std::vector<Win>& wins, long long* chk,
+                      bool use_idx) {
     long long c = 0;
     auto t0 = std::chrono::steady_clock::now();
     for (size_t i = 0; i < imgs.size(); i++) {
       const Win& w = wins[i];
+      unsigned char* ib = nullptr;
+      long long icap = 0;
+      if (use_idx) {
+        auto& blob = idx_blobs[i];
+        if (blob.empty()) {
+          long long mx = (imgs[i].w + 15) / 16, my = (imgs[i].h + 15) / 16;
+          blob.assign(16 + (mx * my + 1) * 24, 0);
+        }
+        ib = blob.data();
+        icap = (long long)blob.size();
+      }
       long long ynnz = 0, cnnz = 0;
-      int rc = dali_tpu_jpeg_huff_read_coeffs_split_crop_pack(
+      int rc = dali_tpu_jpeg_huff_read_coeffs_split_crop_pack_idx(
           imgs[i].bytes.data(), imgs[i].bytes.size(), ky, kc, ydc.data(),
           ymask.data(), yvals.data(), &ynnz, cdc.data(), crdc.data(),
           cmask.data(), cvals.data(), &cnnz, q, w.ybh, w.ybw, w.cbh, w.cbw,
-          w.ybr0, w.ybc0, w.cbr0, w.cbc0);
+          w.ybr0, w.ybc0, w.cbr0, w.cbc0, ib, icap);
       if (rc) { fprintf(stderr, "pack rc=%d\n", rc); exit(1); }
       // dc checksum + value-stream checksum (mask-order values; different
       // convention than the dense lane so no cross-lane parity on AC)
@@ -234,15 +257,20 @@ int main(int argc, char** argv) {
                std::chrono::steady_clock::now() - t0).count() / imgs.size();
   };
 
-  Stat mid, drrc, prrc;
-  long long chk_mid = 0, chk_drrc = 0, chk_prrc = 0, c;
+  Stat mid, drrc, prrc, pidx;
+  long long chk_mid = 0, chk_drrc = 0, chk_prrc = 0, chk_pidx = 0, c;
   for (int r = 0; r < reps; r++) {
     mid.add(dense_rep(wins_mid, &c));
     if (r == 0) chk_mid = c; else if (c != chk_mid) { fprintf(stderr, "mid chk drift\n"); return 1; }
     drrc.add(dense_rep(wins_rrc, &c));
     if (r == 0) chk_drrc = c; else if (c != chk_drrc) { fprintf(stderr, "drrc chk drift\n"); return 1; }
-    prrc.add(pack_rep(wins_rrc, &c));
+    prrc.add(pack_rep(wins_rrc, &c, false));
     if (r == 0) chk_prrc = c; else if (c != chk_prrc) { fprintf(stderr, "prrc chk drift\n"); return 1; }
+    // idx lane: rep 0 fills the per-file index (cold), later reps seek (warm
+    // — the steady state of epoch 2+ training). Checksum must match pack-rrc.
+    pidx.add(pack_rep(wins_rrc, &c, true));
+    if (c != chk_prrc) { fprintf(stderr, "pidx chk != prrc\n"); return 1; }
+    if (r == 0) chk_pidx = c;
   }
   printf("%zu imgs, dense-mid best %.1f mean %.1f us/img (%.0f img/s/core) [chk %lld]\n",
          imgs.size(), mid.best, mid.mean(), 1e6 / mid.best, chk_mid);
@@ -250,6 +278,8 @@ int main(int argc, char** argv) {
          imgs.size(), drrc.best, drrc.mean(), 1e6 / drrc.best, chk_drrc);
   printf("%zu imgs, pack-rrc  best %.1f mean %.1f us/img (%.0f img/s/core) [chk %lld]\n",
          imgs.size(), prrc.best, prrc.mean(), 1e6 / prrc.best, chk_prrc);
+  printf("%zu imgs, pack-rrc-idx best %.1f mean %.1f us/img (%.0f img/s/core) [chk %lld]\n",
+         imgs.size(), pidx.best, pidx.mean(), 1e6 / pidx.best, chk_pidx);
 
   if (run_pair) {
     std::vector<short> ydc2(1 << 16), cdc2(1 << 15), crdc2(1 << 15);
