@@ -266,9 +266,11 @@ int main(int argc, char** argv) {
     if (r == 0) chk_drrc = c; else if (c != chk_drrc) { fprintf(stderr, "drrc chk drift\n"); return 1; }
     prrc.add(pack_rep(wins_rrc, &c, false));
     if (r == 0) chk_prrc = c; else if (c != chk_prrc) { fprintf(stderr, "prrc chk drift\n"); return 1; }
-    // idx lane: rep 0 fills the per-file index (cold), later reps seek (warm
-    // — the steady state of epoch 2+ training). Checksum must match pack-rrc.
-    pidx.add(pack_rep(wins_rrc, &c, true));
+    // idx lane: rep 0 fills the per-file index (cold, EXCLUDED from the
+    // stat), later reps seek (warm — the steady state of epoch 2+
+    // training). Checksum must match pack-rrc.
+    double us = pack_rep(wins_rrc, &c, true);
+    if (r > 0) pidx.add(us);
     if (c != chk_prrc) { fprintf(stderr, "pidx chk != prrc\n"); return 1; }
     if (r == 0) chk_pidx = c;
   }
@@ -278,7 +280,7 @@ int main(int argc, char** argv) {
          imgs.size(), drrc.best, drrc.mean(), 1e6 / drrc.best, chk_drrc);
   printf("%zu imgs, pack-rrc  best %.1f mean %.1f us/img (%.0f img/s/core) [chk %lld]\n",
          imgs.size(), prrc.best, prrc.mean(), 1e6 / prrc.best, chk_prrc);
-  printf("%zu imgs, pack-rrc-idx best %.1f mean %.1f us/img (%.0f img/s/core) [chk %lld]\n",
+  printf("%zu imgs, pack-rrc-idx best %.1f warm-mean %.1f us/img (%.0f img/s/core) [chk %lld]\n",
          imgs.size(), pidx.best, pidx.mean(), 1e6 / pidx.best, chk_pidx);
 
   if (run_pair) {
