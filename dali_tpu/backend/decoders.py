@@ -1408,10 +1408,29 @@ class JpegCoeffsSplitRRC(JpegCoeffsSplit):
         # measurable at batch 256 on the 1-core host)
         y, x = wins[:, 0].astype(np.int64), wins[:, 1].astype(np.int64)
         ch, cw = wins[:, 2].astype(np.int64), wins[:, 3].astype(np.int64)
-        y0 = np.maximum((y // mcu_h) * mcu_h - mcu_h, 0)
-        x0 = np.maximum((x // mcu_w) * mcu_w - mcu_w, 0)
-        y1 = -(-(y + ch) // mcu_h) * mcu_h + mcu_h
-        x1 = -(-(x + cw) // mcu_w) * mcu_w + mcu_w
+        # Exact halo (round 4): the only cross-block dependency in the device
+        # tail is the triangular chroma upsample (kernels/jpeg.py _up1d),
+        # whose taps reach ONE chroma pixel = 2*hybrid_scale ORIGINAL pixels
+        # beyond the ROI. The previous unconditional 1-MCU halo overshipped
+        # ~12 px per side (~13% of all decoded blocks = wire bytes AND host
+        # entropy-decode work); margin + MCU snap is both necessary and
+        # sufficient for bit-identical ROI pixels (A/B kill switch:
+        # DALI_TPU_FULL_HALO=1, parity-tested in test_decode_idx.py).
+        denom = int(self.spec.GetArgument("hybrid_scale", 1))
+        import os as _os
+        if _os.environ.get("DALI_TPU_FULL_HALO", "0") not in ("", "0"):
+            m_lo_h = m_lo_w = mcu_h  # legacy full-MCU halo (A/B)
+            m_hi = mcu_h
+            y0 = np.maximum((y // mcu_h) * mcu_h - m_lo_h, 0)
+            x0 = np.maximum((x // mcu_w) * mcu_w - m_lo_w, 0)
+            y1 = -(-(y + ch) // mcu_h) * mcu_h + m_hi
+            x1 = -(-(x + cw) // mcu_w) * mcu_w + m_hi
+        else:
+            m = 2 * denom
+            y0 = (np.maximum(y - m, 0) // mcu_h) * mcu_h
+            x0 = (np.maximum(x - m, 0) // mcu_w) * mcu_w
+            y1 = -(-(y + ch + m) // mcu_h) * mcu_h
+            x1 = -(-(x + cw + m) // mcu_w) * mcu_w
         y1 = np.minimum(y1, infos[:, 2].astype(np.int64) * 8)  # full luma extent
         x1 = np.minimum(x1, infos[:, 3].astype(np.int64) * 8)
         # region must stay MCU-aligned (full extent may be odd-block)

@@ -132,50 +132,70 @@ def test_idx_mismatched_blob_is_rebuilt():
         np.testing.assert_array_equal(x, y)
 
 
-def test_pipeline_idx_ab_bit_identical(tmp_path):
-    """The full RRC pipeline produces bit-identical outputs with the decode
-    index on vs off, across multiple epochs (seeked + column-restricted
-    decode is output-equivalent end to end)."""
+def _rrc_pipeline_runs(tmp_path, env, n_runs=8, scale=2):
+    """Build + run the hybrid RRC pipeline under the given env overrides."""
     import cv2
 
     root = tmp_path / "data" / "c0"
-    root.mkdir(parents=True)
-    rng = np.random.default_rng(0)
-    for i in range(10):
-        hh, ww = int(rng.integers(80, 160)), int(rng.integers(80, 160))
-        small = rng.integers(0, 256, (hh // 8, ww // 8, 3), np.uint8)
-        img = cv2.resize(small, (ww, hh), interpolation=cv2.INTER_CUBIC)
-        cv2.imwrite(str(root / f"{i}.jpg"), img,
-                    [cv2.IMWRITE_JPEG_QUALITY, 85])
+    if not root.exists():
+        root.mkdir(parents=True)
+        rng = np.random.default_rng(0)
+        for i in range(10):
+            hh, ww = int(rng.integers(80, 160)), int(rng.integers(80, 160))
+            small = rng.integers(0, 256, (hh // 8, ww // 8, 3), np.uint8)
+            img = cv2.resize(small, (ww, hh), interpolation=cv2.INTER_CUBIC)
+            cv2.imwrite(str(root / f"{i}.jpg"), img,
+                        [cv2.IMWRITE_JPEG_QUALITY, 85])
 
-    def build():
+    old = {k: os.environ.get(k) for k in env}
+    os.environ.update(env)
+    try:
         @pipeline_def(batch_size=4, num_threads=2, seed=1234)
         def p():
             enc, lab = fn.readers.file(file_root=str(tmp_path / "data"),
                                        random_shuffle=True, name="r")
             img = fn.decoders.image_random_crop(
                 enc, device="mixed", hybrid_device_decode=True,
-                hybrid_scale=2)
+                hybrid_scale=scale)
             img = fn.resize(img, resize_x=64, resize_y=64)
             return fn.crop_mirror_normalize(
                 img, dtype=types.FLOAT, output_layout="CHW",
                 mean=[0.0] * 3, std=[1.0] * 3), lab
+
         pipe = p()
         pipe.build()
-        return pipe
+        runs = []
+        for _ in range(n_runs):  # > 3 epochs of 10 files at batch 4
+            out, _ = pipe.run()
+            runs.append(np.asarray(out.as_tensor()).copy())
+        return runs
+    finally:
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
 
-    outs = {}
-    for mode in ("on", "off"):
-        os.environ["DALI_TPU_DISABLE_DECODE_IDX"] = (
-            "1" if mode == "off" else "0")
-        try:
-            pipe = build()
-            runs = []
-            for _ in range(8):  # > 3 epochs of 10 files at batch 4
-                out, _ = pipe.run()
-                runs.append(np.asarray(out.as_tensor()).copy())
-            outs[mode] = runs
-        finally:
-            os.environ.pop("DALI_TPU_DISABLE_DECODE_IDX", None)
-    for a, b in zip(outs["on"], outs["off"]):
+
+def test_pipeline_idx_ab_bit_identical(tmp_path):
+    """The full RRC pipeline produces bit-identical outputs with the decode
+    index on vs off, across multiple epochs (seeked + column-restricted
+    decode is output-equivalent end to end)."""
+    on = _rrc_pipeline_runs(tmp_path, {"DALI_TPU_DISABLE_DECODE_IDX": "0"})
+    off = _rrc_pipeline_runs(tmp_path, {"DALI_TPU_DISABLE_DECODE_IDX": "1"})
+    for a, b in zip(on, off):
+        np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("scale", [1, 2])
+def test_pipeline_halo_ab_bit_identical(tmp_path, scale):
+    """Exact-margin decode regions (2*hybrid_scale px + MCU snap) are
+    pixel-identical to the legacy full-MCU halo: the only cross-block reach
+    in the device tail is the triangular chroma upsample's single-chroma-px
+    tap (kernels/jpeg.py _up1d)."""
+    tight = _rrc_pipeline_runs(tmp_path, {"DALI_TPU_FULL_HALO": "0"},
+                               scale=scale)
+    full = _rrc_pipeline_runs(tmp_path, {"DALI_TPU_FULL_HALO": "1"},
+                              scale=scale)
+    for a, b in zip(tight, full):
         np.testing.assert_array_equal(a, b)
