@@ -853,23 +853,26 @@ class JpegCoeffsSplit(JpegCoeffs):
         THIS batch (every value escapes) and any already-ratcheted wire
         length, so the post-pack ratchet slice is always in bounds."""
         chunk = 1 << 14 if name.endswith("_esc") else 1 << 18
-        first_growth = -(-(int(max(worst, 1) * 1.25) + 16) // chunk) * chunk
+        first_growth = -(-(int(max(worst, 1) * 1.1) + 16) // chunk) * chunk
         if not hasattr(self, "_sparse_lens"):
             self._sparse_lens = {}
         return max(first_growth, self._sparse_lens.get(name, 0))
 
     def _wire_ratchet(self, name: str, need: int) -> int:
-        """Monotonic wire-length grow policy: 256K-element chunks with 1.25x
+        """Monotonic wire-length grow policy: 256K-element chunks with 1.1x
         headroom on first growth — coarse 1M chunks overshipped ~15% of the
         wire as ratchet padding, finer ones recompile the gather program on
-        every new maximum."""
+        every new maximum. Headroom sizing (r4): measured batch-to-batch
+        need swings are ~4% (luma nnz) and ~27% (chroma nnz); the monotonic
+        ratchet absorbs the swing with at most one extra recompile either
+        way, while 1.25x permanently shipped ~5 KiB/img of padding."""
         if not hasattr(self, "_sparse_lens"):
             self._sparse_lens = {}
         # low-volume escape streams (a few KB real data) use 16K-element
         # chunks: a 256K minimum would re-waste ~1.5 MB/batch of padding
         chunk = 1 << 14 if name.endswith("_esc") else 1 << 18
         prev = self._sparse_lens.get(name, 0)
-        want = max(need, 1) if prev else int(max(need, 1) * 1.25)
+        want = max(need, 1) if prev else int(max(need, 1) * 1.1)
         want = max(prev, -(-want // chunk) * chunk)
         self._sparse_lens[name] = want
         return want
@@ -1147,10 +1150,10 @@ class JpegCoeffsSplit(JpegCoeffs):
         if not hasattr(self, "_flat_lens"):
             self._flat_lens = [0, 0, 0, 0]
         # fine-grained grow policy (see _ac_to_sparse): 256K-element chunks,
-        # 1.25x headroom on first growth so early batches don't recompile
+        # 1.1x headroom on first growth so early batches don't recompile
         chunk = 1 << 18
         for j in range(4):
-            want = need[j] if self._flat_lens[j] else int(need[j] * 1.25)
+            want = need[j] if self._flat_lens[j] else int(need[j] * 1.1)
             self._flat_lens[j] = max(self._flat_lens[j], -(-want // chunk) * chunk)
 
         cache = self._coef_cache()
@@ -1469,10 +1472,10 @@ class JpegCoeffsSplitRRC(JpegCoeffsSplit):
         if not hasattr(self, "_flat_lens"):
             self._flat_lens = [0, 0, 0, 0]
         # fine-grained grow policy (see _ac_to_sparse): 256K-element chunks,
-        # 1.25x headroom on first growth so early batches don't recompile
+        # 1.1x headroom on first growth so early batches don't recompile
         chunk = 1 << 18
         for j in range(4):
-            want = need[j] if self._flat_lens[j] else int(need[j] * 1.25)
+            want = need[j] if self._flat_lens[j] else int(need[j] * 1.1)
             self._flat_lens[j] = max(self._flat_lens[j], -(-want // chunk) * chunk)
 
         _prof.add("host.decode.rrc_windows", time.perf_counter() - _t_rrc)

@@ -111,8 +111,9 @@ Win midrange_win(const Img& im) {
 }
 
 // Pipeline-identical RRC window: sample_rrc_windows_batch's rejection
-// semantics (backend/decoders.py:301) + the decoder op's MCU snap with the
-// 1-MCU chroma-upsample halo (decoders.py stage_batch_multi, mode 0).
+// semantics (backend/decoders.py:301) + the decoder op's exact-margin MCU
+// snap (decoders.py stage_batch_multi, mode 0, hybrid_scale=2 -> 4 px
+// chroma-upsample margin; r4 replaced the legacy 1-MCU halo).
 Win rrc_win(const Img& im) {
   const double area = (double)im.h * im.w;
   long ch = 0, cw = 0;
@@ -127,11 +128,11 @@ Win rrc_win(const Img& im) {
   if (!ok) { ch = im.h; cw = im.w; }
   long y = (long)(rnd01() * std::max<long>(im.h - ch + 1, 1));
   long x = (long)(rnd01() * std::max<long>(im.w - cw + 1, 1));
-  const int mcu = 16;
-  long y0 = std::max((y / mcu) * mcu - mcu, 0l);
-  long x0 = std::max((x / mcu) * mcu - mcu, 0l);
-  long y1 = ((y + ch + mcu - 1) / mcu) * mcu + mcu;
-  long x1 = ((x + cw + mcu - 1) / mcu) * mcu + mcu;
+  const int mcu = 16, m = 4;  // margin = 2*hybrid_scale(2)
+  long y0 = (std::max(y - m, 0l) / mcu) * mcu;
+  long x0 = (std::max(x - m, 0l) / mcu) * mcu;
+  long y1 = ((y + ch + m + mcu - 1) / mcu) * mcu;
+  long x1 = ((x + cw + m + mcu - 1) / mcu) * mcu;
   y1 = std::min(y1, ((long)(im.h + 7) / 8) * 8);  // full luma extent
   x1 = std::min(x1, ((long)(im.w + 7) / 8) * 8);
   y1 += (mcu - (y1 - y0) % mcu) % mcu;
