@@ -78,14 +78,61 @@ class GaussianBlurCPU(Operator):
                 info = np.iinfo(dt)
                 out = np.clip(np.round(out), info.min, info.max)
             return out.astype(dt)
-        import cv2
-
         s, w = _blur_params(self.spec, ctx, self, idx)
         kernel, size, sigma = gaussian_window(w, s)
-        out = cv2.GaussianBlur(img, (size, size), sigmaX=sigma, borderType=cv2.BORDER_REFLECT_101)
-        out = out[:, :, None] if out.ndim == 2 and img.ndim == 3 else out
-        dt = self.spec.GetArgument("dtype", None)
-        return out.astype(to_numpy_type(dt)) if dt is not None else out
+        out = _sep_conv2d_host(img, kernel, kernel)
+        dt_arg = self.spec.GetArgument("dtype", None)
+        dt = to_numpy_type(dt_arg) if dt_arg is not None else img.dtype
+        if np.issubdtype(dt, np.integer):
+            info = np.iinfo(dt)
+            out = np.clip(np.round(out), info.min, info.max)
+        return out.astype(dt)
+
+
+def _sep_conv2d_host(img, ky, kx):
+    """Own-code separable 2-D correlation with reflect-101 border on the
+    leading two axes of an HWC (or HW) sample — the native kernel
+    (host_ops.cc ``dali_tpu_sep_conv_f32``, reference
+    ``dali/kernels/imgproc/convolution/convolution_cpu.h``) with a numpy
+    fallback for native-less installs. Returns float32."""
+    from .. import native
+
+    if native.available() and hasattr(native._load(), "dali_tpu_sep_conv_f32"):
+        return native.sep_conv_f32(img, ky, kx)
+    out = _conv1d_reflect_np(img, ky, 0)
+    return _conv1d_reflect_np(out, kx, 1)
+
+
+_BORDER_NP = {"reflect_101": "reflect", "reflect": "symmetric", "wrap": "wrap",
+              "replicate": "edge", "constant": "constant"}
+
+
+def _filter2d_host(img, kernel, border="reflect_101", fill=0.0,
+                   anchor_y=-1, anchor_x=-1):
+    """Own-code general 2-D correlation (host_ops.cc
+    ``dali_tpu_filter2d_f32``, reference
+    ``dali/kernels/imgproc/convolution/baseline_convolution.h``; formerly
+    cv2.filter2D) with a numpy fallback. Returns float32, same rank as
+    input."""
+    from .. import native
+
+    if native.available() and hasattr(native._load(), "dali_tpu_filter2d_f32"):
+        return native.filter2d_f32(img, kernel, border=border, fill=fill,
+                                   anchor_y=anchor_y, anchor_x=anchor_x)
+    kh, kw = kernel.shape
+    ay = kh // 2 if anchor_y < 0 else anchor_y
+    ax = kw // 2 if anchor_x < 0 else anchor_x
+    pads = [(ay, kh - 1 - ay), (ax, kw - 1 - ax)] + [(0, 0)] * (img.ndim - 2)
+    kw_np = {"mode": _BORDER_NP[border]}
+    if border == "constant":
+        kw_np["constant_values"] = fill
+    xp = np.pad(img.astype(np.float32), pads, **kw_np)
+    out = np.zeros(img.shape, np.float32)
+    for i in range(kh):
+        for j in range(kw):
+            sl = (slice(i, i + img.shape[0]), slice(j, j + img.shape[1]))
+            out += float(kernel[i, j]) * xp[sl]
+    return out
 
 
 def _conv1d_reflect_np(x, k, axis):
@@ -333,12 +380,13 @@ class LaplacianCPU(Operator):
                 info = np.iinfo(dt)
                 out = np.clip(np.round(out), info.min, info.max)
             return out.astype(dt)
-        import cv2
-
+        # 2-D: sum of separable second derivatives, own-code conv (reference
+        # laplacian_cpu.h over convolution_cpu.h; formerly cv2.Laplacian)
         scale = _laplacian_scale(self.spec, size)
-        out = cv2.Laplacian(img.astype(np.float32), cv2.CV_32F, ksize=size, scale=scale,
-                            borderType=cv2.BORDER_REFLECT_101)
-        out = out[:, :, None] if out.ndim == 2 and img.ndim == 3 else out
+        deriv, smooth = laplacian_windows(size)
+        dyy = _sep_conv2d_host(img, deriv, smooth)
+        dxx = _sep_conv2d_host(img, smooth, deriv)
+        out = (dyy + dxx) * scale
         dt_arg = self.spec.GetArgument("dtype", None)
         dt = to_numpy_type(dt_arg) if dt_arg is not None else np.dtype(np.float32)
         if np.issubdtype(dt, np.integer):
@@ -436,14 +484,23 @@ DALI_SCHEMA("experimental.Filter").DocStr(
 @register_operator("experimental.Filter", "cpu")
 class FilterCPU(Operator):
     def run_sample(self, ctx, idx, img, kernel, *fill):
-        import cv2
-
-        border = {"reflect_101": cv2.BORDER_REFLECT_101, "constant": cv2.BORDER_CONSTANT,
-                  "reflect": cv2.BORDER_REFLECT, "replicate": cv2.BORDER_REPLICATE,
-                  "wrap": cv2.BORDER_WRAP}[self.spec.GetArgument("border", "reflect_101")]
-        out = cv2.filter2D(img.astype(np.float32), -1, np.asarray(kernel, np.float32),
-                           borderType=border)
-        out = out[:, :, None] if out.ndim == 2 and img.ndim == 3 else out
+        border = self.spec.GetArgument("border", "reflect_101")
+        fill_v = float(np.asarray(fill[0]).reshape(-1)[0]) if fill else \
+            float(self.spec.GetArgument("fill_value", 0.0))
+        kernel = np.asarray(kernel, np.float32)
+        anchor = self.spec.GetArgument("anchor", None)
+        ay = ax = -1
+        if anchor is not None:
+            av = np.asarray(anchor, np.int64).reshape(-1)
+            ay, ax = int(av[0]), int(av[-1])
+        if self.spec.GetArgument("mode", "same") == "valid":
+            # only windows fully inside the input (reference filter.cc mode):
+            # anchor (0,0) puts out[y,x] at the window origin, then crop
+            out = _filter2d_host(img, kernel, border, fill_v, 0, 0)
+            out = out[: img.shape[0] - kernel.shape[0] + 1,
+                      : img.shape[1] - kernel.shape[1] + 1]
+        else:
+            out = _filter2d_host(img, kernel, border, fill_v, ay, ax)
         dt_arg = self.spec.GetArgument("dtype", None)
         dt = to_numpy_type(dt_arg) if dt_arg is not None else img.dtype
         if np.issubdtype(dt, np.integer):

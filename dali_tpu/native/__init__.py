@@ -1090,6 +1090,76 @@ def clahe_f32(plane: np.ndarray, clip: float, tiles_x: int, tiles_y: int,
     return out
 
 
+_BORDER_CODES = {"reflect_101": 0, "reflect": 1, "replicate": 2, "wrap": 3,
+                 "constant": 4}
+
+
+def sep_conv_f32(img: np.ndarray, ky: np.ndarray, kx: np.ndarray,
+                 border: str = "reflect_101", fill: float = 0.0,
+                 anchor_y: int = -1, anchor_x: int = -1) -> np.ndarray:
+    """Own-code separable 2-D correlation (host_ops.cc): vertical window
+    ``ky`` then horizontal ``kx`` on an HWC float32 image. Reference:
+    dali/kernels/imgproc/convolution/convolution_cpu.h."""
+    lib = _load()
+    fn = lib.dali_tpu_sep_conv_f32
+    if fn.argtypes is None:
+        fn.restype = ctypes.c_int
+        fn.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+                       ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+                       ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+                       ctypes.c_int, ctypes.c_int, ctypes.c_float,
+                       ctypes.c_void_p]
+    img = np.ascontiguousarray(img, np.float32)
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    ky = np.ascontiguousarray(ky, np.float32).reshape(-1)
+    kx = np.ascontiguousarray(kx, np.float32).reshape(-1)
+    out = np.empty_like(img)
+    rc = fn(img.ctypes.data_as(ctypes.c_void_p), h, w, c,
+            ky.ctypes.data_as(ctypes.c_void_p), len(ky),
+            kx.ctypes.data_as(ctypes.c_void_p), len(kx),
+            int(anchor_y), int(anchor_x), _BORDER_CODES[border],
+            ctypes.c_float(float(fill)), out.ctypes.data_as(ctypes.c_void_p))
+    if rc != 0:
+        raise ValueError("sep_conv_f32: bad window/anchor")
+    return out[:, :, 0] if squeeze else out
+
+
+def filter2d_f32(img: np.ndarray, kernel: np.ndarray,
+                 border: str = "reflect_101", fill: float = 0.0,
+                 anchor_y: int = -1, anchor_x: int = -1) -> np.ndarray:
+    """Own-code general 2-D correlation (host_ops.cc; cv2.filter2D
+    semantics). Reference: dali/kernels/imgproc/convolution/
+    baseline_convolution.h."""
+    lib = _load()
+    fn = lib.dali_tpu_filter2d_f32
+    if fn.argtypes is None:
+        fn.restype = ctypes.c_int
+        fn.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+                       ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+                       ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                       ctypes.c_int, ctypes.c_float, ctypes.c_void_p]
+    img = np.ascontiguousarray(img, np.float32)
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    kernel = np.ascontiguousarray(kernel, np.float32)
+    if kernel.ndim != 2:
+        raise ValueError("filter2d_f32: kernel must be 2-D")
+    kh, kw = kernel.shape
+    out = np.empty_like(img)
+    rc = fn(img.ctypes.data_as(ctypes.c_void_p), h, w, c,
+            kernel.ctypes.data_as(ctypes.c_void_p), kh, kw,
+            int(anchor_y), int(anchor_x), _BORDER_CODES[border],
+            ctypes.c_float(float(fill)), out.ctypes.data_as(ctypes.c_void_p))
+    if rc != 0:
+        raise ValueError("filter2d_f32: bad kernel/anchor")
+    return out[:, :, 0] if squeeze else out
+
+
 def resize_area_u8(img: np.ndarray, oh: int, ow: int) -> np.ndarray:
     """Own-code area resize (host_ops.cc exact fractional box integration —
     cv2 INTER_AREA semantics)."""

@@ -260,6 +260,192 @@ int dali_tpu_clahe_f32(const float* src, int h, int w, float clip,
   return 0;
 }
 
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Own-code cpu convolution (VERDICT r3 next-round #4): the reference builds
+// its own CPU separable/general convolution
+// (dali/kernels/imgproc/convolution/convolution_cpu.h, baseline_convolution.h)
+// — GaussianBlur / Laplacian / generic Filter cpu paths previously delegated
+// to cv2.GaussianBlur/Laplacian/filter2D. Correlation convention (like cv2 and
+// the reference); border modes enumerated below.
+
+namespace {
+
+enum Border {
+  kReflect101 = 0,  // gfedcb|abcdefgh|gfedcba   (cv2 BORDER_REFLECT_101)
+  kReflect = 1,     // fedcba|abcdefgh|hgfedcb   (cv2 BORDER_REFLECT)
+  kReplicate = 2,   // aaaaaa|abcdefgh|hhhhhhh   (cv2 BORDER_REPLICATE)
+  kWrap = 3,        // cdefgh|abcdefgh|abcdefg   (cv2 BORDER_WRAP)
+  kConstant = 4,    // iiiiii|abcdefgh|iiiiiii   (cv2 BORDER_CONSTANT)
+};
+
+// Map an out-of-range coordinate into [0, n). Returns -1 for kConstant OOB.
+// Multi-bounce (kernel wider than the image) handled by iteration, matching
+// cv2::borderInterpolate.
+inline int map_coord(int p, int n, int border) {
+  if (p >= 0 && p < n) return p;
+  switch (border) {
+    case kReplicate:
+      return p < 0 ? 0 : n - 1;
+    case kWrap: {
+      int m = p % n;
+      return m < 0 ? m + n : m;
+    }
+    case kReflect:
+      while (p < 0 || p >= n) {
+        if (p < 0) p = -p - 1;
+        if (p >= n) p = 2 * n - 1 - p;
+      }
+      return p;
+    case kReflect101:
+      if (n == 1) return 0;
+      while (p < 0 || p >= n) {
+        if (p < 0) p = -p;
+        if (p >= n) p = 2 * (n - 1) - p;
+      }
+      return p;
+    default:
+      return -1;  // kConstant
+  }
+}
+
+// One 1-D correlation pass along x for a single row of interleaved channels:
+// dst[x*c + ch] = sum_t k[t] * src[(x + t - anchor)*c + ch]  (border-mapped).
+void conv_row_f32(const float* src, float* dst, int n, int c, const float* k,
+                  int kn, int anchor, int border, float fill) {
+  const int lo = anchor;                // taps reach src index x - anchor
+  const int hi = kn - 1 - anchor;       // ... through x + (kn-1-anchor)
+  // interior: no border mapping needed for x in [lo, n - hi)
+  int x0 = lo < n ? lo : n;
+  int x1 = n - hi;
+  if (x1 < x0) x1 = x0;
+  auto edge = [&](int x) {
+    for (int ch = 0; ch < c; ch++) {
+      float acc = 0.0f;
+      for (int t = 0; t < kn; t++) {
+        int p = map_coord(x + t - anchor, n, border);
+        acc += k[t] * (p < 0 ? fill : src[(size_t)p * c + ch]);
+      }
+      dst[(size_t)x * c + ch] = acc;
+    }
+  };
+  for (int x = 0; x < x0; x++) edge(x);
+  for (int x = x0; x < x1; x++) {
+    const float* s = src + (size_t)(x - anchor) * c;
+    for (int ch = 0; ch < c; ch++) {
+      float acc = 0.0f;
+      for (int t = 0; t < kn; t++) acc += k[t] * s[(size_t)t * c + ch];
+      dst[(size_t)x * c + ch] = acc;
+    }
+  }
+  for (int x = x1; x < n; x++) edge(x);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Separable 2-D correlation on an HWC float32 image: vertical window `ky`
+// then horizontal `kx`, anchors default to the window center when < 0.
+// border: Border enum above; `fill` used for kConstant.
+int dali_tpu_sep_conv_f32(const float* src, int h, int w, int c,
+                          const float* ky, int kyn, const float* kx, int kxn,
+                          int anchor_y, int anchor_x, int border, float fill,
+                          float* dst) {
+  if (h < 1 || w < 1 || c < 1 || kyn < 1 || kxn < 1) return -1;
+  if (anchor_y < 0) anchor_y = kyn / 2;
+  if (anchor_x < 0) anchor_x = kxn / 2;
+  if (anchor_y >= kyn || anchor_x >= kxn) return -1;
+  const size_t row = (size_t)w * c;
+  // vertical pass: treat each column-run as a strided row? Cheaper: gather
+  // the ky-window rows (border-mapped) and accumulate row-wise — contiguous
+  // streaming loads, one output row at a time.
+  std::vector<float> tmp((size_t)h * row);
+  for (int y = 0; y < h; y++) {
+    float* drow = tmp.data() + (size_t)y * row;
+    std::fill(drow, drow + row, 0.0f);
+    for (int t = 0; t < kyn; t++) {
+      const float kv = ky[t];
+      if (kv == 0.0f) continue;
+      int p = map_coord(y + t - anchor_y, h, border);
+      if (p < 0) {  // constant border: whole row is `fill`
+        const float add = kv * fill;
+        for (size_t i = 0; i < row; i++) drow[i] += add;
+        continue;
+      }
+      const float* srow = src + (size_t)p * row;
+      for (size_t i = 0; i < row; i++) drow[i] += kv * srow[i];
+    }
+  }
+  // horizontal pass
+  for (int y = 0; y < h; y++)
+    conv_row_f32(tmp.data() + (size_t)y * row, dst + (size_t)y * row, w, c,
+                 kx, kxn, anchor_x, border, fill);
+  return 0;
+}
+
+// General 2-D correlation with an arbitrary kh x kw kernel (cv2.filter2D
+// semantics: dst(y,x) = sum_{i,j} kern(i,j) * src(y+i-ay, x+j-ax)).
+int dali_tpu_filter2d_f32(const float* src, int h, int w, int c,
+                          const float* kern, int kh, int kw, int anchor_y,
+                          int anchor_x, int border, float fill, float* dst) {
+  if (h < 1 || w < 1 || c < 1 || kh < 1 || kw < 1) return -1;
+  if (anchor_y < 0) anchor_y = kh / 2;
+  if (anchor_x < 0) anchor_x = kw / 2;
+  if (anchor_y >= kh || anchor_x >= kw) return -1;
+  const size_t row = (size_t)w * c;
+  const int lo_x = anchor_x, hi_x = kw - 1 - anchor_x;
+  int x0 = lo_x < w ? lo_x : w;
+  int x1 = w - hi_x;
+  if (x1 < x0) x1 = x0;
+  for (int y = 0; y < h; y++) {
+    float* drow = dst + (size_t)y * row;
+    // resolve the kh source rows once per output row
+    // (p[i] < 0 means constant-border fill row)
+    std::vector<const float*> rows(kh);
+    for (int i = 0; i < kh; i++) {
+      int p = map_coord(y + i - anchor_y, h, border);
+      rows[i] = p < 0 ? nullptr : src + (size_t)p * row;
+    }
+    auto edge = [&](int x) {
+      for (int ch = 0; ch < c; ch++) {
+        float acc = 0.0f;
+        for (int i = 0; i < kh; i++)
+          for (int j = 0; j < kw; j++) {
+            int p = map_coord(x + j - anchor_x, w, border);
+            float v = (rows[i] == nullptr || p < 0)
+                          ? fill
+                          : rows[i][(size_t)p * c + ch];
+            acc += kern[(size_t)i * kw + j] * v;
+          }
+        drow[(size_t)x * c + ch] = acc;
+      }
+    };
+    for (int x = 0; x < x0; x++) edge(x);
+    for (int x = x0; x < x1; x++) {
+      for (int ch = 0; ch < c; ch++) {
+        float acc = 0.0f;
+        for (int i = 0; i < kh; i++) {
+          const float* s =
+              rows[i] ? rows[i] + (size_t)(x - anchor_x) * c + ch : nullptr;
+          const float* kr = kern + (size_t)i * kw;
+          if (s) {
+            for (int j = 0; j < kw; j++) acc += kr[j] * s[(size_t)j * c];
+          } else {
+            float ks = 0.0f;
+            for (int j = 0; j < kw; j++) ks += kr[j];
+            acc += ks * fill;
+          }
+        }
+        drow[(size_t)x * c + ch] = acc;
+      }
+    }
+    for (int x = x1; x < w; x++) edge(x);
+  }
+  return 0;
+}
+
 // Area (box-integral) resize, uint8 -> uint8: each output pixel averages the
 // exact fractional source rectangle (cv2 INTER_AREA semantics for arbitrary
 // downscale factors).

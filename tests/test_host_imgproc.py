@@ -146,3 +146,79 @@ def test_resize_area_near_cv2(shape, out):
     want = cv2.resize(img, (out[1], out[0]), interpolation=cv2.INTER_AREA)
     diff = np.abs(got.astype(int) - want.astype(int))
     assert diff.max() <= 1, diff.max()  # float accumulation order only
+
+
+# ===================== own-code cpu convolution (VERDICT r3 #4) ==============
+# GaussianBlur / Laplacian / generic Filter cpu previously delegated to
+# cv2.GaussianBlur/Laplacian/filter2D; these pin the native separable and
+# general 2-D correlation kernels (host_ops.cc dali_tpu_sep_conv_f32 /
+# dali_tpu_filter2d_f32; reference convolution_cpu.h, baseline_convolution.h).
+
+
+@pytest.mark.parametrize("size,sigma", [(3, 0.8), (5, 1.4), (11, 2.5), (41, 7.0)])
+def test_sep_conv_matches_cv2(size, sigma):
+    img = _img(37, 53, 3, size).astype(np.float32)
+    k = cv2.getGaussianKernel(size, sigma).astype(np.float32).ravel()
+    got = native.sep_conv_f32(img, k, k)
+    want = cv2.sepFilter2D(img, -1, k, k, borderType=cv2.BORDER_REFLECT_101)
+    assert np.abs(got - want).max() < 1e-3  # float accumulation order only
+
+
+def test_sep_conv_kernel_wider_than_image():
+    # multi-bounce reflect-101 (kernel spans the image several times)
+    img = _img(3, 4, 3, 9).astype(np.float32)
+    k = cv2.getGaussianKernel(9, 2.0).astype(np.float32).ravel()
+    got = native.sep_conv_f32(img, k, k)
+    want = cv2.sepFilter2D(img, -1, k, k, borderType=cv2.BORDER_REFLECT_101)
+    assert np.abs(got - want).max() < 1e-3
+
+
+@pytest.mark.parametrize("border", ["reflect_101", "reflect", "replicate",
+                                    "wrap", "constant"])
+def test_filter2d_borders_match_cv2(border):
+    img = _img(37, 53, 3, 7).astype(np.float32)
+    rng = np.random.default_rng(5)
+    kern = rng.normal(size=(5, 7)).astype(np.float32)
+    got = native.filter2d_f32(img, kern, border=border, fill=3.5)
+    if border in ("wrap", "constant"):  # cv2.filter2D can't do BORDER_WRAP
+        kw = {"mode": "wrap"} if border == "wrap" else \
+            {"mode": "constant", "constant_values": 3.5}
+        padded = np.pad(img, ((2, 2), (3, 3), (0, 0)), **kw)
+        want = cv2.filter2D(padded, -1, kern,
+                            borderType=cv2.BORDER_REPLICATE)[2:-2, 3:-3]
+    else:
+        code = {"reflect_101": cv2.BORDER_REFLECT_101,
+                "reflect": cv2.BORDER_REFLECT,
+                "replicate": cv2.BORDER_REPLICATE}[border]
+        want = cv2.filter2D(img, -1, kern, borderType=code)
+    assert np.abs(got - want).max() < 5e-2, border
+
+
+def test_filter2d_anchor_matches_cv2():
+    img = _img(30, 31, 1, 3).astype(np.float32)
+    kern = np.random.default_rng(2).normal(size=(4, 3)).astype(np.float32)
+    got = native.filter2d_f32(img, kern, anchor_y=0, anchor_x=1)
+    want = cv2.filter2D(img, -1, kern, anchor=(1, 0),
+                        borderType=cv2.BORDER_REFLECT_101)[..., None]
+    assert np.abs(got - want).max() < 5e-2
+
+
+def test_fn_filter_valid_mode_shape_and_values():
+    img = _img(20, 24, 3, 11)
+    kern = (np.ones((3, 5), np.float32) / 15.0)
+
+    @pipeline_def(batch_size=1, num_threads=1, seed=0)
+    def p():
+        x = fn.external_source(source=lambda: [img], batch=True, layout="HWC")
+        k = fn.external_source(source=lambda: [kern], batch=True)
+        return fn.experimental.filter(x, k, mode="valid")
+
+    pipe = p()
+    pipe.build()
+    (out,) = pipe.run()
+    got = np.asarray(out[0])
+    assert got.shape == (18, 20, 3)
+    want = cv2.filter2D(img.astype(np.float32), -1, kern,
+                        borderType=cv2.BORDER_REFLECT_101)[1:-1, 2:-2]
+    dt = np.abs(got.astype(np.float32) - np.clip(np.round(want), 0, 255))
+    assert dt.max() <= 1
