@@ -26,6 +26,8 @@ if [ "$MAX" -ge 2 ]; then
 fi
 
 if [ "$MAX" -ge 3 ]; then
+  echo "=== TL3: multi-process JAX iterator (2 procs x 4 devices) ==="
+  PALLAS_AXON_POOL_IPS= python tools/multiprocess_test.py
   echo "=== TL3: multichip dry-run ==="
   XLA_FLAGS="--xla_force_host_platform_device_count=8" JAX_PLATFORMS=cpu \
     PALLAS_AXON_POOL_IPS= \

@@ -68,6 +68,105 @@ def worker(proc_id: int, port: int):
     expected = sum(s * 6 for s in range(8))
     assert int(total) == expected, (int(total), expected)
     print(f"proc {proc_id}: OK (global sum {int(total)})")
+    _reader_phase(proc_id, mesh, sharding)
+
+
+N_FILES = 64
+DATA_ROOT = "/tmp/dali_tpu_mp_data"
+
+
+def make_dataset():
+    """64 fixed-size files whose first byte is the sample id (the launcher
+    creates these once; both worker processes read shards of the same tree)."""
+    import numpy as np
+
+    d = os.path.join(DATA_ROOT, "cls")
+    os.makedirs(d, exist_ok=True)
+    for i in range(N_FILES):
+        payload = np.array([i, 255 - i, 0, 0, 0, 0, 0, 0], np.uint8)
+        with open(os.path.join(d, f"f_{i:03d}.bin"), "wb") as f:
+            f.write(payload.tobytes())
+
+
+def _reader_phase(proc_id: int, mesh, sharding):
+    """The distributed INPUT contract end-to-end (VERDICT r3 #7; reference
+    ``qa/TL3_JAX_multiprocess/jax_server.py``): per-process sharded
+    ``readers.file`` pipelines -> global arrays via the JAX plugin iterator,
+    asserting (a) exact global-batch coverage per epoch across both processes
+    via a mesh collective and (b) bit-identical mid-epoch checkpoint resume."""
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dali_tpu import fn, pipeline_def
+    from dali_tpu.plugin.jax import DALIGenericIterator
+
+    local = jax.local_devices()
+    nsh = jax.device_count()
+
+    def make_pipes(checkpoints=None):
+        pipes = []
+        for li in range(len(local)):
+            shard = proc_id * len(local) + li
+
+            @pipeline_def(batch_size=2, num_threads=1, seed=123,
+                          enable_checkpointing=True,
+                          checkpoint=checkpoints[li] if checkpoints else None)
+            def rp(shard=shard):
+                # shuffle_after_epoch (not random_shuffle): the global
+                # per-epoch permutation keeps shard slices a partition, so
+                # exact epoch coverage holds (random_shuffle's buffer prefills
+                # across epochs and rotated shards — approximate by design)
+                data, label = fn.readers.file(
+                    file_root=DATA_ROOT, file_filters=["*.bin"],
+                    shuffle_after_epoch=True, seed=5,
+                    shard_id=shard, num_shards=nsh, name="R")
+                return data, label
+
+            pipes.append(rp())
+        return pipes
+
+    def batch_ids(batch):
+        """Sample ids (first payload byte) visible to THIS process."""
+        ids = []
+        for sh in batch["data"].addressable_shards:
+            ids.extend(int(v) for v in np.asarray(sh.data)[:, 0])
+        return ids
+
+    it = DALIGenericIterator(make_pipes(), ["data", "label"],
+                             reader_name="R", sharding=sharding)
+    # per-process iterations/epoch: (shard samples × local pipes) / (bs × pipes)
+    assert len(it) == N_FILES // nsh // 2, len(it)
+
+    # epoch 1: every sample appears EXACTLY once globally. Local one-hot
+    # counts ride the mesh as a (ndev, N) P("data") array; a replicated-out
+    # jit sum is the cross-process reduction.
+    counts = np.zeros((len(local), N_FILES), np.int32)
+    for batch in it:
+        for li, sh in enumerate(batch["data"].addressable_shards):
+            for v in np.asarray(sh.data)[:, 0]:
+                counts[li, int(v)] += 1
+    placed = [jax.device_put(counts[li][None], d) for li, d in enumerate(local)]
+    g = jax.make_array_from_single_device_arrays(
+        (nsh, N_FILES), NamedSharding(mesh, P("data")), placed)
+    total = jax.jit(lambda x: x.sum(0), out_shardings=NamedSharding(mesh, P()))(g)
+    total = np.asarray(total)
+    assert (total == 1).all(), f"epoch coverage broken: {total}"
+
+    # epoch 2: consume 2 global batches, checkpoint, record the continuation,
+    # then restore into FRESH pipelines and demand a bit-identical replay.
+    it.reset()
+    for _ in range(2):
+        next(it)
+    ck = it.checkpoints()
+    expect = [batch_ids(next(it)) for _ in range(2)]
+
+    it2 = DALIGenericIterator(make_pipes(ck["pipelines"]), ["data", "label"],
+                              reader_name="R", sharding=sharding)
+    it2.restore_counter(ck["counter"])
+    got = [batch_ids(next(it2)) for _ in range(2)]
+    assert got == expect, (got, expect)
+    print(f"proc {proc_id}: reader phase OK (epoch coverage + mid-epoch resume)")
 
 
 def main():
@@ -78,6 +177,7 @@ def main():
     if args.proc is not None:
         worker(args.proc, args.port)
         return
+    make_dataset()
     env = dict(os.environ)
     # keep the axon TPU plugin out of the workers' clusters
     env["PYTHONPATH"] = os.pathsep.join(
