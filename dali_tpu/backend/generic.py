@@ -133,7 +133,7 @@ class ReshapeGPU(Operator):
             return [layout]
         if (self.spec.GetArgument("shape", None) is None
                 and "shape" not in self.spec.arg_inputs
-                and len(self.spec.inputs) < 2):
+                and len(in_layouts) < 2):  # actual inputs (eager spec has none)
             return [in_layouts[0] if in_layouts else ""]
         return [""]
 

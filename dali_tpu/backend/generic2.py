@@ -787,7 +787,9 @@ class StackGPU(Operator):
             return None
         sh = np.asarray(input_shapes[0]).astype(np.int64)
         axis = self._stack_axis(sh.shape[1])
-        n_in = len(self.spec.inputs)
+        # count the ACTUAL inputs, not spec.inputs — eager (ndd) mode builds
+        # the OpSpec without traced input nodes (spec.inputs would be 0)
+        n_in = len(input_shapes)
         new_col = np.full((sh.shape[0], 1), n_in, np.int64)
         return [np.concatenate([sh[:, :axis], new_col, sh[:, axis:]], axis=1)]
 

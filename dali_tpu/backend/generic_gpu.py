@@ -112,7 +112,7 @@ class SliceGPU(_GrowCanvasOp):
         shapes = input_shapes[0]
         if shapes is None:
             raise RuntimeError("Slice(gpu) requires host-known input shapes")
-        if len(self.spec.inputs) > 1:
+        if len(input_shapes) > 1:  # actual inputs (eager spec has none)
             raise NotImplementedError(
                 "Slice(gpu): pass anchor/shape as kwargs (start=/shape=/rel_*), "
                 "not positional inputs"

@@ -96,7 +96,7 @@ class WarpAffineGPU(_WarpCommon):
         return [out]
 
     def host_params(self, ctx, input_shapes):
-        if len(self.spec.inputs) > 1:
+        if len(input_shapes) > 1:  # actual inputs (eager spec has none)
             return {}  # matrices arrive as a device input
         n = ctx.batch_size
         lay = (ctx.in_layouts(self) or [""])[0]
@@ -115,7 +115,7 @@ class WarpAffineGPU(_WarpCommon):
         # gathers (measured ~2x on deep dispatch queues, docs/performance.md;
         # the resampler rewrite proved the same trade). Known only when the
         # matrices are host-side (scalar args, not a tensor input).
-        if len(self.spec.inputs) > 1:
+        if len(in_shapes) > 1:  # actual inputs (eager spec has none)
             return ("gather",)
         n = ctx.batch_size
         try:
