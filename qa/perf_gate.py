@@ -88,7 +88,7 @@ def main():
                 spec["best"] = round(got, 1)
                 dirty = True
                 print(f"  ratchet: best {best:.1f} -> {got:.1f} (gate is now "
-                      f"{max(floor, 0.9 * got):.1f})")
+                      f"{max(floor, 0.75 * got):.1f})")
             else:
                 print(f"  note: beats best-ever {best:.1f}; run with --record "
                       "to ratchet the gate up")

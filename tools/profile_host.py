@@ -20,13 +20,18 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=16)
+    ap.add_argument("--data-dir", default=None,
+                    help="alternate corpus (e.g. the realstat lane's)")
     args = ap.parse_args()
 
     import bench
     from dali_tpu import _prof, native
 
-    bench.ensure_dataset()
-    pipe = bench.build_pipeline()
+    if args.data_dir in (None, bench.DATA_DIR):
+        bench.ensure_dataset()
+    elif args.data_dir == bench.REALSTAT_DIR:
+        bench.ensure_dataset_realstat()
+    pipe = bench.build_pipeline(args.data_dir or bench.DATA_DIR)
     pipe.build()
     for _ in range(bench.WARMUP):
         out = pipe.run()
