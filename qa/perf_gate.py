@@ -72,7 +72,8 @@ def main():
     for name, spec in thresholds.items():
         floor = float(spec["min"])
         best = float(spec.get("best", floor))
-        gate = max(floor, 0.75 * best)
+        band = float(spec.get("band", 0.75))
+        gate = max(floor, band * best)
         got = metrics.get(name)
         if got is None:
             print(f"FAIL: metric '{name}' missing from bench output")
@@ -88,7 +89,7 @@ def main():
                 spec["best"] = round(got, 1)
                 dirty = True
                 print(f"  ratchet: best {best:.1f} -> {got:.1f} (gate is now "
-                      f"{max(floor, 0.75 * got):.1f})")
+                      f"{max(floor, band * got):.1f})")
             else:
                 print(f"  note: beats best-ever {best:.1f}; run with --record "
                       "to ratchet the gate up")
