@@ -107,6 +107,11 @@ def _decoders_image_fn(*inputs, device=None, hybrid_device_decode=False, hybrid_
         return _default_decoders_image(*inputs, device=device, **kwargs)
     if device != "mixed":
         raise ValueError("hybrid_device_decode requires device='mixed'")
+    from .types import DALIDataType
+    if kwargs.get("dtype", None) not in (None, DALIDataType.UINT8):
+        raise ValueError(
+            "hybrid_device_decode produces uint8 (8-bit JPEG device IDCT "
+            "tail); use hybrid_device_decode=False for dtype conversion")
     if hybrid_scale not in (1, 2, 4):
         raise ValueError(f"hybrid_scale must be 1, 2, or 4 (got {hybrid_scale})")
     if hybrid_wire not in ("int16", "int8"):
@@ -177,9 +182,13 @@ def _decoders_image_random_crop_fn(*inputs, device=None, hybrid_device_decode=Fa
             seed=seed, **kwargs)
     if device != "mixed":
         raise ValueError("hybrid_device_decode requires device='mixed'")
-    from .types import DALIImageType
+    from .types import DALIDataType, DALIImageType
     if kwargs.get("output_type", DALIImageType.RGB) != DALIImageType.RGB:
         raise ValueError("hybrid_device_decode produces RGB only")
+    if kwargs.get("dtype", None) not in (None, DALIDataType.UINT8):
+        raise ValueError(
+            "hybrid_device_decode produces uint8 (8-bit JPEG device IDCT "
+            "tail); use hybrid_device_decode=False for dtype conversion")
     name = kwargs.pop("name", None)
     outs = _op_call(
         "_JpegCoeffsSplitRRC", device="mixed", inputs=inputs, name=name,

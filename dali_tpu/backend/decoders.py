@@ -149,7 +149,8 @@ class _ImageDecoderBase(Operator):
         return imgcodec.decode(
             data, output_type=out_type, denom=denom,
             adjust_orientation=self.spec.GetArgument("adjust_orientation", True),
-            fancy_upsampling=self.spec.GetArgument("jpeg_fancy_upsampling", True))
+            fancy_upsampling=self.spec.GetArgument("jpeg_fancy_upsampling", True),
+            dtype=self.spec.GetArgument("dtype", None))
 
     def output_layout(self, output_idx, inputs):
         return "HWC"
@@ -200,6 +201,10 @@ class ImageDecoderMixed(_ImageDecoderBase):
         out_type = self.spec.GetArgument("output_type", DALIImageType.RGB)
         if out_type != DALIImageType.RGB or not native.available():
             return None  # generic path
+        from ..types import DALIDataType
+
+        if self.spec.GetArgument("dtype", None) not in (None, DALIDataType.UINT8):
+            return None  # dynamic-range conversion rides the generic path
         enc = inputs[0].samples
         n = len(enc)
         cache = self._cache()

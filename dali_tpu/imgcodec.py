@@ -18,7 +18,7 @@ import struct
 
 import numpy as np
 
-from .types import DALIImageType
+from .types import DALIDataType, DALIImageType
 
 _cv2 = None
 _native = None
@@ -113,21 +113,55 @@ def apply_orientation(img: np.ndarray, orientation: int) -> np.ndarray:
     return img
 
 
+def is_jpeg2000(data: bytes) -> bool:
+    """JP2 container signature or raw JPEG 2000 codestream (SOC marker)."""
+    return (data[:12] == b"\x00\x00\x00\x0cjP  \r\n\x87\n"
+            or data[:4] == b"\xff\x4f\xff\x51")
+
+
+def _convert_dtype(img: np.ndarray, dtype) -> np.ndarray:
+    """Dynamic-range conversion to the requested output dtype (reference
+    ``operators/imgcodec/util/convert_utils.h``): integer targets are scaled
+    source_max → target_max (e.g. uint16→uint8 multiplies by 255/65535 —
+    NOT a truncating >>8); float targets land in [0, 1]."""
+    if dtype is None:
+        dtype = DALIDataType.UINT8
+    np_t = dtype.np_dtype if hasattr(dtype, "np_dtype") else np.dtype(dtype)
+    if img.dtype == np_t:
+        return img
+    src_max = float(np.iinfo(img.dtype).max)  # decoders produce uint8/uint16
+    if np.issubdtype(np_t, np.floating):
+        return (img.astype(np.float64) / src_max).astype(np_t)
+    info = np.iinfo(np_t)
+    scaled = np.round(img.astype(np.float64) * (float(info.max) / src_max))
+    return np.clip(scaled, info.min, info.max).astype(np_t)
+
+
 def decode(data: bytes, output_type=DALIImageType.RGB, denom: int = 1,
-           adjust_orientation: bool = True, fancy_upsampling: bool = True) -> np.ndarray:
-    """Decode an encoded image to HWC uint8 in the requested color space.
+           adjust_orientation: bool = True, fancy_upsampling: bool = True,
+           dtype=None) -> np.ndarray:
+    """Decode an encoded image to HWC in the requested color space and dtype.
 
     ``denom`` (JPEG only): decode at 1/denom DCT scale (libjpeg scaled decode).
     ``adjust_orientation`` applies the EXIF orientation tag (reference
     default) — rotated-camera JPEGs come out upright.
     ``fancy_upsampling`` (JPEG only): libjpeg triangular chroma upsampling
     (reference ``jpeg_fancy_upsampling``); False = cheaper box replication.
+    ``dtype`` (DALIDataType or numpy dtype; default UINT8): output type with
+    dynamic-range scaling (reference decoder ``dtype`` arg) — 16-bit PNG/TIFF
+    sources decode at full precision and scale to the requested range; float
+    targets are [0, 1].
     """
+    if is_jpeg2000(data):
+        raise NotImplementedError(
+            "JPEG 2000 decode is not supported (the reference delegates to "
+            "the proprietary nvJPEG2000; no codec is available here — see "
+            "docs/compatibility.md 'Decode formats')")
     if adjust_orientation and is_jpeg(data):
         o = exif_orientation(data)
         if o != 1:
             img = decode(data, output_type, denom, adjust_orientation=False,
-                         fancy_upsampling=fancy_upsampling)
+                         fancy_upsampling=fancy_upsampling, dtype=dtype)
             return np.ascontiguousarray(apply_orientation(img, o))
     native, cv2 = _backends()
     if native is not None and is_jpeg(data):
@@ -135,14 +169,17 @@ def decode(data: bytes, output_type=DALIImageType.RGB, denom: int = 1,
             img = native.decode_jpeg(data, denom=denom, gray=True,
                                      fancy_upsampling=fancy_upsampling)
             if img is not None:
-                return img
+                return _convert_dtype(img, dtype)
         img = native.decode_jpeg(data, denom=denom,
                                  fancy_upsampling=fancy_upsampling)  # RGB HWC uint8
         if img is not None:
-            return _convert_from_rgb(img, output_type)
+            return _convert_dtype(_convert_from_rgb(img, output_type), dtype)
     if cv2 is not None:
         gray = output_type == DALIImageType.GRAY
         flags = cv2.IMREAD_GRAYSCALE if gray else cv2.IMREAD_COLOR
+        # preserve >8-bit source precision (16-bit PNG/TIFF) — the range
+        # conversion below owns the narrowing, not cv2's truncating >>8
+        flags |= cv2.IMREAD_ANYDEPTH
         if denom in (2, 4, 8) and is_jpeg(data):
             reduced = {
                 (2, False): cv2.IMREAD_REDUCED_COLOR_2,
@@ -158,21 +195,21 @@ def decode(data: bytes, output_type=DALIImageType.RGB, denom: int = 1,
         if img is None:
             raise ValueError("Failed to decode image")
         if output_type == DALIImageType.GRAY:
-            return img[:, :, None]
+            return _convert_dtype(img[:, :, None], dtype)
         if output_type == DALIImageType.BGR:
-            return img
+            return _convert_dtype(img, dtype)
         rgb = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-        if output_type == DALIImageType.RGB:
-            return rgb
         if output_type == DALIImageType.YCbCr:
-            return _rgb_to_ycbcr(rgb)
-        return rgb
+            # YCbCr math is defined on the 8-bit range (128 chroma offset):
+            # narrow first, then widen to the requested dtype
+            return _convert_dtype(_rgb_to_ycbcr(_convert_dtype(rgb, None)), dtype)
+        return _convert_dtype(rgb, dtype)
     from io import BytesIO
 
     from PIL import Image
 
     img = np.asarray(Image.open(BytesIO(data)).convert("RGB"))
-    return _convert_from_rgb(img, output_type)
+    return _convert_dtype(_convert_from_rgb(img, output_type), dtype)
 
 
 def _convert_from_rgb(rgb: np.ndarray, output_type) -> np.ndarray:
