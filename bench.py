@@ -456,10 +456,12 @@ def ensure_video_dataset():
 def bench_video():
     """Video pipeline throughput in frames/s (VERDICT r3 #9; the reference
     carries video in its benchmark tiers, dali/benchmark/ video benches):
-    readers.video (FFmpeg demux+decode) -> device resize -> CMN. The wire
-    ships decoded uint8 frames (320x180x3 x 64 frames/batch = ~10.5 MiB), so
-    on this box the lane is tunnel-bound; FFmpeg decode itemization lives in
-    docs/performance.md."""
+    readers.video mixed (FFmpeg demux+decode) -> device resize -> CMN. The
+    wire ships flat-packed PLANAR YUV 4:2:0 (1.5 B/px: 320x180x1.5 x 64
+    frames/batch = ~5.3 MiB — HALF the r4a RGB24 wire) with the BT.601
+    conversion on device (executor._yuv420_boundary); on this box the lane
+    is tunnel-bound, so the wire diet is the lever. FFmpeg decode
+    itemization lives in docs/performance.md."""
     from dali_tpu import fn, pipeline_def, types
 
     if not ensure_video_dataset():
@@ -470,8 +472,8 @@ def bench_video():
     def vpipe():
         frames, labels = fn.readers.video(
             file_root=VIDEO_DIR, sequence_length=VIDEO_SEQ, stride=1,
-            random_shuffle=True, name="VR")
-        frames = fn.resize(frames.gpu(), resize_x=224, resize_y=224)
+            random_shuffle=True, device="mixed", name="VR")
+        frames = fn.resize(frames, resize_x=224, resize_y=224)
         mirror = fn.random.coin_flip(probability=0.5)
         frames = fn.crop_mirror_normalize(
             frames, mirror=mirror, dtype=types.FLOAT, output_layout="FCHW",

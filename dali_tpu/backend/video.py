@@ -197,6 +197,8 @@ class _VideoReaderImpl(BaseReader):
         self._fps = {}
         self._spans = {}   # uniform_sample: fi -> (lo, hi)
         self._limits = {}  # fi -> range end (pad instead of reading past it)
+        self._dims = {}    # fi -> (height, width)
+        self._pix = {}     # fi -> pixfmt class (0 = not 4:2:0, 1/2 = 4:2:0)
         span = (L - 1) * stride + 1
         pad_mode = spec.GetArgument("pad_mode", None)
         pad_seq = spec.GetArgument("pad_sequences", False) or (
@@ -220,6 +222,8 @@ class _VideoReaderImpl(BaseReader):
             n = v.num_frames
             fps = getattr(v, "fps", 0.0) or 25.0
             self._fps[fi] = fps
+            self._dims[fi] = (v.height, v.width)
+            self._pix[fi] = getattr(v, "pixfmt_class", 0)
             v.close()
             rng = self._ranges[fi] if fi < len(self._ranges) else None
             lo, hi = 0, n
@@ -351,7 +355,135 @@ class VideoReaderCPU(_VideoReaderImpl):
 
 @register_operator("readers.Video", "mixed")
 class VideoReaderMixed(_VideoReaderImpl):
-    """device='mixed': sequences land on the device side (padded [F,H,W,C])."""
+    """device='mixed': sequences land on the device side (padded [F,H,W,C]).
+
+    Fast path (``stage_batch_multi``): for 4:2:0 sources the frames cross
+    the host→device boundary as flat-packed PLANAR YUV (1.5 B/px vs RGB24's
+    3 — half the wire) and the chroma upsample + integer BT.601 conversion
+    run on the device (executor._yuv420_boundary), bit-identical to the cpu
+    reader's own host conversion (video_decode.cc yuv420_frame_to_rgb).
+    Mirrors the reference's NVDEC split: decode emits YUV, color conversion
+    is GPU work (dali/operators/video/color_space_conversion_impl.h).
+    Falls back to dense RGB staging for non-4:2:0 corpora, channels=1,
+    float/normalized outputs, and pad_mode none/constant."""
+
+    def _read_planes_into(self, index, y_out, u_out, v_out):
+        """Decode one sample's planes straight into its flat wire slices;
+        returns (label, frame_idxs, file_idx). Mirrors _read_payload's
+        sequence-assembly semantics (range limits, EOF padding, uniform
+        sampling) in YUV space — padding replicates whole frames, which
+        commutes with the per-pixel color conversion."""
+        fi, start, label = self._sequences[index]
+        spec = self.spec
+        L = spec.GetArgument("sequence_length")
+        stride = spec.GetArgument("stride", 1)
+        h_, w_ = self._dims[fi]
+        ch, cw = (h_ + 1) // 2, (w_ + 1) // 2
+        fy, fc = h_ * w_, ch * cw
+        hnd = self._handle(fi)
+        y3 = y_out.reshape(L, h_, w_)
+        u3 = u_out.reshape(L, ch, cw)
+        v3 = v_out.reshape(L, ch, cw)
+        if spec.GetArgument("uniform_sample", False):
+            lo, hi = self._spans[fi]
+            t = (np.arange(L) / (L - 1)) if L > 1 else np.zeros(1)
+            idxs = lo + np.floor(t * (hi - lo - 1) + 0.5).astype(np.int64)
+            with hnd._lock:
+                ty, tu, tv, _ = hnd.read_yuv(lo, hi - lo, 1)
+            y3[:] = ty[idxs - lo]
+            u3[:] = tu[idxs - lo]
+            v3[:] = tv[idxs - lo]
+            return label, idxs, fi
+        hi = self._limits.get(fi)
+        want = L
+        if hi is not None:
+            want = max(min(L, -(-(hi - start) // stride)), 0)
+        pad_native = spec.GetArgument("pad_mode", None) is None and want == L
+        with hnd._lock:
+            _, _, _, got = hnd.read_yuv(
+                start, want, stride, pad=pad_native,
+                out=(y_out[: want * fy], u_out[: want * fc], v_out[: want * fc]))
+        got_frames = want if pad_native else got
+        frame_idxs = start + np.arange(L, dtype=np.int64) * stride
+        if got_frames < L:
+            mode = spec.GetArgument("pad_mode", None) or "edge"
+            src = pad_indices(got_frames, L, mode)
+            y3[got_frames:] = y3[src]
+            u3[got_frames:] = u3[src]
+            v3[got_frames:] = v3[src]
+            if got_frames > 0:
+                frame_idxs[got_frames:] = np.where(
+                    src >= 0, frame_idxs[np.maximum(src, 0)], -1)
+        return label, frame_idxs, fi
+
+    def stage_batch_multi(self, ctx, ins, canvases):
+        from ..types import DALIDataType
+
+        spec = self.spec
+        dt = spec.GetArgument("dtype", None)
+        if (spec.GetArgument("channels", 3) != 3
+                or spec.GetArgument("normalized", False)
+                or (dt is not None and int(dt) != int(DALIDataType.UINT8))
+                or spec.GetArgument("pad_mode", None) in ("none", "constant")):
+            return None
+        # NB: all fallback decisions happen BEFORE consuming loader indices —
+        # a bail-out after read_index() would skip samples.
+        self._build_index()
+        pix = set(self._pix.values())
+        if len(pix) != 1 or 0 in pix:
+            return None  # non-4:2:0 (or mixed-format) corpus: dense RGB path
+        full_range = pix.pop() == 2
+        self._ensure_loader()
+        L = spec.GetArgument("sequence_length")
+        indices = [self._loader.read_index() for _ in range(ctx.batch_size)]
+        n = len(indices)
+        shapes = np.empty((n, 4), np.int64)
+        yoffs = np.zeros(n, np.int64)
+        coffs = np.zeros(n, np.int64)
+        ytot = ctot = 0
+        for i, idx in enumerate(indices):
+            fi = self._sequences[idx][0]
+            h_, w_ = self._dims[fi]
+            shapes[i] = (L, h_, w_, 3)
+            yoffs[i], coffs[i] = ytot, ctot
+            ytot += L * h_ * w_
+            ctot += L * ((h_ + 1) // 2) * ((w_ + 1) // 2)
+        ybuf = np.empty(ytot, np.uint8)
+        ubuf = np.empty(ctot, np.uint8)
+        vbuf = np.empty(ctot, np.uint8)
+
+        def read_one(i):
+            idx = indices[i]
+            fi = self._sequences[idx][0]
+            h_, w_ = self._dims[fi]
+            fy = L * h_ * w_
+            fc = L * ((h_ + 1) // 2) * ((w_ + 1) // 2)
+            return self._read_planes_into(
+                idx, ybuf[yoffs[i]: yoffs[i] + fy],
+                ubuf[coffs[i]: coffs[i] + fc], vbuf[coffs[i]: coffs[i] + fc])
+
+        results = ctx.map_samples(read_one, n)
+        prev = canvases[0] or [0, 0, 0]
+        canvas = [max(int(prev[d]), int(shapes[:, d].max())) for d in range(3)]
+        from ..executor import _YUVStaged
+
+        outs = [_YUVStaged(ybuf, ubuf, vbuf,
+                           np.stack([yoffs, coffs]).astype(np.int32),
+                           shapes, canvas, full_range)]
+        if self._has_labels():
+            outs.append(HostBatch([np.array([r[0]], np.int32) for r in results]))
+        if spec.GetArgument("enable_frame_num", False):
+            outs.append(HostBatch(
+                [np.array([int(r[1][0])], np.int32) for r in results]))
+        if spec.GetArgument("enable_timestamps", False):
+            ts_samples = []
+            for r in results:
+                fps = self._fps.get(r[2], 25.0)
+                idxs = r[1]
+                ts_samples.append(
+                    np.where(idxs >= 0, idxs / fps, -1.0).astype(np.float64))
+            outs.append(HostBatch(ts_samples))
+        return outs
 
 
 # ================================ experimental.inputs.Video =======================================

@@ -152,6 +152,33 @@ class _Esc16Staged:
         self.layout = layout
 
 
+class _YUVStaged:
+    """A planar YUV 4:2:0 boundary batch (video mixed path): flat-packed
+    ``y``/``u``/``v`` plane buffers (zero padding bytes on the wire — 1.5
+    B/px vs RGB24's 3), per-sample element ``offsets`` [2, N] (row 0 = luma,
+    row 1 = chroma), ``shapes`` [N, 4] logical output dims (F, h, w, 3) with
+    chroma dims derived as ceil(h/2) x ceil(w/2), and the luma ``canvas``
+    (F, H, W). The device program rebuilds the padded planes, upsamples
+    chroma nearest-neighbor and applies the integer BT.601 matrix
+    (``full_range`` selects the limited/full variant) — arithmetic identical
+    to the host cpu path (video_decode.cc yuv420_frame_to_rgb), so cpu and
+    mixed video outputs stay bit-equal. Reconstruction: ``_yuv420_boundary``."""
+
+    __slots__ = ("y", "u", "v", "offsets", "shapes", "canvas", "full_range",
+                 "layout")
+
+    def __init__(self, y, u, v, offsets, shapes, canvas, full_range,
+                 layout="FHWC"):
+        self.y = y
+        self.u = u
+        self.v = v
+        self.offsets = np.asarray(offsets, np.int32)
+        self.shapes = shapes
+        self.canvas = tuple(int(c) for c in canvas)
+        self.full_range = bool(full_range)
+        self.layout = layout
+
+
 class SamplePool:
     """Per-sample worker pool (analogue of the reference thread pool,
     ``dali/pipeline/util/thread_pool.h:40``)."""
@@ -557,7 +584,7 @@ class Executor:
                         k = (node.id, j)
                         if isinstance(item, HostBatch):
                             env[k] = item
-                        elif isinstance(item, (_FlatStaged, _SparseStaged, _Esc16Staged)):
+                        elif isinstance(item, (_FlatStaged, _SparseStaged, _Esc16Staged, _YUVStaged)):
                             self._canvas[k] = list(item.canvas)
                             env[k] = item
                         else:
@@ -619,6 +646,15 @@ class Executor:
                 ragged_flags.append(True)
                 boundary_layouts.append(hb.layout)
                 flat_meta.append(("esc16",) + hb.canvas)
+                flat_offsets.append(hb.offsets)
+                continue
+            if isinstance(hb, _YUVStaged):
+                padded_arrays.append((hb.y, hb.u, hb.v))
+                shape_arrays.append(hb.shapes)
+                ragged_flags.append(True)
+                boundary_layouts.append(hb.layout)
+                flat_meta.append(("yuv420", 1 if hb.full_range else 0)
+                                 + hb.canvas)
                 flat_offsets.append(hb.offsets)
                 continue
             flat_meta.append(None)
@@ -917,6 +953,15 @@ class Executor:
                             jnp, flat16, flat_offs[fo], shapes[i], flat_meta[i][1:]
                         )
                         fo += 1
+                    elif kind == "yuv420":
+                        yb = _cat(padded[i][0])
+                        ub = _cat(padded[i][1])
+                        vb = _cat(padded[i][2])
+                        data = _yuv420_boundary(
+                            jnp, yb, ub, vb, flat_offs[fo], shapes[i],
+                            flat_meta[i][2:], bool(flat_meta[i][1])
+                        )
+                        fo += 1
                     else:
                         data = _cat(padded[i])
                         if flat_meta[i] is not None:
@@ -1031,6 +1076,55 @@ def _unflatten_boundary(jnp, flat, offsets, shapes, canvas):
         valid = v if valid is None else (valid & v)
     out = jnp.take(flat, jnp.clip(idx, 0, flat.shape[0] - 1))
     return jnp.where(valid, out, jnp.zeros((), flat.dtype))
+
+
+def _yuv420_boundary(jnp, y, u, v, offsets, shapes, canvas, full_range):
+    """Rebuild padded RGB frames from the planar YUV 4:2:0 wire (_YUVStaged).
+
+    y/u/v: flat uint8 plane buffers; offsets [2, N] (luma / chroma element
+    offsets); shapes [N, 4] logical (F, h, w, 3); canvas (F, H, W) luma
+    canvas. Chroma upsampling is nearest-neighbor (pixel x reads chroma
+    x//2) and the BT.601 matrix is the same integer arithmetic as the host
+    cpu path (video_decode.cc yuv420_frame_to_rgb) — cpu and mixed video
+    decode are bit-equal by construction; reference analogue:
+    dali/operators/video/color_space_conversion_impl.h (NVDEC YUV→RGB on
+    device)."""
+    F, H, W = (int(c) for c in canvas)
+    ch, cw = (H + 1) // 2, (W + 1) // 2
+    yshapes = shapes[:, :3]
+    yp = _unflatten_boundary(jnp, y, offsets[0], yshapes, (F, H, W))
+    cshapes = jnp.stack(
+        [yshapes[:, 0], (yshapes[:, 1] + 1) // 2, (yshapes[:, 2] + 1) // 2],
+        axis=1)
+    up = _unflatten_boundary(jnp, u, offsets[1], cshapes, (F, ch, cw))
+    vp = _unflatten_boundary(jnp, v, offsets[1], cshapes, (F, ch, cw))
+    u2 = jnp.repeat(up, 2, axis=2)[:, :, :H].repeat(2, axis=3)[..., :W]
+    v2 = jnp.repeat(vp, 2, axis=2)[:, :, :H].repeat(2, axis=3)[..., :W]
+    D = u2.astype(jnp.int32) - 128
+    E = v2.astype(jnp.int32) - 128
+    if full_range:
+        Y = 256 * yp.astype(jnp.int32)
+        r = (Y + 359 * E + 128) >> 8
+        g = (Y - 88 * D - 183 * E + 128) >> 8
+        b = (Y + 454 * D + 128) >> 8
+    else:
+        C = 298 * (yp.astype(jnp.int32) - 16)
+        r = (C + 409 * E + 128) >> 8
+        g = (C - 100 * D - 208 * E + 128) >> 8
+        b = (C + 516 * D + 128) >> 8
+    rgb = jnp.clip(jnp.stack([r, g, b], axis=-1), 0, 255).astype(jnp.uint8)
+    # zero the padding (the dense RGB staging pads with fill=0; converted
+    # zero-YUV padding would otherwise read as green)
+    import jax
+
+    n = yshapes.shape[0]
+    bshape = (n, 1, 1, 1)
+    valid = None
+    for d in range(3):
+        coord = jax.lax.broadcasted_iota(jnp.int32, (n, F, H, W), d + 1)
+        vmask = coord < yshapes[:, d].astype(jnp.int32).reshape(bshape)
+        valid = vmask if valid is None else (valid & vmask)
+    return jnp.where(valid[..., None], rgb, jnp.zeros((), jnp.uint8))
 
 
 def _decode_nib_stream(jnp, nibs, esc):

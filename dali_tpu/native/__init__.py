@@ -181,6 +181,13 @@ def _load_locked_inner():
             ]
             lib.dali_tpu_video_close.restype = None
             lib.dali_tpu_video_close.argtypes = [ctypes.c_void_p]
+            lib.dali_tpu_video_pixfmt_class.restype = ctypes.c_int
+            lib.dali_tpu_video_pixfmt_class.argtypes = [ctypes.c_void_p]
+            lib.dali_tpu_video_read_frames_yuv.restype = ctypes.c_int
+            lib.dali_tpu_video_read_frames_yuv.argtypes = [
+                ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ]
             lib._has_video = True
         except AttributeError:
             lib._has_video = False
@@ -396,6 +403,9 @@ class VideoFile:
         self.height = hh.value
         self.num_frames = nf.value
         self.fps = fps.value
+        # 0 = not 4:2:0 (RGB read only); 1 = 4:2:0 limited; 2 = 4:2:0 full
+        self.pixfmt_class = int(lib.dali_tpu_video_pixfmt_class(self._h)) \
+            if hasattr(lib, "dali_tpu_video_pixfmt_class") else 0
 
     def read(self, start: int, count: int, stride: int = 1,
              pad: bool = True) -> np.ndarray:
@@ -412,6 +422,47 @@ class VideoFile:
                 return np.ascontiguousarray(out[:got])
             out[got:] = out[got - 1]  # pad with last frame at EOF
         return out
+
+    def read_yuv(self, start: int, count: int, stride: int = 1,
+                 pad: bool = True, out=None):
+        """Read ``count`` frames as PLANAR YUV 4:2:0 — the host half of the
+        planar video wire (chroma upsample + BT.601 run on the device;
+        executor.py "yuv420" boundary). Requires ``pixfmt_class != 0``.
+
+        ``out`` may carry preallocated ``(y, u, v)`` uint8 buffers of at
+        least ``count*h*w`` / ``count*ceil(h/2)*ceil(w/2)`` elements (e.g.
+        slices of a flat wire buffer) to decode straight into the wire with
+        zero extra copies. Returns ``(y, u, v, got)`` with the planes shaped
+        [count, ...] (or flat when ``out`` was given) and ``got`` the number
+        of real (non-padded) frames."""
+        if self.pixfmt_class == 0:
+            raise RuntimeError("read_yuv requires a 4:2:0 source")
+        h_, w_ = self.height, self.width
+        ch, cw = (h_ + 1) // 2, (w_ + 1) // 2
+        if out is None:
+            y = np.empty((count, h_, w_), np.uint8)
+            u = np.empty((count, ch, cw), np.uint8)
+            v = np.empty((count, ch, cw), np.uint8)
+        else:
+            y, u, v = out
+        got = self._lib.dali_tpu_video_read_frames_yuv(
+            self._h, start, count, stride,
+            y.ctypes.data_as(ctypes.c_void_p),
+            u.ctypes.data_as(ctypes.c_void_p),
+            v.ctypes.data_as(ctypes.c_void_p),
+        )
+        if got < count:
+            if got <= 0:
+                raise ValueError(f"Failed to read frames [{start}, +{count})")
+            if pad:  # repeat the last decoded frame at EOF
+                fy, fu, fv = h_ * w_, ch * cw, ch * cw
+                yf = y.reshape(-1)[: count * fy].reshape(count, fy)
+                uf = u.reshape(-1)[: count * fu].reshape(count, fu)
+                vf = v.reshape(-1)[: count * fv].reshape(count, fv)
+                yf[got:] = yf[got - 1]
+                uf[got:] = uf[got - 1]
+                vf[got:] = vf[got - 1]
+        return y, u, v, got
 
     def close(self):
         if self._h:

@@ -4,7 +4,18 @@
 // frames_decoder_base.cc: FFmpeg demux; CPU libavcodec decode — there is no
 // NVDEC analogue on TPU hosts, SURVEY §2.4 "Video"). Provides frame-accurate
 // sequence reads: seek to the nearest keyframe before the target and decode
-// forward, converting to RGB24 with swscale.
+// forward.
+//
+// Color conversion contract (round 4): for 4:2:0 sources (the overwhelming
+// H.264/MPEG-4 case) the YUV→RGB conversion is the framework's OWN integer
+// BT.601 formula (below) with nearest-neighbor chroma upsampling — the exact
+// same arithmetic the device program applies when planar YUV ships over the
+// wire (executor.py "yuv420" boundary), so cpu and mixed outputs are
+// bit-identical. swscale is only used for non-420 pixel formats. This mirrors
+// the reference's split: NVDEC emits YUV and DALI converts on the GPU
+// (dali/operators/video/color_space_conversion_impl.h), while its CPU path
+// converts in libavfilter — the two backends there differ by filtering; here
+// they are bit-equal by construction (documented in docs/compatibility.md).
 
 extern "C" {
 #include <libavcodec/avcodec.h>
@@ -38,6 +49,53 @@ int64_t pts_to_frame(VideoHandle* v, int64_t pts) {
   double sec = (pts - (st->start_time == AV_NOPTS_VALUE ? 0 : st->start_time)) *
                av_q2d(st->time_base);
   return (int64_t)(sec * v->fps + 0.5);
+}
+
+// Pixel-format class: 0 = not 4:2:0 (swscale RGB path), 1 = 4:2:0 limited
+// range, 2 = 4:2:0 full range (yuvj420p / JPEG-range flag).
+int pixfmt_class(const VideoHandle* v) {
+  AVPixelFormat f = v->codec->pix_fmt;
+  bool full = v->codec->color_range == AVCOL_RANGE_JPEG;
+  if (f == AV_PIX_FMT_YUV420P) return full ? 2 : 1;
+  if (f == AV_PIX_FMT_YUVJ420P) return 2;
+  return 0;
+}
+
+inline unsigned char clamp255(int x) {
+  return (unsigned char)(x < 0 ? 0 : (x > 255 ? 255 : x));
+}
+
+// The framework's own integer BT.601 YUV→RGB with nearest chroma upsampling.
+// MUST stay arithmetically identical to the device lowering
+// (executor.py _yuv420_to_rgb): limited range
+//   R = (298·(Y−16) + 409·(V−128) + 128) >> 8   (and G/B analogues),
+// full range
+//   R = (256·Y + 359·(V−128) + 128) >> 8        (and G/B analogues).
+void yuv420_frame_to_rgb(const AVFrame* f, int w, int h, bool full,
+                         unsigned char* dst) {
+  for (int y = 0; y < h; y++) {
+    const uint8_t* yp = f->data[0] + (long)y * f->linesize[0];
+    const uint8_t* up = f->data[1] + (long)(y >> 1) * f->linesize[1];
+    const uint8_t* vp = f->data[2] + (long)(y >> 1) * f->linesize[2];
+    unsigned char* d = dst + (long)y * w * 3;
+    if (full) {
+      for (int x = 0; x < w; x++) {
+        int Y = 256 * yp[x];
+        int D = up[x >> 1] - 128, E = vp[x >> 1] - 128;
+        d[3 * x + 0] = clamp255((Y + 359 * E + 128) >> 8);
+        d[3 * x + 1] = clamp255((Y - 88 * D - 183 * E + 128) >> 8);
+        d[3 * x + 2] = clamp255((Y + 454 * D + 128) >> 8);
+      }
+    } else {
+      for (int x = 0; x < w; x++) {
+        int C = 298 * (yp[x] - 16);
+        int D = up[x >> 1] - 128, E = vp[x >> 1] - 128;
+        d[3 * x + 0] = clamp255((C + 409 * E + 128) >> 8);
+        d[3 * x + 1] = clamp255((C - 100 * D - 208 * E + 128) >> 8);
+        d[3 * x + 2] = clamp255((C + 516 * D + 128) >> 8);
+      }
+    }
+  }
 }
 
 }  // namespace
@@ -167,9 +225,66 @@ int dali_tpu_video_read_frames(void* handle, long start, int count, int stride,
     if (idx < 0) return got > 0 ? got : -1;
     if (idx >= target) {
       unsigned char* dst = out + (long)got * v->height * row_bytes;
-      uint8_t* planes[1] = {dst};
-      int strides[1] = {(int)row_bytes};
-      sws_scale(v->sws, v->frame->data, v->frame->linesize, 0, v->height, planes, strides);
+      int pc = pixfmt_class(v);
+      if (pc != 0 && v->frame->format == v->codec->pix_fmt) {
+        yuv420_frame_to_rgb(v->frame, v->width, v->height, pc == 2, dst);
+      } else {
+        uint8_t* planes[1] = {dst};
+        int strides[1] = {(int)row_bytes};
+        sws_scale(v->sws, v->frame->data, v->frame->linesize, 0, v->height, planes, strides);
+      }
+      got++;
+      target += stride;
+    }
+  }
+  return got;
+}
+
+// 0 = not 4:2:0 (callers must use the RGB read), 1 = 4:2:0 limited range,
+// 2 = 4:2:0 full range.
+int dali_tpu_video_pixfmt_class(void* handle) {
+  auto* v = static_cast<VideoHandle*>(handle);
+  if (!v) return 0;
+  return pixfmt_class(v);
+}
+
+// Read `count` frames starting at `start`, spaced by `stride`, as PLANAR
+// YUV 4:2:0: y is count*h*w bytes, u and v are count*ceil(h/2)*ceil(w/2)
+// bytes each. Only valid when dali_tpu_video_pixfmt_class != 0. This is the
+// host half of the planar video wire: chroma upsample + BT.601 happen on
+// the device (executor.py "yuv420" boundary), halving wire bytes vs RGB24.
+int dali_tpu_video_read_frames_yuv(void* handle, long start, int count,
+                                   int stride, unsigned char* out_y,
+                                   unsigned char* out_u, unsigned char* out_v) {
+  auto* v = static_cast<VideoHandle*>(handle);
+  if (!v || pixfmt_class(v) == 0) return -1;
+  long target = start;
+  int got = 0;
+  if (target < v->next_frame || target > v->next_frame + 64) {
+    AVStream* st = v->fmt->streams[v->stream_idx];
+    int64_t ts = (int64_t)(target / v->fps / av_q2d(st->time_base)) +
+                 (st->start_time == AV_NOPTS_VALUE ? 0 : st->start_time);
+    if (av_seek_frame(v->fmt, v->stream_idx, ts, AVSEEK_FLAG_BACKWARD) >= 0) {
+      avcodec_flush_buffers(v->codec);
+      v->next_frame = -1;
+    }
+  }
+  const int w = v->width, h = v->height;
+  const int cw = (w + 1) / 2, ch = (h + 1) / 2;
+  while (got < count) {
+    int64_t idx = decode_next(v);
+    if (idx < 0) return got > 0 ? got : -1;
+    if (idx >= target) {
+      if (v->frame->format != v->codec->pix_fmt) return got > 0 ? got : -1;
+      unsigned char* dy = out_y + (long)got * h * w;
+      unsigned char* du = out_u + (long)got * ch * cw;
+      unsigned char* dv = out_v + (long)got * ch * cw;
+      for (int y = 0; y < h; y++)
+        std::memcpy(dy + (long)y * w, v->frame->data[0] + (long)y * v->frame->linesize[0], w);
+      for (int y = 0; y < ch; y++) {
+        std::memcpy(du + (long)y * cw, v->frame->data[1] + (long)y * v->frame->linesize[1], cw);
+        std::memcpy(dv + (long)y * cw, v->frame->data[2] + (long)y * v->frame->linesize[2], cw);
+      }
       got++;
       target += stride;
     }

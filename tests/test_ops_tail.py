@@ -192,12 +192,12 @@ def test_perf_gate_threshold_logic(tmp_path):
     import sys
 
     repo = os.path.join(os.path.dirname(__file__), "..")
+    with open(os.path.join(repo, "qa", "thresholds.json")) as f:
+        gated_metrics = list(_json.load(f))
     good = tmp_path / "good.txt"
-    good.write_text(
-        _json.dumps({"metric": "imagenet_jpeg_to_train_ready_images_per_sec_per_chip",
-                     "value": 99999, "unit": "images/s", "vs_baseline": 1}) + "\n"
-        + _json.dumps({"metric": "librispeech_mel_frontend_clips_per_sec",
-                       "value": 99999, "unit": "clips/s", "vs_baseline": 1}) + "\n")
+    good.write_text("".join(
+        _json.dumps({"metric": m, "value": 99999, "unit": "x/s",
+                     "vs_baseline": 1}) + "\n" for m in gated_metrics))
     bad = tmp_path / "bad.txt"
     bad.write_text(
         _json.dumps({"metric": "imagenet_jpeg_to_train_ready_images_per_sec_per_chip",

@@ -1,0 +1,173 @@
+"""Planar YUV 4:2:0 video wire (round 4): readers.video device='mixed' ships
+flat-packed Y/U/V planes (half the RGB24 wire) and converts on the device
+with the SAME integer BT.601 arithmetic as the cpu reader's own host
+conversion (video_decode.cc yuv420_frame_to_rgb == executor._yuv420_boundary)
+— so cpu and mixed decode are bit-identical by construction.
+
+Reference analogue: NVDEC emits YUV and DALI converts on the GPU
+(dali/operators/video/color_space_conversion_impl.h)."""
+
+import numpy as np
+import pytest
+
+import dali_tpu.fn as fn
+from dali_tpu.pipeline import pipeline_def
+
+from .test_utils import to_samples
+
+cv2 = pytest.importorskip("cv2")
+
+
+def _write_video(path, num_frames=12, w=64, h=48, fps=25, seed=0):
+    rng = np.random.default_rng(seed)
+    wr = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    assert wr.isOpened()
+    base = rng.integers(0, 256, (h, w * 3, 3), np.uint8)
+    for i in range(num_frames):
+        wr.write(np.ascontiguousarray(base[:, i : i + w]))
+    wr.release()
+    return str(path)
+
+
+def _pair(make_pipe):
+    """Build the same pipeline on cpu and mixed; assert bit-equal runs."""
+    pc, pm = make_pipe("cpu"), make_pipe("gpu")  # 'gpu' normalizes to mixed
+    pc.build()
+    pm.build()
+    return pc, pm
+
+
+def _assert_runs_equal(pc, pm, iters=3):
+    for it in range(iters):
+        outs_c, outs_m = pc.run(), pm.run()
+        for j, (oc, om) in enumerate(zip(outs_c, outs_m)):
+            sc, sm = to_samples(oc), to_samples(om)
+            assert len(sc) == len(sm)
+            for i, (a, b) in enumerate(zip(sc, sm)):
+                a, b = np.asarray(a), np.asarray(b)
+                assert a.shape == b.shape, (it, j, i, a.shape, b.shape)
+                if a.dtype.kind == "f" or b.dtype.kind == "f":
+                    # device floats are f32 (JAX x64 off) vs host f64 —
+                    # value parity, not dtype parity (pre-existing device
+                    # output contract, same as the dense RGB path)
+                    np.testing.assert_allclose(
+                        a.astype(np.float64), b.astype(np.float64),
+                        rtol=1e-6, err_msg=f"iter {it} out {j} sample {i}")
+                else:
+                    np.testing.assert_array_equal(
+                        a, b, err_msg=f"iter {it} out {j} sample {i}")
+
+
+def test_yuv_wire_bit_equal_ragged_shuffled(tmp_path):
+    a = _write_video(tmp_path / "a.mp4", w=64, h=48, seed=1)
+    b = _write_video(tmp_path / "b.mp4", w=80, h=56, seed=2)
+
+    def make(device):
+        @pipeline_def(batch_size=4, num_threads=2, seed=7)
+        def pipe():
+            f, lab = fn.readers.video(
+                filenames=[a, b], labels=[3, 9], sequence_length=4,
+                random_shuffle=True, device=device, name="v")
+            return f, lab
+        return pipe()
+
+    _assert_runs_equal(*_pair(make), iters=4)
+
+
+def test_yuv_wire_frame_num_timestamps_stride(tmp_path):
+    vid = _write_video(tmp_path / "v.mp4", num_frames=20, fps=10, seed=3)
+
+    def make(device):
+        @pipeline_def(batch_size=2, num_threads=1, seed=5)
+        def pipe():
+            f, fnum, ts = fn.readers.video(
+                filenames=[vid], sequence_length=3, stride=2, step=4,
+                enable_frame_num=True, enable_timestamps=True,
+                device=device, name="v")
+            return f, fnum, ts
+        return pipe()
+
+    _assert_runs_equal(*_pair(make), iters=3)
+
+
+def test_yuv_wire_padded_tail_reflect(tmp_path):
+    vid = _write_video(tmp_path / "v.mp4", num_frames=7, fps=10, seed=4)
+
+    def make(device):
+        @pipeline_def(batch_size=1, num_threads=1, seed=5)
+        def pipe():
+            return fn.readers.video(
+                filenames=[vid], sequence_length=4, step=4,
+                pad_mode="reflect_101", device=device, name="v")
+        return pipe()
+
+    _assert_runs_equal(*_pair(make), iters=2)  # second batch is the padded tail
+
+
+def test_yuv_wire_uniform_sample(tmp_path):
+    vid = _write_video(tmp_path / "v.mp4", num_frames=15, seed=5)
+
+    def make(device):
+        @pipeline_def(batch_size=1, num_threads=1, seed=5)
+        def pipe():
+            return fn.readers.video(
+                filenames=[vid], sequence_length=5, uniform_sample=True,
+                device=device, name="v")
+        return pipe()
+
+    _assert_runs_equal(*_pair(make), iters=1)
+
+
+def test_yuv_wire_fallback_paths_still_work(tmp_path):
+    """normalized / constant pad fall back to the dense RGB staging — both
+    must keep producing (values then follow the float conversion of the SAME
+    own-conversion RGB, so cpu/mixed still agree)."""
+    vid = _write_video(tmp_path / "v.mp4", num_frames=6, seed=6)
+
+    def make(device):
+        @pipeline_def(batch_size=1, num_threads=1, seed=5)
+        def pipe():
+            return fn.readers.video(
+                filenames=[vid], sequence_length=4, step=4, normalized=True,
+                pad_mode="constant", fill_value=[7], device=device, name="v")
+        return pipe()
+
+    pc, pm = _pair(make)
+    for _ in range(2):
+        (oc,), (om,) = pc.run(), pm.run()
+        for a, b in zip(to_samples(oc), to_samples(om)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_yuv_wire_matches_native_formula(tmp_path):
+    """The end-to-end mixed output equals a from-scratch numpy rendering of
+    the documented conversion contract (limited-range BT.601, nearest chroma
+    upsample) applied to the raw planes — an independent check that BOTH
+    paths implement the stated formula, not merely the same bug."""
+    from dali_tpu import native
+
+    vid = _write_video(tmp_path / "v.mp4", num_frames=4, w=64, h=48, seed=8)
+    vf = native.VideoFile(vid)
+    assert vf.pixfmt_class in (1, 2)
+    y, u, v, _ = vf.read_yuv(0, 2)
+    u2 = np.repeat(np.repeat(u, 2, 1), 2, 2)[:, : y.shape[1], : y.shape[2]].astype(np.int32) - 128
+    v2 = np.repeat(np.repeat(v, 2, 1), 2, 2)[:, : y.shape[1], : y.shape[2]].astype(np.int32) - 128
+    if vf.pixfmt_class == 2:
+        Y = 256 * y.astype(np.int32)
+        r, g, b = (Y + 359 * v2 + 128) >> 8, (Y - 88 * u2 - 183 * v2 + 128) >> 8, (Y + 454 * u2 + 128) >> 8
+    else:
+        C = 298 * (y.astype(np.int32) - 16)
+        r, g, b = (C + 409 * v2 + 128) >> 8, (C - 100 * u2 - 208 * v2 + 128) >> 8, (C + 516 * u2 + 128) >> 8
+    want = np.clip(np.stack([r, g, b], -1), 0, 255).astype(np.uint8)
+    vf.close()
+
+    @pipeline_def(batch_size=1, num_threads=1, seed=5)
+    def pipe():
+        return fn.readers.video(filenames=[vid], sequence_length=2,
+                                device="mixed", name="v")
+
+    p = pipe()
+    p.build()
+    (f,) = p.run()
+    got = np.asarray(to_samples(f)[0])
+    np.testing.assert_array_equal(got, want)
