@@ -590,4 +590,67 @@ class VideoInputCPU(_VideoInputImpl):
 @register_operator("experimental.inputs.Video", "mixed")
 class VideoInputMixed(_VideoInputImpl):
     """device='mixed' (reference video_input_mixed.cc): sequences cross the
-    boundary as padded device batches."""
+    boundary as padded device batches — for 4:2:0 sources as the planar YUV
+    wire (half the RGB bytes; device BT.601, bit-equal to the cpu path —
+    see VideoReaderMixed). 'pad' policy pads with YUV black (Y=16/0,
+    U=V=128), which the integer conversion maps to exactly RGB 0 — the same
+    bytes the cpu path's np.zeros padding produces."""
+
+    def stage_batch_multi(self, ctx, ins, canvases):
+        if self._vf is None:
+            self._open_next()
+        pix = getattr(self._vf, "pixfmt_class", 0)
+        if pix == 0:
+            return None  # non-4:2:0 feed: dense RGB staging path
+        full_range = pix == 2
+        L = self.spec.GetArgument("sequence_length")
+        h_, w_ = self._vf.height, self._vf.width
+        ch, cw = (h_ + 1) // 2, (w_ + 1) // 2
+        fy, fc = h_ * w_, ch * cw
+        # batch outline first (DetermineBatchOutline): sizes known up front
+        plan = []  # (start, take, emit) — emit = take, or L under 'pad'
+        pos = self._pos
+        for _ in range(ctx.batch_size):
+            remaining = self._vf.num_frames - pos
+            if remaining <= 0:
+                break
+            take = min(L, remaining)
+            emit = L if (take < L and self._policy == "pad") else take
+            plan.append((pos, take, emit))
+            pos += take
+        if not plan:
+            raise RuntimeError("inputs.video: fed video has no frames")
+        n = len(plan)
+        shapes = np.empty((n, 4), np.int64)
+        yoffs = np.zeros(n, np.int64)
+        coffs = np.zeros(n, np.int64)
+        ytot = ctot = 0
+        for i, (_, _, emit) in enumerate(plan):
+            shapes[i] = (emit, h_, w_, 3)
+            yoffs[i], coffs[i] = ytot, ctot
+            ytot += emit * fy
+            ctot += emit * fc
+        ybuf = np.empty(ytot, np.uint8)
+        ubuf = np.empty(ctot, np.uint8)
+        vbuf = np.empty(ctot, np.uint8)
+        for i, (start, take, emit) in enumerate(plan):
+            ys = ybuf[yoffs[i]: yoffs[i] + emit * fy]
+            us = ubuf[coffs[i]: coffs[i] + emit * fc]
+            vs = vbuf[coffs[i]: coffs[i] + emit * fc]
+            self._vf.read_yuv(start, take, 1, pad=False,
+                              out=(ys[: take * fy], us[: take * fc],
+                                   vs[: take * fc]))
+            if emit > take:  # 'pad' policy: YUV black == RGB zeros exactly
+                ys[take * fy:] = 0 if full_range else 16
+                us[take * fc:] = 128
+                vs[take * fc:] = 128
+        self._pos = pos
+        if self._pos >= self._vf.num_frames:
+            self._close_current()
+        prev = canvases[0] or [0, 0, 0]
+        canvas = [max(int(prev[d]), int(shapes[:, d].max())) for d in range(3)]
+        from ..executor import _YUVStaged
+
+        return [_YUVStaged(ybuf, ubuf, vbuf,
+                           np.stack([yoffs, coffs]).astype(np.int32),
+                           shapes, canvas, full_range)]

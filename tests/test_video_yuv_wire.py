@@ -171,3 +171,50 @@ def test_yuv_wire_matches_native_formula(tmp_path):
     (f,) = p.run()
     got = np.asarray(to_samples(f)[0])
     np.testing.assert_array_equal(got, want)
+
+
+def test_yuv_wire_inputs_video(tmp_path):
+    """Feed-driven inputs.video mixed rides the YUV wire too; the 'pad'
+    policy's zero frames survive bit-exactly (YUV black -> RGB 0)."""
+    vid = _write_video(tmp_path / "v.mp4", num_frames=10, seed=9)
+    blob = open(vid, "rb").read()
+
+    def make(device):
+        @pipeline_def(batch_size=2, num_threads=1, seed=1)
+        def pipe():
+            return fn.experimental.inputs.video(
+                sequence_length=4, name="vin", last_sequence_policy="pad",
+                device=device)
+        return pipe()
+
+    pc, pm = make("cpu"), make("mixed")
+    pc.build()
+    pm.build()
+    pc.feed_input("vin", blob)
+    pm.feed_input("vin", blob)
+    for _ in range(2):  # second batch holds the zero-padded tail
+        sc = to_samples(pc.run()[0])
+        sm = to_samples(pm.run()[0])
+        assert len(sc) == len(sm)
+        for a, b in zip(sc, sm):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # partial policy: ragged last sample
+    def make_partial(device):
+        @pipeline_def(batch_size=2, num_threads=1, seed=1)
+        def pipe():
+            return fn.experimental.inputs.video(
+                sequence_length=4, name="vin", last_sequence_policy="partial",
+                device=device)
+        return pipe()
+
+    pc2, pm2 = make_partial("cpu"), make_partial("mixed")
+    pc2.build()
+    pm2.build()
+    pc2.feed_input("vin", blob)
+    pm2.feed_input("vin", blob)
+    for _ in range(2):
+        sc = to_samples(pc2.run()[0])
+        sm = to_samples(pm2.run()[0])
+        for a, b in zip(sc, sm):
+            assert np.asarray(a).shape == np.asarray(b).shape
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
