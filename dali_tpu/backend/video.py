@@ -19,6 +19,22 @@ from .base import Operator
 from .readers import BaseReader
 
 
+def _wire_ring(op):
+    """Per-op YUV wire-buffer ring drawing from the host staging arena
+    (same lifetime policy as the hybrid decoder's _wire_ring: depth =
+    cpu_queue_depth + one being built + one in transfer; see
+    native.StagingRing safety contract). Avoids a fresh ~5-8 MiB np.empty
+    page-fault storm per batch and keeps staging pages mlock-pinned under
+    the async H2D writer."""
+    from .. import native
+
+    ring = getattr(op, "_ring", None)
+    depth = getattr(op.pipeline, "cpu_queue_depth", 2) + 2
+    if ring is None or ring.depth < depth:
+        ring = op._ring = native.StagingRing(depth)
+    return ring
+
+
 def pad_indices(got: int, want: int, mode: str) -> np.ndarray:
     """Source index per padded slot [got, want) (reference pad_mode
     semantics); -1 for constant padding."""
@@ -448,9 +464,10 @@ class VideoReaderMixed(_VideoReaderImpl):
             yoffs[i], coffs[i] = ytot, ctot
             ytot += L * h_ * w_
             ctot += L * ((h_ + 1) // 2) * ((w_ + 1) // 2)
-        ybuf = np.empty(ytot, np.uint8)
-        ubuf = np.empty(ctot, np.uint8)
-        vbuf = np.empty(ctot, np.uint8)
+        ring = _wire_ring(self)
+        ybuf = ring.take("video_y", ytot, np.uint8)
+        ubuf = ring.take("video_u", ctot, np.uint8)
+        vbuf = ring.take("video_v", ctot, np.uint8)
 
         def read_one(i):
             idx = indices[i]
@@ -630,9 +647,10 @@ class VideoInputMixed(_VideoInputImpl):
             yoffs[i], coffs[i] = ytot, ctot
             ytot += emit * fy
             ctot += emit * fc
-        ybuf = np.empty(ytot, np.uint8)
-        ubuf = np.empty(ctot, np.uint8)
-        vbuf = np.empty(ctot, np.uint8)
+        ring = _wire_ring(self)
+        ybuf = ring.take("video_y", ytot, np.uint8)
+        ubuf = ring.take("video_u", ctot, np.uint8)
+        vbuf = ring.take("video_v", ctot, np.uint8)
         for i, (start, take, emit) in enumerate(plan):
             ys = ybuf[yoffs[i]: yoffs[i] + emit * fy]
             us = ubuf[coffs[i]: coffs[i] + emit * fc]
