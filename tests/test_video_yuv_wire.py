@@ -173,6 +173,26 @@ def test_yuv_wire_matches_native_formula(tmp_path):
     np.testing.assert_array_equal(got, want)
 
 
+def test_yuv_wire_file_list_range_limit(tmp_path):
+    """file_list frame ranges clamp reads (want < L): the tail past the
+    range end must be PADDED, not read — on both wires, bit-equally."""
+    vid = _write_video(tmp_path / "v.mp4", num_frames=16, fps=10, seed=10)
+    fl = tmp_path / "list.txt"
+    fl.write_text(f"{vid} 5 2 10\n")  # label 5, frames [2, 10) under "frames"
+
+    def make(device):
+        @pipeline_def(batch_size=2, num_threads=1, seed=5)
+        def pipe():
+            f, lab = fn.readers.video(
+                file_list=str(fl), file_list_format="frames",
+                file_list_include_end=False, sequence_length=5, step=5,
+                device=device, name="v")
+            return f, lab
+        return pipe()
+
+    _assert_runs_equal(*_pair(make), iters=2)
+
+
 def test_yuv_wire_inputs_video(tmp_path):
     """Feed-driven inputs.video mixed rides the YUV wire too; the 'pad'
     policy's zero frames survive bit-exactly (YUV black -> RGB 0)."""
