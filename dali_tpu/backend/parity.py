@@ -182,6 +182,119 @@ class VideoDecoder(Operator):
             fv = self.spec.GetArgument("pad_value", 0.0)
         return pad_frames(frames, want, self.spec.GetArgument("pad_mode", "constant"), fv)
 
+    def stage_batch_multi(self, ctx, ins, canvases):
+        """Mixed fast path: 4:2:0 inputs cross the boundary as the planar
+        YUV wire (see backend/video.py VideoReaderMixed — half the RGB24
+        bytes, device BT.601, bit-equal to the cpu path). Zero 'constant'
+        padding maps exactly (YUV black → RGB 0); nonzero fills and
+        non-4:2:0 (or range-mixed) batches fall back to dense RGB staging.
+        Emit counts are computable from the header (num_frames), so the
+        wire offsets are sized before any decode."""
+        import os
+        import tempfile
+
+        import numpy as np
+
+        from ..native import VideoFile
+        from .video import _wire_ring, pad_indices
+
+        spec = self.spec
+        pad_mode = spec.GetArgument("pad_mode", "constant")
+        fv = spec.GetArgument("fill_value", None)
+        if fv is None:
+            fv = spec.GetArgument("pad_value", 0.0)
+        if pad_mode == "constant" and float(np.asarray(fv).reshape(-1)[0]) != 0.0:
+            return None
+        inp = ins[0]
+        n = len(inp.samples)
+        stride = spec.GetArgument("stride", 1)
+        vfs, paths, plans = [], [], []
+        try:
+            classes = set()
+            for idx in range(n):
+                f = tempfile.NamedTemporaryFile(suffix=".mp4", delete=False)
+                f.write(np.ascontiguousarray(inp.samples[idx]).tobytes())
+                f.close()
+                paths.append(f.name)
+                vf = VideoFile(f.name)
+                vfs.append(vf)
+                classes.add(vf.pixfmt_class)
+                start = int(np.asarray(ctx.arg(self, "start_frame", idx, 0)))
+                length = int(np.asarray(ctx.arg(self, "sequence_length", idx, 0)))
+                end = int(np.asarray(ctx.arg(self, "end_frame", idx, 0)))
+                if length <= 0 and end > 0:
+                    length = max((end - start + stride - 1) // stride, 1)
+                requested = length
+                if length <= 0:
+                    length = max((vf.num_frames - start + stride - 1) // stride, 1)
+                    requested = 0  # "all available": never pad
+                avail = max((vf.num_frames - start + stride - 1) // stride, 0)
+                got = min(length, avail)
+                if got <= 0:  # start past EOF: cpu path raises from read()
+                    raise ValueError(
+                        f"Failed to read frames [{start}, +{length})")
+                emit = got if (not requested or pad_mode == "none") else requested
+                plans.append((start, got, emit))
+            if len(classes) != 1 or 0 in classes:
+                return None  # non-4:2:0 / range-mixed batch: dense RGB path
+            full_range = classes.pop() == 2
+            shapes = np.empty((n, 4), np.int64)
+            yoffs = np.zeros(n, np.int64)
+            coffs = np.zeros(n, np.int64)
+            ytot = ctot = 0
+            for i, vf in enumerate(vfs):
+                h_, w_ = vf.height, vf.width
+                emit = plans[i][2]
+                shapes[i] = (emit, h_, w_, 3)
+                yoffs[i], coffs[i] = ytot, ctot
+                ytot += emit * h_ * w_
+                ctot += emit * ((h_ + 1) // 2) * ((w_ + 1) // 2)
+            ring = _wire_ring(self)
+            ybuf = ring.take("vdec_y", ytot, np.uint8)
+            ubuf = ring.take("vdec_u", ctot, np.uint8)
+            vbuf = ring.take("vdec_v", ctot, np.uint8)
+            for i, vf in enumerate(vfs):
+                start, got, emit = plans[i]
+                h_, w_ = vf.height, vf.width
+                ch, cw = (h_ + 1) // 2, (w_ + 1) // 2
+                fy, fc = h_ * w_, ch * cw
+                ys = ybuf[yoffs[i]: yoffs[i] + emit * fy]
+                us = ubuf[coffs[i]: coffs[i] + emit * fc]
+                vs = vbuf[coffs[i]: coffs[i] + emit * fc]
+                if got > 0:
+                    vf.read_yuv(start, got, stride, pad=False,
+                                out=(ys[: got * fy], us[: got * fc],
+                                     vs[: got * fc]))
+                if emit > got:
+                    if pad_mode == "constant":
+                        ys[got * fy:] = 0 if full_range else 16
+                        us[got * fc:] = 128
+                        vs[got * fc:] = 128
+                    else:  # frame replication commutes with the conversion
+                        src = pad_indices(got, emit, pad_mode)
+                        y3 = ys.reshape(emit, fy)
+                        u3 = us.reshape(emit, fc)
+                        v3 = vs.reshape(emit, fc)
+                        y3[got:] = y3[src]
+                        u3[got:] = u3[src]
+                        v3[got:] = v3[src]
+            from ..executor import _YUVStaged
+
+            prev = canvases[0] or [0, 0, 0]
+            canvas = [max(int(prev[d]), int(shapes[:, d].max()))
+                      for d in range(3)]
+            return [_YUVStaged(ybuf, ubuf, vbuf,
+                               np.stack([yoffs, coffs]).astype(np.int32),
+                               shapes, canvas, full_range)]
+        finally:
+            for vf in vfs:
+                vf.close()
+            for p in paths:
+                try:
+                    os.unlink(p)
+                except OSError:
+                    pass
+
     def output_layout(self, j, inputs):
         return "FHWC"
 

@@ -238,3 +238,37 @@ def test_yuv_wire_inputs_video(tmp_path):
         for a, b in zip(sc, sm):
             assert np.asarray(a).shape == np.asarray(b).shape
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_yuv_wire_decoders_video(tmp_path):
+    """decoders.Video mixed rides the YUV wire: whole-file decode, per-sample
+    tensor start/sequence_length, EOF padding — bit-equal to cpu."""
+    a = _write_video(tmp_path / "a.mp4", num_frames=8, w=64, h=48, seed=11)
+    b = _write_video(tmp_path / "b.mp4", num_frames=6, w=80, h=56, seed=12)
+    blobs = [np.frombuffer(open(p, "rb").read(), np.uint8) for p in (a, b)]
+
+    def make(device, **kw):
+        @pipeline_def(batch_size=2, num_threads=1, seed=5)
+        def pipe():
+            buf = fn.external_source(source=lambda: blobs, batch=True, cycle=True)
+            return fn.decoders.video(buf, device=device, **kw)
+        return pipe()
+
+    # whole-file decode (ragged F per sample)
+    for kw in (
+        {},
+        {"start_frame": 2, "sequence_length": 3},
+        {"sequence_length": 10, "pad_mode": "edge"},   # EOF padding
+        {"sequence_length": 10},                       # constant zero pad
+        {"sequence_length": 10, "pad_mode": "none"},   # short emit
+        {"start_frame": 1, "sequence_length": 3, "stride": 2},
+    ):
+        pc, pm = make("cpu", **kw), make("mixed", **kw)
+        pc.build()
+        pm.build()
+        sc = to_samples(pc.run()[0])
+        sm = to_samples(pm.run()[0])
+        for i, (x, y) in enumerate(zip(sc, sm)):
+            x, y = np.asarray(x), np.asarray(y)
+            assert x.shape == y.shape, (kw, i, x.shape, y.shape)
+            np.testing.assert_array_equal(x, y, err_msg=str((kw, i)))
