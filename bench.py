@@ -453,6 +453,69 @@ def ensure_video_dataset():
     return True
 
 
+def _wait_for_burst_credits(min_rate_mibs=300.0, probe_mib=8,
+                            max_wait_s=120, settle_s=10):
+    """Idle until a small H2D probe clears ``min_rate_mibs`` — i.e. the
+    tunnel's burst-credit bucket has refilled enough that the next timing
+    window measures the recovered regime, not the tail of the previous
+    lane's drain. Fixed sleeps under-recover when several wire-heavy lanes
+    run back-to-back: the in-suite video capture collapsed to 1,100
+    frames/s (vs 3,434 isolated) behind four draining lanes with plain 30 s
+    sleeps. Returns (probe_MiB/s, seconds_waited); gives up after
+    ``max_wait_s`` so a genuinely slow day still produces a number."""
+    import jax
+    import jax.numpy as jnp
+
+    # A bare device_put can ack before the bytes actually cross the tunnel
+    # (CLAUDE.md: acks are async) — a put-only probe reads "fast" while real
+    # work queues behind the deficit. Blocking on a COMPUTED scalar over the
+    # transferred buffer forces the wall clock to cover the transfer, the
+    # same way the lanes' block-on-output timings do.
+    reduce1 = jax.jit(lambda x: jnp.sum(x, dtype=jnp.int32))
+    buf = np.empty(probe_mib << 20, np.uint8)
+    reduce1(buf).block_until_ready()  # warm put path + compile (timing discarded)
+    waited = 0.0
+    while True:
+        t0 = time.perf_counter()
+        reduce1(buf).block_until_ready()
+        rate = probe_mib / max(time.perf_counter() - t0, 1e-9)
+        if rate >= min_rate_mibs or waited >= max_wait_s:
+            return rate, waited
+        time.sleep(settle_s)
+        waited += settle_s
+
+
+def _video_host_decode_rate():
+    """Host-only video decode rate (demux + codec decode + plane memcpy via
+    read_yuv, random sequence starts like the reader) — the part of the
+    video lane the FRAMEWORK controls, measured without the tunnel. This is
+    the lane's weather-immune regression gate: the e2e number below spans
+    284-3,434 frames/s for IDENTICAL code depending on the shared tunnel's
+    cumulative credit deficit, while this one is stable on one core."""
+    import glob
+
+    from dali_tpu import native
+
+    paths = sorted(glob.glob(os.path.join(VIDEO_DIR, "class0", "*.mp4")))[:4]
+    vfs = [native.VideoFile(p) for p in paths]
+    rng = np.random.default_rng(5)
+    for vf in vfs:  # warm page cache / codec
+        vf.read_yuv(0, VIDEO_SEQ, 1)
+    rates = []
+    for _ in range(5):
+        n = 0
+        t0 = time.perf_counter()
+        for _ in range(6):
+            for vf in vfs:
+                s = int(rng.integers(0, vf.num_frames - VIDEO_SEQ))
+                vf.read_yuv(s, VIDEO_SEQ, 1)
+                n += VIDEO_SEQ
+        rates.append(n / (time.perf_counter() - t0))
+    for vf in vfs:
+        vf.close()
+    return float(np.median(rates))
+
+
 def bench_video():
     """Video pipeline throughput in frames/s (VERDICT r3 #9; the reference
     carries video in its benchmark tiers, dali/benchmark/ video benches):
@@ -460,8 +523,10 @@ def bench_video():
     wire ships flat-packed PLANAR YUV 4:2:0 (1.5 B/px: 320x180x1.5 x 64
     frames/batch = ~5.3 MiB — HALF the r4a RGB24 wire) with the BT.601
     conversion on device (executor._yuv420_boundary); on this box the lane
-    is tunnel-bound, so the wire diet is the lever. FFmpeg decode
-    itemization lives in docs/performance.md."""
+    is tunnel-bound, so the wire diet is the lever and each pass waits for
+    an adaptive credit probe (not a fixed sleep — this lane runs LAST,
+    behind four draining lanes). FFmpeg decode itemization lives in
+    docs/performance.md."""
     from dali_tpu import fn, pipeline_def, types
 
     if not ensure_video_dataset():
@@ -480,6 +545,14 @@ def bench_video():
             mean=[0.45 * 255] * 3, std=[0.225 * 255] * 3)
         return frames, labels
 
+    host_fps = _video_host_decode_rate()
+    print(json.dumps({
+        "metric": "video_host_decode_frames_per_sec",
+        "value": round(host_fps, 1),
+        "unit": "frames/s (host demux+decode+plane memcpy, no tunnel)",
+        "vs_baseline": 0.0,
+    }), flush=True)
+
     pipe = vpipe()
     pipe.build()
     pipe._prefetch()
@@ -487,9 +560,10 @@ def bench_video():
         out = pipe.outputs()
         pipe.schedule_run()
         out[0].as_tensor().block_until_ready()
-    passes = []
+    passes, probes = [], []
     for _ in range(3):
-        time.sleep(30)  # burst-credit recovery (see bench_image docstring)
+        rate, waited = _wait_for_burst_credits()
+        probes.append([round(rate, 1), round(waited, 1)])
         times = []
         for _ in range(8):
             t0 = time.perf_counter()
@@ -506,6 +580,7 @@ def bench_video():
         "unit": "frames/s (320x180 mp4 -> 224x224 CMN)",
         "vs_baseline": 0.0,
         "passes": [round(p, 1) for p in passes],
+        "credit_probes_mibs_waited": probes,
         **extra,
     }), flush=True)
 
