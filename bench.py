@@ -454,7 +454,7 @@ def ensure_video_dataset():
 
 
 def _wait_for_burst_credits(min_rate_mibs=300.0, probe_mib=8,
-                            max_wait_s=120, settle_s=10):
+                            max_wait_s=180, settle_s=15):
     """Idle until a small H2D probe clears ``min_rate_mibs`` — i.e. the
     tunnel's burst-credit bucket has refilled enough that the next timing
     window measures the recovered regime, not the tail of the previous

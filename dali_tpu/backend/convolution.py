@@ -496,9 +496,15 @@ class FilterCPU(Operator):
         if self.spec.GetArgument("mode", "same") == "valid":
             # only windows fully inside the input (reference filter.cc mode):
             # anchor (0,0) puts out[y,x] at the window origin, then crop
+            oh = img.shape[0] - kernel.shape[0] + 1
+            ow = img.shape[1] - kernel.shape[1] + 1
+            if oh <= 0 or ow <= 0:
+                raise ValueError(
+                    f"filter mode='valid': kernel {tuple(kernel.shape)} does "
+                    f"not fit inside the input {img.shape[:2]} — no valid "
+                    "window exists")
             out = _filter2d_host(img, kernel, border, fill_v, 0, 0)
-            out = out[: img.shape[0] - kernel.shape[0] + 1,
-                      : img.shape[1] - kernel.shape[1] + 1]
+            out = out[:oh, :ow]
         else:
             out = _filter2d_host(img, kernel, border, fill_v, ay, ax)
         dt_arg = self.spec.GetArgument("dtype", None)

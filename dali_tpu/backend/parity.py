@@ -219,6 +219,10 @@ class VideoDecoder(Operator):
                 vf = VideoFile(f.name)
                 vfs.append(vf)
                 classes.add(vf.pixfmt_class)
+                if len(classes) != 1 or 0 in classes:
+                    # non-4:2:0 or range-mixed: bail BEFORE writing/opening
+                    # the rest — the dense RGB path redoes this work
+                    return None
                 start = int(np.asarray(ctx.arg(self, "start_frame", idx, 0)))
                 length = int(np.asarray(ctx.arg(self, "sequence_length", idx, 0)))
                 end = int(np.asarray(ctx.arg(self, "end_frame", idx, 0)))
@@ -233,10 +237,9 @@ class VideoDecoder(Operator):
                 if got <= 0:  # start past EOF: cpu path raises from read()
                     raise ValueError(
                         f"Failed to read frames [{start}, +{length})")
-                emit = got if (not requested or pad_mode == "none") else requested
-                plans.append((start, got, emit))
-            if len(classes) != 1 or 0 in classes:
-                return None  # non-4:2:0 / range-mixed batch: dense RGB path
+                shrink = not requested or pad_mode == "none"
+                emit = got if shrink else requested
+                plans.append((start, got, emit, shrink))
             full_range = classes.pop() == 2
             shapes = np.empty((n, 4), np.int64)
             yoffs = np.zeros(n, np.int64)
@@ -254,22 +257,26 @@ class VideoDecoder(Operator):
             ubuf = ring.take("vdec_u", ctot, np.uint8)
             vbuf = ring.take("vdec_v", ctot, np.uint8)
             for i, vf in enumerate(vfs):
-                start, got, emit = plans[i]
+                start, got, emit, shrink = plans[i]
                 h_, w_ = vf.height, vf.width
                 ch, cw = (h_ + 1) // 2, (w_ + 1) // 2
                 fy, fc = h_ * w_, ch * cw
                 ys = ybuf[yoffs[i]: yoffs[i] + emit * fy]
                 us = ubuf[coffs[i]: coffs[i] + emit * fc]
                 vs = vbuf[coffs[i]: coffs[i] + emit * fc]
-                if got > 0:
-                    vf.read_yuv(start, got, stride, pad=False,
-                                out=(ys[: got * fy], us[: got * fc],
-                                     vs[: got * fc]))
+                # num_frames can be a duration*fps ESTIMATE (video_decode.cc
+                # open path): trust the decoder's actual count, not the plan
+                _, _, _, got = vf.read_yuv(
+                    start, got, stride, pad=False,
+                    out=(ys[: got * fy], us[: got * fc], vs[: got * fc]))
+                if shrink:  # 'all available' / pad_mode none: emit what exists
+                    emit = got
+                    shapes[i, 0] = emit
                 if emit > got:
                     if pad_mode == "constant":
-                        ys[got * fy:] = 0 if full_range else 16
-                        us[got * fc:] = 128
-                        vs[got * fc:] = 128
+                        ys[got * fy: emit * fy] = 0 if full_range else 16
+                        us[got * fc: emit * fc] = 128
+                        vs[got * fc: emit * fc] = 128
                     else:  # frame replication commutes with the conversion
                         src = pad_indices(got, emit, pad_mode)
                         y3 = ys.reshape(emit, fy)

@@ -655,9 +655,11 @@ class VideoInputMixed(_VideoInputImpl):
             ys = ybuf[yoffs[i]: yoffs[i] + emit * fy]
             us = ubuf[coffs[i]: coffs[i] + emit * fc]
             vs = vbuf[coffs[i]: coffs[i] + emit * fc]
-            self._vf.read_yuv(start, take, 1, pad=False,
-                              out=(ys[: take * fy], us[: take * fc],
-                                   vs[: take * fc]))
+            # num_frames can be an estimate; pad=True repeats the last
+            # decoded frame on a short read — same as the cpu path's read()
+            self._vf.read_yuv(
+                start, take, 1, pad=True,
+                out=(ys[: take * fy], us[: take * fc], vs[: take * fc]))
             if emit > take:  # 'pad' policy: YUV black == RGB zeros exactly
                 ys[take * fy:] = 0 if full_range else 16
                 us[take * fc:] = 128

@@ -129,7 +129,12 @@ def _convert_dtype(img: np.ndarray, dtype) -> np.ndarray:
     np_t = dtype.np_dtype if hasattr(dtype, "np_dtype") else np.dtype(dtype)
     if img.dtype == np_t:
         return img
-    src_max = float(np.iinfo(img.dtype).max)  # decoders produce uint8/uint16
+    if np.issubdtype(img.dtype, np.floating):
+        # float sources (32-bit TIFF/EXR via IMREAD_ANYDEPTH) are already
+        # in the [0, 1] dynamic range by the convention below
+        src_max = 1.0
+    else:
+        src_max = float(np.iinfo(img.dtype).max)
     if np.issubdtype(np_t, np.floating):
         return (img.astype(np.float64) / src_max).astype(np_t)
     info = np.iinfo(np_t)

@@ -844,6 +844,11 @@ int decode_scan(const Parser& ps, const CompState* cs, const uint8_t* pend,
     if (!ix.on || m != (long long)ix.hdr->n_valid) return;
     const long long bp = ((p - buf0) << 3) - cnt;
     if (bp < 0 || bp > (long long)UINT32_MAX) return;
+    // next_rst is stored 16-bit; a file with >65535 restart markers (huge
+    // dims + tiny DRI) stops extending the index here rather than record a
+    // wrapped slot that idx_seek would jump through (togo <= ri <= 65535
+    // always fits: DRI is a 16-bit field)
+    if (next_rst > (size_t)UINT16_MAX) return;
     IdxEntry& E = ix.e[m];
     E.bitpos = (uint32_t)bp;
     E.pred[0] = pred0;

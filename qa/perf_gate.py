@@ -44,7 +44,7 @@ def collect_metrics(args):
         lines = open(args[args.index("--from") + 1]).read().splitlines()
     else:
         out = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
-                             capture_output=True, text=True, timeout=1800)
+                             capture_output=True, text=True, timeout=2700)
         if out.returncode != 0:
             print(out.stderr, file=sys.stderr)
             print("FAIL: bench.py crashed")

@@ -110,3 +110,30 @@ def test_hybrid_rejects_dtype_conversion():
                                      hybrid_device_decode=True,
                                      dtype=types.DALIDataType.UINT16)
         pipe().build()
+
+
+def test_float_tiff_source_converts_by_unit_range():
+    """Float-typed sources (32-bit TIFF via IMREAD_ANYDEPTH) carry a [0, 1]
+    dynamic range: uint8 targets scale by 255, float targets pass through —
+    np.iinfo must not be called on the float source dtype (review r4)."""
+    import cv2
+
+    from dali_tpu import imgcodec, types
+
+    rng = np.random.default_rng(3)
+    f32 = rng.random((16, 20, 3)).astype(np.float32)
+    ok, _ = True, None
+    ok = cv2.imwrite("/tmp/dali_tpu_f32.tiff", f32)
+    if not ok:
+        import pytest
+
+        pytest.skip("cv2 cannot write float TIFF here")
+    data = open("/tmp/dali_tpu_f32.tiff", "rb").read()
+    u8 = imgcodec.decode(data)  # default UINT8 target
+    assert u8.dtype == np.uint8
+    # cv2 loads BGR; imgcodec converts to RGB
+    want = np.clip(np.round(f32[..., ::-1].astype(np.float64) * 255), 0, 255)
+    np.testing.assert_array_equal(u8, want.astype(np.uint8))
+    f = imgcodec.decode(data, dtype=types.FLOAT)
+    assert f.dtype == np.float32
+    np.testing.assert_allclose(f, f32[..., ::-1], rtol=1e-6)

@@ -199,3 +199,26 @@ def test_pipeline_halo_ab_bit_identical(tmp_path, scale):
                               scale=scale)
     for a, b in zip(tight, full):
         np.testing.assert_array_equal(a, b)
+
+
+def test_idx_restart_slot_overflow_guard():
+    """Files with more restart markers than the 16-bit IdxEntry.next_rst can
+    address (DRI=1 on a >65535-MCU image) must stop EXTENDING the index
+    rather than record wrapped slots — warm decodes stay bit-identical, the
+    entries past the 16-bit frontier just aren't cached."""
+    data = _encode(4112, 4096, seed=3, q=20, dri=1)  # 257x256 = 65792 MCUs
+    bh_full, bw_full = 4112 // 8, 4096 // 8
+    mx, my = -(-bw_full // 2), -(-bh_full // 2)
+    idx = np.zeros(native.decode_idx_blob_bytes(mx, my), np.uint8)
+    # a deep window forces decoding (and index-recording) past MCU 65535
+    win = (8, 8, 4, 4, bh_full - 10, 8, (bh_full - 10) // 2, 4)
+    ref = _pack_decode(data, win)
+    for _ in range(2):  # cold fill, then warm seek
+        got = _pack_decode(data, win, idx=idx)
+        for a, b in zip(ref, got):
+            np.testing.assert_array_equal(a, b)
+    # entry m records next_rst BEFORE consuming MCU m's restart, so entry
+    # 65536 still holds slot 65535 (the last addressable one); the frontier
+    # must stop there instead of covering all 65792+1 MCU entries
+    n_valid = int(idx[12:16].view(np.uint32)[0])
+    assert 0 < n_valid <= 65537

@@ -222,3 +222,22 @@ def test_fn_filter_valid_mode_shape_and_values():
                         borderType=cv2.BORDER_REFLECT_101)[1:-1, 2:-2]
     dt = np.abs(got.astype(np.float32) - np.clip(np.round(want), 0, 255))
     assert dt.max() <= 1
+
+
+def test_fn_filter_valid_mode_kernel_too_big_errors():
+    """mode='valid' with a kernel that doesn't fit inside the input has no
+    valid window: the op must error loudly, not emit a negative-slice crop
+    of border math (review r4)."""
+    img = _img(4, 4, 3, 12)
+    kern = np.ones((6, 6), np.float32) / 36.0
+
+    @pipeline_def(batch_size=1, num_threads=1, seed=0)
+    def p():
+        x = fn.external_source(source=lambda: [img], batch=True, layout="HWC")
+        k = fn.external_source(source=lambda: [kern], batch=True)
+        return fn.experimental.filter(x, k, mode="valid")
+
+    pipe = p()
+    pipe.build()
+    with pytest.raises(Exception, match="does not fit"):
+        pipe.run()

@@ -281,8 +281,13 @@ int main(int argc, char** argv) {
          imgs.size(), drrc.best, drrc.mean(), 1e6 / drrc.best, chk_drrc);
   printf("%zu imgs, pack-rrc  best %.1f mean %.1f us/img (%.0f img/s/core) [chk %lld]\n",
          imgs.size(), prrc.best, prrc.mean(), 1e6 / prrc.best, chk_prrc);
-  printf("%zu imgs, pack-rrc-idx best %.1f warm-mean %.1f us/img (%.0f img/s/core) [chk %lld]\n",
-         imgs.size(), pidx.best, pidx.mean(), 1e6 / pidx.best, chk_pidx);
+  if (pidx.n > 0) {
+    printf("%zu imgs, pack-rrc-idx best %.1f warm-mean %.1f us/img (%.0f img/s/core) [chk %lld]\n",
+           imgs.size(), pidx.best, pidx.mean(), 1e6 / pidx.best, chk_pidx);
+  } else {
+    printf("pack-rrc-idx: needs reps >= 2 (rep 0 builds the index cold; "
+           "warm seeks are the stat)\n");
+  }
 
   if (run_pair) {
     std::vector<short> ydc2(1 << 16), cdc2(1 << 15), crdc2(1 << 15);
