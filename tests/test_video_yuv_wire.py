@@ -272,3 +272,33 @@ def test_yuv_wire_decoders_video(tmp_path):
             x, y = np.asarray(x), np.asarray(y)
             assert x.shape == y.shape, (kw, i, x.shape, y.shape)
             np.testing.assert_array_equal(x, y, err_msg=str((kw, i)))
+
+
+def test_yuv_wire_debug_mode_and_serialize_roundtrip(tmp_path):
+    """debug=True (eager, un-jitted device program) and a serialize →
+    deserialize round trip both execute the YUV boundary identically."""
+    vid = _write_video(tmp_path / "v.mp4", num_frames=8, seed=13)
+
+    @pipeline_def(batch_size=2, num_threads=1, seed=3)
+    def pipe():
+        return fn.readers.video(filenames=[vid], sequence_length=3,
+                                device="mixed", name="v")
+
+    p = pipe()
+    p.build()
+    want = [np.asarray(x) for x in to_samples(p.run()[0])]
+
+    pdbg = pipe(debug=True)
+    pdbg.build()
+    got = [np.asarray(x) for x in to_samples(pdbg.run()[0])]
+    for a, b in zip(want, got):
+        np.testing.assert_array_equal(a, b)
+
+    from dali_tpu.pipeline import Pipeline
+
+    blob = p.serialize()
+    p2 = Pipeline.deserialize(blob, batch_size=2, num_threads=1, seed=3)
+    p2.build()
+    got2 = [np.asarray(x) for x in to_samples(p2.run()[0])]
+    for a, b in zip(want, got2):
+        np.testing.assert_array_equal(a, b)
