@@ -75,6 +75,18 @@ _decoder_schema("decoders.Image").DocStr(
 )
 
 
+def _content_key(k, d):
+    """source_info PLUS a cheap content fingerprint (length and first/last
+    8 bytes) so re-used source_info keys or files whose bytes change across
+    epochs cannot serve stale cached geometry or decode indexes."""
+    if not k:
+        return None
+    n = len(d)
+    head = d[:8].tobytes() if hasattr(d, "tobytes") else bytes(d[:8])
+    tail = d[-8:].tobytes() if hasattr(d, "tobytes") else bytes(d[-8:])
+    return (k, n, head, tail)
+
+
 def choose_denom(h: int, w: int, hint: int) -> int:
     """Largest DCT scale denominator in {1,2,4,8} keeping min(h,w)/denom >= hint."""
     if hint <= 0:
@@ -897,7 +909,7 @@ class JpegCoeffsSplit(JpegCoeffs):
                 and native.has_pack_batch()
                 and not (cache is not None and keys))
 
-    def _decode_idx_blobs(self, keys, infos, mode, n):
+    def _decode_idx_blobs(self, keys, infos, mode, n, datas=None):
         """Per-file ROI decode-index blobs (jpeg_huff.cc IdxHeader/IdxEntry):
         the decoder records the bit-reader state before every MCU on the
         first decode of a file and SEEKS straight to the crop window on
@@ -927,6 +939,12 @@ class JpegCoeffsSplit(JpegCoeffs):
         seen = set()
         for i in range(n):
             k = keys[i] if i < len(keys) else None
+            if k and datas is not None:
+                # content-fingerprinted key (like _cached_infos): a replaced
+                # file or re-used source_info must never replay a stale index
+                # — idx_init's us_len check catches most swaps, but an
+                # equal-length different-bytes stream would seek into garbage
+                k = _content_key(k, datas[i])
             if not k or k in seen:
                 continue  # file twice in one batch: one writer only
             seen.add(k)
@@ -1073,18 +1091,7 @@ class JpegCoeffsSplit(JpegCoeffs):
         by source_info so epoch 2+ skips the per-image marker parse."""
         from .. import native
 
-        # Key by source_info PLUS a cheap content fingerprint (length and
-        # first/last 8 bytes) so re-used source_info keys or files whose
-        # bytes change across epochs cannot serve stale geometry.
-        def _fp(k, d):
-            if not k:
-                return None
-            n = len(d)
-            head = d[:8].tobytes() if hasattr(d, "tobytes") else bytes(d[:8])
-            tail = d[-8:].tobytes() if hasattr(d, "tobytes") else bytes(d[-8:])
-            return (k, n, head, tail)
-
-        ikeys = [_fp(k, d) for k, d in zip(inp.source_info or [], datas)]
+        ikeys = [_content_key(k, d) for k, d in zip(inp.source_info or [], datas)]
         n = len(datas)
         icache = getattr(self, "_info_cache", None)
         if icache is None:
@@ -1493,7 +1500,8 @@ class JpegCoeffsSplitRRC(JpegCoeffsSplit):
                     datas, ky, kc, blocks, brc0, self._flat_lens,
                     num_threads=self.pipeline.num_threads,
                     ring=self._wire_ring(), c_brc0=c_brc0,
-                    idx_blobs=self._decode_idx_blobs(keys, infos, mode, n),
+                    idx_blobs=self._decode_idx_blobs(keys, infos, mode, n,
+                                                     datas=datas),
                 )
                 pack_mode = r is not None
             if not pack_mode:

@@ -188,15 +188,16 @@ class VideoDecoder(Operator):
         bytes, device BT.601, bit-equal to the cpu path). Zero 'constant'
         padding maps exactly (YUV black → RGB 0); nonzero fills and
         non-4:2:0 (or range-mixed) batches fall back to dense RGB staging.
-        Emit counts are computable from the header (num_frames), so the
-        wire offsets are sized before any decode."""
+        Planned emit counts come from the requested lengths (or the header's
+        num_frames for 'all'), so the wire offsets are sized before any
+        decode; the actual decoded counts shrink/pad per sample after."""
         import os
         import tempfile
 
         import numpy as np
 
         from ..native import VideoFile
-        from .video import _wire_ring, pad_indices
+        from .video import pad_indices, stage_yuv_batch
 
         spec = self.spec
         pad_mode = spec.GetArgument("pad_mode", "constant")
@@ -232,46 +233,25 @@ class VideoDecoder(Operator):
                 if length <= 0:
                     length = max((vf.num_frames - start + stride - 1) // stride, 1)
                     requested = 0  # "all available": never pad
-                avail = max((vf.num_frames - start + stride - 1) // stride, 0)
-                got = min(length, avail)
-                if got <= 0:  # start past EOF: cpu path raises from read()
-                    raise ValueError(
-                        f"Failed to read frames [{start}, +{length})")
+                # request `length` frames like the cpu path does — num_frames
+                # can be a duration*fps ESTIMATE, so never cap the read at it
+                # (an undercounting estimate would pad where cpu decodes real
+                # frames); the ACTUAL count comes back from read_yuv
                 shrink = not requested or pad_mode == "none"
-                emit = got if shrink else requested
-                plans.append((start, got, emit, shrink))
+                plans.append((start, length, shrink))
+
             full_range = classes.pop() == 2
-            shapes = np.empty((n, 4), np.int64)
-            yoffs = np.zeros(n, np.int64)
-            coffs = np.zeros(n, np.int64)
-            ytot = ctot = 0
-            for i, vf in enumerate(vfs):
-                h_, w_ = vf.height, vf.width
-                emit = plans[i][2]
-                shapes[i] = (emit, h_, w_, 3)
-                yoffs[i], coffs[i] = ytot, ctot
-                ytot += emit * h_ * w_
-                ctot += emit * ((h_ + 1) // 2) * ((w_ + 1) // 2)
-            ring = _wire_ring(self)
-            ybuf = ring.take("vdec_y", ytot, np.uint8)
-            ubuf = ring.take("vdec_u", ctot, np.uint8)
-            vbuf = ring.take("vdec_v", ctot, np.uint8)
-            for i, vf in enumerate(vfs):
-                start, got, emit, shrink = plans[i]
-                h_, w_ = vf.height, vf.width
-                ch, cw = (h_ + 1) // 2, (w_ + 1) // 2
-                fy, fc = h_ * w_, ch * cw
-                ys = ybuf[yoffs[i]: yoffs[i] + emit * fy]
-                us = ubuf[coffs[i]: coffs[i] + emit * fc]
-                vs = vbuf[coffs[i]: coffs[i] + emit * fc]
-                # num_frames can be a duration*fps ESTIMATE (video_decode.cc
-                # open path): trust the decoder's actual count, not the plan
-                _, _, _, got = vf.read_yuv(
-                    start, got, stride, pad=False,
-                    out=(ys[: got * fy], us[: got * fc], vs[: got * fc]))
+
+            def decode_into(i, ys, us, vs, emit):
+                start, length, shrink = plans[i]
+                fy = ys.shape[0] // emit
+                fc = us.shape[0] // emit
+                _, _, _, got = vfs[i].read_yuv(
+                    start, length, stride, pad=False,
+                    out=(ys[: length * fy], us[: length * fc],
+                         vs[: length * fc]))
                 if shrink:  # 'all available' / pad_mode none: emit what exists
-                    emit = got
-                    shapes[i, 0] = emit
+                    return got
                 if emit > got:
                     if pad_mode == "constant":
                         ys[got * fy: emit * fy] = 0 if full_range else 16
@@ -285,14 +265,12 @@ class VideoDecoder(Operator):
                         y3[got:] = y3[src]
                         u3[got:] = u3[src]
                         v3[got:] = v3[src]
-            from ..executor import _YUVStaged
+                return emit
 
-            prev = canvases[0] or [0, 0, 0]
-            canvas = [max(int(prev[d]), int(shapes[:, d].max()))
-                      for d in range(3)]
-            return [_YUVStaged(ybuf, ubuf, vbuf,
-                               np.stack([yoffs, coffs]).astype(np.int32),
-                               shapes, canvas, full_range)]
+            dims = [(plans[i][1], vfs[i].height, vfs[i].width)
+                    for i in range(n)]
+            return [stage_yuv_batch(self, dims, full_range, canvases[0],
+                                    decode_into)]
         finally:
             for vf in vfs:
                 vf.close()

@@ -35,6 +35,69 @@ def _wire_ring(op):
     return ring
 
 
+_INT32_MAX = 2**31 - 1
+
+
+def stage_yuv_batch(op, dims, full_range, prev_canvas, decode_into,
+                    map_indices=None):
+    """Shared planar-YUV wire staging for the three video mixed paths
+    (readers.Video, experimental.inputs.Video, decoders.Video): per-sample
+    offset/shape accounting, ring-backed flat buffers, canvas growth and
+    container assembly live HERE so padding/offset fixes apply once.
+
+    ``dims``: planned per-sample luma dims ``[(emit, h, w)]``.
+    ``decode_into(i, ys, us, vs, emit)``: decode sample i into its flat
+    slices and return the ACTUAL emitted frame count (< emit only for
+    samples the caller plans as shrinkable; the caller owns padding
+    semantics). ``map_indices(fn, n)`` optionally parallelizes samples.
+
+    The container's canvas is carried 4-dim (F, H, W, 3) so the executor's
+    per-edge canvas bookkeeping stays RANK-COMPATIBLE with the dense RGB
+    fallback — a corpus that alternates between the YUV wire and the dense
+    path across batches must not corrupt the grow-only canvas."""
+    from ..executor import _YUVStaged
+
+    n = len(dims)
+    shapes = np.empty((n, 4), np.int64)
+    yoffs = np.zeros(n, np.int64)
+    coffs = np.zeros(n, np.int64)
+    ytot = ctot = 0
+    for i, (emit, h_, w_) in enumerate(dims):
+        shapes[i] = (emit, h_, w_, 3)
+        yoffs[i], coffs[i] = ytot, ctot
+        ytot += emit * h_ * w_
+        ctot += emit * ((h_ + 1) // 2) * ((w_ + 1) // 2)
+    if ytot > _INT32_MAX or ctot > _INT32_MAX:
+        raise ValueError(
+            f"video batch luma/chroma wire ({ytot} / {ctot} elements) "
+            "exceeds int32 offset addressing — reduce batch_size or "
+            "sequence_length (a padded dense canvas at this size would not "
+            "fit either)")
+    ring = _wire_ring(op)
+    ybuf = ring.take("video_y", ytot, np.uint8)
+    ubuf = ring.take("video_u", ctot, np.uint8)
+    vbuf = ring.take("video_v", ctot, np.uint8)
+
+    def one(i):
+        emit, h_, w_ = dims[i]
+        fy = emit * h_ * w_
+        fc = emit * ((h_ + 1) // 2) * ((w_ + 1) // 2)
+        actual = decode_into(
+            i, ybuf[yoffs[i]: yoffs[i] + fy],
+            ubuf[coffs[i]: coffs[i] + fc], vbuf[coffs[i]: coffs[i] + fc],
+            emit)
+        if actual is not None and actual != emit:
+            shapes[i, 0] = actual
+
+    (map_indices or (lambda f, m: [f(j) for j in range(m)]))(one, n)
+    prev = list(prev_canvas) if prev_canvas else [0, 0, 0]
+    canvas = [max(int(prev[d]) if d < len(prev) else 0,
+                  int(shapes[:, d].max())) for d in range(3)] + [3]
+    return _YUVStaged(ybuf, ubuf, vbuf,
+                      np.stack([yoffs, coffs]).astype(np.int32),
+                      shapes, canvas, full_range)
+
+
 def pad_indices(got: int, want: int, mode: str) -> np.ndarray:
     """Source index per padded slot [got, want) (reference pad_mode
     semantics); -1 for constant padding."""
@@ -166,6 +229,7 @@ class _VideoReaderImpl(BaseReader):
         self._handles: Dict[int, object] = {}
         self._ranges: List = []
         self._fps: Dict[int, float] = {}
+        self._corpus_pix = None  # batch-path cache: 0 dense / 1 / 2 (lazy)
 
     def _build_index(self):
         if self._sequences is not None:
@@ -215,6 +279,7 @@ class _VideoReaderImpl(BaseReader):
         self._limits = {}  # fi -> range end (pad instead of reading past it)
         self._dims = {}    # fi -> (height, width)
         self._pix = {}     # fi -> pixfmt class (0 = not 4:2:0, 1/2 = 4:2:0)
+        self._corpus_pix = None  # batch-path cache: 0 dense / 1 / 2 (lazy)
         span = (L - 1) * stride + 1
         pad_mode = spec.GetArgument("pad_mode", None)
         pad_seq = spec.GetArgument("pad_sequences", False) or (
@@ -445,48 +510,25 @@ class VideoReaderMixed(_VideoReaderImpl):
         # NB: all fallback decisions happen BEFORE consuming loader indices —
         # a bail-out after read_index() would skip samples.
         self._build_index()
-        pix = set(self._pix.values())
-        if len(pix) != 1 or 0 in pix:
+        if self._corpus_pix is None:  # immutable after _build_index
+            pix = set(self._pix.values())
+            self._corpus_pix = pix.pop() if (len(pix) == 1 and 0 not in pix) else 0
+        if self._corpus_pix == 0:
             return None  # non-4:2:0 (or mixed-format) corpus: dense RGB path
-        full_range = pix.pop() == 2
+        full_range = self._corpus_pix == 2
         self._ensure_loader()
         L = spec.GetArgument("sequence_length")
         indices = [self._loader.read_index() for _ in range(ctx.batch_size)]
         n = len(indices)
-        shapes = np.empty((n, 4), np.int64)
-        yoffs = np.zeros(n, np.int64)
-        coffs = np.zeros(n, np.int64)
-        ytot = ctot = 0
-        for i, idx in enumerate(indices):
-            fi = self._sequences[idx][0]
-            h_, w_ = self._dims[fi]
-            shapes[i] = (L, h_, w_, 3)
-            yoffs[i], coffs[i] = ytot, ctot
-            ytot += L * h_ * w_
-            ctot += L * ((h_ + 1) // 2) * ((w_ + 1) // 2)
-        ring = _wire_ring(self)
-        ybuf = ring.take("video_y", ytot, np.uint8)
-        ubuf = ring.take("video_u", ctot, np.uint8)
-        vbuf = ring.take("video_v", ctot, np.uint8)
+        dims = [(L,) + self._dims[self._sequences[idx][0]] for idx in indices]
+        results = [None] * n
 
-        def read_one(i):
-            idx = indices[i]
-            fi = self._sequences[idx][0]
-            h_, w_ = self._dims[fi]
-            fy = L * h_ * w_
-            fc = L * ((h_ + 1) // 2) * ((w_ + 1) // 2)
-            return self._read_planes_into(
-                idx, ybuf[yoffs[i]: yoffs[i] + fy],
-                ubuf[coffs[i]: coffs[i] + fc], vbuf[coffs[i]: coffs[i] + fc])
+        def decode_into(i, ys, us, vs, emit):
+            results[i] = self._read_planes_into(indices[i], ys, us, vs)
+            return emit
 
-        results = ctx.map_samples(read_one, n)
-        prev = canvases[0] or [0, 0, 0]
-        canvas = [max(int(prev[d]), int(shapes[:, d].max())) for d in range(3)]
-        from ..executor import _YUVStaged
-
-        outs = [_YUVStaged(ybuf, ubuf, vbuf,
-                           np.stack([yoffs, coffs]).astype(np.int32),
-                           shapes, canvas, full_range)]
+        outs = [stage_yuv_batch(self, dims, full_range, canvases[0],
+                                decode_into, map_indices=ctx.map_samples)]
         if self._has_labels():
             outs.append(HostBatch([np.array([r[0]], np.int32) for r in results]))
         if spec.GetArgument("enable_frame_num", False):
@@ -637,24 +679,9 @@ class VideoInputMixed(_VideoInputImpl):
             pos += take
         if not plan:
             raise RuntimeError("inputs.video: fed video has no frames")
-        n = len(plan)
-        shapes = np.empty((n, 4), np.int64)
-        yoffs = np.zeros(n, np.int64)
-        coffs = np.zeros(n, np.int64)
-        ytot = ctot = 0
-        for i, (_, _, emit) in enumerate(plan):
-            shapes[i] = (emit, h_, w_, 3)
-            yoffs[i], coffs[i] = ytot, ctot
-            ytot += emit * fy
-            ctot += emit * fc
-        ring = _wire_ring(self)
-        ybuf = ring.take("video_y", ytot, np.uint8)
-        ubuf = ring.take("video_u", ctot, np.uint8)
-        vbuf = ring.take("video_v", ctot, np.uint8)
-        for i, (start, take, emit) in enumerate(plan):
-            ys = ybuf[yoffs[i]: yoffs[i] + emit * fy]
-            us = ubuf[coffs[i]: coffs[i] + emit * fc]
-            vs = vbuf[coffs[i]: coffs[i] + emit * fc]
+
+        def decode_into(i, ys, us, vs, emit):
+            start, take, _ = plan[i]
             # num_frames can be an estimate; pad=True repeats the last
             # decoded frame on a short read — same as the cpu path's read()
             self._vf.read_yuv(
@@ -664,13 +691,11 @@ class VideoInputMixed(_VideoInputImpl):
                 ys[take * fy:] = 0 if full_range else 16
                 us[take * fc:] = 128
                 vs[take * fc:] = 128
+            return emit
+
+        staged = stage_yuv_batch(self, [(e, h_, w_) for _, _, e in plan],
+                                 full_range, canvases[0], decode_into)
         self._pos = pos
         if self._pos >= self._vf.num_frames:
             self._close_current()
-        prev = canvases[0] or [0, 0, 0]
-        canvas = [max(int(prev[d]), int(shapes[:, d].max())) for d in range(3)]
-        from ..executor import _YUVStaged
-
-        return [_YUVStaged(ybuf, ubuf, vbuf,
-                           np.stack([yoffs, coffs]).astype(np.int32),
-                           shapes, canvas, full_range)]
+        return [staged]

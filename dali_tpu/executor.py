@@ -157,8 +157,10 @@ class _YUVStaged:
     ``y``/``u``/``v`` plane buffers (zero padding bytes on the wire — 1.5
     B/px vs RGB24's 3), per-sample element ``offsets`` [2, N] (row 0 = luma,
     row 1 = chroma), ``shapes`` [N, 4] logical output dims (F, h, w, 3) with
-    chroma dims derived as ceil(h/2) x ceil(w/2), and the luma ``canvas``
-    (F, H, W). The device program rebuilds the padded planes, upsamples
+    chroma dims derived as ceil(h/2) x ceil(w/2), and the output ``canvas``
+    (F, H, W, 3) — 4-dim so the executor's grow-only canvas bookkeeping is
+    rank-compatible with the dense RGB fallback path for the same edge.
+    The device program rebuilds the padded planes, upsamples
     chroma nearest-neighbor and applies the integer BT.601 matrix
     (``full_range`` selects the limited/full variant) — arithmetic identical
     to the host cpu path (video_decode.cc yuv420_frame_to_rgb), so cpu and
@@ -1082,14 +1084,14 @@ def _yuv420_boundary(jnp, y, u, v, offsets, shapes, canvas, full_range):
     """Rebuild padded RGB frames from the planar YUV 4:2:0 wire (_YUVStaged).
 
     y/u/v: flat uint8 plane buffers; offsets [2, N] (luma / chroma element
-    offsets); shapes [N, 4] logical (F, h, w, 3); canvas (F, H, W) luma
+    offsets); shapes [N, 4] logical (F, h, w, 3); canvas (F, H, W, 3) output
     canvas. Chroma upsampling is nearest-neighbor (pixel x reads chroma
     x//2) and the BT.601 matrix is the same integer arithmetic as the host
     cpu path (video_decode.cc yuv420_frame_to_rgb) — cpu and mixed video
     decode are bit-equal by construction; reference analogue:
     dali/operators/video/color_space_conversion_impl.h (NVDEC YUV→RGB on
     device)."""
-    F, H, W = (int(c) for c in canvas)
+    F, H, W = (int(c) for c in canvas[:3])
     ch, cw = (H + 1) // 2, (W + 1) // 2
     yshapes = shapes[:, :3]
     yp = _unflatten_boundary(jnp, y, offsets[0], yshapes, (F, H, W))

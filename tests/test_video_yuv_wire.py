@@ -302,3 +302,98 @@ def test_yuv_wire_debug_mode_and_serialize_roundtrip(tmp_path):
     got2 = [np.asarray(x) for x in to_samples(p2.run()[0])]
     for a, b in zip(want, got2):
         np.testing.assert_array_equal(a, b)
+
+
+def _write_avi(path, fourcc, num_frames=6, w=64, h=48, seed=20):
+    rng = np.random.default_rng(seed)
+    wr = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*fourcc), 25, (w, h))
+    if not wr.isOpened():
+        pytest.skip(f"cv2 cannot write {fourcc}")
+    base = rng.integers(0, 256, (h, w * 2, 3), np.uint8)
+    for i in range(num_frames):
+        wr.write(np.ascontiguousarray(base[:, i : i + w]))
+    wr.release()
+    return str(path)
+
+
+def test_yuv_wire_full_range_source(tmp_path):
+    """MJPEG AVIs decode as FULL-RANGE 4:2:0 (yuvj420p): the full-range
+    integer BT.601 variant must hold cpu/mixed bit-parity too."""
+    from dali_tpu import native
+
+    vid = _write_avi(tmp_path / "v.avi", "MJPG", num_frames=8)
+    vf = native.VideoFile(vid)
+    pc = vf.pixfmt_class
+    vf.close()
+    if pc != 2:
+        pytest.skip("MJPG did not produce a full-range 4:2:0 stream here")
+
+    def make(device):
+        @pipeline_def(batch_size=2, num_threads=1, seed=5)
+        def pipe():
+            return fn.readers.video(filenames=[vid], sequence_length=3,
+                                    device=device, name="v")
+        return pipe()
+
+    _assert_runs_equal(*_pair(make), iters=2)
+
+
+def test_yuv_wire_dense_alternation(tmp_path):
+    """A batch stream that ALTERNATES between the YUV wire and the dense RGB
+    fallback on the same edge must not corrupt the executor's grow-only
+    canvas (the YUV canvas is carried 4-dim for rank compatibility)."""
+    from dali_tpu import native
+
+    p420 = _write_video(tmp_path / "a.mp4", num_frames=6, seed=21)
+    pflat = _write_avi(tmp_path / "b.avi", "HFYU", num_frames=6, seed=22)
+    vf = native.VideoFile(pflat)
+    if vf.pixfmt_class != 0:
+        vf.close()
+        pytest.skip("HFYU did not produce a non-4:2:0 stream here")
+    vf.close()
+    blobs_420 = [np.frombuffer(open(p420, "rb").read(), np.uint8)] * 2
+    blobs_flat = [np.frombuffer(open(pflat, "rb").read(), np.uint8)] * 2
+    batches = [blobs_420, blobs_flat, blobs_420, blobs_flat]
+
+    def make(device):
+        it = iter(batches)
+
+        @pipeline_def(batch_size=2, num_threads=1, seed=5)
+        def pipe():
+            buf = fn.external_source(source=lambda: next(it), batch=True)
+            return fn.decoders.video(buf, sequence_length=3, device=device)
+        return pipe()
+
+    pc, pm = make("cpu"), make("mixed")
+    pc.build()
+    pm.build()
+    for b in range(len(batches)):
+        sc = to_samples(pc.run()[0])
+        sm = to_samples(pm.run()[0])
+        for i, (a, g) in enumerate(zip(sc, sm)):
+            a, g = np.asarray(a), np.asarray(g)
+            assert a.shape == g.shape, (b, i, a.shape, g.shape)
+            np.testing.assert_array_equal(a, g, err_msg=f"batch {b} sample {i}")
+
+    # same alternation through the feed-driven input
+    @pipeline_def(batch_size=4, num_threads=1, seed=5)
+    def pin():
+        return fn.experimental.inputs.video(sequence_length=3, name="vin",
+                                            device="mixed")
+
+    @pipeline_def(batch_size=4, num_threads=1, seed=5)
+    def pin_cpu():
+        return fn.experimental.inputs.video(sequence_length=3, name="vin",
+                                            device="cpu")
+
+    pm2, pc2 = pin(), pin_cpu()
+    pm2.build()
+    pc2.build()
+    for blob in (open(p420, "rb").read(), open(pflat, "rb").read(),
+                 open(p420, "rb").read()):
+        pm2.feed_input("vin", blob)
+        pc2.feed_input("vin", blob)
+        sm = to_samples(pm2.run()[0])
+        sc = to_samples(pc2.run()[0])
+        for a, g in zip(sc, sm):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(g))
