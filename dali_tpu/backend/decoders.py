@@ -939,26 +939,31 @@ class JpegCoeffsSplit(JpegCoeffs):
         seen = set()
         for i in range(n):
             k = keys[i] if i < len(keys) else None
-            if k and datas is not None:
-                # content-fingerprinted key (like _cached_infos): a replaced
-                # file or re-used source_info must never replay a stale index
-                # — idx_init's us_len check catches most swaps, but an
-                # equal-length different-bytes stream would seek into garbage
-                k = _content_key(k, datas[i])
             if not k or k in seen:
                 continue  # file twice in one batch: one writer only
             seen.add(k)
-            b = cache["map"].get(k)
-            if b is None:
+            # map by raw source_info -> (content fingerprint, blob): a
+            # replaced file or re-used source_info must never replay a stale
+            # index (idx_init's us_len check catches most swaps, but an
+            # equal-length different-bytes stream would seek into garbage) —
+            # and the superseded blob is RECLAIMED, not leaked, so corpora
+            # that re-encode between epochs don't creep to the cap and
+            # silently lose the ROI-seek optimization
+            fp = _content_key(k, datas[i]) if datas is not None else k
+            entry = cache["map"].get(k)
+            if entry is not None and entry[0] != fp:
+                cache["used"] -= entry[1].nbytes
+                entry = None
+            if entry is None:
                 my = -(-int(infos[i, 2]) // vdiv)
                 mx = -(-int(infos[i, 3]) // hdiv)
                 nb = native.decode_idx_blob_bytes(mx, my)
                 if cache["used"] + nb > cache["cap"]:
                     continue
-                b = np.zeros(nb, np.uint8)
-                cache["map"][k] = b
+                entry = (fp, np.zeros(nb, np.uint8))
+                cache["map"][k] = entry
                 cache["used"] += nb
-            blobs[i] = b
+            blobs[i] = entry[1]
         return blobs
 
     def _stage_wire_packed(self, y_dc, y_mask, y_vals, y_tot, c_dc, c_mask,

@@ -233,11 +233,17 @@ class VideoDecoder(Operator):
                 if length <= 0:
                     length = max((vf.num_frames - start + stride - 1) // stride, 1)
                     requested = 0  # "all available": never pad
-                # request `length` frames like the cpu path does — num_frames
-                # can be a duration*fps ESTIMATE, so never cap the read at it
-                # (an undercounting estimate would pad where cpu decodes real
-                # frames); the ACTUAL count comes back from read_yuv
+                # padding samples request exactly `requested` frames (the
+                # output IS that size); shrink samples ('all' / pad_mode
+                # none) cap the PLANNED wire at the header estimate +2 — the
+                # whole flat buffer crosses the tunnel, so planning a huge
+                # sequence_length for a short clip must not ship slack, while
+                # the +2 tolerates duration*fps estimate rounding (the
+                # ACTUAL emitted count still comes back from read_yuv)
                 shrink = not requested or pad_mode == "none"
+                if shrink:
+                    avail = max((vf.num_frames - start + stride - 1) // stride, 1)
+                    length = min(length, avail + 2)
                 plans.append((start, length, shrink))
 
             full_range = classes.pop() == 2

@@ -397,3 +397,28 @@ def test_yuv_wire_dense_alternation(tmp_path):
         sc = to_samples(pc2.run()[0])
         for a, g in zip(sc, sm):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(g))
+
+
+def test_yuv_wire_huge_shrink_request_stays_bounded(tmp_path):
+    """sequence_length far beyond the clip with pad_mode='none' must plan
+    the wire near the clip's real length (header estimate +2), not ship a
+    huge mostly-uninitialized buffer — and still match cpu (review r4c)."""
+    vid = _write_video(tmp_path / "v.mp4", num_frames=6, seed=30)
+
+    def make(device):
+        @pipeline_def(batch_size=1, num_threads=1, seed=5)
+        def pipe():
+            buf = fn.external_source(
+                source=lambda: [np.frombuffer(open(vid, "rb").read(), np.uint8)],
+                batch=True, cycle=True)
+            return fn.decoders.video(buf, sequence_length=100000,
+                                     pad_mode="none", device=device)
+        return pipe()
+
+    pc, pm = make("cpu"), make("mixed")
+    pc.build()
+    pm.build()
+    a = np.asarray(to_samples(pc.run()[0])[0])
+    b = np.asarray(to_samples(pm.run()[0])[0])
+    assert a.shape == b.shape and a.shape[0] == 6
+    np.testing.assert_array_equal(a, b)
