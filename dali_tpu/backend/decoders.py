@@ -952,7 +952,13 @@ class JpegCoeffsSplit(JpegCoeffs):
             fp = _content_key(k, datas[i]) if datas is not None else k
             entry = cache["map"].get(k)
             if entry is not None and entry[0] != fp:
+                # decrement and removal MUST happen together: if the stale
+                # entry stayed in the map while a cap-exceeding replacement
+                # skipped re-insertion, every later batch would re-decrement
+                # the same bytes and "used" would underflow past zero,
+                # unbounding the cap
                 cache["used"] -= entry[1].nbytes
+                del cache["map"][k]
                 entry = None
             if entry is None:
                 my = -(-int(infos[i, 2]) // vdiv)

@@ -141,6 +141,12 @@ DALI_SCHEMA("decoders.Video").DocStr(
     "seeks sequentially).", True)
 
 
+class _YUVPlanShort(Exception):
+    """The planar-YUV wire plan (sized from the container's duration*fps
+    frame-count ESTIMATE) filled completely and more real frames exist past
+    it — the batch must re-run on the dense path, which reads to EOF."""
+
+
 @register_operator("decoders.Video", "cpu")
 @register_operator("decoders.Video", "mixed")
 class VideoDecoder(Operator):
@@ -196,6 +202,7 @@ class VideoDecoder(Operator):
 
         import numpy as np
 
+        from .. import native
         from ..native import VideoFile
         from .video import pad_indices, stage_yuv_batch
 
@@ -257,6 +264,21 @@ class VideoDecoder(Operator):
                     out=(ys[: length * fy], us[: length * fc],
                          vs[: length * fc]))
                 if shrink:  # 'all available' / pad_mode none: emit what exists
+                    if got == length:
+                        # the plan's cap comes from a duration*fps ESTIMATE
+                        # (+2 slack); a completely filled plan may mean more
+                        # real frames exist past it (bad metadata / VFR) —
+                        # probe one more frame, and if it exists, bail to
+                        # the dense path (vf.read to EOF) rather than emit a
+                        # silently truncated sequence the cpu path wouldn't
+                        try:
+                            _, _, _, extra = vfs[i].read_yuv(
+                                start + length * stride, 1, stride,
+                                pad=False)
+                        except ValueError:
+                            extra = 0  # clean EOF: the plan was exact
+                        if extra > 0:
+                            raise _YUVPlanShort()
                     return got
                 if emit > got:
                     if pad_mode == "constant":
@@ -275,8 +297,15 @@ class VideoDecoder(Operator):
 
             dims = [(plans[i][1], vfs[i].height, vfs[i].width)
                     for i in range(n)]
-            return [stage_yuv_batch(self, dims, full_range, canvases[0],
-                                    decode_into)]
+            try:
+                return [stage_yuv_batch(self, dims, full_range, canvases[0],
+                                        decode_into)]
+            except (_YUVPlanShort, native.VideoPixfmtChanged):
+                # short plan (estimate undercounted) or mid-stream pixfmt
+                # change: the dense RGB path handles both (reads to EOF;
+                # swscales any format) — partial ring-buffer writes are
+                # harmless, the buffers are re-taken every batch
+                return None
         finally:
             for vf in vfs:
                 vf.close()

@@ -656,6 +656,8 @@ class VideoInputMixed(_VideoInputImpl):
     bytes the cpu path's np.zeros padding produces."""
 
     def stage_batch_multi(self, ctx, ins, canvases):
+        from .. import native
+
         if self._vf is None:
             self._open_next()
         pix = getattr(self._vf, "pixfmt_class", 0)
@@ -693,8 +695,14 @@ class VideoInputMixed(_VideoInputImpl):
                 vs[take * fc:] = 128
             return emit
 
-        staged = stage_yuv_batch(self, [(e, h_, w_) for _, _, e in plan],
-                                 full_range, canvases[0], decode_into)
+        try:
+            staged = stage_yuv_batch(self, [(e, h_, w_) for _, _, e in plan],
+                                     full_range, canvases[0], decode_into)
+        except native.VideoPixfmtChanged:
+            # mid-stream pixel-format change: self._pos is still unadvanced,
+            # so the dense RGB path (swscale handles any format) redoes this
+            # exact batch — no frames are skipped or duplicated
+            return None
         self._pos = pos
         if self._pos >= self._vf.num_frames:
             self._close_current()

@@ -378,6 +378,18 @@ def jpeg_read_coeffs(data: bytes, ky: int, kc: int, y_bh: int, y_bw: int, c_bh: 
     return y, np.stack([cb, cr]), q
 
 
+class VideoPixfmtChanged(RuntimeError):
+    """The stream's pixel format changed mid-read (video_decode.cc returns
+    -2 - got): the planar YUV wire cannot carry such a file — callers fall
+    back to the dense RGB path (swscale converts any format) or raise."""
+
+    def __init__(self, path, got):
+        super().__init__(
+            f"pixel format changed mid-stream in {path!r} after {got} "
+            "frames; planar YUV read aborted")
+        self.got = got
+
+
 def has_video() -> bool:
     lib = _load()
     return bool(lib and getattr(lib, "_has_video", False))
@@ -396,6 +408,7 @@ class VideoFile:
         self._h = lib.dali_tpu_video_open(path.encode())
         if not self._h:
             raise ValueError(f"Failed to open video {path!r}")
+        self.path = path
         w, hh = ctypes.c_int(), ctypes.c_int()
         nf, fps = ctypes.c_long(), ctypes.c_double()
         lib.dali_tpu_video_info(self._h, ctypes.byref(w), ctypes.byref(hh), ctypes.byref(nf), ctypes.byref(fps))
@@ -451,6 +464,8 @@ class VideoFile:
             u.ctypes.data_as(ctypes.c_void_p),
             v.ctypes.data_as(ctypes.c_void_p),
         )
+        if got <= -2:  # mid-stream pixel-format change, NOT an EOF shape
+            raise VideoPixfmtChanged(getattr(self, "path", "?"), -2 - got)
         if got < count:
             if got <= 0:
                 raise ValueError(f"Failed to read frames [{start}, +{count})")

@@ -275,7 +275,12 @@ int dali_tpu_video_read_frames_yuv(void* handle, long start, int count,
     int64_t idx = decode_next(v);
     if (idx < 0) return got > 0 ? got : -1;
     if (idx >= target) {
-      if (v->frame->format != v->codec->pix_fmt) return got > 0 ? got : -1;
+      // Mid-stream pixel-format change: the planar copy below would read
+      // planes that no longer exist (or carry different subsampling).
+      // Return a DISTINCT code (-2 - got, never the EOF shape) so Python
+      // callers can fall back to the dense RGB path (which swscales any
+      // format) instead of silently padding with repeated frames.
+      if (v->frame->format != v->codec->pix_fmt) return -2 - got;
       unsigned char* dy = out_y + (long)got * h * w;
       unsigned char* du = out_u + (long)got * ch * cw;
       unsigned char* dv = out_v + (long)got * ch * cw;

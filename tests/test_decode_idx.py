@@ -132,6 +132,50 @@ def test_idx_mismatched_blob_is_rebuilt():
         np.testing.assert_array_equal(x, y)
 
 
+def test_idx_cache_accounting_no_underflow():
+    """When a file's content fingerprint changes and the replacement blob
+    would exceed the cap, the stale entry must be REMOVED together with the
+    `used` decrement — otherwise every later batch re-decrements the same
+    bytes, `used` underflows past zero, and the DALI_TPU_DECODE_IDX_MB cap
+    stops bounding anything."""
+    from dali_tpu.backend.decoders import JpegCoeffsSplit
+
+    obj = JpegCoeffsSplit.__new__(JpegCoeffsSplit)
+    old = os.environ.get("DALI_TPU_DECODE_IDX_MB")
+    os.environ["DALI_TPU_DECODE_IDX_MB"] = "1"  # 1 MiB cap
+    try:
+        # file A: big blob that eats most of the cap; file B: tiny blob
+        big = np.zeros((170 * 8, 170 * 8), np.int64)  # 170x170 MCUs
+        infos_a = np.array([[0, 0, 340, 340]], np.int64)   # luma blocks
+        infos_b = np.array([[0, 0, 8, 8]], np.int64)
+        data_a = np.arange(64, dtype=np.uint8)
+        data_b1 = np.arange(64, dtype=np.uint8) + 1
+        data_b2 = np.arange(64, dtype=np.uint8) + 2  # B re-encoded
+        del big
+        obj._decode_idx_blobs(["A"], infos_a, 0, 1, datas=[data_a])
+        obj._decode_idx_blobs(["B"], infos_b, 0, 1, datas=[data_b1])
+        cache = obj._idx_cache
+        size_a = cache["map"]["A"][1].nbytes
+        assert size_a + native.decode_idx_blob_bytes(170, 170) > cache["cap"]
+        used_after_fill = cache["used"]
+        # B's content changes AND its replacement (now a big image) no
+        # longer fits: the stale blob must be reclaimed exactly once
+        big_infos_b = np.array([[0, 0, 340, 340]], np.int64)
+        for _ in range(3):  # replaying must not re-decrement
+            blobs = obj._decode_idx_blobs(["B"], big_infos_b, 0, 1,
+                                          datas=[data_b2])
+            assert blobs == [None]  # over cap: no blob served
+            assert cache["used"] == size_a
+            assert "B" not in cache["map"]
+        assert cache["used"] >= 0
+        assert cache["used"] == used_after_fill - (used_after_fill - size_a)
+    finally:
+        if old is None:
+            os.environ.pop("DALI_TPU_DECODE_IDX_MB", None)
+        else:
+            os.environ["DALI_TPU_DECODE_IDX_MB"] = old
+
+
 def _rrc_pipeline_runs(tmp_path, env, n_runs=8, scale=2):
     """Build + run the hybrid RRC pipeline under the given env overrides."""
     import cv2

@@ -422,3 +422,118 @@ def test_yuv_wire_huge_shrink_request_stays_bounded(tmp_path):
     b = np.asarray(to_samples(pm.run()[0])[0])
     assert a.shape == b.shape and a.shape[0] == 6
     np.testing.assert_array_equal(a, b)
+
+
+def test_read_yuv_pixfmt_change_raises_distinct_error(tmp_path):
+    """video_decode.cc returns -2 - got on a mid-stream pixel-format change
+    (NEVER the EOF shape); the wrapper surfaces it as VideoPixfmtChanged
+    carrying the frames decoded so far (advisor r4)."""
+    from dali_tpu.native import VideoFile, VideoPixfmtChanged
+
+    vid = _write_video(tmp_path / "v.mp4", num_frames=6, seed=40)
+    vf = VideoFile(vid)
+
+    class _Shim:
+        def __init__(self, real):
+            self._real = real
+
+        def __getattr__(self, n):
+            return getattr(self._real, n)
+
+        def dali_tpu_video_read_frames_yuv(self, *a):
+            return -5  # format change after 3 frames
+
+    vf._lib = _Shim(vf._lib)
+    with pytest.raises(VideoPixfmtChanged) as ei:
+        vf.read_yuv(0, 4)
+    assert ei.value.got == 3
+    vf._lib = vf._lib._real
+    vf.close()
+
+
+def test_yuv_wire_pixfmt_change_falls_back_to_dense(tmp_path, monkeypatch):
+    """A VideoPixfmtChanged mid-staging must drop decoders.Video mixed (and
+    inputs.video mixed) to the dense RGB path — same output as cpu, no
+    silent repeated-frame padding (advisor r4)."""
+    from dali_tpu.native import VideoFile, VideoPixfmtChanged
+
+    vid = _write_video(tmp_path / "v.mp4", num_frames=8, seed=41)
+    blob = open(vid, "rb").read()
+
+    def boom(self, *a, **kw):
+        raise VideoPixfmtChanged(self.path, 0)
+
+    monkeypatch.setattr(VideoFile, "read_yuv", boom)
+
+    def make_dec(device):
+        @pipeline_def(batch_size=1, num_threads=1, seed=5)
+        def pipe():
+            buf = fn.external_source(
+                source=lambda: [np.frombuffer(blob, np.uint8)],
+                batch=True, cycle=True)
+            return fn.decoders.video(buf, sequence_length=4, device=device)
+        return pipe()
+
+    pc, pm = make_dec("cpu"), make_dec("mixed")
+    pc.build()
+    pm.build()
+    a = np.asarray(to_samples(pc.run()[0])[0])
+    b = np.asarray(to_samples(pm.run()[0])[0])
+    assert a.shape == b.shape
+    np.testing.assert_array_equal(a, b)
+
+    def make_in(device):
+        @pipeline_def(batch_size=2, num_threads=1, seed=1)
+        def pipe():
+            return fn.experimental.inputs.video(
+                sequence_length=4, name="vin", last_sequence_policy="pad",
+                device=device)
+        return pipe()
+
+    pc2, pm2 = make_in("cpu"), make_in("mixed")
+    pc2.build()
+    pm2.build()
+    pc2.feed_input("vin", blob)
+    pm2.feed_input("vin", blob)
+    sc = to_samples(pc2.run()[0])
+    sm = to_samples(pm2.run()[0])
+    for x, y in zip(sc, sm):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_yuv_wire_undercounting_estimate_emits_all_frames(tmp_path, monkeypatch):
+    """When the container's num_frames ESTIMATE undercounts by more than the
+    +2 plan slack (bad duration metadata / VFR), a completely-filled shrink
+    plan probes one frame past the cap and falls back to the dense path, so
+    mixed emits every real frame exactly like cpu (advisor r4)."""
+    from dali_tpu.native import VideoFile
+
+    vid = _write_video(tmp_path / "v.mp4", num_frames=10, seed=42)
+    blob = open(vid, "rb").read()
+
+    orig_init = VideoFile.__init__
+
+    def bad_meta_init(self, path):
+        orig_init(self, path)
+        self.num_frames = max(self.num_frames - 5, 1)  # estimate 5 short
+
+    monkeypatch.setattr(VideoFile, "__init__", bad_meta_init)
+
+    def make(device):
+        @pipeline_def(batch_size=1, num_threads=1, seed=5)
+        def pipe():
+            buf = fn.external_source(
+                source=lambda: [np.frombuffer(blob, np.uint8)],
+                batch=True, cycle=True)
+            return fn.decoders.video(buf, sequence_length=100000,
+                                     pad_mode="none", device=device)
+        return pipe()
+
+    pc, pm = make("cpu"), make("mixed")
+    pc.build()
+    pm.build()
+    a = np.asarray(to_samples(pc.run()[0])[0])
+    b = np.asarray(to_samples(pm.run()[0])[0])
+    assert a.shape[0] == 10, a.shape  # cpu reads to EOF: all real frames
+    assert a.shape == b.shape
+    np.testing.assert_array_equal(a, b)
