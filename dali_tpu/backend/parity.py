@@ -561,8 +561,6 @@ _video_resize_schema()
 @register_operator("readers.VideoResize", "mixed")
 class VideoResizeReader(_VideoReaderImpl):
     def _read_payload(self, index: int):
-        import cv2
-
         from .image import compute_resize_size
 
         out = super()._read_payload(index)
@@ -588,14 +586,16 @@ class VideoResizeReader(_VideoReaderImpl):
         except ValueError:  # no resize extents given: pass through
             oh, ow = h, w
         if (oh, ow) != (h, w):
-            from .image import _cv2_interp, _pick_filter, _resize_cv
+            # per-frame resample on the framework's own tap-plan math (the
+            # same kernel as Resize/RCM cpu — not a cv2 delegate), matching
+            # the reference's derivation of VideoResize from its one
+            # resampling kernel (dali/operators/reader/video_reader_op.h)
+            from ..kernels.resample import host_resample
+            from .image import _pick_filter
 
-            scale_down = oh < h or ow < w
-            cv_interp = _cv2_interp(_pick_filter(spec, scale_down), scale_down)
-            if scale_down and spec.GetArgument("antialias", True) \
-                    and cv_interp == cv2.INTER_LINEAR:
-                cv_interp = cv2.INTER_AREA
-            frames = np.stack([_resize_cv(fr, ow, oh, cv_interp)
+            interp = _pick_filter(spec, oh < h or ow < w)
+            antialias = spec.GetArgument("antialias", True)
+            frames = np.stack([host_resample(fr, oh, ow, interp, antialias)
                                for fr in frames])
         return (frames,) + tuple(out[1:]) if isinstance(out, tuple) else frames
 

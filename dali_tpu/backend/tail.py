@@ -347,59 +347,69 @@ _resize_crop_mirror_schema("FastResizeCropMirror")
 
 
 class _RCMBase(Operator):
+    """cpu ResizeCropMirror/FastResizeCropMirror: ONE fused resample on the
+    framework's own tap-plan resampler — the crop window maps back through
+    the resize scale into an input ROI, exactly the math of the gpu lowering
+    (_RCMGPU.host_params), so cpu == gpu is bit-controlled and RCM shares
+    Resize's pixels. The reference derives the whole family from its one
+    resampling kernel the same way
+    (dali/operators/image/resize/resize_crop_mirror.h:1-60,
+    dali/kernels/imgproc/resample/separable.h)."""
+
     def run_sample(self, ctx, idx, img):
-        import cv2
+        from ..kernels.resample import host_resample
+        from .generic2 import _crop_round
+        from .image import _pick_filter, compute_resize_size
 
-        from .image import compute_resize_size
-
+        spec = self.spec
         h, w = img.shape[:2]
-        # optional input ROI (reference ResizeAttr roi_start/roi_end)
+        iy0 = ix0 = 0.0
+        # optional input ROI (reference ResizeAttr roi_start/roi_end) —
+        # float start + rounded extent, identical to _RCMGPU.host_params
         rs = ctx.arg(self, "roi_start", idx, None)
         re_ = ctx.arg(self, "roi_end", idx, None)
         if rs is not None or re_ is not None:
-            rel = self.spec.GetArgument("roi_relative", False)
+            rel = spec.GetArgument("roi_relative", False)
             s0 = np.asarray(rs if rs is not None else ([0.0, 0.0] if rel else [0, 0]), np.float64)
             e0 = np.asarray(re_ if re_ is not None else ([1.0, 1.0] if rel else [h, w]), np.float64)
             if rel:
                 s0 = s0 * [h, w]
                 e0 = e0 * [h, w]
-            y0, x0 = int(round(s0[0])), int(round(s0[1]))
-            y1, x1 = int(round(e0[0])), int(round(e0[1]))
-            img = img[max(y0, 0) : max(y1, y0 + 1), max(x0, 0) : max(x1, x0 + 1)]
-            h, w = img.shape[:2]
-        out_h, out_w = compute_resize_size(h, w, self.spec, lambda n, d=None: ctx.arg(self, n, idx, d))
-        from .image import _cv2_interp, _pick_filter, _resize_cv
-
-        scale_down = out_h < h or out_w < w
-        interp = _pick_filter(self.spec, scale_down)
-        cv_interp = _cv2_interp(interp, scale_down)
-        if scale_down and self.spec.GetArgument("antialias", True) and cv_interp == cv2.INTER_LINEAR:
-            cv_interp = cv2.INTER_AREA
-        resized = _resize_cv(img, out_w, out_h, cv_interp)
-        if resized.ndim == 2:
-            resized = resized[:, :, None]
-        crop = self.spec.GetArgument("crop", None)
+            iy0, ix0 = float(s0[0]), float(s0[1])
+            h = max(int(round(e0[0])) - int(round(s0[0])), 1)
+            w = max(int(round(e0[1])) - int(round(s0[1])), 1)
+        out_h, out_w = compute_resize_size(h, w, spec, lambda n, d=None: ctx.arg(self, n, idx, d))
+        crop = spec.GetArgument("crop", None)
         if not crop:
             ch_ = int(np.asarray(ctx.arg(self, "crop_h", idx, 0.0)) or 0)
             cw_ = int(np.asarray(ctx.arg(self, "crop_w", idx, 0.0)) or 0)
             if ch_ and cw_:
                 crop = [ch_, cw_]
         if crop:
-            from .generic2 import _crop_round
-
             ch, cw = int(crop[0]), int(crop[1])
             py = float(np.asarray(ctx.arg(self, "crop_pos_y", idx, 0.5)))
             px = float(np.asarray(ctx.arg(self, "crop_pos_x", idx, 0.5)))
-            rnd = self.spec.GetArgument("rounding", "round")
-            y = _crop_round(py * (out_h - ch), rnd)
-            x = _crop_round(px * (out_w - cw), rnd)
-            resized = resized[y : y + ch, x : x + cw]
+            rnd = spec.GetArgument("rounding", "round")
+            y = max(_crop_round(py * (out_h - ch), rnd), 0)
+            x = max(_crop_round(px * (out_w - cw), rnd), 0)
+            sy, sx = h / out_h, w / out_w
+            roi_start = (iy0 + y * sy, ix0 + x * sx)
+            roi_size = (ch * sy, cw * sx)
+            to_h, to_w = ch, cw
+        else:
+            roi_start, roi_size = (iy0, ix0), (float(h), float(w))
+            to_h, to_w = out_h, out_w
+        interp = _pick_filter(spec, out_h < h or out_w < w)
+        dt = spec.GetArgument("dtype", None)
+        out = host_resample(img, to_h, to_w, interp,
+                            spec.GetArgument("antialias", True),
+                            roi_start, roi_size,
+                            out_dtype=to_numpy_type(dt) if dt is not None else None)
+        if out.ndim == 2:
+            out = out[:, :, None]
         if int(np.asarray(ctx.arg(self, "mirror", idx, 0))):
-            resized = resized[:, ::-1]
-        dt = self.spec.GetArgument("dtype", None)
-        if dt is not None:
-            resized = resized.astype(to_numpy_type(dt))
-        return np.ascontiguousarray(resized)
+            out = out[:, ::-1]
+        return np.ascontiguousarray(out)
 
     def output_layout(self, j, inputs):
         return "HWC"

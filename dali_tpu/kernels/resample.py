@@ -323,9 +323,12 @@ def _host_tap_plan(out_size, roi_start, roi_size, extent, interp, antialias):
 
 
 def host_resample(img, out_h, out_w, interp=DALIInterpType.INTERP_LINEAR,
-                  antialias=True, roi_start=(0.0, 0.0), roi_size=None):
+                  antialias=True, roi_start=(0.0, 0.0), roi_size=None,
+                  out_dtype=None):
     """Separable resample of one HWC sample on the host — the same math as
-    resample_sample, in numpy. Returns the input dtype (round+clip for ints)."""
+    resample_sample, in numpy. Returns ``out_dtype`` (default: the input
+    dtype) with round+clip for integer targets, mirroring resample_batch's
+    out_dtype semantics so cpu ops stay bit-controlled against the device."""
     h, w = img.shape[:2]
     if roi_size is None:
         roi_size = (float(h), float(w))
@@ -335,7 +338,8 @@ def host_resample(img, out_h, out_w, interp=DALIInterpType.INTERP_LINEAR,
     idx_x, w_x = _host_tap_plan(out_w, roi_start[1], roi_size[1], w, interp, antialias)
     cols = tmp[:, idx_x]  # [out_h, taps, out_w, C]
     out = np.einsum("to,htoc->hoc", w_x, cols)
-    if np.issubdtype(img.dtype, np.integer):
-        info = np.iinfo(img.dtype)
+    dt = img.dtype if out_dtype is None else np.dtype(out_dtype)
+    if np.issubdtype(dt, np.integer):
+        info = np.iinfo(dt)
         out = np.clip(np.round(out), info.min, info.max)
-    return out.astype(img.dtype)
+    return out.astype(dt)

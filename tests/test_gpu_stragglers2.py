@@ -37,8 +37,13 @@ def test_rcm_gpu_matches_cpu(tmp_path):
     ca = c.as_array().astype(np.int32)
     ga = np.asarray(g.as_tensor()).astype(np.int32)
     assert ga.shape == (3, 32, 24, 3)
-    # cpu path is cv2, gpu is the gather resampler: allow interp differences
-    assert np.mean(np.abs(ca - ga)) < 12, np.mean(np.abs(ca - ga))
+    # r5: cpu RCM rides the SAME fused tap-plan resampler as the gpu
+    # lowering (crop mapped back through the resize scale to an input ROI);
+    # the residue is numpy-vs-XLA f32 last-ulp at round boundaries — at most
+    # one uint8 level on a fraction of pixels (the Resize contract)
+    diff = np.abs(ca - ga)
+    assert diff.max() <= 1, diff.max()
+    assert (diff != 0).mean() < 0.01, (diff != 0).mean()
 
 
 def test_rcm_gpu_per_sample_mirror(tmp_path):
