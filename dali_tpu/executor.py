@@ -315,6 +315,8 @@ class Executor:
             # and vice versa (VERDICT r1: expose wait times so overlap
             # regressions are visible)
             "host_phase_seconds": 0.0,
+            "host_phase_cpu_seconds": 0.0,
+            "host_batches": 0,
             "device_phase_seconds": 0.0,
             "host_stall_seconds": 0.0,
             "device_stall_seconds": 0.0,
@@ -464,6 +466,7 @@ class Executor:
                 import jax.profiler
 
                 t0 = time.perf_counter()
+                c0 = time.thread_time()
                 with jax.profiler.TraceAnnotation("dali_tpu.host_phase"):
                     staged = self._host_phase(it)
                 if self.pipeline.enable_checkpointing:
@@ -476,10 +479,17 @@ class Executor:
                     st["iteration"] = it + 1
                     staged["ckpt"] = st
                 t1 = time.perf_counter()
+                c1 = time.thread_time()
                 self._device_q.put(staged)  # blocks when the device stage lags
                 t2 = time.perf_counter()
                 self._stats["host_phase_seconds"] += t1 - t0
                 self._stats["host_stall_seconds"] += t2 - t1
+                # thread-CPU twin of host_phase_seconds: unaffected by tunnel
+                # weather (no H2D in this phase) and mostly load-immune (CPU
+                # time does not advance while descheduled) — the basis of the
+                # weather-immune per-lane host gates (qa/thresholds.json)
+                self._stats["host_phase_cpu_seconds"] += c1 - c0
+                self._stats["host_batches"] += 1
             except BaseException as e:  # propagate to outputs()
                 self._device_q.put(e)
                 return
@@ -1014,6 +1024,11 @@ class Executor:
                     (d, s, l) for d, s, l in zip(data_out, shapes_out, layouts)
                 ]
 
+            # the raw traced function, for re-jitting the PRODUCTION device
+            # program under a sharded mesh (dryrun_multichip /
+            # tests/test_sharding.py trace the real sparse-wire gather + IDCT
+            # + resample + CMN program with its batch dim sharded)
+            call._raw_program = program
             self._jit_device_program[cache_key] = call
         return self._jit_device_program[cache_key]
 
