@@ -96,22 +96,32 @@ DALI_SCHEMA("experimental.Debayer").DocStr(
 @register_operator("experimental.Debayer", "cpu")
 class Debayer(Operator):
     def run_sample(self, ctx, idx, raw):
-        import cv2
+        from .. import native
 
         bp = tuple(int(v) for v in self.spec.GetArgument("blue_position", [0, 0]))
-        # map blue position to the OpenCV Bayer code. cv2's pattern letters
-        # name the colors at the SECOND row's 2nd/3rd columns, so blue at
-        # (0,0) is cv2's "RG" pattern (verified empirically with a
-        # constant-color mosaic; the golden debayer test guards this —
-        # round 2 fixed an R/B swap here that the gpu lowering exposed).
+        x = raw[..., 0] if raw.ndim == 3 else raw
+        algo = self.spec.GetArgument("algorithm", "bilinear_npp")
+        if (algo != "edge_aware" and native.available() and native.has_debayer()
+                and x.dtype in (np.uint8, np.uint16)):
+            # own-code bilinear demosaic (host_ops.cc) — BIT-IDENTICAL to the
+            # gpu lowering (straggler_gpu.py DebayerGPU) by construction;
+            # reference: dali/kernels/imgproc/color_manipulation/debayer/
+            return native.debayer_bilinear(x, bp[0], bp[1])
+        import cv2
+
+        # no-native fallback, and the edge-aware variant (cv2 _EA codes).
+        # cv2's pattern letters name the colors at the SECOND row's 2nd/3rd
+        # columns, so blue at (0,0) is cv2's "RG" pattern (verified
+        # empirically with a constant-color mosaic; the golden debayer test
+        # guards this — round 2 fixed an R/B swap here that the gpu lowering
+        # exposed).
         code = {
             (0, 0): cv2.COLOR_BayerRG2RGB,
             (0, 1): cv2.COLOR_BayerGR2RGB,
             (1, 0): cv2.COLOR_BayerGB2RGB,
             (1, 1): cv2.COLOR_BayerBG2RGB,
         }[bp]
-        x = raw[..., 0] if raw.ndim == 3 else raw
-        if self.spec.GetArgument("algorithm", "bilinear_npp") == "edge_aware":
+        if algo == "edge_aware":
             code = code - cv2.COLOR_BayerBG2RGB + cv2.COLOR_BayerBG2RGB_EA
         return cv2.cvtColor(x, code)
 

@@ -1243,6 +1243,34 @@ def resize_area_u8(img: np.ndarray, oh: int, ow: int) -> np.ndarray:
     return out
 
 
+def debayer_bilinear(raw: np.ndarray, by: int, bx: int) -> np.ndarray:
+    """Own-code bilinear Bayer→RGB demosaic (host_ops.cc): per color, a
+    mask-normalized 3x3 tent interpolation — the cpu twin of the device
+    lowering (backend/straggler_gpu.py DebayerGPU), bit-identical by
+    construction (all accumulators are exact ints < 2^24 in f32; round half
+    to even). Reference: dali/kernels/imgproc/color_manipulation/debayer/."""
+    lib = _load()
+    h, w = raw.shape[:2]
+    if raw.dtype == np.uint8:
+        fn = lib.dali_tpu_debayer_bilinear_u8
+    elif raw.dtype == np.uint16:
+        fn = lib.dali_tpu_debayer_bilinear_u16
+    else:
+        raise TypeError(f"debayer_bilinear: unsupported dtype {raw.dtype}")
+    raw = np.ascontiguousarray(raw)
+    out = np.empty((h, w, 3), raw.dtype)
+    rc = fn(raw.ctypes.data_as(ctypes.c_void_p), h, w, int(by), int(bx),
+            out.ctypes.data_as(ctypes.c_void_p))
+    if rc != 0:
+        raise ValueError("debayer_bilinear: bad geometry/blue_position")
+    return out
+
+
+def has_debayer() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "dali_tpu_debayer_bilinear_u8")
+
+
 def has_pack_batch() -> bool:
     lib = _load()
     return lib is not None and hasattr(

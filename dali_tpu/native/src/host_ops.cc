@@ -5,6 +5,7 @@
 
 #include <algorithm>
 #include <cmath>
+#include <limits>
 #include <atomic>
 #include <cstring>
 #include <thread>
@@ -499,6 +500,76 @@ int dali_tpu_resize_area_u8(const unsigned char* src, int h, int w, int c,
       }
     }
   }
+  return 0;
+}
+
+}  // extern "C"
+
+// ==================================== debayer =====================================
+
+namespace {
+
+// Bilinear Bayer->RGB demosaic, the cpu twin of the device lowering
+// (backend/straggler_gpu.py DebayerGPU): per color, mask-normalized 3x3 tent
+// interpolation num/den with SAME zero padding. Every accumulator is an
+// exact small integer (< 2^24 even for u16 inputs), so the f32 division and
+// round-half-to-even below are BIT-IDENTICAL to the XLA program's f32 conv +
+// divide + jnp.round — the contract tests/test_image_ops.py pins.
+// Reference: dali/kernels/imgproc/color_manipulation/debayer/ (NPP bilinear).
+template <typename T>
+void debayer_bilinear(const T* in, int h, int w, int by, int bx, T* out) {
+  static const int K[3][3] = {{1, 2, 1}, {2, 4, 2}, {1, 2, 1}};
+  const int ry = 1 - by, rx = 1 - bx;  // red is diagonal from blue
+  for (int y = 0; y < h; y++) {
+    for (int x = 0; x < w; x++) {
+      long num[3] = {0, 0, 0};
+      int den[3] = {0, 0, 0};
+      for (int dy = -1; dy <= 1; dy++) {
+        int yy = y + dy;
+        if (yy < 0 || yy >= h) continue;
+        for (int dx = -1; dx <= 1; dx++) {
+          int xx = x + dx;
+          if (xx < 0 || xx >= w) continue;
+          int kw = K[dy + 1][dx + 1];
+          int c;  // which color this Bayer site carries
+          if ((yy & 1) == by && (xx & 1) == bx) c = 2;       // blue
+          else if ((yy & 1) == ry && (xx & 1) == rx) c = 0;  // red
+          else c = 1;                                        // green
+          num[c] += (long)kw * in[(size_t)yy * w + xx];
+          den[c] += kw;
+        }
+      }
+      T* o = out + ((size_t)y * w + x) * 3;
+      for (int c = 0; c < 3; c++) {
+        // den >= 1 always: any in-bounds 3x3 corner window still spans all
+        // four 2x2 phases. f32 division of exact ints == the XLA divide.
+        float v = (float)num[c] / (float)den[c];
+        float r = std::nearbyintf(v);  // round half to even, like jnp.round
+        long iv = (long)r;
+        long hi = (long)std::numeric_limits<T>::max();
+        o[c] = (T)(iv < 0 ? 0 : iv > hi ? hi : iv);
+      }
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+int dali_tpu_debayer_bilinear_u8(const unsigned char* in, int h, int w,
+                                 int by, int bx, unsigned char* out) {
+  if (!in || !out || h < 2 || w < 2 || by < 0 || by > 1 || bx < 0 || bx > 1)
+    return -1;
+  debayer_bilinear<unsigned char>(in, h, w, by, bx, out);
+  return 0;
+}
+
+int dali_tpu_debayer_bilinear_u16(const unsigned short* in, int h, int w,
+                                  int by, int bx, unsigned short* out) {
+  if (!in || !out || h < 2 || w < 2 || by < 0 || by > 1 || bx < 0 || bx > 1)
+    return -1;
+  debayer_bilinear<unsigned short>(in, h, w, by, bx, out);
   return 0;
 }
 

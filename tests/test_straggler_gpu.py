@@ -206,18 +206,32 @@ def test_jpeg_distortion_quality_monotonic_gpu():
     assert errs[10.0] > errs[50.0] > errs[95.0], errs
 
 
-def test_debayer_gpu_vs_cv2_interior():
+def _mosaic(rng, h, w, bp):
     import cv2
 
-    rng = np.random.default_rng(11)
     small = rng.integers(0, 256, (8, 8, 3), np.uint8)
-    rgb = cv2.resize(small, (40, 40), interpolation=cv2.INTER_CUBIC)
-    # mosaic with blue at (0,0): B at even/even, R at odd/odd, G elsewhere
-    raw = np.zeros((40, 40), np.uint8)
-    raw[0::2, 0::2] = rgb[0::2, 0::2, 2]
-    raw[1::2, 1::2] = rgb[1::2, 1::2, 0]
-    raw[0::2, 1::2] = rgb[0::2, 1::2, 1]
-    raw[1::2, 0::2] = rgb[1::2, 0::2, 1]
+    rgb = cv2.resize(small, (w, h), interpolation=cv2.INTER_CUBIC)
+    by, bx = bp
+    raw = np.zeros((h, w), np.uint8)
+    raw[by::2, bx::2] = rgb[by::2, bx::2, 2]          # blue
+    raw[1 - by::2, 1 - bx::2] = rgb[1 - by::2, 1 - bx::2, 0]  # red
+    raw[by::2, 1 - bx::2] = rgb[by::2, 1 - bx::2, 1]  # green
+    raw[1 - by::2, bx::2] = rgb[1 - by::2, bx::2, 1]
+    return raw
+
+
+@pytest.mark.parametrize("bp", [(0, 0), (0, 1), (1, 0), (1, 1)])
+def test_debayer_cpu_gpu_bit_exact(bp):
+    """r5: cpu debayer is the own-code host_ops.cc kernel, the exact twin of
+    the gpu lowering's mask-normalized tent interpolation — BIT-EXACT
+    everywhere including borders (every accumulator is an exact int in f32).
+    Reference: dali/kernels/imgproc/color_manipulation/debayer/."""
+    from dali_tpu import native
+
+    if not (native.available() and native.has_debayer()):
+        pytest.skip("native debayer unavailable")
+    rng = np.random.default_rng(11 + bp[0] * 2 + bp[1])
+    raw = _mosaic(rng, 40, 44, bp)
     outs = {}
     for device in ("cpu", "gpu"):
         @pipeline_def(batch_size=1, num_threads=1, seed=2)
@@ -225,16 +239,58 @@ def test_debayer_gpu_vs_cv2_interior():
             x = fn.external_source(source=lambda: [raw[..., None]], batch=True, cycle=True)
             if device == "gpu":
                 x = x.gpu()
-            return fn.experimental.debayer(x, blue_position=[0, 0])
+            return fn.experimental.debayer(x, blue_position=list(bp))
 
         pipe = p()
         pipe.build()
-        outs[device] = to_samples(pipe.run()[0])[0]
-    c = outs["cpu"][2:-2, 2:-2].astype(np.int32)
-    g = outs["gpu"][2:-2, 2:-2].astype(np.int32)
-    diff = np.abs(c - g)
-    # cv2 bilinear vs mask-normalized tent agree closely away from borders
+        outs[device] = np.asarray(to_samples(pipe.run()[0])[0])
+    np.testing.assert_array_equal(outs["cpu"], outs["gpu"])
+
+
+def test_debayer_own_code_vs_cv2_interior():
+    """The own-code bilinear demosaic stays close to cv2's bilinear away
+    from borders (different border conventions; same interior math)."""
+    import cv2
+
+    from dali_tpu import native
+
+    if not (native.available() and native.has_debayer()):
+        pytest.skip("native debayer unavailable")
+    rng = np.random.default_rng(13)
+    raw = _mosaic(rng, 40, 40, (0, 0))
+    own = native.debayer_bilinear(raw, 0, 0)
+    ref = cv2.cvtColor(raw, cv2.COLOR_BayerRG2RGB)
+    diff = np.abs(own[2:-2, 2:-2].astype(np.int32) - ref[2:-2, 2:-2].astype(np.int32))
     assert diff.mean() < 3.0 and (diff > 12).mean() < 0.05, (diff.mean(), diff.max())
+
+
+def test_debayer_u16_and_fallback_paths():
+    """u16 mosaics ride the native kernel; the edge-aware variant still
+    works (cv2 path)."""
+    from dali_tpu import native
+
+    if not (native.available() and native.has_debayer()):
+        pytest.skip("native debayer unavailable")
+    rng = np.random.default_rng(14)
+    raw8 = _mosaic(rng, 24, 24, (1, 0))
+    raw16 = (raw8.astype(np.uint16) * 257)
+    out16 = native.debayer_bilinear(raw16, 1, 0)
+    assert out16.dtype == np.uint16 and out16.shape == (24, 24, 3)
+    # scaling the input by 257 scales the pre-round bilinear value by 257;
+    # round(257v) and 257*round(v) differ by at most ~129
+    out8 = native.debayer_bilinear(raw8, 1, 0)
+    d = np.abs(out16.astype(np.int64) - out8.astype(np.int64) * 257)
+    assert d.max() <= 129, d.max()
+
+    @pipeline_def(batch_size=1, num_threads=1, seed=2)
+    def p():
+        x = fn.external_source(source=lambda: [raw8[..., None]], batch=True, cycle=True)
+        return fn.experimental.debayer(x, blue_position=[1, 0], algorithm="edge_aware")
+
+    pipe = p()
+    pipe.build()
+    out = np.asarray(to_samples(pipe.run()[0])[0])
+    assert out.shape == (24, 24, 3)
 
 
 def test_clahe_gpu_gray_vs_cv2():
