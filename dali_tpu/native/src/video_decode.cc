@@ -24,6 +24,7 @@ extern "C" {
 #include <libswscale/swscale.h>
 }
 
+#include <cmath>
 #include <cstring>
 #include <string>
 
@@ -131,8 +132,20 @@ void* dali_tpu_video_open(const char* path) {
   }
   v->width = v->codec->width;
   v->height = v->codec->height;
+  if (v->width <= 0 || v->height <= 0) {
+    // corrupt container metadata: the callers size every read buffer from
+    // these dims, and sws_getContext below would return null
+    avcodec_free_context(&v->codec);
+    avformat_close_input(&v->fmt);
+    delete v;
+    return nullptr;
+  }
   AVRational fr = st->avg_frame_rate.num ? st->avg_frame_rate : st->r_frame_rate;
-  v->fps = fr.den ? av_q2d(fr) : 25.0;
+  double fps = fr.den ? av_q2d(fr) : 0.0;
+  // fps must be strictly positive: the seek math divides by it, and a
+  // mutated container can carry num=0 (a 0.0 here would make the
+  // int64 cast of the resulting inf undefined behavior)
+  v->fps = (fps > 0.0 && std::isfinite(fps)) ? fps : 25.0;
   v->num_frames = st->nb_frames;
   if (v->num_frames <= 0 && st->duration != AV_NOPTS_VALUE) {
     v->num_frames = (int64_t)(st->duration * av_q2d(st->time_base) * v->fps + 0.5);
@@ -224,11 +237,17 @@ int dali_tpu_video_read_frames(void* handle, long start, int count, int stride,
     int64_t idx = decode_next(v);
     if (idx < 0) return got > 0 ? got : -1;
     if (idx >= target) {
+      // mid-stream dimension change (corrupt/spliced container): the copy
+      // and conversion below index by the OPEN-time dims — reading a
+      // smaller frame's planes at those extents would overrun them
+      if (v->frame->width != v->width || v->frame->height != v->height)
+        return got > 0 ? got : -1;
       unsigned char* dst = out + (long)got * v->height * row_bytes;
       int pc = pixfmt_class(v);
       if (pc != 0 && v->frame->format == v->codec->pix_fmt) {
         yuv420_frame_to_rgb(v->frame, v->width, v->height, pc == 2, dst);
       } else {
+        if (!v->sws) return got > 0 ? got : -1;  // exotic pixfmt sws rejected
         uint8_t* planes[1] = {dst};
         int strides[1] = {(int)row_bytes};
         sws_scale(v->sws, v->frame->data, v->frame->linesize, 0, v->height, planes, strides);
@@ -275,12 +294,14 @@ int dali_tpu_video_read_frames_yuv(void* handle, long start, int count,
     int64_t idx = decode_next(v);
     if (idx < 0) return got > 0 ? got : -1;
     if (idx >= target) {
-      // Mid-stream pixel-format change: the planar copy below would read
-      // planes that no longer exist (or carry different subsampling).
+      // Mid-stream pixel-format OR dimension change: the planar copy below
+      // would read planes that no longer exist (or at the wrong extents).
       // Return a DISTINCT code (-2 - got, never the EOF shape) so Python
-      // callers can fall back to the dense RGB path (which swscales any
+      // callers can fall back to the dense RGB path (which handles any
       // format) instead of silently padding with repeated frames.
-      if (v->frame->format != v->codec->pix_fmt) return -2 - got;
+      if (v->frame->format != v->codec->pix_fmt ||
+          v->frame->width != v->width || v->frame->height != v->height)
+        return -2 - got;
       unsigned char* dy = out_y + (long)got * h * w;
       unsigned char* du = out_u + (long)got * ch * cw;
       unsigned char* dv = out_v + (long)got * ch * cw;

@@ -48,6 +48,15 @@ int dali_tpu_audio_decode(const unsigned char*, size_t, float**, long*, int*,
                           double*);
 void dali_tpu_audio_buffer_free(float*);
 #endif
+#ifdef HAVE_VIDEO
+void* dali_tpu_video_open(const char*);
+int dali_tpu_video_info(void*, int*, int*, long*, double*);
+int dali_tpu_video_pixfmt_class(void*);
+int dali_tpu_video_read_frames(void*, long, int, int, unsigned char*);
+int dali_tpu_video_read_frames_yuv(void*, long, int, int, unsigned char*,
+                                   unsigned char*, unsigned char*);
+void dali_tpu_video_close(void*);
+#endif
 }
 
 static uint64_t rng_state = 0x9E3779B97F4A7C15ull;
@@ -211,6 +220,62 @@ int main() {
     printf("audio fuzz: 600 mutations OK\n");
   }
 #endif
+#ifdef HAVE_VIDEO
+  // video decoder torture (reference dali/fuzzing/image_decoder_target.cc
+  // pattern, applied to the container path): mutated mp4s from the
+  // checked-in corpus driven through open -> info -> random seek patterns
+  // over BOTH read entries (RGB via yuv420/sws fallback, and the planar
+  // YUV wire path). The handle/seek/plane-copy logic around FFmpeg is the
+  // repo's own (video_decode.cc) — corrupt metadata must never turn into
+  // out-of-bounds plane copies, null-sws derefs, or UB int casts.
+  {
+    FILE* bf = fopen("qa/corpus/video_base.mp4", "rb");
+    if (!bf) { printf("video corpus missing\n"); return 1; }
+    std::vector<unsigned char> mp4;
+    unsigned char tmp[4096];
+    size_t r;
+    while ((r = fread(tmp, 1, sizeof tmp, bf)) > 0)
+      mp4.insert(mp4.end(), tmp, tmp + r);
+    fclose(bf);
+    const char* path = "/tmp/dali_tpu_video_fuzz.mp4";
+    int opened = 0;
+    for (int i = 0; i < 300; i++) {
+      mutate(mut, mp4, i);
+      FILE* wf = fopen(path, "wb");
+      if (!wf) { printf("video fuzz tmp write failed\n"); return 1; }
+      fwrite(mut.data(), 1, mut.size(), wf);
+      fclose(wf);
+      void* h = dali_tpu_video_open(path);
+      if (!h) continue;  // rejected: exactly what corrupt input should do
+      opened++;
+      int w = 0, hh = 0;
+      long nf = 0;
+      double fps = 0;
+      dali_tpu_video_info(h, &w, &hh, &nf, &fps);
+      if (w > 0 && hh > 0 && w <= 4096 && hh <= 4096) {
+        const int SEQ = 4;
+        std::vector<unsigned char> rgb((size_t)SEQ * hh * w * 3);
+        std::vector<unsigned char> y((size_t)SEQ * hh * w);
+        std::vector<unsigned char> u((size_t)SEQ * ((hh + 1) / 2) * ((w + 1) / 2));
+        std::vector<unsigned char> vpl(u.size());
+        for (int s = 0; s < 4; s++) {
+          // random start incl. far past EOF and backwards (forces seeks),
+          // strides 1-3
+          long start = (long)(xrand() % (uint64_t)(nf > 0 ? 2 * nf + 4 : 8));
+          int stride = 1 + (int)(xrand() % 3);
+          dali_tpu_video_read_frames(h, start, SEQ, stride, rgb.data());
+          if (dali_tpu_video_pixfmt_class(h) != 0)
+            dali_tpu_video_read_frames_yuv(h, start, SEQ, stride, y.data(),
+                                           u.data(), vpl.data());
+        }
+      }
+      dali_tpu_video_close(h);
+    }
+    remove(path);
+    printf("video fuzz: 300 mutations OK (%d opened)\n", opened);
+  }
+#endif
+
   printf("NATIVE FUZZ OK\n");
   return 0;
 }
