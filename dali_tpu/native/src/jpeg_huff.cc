@@ -62,8 +62,39 @@ inline long long now_ns() {
       .count();
 }
 
+// Store-phase symbol counting for the entropy-scan floor analysis
+// (docs/performance.md, round 5). Compile with -DDALI_TPU_COUNT_SYMS to
+// enable (A/B/analysis builds only); the shipped build compiles the hooks
+// to nothing. Counts one unit per Huffman symbol resolved in the store
+// phase (DC + every AC_SYM invocation) and one per block.
+#ifdef DALI_TPU_COUNT_SYMS
+thread_local long long g_count_syms = 0, g_count_blocks = 0;
+#define SYMC() (g_count_syms++)
+#define BLKC() (g_count_blocks++)
+#else
+#define SYMC() ((void)0)
+#define BLKC() ((void)0)
+#endif
+extern "C" void dali_tpu_scan_syms(long long out[2], int reset) {
+#ifdef DALI_TPU_COUNT_SYMS
+  out[0] = g_count_syms;
+  out[1] = g_count_blocks;
+  if (reset) g_count_syms = g_count_blocks = 0;
+#else
+  (void)reset;
+  out[0] = out[1] = 0;
+#endif
+}
+
 constexpr int kLookahead = 10;
-constexpr int kFastAc = 12;  // fast-AC table window (see build_fac; 12 bits measured +16% vs 10 on this host, 16 KB/table stays cache-resident)
+// fast-AC table window (see build_fac; 12 bits measured +16% vs 10 on this
+// host, 16 KB/table stays cache-resident; 13/14 re-measured round 5 on the
+// idx-warm distribution — see docs/performance.md). Overridable for A/B
+// builds only; the shipped default is 12.
+#ifndef DALI_TPU_KFASTAC
+#define DALI_TPU_KFASTAC 12
+#endif
+constexpr int kFastAc = DALI_TPU_KFASTAC;
 
 inline signed char sat8(int v) {
   return (signed char)(v < -128 ? -128 : v > 127 ? 127 : v);
@@ -196,7 +227,10 @@ void build_fdc(const uint8_t* counts, const uint8_t* vals, FastDc* f) {
 // symbol whose run passes 63 aborts the image (k+kadv > 64), landing
 // exactly ON 64 exits the block loop, ZRL past the end is tolerated —
 // so corrupt-stream output stays crop-position-independent.
-constexpr int kFastSkip = 12;
+#ifndef DALI_TPU_KFASTSKIP
+#define DALI_TPU_KFASTSKIP 12
+#endif
+constexpr int kFastSkip = DALI_TPU_KFASTSKIP;
 struct FastSkip {
   int32_t e[1 << kFastSkip];
 };
@@ -1163,6 +1197,8 @@ int decode_scan(const Parser& ps, const CompState* cs, const uint8_t* pend,
               cnt -= l + s;
             }
             *dcp = (short)pred;
+            SYMC();
+            BLKC();
             int k = 1;
             // AC loop, TWO symbols per refill: a refill leaves >= 56 valid
             // bits and one symbol consumes at most code(16) + magnitude(10)
@@ -1172,6 +1208,7 @@ int decode_scan(const Parser& ps, const CompState* cs, const uint8_t* pend,
             // Measured faster; see docs/performance.md.
 #define AC_SYM(BLOCK_DONE)                                              \
               {                                                         \
+                SYMC();                                                 \
                 int fe = C.fac->e[(unsigned)(acc >> (64 - kFastAc))];   \
                 if (fe) { /* symbol+magnitude in one lookup */          \
                   acc <<= (fe & 63);                                    \

@@ -30,6 +30,7 @@
 #include <string>
 #include <vector>
 
+extern "C" void dali_tpu_scan_syms(long long out[2], int reset);
 extern "C" int dali_tpu_jpeg_huff_read_coeffs_split_crop(
     const char* data, size_t len, int ky, int kc, short* y_dc,
     signed char* y_ac, short* cb_dc, signed char* cb_ac, short* cr_dc,
@@ -260,6 +261,7 @@ int main(int argc, char** argv) {
 
   Stat mid, drrc, prrc, pidx;
   long long chk_mid = 0, chk_drrc = 0, chk_prrc = 0, chk_pidx = 0, c;
+  long long idx_syms = 0, idx_blocks = 0;  // -DDALI_TPU_COUNT_SYMS builds
   for (int r = 0; r < reps; r++) {
     mid.add(dense_rep(wins_mid, &c));
     if (r == 0) chk_mid = c; else if (c != chk_mid) { fprintf(stderr, "mid chk drift\n"); return 1; }
@@ -270,8 +272,14 @@ int main(int argc, char** argv) {
     // idx lane: rep 0 fills the per-file index (cold, EXCLUDED from the
     // stat), later reps seek (warm — the steady state of epoch 2+
     // training). Checksum must match pack-rrc.
-    double us = pack_rep(wins_rrc, &c, true);
-    if (r > 0) pidx.add(us);
+    {
+      long long sc[2];
+      dali_tpu_scan_syms(sc, 1);  // isolate this rep's store-phase count
+      double us = pack_rep(wins_rrc, &c, true);
+      dali_tpu_scan_syms(sc, 0);
+      if (r > 0) pidx.add(us);
+      if (sc[0]) idx_syms = sc[0], idx_blocks = sc[1];
+    }
     if (c != chk_prrc) { fprintf(stderr, "pidx chk != prrc\n"); return 1; }
     if (r == 0) chk_pidx = c;
   }
@@ -284,6 +292,12 @@ int main(int argc, char** argv) {
   if (pidx.n > 0) {
     printf("%zu imgs, pack-rrc-idx best %.1f warm-mean %.1f us/img (%.0f img/s/core) [chk %lld]\n",
            imgs.size(), pidx.best, pidx.mean(), 1e6 / pidx.best, chk_pidx);
+    if (idx_syms)  // entropy-scan floor analysis (docs/performance.md r5)
+      printf("  warm store-phase: %.0f syms/img, %.1f blocks/img, "
+             "%.1f syms/block, best %.1f ns/sym\n",
+             (double)idx_syms / imgs.size(), (double)idx_blocks / imgs.size(),
+             (double)idx_syms / idx_blocks,
+             pidx.best * 1e3 * imgs.size() / idx_syms);
   } else {
     printf("pack-rrc-idx: needs reps >= 2 (rep 0 builds the index cold; "
            "warm seeks are the stat)\n");
