@@ -299,3 +299,17 @@ def test_progressive_through_pipeline_sparse_vs_dense(tmp_path):
         os.environ.pop("DALI_TPU_DISABLE_SPARSE_WIRE", None)
     for i, (x, y) in enumerate(zip(a, b)):
         np.testing.assert_array_equal(x, y, err_msg=f"sample {i}")
+
+
+def test_scan_syms_export_zero_in_shipped_build():
+    """The entropy-scan floor analysis hook (jpeg_huff.cc dali_tpu_scan_syms,
+    docs/performance.md round 5) must exist in the shipped lib and report
+    zeros there: symbol counting is compile-gated behind -DDALI_TPU_COUNT_SYMS
+    (analysis/A-B builds only) so the production store loop carries no
+    counters."""
+    import ctypes
+
+    lib = native._load()
+    out = (ctypes.c_longlong * 2)(1, 1)
+    lib.dali_tpu_scan_syms(out, 1)
+    assert out[0] == 0 and out[1] == 0
