@@ -274,6 +274,7 @@ def bench_audio():
     # Three passes, each preceded by a credit-recovery idle; report the
     # median pass rate and print every pass for transparency.
     stats0 = dict(pipe._executor._stats)
+    snaps = [stats0]
     passes = []
     for _ in range(3):
         time.sleep(30)  # burst-credit refill (measured recovery ~30 s)
@@ -285,10 +286,12 @@ def bench_audio():
             out[0].as_tensor().block_until_ready()
             times.append(time.perf_counter() - t0)
         passes.append(AUDIO_BATCH / float(np.median(times)))
+        snaps.append(dict(pipe._executor._stats))
     clips_per_sec = float(np.median(passes))
     line = _host_cpu_line(pipe, stats0, AUDIO_BATCH,
                           "librispeech_host_cpu_clips_per_sec_per_core",
-                          "clips/s of host-stage thread CPU (no tunnel)")
+                          "clips/s of host-stage thread CPU (no tunnel)",
+                          snaps=snaps)
     if line:
         print(line, flush=True)
     extra = {"note": _FALLBACK_NOTE} if _FALLBACK_NOTE else {}
@@ -318,7 +321,8 @@ def bench_audio():
     )
 
 
-def _host_cpu_line(pipe, stats0, n_per_batch, metric, unit) -> str | None:
+def _host_cpu_line(pipe, stats0, n_per_batch, metric, unit,
+                   snaps=None) -> str | None:
     """Weather-immune host companion metric (VERDICT r4 #1): host-stage
     THREAD-CPU seconds per item over the measured window. CPU time does not
     advance while the thread is descheduled or blocked, and the host phase
@@ -334,12 +338,28 @@ def _host_cpu_line(pipe, stats0, n_per_batch, metric, unit) -> str | None:
     if batches <= 0 or cpu <= 0:
         return None
     rate = batches * n_per_batch / cpu
+    extra = {}
+    if snaps and len(snaps) >= 2:
+        # per-pass diagnostic rates (NOT the gated value): the gated value
+        # stays the whole-window mean; these quantify within-run spread so
+        # future band calibration has per-pass evidence (round-5 finding:
+        # even thread-CPU/item swings with tunnel weather on this 1-core box
+        # via cross-thread cache/timeslice coupling — docs/performance.md)
+        per_pass = []
+        for a, b in zip(snaps, snaps[1:]):
+            db = b["host_batches"] - a["host_batches"]
+            dc = b["host_phase_cpu_seconds"] - a["host_phase_cpu_seconds"]
+            if db > 0 and dc > 0:
+                per_pass.append(round(db * n_per_batch / dc, 1))
+        if per_pass:
+            extra["host_cpu_passes"] = per_pass
     return json.dumps({
         "metric": metric,
         "value": round(rate, 1),
         "unit": unit,
         "vs_baseline": 0.0,
         "host_cpu_us_per_item": round(cpu / (batches * n_per_batch) * 1e6, 1),
+        **extra,
     })
 
 
@@ -366,6 +386,7 @@ def bench_image(data_dir=DATA_DIR,
         pipe.schedule_run()
         out[0].as_tensor().block_until_ready()
     stats0 = dict(pipe._executor._stats)
+    snaps = [stats0]
     passes = []
     for _ in range(n_passes):
         if recover_s:
@@ -381,10 +402,12 @@ def bench_image(data_dir=DATA_DIR,
         # steady-state throughput: median per-batch latency (robust to
         # transient tunnel stalls; the reference bench reports steady-state)
         passes.append(BATCH / float(np.median(times)))
+        snaps.append(dict(pipe._executor._stats))
     imgs_per_sec = float(np.median(passes))
     if host_metric:
         line = _host_cpu_line(pipe, stats0, BATCH, host_metric,
-                              "images/s of host-stage thread CPU (no tunnel)")
+                              "images/s of host-stage thread CPU (no tunnel)",
+                              snaps=snaps)
         if line:
             print(line, flush=True)
     extra = {"note": _FALLBACK_NOTE} if _FALLBACK_NOTE else {}
@@ -442,11 +465,12 @@ def bench_ndd() -> None:
     for _ in range(3):  # warmup (incl. capture + XLA compile)
         step()._device_data.block_until_ready()
     passes = []
-    host_cpu = -_captured_host_cpu()
+    host_cpu_passes = []
     n_steps = 0
     for _ in range(3):
         time.sleep(30)  # burst-credit recovery (see bench_image docstring)
         times = []
+        pass_cpu = -_captured_host_cpu()
         for _ in range(6):
             # host companion (VERDICT r4 #1): thread-CPU of the eager read +
             # feed + batch conversion, with the device WAIT outside the CPU
@@ -456,13 +480,15 @@ def bench_ndd() -> None:
             t0 = time.perf_counter()
             c0 = time.thread_time()
             out = step()
-            host_cpu += time.thread_time() - c0
+            pass_cpu += time.thread_time() - c0
             n_steps += 1
             out._device_data.block_until_ready()
             times.append(time.perf_counter() - t0)
+        pass_cpu += _captured_host_cpu()
+        host_cpu_passes.append(pass_cpu)
         passes.append(BATCH / float(np.median(times)))
     imgs_per_sec = float(np.median(passes))
-    host_cpu += _captured_host_cpu()
+    host_cpu = float(sum(host_cpu_passes))
     if host_cpu > 0:
         print(json.dumps({
             "metric": "imagenet_ndd_host_cpu_images_per_sec_per_core",
@@ -470,6 +496,9 @@ def bench_ndd() -> None:
             "unit": "images/s of eager-loop + captured-executor thread CPU (no tunnel)",
             "vs_baseline": 0.0,
             "host_cpu_us_per_item": round(host_cpu / (n_steps * BATCH) * 1e6, 1),
+            # per-pass diagnostics (see _host_cpu_line): 6 steps per pass
+            "host_cpu_passes": [round(6 * BATCH / c, 1)
+                                for c in host_cpu_passes if c > 0],
         }), flush=True)
     extra = {"note": _FALLBACK_NOTE} if _FALLBACK_NOTE else {}
     print(json.dumps({
