@@ -251,12 +251,19 @@ class VideoDecoder(Operator):
                 if shrink:
                     avail = max((vf.num_frames - start + stride - 1) // stride, 1)
                     length = min(length, avail + 2)
-                plans.append((start, length, shrink))
+                # probe only when the plan's size came from the duration*fps
+                # ESTIMATE ('all available', or the estimate capped a larger
+                # request) — a plan that exactly satisfies the user's request
+                # cannot be truncated, and probing it would find a next frame
+                # on every normal long clip and bounce the batch to the dense
+                # path forever
+                probe = shrink and (requested == 0 or length < requested)
+                plans.append((start, length, shrink, probe))
 
             full_range = classes.pop() == 2
 
             def decode_into(i, ys, us, vs, emit):
-                start, length, shrink = plans[i]
+                start, length, shrink, probe = plans[i]
                 fy = ys.shape[0] // emit
                 fc = us.shape[0] // emit
                 _, _, _, got = vfs[i].read_yuv(
@@ -264,7 +271,7 @@ class VideoDecoder(Operator):
                     out=(ys[: length * fy], us[: length * fc],
                          vs[: length * fc]))
                 if shrink:  # 'all available' / pad_mode none: emit what exists
-                    if got == length:
+                    if probe and got == length:
                         # the plan's cap comes from a duration*fps ESTIMATE
                         # (+2 slack); a completely filled plan may mean more
                         # real frames exist past it (bad metadata / VFR) —

@@ -249,7 +249,15 @@ class BaseReader(ReaderOperator):
     def run_batch(self, ctx: HostCtx, *unused):
         self._ensure_loader()
         indices = [self._loader.read_index() for _ in range(ctx.batch_size)]
-        payloads = ctx.map_samples(lambda i: self._read_payload(indices[i]), ctx.batch_size)
+        return self._dense_batch_from(ctx, indices)
+
+    def _dense_batch_from(self, ctx: HostCtx, indices):
+        """Assemble the dense HostBatch outputs for already-consumed loader
+        ``indices``. Split out of run_batch so a staged fast path that
+        discovers mid-batch it cannot proceed (e.g. the video YUV wire
+        hitting a mid-stream pixel-format change) can re-decode the SAME
+        samples densely instead of dropping them."""
+        payloads = ctx.map_samples(lambda i: self._read_payload(indices[i]), len(indices))
         n_out = len(payloads[0]) if isinstance(payloads[0], tuple) else 1
         layouts = self._payload_layouts()
         infos = [self._source_info(i) for i in indices]

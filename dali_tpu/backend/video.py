@@ -498,6 +498,7 @@ class VideoReaderMixed(_VideoReaderImpl):
         return label, frame_idxs, fi
 
     def stage_batch_multi(self, ctx, ins, canvases):
+        from .. import native
         from ..types import DALIDataType
 
         spec = self.spec
@@ -527,8 +528,19 @@ class VideoReaderMixed(_VideoReaderImpl):
             results[i] = self._read_planes_into(indices[i], ys, us, vs)
             return emit
 
-        outs = [stage_yuv_batch(self, dims, full_range, canvases[0],
-                                decode_into, map_indices=ctx.map_samples)]
+        try:
+            outs = [stage_yuv_batch(self, dims, full_range, canvases[0],
+                                    decode_into, map_indices=ctx.map_samples)]
+        except native.VideoPixfmtChanged:
+            # A mid-stream pixel-format change inside one FILE — the per-file
+            # classes recorded at index-build time can't see it, so it only
+            # surfaces here, AFTER the loader indices were consumed (returning
+            # None would make run_batch re-read the loader and skip these
+            # samples). Re-decode THIS batch densely from the same indices
+            # (the RGB path swscales any format) and pin the reader to the
+            # dense path for the rest of the run.
+            self._corpus_pix = 0
+            return self._dense_batch_from(ctx, indices)
         if self._has_labels():
             outs.append(HostBatch([np.array([r[0]], np.int32) for r in results]))
         if spec.GetArgument("enable_frame_num", False):

@@ -45,11 +45,26 @@ struct VideoHandle {
   AVPacket* pkt = nullptr;
 };
 
+// Saturating double→int64 cast: mutated containers can carry duration /
+// pts / time_base values whose products overflow int64, and casting an
+// out-of-range (or NaN) double to int64_t is undefined behavior — the
+// ASan/UBSan fuzz gate (qa/asan_fuzz.sh, -fno-sanitize-recover=all)
+// aborts on it. Clamp to ±2^62 so downstream int64 additions (e.g.
+// seek ts + start_time) cannot overflow either.
+int64_t sat_i64(double x) {
+  const double kLim = 4.6e18;  // < 2^62
+  if (!(x > -kLim)) return x != x ? 0 : (int64_t)-kLim;  // NaN → 0
+  if (x > kLim) return (int64_t)kLim;
+  return (int64_t)x;
+}
+
 int64_t pts_to_frame(VideoHandle* v, int64_t pts) {
   AVStream* st = v->fmt->streams[v->stream_idx];
-  double sec = (pts - (st->start_time == AV_NOPTS_VALUE ? 0 : st->start_time)) *
-               av_q2d(st->time_base);
-  return (int64_t)(sec * v->fps + 0.5);
+  // subtract in double: corrupt pts/start_time extremes would overflow
+  // the int64 subtraction before the cast ever happens
+  double start = st->start_time == AV_NOPTS_VALUE ? 0.0 : (double)st->start_time;
+  double sec = ((double)pts - start) * av_q2d(st->time_base);
+  return sat_i64(sec * v->fps + 0.5);
 }
 
 // Pixel-format class: 0 = not 4:2:0 (swscale RGB path), 1 = 4:2:0 limited
@@ -148,10 +163,13 @@ void* dali_tpu_video_open(const char* path) {
   v->fps = (fps > 0.0 && std::isfinite(fps)) ? fps : 25.0;
   v->num_frames = st->nb_frames;
   if (v->num_frames <= 0 && st->duration != AV_NOPTS_VALUE) {
-    v->num_frames = (int64_t)(st->duration * av_q2d(st->time_base) * v->fps + 0.5);
+    // sat_i64: corrupt duration/time_base can push the double product past
+    // int64 range, and the raw cast would be UB (same class as the fps
+    // guard above)
+    v->num_frames = sat_i64((double)st->duration * av_q2d(st->time_base) * v->fps + 0.5);
   }
   if (v->num_frames <= 0 && v->fmt->duration != AV_NOPTS_VALUE) {
-    v->num_frames = (int64_t)(v->fmt->duration / (double)AV_TIME_BASE * v->fps + 0.5);
+    v->num_frames = sat_i64((double)v->fmt->duration / (double)AV_TIME_BASE * v->fps + 0.5);
   }
   v->sws = sws_getContext(v->width, v->height, v->codec->pix_fmt, v->width, v->height,
                           AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr, nullptr, nullptr);
@@ -225,8 +243,12 @@ int dali_tpu_video_read_frames(void* handle, long start, int count, int stride,
   // seek if target is behind the decoder position or far ahead
   if (target < v->next_frame || target > v->next_frame + 64) {
     AVStream* st = v->fmt->streams[v->stream_idx];
-    int64_t ts = (int64_t)(target / v->fps / av_q2d(st->time_base)) +
-                 (st->start_time == AV_NOPTS_VALUE ? 0 : st->start_time);
+    // whole expression in double + one saturating cast: a far-past-EOF
+    // target over a tiny time_base (fuzzed seeks) overflows both the raw
+    // cast and the subsequent int64 addition
+    int64_t ts = sat_i64(
+        (double)target / v->fps / av_q2d(st->time_base) +
+        (st->start_time == AV_NOPTS_VALUE ? 0.0 : (double)st->start_time));
     if (av_seek_frame(v->fmt, v->stream_idx, ts, AVSEEK_FLAG_BACKWARD) >= 0) {
       avcodec_flush_buffers(v->codec);
       v->next_frame = -1;  // unknown until first decoded frame reports pts
@@ -247,6 +269,17 @@ int dali_tpu_video_read_frames(void* handle, long start, int count, int stride,
       if (pc != 0 && v->frame->format == v->codec->pix_fmt) {
         yuv420_frame_to_rgb(v->frame, v->width, v->height, pc == 2, dst);
       } else {
+        // This is the documented "swscale handles any format" fallback the
+        // Python callers bounce to on VideoPixfmtChanged — so the context
+        // must track the FRAME's actual format, not the open-time one: a
+        // mid-stream yuv420p→gray8 splice leaves data[1]/data[2] null and
+        // scaling it through the stale 3-plane context would read them.
+        // sws_getCachedContext reuses v->sws when nothing changed.
+        if (v->frame->format < 0) return got > 0 ? got : -1;
+        v->sws = sws_getCachedContext(
+            v->sws, v->width, v->height, (AVPixelFormat)v->frame->format,
+            v->width, v->height, AV_PIX_FMT_RGB24, SWS_BILINEAR,
+            nullptr, nullptr, nullptr);
         if (!v->sws) return got > 0 ? got : -1;  // exotic pixfmt sws rejected
         uint8_t* planes[1] = {dst};
         int strides[1] = {(int)row_bytes};
@@ -281,8 +314,12 @@ int dali_tpu_video_read_frames_yuv(void* handle, long start, int count,
   int got = 0;
   if (target < v->next_frame || target > v->next_frame + 64) {
     AVStream* st = v->fmt->streams[v->stream_idx];
-    int64_t ts = (int64_t)(target / v->fps / av_q2d(st->time_base)) +
-                 (st->start_time == AV_NOPTS_VALUE ? 0 : st->start_time);
+    // whole expression in double + one saturating cast: a far-past-EOF
+    // target over a tiny time_base (fuzzed seeks) overflows both the raw
+    // cast and the subsequent int64 addition
+    int64_t ts = sat_i64(
+        (double)target / v->fps / av_q2d(st->time_base) +
+        (st->start_time == AV_NOPTS_VALUE ? 0.0 : (double)st->start_time));
     if (av_seek_frame(v->fmt, v->stream_idx, ts, AVSEEK_FLAG_BACKWARD) >= 0) {
       avcodec_flush_buffers(v->codec);
       v->next_frame = -1;

@@ -261,7 +261,12 @@ int main() {
         for (int s = 0; s < 4; s++) {
           // random start incl. far past EOF and backwards (forces seeks),
           // strides 1-3
-          long start = (long)(xrand() % (uint64_t)(nf > 0 ? 2 * nf + 4 : 8));
+          // modulus in uint64 (2*nf+4 in signed long is UB when mutated
+          // metadata inflates nf), capped so `start` stays a sane long
+          // while still reaching far past EOF
+          uint64_t mod = nf > 0 ? (uint64_t)nf * 2 + 4 : 8;
+          if (mod > (1ULL << 32)) mod = 1ULL << 32;
+          long start = (long)(xrand() % mod);
           int stride = 1 + (int)(xrand() % 3);
           dali_tpu_video_read_frames(h, start, SEQ, stride, rgb.data());
           if (dali_tpu_video_pixfmt_class(h) != 0)

@@ -537,3 +537,90 @@ def test_yuv_wire_undercounting_estimate_emits_all_frames(tmp_path, monkeypatch)
     assert a.shape[0] == 10, a.shape  # cpu reads to EOF: all real frames
     assert a.shape == b.shape
     np.testing.assert_array_equal(a, b)
+
+
+def test_reader_mixed_pixfmt_change_redecodes_same_samples(tmp_path, monkeypatch):
+    """readers.Video mixed consumes loader indices BEFORE staging, so a
+    VideoPixfmtChanged mid-staging must re-decode THOSE samples densely
+    (not bail to run_batch, which would re-read the loader and skip them)
+    and pin later batches to the dense path (review r5)."""
+    from dali_tpu.native import VideoFile, VideoPixfmtChanged
+
+    a = _write_video(tmp_path / "a.mp4", num_frames=8, seed=51)
+    b = _write_video(tmp_path / "b.mp4", num_frames=8, seed=52)
+
+    def make(device):
+        @pipeline_def(batch_size=2, num_threads=1, seed=9)
+        def pipe():
+            f, lab = fn.readers.video(
+                filenames=[a, b], labels=[3, 9], sequence_length=4,
+                random_shuffle=True, initial_fill=4, device=device, name="v")
+            return f, lab
+        return pipe()
+
+    pc, pm = make("cpu"), make("mixed")
+    pc.build()
+    pm.build()
+
+    orig = VideoFile.read_yuv
+
+    def boom(self, *args, **kw):
+        raise VideoPixfmtChanged(self.path, 0)
+
+    monkeypatch.setattr(VideoFile, "read_yuv", boom)
+    # identical seeds => identical shuffled index sequences; if the mixed
+    # reader dropped the consumed indices, frames AND labels would diverge
+    # from cpu on this and every later iteration
+    for _ in range(3):
+        outs_c, outs_m = pc.run(), pm.run()
+        for oc, om in zip(outs_c, outs_m):
+            for x, y in zip(to_samples(oc), to_samples(om)):
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    monkeypatch.setattr(VideoFile, "read_yuv", orig)
+
+
+def test_decoder_shrink_exact_request_stays_on_yuv_wire(tmp_path):
+    """pad_mode='none' with a sequence_length fully satisfied by a longer
+    clip must NOT probe past the plan (the probe would find a next frame on
+    every normal clip and bounce the batch to the dense RGB path forever) —
+    exactly one read_yuv per sample, zero dense RGB reads (review r5)."""
+    from dali_tpu.native import VideoFile
+
+    vid = _write_video(tmp_path / "v.mp4", num_frames=12, seed=53)
+    blob = open(vid, "rb").read()
+    calls = {"yuv": 0, "rgb": 0}
+    orig_yuv, orig_rgb = VideoFile.read_yuv, VideoFile.read
+
+    def count_yuv(self, *a, **kw):
+        calls["yuv"] += 1
+        return orig_yuv(self, *a, **kw)
+
+    def count_rgb(self, *a, **kw):
+        calls["rgb"] += 1
+        return orig_rgb(self, *a, **kw)
+
+    VideoFile.read_yuv, VideoFile.read = count_yuv, count_rgb
+    try:
+        def make(device):
+            @pipeline_def(batch_size=1, num_threads=1, seed=5)
+            def pipe():
+                buf = fn.external_source(
+                    source=lambda: [np.frombuffer(blob, np.uint8)],
+                    batch=True, cycle=True)
+                return fn.decoders.video(buf, sequence_length=4,
+                                         pad_mode="none", device=device)
+            return pipe()
+
+        pm = make("mixed")
+        pm.build()
+        out = to_samples(pm.run()[0])[0]
+        assert np.asarray(out).shape[0] == 4
+        assert calls["rgb"] == 0, "bounced to the dense RGB path"
+        assert calls["yuv"] == 1, f"extra probe read: {calls['yuv']}"
+        # and the pixels still match cpu
+        pc = make("cpu")
+        pc.build()
+        ref = to_samples(pc.run()[0])[0]
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+    finally:
+        VideoFile.read_yuv, VideoFile.read = orig_yuv, orig_rgb
