@@ -38,17 +38,47 @@ def idct_matrix(k: int) -> np.ndarray:
     return (P @ B)[:, :k].astype(np.float32)
 
 
+def _mm_rows_fixed(xp, T, c):
+    """out[..., i, l] = Σ_k T[i, k]·c[..., k, l], summed in FIXED ascending-k
+    order as an explicit elementwise multiply-add chain (k ≤ 8, unrolled).
+
+    Deliberately NOT a dot/einsum: XLA's dot lowering is shape-specialised and
+    may reassociate the contraction, so the same sample decoded under a
+    different SPMD partitioning (solo vs batch-sharded mesh) can land ±1 ulp
+    either side of a rounding tie and flip the uint8 pixel. Elementwise graphs
+    keep IEEE evaluation order under any partitioning, making the decode tail
+    bit-stable across mesh shapes (__graft_entry__.check_real_program_sharded
+    asserts this). The contraction is only k ≤ 8 wide, where the MXU would run
+    at ≤ 8/128 utilisation anyway — the VPU elementwise form costs the same
+    FLOPs without the zero-padding waste.
+    """
+    acc = T[:, 0][:, None] * c[..., 0, None, :]
+    for kk in range(1, T.shape[1]):
+        acc = acc + T[:, kk][:, None] * c[..., kk, None, :]
+    return acc
+
+
+def _mm_cols_fixed(xp, c, T):
+    """out[..., i, j] = Σ_l c[..., i, l]·T[j, l], fixed ascending-l order
+    (elementwise chain; see _mm_rows_fixed for why this is not a dot)."""
+    acc = c[..., :, 0, None] * T[:, 0]
+    for ll in range(1, T.shape[1]):
+        acc = acc + c[..., :, ll, None] * T[:, ll]
+    return acc
+
+
 def decode_blocks(xp, coeffs, qtab, k: int):
     """coeffs [..., Hb, Wb, k*k] int16, qtab [k*k] → pixels [..., Hb*k, Wb*k] f32.
 
-    Dequantize, 2-D scaled IDCT per block, +128 level shift.
+    Dequantize, 2-D scaled IDCT per block (order-fixed multiply-add chain, not
+    a dot — see _mm_rows_fixed), +128 level shift.
     """
     T = xp.asarray(idct_matrix(k))
     c = coeffs.astype(xp.float32) * qtab.astype(xp.float32)
     *lead, Hb, Wb, _ = c.shape
     c = c.reshape(*lead, Hb, Wb, k, k)
-    # pixels = T @ C @ T.T  per block
-    px = xp.einsum("ik,...kl,jl->...ij", T, c, T) + 128.0
+    # pixels = T @ C @ T.T  per block, left-to-right in fixed order
+    px = _mm_cols_fixed(xp, _mm_rows_fixed(xp, T, c), T) + 128.0
     # blocks [..., Hb, Wb, k, k] → [..., Hb*k, Wb*k]
     px = xp.moveaxis(px, -2, -3)  # [..., Hb, k, Wb, k]
     return px.reshape(*lead, Hb * k, Wb * k)

@@ -177,8 +177,9 @@ N_JPEGS = 32
 def make_jpeg_dataset():
     """Deterministic JPEG tree for the hybrid-decode phase (the launcher
     creates it once; both processes read shards of the same tree)."""
-    import cv2
     import numpy as np
+
+    from hybrid_fixture import write_jpeg
 
     d = os.path.join(JPEG_ROOT, "cls")
     marker = os.path.join(JPEG_ROOT, ".complete")
@@ -188,9 +189,7 @@ def make_jpeg_dataset():
     for i in range(N_JPEGS):
         rng = np.random.default_rng(1000 + i)
         h, w = 80 + (i % 4) * 8, 96 + (i % 3) * 8
-        small = rng.integers(0, 256, (h // 8, w // 8, 3), np.uint8)
-        cv2.imwrite(os.path.join(d, f"j_{i:03d}.jpg"),
-                    cv2.resize(small, (w, h)), [cv2.IMWRITE_JPEG_QUALITY, 85])
+        write_jpeg(os.path.join(d, f"j_{i:03d}.jpg"), rng, h, w)
     with open(marker, "w") as f:
         f.write("ok")
 
@@ -206,8 +205,9 @@ def _hybrid_phase(proc_id: int, mesh, sharding):
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from dali_tpu import fn, native, pipeline_def, types
+    from dali_tpu import fn, native, pipeline_def
     from dali_tpu.plugin.jax import DALIGenericIterator
+    from hybrid_fixture import hybrid_tail
 
     if not (native.available() and native.has_jpeg()):
         print(f"proc {proc_id}: hybrid phase skipped (no native decoder)")
@@ -225,15 +225,8 @@ def _hybrid_phase(proc_id: int, mesh, sharding):
                 enc, lab = fn.readers.file(
                     file_root=JPEG_ROOT, file_filters=["*.jpg"],
                     shard_id=shard, num_shards=nsh, name="R")
-                img = fn.decoders.image_random_crop(
-                    enc, device="mixed", hybrid_device_decode=True,
-                    hybrid_scale=2)
-                img = fn.resize(img, resize_x=64, resize_y=64)
-                out = fn.crop_mirror_normalize(
-                    img, dtype=types.FLOAT, output_layout="CHW",
-                    mean=[123.675, 116.28, 103.53],
-                    std=[58.395, 57.12, 57.375])
-                return out, lab
+                # shape shared with __graft_entry__.check_real_program_sharded
+                return hybrid_tail(enc), lab
 
             pipes.append(hp())
         return pipes
@@ -242,7 +235,8 @@ def _hybrid_phase(proc_id: int, mesh, sharding):
                              reader_name="R", sharding=sharding)
     batch = next(it)
     g = batch["images"]
-    assert g.shape == (2 * nsh, 3, 64, 64), g.shape
+    from hybrid_fixture import OUT_SIZE
+    assert g.shape == (2 * nsh, 3, OUT_SIZE, OUT_SIZE), g.shape
     assert len(g.sharding.device_set) == nsh
 
     # bit-equality: each local shard == a standalone run of the same shard
