@@ -2,9 +2,12 @@
 
 The TPU half of the hybrid decoder (host half: ``native/src/jpeg_coeffs.cc``).
 Reference analogue: nvJPEG's GPU IDCT path (SURVEY §2.4) and
-``dali/kernels/imgproc/jpeg`` DCT machinery. All heavy math is batched matmuls
-(MXU): per-block IDCT is ``T @ C @ T.T`` lifted over [N, Hb, Wb] blocks with
-einsum; chroma upsample is bilinear; color conversion is the BT.601 matrix.
+``dali/kernels/imgproc/jpeg`` DCT machinery. Per-block IDCT is ``T @ C @ T.T``
+lifted over [N, Hb, Wb] blocks as an ORDER-FIXED elementwise multiply-add
+chain (not a dot — see ``_mm_rows_fixed``; the k ≤ 8 contraction would run
+the MXU at ≤ 8/128 utilisation anyway, and the fixed order makes decoded
+pixels bit-stable across SPMD partitionings); chroma upsample is bilinear;
+color conversion is the BT.601 matrix.
 
 The scaled IDCT matrix ``T_k`` maps the k×k low-frequency coefficients directly
 to the k×k box-downsampled pixels of the 8×8 block (k=8: full resolution; k=4:

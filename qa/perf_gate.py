@@ -19,6 +19,19 @@ the monotone `best` still catches multi-round drift.
 This dev box has 1 CPU core and a bandwidth-constrained TPU tunnel; a
 production v5e host would carry much higher numbers — see docs/performance.md.
 
+BOX-SPEED NORMALIZATION (round 5): the host-CPU lanes remove tunnel weather
+but still couple to the box's per-cycle speed — hypervisor throttle/steal
+moved byte-identical native decode code 240.9 → 293.8 µs/img (22%) between
+same-week idle-box runs (docs/performance.md "Box-speed normalization").
+Lanes marked `normalize_box_speed` are therefore CHECKED against the gate
+after scaling by a same-run yardstick (qa/yardstick.cc — a frozen dependent-
+load chase modeling the entropy scan's serial chain): factor =
+chase_ns_now / chase_ns_cal, clamped to [1.0, 1.3]. The clamp bounds the
+maximum leniency; the RAW value is what `--record` ratchets (a fast box or a
+mis-tracking yardstick can never inflate `best`), and raw values are always
+printed alongside. The yardstick is frozen source, so a regression in the
+live library cannot hide in it.
+
 Usage:
   python qa/perf_gate.py                # run bench.py, check thresholds
   python qa/perf_gate.py --from FILE    # check pre-recorded bench JSON lines
@@ -37,6 +50,36 @@ REPO = os.path.dirname(HERE)
 def load_thresholds():
     with open(os.path.join(HERE, "thresholds.json")) as f:
         return json.load(f)
+
+
+def measure_box_speed(spec):
+    """Build (cached) and run qa/yardstick.cc; return the normalization
+    factor chase_ns_now / chase_ns_cal clamped to [1.0, 1.3], plus the raw
+    chase_ns. Returns (1.0, None) if the yardstick cannot run (no compiler) —
+    the gate then degrades to raw checking, never to a looser one."""
+    import tempfile
+
+    src = os.path.join(HERE, "yardstick.cc")
+    exe = os.path.join(tempfile.gettempdir(), "dali_tpu_yardstick")
+    try:
+        if (not os.path.exists(exe)
+                or os.path.getmtime(exe) < os.path.getmtime(src)):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-std=c++17", src, "-o", exe],
+                check=True, capture_output=True, timeout=120)
+        # min of 3 invocations: the in-process best-of-9 still sees rare
+        # timeslice collisions; cross-invocation min removes them while the
+        # sustained throttle we want to measure survives (it moves every rep)
+        chase = min(
+            json.loads(subprocess.run([exe], capture_output=True, text=True,
+                                      timeout=60, check=True).stdout)
+            ["chase_ns_cpu"]
+            for _ in range(3))
+    except Exception as e:  # noqa: BLE001 — any failure means "no yardstick"
+        print(f"note: box-speed yardstick unavailable ({e}); checking raw")
+        return 1.0, None
+    cal = float(spec["chase_ns_cal"])
+    return min(max(chase / cal, 1.0), 1.3), chase
 
 
 def collect_metrics(args):
@@ -69,7 +112,18 @@ def main():
     metrics = collect_metrics(argv)
     failed = False
     dirty = False
+    factor, chase = 1.0, None
+    if "_yardstick" in thresholds and any(
+            spec.get("normalize_box_speed")
+            for name, spec in thresholds.items() if not name.startswith("_")):
+        factor, chase = measure_box_speed(thresholds["_yardstick"])
+        if chase is not None:
+            print(f"box-speed yardstick: chase {chase:.3f} ns/step "
+                  f"(cal {thresholds['_yardstick']['chase_ns_cal']}) -> "
+                  f"normalization factor {factor:.3f}")
     for name, spec in thresholds.items():
+        if name.startswith("_"):
+            continue
         floor = float(spec["min"])
         best = float(spec.get("best", floor))
         band = float(spec.get("band", 0.75))
@@ -79,13 +133,16 @@ def main():
             print(f"FAIL: metric '{name}' missing from bench output")
             failed = True
             continue
-        status = "OK" if got >= gate else "FAIL"
-        print(f"{status}: {name} = {got:.1f} (gate >= {gate:.1f} "
+        checked = got * factor if spec.get("normalize_box_speed") else got
+        status = "OK" if checked >= gate else "FAIL"
+        norm = (f", box-normalized {checked:.1f}"
+                if checked != got else "")
+        print(f"{status}: {name} = {got:.1f}{norm} (gate >= {gate:.1f} "
               f"{spec.get('unit', '')}; best-ever {best:.1f})")
-        if got < gate:
+        if checked < gate:
             failed = True
-        elif got > best:
-            if record:
+        elif got > best:  # ratchet on the RAW value only — normalization can
+            if record:    # relax a slow-day check but never inflate `best`
                 spec["best"] = round(got, 1)
                 dirty = True
                 print(f"  ratchet: best {best:.1f} -> {got:.1f} (gate is now "

@@ -193,7 +193,7 @@ def test_perf_gate_threshold_logic(tmp_path):
 
     repo = os.path.join(os.path.dirname(__file__), "..")
     with open(os.path.join(repo, "qa", "thresholds.json")) as f:
-        gated_metrics = list(_json.load(f))
+        gated_metrics = [m for m in _json.load(f) if not m.startswith("_")]
     good = tmp_path / "good.txt"
     good.write_text("".join(
         _json.dumps({"metric": m, "value": 99999, "unit": "x/s",
@@ -207,6 +207,30 @@ def test_perf_gate_threshold_logic(tmp_path):
     assert ok.returncode == 0, ok.stdout
     fail = subprocess.run([sys.executable, gate, "--from", str(bad)], capture_output=True)
     assert fail.returncode == 1
+
+
+def test_perf_gate_box_speed_yardstick():
+    """The box-speed normalization factor (qa/yardstick.cc chase) is clamped
+    to [1.0, 1.3]: a fast box never tightens a check beyond the raw value and
+    slow-day leniency is bounded (docs/performance.md 'Box-speed
+    normalization')."""
+    import importlib.util
+    import os
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    spec = importlib.util.spec_from_file_location(
+        "perf_gate", os.path.join(repo, "qa", "perf_gate.py"))
+    pg = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pg)
+
+    # cal enormously large -> ratio ~0 -> clamped to exactly 1.0 (no tightening)
+    f_lo, chase = pg.measure_box_speed({"chase_ns_cal": 1e9})
+    # cal enormously small -> ratio huge -> clamped to exactly 1.3 (bounded relief)
+    f_hi, _ = pg.measure_box_speed({"chase_ns_cal": 1e-9})
+    if chase is None:
+        return  # no compiler on this box; gate degrades to raw checking
+    assert f_lo == 1.0 and f_hi == 1.3, (f_lo, f_hi)
+    assert 0.5 < chase < 50.0, chase  # ns/step sanity (≈3-4 on this box)
 
 
 def test_executor_stage_wait_stats():
