@@ -681,8 +681,38 @@ def bench_video():
     }), flush=True)
 
 
+def _box_chase_ns():
+    """Box-speed yardstick (qa/yardstick.cc, min of 3 invocations): the
+    frozen dependent-load chase that qa/perf_gate.py normalizes host-CPU
+    checks with. Attached to the headline line as CONTEXT — this box's
+    per-cycle speed moves ±22% day-over-day under hypervisor throttle
+    (docs/performance.md "Box-speed normalization"), so a raw headline is
+    uninterpretable round-over-round without it. Returns None if the
+    yardstick cannot build/run."""
+    import subprocess
+    import tempfile
+
+    src = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "qa", "yardstick.cc")
+    exe = os.path.join(tempfile.gettempdir(), "dali_tpu_yardstick")
+    try:
+        if (not os.path.exists(exe)
+                or os.path.getmtime(exe) < os.path.getmtime(src)):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-std=c++17", src, "-o", exe],
+                check=True, capture_output=True, timeout=120)
+        return min(
+            json.loads(subprocess.run([exe], capture_output=True, text=True,
+                                      timeout=60, check=True).stdout)
+            ["chase_ns_cpu"]
+            for _ in range(3))
+    except Exception:  # noqa: BLE001 — context is best-effort
+        return None
+
+
 def main():
     _guard_backend()
+    chase_start = _box_chase_ns()
     # The headline image benchmark RUNS first (fresh burst credits); the
     # realstat lane runs after a credit-recovery idle so both image lanes
     # measure the same regime; audio manages its own recovery idles
@@ -715,6 +745,24 @@ def main():
         bench_video()
     except Exception as e:
         print(f"video bench skipped: {type(e).__name__}: {e}", file=sys.stderr)
+    try:
+        d = json.loads(image_line)
+        # chase_start is the regime the headline MEASURED in (it runs first);
+        # chase_end shows drift across the ~25 min run. cal + factor as in
+        # qa/thresholds.json _yardstick / qa/perf_gate.py.
+        if chase_start is not None:
+            d["box_chase_ns_start"] = round(chase_start, 3)
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "qa", "thresholds.json")) as f:
+                cal = float(json.load(f)["_yardstick"]["chase_ns_cal"])
+            d["box_speed_factor_vs_cal"] = round(
+                min(max(chase_start / cal, 1.0), 1.3), 3)
+        chase_end = _box_chase_ns()
+        if chase_end is not None:
+            d["box_chase_ns_end"] = round(chase_end, 3)
+        image_line = json.dumps(d)
+    except Exception:  # noqa: BLE001 — never let context break the headline
+        pass
     print(image_line, flush=True)
 
 
