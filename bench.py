@@ -682,30 +682,24 @@ def bench_video():
 
 
 def _box_chase_ns():
-    """Box-speed yardstick (qa/yardstick.cc, min of 3 invocations): the
-    frozen dependent-load chase that qa/perf_gate.py normalizes host-CPU
-    checks with. Attached to the headline line as CONTEXT — this box's
-    per-cycle speed moves ±22% day-over-day under hypervisor throttle
-    (docs/performance.md "Box-speed normalization"), so a raw headline is
-    uninterpretable round-over-round without it. Returns None if the
-    yardstick cannot build/run."""
-    import subprocess
-    import tempfile
+    """Box-speed yardstick: the frozen dependent-load chase that
+    qa/perf_gate.py normalizes host-CPU checks with — ONE shared measurement
+    protocol (qa/boxspeed.py), so this context can never diverge from the
+    factor the gate actually applies. Attached to the headline line because
+    this box's per-cycle speed moves ±22% day-over-day under hypervisor
+    throttle (docs/performance.md "Box-speed normalization"), making a raw
+    headline uninterpretable round-over-round without it. Returns None if
+    the yardstick cannot build/run."""
+    import importlib.util
 
-    src = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "qa", "yardstick.cc")
-    exe = os.path.join(tempfile.gettempdir(), "dali_tpu_yardstick")
     try:
-        if (not os.path.exists(exe)
-                or os.path.getmtime(exe) < os.path.getmtime(src)):
-            subprocess.run(
-                ["g++", "-O3", "-march=native", "-std=c++17", src, "-o", exe],
-                check=True, capture_output=True, timeout=120)
-        return min(
-            json.loads(subprocess.run([exe], capture_output=True, text=True,
-                                      timeout=60, check=True).stdout)
-            ["chase_ns_cpu"]
-            for _ in range(3))
+        spec = importlib.util.spec_from_file_location(
+            "dali_tpu_qa_boxspeed",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "qa", "boxspeed.py"))
+        boxspeed = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(boxspeed)
+        return boxspeed.chase_ns()
     except Exception:  # noqa: BLE001 — context is best-effort
         return None
 

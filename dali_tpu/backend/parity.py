@@ -308,10 +308,16 @@ class VideoDecoder(Operator):
                 return [stage_yuv_batch(self, dims, full_range, canvases[0],
                                         decode_into)]
             except (_YUVPlanShort, native.VideoPixfmtChanged):
-                # short plan (estimate undercounted) or mid-stream pixfmt
-                # change: the dense RGB path handles both (reads to EOF;
-                # swscales any format) — partial ring-buffer writes are
-                # harmless, the buffers are re-taken every batch
+                # Short plan (estimate undercounted) or mid-stream
+                # pixfmt/dimension change: fall back to the dense RGB path.
+                # Short plans it handles fully (vf.read reads to EOF);
+                # format changes it swscales per frame; a mid-stream
+                # DIMENSION change stops the dense read at the change and
+                # pads by repeating the last pre-change frame — identical
+                # to the cpu path's behavior on the same file, which is the
+                # contract (cpu == mixed), not full decode across splices.
+                # Partial ring-buffer writes are harmless, the buffers are
+                # re-taken every batch.
                 return None
         finally:
             for vf in vfs:

@@ -41,7 +41,7 @@ def idct_matrix(k: int) -> np.ndarray:
     return (P @ B)[:, :k].astype(np.float32)
 
 
-def _mm_rows_fixed(xp, T, c):
+def _mm_rows_fixed(T, c):
     """out[..., i, l] = Σ_k T[i, k]·c[..., k, l], summed in FIXED ascending-k
     order as an explicit elementwise multiply-add chain (k ≤ 8, unrolled).
 
@@ -61,7 +61,7 @@ def _mm_rows_fixed(xp, T, c):
     return acc
 
 
-def _mm_cols_fixed(xp, c, T):
+def _mm_cols_fixed(c, T):
     """out[..., i, j] = Σ_l c[..., i, l]·T[j, l], fixed ascending-l order
     (elementwise chain; see _mm_rows_fixed for why this is not a dot)."""
     acc = c[..., :, 0, None] * T[:, 0]
@@ -81,7 +81,7 @@ def decode_blocks(xp, coeffs, qtab, k: int):
     *lead, Hb, Wb, _ = c.shape
     c = c.reshape(*lead, Hb, Wb, k, k)
     # pixels = T @ C @ T.T  per block, left-to-right in fixed order
-    px = _mm_cols_fixed(xp, _mm_rows_fixed(xp, T, c), T) + 128.0
+    px = _mm_cols_fixed(_mm_rows_fixed(T, c), T) + 128.0
     # blocks [..., Hb, Wb, k, k] → [..., Hb*k, Wb*k]
     px = xp.moveaxis(px, -2, -3)  # [..., Hb, k, Wb, k]
     return px.reshape(*lead, Hb * k, Wb * k)

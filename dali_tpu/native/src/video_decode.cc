@@ -37,6 +37,13 @@ struct VideoHandle {
   int stream_idx = -1;
   int width = 0;
   int height = 0;
+  // OPEN-TIME pixel format snapshot. The live codec->pix_fmt FOLLOWS a
+  // mid-stream reconfiguration (new SPS etc.), so comparing frame->format
+  // against it can never detect a format change — callers sized their
+  // buffers from the open-time contract, so that is what reads must check
+  // (width/height above are snapshots for the same reason).
+  AVPixelFormat open_pix_fmt = AV_PIX_FMT_NONE;
+  bool open_full_range = false;
   double fps = 0;
   int64_t num_frames = 0;
   int64_t next_frame = 0;  // frame index the decoder will produce next
@@ -68,10 +75,13 @@ int64_t pts_to_frame(VideoHandle* v, int64_t pts) {
 }
 
 // Pixel-format class: 0 = not 4:2:0 (swscale RGB path), 1 = 4:2:0 limited
-// range, 2 = 4:2:0 full range (yuvj420p / JPEG-range flag).
+// range, 2 = 4:2:0 full range (yuvj420p / JPEG-range flag). Classified from
+// the OPEN-TIME snapshot — the class is part of the open-time contract the
+// Python callers plan wires and buffers against; per-frame deviations from
+// it are detected in the read loops and reported (-2-got) or swscaled.
 int pixfmt_class(const VideoHandle* v) {
-  AVPixelFormat f = v->codec->pix_fmt;
-  bool full = v->codec->color_range == AVCOL_RANGE_JPEG;
+  AVPixelFormat f = v->open_pix_fmt;
+  bool full = v->open_full_range;
   if (f == AV_PIX_FMT_YUV420P) return full ? 2 : 1;
   if (f == AV_PIX_FMT_YUVJ420P) return 2;
   return 0;
@@ -171,7 +181,9 @@ void* dali_tpu_video_open(const char* path) {
   if (v->num_frames <= 0 && v->fmt->duration != AV_NOPTS_VALUE) {
     v->num_frames = sat_i64((double)v->fmt->duration / (double)AV_TIME_BASE * v->fps + 0.5);
   }
-  v->sws = sws_getContext(v->width, v->height, v->codec->pix_fmt, v->width, v->height,
+  v->open_pix_fmt = v->codec->pix_fmt;
+  v->open_full_range = v->codec->color_range == AVCOL_RANGE_JPEG;
+  v->sws = sws_getContext(v->width, v->height, v->open_pix_fmt, v->width, v->height,
                           AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr, nullptr, nullptr);
   v->frame = av_frame_alloc();
   v->rgb = av_frame_alloc();
@@ -266,7 +278,7 @@ int dali_tpu_video_read_frames(void* handle, long start, int count, int stride,
         return got > 0 ? got : -1;
       unsigned char* dst = out + (long)got * v->height * row_bytes;
       int pc = pixfmt_class(v);
-      if (pc != 0 && v->frame->format == v->codec->pix_fmt) {
+      if (pc != 0 && v->frame->format == v->open_pix_fmt) {
         yuv420_frame_to_rgb(v->frame, v->width, v->height, pc == 2, dst);
       } else {
         // This is the documented "swscale handles any format" fallback the
@@ -336,7 +348,7 @@ int dali_tpu_video_read_frames_yuv(void* handle, long start, int count,
       // Return a DISTINCT code (-2 - got, never the EOF shape) so Python
       // callers can fall back to the dense RGB path (which handles any
       // format) instead of silently padding with repeated frames.
-      if (v->frame->format != v->codec->pix_fmt ||
+      if (v->frame->format != v->open_pix_fmt ||
           v->frame->width != v->width || v->frame->height != v->height)
         return -2 - got;
       unsigned char* dy = out_y + (long)got * h * w;

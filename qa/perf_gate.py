@@ -53,30 +53,20 @@ def load_thresholds():
 
 
 def measure_box_speed(spec):
-    """Build (cached) and run qa/yardstick.cc; return the normalization
-    factor chase_ns_now / chase_ns_cal clamped to [1.0, 1.3], plus the raw
-    chase_ns. Returns (1.0, None) if the yardstick cannot run (no compiler) —
-    the gate then degrades to raw checking, never to a looser one."""
-    import tempfile
+    """Run the shared yardstick measurement (qa/boxspeed.py, one protocol for
+    the gate and bench.py's context line); return the normalization factor
+    chase_ns_now / chase_ns_cal clamped to [1.0, 1.3], plus the raw chase_ns.
+    Returns (1.0, None) if the yardstick cannot run (no compiler) — the gate
+    then degrades to raw checking, never to a looser one."""
+    import importlib.util
 
-    src = os.path.join(HERE, "yardstick.cc")
-    exe = os.path.join(tempfile.gettempdir(), "dali_tpu_yardstick")
-    try:
-        if (not os.path.exists(exe)
-                or os.path.getmtime(exe) < os.path.getmtime(src)):
-            subprocess.run(
-                ["g++", "-O3", "-march=native", "-std=c++17", src, "-o", exe],
-                check=True, capture_output=True, timeout=120)
-        # min of 3 invocations: the in-process best-of-9 still sees rare
-        # timeslice collisions; cross-invocation min removes them while the
-        # sustained throttle we want to measure survives (it moves every rep)
-        chase = min(
-            json.loads(subprocess.run([exe], capture_output=True, text=True,
-                                      timeout=60, check=True).stdout)
-            ["chase_ns_cpu"]
-            for _ in range(3))
-    except Exception as e:  # noqa: BLE001 — any failure means "no yardstick"
-        print(f"note: box-speed yardstick unavailable ({e}); checking raw")
+    mod_spec = importlib.util.spec_from_file_location(
+        "dali_tpu_qa_boxspeed", os.path.join(HERE, "boxspeed.py"))
+    boxspeed = importlib.util.module_from_spec(mod_spec)
+    mod_spec.loader.exec_module(boxspeed)
+    chase = boxspeed.chase_ns()
+    if chase is None:
+        print("note: box-speed yardstick unavailable; checking raw")
         return 1.0, None
     cal = float(spec["chase_ns_cal"])
     return min(max(chase / cal, 1.0), 1.3), chase

@@ -87,7 +87,12 @@ def test_multiprocess_distributed():
     import sys
 
     script = os.path.join(os.path.dirname(__file__), "..", "tools", "multiprocess_test.py")
-    r = subprocess.run([sys.executable, script, "--port", "12421"], timeout=280,
+    # the outer cap must exceed the launcher's own worker wait (300 s in
+    # tools/multiprocess_test.py) — the hybrid phase added two fresh XLA
+    # compiles of the full hybrid-decode program (20-60 s each, two
+    # processes sharing this one core), so a loaded cold box can push past
+    # the old 280 s and must hit the launcher's orderly timeout, not ours
+    r = subprocess.run([sys.executable, script, "--port", "12421"], timeout=420,
                        capture_output=True, text=True)
     assert r.returncode == 0, r.stderr[-2000:]
 

@@ -624,3 +624,69 @@ def test_decoder_shrink_exact_request_stays_on_yuv_wire(tmp_path):
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
     finally:
         VideoFile.read_yuv, VideoFile.read = orig_yuv, orig_rgb
+
+
+def _write_ts(path, w, h, num_frames, seed):
+    """One MPEG-TS segment via cv2 (FFmpeg backend picks a TS-legal codec).
+    TS is byte-concatenable, so two segments with different dimensions make a
+    REAL mid-stream reconfiguration — no shimming of return codes."""
+    rng = np.random.default_rng(seed)
+    wr = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mpg2"), 25, (w, h))
+    if not wr.isOpened():
+        return None
+    for _ in range(num_frames):
+        wr.write(rng.integers(0, 255, (h, w, 3), np.uint8))
+    wr.release()
+    import os
+
+    return str(path) if os.path.getsize(path) > 0 else None
+
+
+def test_real_midstream_reconfiguration_spliced_ts(tmp_path):
+    """A REAL mid-stream decoder reconfiguration (two byte-concatenated
+    MPEG-TS segments with different frame dimensions) must surface as
+    VideoPixfmtChanged from read_yuv — this requires comparing the frame
+    against the OPEN-TIME contract snapshot, because FFmpeg updates the live
+    codec context to the new parameters on reconfiguration, so a live
+    comparison can never fire (review r5; the older tests shim the return
+    code and would not catch that). The mixed pipeline must then fall back
+    to the dense path and stay bit-equal to cpu."""
+    from dali_tpu.native import VideoFile, VideoPixfmtChanged
+
+    a = _write_ts(tmp_path / "a.ts", 64, 48, 10, seed=50)
+    b = _write_ts(tmp_path / "b.ts", 32, 24, 10, seed=51)
+    if not (a and b):
+        pytest.skip("cv2 build cannot write MPEG-TS")
+    spliced = tmp_path / "ab.ts"
+    spliced.write_bytes(open(a, "rb").read() + open(b, "rb").read())
+
+    vf = VideoFile(str(spliced))
+    try:
+        # the open-time contract is the FIRST segment's
+        assert (vf.width, vf.height) == (64, 48)
+        if vf.pixfmt_class == 0:
+            pytest.skip("cv2's TS codec is not 4:2:0 here; wire path unused")
+        with pytest.raises(VideoPixfmtChanged) as ei:
+            vf.read_yuv(0, 20, 1, pad=True)
+        assert 0 < ei.value.got < 20  # real frames decoded before the splice
+    finally:
+        vf.close()
+
+    blob = open(spliced, "rb").read()
+
+    def make(device):
+        @pipeline_def(batch_size=1, num_threads=1, seed=5)
+        def pipe():
+            buf = fn.external_source(
+                source=lambda: [np.frombuffer(blob, np.uint8)],
+                batch=True, cycle=True)
+            return fn.decoders.video(buf, sequence_length=20, device=device)
+        return pipe()
+
+    pc, pm = make("cpu"), make("mixed")
+    pc.build()
+    pm.build()
+    x = np.asarray(to_samples(pc.run()[0])[0])
+    y = np.asarray(to_samples(pm.run()[0])[0])
+    assert x.shape == y.shape
+    np.testing.assert_array_equal(x, y)

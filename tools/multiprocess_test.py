@@ -277,7 +277,14 @@ def main():
         )
         for i in range(2)
     ]
-    rc = [p.wait(timeout=300) for p in procs]
+    try:
+        rc = [p.wait(timeout=300) for p in procs]
+    finally:
+        # a timeout (or any launcher error) must not orphan the workers —
+        # they hold the coordinator port and would break the next run
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     if any(rc):
         raise SystemExit(f"multiprocess test failed: exit codes {rc}")
     print("multiprocess test: OK")
