@@ -223,10 +223,25 @@ class ImageDecoderMixed(_ImageDecoderBase):
         keys = inputs[0].source_info if cache is not None else None
         hint = self.spec.GetArgument("downscale_shorter_hint", 0)
         datas = [np.ascontiguousarray(e).tobytes() for e in enc]
-        if self.spec.GetArgument("adjust_orientation", True) and any(
-            imgcodec.exif_orientation(d) != 1 for d in datas
-        ):
-            return None  # EXIF-rotated samples: generic path applies the tag
+        if self.spec.GetArgument("adjust_orientation", True):
+            # per-file orientation verdicts, content-fingerprint-keyed like
+            # _check_exif: epoch 2+ skips the per-sample APP1 marker walk
+            srcs = inputs[0].source_info
+            ecache = getattr(self, "_exif_scan_cache", None)
+            if ecache is None:
+                ecache = self._exif_scan_cache = {}
+            for i, d in enumerate(datas):
+                ck = (_content_key(srcs[i], d)
+                      if srcs and i < len(srcs) and srcs[i] else None)
+                orient = ecache.get(ck) if ck else None
+                if orient is None:
+                    orient = imgcodec.exif_orientation(d)
+                    if ck:
+                        if len(ecache) > (1 << 20):  # bound the verdict map
+                            ecache.clear()
+                        ecache[ck] = orient
+                if orient != 1:
+                    return None  # EXIF-rotated: generic path applies the tag
         dims = []
         denoms = []
         for d in datas:
@@ -289,10 +304,17 @@ class ImageDecoderMixed(_ImageDecoderBase):
             ctx.map_samples(one, len(todo))
         for i, ok in enumerate(oks):
             if not ok:  # corrupt sample: decode via fallback into the slot
-                img = imgcodec.decode(datas[i], output_type=out_type)
-                h, w = img.shape[:2]
+                # SAME denom/fancy as the native attempt: the canvas was
+                # sized for scaled dims, so a full-res fallback decode would
+                # overflow the slot (and silently mix resolutions in the
+                # batch); clip defensively — a corrupt file's actual decode
+                # can still disagree with its header's predicted dims
+                img = imgcodec.decode(datas[i], output_type=out_type,
+                                      denom=denoms[i], fancy_upsampling=fancy)
+                h = min(img.shape[0], arr.shape[1])
+                w = min(img.shape[1], arr.shape[2])
                 shapes[i] = (h, w, 3)
-                arr[i, :h, :w] = img
+                arr[i, :h, :w] = img[:h, :w]
         if cache is not None and keys:
             for i in todo:
                 if keys[i]:
@@ -401,7 +423,19 @@ class _ImageRandomCropBase(_ImageDecoderBase):
         hint = self.spec.GetArgument("downscale_shorter_hint", 0)
         out_type = self.spec.GetArgument("output_type", DALIImageType.RGB)
 
-        if imgcodec.is_jpeg(data) and native.available() and out_type == DALIImageType.RGB:
+        from ..types import DALIDataType
+
+        # the native fast path decodes raw uint8 RGB with no orientation or
+        # dtype handling — any sample needing those must ride the generic
+        # path (same guards as ImageDecoderMixed.stage_batch), or the same
+        # pipeline would emit unrotated/uint8 output only when native is
+        # available (review r5)
+        fast = (imgcodec.is_jpeg(data) and native.available()
+                and out_type == DALIImageType.RGB
+                and self.spec.GetArgument("dtype", None) in (None, DALIDataType.UINT8)
+                and (not self.spec.GetArgument("adjust_orientation", True)
+                     or imgcodec.exif_orientation(data) == 1))
+        if fast:
             try:
                 h, w, _ = imgcodec.peek_shape(data)
             except Exception:
@@ -528,7 +562,12 @@ class JpegCoeffs(Operator):
         if cache is None:
             cache = self._exif_ok_cache = set()
         for i, d in enumerate(datas):
-            k = keys[i] if keys and i < len(keys) else None
+            # fingerprinted key (_content_key), like every other cache in
+            # this file: a file re-encoded across epochs under a stable
+            # source_info must re-run the APP1 scan, or a replacement
+            # carrying a rotation tag would silently ride the wire
+            k = (_content_key(keys[i], d)
+                 if keys and i < len(keys) and keys[i] else None)
             if k and k in cache:
                 continue
             b = d if isinstance(d, (bytes, bytearray)) else (
@@ -566,7 +605,7 @@ class JpegCoeffs(Operator):
         out = [None] * n
         miss = []
         for i in range(n):
-            ent = cache["map"].get(keys[i])
+            ent = cache["map"].get(keys[i]) if keys[i] else None
             if ent is not None:
                 out[i] = ent
             else:
@@ -600,10 +639,15 @@ class JpegCoeffs(Operator):
                     q[j].copy(),
                 )
                 out[i] = ent
-                nbytes = sum(a.nbytes for a in ent)
-                if cache["used"] + nbytes <= cache["cap"]:
-                    cache["map"][keys[i]] = ent
-                    cache["used"] += nbytes
+                # falsy keys never cache (they cannot identify a file);
+                # the not-in-map guard stops duplicate keys within one
+                # batch from re-inserting and over-counting "used", which
+                # would exhaust the budget with bytes that store nothing
+                if keys[i] and keys[i] not in cache["map"]:
+                    nbytes = sum(a.nbytes for a in ent)
+                    if cache["used"] + nbytes <= cache["cap"]:
+                        cache["map"][keys[i]] = ent
+                        cache["used"] += nbytes
         return out
 
     @staticmethod
@@ -626,12 +670,16 @@ class JpegCoeffs(Operator):
         n = len(datas)
         windows = [None] * n  # (y_dc, y_ac, c_dc, c_ac, q) window arrays
         for i in range(n):
-            if keys[i] in cache["map"]:
+            if keys[i] and keys[i] in cache["map"]:
                 cache["hits"] += 1
             else:
                 cache["misses"] += 1
+        # keyless samples can't be cached — send them down the crop-bounded
+        # read (the budget-exhausted branch below) instead of paying a
+        # full-image decode that nothing can ever hit
         to_fill = [i for i in range(n)
-                   if keys[i] not in cache["map"] and cache["used"] < cache["cap"]]
+                   if keys[i] and keys[i] not in cache["map"]
+                   and cache["used"] < cache["cap"]]
         if to_fill:
             planes = self._planes_for(cache, [datas[i] for i in to_fill],
                                       [keys[i] for i in to_fill],
@@ -645,7 +693,8 @@ class JpegCoeffs(Operator):
             bh, bw, cbh, cbw = (int(v) for v in blocks[i])
             r0, c0 = (int(v) for v in brc0[i])
             cr0, cc0 = self._chroma_origin(mode, r0, c0)
-            ent = cache["map"].get(keys[i]) or fill_planes.get(i)
+            ent = ((cache["map"].get(keys[i]) if keys[i] else None)
+                   or fill_planes.get(i))
             if ent is not None:
                 pyd, pya, pcd, pca, q = ent
                 windows[i] = (
@@ -737,11 +786,17 @@ class JpegCoeffs(Operator):
             infos.append(info)
         self._check_modes(np.asarray([i[6] for i in infos]))
         cache = self._coef_cache()
-        keys = inp.source_info if cache is not None else None
+        # CONTENT keys (source_info + length/head/tail fingerprint,
+        # _content_key): raw source_info would serve stale planes when a
+        # file's bytes change across epochs, and a falsy per-sample entry
+        # must never become a shared cache slot (review r5; the split-path
+        # idx cache already keys this way)
+        keys = ([_content_key(k, d) for k, d in zip(inp.source_info, datas)]
+                if cache is not None and inp.source_info else None)
 
         def one(i):
             h, w, ybh, ybw, cbh, cbw, mode = infos[i]
-            if keys:
+            if keys and keys[i]:
                 ent = cache["map"].get(keys[i])
                 if ent is not None:
                     cache["hits"] += 1
@@ -753,7 +808,9 @@ class JpegCoeffs(Operator):
                 raise ValueError("JPEG coefficient read failed")
             y, c, q = r
             q = q.astype(np.int32)
-            if keys:
+            if keys and keys[i] and keys[i] not in cache["map"]:
+                # the not-in-map guard stops duplicate keys within one batch
+                # from re-inserting and over-counting "used"
                 nbytes = y.nbytes + c.nbytes + q.nbytes
                 if cache["used"] + nbytes <= cache["cap"]:
                     cache["map"][keys[i]] = (y, c, q)
@@ -1172,7 +1229,8 @@ class JpegCoeffsSplit(JpegCoeffs):
         )
         if not hasattr(self, "_flat_lens"):
             self._flat_lens = [0, 0, 0, 0]
-        # fine-grained grow policy (see _ac_to_sparse): 256K-element chunks,
+        # fine-grained grow policy (matches executor._unsparse_boundary's
+        # flat-wire chunking): 256K-element chunks,
         # 1.1x headroom on first growth so early batches don't recompile
         chunk = 1 << 18
         for j in range(4):
@@ -1181,6 +1239,11 @@ class JpegCoeffsSplit(JpegCoeffs):
 
         cache = self._coef_cache()
         keys = inputs[0].source_info
+        # the plane cache keys by CONTENT fingerprint (_content_key): raw
+        # source_info would serve stale planes across re-encodes, and falsy
+        # holes must never share a slot (review r5)
+        ckeys = ([_content_key(k, d) for k, d in zip(keys, datas)]
+                 if cache is not None and keys else None)
         pack_mode = self._use_pack_batch(ky, kc, cache, keys)
         zero_brc0 = np.zeros((n, 2), np.int32)
         if pack_mode:
@@ -1191,8 +1254,8 @@ class JpegCoeffsSplit(JpegCoeffs):
             )
             pack_mode = r is not None
         if not pack_mode:
-            if cache is not None and keys:
-                packed = self._stage_via_cache(cache, datas, keys, infos,
+            if cache is not None and ckeys:
+                packed = self._stage_via_cache(cache, datas, ckeys, infos,
                                                blocks, zero_brc0, ky, kc)
                 r = None if packed is None else (*packed, [True] * n)
             else:
@@ -1494,7 +1557,8 @@ class JpegCoeffsSplitRRC(JpegCoeffsSplit):
                 int(2 * c_n.sum()), int((2 * c_n * (kc * kc - 1)).sum()))
         if not hasattr(self, "_flat_lens"):
             self._flat_lens = [0, 0, 0, 0]
-        # fine-grained grow policy (see _ac_to_sparse): 256K-element chunks,
+        # fine-grained grow policy (matches executor._unsparse_boundary's
+        # flat-wire chunking): 256K-element chunks,
         # 1.1x headroom on first growth so early batches don't recompile
         chunk = 1 << 18
         for j in range(4):
@@ -1504,6 +1568,10 @@ class JpegCoeffsSplitRRC(JpegCoeffsSplit):
         _prof.add("host.decode.rrc_windows", time.perf_counter() - _t_rrc)
         cache = self._coef_cache()
         keys = inp.source_info
+        # content keys for the plane cache (see the zero-crop path);
+        # _decode_idx_blobs fingerprints internally, so it takes raw keys
+        ckeys = ([_content_key(k, d) for k, d in zip(keys, datas)]
+                 if cache is not None and keys else None)
         pack_mode = self._use_pack_batch(ky, kc, cache, keys)
         with _prof.section("host.decode.entropy"):
             if pack_mode:
@@ -1516,8 +1584,8 @@ class JpegCoeffsSplitRRC(JpegCoeffsSplit):
                 )
                 pack_mode = r is not None
             if not pack_mode:
-                if cache is not None and keys:
-                    packed = self._stage_via_cache(cache, datas, keys, infos,
+                if cache is not None and ckeys:
+                    packed = self._stage_via_cache(cache, datas, ckeys, infos,
                                                    blocks, brc0, ky, kc)
                     r = None if packed is None else (*packed, [True] * n)
                 else:

@@ -204,7 +204,6 @@ class Executor:
     def __init__(self, pipeline, graph: Graph):
         self.pipeline = pipeline
         self.graph = graph
-        self._lock = threading.Lock()
 
         # -- instantiate operator implementations ------------------------------
         self.impls: Dict[int, Operator] = {}
@@ -352,12 +351,20 @@ class Executor:
     def start(self):
         if self._host_thread is None:
             self._device_q = queue.Queue(maxsize=self.pipeline.cpu_queue_depth)
+            # the queues are BOUND to the threads at spawn: if reset() ever
+            # abandons a stage thread that outlived its join deadline (e.g.
+            # stuck in a 20-60 s first XLA compile), the zombie keeps
+            # draining/filling only its own generation's queues — it can
+            # never steal staged batches from, or leak stale results into,
+            # a successor generation's queues (review r5)
             self._host_thread = threading.Thread(
-                target=self._host_loop, name="dali-tpu-host-stage", daemon=True
+                target=self._host_loop, args=(self._work_q, self._device_q),
+                name="dali-tpu-host-stage", daemon=True
             )
             self._host_thread.start()
             self._device_thread = threading.Thread(
-                target=self._device_loop, name="dali-tpu-device-stage", daemon=True
+                target=self._device_loop, args=(self._device_q, self._out_q),
+                name="dali-tpu-device-stage", daemon=True
             )
             self._device_thread.start()
             _register_atexit_shutdown(self)
@@ -454,13 +461,14 @@ class Executor:
             return result
         return item
 
-    def _host_loop(self):
+    def _host_loop(self, work_q, device_q):
         """Stage 1 thread: readers, decode, cpu ops, host params (analogue of the
-        reference CPU stage; exec2 stage overlap via the bounded _device_q)."""
+        reference CPU stage; exec2 stage overlap via the bounded _device_q).
+        Queue references are generation-bound arguments — see start()."""
         while not self._shutdown:
-            it = self._work_q.get()
+            it = work_q.get()
             if it is None:
-                self._device_q.put(None)
+                device_q.put(None)
                 break
             try:
                 import jax.profiler
@@ -480,7 +488,7 @@ class Executor:
                     staged["ckpt"] = st
                 t1 = time.perf_counter()
                 c1 = time.thread_time()
-                self._device_q.put(staged)  # blocks when the device stage lags
+                device_q.put(staged)  # blocks when the device stage lags
                 t2 = time.perf_counter()
                 self._stats["host_phase_seconds"] += t1 - t0
                 self._stats["host_stall_seconds"] += t2 - t1
@@ -491,22 +499,23 @@ class Executor:
                 self._stats["host_phase_cpu_seconds"] += c1 - c0
                 self._stats["host_batches"] += 1
             except BaseException as e:  # propagate to outputs()
-                self._device_q.put(e)
+                device_q.put(e)
                 return
 
-    def _device_loop(self):
+    def _device_loop(self, device_q, out_q):
         """Stage 2 thread: host→device chunk transfers + jitted program dispatch.
 
         Runs concurrently with stage 1, so decode of iteration k+1 overlaps the
-        transfer/compute of iteration k — DALI's CPU/GPU stage overlap."""
+        transfer/compute of iteration k — DALI's CPU/GPU stage overlap.
+        Queue references are generation-bound arguments — see start()."""
         while not self._shutdown:
             t0 = time.perf_counter()
-            staged = self._device_q.get()  # blocks when the host stage lags
+            staged = device_q.get()  # blocks when the host stage lags
             self._stats["device_stall_seconds"] += time.perf_counter() - t0
             if staged is None:
                 break
             if isinstance(staged, BaseException):
-                self._out_q.put(staged)
+                out_q.put(staged)
                 return
             try:
                 import jax.profiler
@@ -517,9 +526,9 @@ class Executor:
                 self._stats["device_phase_seconds"] += time.perf_counter() - t1
                 self._stats["iterations_completed"] += 1
                 ck = staged.get("ckpt")
-                self._out_q.put(result if ck is None else (result, ck))
+                out_q.put(result if ck is None else (result, ck))
             except BaseException as e:
-                self._out_q.put(e)
+                out_q.put(e)
                 return
 
     def statistics(self) -> dict:
@@ -527,8 +536,19 @@ class Executor:
         pipeline.py:621 / ExecutorMetaMap)."""
         from . import _prof
 
-        out = dict(self._stats)
-        out["canvases"] = {str(k): list(v) for k, v in self._canvas.items()}
+        # the stage threads mutate _stats/_canvas concurrently; retry the
+        # snapshots instead of locking the hot phases (a canvas growth or a
+        # new stats key mid-iteration raises "dict changed size")
+        out = {}
+        for _ in range(8):
+            try:
+                out = dict(self._stats)
+                out["canvases"] = {str(k): list(v)
+                                   for k, v in self._canvas.items()}
+                break
+            except RuntimeError:
+                continue
+        out.setdefault("canvases", {})
         cache = self._jit_device_program or {}
         out["device_program_variants"] = len(cache)
         # itemized host time (seconds, cumulative): host.ops_total contains
