@@ -30,14 +30,22 @@ from .types import SampleInfo
 
 _HEADER = struct.Struct("<I")  # meta pickle length
 
+# worker→parent error sentinel for the epoch-end contract: the serial path
+# propagates the source callable's StopIteration (builtin.py _next_data) and
+# the pipeline treats it as end-of-epoch, so the parallel path must surface
+# the SAME exception type, not a generic worker error
+_STOP = "__stop_iteration__"
+
 
 def _pack_arrays(shm, arrays: List[np.ndarray]) -> int:
     """Pack arrays into shm: [meta_len][meta pickle][raw buffers...]. Returns
     total bytes needed (may exceed shm size → caller reallocates)."""
+    conv = []
     metas = []
     offset = 0
     for a in arrays:
         a = np.ascontiguousarray(a)
+        conv.append(a)
         metas.append((a.dtype.str, a.shape, offset, a.nbytes))
         offset += a.nbytes
     meta_blob = pickle.dumps(metas, protocol=pickle.HIGHEST_PROTOCOL)
@@ -48,9 +56,11 @@ def _pack_arrays(shm, arrays: List[np.ndarray]) -> int:
     _HEADER.pack_into(buf, 0, len(meta_blob))
     buf[_HEADER.size : _HEADER.size + len(meta_blob)] = meta_blob
     base = _HEADER.size + len(meta_blob)
-    for a, (dstr, shape, off, nbytes) in zip(arrays, metas):
-        a = np.ascontiguousarray(a)
-        buf[base + off : base + off + nbytes] = a.tobytes()
+    for a, (dstr, shape, off, nbytes) in zip(conv, metas):
+        if nbytes:
+            # one copy, straight into the slot (a is contiguous from the
+            # first loop; tobytes() here would materialize a third full copy)
+            buf[base + off : base + off + nbytes] = a.data.cast("B")
     return total
 
 
@@ -67,40 +77,73 @@ def _unpack_arrays(shm) -> List[np.ndarray]:
     return out
 
 
-def _worker_main(worker_id, source_blob, task_q, result_q, batch_mode):
+def _worker_main(worker_id, source_blob, task_q, result_q):
     source = pickle.loads(source_blob)
     slots = {}
-    while True:
-        task = task_q.get()
-        if task is None:
-            break
-        slot_name, want_bytes, iteration, epoch, indices = task
-        try:
-            arrays = []
-            for j, idx_in_batch in enumerate(indices):
-                info = SampleInfo(*idx_in_batch) if not batch_mode else None
-                r = source(info)
-                if isinstance(r, tuple):
-                    arrays.extend(np.asarray(x) for x in r)
-                    n_out = len(r)
+    # one persistent worker-owned overflow segment, grown on demand: results
+    # larger than the ring's slot_bytes would otherwise pay create+unlink per
+    # batch forever. Safe to reuse each batch: run_batch copies every result
+    # out before the next batch's tasks are enqueued.
+    big = None
+    try:
+        while True:
+            task = task_q.get()
+            if task is None:
+                break
+            slot_name, iteration, epoch, indices = task
+            try:
+                arrays = []
+                n_out = None
+                for idx_in_batch in indices:
+                    info = SampleInfo(*idx_in_batch)
+                    r = source(info)
+                    if isinstance(r, tuple):
+                        arrays.extend(np.asarray(x) for x in r)
+                        this = len(r)
+                    else:
+                        arrays.append(np.asarray(r))
+                        this = 1
+                    if n_out is None:
+                        n_out = this
+                    elif n_out != this:
+                        # the serial path raises for ragged arities
+                        # (_split_outputs); silently slicing flat `arrays`
+                        # with one n_out would shuffle outputs across samples
+                        raise ValueError(
+                            f"source returned {this} outputs for sample "
+                            f"{info.idx_in_epoch} but {n_out} for earlier "
+                            "samples in the batch")
+                shm = slots.get(slot_name)
+                if shm is None:
+                    shm = shared_memory.SharedMemory(name=slot_name)
+                    slots[slot_name] = shm
+                total = _pack_arrays(shm, arrays)
+                if total > shm.size:
+                    if big is None or big.size < total:
+                        if big is not None:
+                            big.close()
+                            big.unlink()
+                        big = shared_memory.SharedMemory(
+                            create=True, size=max(total, 1 << 20))
+                    _pack_arrays(big, arrays)
+                    result_q.put((worker_id, iteration, epoch, indices,
+                                  big.name, total, n_out, None))
                 else:
-                    arrays.append(np.asarray(r))
-                    n_out = 1
-            shm = slots.get(slot_name)
-            if shm is None and want_bytes:
-                shm = shared_memory.SharedMemory(name=slot_name)
-                slots[slot_name] = shm
-            total = _pack_arrays(shm, arrays)
-            if shm is None or total > shm.size:
-                # allocate a bigger private segment and report its name
-                new = shared_memory.SharedMemory(create=True, size=max(total, 1 << 20))
-                _pack_arrays(new, arrays)
-                result_q.put((worker_id, iteration, indices, new.name, total, n_out, None))
-                new.close()
-            else:
-                result_q.put((worker_id, iteration, indices, slot_name, total, n_out, None))
-        except BaseException as e:  # noqa: BLE001
-            result_q.put((worker_id, iteration, indices, None, 0, 0, repr(e)))
+                    result_q.put((worker_id, iteration, epoch, indices,
+                                  slot_name, total, n_out, None))
+            except StopIteration:
+                result_q.put((worker_id, iteration, epoch, indices,
+                              None, 0, 0, _STOP))
+            except BaseException as e:  # noqa: BLE001
+                result_q.put((worker_id, iteration, epoch, indices,
+                              None, 0, 0, repr(e)))
+    finally:
+        if big is not None:
+            try:
+                big.close()
+                big.unlink()
+            except Exception:
+                pass
 
 
 class WorkerPool:
@@ -125,6 +168,8 @@ class WorkerPool:
                 ring.append(shm.name)
             self._slot_ring.append(ring)
         self._slot_cursor = [0] * self._num_workers
+        # cached attachments to worker-owned overflow segments, per worker
+        self._big_attach = {}
         if pickler is not None:
             blob = pickler.dumps(source)
         else:
@@ -140,12 +185,29 @@ class WorkerPool:
         for w in range(self._num_workers):
             p = self._ctx.Process(
                 target=_worker_main,
-                args=(w, blob, self._task_qs[w], self._result_q, False),
+                args=(w, blob, self._task_qs[w], self._result_q),
                 daemon=True,
             )
             p.start()
             self._procs.append(p)
         self._install_finalizer()
+
+    def _attach_result(self, worker_id, shm_name):
+        """Arrays for one result: from the parent-owned ring, or from the
+        worker's overflow segment (attached once per segment name and cached;
+        the WORKER owns and unlinks it)."""
+        if shm_name in self._slots:
+            return _unpack_arrays(self._slots[shm_name])
+        cached = self._big_attach.get(worker_id)
+        if cached is None or cached.name != shm_name:
+            if cached is not None:
+                try:
+                    cached.close()  # worker replaced (and unlinked) it
+                except Exception:
+                    pass
+            cached = shared_memory.SharedMemory(name=shm_name)
+            self._big_attach[worker_id] = cached
+        return _unpack_arrays(cached)
 
     def run_batch(self, iteration: int, epoch: int) -> List[List[np.ndarray]]:
         """Compute one batch: returns per-sample lists of output arrays."""
@@ -162,14 +224,17 @@ class WorkerPool:
             ]
             slot = self._slot_ring[w][self._slot_cursor[w]]
             self._slot_cursor[w] = (self._slot_cursor[w] + 1) % len(self._slot_ring[w])
-            self._task_qs[w].put((slot, True, iteration, epoch, infos))
+            self._task_qs[w].put((slot, iteration, epoch, infos))
             pending += 1
         import queue as _queue
 
         results = {}
+        stop = False
+        err = None
         while pending:
             try:
-                worker_id, it, indices, shm_name, total, n_out, err = self._result_q.get(timeout=5.0)
+                (worker_id, it, ep, indices, shm_name, total, n_out,
+                 werr) = self._result_q.get(timeout=5.0)
             except _queue.Empty:
                 dead = [i for i, p in enumerate(self._procs) if not p.is_alive()]
                 if dead:
@@ -178,17 +243,26 @@ class WorkerPool:
                         "(segfault/OOM in the source callback?)"
                     )
                 continue
-            if err is not None:
-                raise RuntimeError(f"parallel external_source worker failed: {err}")
-            if shm_name in self._slots:
-                arrays = _unpack_arrays(self._slots[shm_name])
-            else:  # oversized one-off segment from the worker
-                shm = shared_memory.SharedMemory(name=shm_name)
-                arrays = _unpack_arrays(shm)
-                shm.close()
-                shm.unlink()
-            results[indices[0][1]] = (indices, arrays, n_out)
+            if (it, ep) != (iteration, epoch):
+                # stale result from a batch that aborted mid-collection
+                # (error/StopIteration below drains on the NEXT call):
+                # iteration numbers repeat across epochs and chunk keys
+                # repeat every batch, so accepting it would silently serve
+                # last batch's arrays as this batch's samples
+                continue
             pending -= 1
+            if werr == _STOP:
+                stop = True  # keep draining this batch's results first
+            elif werr is not None:
+                err = err or RuntimeError(
+                    f"parallel external_source worker failed: {werr}")
+            else:
+                results[indices[0][1]] = (
+                    indices, self._attach_result(worker_id, shm_name), n_out)
+        if stop:
+            raise StopIteration  # end of epoch, same contract as serial
+        if err is not None:
+            raise err
         samples: List[List[np.ndarray]] = [None] * bs
         for first_idx, (indices, arrays, n_out) in results.items():
             k = 0
@@ -198,7 +272,7 @@ class WorkerPool:
         return samples
 
     @staticmethod
-    def _cleanup(task_qs, procs, slots):
+    def _cleanup(task_qs, procs, slots, big_attach):
         for q in task_qs:
             try:
                 q.put(None)
@@ -215,6 +289,15 @@ class WorkerPool:
             except Exception:
                 pass
         slots.clear()
+        for shm in big_attach.values():
+            # worker-owned; normally already unlinked by the worker — unlink
+            # defensively in case it was terminated mid-batch
+            try:
+                shm.close()
+                shm.unlink()
+            except Exception:
+                pass
+        big_attach.clear()
 
     def close(self):
         # via the finalizer so close() and interpreter-exit share one path
@@ -228,4 +311,5 @@ class WorkerPool:
         # cycles with the executor), which leaked the shm slot rings until
         # the resource_tracker complained; weakref.finalize runs via atexit.
         self._finalizer = weakref.finalize(
-            self, WorkerPool._cleanup, self._task_qs, self._procs, self._slots)
+            self, WorkerPool._cleanup, self._task_qs, self._procs,
+            self._slots, self._big_attach)

@@ -25,7 +25,10 @@ _TRIED = False
 # heap corruption). One lock; the stampede is per-process-once.
 import threading as _threading  # noqa: E402
 
-_LOAD_LOCK = _threading.Lock()
+# REENTRANT: default_arena()/shared_pool() hold this while constructing
+# HostArena/TaskPool, whose __init__ calls _load(), which takes it again —
+# a plain Lock self-deadlocks on the first native touch through those paths
+_LOAD_LOCK = _threading.RLock()
 _REBUILT = False
 
 
@@ -458,6 +461,20 @@ class VideoFile:
             v = np.empty((count, ch, cw), np.uint8)
         else:
             y, u, v = out
+            # the native call writes through the BASE pointer (strides are
+            # never seen) and the EOF pad below writes through reshape views,
+            # so non-contiguous planes would corrupt memory / silently drop
+            # the padding into a reshape COPY
+            for nm, a, need in (("y", y, count * h_ * w_),
+                                ("u", u, count * ch * cw),
+                                ("v", v, count * ch * cw)):
+                if not (isinstance(a, np.ndarray) and a.dtype == np.uint8
+                        and a.flags["C_CONTIGUOUS"]):
+                    raise ValueError(
+                        f"read_yuv out[{nm}] must be C-contiguous uint8")
+                if a.size < need:
+                    raise ValueError(
+                        f"read_yuv out[{nm}] too small: {a.size} < {need}")
         got = self._lib.dali_tpu_video_read_frames_yuv(
             self._h, start, count, stride,
             y.ctypes.data_as(ctypes.c_void_p),
@@ -936,12 +953,6 @@ def jpeg_coeffs_split_flat_batch(datas, ky, kc, blocks, flat_lens, num_threads: 
     q = np.empty((n, ky * ky + kc * kc), np.uint16)
     oks = (ctypes.c_int * n)()
 
-    def ip(a):
-        return np.ascontiguousarray(a, np.int32).ctypes.data_as(ctypes.POINTER(ctypes.c_int))
-
-    def lp(a):
-        return np.ascontiguousarray(a, np.int64).ctypes.data_as(ctypes.POINTER(ctypes.c_long))
-
     pool = shared_pool(num_threads)
     # keep the int32/int64 views alive through the call
     holds = [np.ascontiguousarray(x, np.int32) for x in (ybh, ybw, cbh, cbw)]
@@ -984,8 +995,9 @@ def sparse_pack_i8(dense: np.ndarray, n_blocks: int, nac: int,
         fn.restype = ctypes.c_longlong
     assert dense.dtype == np.int8 and mask_out.dtype == np.uint16
     assert vals_out.dtype == np.int8
-    assert mask_out.shape[0] >= n_blocks
-    assert vals_out.shape[0] >= n_blocks * nac + 16
+    if not (mask_out.shape[0] >= n_blocks and vals_out.shape[0] >= n_blocks * nac + 16):
+        raise ValueError(
+            "sparse_pack_i8 output buffers undersized (native would write out of bounds)")
     nnz = fn(
         dense.ctypes.data_as(ctypes.c_void_p),
         ctypes.c_longlong(int(n_blocks)), int(nac),
@@ -1008,8 +1020,9 @@ def nib_pack_i8(vals: np.ndarray, n: int, nibbles_out: np.ndarray,
         fn.restype = ctypes.c_longlong
     assert vals.dtype == np.int8 and nibbles_out.dtype == np.uint8
     assert escapes_out.dtype == np.int8
-    assert nibbles_out.shape[0] >= (n + 1) // 2
-    assert escapes_out.shape[0] >= n + 16  # SIMD left-pack store slack
+    if not (nibbles_out.shape[0] >= (n + 1) // 2 and escapes_out.shape[0] >= n + 16):
+        raise ValueError(
+            "nib_pack_i8 output buffers undersized (native needs SIMD store slack)")
     return int(fn(
         vals.ctypes.data_as(ctypes.c_void_p), ctypes.c_longlong(int(n)),
         nibbles_out.ctypes.data_as(ctypes.c_void_p),
@@ -1027,7 +1040,9 @@ def esc_pack_i16(vals: np.ndarray, n: int, out8: np.ndarray,
         fn.restype = ctypes.c_longlong
     assert vals.dtype == np.int16 and out8.dtype == np.int8
     assert escapes_out.dtype == np.int16
-    assert out8.shape[0] >= n and escapes_out.shape[0] >= n
+    if not (out8.shape[0] >= n and escapes_out.shape[0] >= n):
+        raise ValueError(
+            "esc_pack_i16 output buffers undersized")
     return int(fn(
         vals.ctypes.data_as(ctypes.c_void_p), ctypes.c_longlong(int(n)),
         out8.ctypes.data_as(ctypes.c_void_p),
@@ -1061,14 +1076,9 @@ def pack_wire(y_ac, ny_blocks, nac_y, c_ac, nc_blocks, nac_c,
     assert y_vals.dtype == np.int8 and c_vals.dtype == np.int8
     assert y_dc8.dtype == np.int8 and c_dc8.dtype == np.int8
     assert y_esc16.dtype == np.int16 and c_esc16.dtype == np.int16
-    assert y_vals.shape[0] >= ny_blocks * nac_y + 16
-    assert c_vals.shape[0] >= nc_blocks * nac_c + 16
-    assert y_nibs.shape[0] >= (ny_blocks * nac_y + 1) // 2
-    assert c_nibs.shape[0] >= (nc_blocks * nac_c + 1) // 2
-    assert y_mask.shape[0] >= ny_blocks and c_mask.shape[0] >= nc_blocks
-    assert y_dc8.shape[0] >= y_dc_len and c_dc8.shape[0] >= c_dc_len
-    assert y_dc.shape[0] >= ny_blocks and c_dc.shape[0] >= nc_blocks
-    assert y_esc16.shape[0] >= ny_blocks and c_esc16.shape[0] >= nc_blocks
+    if not (y_vals.shape[0] >= ny_blocks * nac_y + 16 and c_vals.shape[0] >= nc_blocks * nac_c + 16 and y_nibs.shape[0] >= (ny_blocks * nac_y + 1) // 2 and c_nibs.shape[0] >= (nc_blocks * nac_c + 1) // 2 and y_mask.shape[0] >= ny_blocks and c_mask.shape[0] >= nc_blocks and y_dc8.shape[0] >= y_dc_len and c_dc8.shape[0] >= c_dc_len and y_dc.shape[0] >= ny_blocks and c_dc.shape[0] >= nc_blocks and y_esc16.shape[0] >= ny_blocks and c_esc16.shape[0] >= nc_blocks):
+        raise ValueError(
+            "pack_wire output buffers undersized (native would write out of bounds)")
     counts = (ctypes.c_longlong * 6)()
     pool = shared_pool(num_threads)
     fn(
@@ -1411,8 +1421,9 @@ def pack_wire2(y_vals, y_nnz, c_vals, c_nnz, y_dc, c_dc, ny_blocks,
                        ctypes.POINTER(ctypes.c_longlong)]
     assert y_vals.dtype == np.int8 and c_vals.dtype == np.int8
     assert y_dc.dtype == np.int16 and c_dc.dtype == np.int16
-    assert y_nibs.shape[0] >= (y_nnz + 1) // 2
-    assert c_nibs.shape[0] >= (c_nnz + 1) // 2
+    if not (y_nibs.shape[0] >= (y_nnz + 1) // 2 and c_nibs.shape[0] >= (c_nnz + 1) // 2):
+        raise ValueError(
+            "nibble buffers undersized")
     assert y_dc8.shape[0] >= y_dc_len and c_dc8.shape[0] >= c_dc_len
     assert y_esc16.shape[0] >= ny_blocks and c_esc16.shape[0] >= nc_blocks
     counts = (ctypes.c_longlong * 4)()

@@ -98,3 +98,86 @@ def test_parallel_requires_indexed_callable():
             p.run()
         finally:
             p._executor.shutdown()
+
+
+_FINITE_N = 12
+
+
+def _finite_source(info):
+    if info.idx_in_epoch >= _FINITE_N:
+        raise StopIteration
+    return np.full((3,), info.idx_in_epoch + 100 * info.epoch_idx, np.int64)
+
+
+def test_parallel_external_source_epoch_end():
+    """A finite indexed source under parallel=True must end its epoch with
+    StopIteration — the same contract as the serial path — and continue into
+    the next epoch after reset() with fresh (not stale) data (review r5: the
+    worker converted StopIteration into a generic RuntimeError, and aborted
+    batches could leak stale results into the next epoch's batches)."""
+    @pipeline_def(batch_size=4, num_threads=1, seed=1, py_num_workers=2)
+    def pipe():
+        return fn.external_source(source=_finite_source, batch=False, parallel=True)
+
+    p = pipe()
+    try:
+        for epoch in range(2):
+            seen = []
+            for _ in range(_FINITE_N // 4):
+                out = p.run()[0]
+                seen += [int(out.at(i)[0]) for i in range(4)]
+            assert seen == [100 * epoch + i for i in range(_FINITE_N)], seen
+            with pytest.raises(StopIteration):
+                p.run()
+            p.reset()
+    finally:
+        p._executor.shutdown()
+
+
+def _ragged_arity_source(info):
+    if info.idx_in_epoch % 5 == 3:
+        return np.zeros((2,), np.float32)  # bare array: 1 output
+    return np.zeros((2,), np.float32), np.ones((1,), np.int64)  # 2 outputs
+
+
+def test_parallel_external_source_ragged_arity_raises():
+    """Mixed per-sample output arities must raise (as the serial path does),
+    not silently shuffle arrays across samples (review r5)."""
+    @pipeline_def(batch_size=8, num_threads=1, seed=1, py_num_workers=2)
+    def pipe():
+        x, y = fn.external_source(source=_ragged_arity_source, batch=False,
+                                  parallel=True, num_outputs=2)
+        return x, y
+
+    p = pipe()
+    with pytest.raises(Exception, match="outputs for sample"):
+        try:
+            p.run()
+        finally:
+            p._executor.shutdown()
+
+
+def _big_source(info):
+    # ~1.5 MB per sample, > the test pool's 1 MB slots
+    return np.full((1 << 19,), info.idx_in_epoch, np.int32), np.int64(info.idx_in_epoch)
+
+
+def test_worker_pool_oversize_slot_reuse():
+    """Results larger than slot_bytes ride a persistent worker-owned overflow
+    segment (grown on demand, reused across batches) — not a fresh
+    create+unlink per batch (review r5) — and stay correct across batches."""
+    from dali_tpu._multiproc import WorkerPool
+
+    pool = WorkerPool(_big_source, num_workers=2, batch_size=4,
+                      queue_depth=2, slot_bytes=1 << 20)
+    try:
+        for it in range(3):
+            samples = pool.run_batch(it, 0)
+            for i, s in enumerate(samples):
+                assert len(s) == 2
+                assert s[0].shape == (1 << 19,)
+                assert int(s[0][0]) == it * 4 + i == int(s[1])
+        # the overflow segments were attached once per worker and cached
+        assert len(pool._big_attach) == 2
+    finally:
+        pool.close()

@@ -3,6 +3,7 @@ scaled corrupt-sample fallback, and coefficient-cache key/accounting
 integrity (review r5 on executor.py/decoders.py)."""
 
 import io
+import os
 
 import numpy as np
 import pytest
@@ -164,3 +165,23 @@ def test_coef_cache_used_matches_stored_bytes(tmp_path):
     stored = sum(sum(a.nbytes for a in ent) for ent in st["map"].values())
     assert st["used"] == stored, (st["used"], stored)
     assert len(st["map"]) == 2  # one entry per distinct file
+
+
+def test_native_first_touch_via_default_arena_no_deadlock():
+    """default_arena()/shared_pool() hold _LOAD_LOCK while constructing
+    objects whose __init__ re-enters _load(); with a non-reentrant lock the
+    FIRST native touch through those paths self-deadlocked (review r5).
+    Probed in a fresh process so the library is genuinely unloaded."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, %r); "
+        "from dali_tpu import native; "
+        "a = native.default_arena() if native.available() else None; "
+        "p = native.shared_pool() if native.available() else None; "
+        "print('first-touch ok')"
+    ) % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))),)
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=120)
+    assert r.returncode == 0 and "first-touch ok" in r.stdout, r.stderr[-500:]
