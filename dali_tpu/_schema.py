@@ -375,10 +375,27 @@ class OpSpec:
                     DeprecationWarning,
                     stacklevel=3,
                 )
-                if arg.deprecated_in_favor_of and arg.deprecated_in_favor_of not in kwargs:
+                if arg.deprecated_in_favor_of:
+                    if arg.deprecated_in_favor_of in kwargs:
+                        # both the deprecated arg and its replacement given:
+                        # storing the old value under the dead key would
+                        # silently discard it (no impl reads old keys) —
+                        # raise like the reference's op_spec conflict check
+                        raise TypeError(
+                            f"Operator '{schema_name}' got both deprecated "
+                            f"argument '{k}' and its replacement "
+                            f"'{arg.deprecated_in_favor_of}'")
                     k = arg.deprecated_in_favor_of
                     arg = self.schema.args[k]
             if isinstance(v, DataNode):
+                if not arg.tensor_ok:
+                    # this check must live HERE: DataNode kwargs never reach
+                    # ArgDef.coerce (they route to arg_inputs), and impls'
+                    # GetArgument would silently return the schema default
+                    raise TypeError(
+                        f"Argument '{k}' of operator '{schema_name}' does "
+                        "not accept a per-sample argument input (DataNode); "
+                        "pass a constant")
                 self.arg_inputs[k] = v
             else:
                 self.args[k] = arg.coerce(v)
@@ -404,6 +421,11 @@ class OpSpec:
             return self.args[name]
         arg = self.schema.args.get(name)
         if arg is not None and not arg.required:
+            if isinstance(arg.default, (list, dict)):
+                # mutable defaults live on the GLOBAL schema registry: hand
+                # out a copy so an impl normalizing its args in place cannot
+                # corrupt the default for every later pipeline
+                return type(arg.default)(arg.default)
             return arg.default
         if default is not OpSpec._NO_DEFAULT:
             return default

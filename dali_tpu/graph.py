@@ -134,6 +134,11 @@ class Graph:
                 "arg_inputs": {
                     k: [v.source.instance_name, v.source_idx] for k, v in op.spec.arg_inputs.items()
                 },
+                # recorded, not recomputed at load: ops whose output count
+                # depends on non-serialized _extra payloads (readers.TFRecord
+                # counts its _features) would deserialize with 0 outputs and
+                # crash the first consumer's rewiring
+                "num_outputs": len(op.outputs),
             }
             if include_callables:
                 # by-value pickle of implementation payloads (external_source
@@ -184,16 +189,16 @@ class Graph:
                 spec.arg_inputs[k] = nodes[src_name].outputs[idx]
             spec.validate_required()
             node = OpNode(i, spec)
-            n_out = spec.num_outputs()
+            # prefer the recorded count (see serialize); fall back to the
+            # schema for pre-num_outputs payloads
+            n_out = entry.get("num_outputs", None)
+            if n_out is None:
+                n_out = spec.num_outputs()
             node.outputs = [
                 DataNode(f"{entry['name']}[{j}]", _out_device(spec), node, j) for j in range(n_out)
             ]
             nodes[entry["name"]] = node
             ops.append(node)
-        outputs = [
-            DataNode(f"{name}[{idx}]", dev, nodes[name], idx) for name, idx, dev in doc["outputs"]
-        ]
-        # re-bind the actual DataNode objects from producing nodes
         outputs = [nodes[name].outputs[idx] for name, idx, dev in doc["outputs"]]
         return Graph(ops, outputs)
 

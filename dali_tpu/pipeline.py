@@ -112,7 +112,6 @@ class Pipeline:
         self._op_name_counts = {}
         self._outputs_raw = None
         self._restore_checkpoint = checkpoint
-        self._external_inputs = {}
         self._batches_scheduled = 0
         self._batches_consumed = 0
 
@@ -137,7 +136,14 @@ class Pipeline:
         ``pipeline.cc``)."""
         if spec.name is None:
             base = spec.schema_name.replace(".", "__")
+            # skip past any EXPLICIT names that squatted the pattern (and
+            # adopted deserialized ops, which never seeded the counter):
+            # colliding instance names silently alias in Graph._by_name,
+            # mis-wiring deserialize and feed_input
+            taken = {op.instance_name for op in self._traced_ops}
             n = self._op_name_counts.get(base, 0)
+            while f"__{base}_{n}" in taken:
+                n += 1
             self._op_name_counts[base] = n + 1
             spec.name = f"__{base}_{n}"
         elif any(op.instance_name == spec.name for op in self._traced_ops):
@@ -279,8 +285,20 @@ class Pipeline:
             "num_threads": self.num_threads,
             "device_id": self.device_id,
             "seed": self.seed,
-            "prefetch_queue_depth": self.prefetch_queue_depth,
+            # dict form preserves SEPARATE stage depths on round-trip (a
+            # flattened max would e.g. quadruple the host staging queue of a
+            # {'cpu_size': 1, 'gpu_size': 4} pipeline)
+            "prefetch_queue_depth": {"cpu_size": self.cpu_queue_depth,
+                                     "gpu_size": self.gpu_queue_depth},
             "pad_align": self.pad_align,
+            "enable_checkpointing": self.enable_checkpointing,
+            "enable_conditionals": self.enable_conditionals,
+            "transfer_chunk_bytes": self.transfer_chunk_bytes,
+            "output_dtype": ([int(d) for d in self.output_dtype]
+                             if isinstance(self.output_dtype, (list, tuple))
+                             else (int(self.output_dtype)
+                                   if self.output_dtype is not None else None)),
+            "output_ndim": self.output_ndim,
         }
         payload = self._graph.serialize(params, include_callables=include_callables)
         if filename:
@@ -296,14 +314,19 @@ class Pipeline:
         doc = json.loads(serialized_pipeline)
         params = doc.get("params", {})
         params.update(kwargs)
-        pipe = cls(
-            batch_size=params.get("batch_size", 1),
-            num_threads=params.get("num_threads", 4),
-            device_id=params.get("device_id"),
-            seed=params.get("seed", -1),
-            prefetch_queue_depth=params.get("prefetch_queue_depth", 2),
-            pad_align=params.get("pad_align", 64),
-        )
+        # forward EVERY recognized constructor parameter — a fixed shortlist
+        # silently discarded overrides like enable_checkpointing=True or
+        # debug=True (review r5); unknown keys raise like the constructor
+        import inspect
+
+        allowed = set(inspect.signature(cls.__init__).parameters) - {"self"}
+        unknown = set(params) - allowed
+        if unknown:
+            raise TypeError(
+                f"Pipeline.deserialize got unknown parameter(s) {sorted(unknown)}")
+        params.setdefault("batch_size", 1)
+        params.setdefault("num_threads", 4)
+        pipe = cls(**params)
         graph = Graph.deserialize(serialized_pipeline)
         # adopt deserialized nodes as traced ops
         pipe._traced_ops = list(graph.ops)
