@@ -8,7 +8,9 @@
 
 #include <Python.h>
 
+#include <atomic>
 #include <cstring>
+#include <mutex>
 #include <string>
 
 namespace {
@@ -46,14 +48,47 @@ class Gil {
   PyGILState_STATE state_;
 };
 
-bool g_initialized = false;
+std::atomic<bool> g_initialized{false};
+std::mutex g_init_mutex;  // serializes first-time interpreter bring-up
+
+// max dims a daliTpuTensorInfo can carry (dali_tpu.h shape[16])
+constexpr int kMaxDims = 16;
+
+// Compile a Python helper ONCE into a PRIVATE globals dict (not the
+// embedder's __main__ — injecting _np/_dt there clobbered user globals, and
+// re-running PyRun_String per call paid a parse+compile on the hot path).
+// The returned function keeps its globals alive via __globals__; the cached
+// reference is process-lifetime.
+PyObject* cached_helper(const char* src, const char* fname, PyObject** cache) {
+  if (*cache) return *cache;
+  PyObject* g = PyDict_New();
+  if (!g) return nullptr;
+  PyDict_SetItemString(g, "__builtins__", PyEval_GetBuiltins());
+  PyObject* code = PyRun_String(src, Py_file_input, g, g);
+  if (!code) {
+    Py_DECREF(g);
+    return nullptr;
+  }
+  Py_DECREF(code);
+  PyObject* fn = PyDict_GetItemString(g, fname);  // borrowed
+  Py_XINCREF(fn);
+  Py_DECREF(g);
+  *cache = fn;
+  return fn;
+}
 
 }  // namespace
 
 extern "C" {
 
 daliTpuResult daliTpuInit(void) {
-  if (g_initialized) return DALI_TPU_OK;
+  if (g_initialized.load(std::memory_order_acquire)) return DALI_TPU_OK;
+  // serialize first-time bring-up: unsynchronized check-then-act raced two
+  // threads into concurrent Py_InitializeEx (UB) and a PyEval_SaveThread
+  // from the thread that did NOT initialize (fatal) — the header promises
+  // thread safety. Contenders block here while the winner initializes.
+  std::lock_guard<std::mutex> lock(g_init_mutex);
+  if (g_initialized.load(std::memory_order_acquire)) return DALI_TPU_OK;
   bool we_initialized = false;
   if (!Py_IsInitialized()) {
     Py_InitializeEx(0);
@@ -73,7 +108,7 @@ daliTpuResult daliTpuInit(void) {
     // threads' PyGILState_Ensure calls don't deadlock.
     PyEval_SaveThread();
   }
-  g_initialized = true;
+  g_initialized.store(true, std::memory_order_release);
   return DALI_TPU_OK;
 }
 
@@ -113,9 +148,8 @@ daliTpuResult daliTpuRun(daliTpuPipeline handle) {
   if (!h || !h->pipeline) return DALI_TPU_INVALID_HANDLE;
   Gil gil;
   // run + convert each output's samples to host numpy arrays
-  PyObject* main_mod = PyImport_AddModule("__main__");
-  PyObject* globals = PyModule_GetDict(main_mod);
-  PyObject* code = PyRun_String(
+  static PyObject* collect_fn = nullptr;
+  PyObject* fn = cached_helper(
       "import numpy as _np\n"
       "def _dali_tpu_capi_collect(pipe):\n"
       "    outs = pipe.run()\n"
@@ -124,14 +158,12 @@ daliTpuResult daliTpuRun(daliTpuPipeline handle) {
       "        tl = tl.as_cpu() if hasattr(tl, 'as_cpu') else tl\n"
       "        res.append([_np.ascontiguousarray(tl.at(i)) for i in range(len(tl))])\n"
       "    return res\n",
-      Py_file_input, globals, globals);
-  if (!code) {
+      "_dali_tpu_capi_collect", &collect_fn);
+  if (!fn) {
     set_error_from_python();
     return DALI_TPU_ERROR;
   }
-  Py_DECREF(code);
-  PyObject* fn = PyDict_GetItemString(globals, "_dali_tpu_capi_collect");
-  PyObject* result = fn ? PyObject_CallFunctionObjArgs(fn, h->pipeline, nullptr) : nullptr;
+  PyObject* result = PyObject_CallFunctionObjArgs(fn, h->pipeline, nullptr);
   if (!result) {
     set_error_from_python();
     return DALI_TPU_ERROR;
@@ -195,7 +227,16 @@ daliTpuResult daliTpuOutputInfo(daliTpuPipeline handle, int output, int sample,
     return DALI_TPU_ERROR;
   }
   info->ndim = PyTuple_Size(shape);
-  for (Py_ssize_t i = 0; i < info->ndim && i < 16; i++) {
+  if (info->ndim > kMaxDims) {
+    // never report a rank the 16-slot shape array can't carry: the
+    // documented caller pattern iterates shape[0..ndim) and would read past
+    // the array into dtype/nbytes
+    Py_DECREF(shape);
+    Py_DECREF(nbytes);
+    g_last_error = "sample rank exceeds daliTpuTensorInfo's 16 dims";
+    return DALI_TPU_ERROR;
+  }
+  for (Py_ssize_t i = 0; i < info->ndim; i++) {
     info->shape[i] = PyLong_AsLongLong(PyTuple_GetItem(shape, i));
   }
   info->nbytes = PyLong_AsLongLong(nbytes);
@@ -291,9 +332,8 @@ daliTpuResult daliTpuFeedInput(daliTpuPipeline handle, const char* name,
   if (!h || !h->pipeline) return DALI_TPU_INVALID_HANDLE;
   Gil gil;
   // build list of per-sample numpy arrays copied out of the caller buffer
-  PyObject* main_mod = PyImport_AddModule("__main__");
-  PyObject* globals = PyModule_GetDict(main_mod);
-  PyObject* code = PyRun_String(
+  static PyObject* feed_fn = nullptr;
+  PyObject* fn = cached_helper(
       "import numpy as _np\n"
       "import dali_tpu.types as _dt\n"
       "def _dali_tpu_capi_feed(pipe, name, blob, shapes, dtypes, layout):\n"
@@ -307,12 +347,17 @@ daliTpuResult daliTpuFeedInput(daliTpuPipeline handle, const char* name,
       "        pos += n\n"
       "        samples.append(a)\n"
       "    pipe.feed_input(name, samples, layout=layout or None)\n",
-      Py_file_input, globals, globals);
-  if (!code) {
+      "_dali_tpu_capi_feed", &feed_fn);
+  if (!fn) {
     set_error_from_python();
     return DALI_TPU_ERROR;
   }
-  Py_DECREF(code);
+  for (int i = 0; i < n_samples; i++) {
+    if (infos[i].ndim < 0 || infos[i].ndim > kMaxDims) {
+      g_last_error = "daliTpuFeedInput: sample ndim outside [0, 16]";
+      return DALI_TPU_ERROR;
+    }
+  }
   size_t total = 0;
   PyObject* shapes = PyList_New(n_samples);
   PyObject* dtypes = PyList_New(n_samples);
@@ -326,7 +371,6 @@ daliTpuResult daliTpuFeedInput(daliTpuPipeline handle, const char* name,
     total += (size_t)ti.nbytes;
   }
   PyObject* blob = PyBytes_FromStringAndSize((const char*)data, total);
-  PyObject* fn = PyDict_GetItemString(globals, "_dali_tpu_capi_feed");
   PyObject* pyname = PyUnicode_FromString(name);
   PyObject* pylayout = PyUnicode_FromString(layout ? layout : "");
   PyObject* result =

@@ -70,7 +70,11 @@ class DALIGenericIterator:
             self._size_no_pad = total_no_pad
             self._last_batch_padded = bool(metas[0]["pad_last_batch"])
         else:
-            self._size = size * len(self._pipes) if size > 0 else size
+            # explicit size is the TOTAL epoch size across all pipelines
+            # (reference base_iterator.py:165) — the per-step counter already
+            # advances by batch_size * len(pipes), so multiplying here served
+            # every sample len(pipes) times per declared epoch
+            self._size = size
             self._size_no_pad = self._size
 
         self._counter = 0
@@ -128,8 +132,29 @@ class DALIGenericIterator:
     next = __next__
 
     def reset(self):
-        """Start a new epoch (reference base_iterator.reset)."""
-        self._counter = 0
+        """Start a new epoch (reference base_iterator.py:496-534). Ignored
+        before the epoch ends, like the reference."""
+        step = self.batch_size * len(self._pipes)
+        if self._last_batch_policy == LastBatchPolicy.DROP and self._size > 0:
+            # DROP ends the epoch with the incomplete tail batch still queued
+            # in the pipelines; extract and discard it here, or the samples
+            # DROP promised to skip reappear as the NEXT epoch's first batch
+            # and every later epoch is misaligned by the tail length
+            remaining = self._size - self._counter
+            if 0 < remaining < step:
+                for p in self._pipes:
+                    p.outputs()
+                    p.schedule_run()
+                self._counter += step
+        if self._size < 0 or self._counter >= self._size:
+            if (self._last_batch_policy == LastBatchPolicy.FILL
+                    and not self._last_batch_padded and self._size > 0):
+                # FILL on unpadded shards consumed wrap-around samples from
+                # the next epoch; carry the overshoot so those samples are
+                # not served twice (reference "legacy way")
+                self._counter = self._counter % self._size
+            else:
+                self._counter = 0
 
     def checkpoints(self):
         """Per-pipeline checkpoints + iterator position (reference: iterator
@@ -160,7 +185,11 @@ class DALIGenericIterator:
             if isinstance(v, TensorListCPU):
                 return TensorListCPU([v.at(i) for i in range(n)], v.layout())
             if isinstance(v, TensorListGPU):
-                shapes = None if v.is_dense_tensor() else v._shapes_np()[:n]
+                # slice the shapes array WITHOUT materializing it: _shapes
+                # may be device-resident, and a D2H readback here would
+                # permanently degrade the tunnel (CLAUDE.md); [:n] stays on
+                # device for jax arrays and is free for numpy
+                shapes = None if v._shapes is None else v._shapes[:n]
                 return TensorListGPU(v.as_tensor()[:n], shapes, v.layout())
             return v[:n]
 

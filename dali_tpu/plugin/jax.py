@@ -66,8 +66,21 @@ class DALIGenericIterator(_Base):
             if len(shards) == 1 and len(local_devices) > 1:
                 # one pipeline feeding several local devices: split the batch
                 arr = shards[0]
+                if arr.shape[0] % len(local_devices):
+                    raise ValueError(
+                        f"batch size {arr.shape[0]} does not divide evenly "
+                        f"over {len(local_devices)} local devices — the "
+                        "remainder samples would be silently dropped")
                 per = arr.shape[0] // len(local_devices)
                 shards = [arr[i * per : (i + 1) * per] for i in range(len(local_devices))]
+            if len(shards) != len(local_devices):
+                # zip would silently truncate: with more pipelines than local
+                # devices, whole per-pipeline batches vanish every iteration
+                raise ValueError(
+                    f"{len(shards)} pipeline shards for "
+                    f"{len(local_devices)} local devices in the sharding — "
+                    "drive one pipeline per local device (or one pipeline "
+                    "total with a device-divisible batch)")
             placed = [jax.device_put(s, d) for s, d in zip(shards, local_devices)]
             # global batch = per-device shard batch × total devices on the batch axis
             shard_shape = placed[0].shape

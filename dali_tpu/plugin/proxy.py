@@ -140,6 +140,11 @@ def _make_collate(base_collate):
             return _ProxyBatch(list(items))
         if items and isinstance(items[0], (tuple, list)):
             cols = list(zip(*items))
+            if isinstance(items[0], tuple) and hasattr(items[0], "_fields"):
+                # namedtuple: the constructor takes one positional arg per
+                # field, not a single iterable (torch default_collate
+                # supports these the same way)
+                return type(items[0])(*(collate(list(c)) for c in cols))
             return type(items[0])(collate(list(c)) for c in cols)
         if items and isinstance(items[0], dict):
             return {k: collate([d[k] for d in items]) for k in items[0]}

@@ -1,6 +1,7 @@
 """PyTorch integration (reference ``dali/python/nvidia/dali/plugin/pytorch/``).
 
-On TPU hosts PyTorch is CPU-side: the iterator yields dicts of cpu torch tensors
+On TPU hosts PyTorch is CPU-side: the iterator yields a LIST of per-pipeline
+dicts of cpu torch tensors
 (zero-copy from numpy where possible). Device outputs are brought back to host —
 use the JAX iterator for on-device consumption.
 """
@@ -48,8 +49,9 @@ class DALIGenericIterator(_Base):
             except Exception:
                 return torch.from_numpy(np.ascontiguousarray(tl.as_array()))
 
-        result = [{k: conv(v) for k, v in b.items()} for b in batches]
-        return result if len(result) > 1 else result
+        # always a list of per-pipeline dicts, even for one pipeline — the
+        # reference PyTorch plugin yields the same shape and the tests pin it
+        return [{k: conv(v) for k, v in b.items()} for b in batches]
 
 
 class DALIClassificationIterator(DALIGenericIterator):

@@ -169,8 +169,6 @@ class DALIGenericIterator:
             pipelines = [pipelines]
         self._pipes = pipelines
         self.output_map = list(output_map)
-        self._output_dtypes = output_dtypes
-        self._ds_kwargs = kwargs
         self._ds_iters = [
             iter(DALIDataset(p, output_dtypes=output_dtypes, **kwargs)) for p in pipelines
         ]
@@ -183,22 +181,22 @@ class DALIGenericIterator:
         return self
 
     def reset(self):
-        """Start a new epoch: reset the pipelines and their dataset iterators
-        (reference base iterator surface)."""
+        """Start a new epoch. Counter-only, like the base iterator: the
+        pipelines keep streaming through their existing tf.data iterators.
+        Rebuilding the DALIDataset iterators here (the old behavior) leaked
+        the previous iterators' prefetch threads — which kept driving the
+        SAME pipelines concurrently with the new generators, racing
+        Pipeline's unsynchronized schedule/consume counters — and silently
+        dropped the batches already sitting in their prefetch buffers
+        (review r5)."""
         self._counter = 0
-        for p in self._pipes:
-            p.reset()
-        self._ds_iters = [
-            iter(DALIDataset(p, output_dtypes=self._output_dtypes, **self._ds_kwargs))
-            for p in self._pipes
-        ]
 
     def __next__(self):
         if self._size > 0 and self._counter >= self._size:
             if self._auto_reset:
                 self.reset()
-            else:
-                self._counter = 0
+            # without auto_reset the user must call reset(); implicitly
+            # zeroing here made a bare retry silently start a new epoch
             raise StopIteration
         outs = [next(it) for it in self._ds_iters]
         self._counter += self.batch_size * len(self._pipes)
